@@ -1,0 +1,16 @@
+"""dolma_ray — a Ray-Data-native web-text quality-filtering engine.
+
+A from-scratch rebuild of the capabilities of allenai/dolma (tagging,
+dedup, mixing/filtering/scrubbing, analysis) expressed as streaming
+``ray.data.Dataset`` pipelines: attribute files become attribute columns,
+per-file multiprocessing becomes ``map_batches`` over Arrow batches,
+model stages become actor pools, and the shared Bloom filter becomes
+keyed shuffles.  See SURVEY.md at the repo root for the full design.
+
+NOTE: nothing in this package calls ``ray.init()``; callers own the Ray
+session (Ray Data auto-initialises when running standalone).
+"""
+
+__version__ = "0.1.0"
+
+from .registry import TaggerRegistry, import_modules  # noqa: F401

@@ -1,0 +1,166 @@
+"""Embedded seed corpora for deterministic model stand-ins.
+
+The reference downloads trained artifacts (fastText lid.176, jigsaw
+toxicity, DCLM quality, KenLM LMs).  This sandbox has no network, so the
+model stages train tiny deterministic models at actor init from the seed
+text below (written for this project; generic prose).  The point is a
+faithful *interface and execution shape* — actor-pool stages holding a
+model — with reproducible scores, not state-of-the-art accuracy.
+"""
+
+LANG_SEEDS: dict[str, str] = {
+    "en": (
+        "The quick brown fox jumps over the lazy dog while the children watch "
+        "from the garden. It was a bright cold day in April and the clocks were "
+        "striking thirteen. All human beings are born free and equal in dignity "
+        "and rights. They are endowed with reason and conscience and should act "
+        "towards one another in a spirit of brotherhood. The weather today is "
+        "sunny with a chance of rain in the afternoon. She sells sea shells by "
+        "the sea shore and the shells she sells are surely sea shells. We hold "
+        "these truths to be self evident that all men are created equal. The "
+        "history of science shows that progress comes from careful observation "
+        "and honest debate about the evidence. Please remember to bring your "
+        "umbrella because the forecast says it will rain this evening. Reading "
+        "books is one of the best ways to learn about the world and other people."
+    ),
+    "de": (
+        "Alle Menschen sind frei und gleich an Würde und Rechten geboren. Sie "
+        "sind mit Vernunft und Gewissen begabt und sollen einander im Geist der "
+        "Brüderlichkeit begegnen. Das Wetter ist heute sonnig mit vereinzelten "
+        "Schauern am Nachmittag. Der schnelle braune Fuchs springt über den "
+        "faulen Hund, während die Kinder aus dem Garten zuschauen. Die "
+        "Geschichte der Wissenschaft zeigt, dass Fortschritt durch sorgfältige "
+        "Beobachtung und ehrliche Diskussion entsteht. Bitte denken Sie daran, "
+        "Ihren Regenschirm mitzubringen, denn es soll heute Abend regnen. Bücher "
+        "zu lesen ist eine der besten Möglichkeiten, etwas über die Welt zu "
+        "erfahren. Ich möchte gerne einen Kaffee und ein Stück Kuchen bestellen."
+    ),
+    "fr": (
+        "Tous les êtres humains naissent libres et égaux en dignité et en "
+        "droits. Ils sont doués de raison et de conscience et doivent agir les "
+        "uns envers les autres dans un esprit de fraternité. Le temps est "
+        "ensoleillé aujourd'hui avec quelques averses dans l'après-midi. Le "
+        "rapide renard brun saute par-dessus le chien paresseux pendant que les "
+        "enfants regardent depuis le jardin. L'histoire des sciences montre que "
+        "le progrès vient de l'observation attentive et du débat honnête. "
+        "N'oubliez pas d'apporter votre parapluie car il va pleuvoir ce soir. "
+        "Lire des livres est l'une des meilleures façons de découvrir le monde. "
+        "Je voudrais commander un café et une part de gâteau s'il vous plaît."
+    ),
+    "es": (
+        "Todos los seres humanos nacen libres e iguales en dignidad y derechos. "
+        "Dotados como están de razón y conciencia, deben comportarse "
+        "fraternalmente los unos con los otros. El tiempo hoy es soleado con "
+        "algunas lluvias por la tarde. El rápido zorro marrón salta sobre el "
+        "perro perezoso mientras los niños miran desde el jardín. La historia de "
+        "la ciencia muestra que el progreso viene de la observación cuidadosa y "
+        "el debate honesto. Por favor recuerda traer tu paraguas porque va a "
+        "llover esta noche. Leer libros es una de las mejores maneras de "
+        "aprender sobre el mundo. Quisiera pedir un café y un trozo de pastel."
+    ),
+    "it": (
+        "Tutti gli esseri umani nascono liberi ed eguali in dignità e diritti. "
+        "Essi sono dotati di ragione e di coscienza e devono agire gli uni verso "
+        "gli altri in spirito di fratellanza. Il tempo oggi è soleggiato con "
+        "qualche pioggia nel pomeriggio. La veloce volpe marrone salta sopra il "
+        "cane pigro mentre i bambini guardano dal giardino. La storia della "
+        "scienza mostra che il progresso viene dall'osservazione attenta e dal "
+        "dibattito onesto. Ricordati di portare l'ombrello perché stasera "
+        "pioverà. Leggere libri è uno dei modi migliori per conoscere il mondo. "
+        "Vorrei ordinare un caffè e una fetta di torta per favore."
+    ),
+    "pt": (
+        "Todos os seres humanos nascem livres e iguais em dignidade e direitos. "
+        "São dotados de razão e consciência e devem agir em relação uns aos "
+        "outros com espírito de fraternidade. O tempo hoje está ensolarado com "
+        "algumas chuvas à tarde. A rápida raposa marrom pula sobre o cão "
+        "preguiçoso enquanto as crianças observam do jardim. A história da "
+        "ciência mostra que o progresso vem da observação cuidadosa e do debate "
+        "honesto. Por favor lembre de trazer seu guarda-chuva porque vai chover "
+        "esta noite. Ler livros é uma das melhores maneiras de aprender sobre o "
+        "mundo. Eu gostaria de pedir um café e um pedaço de bolo."
+    ),
+    "nl": (
+        "Alle mensen worden vrij en gelijk in waardigheid en rechten geboren. "
+        "Zij zijn begiftigd met verstand en geweten en behoren zich jegens "
+        "elkander in een geest van broederschap te gedragen. Het weer is vandaag "
+        "zonnig met enkele buien in de middag. De snelle bruine vos springt over "
+        "de luie hond terwijl de kinderen vanuit de tuin toekijken. De "
+        "geschiedenis van de wetenschap laat zien dat vooruitgang komt van "
+        "zorgvuldige waarneming en eerlijk debat. Vergeet niet je paraplu mee te "
+        "nemen want het gaat vanavond regenen. Boeken lezen is een van de beste "
+        "manieren om over de wereld te leren. Ik wil graag een kopje koffie."
+    ),
+    "zh": (
+        "人人生而自由，在尊严和权利上一律平等。他们赋有理性和良心，并应以兄弟关系的精神相对待。"
+        "今天天气晴朗，下午可能有阵雨。敏捷的棕色狐狸跳过了懒惰的狗，孩子们在花园里观看。"
+        "科学的历史表明，进步来自仔细的观察和诚实的辩论。请记得带伞，因为今晚会下雨。"
+        "读书是了解世界和他人的最好方式之一。我想点一杯咖啡和一块蛋糕。"
+        "学习一门新的语言需要时间和耐心，但是非常值得。城市的街道上到处都是人。"
+    ),
+}
+
+# quality classifier seeds: "hq" encyclopedic/helpful prose vs "lq" spam
+HQ_SEED = (
+    "The scientific method is an empirical method of acquiring knowledge that "
+    "has characterized the development of science since at least the 17th "
+    "century. It involves careful observation, applying rigorous skepticism "
+    "about what is observed, given that cognitive assumptions can distort how "
+    "one interprets the observation. Photosynthesis is a process used by "
+    "plants and other organisms to convert light energy into chemical energy "
+    "that can later be released to fuel the organism's activities. The history "
+    "of mathematics deals with the origin of discoveries in mathematics and "
+    "the mathematical methods and notation of the past. To answer your "
+    "question, the best approach is to first understand the underlying "
+    "problem, then consider several possible solutions and compare their "
+    "trade-offs carefully before committing to one. Many researchers have "
+    "studied this topic in depth and published peer reviewed articles "
+    "explaining the mechanism in detail with supporting evidence."
+)
+
+LQ_SEED = (
+    "click here to win a free iphone now limited time offer buy now cheap "
+    "discount pills no prescription needed visit our website best prices "
+    "guaranteed click click subscribe like and share follow us on social media "
+    "hot singles in your area sign up today casino bonus free spins no deposit "
+    "required make money fast work from home easy cash winner winner "
+    "congratulations you have been selected claim your prize now act now "
+    "supplies limited satisfaction guaranteed or your money back order today "
+    "special promotion exclusive deal amazing offer dont miss out best casino "
+    "online viagra cialis cheap replica watches designer handbags outlet sale "
+    "sale sale buy buy buy now now now lorem ipsum dolor sit amet"
+)
+
+# toxicity classifier seeds: insulting/aggressive vs neutral text
+TOXIC_SEED = (
+    "you are so stupid and ugly i hate you shut up you idiot nobody likes you "
+    "you are a complete moron and a loser go away you disgusting pig you are "
+    "trash and worthless kill yourself you pathetic freak i will hurt you you "
+    "dumb animal everyone hates you you piece of garbage stupid idiot hate "
+    "hate hate you are the worst person ever die die die you worthless scum "
+    "what an ugly stupid face you have you brainless fool shut your mouth "
+    "you filthy animal you deserve to suffer you miserable failure"
+)
+
+CLEAN_SEED = (
+    "thank you for your help i really appreciate it the meeting is scheduled "
+    "for tomorrow morning at ten the recipe calls for two cups of flour and a "
+    "pinch of salt the library opens at nine on weekdays our team finished the "
+    "project ahead of schedule the garden looks beautiful in the spring "
+    "please let me know if you have any questions the train arrives at the "
+    "station every half hour the children enjoyed the museum visit very much "
+    "we are looking forward to seeing you at the conference next week the "
+    "report summarizes the quarterly results in three sections"
+)
+
+# NSFW classifier seeds (word-salad of adult-content markers vs neutral)
+NSFW_SEED = (
+    "xxx porn video hot sexy nude naked girls adult content explicit sex "
+    "video click to watch free porn hot singles webcam show adult only "
+    "eighteen plus explicit adult material sex video chat nude photos sexy "
+    "webcam girls adult dating hookup tonight porn videos free xxx movies "
+    "adult entertainment strip show erotic massage escort service sexy nude"
+)
+
+# perplexity LM training corpus: the english seed plus hq prose
+LM_SEED = LANG_SEEDS["en"] + " " + HQ_SEED + " " + CLEAN_SEED

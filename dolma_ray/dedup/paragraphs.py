@@ -1,0 +1,278 @@
+"""Paragraph-level dedup: exact and by-ngram near-dup.
+
+Reference semantics (``src/deduper.rs:312-467``):
+
+* text is split on ``\\n``; paragraph char spans include the trailing
+  newline (offset arithmetic at ``deduper.rs:320-333``);
+* paragraphs shorter than ``min_length`` chars or with fewer than
+  ``min_words`` tokens are skipped (no attribute);
+* **exact**: a paragraph is a duplicate iff an identical paragraph
+  occurred earlier (first occurrence wins) -> span ``[start, end, 1]``;
+* **by-ngram**: hash token n-grams (length ``ngram_length``, start
+  positions ``stride`` apart); the paragraph's score is the fraction of
+  its counted n-grams previously seen anywhere; a span is emitted when
+  the fraction >= ``overlap_threshold``.  Paragraphs with < 2 n-grams
+  fall back to whole-paragraph exact matching (score 1.0/0.0) unless
+  ``skip_short_paragraphs``;
+* the reference's "previously seen" is Bloom-filter scan order; here it
+  is deterministic global order (the explicit ``order`` tuple), computed
+  exactly with two keyed shuffles:
+
+      docs -> flat_map paragraphs/ngrams -> groupby(hash): first-wins ->
+      groupby(url): reassemble span lists -> join back onto docs.
+
+The doc join-back is a third shuffle keyed by ``url``; all shuffled rows
+are narrow (hash, order, url, offsets) — the document text never moves.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schema import attr_name, spans_array
+from ..text_units import split_unicode_word_tokens
+from .hashing import hash_string, hash_tokens_ngram
+
+DUP_PARAGRAPHS_ATTR = attr_name("dedupe_paragraphs", "duplicate")
+
+
+class ExplodeParagraphs:
+    """map_batches: docs -> one row per counted paragraph unit.
+
+    Emits narrow rows: url, order (stringified sortable), par_start,
+    par_end, unit_hash, unit_kind ('par' exact / ngram fallback) or
+    per-ngram rows with par identity for the by-ngram mode.
+    """
+
+    def __init__(
+        self,
+        order_columns: Sequence[str] = ("warc_ts", "url"),
+        text_column: str = "text",
+        min_length: int = 0,
+        min_words: int = 0,
+        skip_empty: bool = False,
+        ngram_length: int = 0,
+        stride: int = 0,
+        skip_short_paragraphs: bool = False,
+    ) -> None:
+        self.order_columns = list(order_columns)
+        self.text_column = text_column
+        self.min_length = min_length
+        self.min_words = min_words
+        self.skip_empty = skip_empty
+        self.ngram_length = ngram_length
+        self.stride = stride
+        self.skip_short_paragraphs = skip_short_paragraphs
+
+    def _paragraph_spans(self, text: str):
+        """(start, end, paragraph) with reference offset semantics."""
+        out = []
+        offset = 0
+        text_length = len(text)
+        if text_length == 0:
+            return out
+        for p in text.split("\n"):
+            par_start = offset
+            offset += len(p)
+            if offset < text_length - 1:
+                offset += 1  # the newline
+            out.append((par_start, offset, p))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        urls = batch["url"].to_pylist()
+        orders = list(zip(*(batch[c].to_pylist() for c in self.order_columns)))
+        r_url, r_order, r_start, r_end, r_hash, r_pidx, r_ngrams = (
+            [], [], [], [], [], [], [],
+        )
+        for text, url, order in zip(texts, urls, orders):
+            text = text or ""
+            order_key = "\x1f".join(str(o) for o in order)
+            for pidx, (start, end, par) in enumerate(self._paragraph_spans(text)):
+                if len(par) < self.min_length:
+                    continue
+                if self.min_words > 0:
+                    if len(split_unicode_word_tokens(par)) < self.min_words:
+                        continue
+                elif self.skip_empty and not par.strip():
+                    continue
+                if self.ngram_length <= 0:
+                    r_url.append(url)
+                    r_order.append(order_key)
+                    r_start.append(start)
+                    r_end.append(end)
+                    r_hash.append(hash_string(par))
+                    r_pidx.append(pidx)
+                    r_ngrams.append(-1)  # exact mode marker
+                else:
+                    tokens = split_unicode_word_tokens(par)
+                    hashes = []
+                    # reference stride rule (deduper.rs:395-404) incl. its
+                    # quirk: `last_ngram_start == 0` keeps passing until a
+                    # ngram with start > 0 is counted, so the second ngram
+                    # is always counted regardless of stride
+                    last_start = 0
+                    for w in range(len(tokens) - self.ngram_length + 1):
+                        if last_start == 0 or w - last_start >= self.stride:
+                            last_start = w
+                            hashes.append(hash_tokens_ngram(tokens, w, self.ngram_length))
+                    if len(hashes) < 2 and not self.skip_short_paragraphs:
+                        r_url.append(url)
+                        r_order.append(order_key)
+                        r_start.append(start)
+                        r_end.append(end)
+                        r_hash.append(hash_string(par))
+                        r_pidx.append(pidx)
+                        r_ngrams.append(0)  # short-paragraph fallback
+                    else:
+                        for h in hashes:
+                            r_url.append(url)
+                            r_order.append(order_key)
+                            r_start.append(start)
+                            r_end.append(end)
+                            r_hash.append(h)
+                            r_pidx.append(pidx)
+                            r_ngrams.append(len(hashes))
+        return pa.table(
+            {
+                "url": pa.array(r_url, pa.string()),
+                "order": pa.array(r_order, pa.string()),
+                "par_start": pa.array(r_start, pa.int64()),
+                "par_end": pa.array(r_end, pa.int64()),
+                "unit_hash": pa.array(r_hash, pa.uint64()),
+                "par_idx": pa.array(r_pidx, pa.int64()),
+                "n_ngrams": pa.array(r_ngrams, pa.int64()),
+            }
+        )
+
+
+def _first_wins(g: pd.DataFrame) -> pd.DataFrame:
+    """Mark every unit occurrence that is not the global-order first."""
+    if len(g) == 1:
+        g = g.copy()
+        g["is_dup"] = False
+        return g
+    g = g.sort_values(["order", "par_idx"], kind="mergesort")
+    is_dup = np.ones(len(g), dtype=bool)
+    is_dup[0] = False
+    g = g.copy()
+    g["is_dup"] = is_dup
+    return g
+
+
+def mark_duplicate_paragraphs(
+    ds,
+    order_columns: Sequence[str] = ("warc_ts", "url"),
+    text_column: str = "text",
+    min_length: int = 0,
+    min_words: int = 0,
+    skip_empty: bool = False,
+    ngram_length: int = 0,
+    stride: int = 0,
+    overlap_threshold: float = 1.0,
+    skip_short_paragraphs: bool = False,
+    join_strategy: str = "broadcast",
+    join_partitions: int = 32,
+):
+    """Append ``attr__dedupe_paragraphs__duplicate`` spans to ``ds``.
+
+    ``ngram_length=0`` -> exact paragraph dedup (span score 1.0);
+    ``ngram_length>0`` -> by-ngram overlap dedup (span score = overlap
+    fraction, emitted when >= ``overlap_threshold``).
+    """
+    from ..util import cached_stage
+
+    units = ds.map_batches(
+        cached_stage(
+            ExplodeParagraphs,
+            order_columns=tuple(order_columns),
+            text_column=text_column,
+            min_length=min_length,
+            min_words=min_words,
+            skip_empty=skip_empty,
+            ngram_length=ngram_length,
+            stride=stride,
+            skip_short_paragraphs=skip_short_paragraphs,
+        ),
+        batch_format="pyarrow",
+    )
+
+    marked = units.groupby("unit_hash").map_groups(_first_wins, batch_format="pandas")
+
+    def to_doc_spans(g: pd.DataFrame) -> pd.DataFrame:
+        spans: list[tuple[int, int, float]] = []
+        for (start, end, n_ngrams), grp in g.groupby(
+            ["par_start", "par_end", "n_ngrams"], sort=True
+        ):
+            if n_ngrams == -1:  # exact paragraph mode: emit only duplicates
+                if bool(grp["is_dup"].iloc[0]):
+                    spans.append((int(start), int(end), 1.0))
+            elif n_ngrams == 0:  # ngram mode, short-paragraph fallback
+                score = 1.0 if bool(grp["is_dup"].iloc[0]) else 0.0
+                if score >= overlap_threshold:
+                    spans.append((int(start), int(end), score))
+            else:
+                frac = float(grp["is_dup"].mean())
+                if frac >= overlap_threshold:
+                    spans.append((int(start), int(end), frac))
+        spans.sort(key=lambda s: s[0])
+        return pd.DataFrame(
+            {
+                "url": [g["url"].iloc[0]],
+                "dup_starts": [[s for s, _, _ in spans]],
+                "dup_ends": [[e for _, e, _ in spans]],
+                "dup_scores": [[sc for _, _, sc in spans]],
+            }
+        )
+
+    doc_spans = marked.groupby("url").map_groups(to_doc_spans, batch_format="pandas")
+
+    def build_spans(batch: pa.Table) -> pa.Table:
+        starts = batch["dup_starts"].to_pylist()
+        ends = batch["dup_ends"].to_pylist()
+        scores = batch["dup_scores"].to_pylist()
+        spans = [
+            list(zip(s, e, sc)) if s is not None else []
+            for s, e, sc in zip(starts, ends, scores)
+        ]
+        batch = batch.drop_columns(["dup_starts", "dup_ends", "dup_scores"])
+        if DUP_PARAGRAPHS_ATTR in batch.column_names:
+            batch = batch.drop_columns([DUP_PARAGRAPHS_ATTR])
+        return batch.append_column(DUP_PARAGRAPHS_ATTR, spans_array(spans))
+
+    if join_strategy == "join":
+        joined = ds.join(
+            doc_spans,
+            join_type="left_outer",
+            num_partitions=join_partitions,
+            on=("url",),
+        )
+        return joined.map_batches(build_spans, batch_format="pyarrow")
+
+    # broadcast strategy: collect the (sparse) duplicate span lists on the
+    # driver once, ship via the object store to every task.  Right when the
+    # duplicate fraction is modest; use join_strategy="join" when it isn't.
+    import ray
+
+    spans_by_url: dict[str, list] = {}
+    for row in doc_spans.iter_rows():
+        if row["dup_starts"]:
+            spans_by_url[row["url"]] = list(
+                zip(row["dup_starts"], row["dup_ends"], row["dup_scores"])
+            )
+    spans_ref = ray.put(spans_by_url)
+
+    def attach_spans(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(spans_ref)
+        urls = batch["url"].to_pylist()
+        spans = [lookup.get(u, []) for u in urls]
+        if DUP_PARAGRAPHS_ATTR in batch.column_names:
+            batch = batch.drop_columns([DUP_PARAGRAPHS_ATTR])
+        return batch.append_column(DUP_PARAGRAPHS_ATTR, spans_array(spans))
+
+    return ds.map_batches(attach_spans, batch_format="pyarrow")

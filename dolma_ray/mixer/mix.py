@@ -1,0 +1,90 @@
+"""The mix stage: keep/drop filtering + span scrubbing + output shaping.
+
+Ray-native equivalent of ``dolma mix`` (``src/mixer.rs``, ``src/shard.rs``):
+the documents↔attributes positional join disappears because attributes are
+columns on the same Dataset; what remains is one vectorized ``map_batches``
+stage that
+
+1. evaluates the compiled rule set -> ``keep`` mask (``FilterConfig``);
+2. applies span replacements to ``text`` (``Scrubber``);
+3. drops rows with post-scrub ``len(text.strip()) < min_text_length``
+   (reference ``src/shard.rs:451-454``: min length check runs AFTER
+   scrubbing);
+4. optionally drops attribute columns (``discard_fields`` equivalent) and
+   emits ``provenance`` (the reference's ``{filename}:{line}`` becomes the
+   lineage columns carried from the read).
+
+``mode="filter"`` removes dropped rows (production behaviour);
+``mode="label"`` keeps all rows and appends a ``keep`` bool column
+(what validation/F1 measurement needs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from .rules import FilterConfig, Rule
+from .scrub import Scrubber, SpanReplacementConfig
+
+
+@dataclass
+class MixConfig:
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    span_replacement: list[SpanReplacementConfig] = field(default_factory=list)
+    min_text_length: int = 0
+    discard_attribute_columns: bool = True
+    text_column: str = "text"
+
+
+class MixStage:
+    """Callable class for ``ds.map_batches(MixStage, fn_constructor_kwargs=
+    {"config": cfg, "mode": "filter"}, batch_format="pyarrow")``."""
+
+    def __init__(self, config: MixConfig, mode: str = "filter") -> None:
+        assert mode in ("filter", "label")
+        self.config = config
+        self.mode = mode
+        self.scrubber = Scrubber(config.span_replacement)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.config
+        keep = cfg.filter.keep_mask(batch)
+
+        if cfg.span_replacement:
+            scrubbed = self.scrubber.scrub_batch(batch, cfg.text_column)
+            batch = batch.set_column(
+                batch.column_names.index(cfg.text_column), cfg.text_column, scrubbed
+            )
+
+        if cfg.min_text_length > 0:
+            import pyarrow.compute as pc
+
+            stripped_len = pc.utf8_length(
+                pc.utf8_trim_whitespace(batch[cfg.text_column])
+            ).to_numpy(zero_copy_only=False)
+            keep &= stripped_len >= cfg.min_text_length
+
+        if self.mode == "label":
+            if "keep" in batch.column_names:
+                batch = batch.drop_columns(["keep"])
+            return batch.append_column("keep", pa.array(keep, pa.bool_()))
+
+        batch = batch.filter(pa.array(keep))
+        if cfg.discard_attribute_columns:
+            drop = [c for c in batch.column_names if c.startswith("attr__")]
+            if drop:
+                batch = batch.drop_columns(drop)
+        return batch
+
+
+def mix(ds, config: MixConfig, mode: str = "filter", **map_kwargs):
+    from ..util import cached_stage
+
+    return ds.map_batches(
+        cached_stage(MixStage, config=config, mode=mode),
+        batch_format="pyarrow",
+        **map_kwargs,
+    )

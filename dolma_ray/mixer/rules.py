@@ -1,0 +1,129 @@
+"""Keep/drop rule compiler — vectorized over attribute columns.
+
+The reference mixer evaluates JSONPath/jq expressions per document against
+the merged doc+attributes JSON (``src/filters.rs:388-481``); the
+production patterns are all of the shape
+
+    $.attributes[?(@.NAME && @.NAME[0] && @.NAME[0][2] OP VALUE)]
+
+i.e. "attribute NAME exists, has a span at index 0, and that span's score
+compares OP VALUE" (see ``configs/dolma-v1_6/mixing/cc-head.yaml:23-103``).
+This engine compiles that shape to :class:`Rule` objects evaluated with
+numpy over Arrow columns — a missing attribute or empty span list is
+simply no-match, which is exactly the JSONPath semantics (null-tolerant).
+
+keep = (no includes OR any include matches) AND (no exclude matches)
+(reference ``src/shard.rs``/``filters.rs`` FilterConfig semantics).
+"""
+
+from __future__ import annotations
+
+import operator
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+_OPS = {
+    "<": operator.lt,
+    "<=": operator.le,
+    ">": operator.gt,
+    ">=": operator.ge,
+    "==": operator.eq,
+    "!=": operator.ne,
+}
+
+# the production JSONPath exclude-rule shape (cc-head.yaml)
+_JSONPATH_RULE = re.compile(
+    r"^\$\.?@?\.?attributes\[\?\(@\.(?P<name>\w+)\s*&&\s*@\.(?P=name)\[0\]\s*"
+    r"(?:&&\s*@\.(?P=name)\[0\]\[2\]\s*(?P<op>[<>=!]+)\s*(?P<value>-?[\d.]+)\s*)?\)\]$"
+)
+
+
+@dataclass(frozen=True)
+class Rule:
+    """Predicate over one attribute column.
+
+    ``attr`` is the column name.  For span-list columns the predicate
+    applies to the score of the span at ``span_index`` (missing/empty ->
+    no match, unless ``op`` is ``"exists"`` which matches when a span is
+    present).  For scalar columns the predicate applies to the value.
+    """
+
+    attr: str
+    op: str = "exists"
+    value: float = 0.0
+    span_index: int = 0
+
+    def evaluate(self, batch: pa.Table) -> np.ndarray:
+        """Boolean mask (length = batch rows): True where the rule matches."""
+        n = len(batch)
+        if self.attr not in batch.column_names:
+            return np.zeros(n, dtype=bool)
+        col = batch[self.attr]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            scores, present = _span_scores(col, self.span_index)
+        else:
+            scores = col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            present = ~np.isnan(scores)
+        if self.op == "exists":
+            return present
+        mask = np.zeros(n, dtype=bool)
+        ok = present
+        mask[ok] = _OPS[self.op](scores[ok], self.value)
+        return mask
+
+
+def _span_scores(col: pa.Array, span_index: int) -> tuple[np.ndarray, np.ndarray]:
+    """(scores, present) of the span at ``span_index`` per row for a
+    ``list<struct<start,end,score>>`` column — pure offset arithmetic,
+    no per-row python."""
+    if isinstance(col, pa.ListArray) or isinstance(col, pa.LargeListArray):
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:  # pragma: no cover - defensive
+        raise TypeError(f"unexpected column type {col.type}")
+    values = col.values
+    score_arr = values.field("score").to_numpy(zero_copy_only=False)
+    lengths = offsets[1:] - offsets[:-1]
+    present = lengths > span_index
+    idx = np.clip(offsets[:-1] + span_index, 0, max(len(score_arr) - 1, 0))
+    scores = np.zeros(len(lengths), dtype=np.float64)
+    if len(score_arr):
+        scores = score_arr[idx].astype(np.float64, copy=False)
+    if col.null_count:
+        present &= ~np.asarray(col.is_null())
+    return scores, present
+
+
+@dataclass
+class FilterConfig:
+    include: list[Rule] = field(default_factory=list)
+    exclude: list[Rule] = field(default_factory=list)
+
+    def keep_mask(self, batch: pa.Table) -> np.ndarray:
+        n = len(batch)
+        keep = np.ones(n, dtype=bool)
+        if self.include:
+            inc = np.zeros(n, dtype=bool)
+            for r in self.include:
+                inc |= r.evaluate(batch)
+            keep &= inc
+        for r in self.exclude:
+            keep &= ~r.evaluate(batch)
+        return keep
+
+
+def parse_jsonpath_rule(expr: str) -> Rule:
+    """Compile the production JSONPath exclude shape into a :class:`Rule`.
+    The attribute name keeps the reference's ``{exp}__{tagger}__{type}``
+    form and is prefixed with ``attr__`` to address our columns."""
+    m = _JSONPATH_RULE.match(expr.replace("\n", " ").strip())
+    if not m:
+        raise ValueError(f"unsupported filter expression: {expr!r}")
+    name = "attr__" + m.group("name")
+    if m.group("op") is None:
+        return Rule(attr=name, op="exists")
+    return Rule(attr=name, op=m.group("op"), value=float(m.group("value")))

@@ -1,0 +1,96 @@
+"""Span replacement (scrubbing) — PII masking, toxic-sentence removal,
+duplicate-paragraph removal.
+
+Semantics pinned to the reference splice loop (``src/shard.rs:372-444``,
+``SpanReplacer`` ``:593-681``):
+
+* a replacement applies when ``min_score <= score < max_score``;
+* replacements are sorted by start (stable); a span starting *inside* an
+  already-applied span is skipped entirely; a span starting exactly at the
+  end of the applied span is applied;
+* the replacement string may contain ``{}``, substituted with the
+  original span text;
+* offsets are **character** offsets (the reference walks ``char_indices``
+  to convert to bytes; Python strings are already char-indexed, and the
+  Arrow large_string -> Python str conversion round-trips UTF-8 exactly —
+  this is where byte-identical multi-byte scrubbing is won).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+
+@dataclass(frozen=True)
+class SpanReplacementConfig:
+    attr: str  # span-list attribute column name
+    replacement: str = ""  # may contain "{}" = original span text
+    min_score: float = float("-inf")
+    max_score: float = float("inf")
+
+
+def splice(text: str, replacements: list[tuple[int, int, str]]) -> str:
+    """Apply [(start, end, replacement)] char spans to ``text`` with the
+    reference's ordering/overlap semantics."""
+    if not replacements:
+        return text
+    replacements = sorted(replacements, key=lambda r: r[0])
+    out: list[str] = []
+    cursor = 0
+    for start, end, rep in replacements:
+        if start < cursor:
+            continue  # starts inside an applied span -> skipped
+        out.append(text[cursor:start])
+        if rep:
+            out.append(rep.replace("{}", text[start:end]))
+        cursor = max(cursor, end)
+    out.append(text[cursor:])
+    return "".join(out)
+
+
+class Scrubber:
+    """Batch scrubber: collects qualifying spans from the configured
+    attribute columns and splices each row's text."""
+
+    def __init__(self, configs: list[SpanReplacementConfig]) -> None:
+        self.configs = configs
+
+    def spans_per_row(
+        self, batch: pa.Table, n: int
+    ) -> list[list[tuple[int, int, str]]]:
+        per_row: list[list[tuple[int, int, str]]] = [[] for _ in range(n)]
+        for cfg in self.configs:
+            if cfg.attr not in batch.column_names:
+                continue
+            col = batch[cfg.attr]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+                continue
+            offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = col.values
+            starts = values.field("start").to_numpy(zero_copy_only=False)
+            ends = values.field("end").to_numpy(zero_copy_only=False)
+            scores = values.field("score").to_numpy(zero_copy_only=False)
+            qual = (scores >= cfg.min_score) & (scores < cfg.max_score)
+            for i in range(n):
+                lo, hi = offsets[i], offsets[i + 1]
+                if lo == hi:
+                    continue
+                for j in range(lo, hi):
+                    if qual[j]:
+                        per_row[i].append((int(starts[j]), int(ends[j]), cfg.replacement))
+        return per_row
+
+    def scrub_batch(self, batch: pa.Table, text_column: str = "text") -> pa.Array:
+        texts = batch[text_column].to_pylist()
+        n = len(texts)
+        per_row = self.spans_per_row(batch, n)
+        out = [
+            splice(t if t is not None else "", reps) if reps else (t or "")
+            for t, reps in zip(texts, per_row)
+        ]
+        return pa.array(out, type=pa.large_string())

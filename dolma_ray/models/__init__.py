@@ -1,0 +1,6 @@
+"""Deterministic, dependency-free model stand-ins for the reference's
+downloaded artifacts (fastText lid.176 / jigsaw / quality models, HF
+tokenizers, KenLM LMs).  No network access exists in this environment, so
+each model here is built from data embedded in the package at actor init
+time — same interface shape, reproducible scores.
+"""

@@ -1,0 +1,124 @@
+"""fastText-style linear text classifiers, trained deterministically.
+
+Interface mirrors what the reference gets from ``fasttext.FastText``
+(``python/dolma/core/ft_tagger.py:33-37``): ``predict(text, k=-1)`` returns
+``(labels, probs)`` sorted by probability, labels prefixed ``__label__``.
+
+The implementation is a word unigram+bigram multinomial Naive Bayes with
+add-one smoothing: per-class token log-likelihoods are averaged over the
+document's tokens and softmaxed into class probabilities.  That is the
+same *shape* as a fastText linear classifier (bag of word/bigram features
+-> linear -> softmax), trained from embedded seed corpora instead of a
+downloaded ``.bin`` — deterministic on any machine, no I/O.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+_TOKEN_RE = re.compile(r"[\w']+", re.UNICODE)
+
+
+def _features(text: str) -> list[str]:
+    toks = _TOKEN_RE.findall(text.lower())
+    return toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+
+
+class NaiveBayesTextClassifier:
+    """``{label: seed_text}`` -> fastText-like ``predict``."""
+
+    def __init__(self, seeds: dict[str, str], label_prefix: str = "__label__") -> None:
+        self.label_prefix = label_prefix
+        self.labels = sorted(seeds)
+        self._loglik: dict[str, dict[str, float]] = {}
+        self._unk: dict[str, float] = {}
+        vocab: set[str] = set()
+        counts: dict[str, Counter] = {}
+        for label, seed in seeds.items():
+            c = Counter(_features(seed))
+            counts[label] = c
+            vocab.update(c)
+        v = len(vocab) + 1
+        for label in self.labels:
+            c = counts[label]
+            total = sum(c.values()) + v
+            self._loglik[label] = {w: math.log((n + 1) / total) for w, n in c.items()}
+            self._unk[label] = math.log(1 / total)
+
+    def predict(self, text: str, k: int = 1) -> tuple[list[str], list[float]]:
+        feats = _features(text)
+        scores = []
+        for label in self.labels:
+            ll = self._loglik[label]
+            unk = self._unk[label]
+            if feats:
+                s = sum(ll.get(w, unk) for w in feats) / len(feats)
+            else:
+                s = 0.0
+            scores.append(s)
+        m = max(scores)
+        exps = [math.exp(s - m) for s in scores]
+        z = sum(exps)
+        probs = [e / z for e in exps]
+        order = sorted(range(len(self.labels)), key=lambda i: -probs[i])
+        if k == -1 or k >= len(order):
+            top = order
+        else:
+            top = order[:k]
+        return (
+            [f"{self.label_prefix}{self.labels[i]}" for i in top],
+            [probs[i] for i in top],
+        )
+
+
+class CharNgramClassifier:
+    """Character n-gram Naive Bayes (Cavnar & Trenkle 1994 style) — the
+    language-ID stand-in for fastText lid.176.  n-grams of length 1..3
+    over `` text `` padded with spaces; per-class average log-likelihood
+    softmaxed into probabilities."""
+
+    def __init__(self, seeds: dict[str, str], n_max: int = 3) -> None:
+        self.labels = sorted(seeds)
+        self.n_max = n_max
+        self._loglik: dict[str, dict[str, float]] = {}
+        self._unk: dict[str, float] = {}
+        vocab: set[str] = set()
+        counts: dict[str, Counter] = {}
+        for label, seed in seeds.items():
+            c = Counter(self._ngrams(seed))
+            counts[label] = c
+            vocab.update(c)
+        v = len(vocab) + 1
+        for label in self.labels:
+            c = counts[label]
+            total = sum(c.values()) + v
+            self._loglik[label] = {g: math.log((n + 1) / total) for g, n in c.items()}
+            self._unk[label] = math.log(1 / total)
+
+    def _ngrams(self, text: str) -> list[str]:
+        t = " " + re.sub(r"\s+", " ", text.lower().strip()) + " "
+        out = []
+        for n in range(1, self.n_max + 1):
+            out.extend(t[i : i + n] for i in range(len(t) - n + 1))
+        return out
+
+    def predict(self, text: str, k: int = 1) -> tuple[list[str], list[float]]:
+        grams = self._ngrams(text) if text.strip() else []
+        scores = []
+        for label in self.labels:
+            ll = self._loglik[label]
+            unk = self._unk[label]
+            if grams:
+                s = sum(ll.get(g, unk) for g in grams) / len(grams)
+            else:
+                s = 0.0
+            scores.append(s)
+        m = max(scores)
+        exps = [math.exp((s - m) * 8.0) for s in scores]  # temperature sharpens
+        z = sum(exps)
+        probs = [e / z for e in exps]
+        order = sorted(range(len(self.labels)), key=lambda i: -probs[i])
+        top = order if (k == -1 or k >= len(order)) else order[:k]
+        return ([f"__label__{self.labels[i]}" for i in top], [probs[i] for i in top])

@@ -1,0 +1,65 @@
+"""KenLM-style word n-gram language model with stupid backoff.
+
+The reference documents perplexity scoring (``docs/README.md:8``) but the
+LM artifact is external; the north rule requires a KenLM-style n-gram
+perplexity stage.  This is a word-trigram LM with stupid backoff
+(Brants et al. 2007, "Large Language Models in Machine Translation"):
+
+    S(w | a b) = count(a b w)/count(a b)        if count(a b w) > 0
+               = 0.4 * S(w | b)                 else
+    S(w | b)   = count(b w)/count(b)            if > 0 else 0.4 * S(w)
+    S(w)       = count(w)/N                     if > 0 else 0.4 / N   (OOV)
+
+``log10_perplexity(text)`` returns the per-word log10 perplexity — the
+score KenLM pipelines (e.g. CCNet, arXiv:1911.00359) threshold on.
+Trained at actor init from the embedded seed corpus (deterministic).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+_WORD_RE = re.compile(r"[\w']+", re.UNICODE)
+_BACKOFF = 0.4
+
+
+def _tokens(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+class StupidBackoffLM:
+    def __init__(self, corpus: str | None = None) -> None:
+        if corpus is None:
+            from ..data.seeds import LM_SEED
+
+            corpus = LM_SEED
+        toks = ["<s>", "<s>"] + _tokens(corpus) + ["</s>"]
+        self.uni = Counter(toks)
+        self.bi = Counter(zip(toks, toks[1:]))
+        self.tri = Counter(zip(toks, toks[1:], toks[2:]))
+        self.total = sum(self.uni.values())
+
+    def _score(self, a: str, b: str, w: str) -> float:
+        tri = self.tri.get((a, b, w), 0)
+        if tri:
+            return tri / self.bi[(a, b)]
+        bi = self.bi.get((b, w), 0)
+        if bi:
+            return _BACKOFF * bi / self.uni[b]
+        uni = self.uni.get(w, 0)
+        if uni:
+            return _BACKOFF * _BACKOFF * uni / self.total
+        return _BACKOFF * _BACKOFF * _BACKOFF / self.total
+
+    def log10_perplexity(self, text: str) -> float:
+        """Per-word log10 perplexity; 0.0 for empty text."""
+        toks = _tokens(text)
+        if not toks:
+            return 0.0
+        seq = ["<s>", "<s>"] + toks
+        logp = 0.0
+        for i in range(2, len(seq)):
+            logp += math.log10(self._score(seq[i - 2], seq[i - 1], seq[i]))
+        return -logp / len(toks)

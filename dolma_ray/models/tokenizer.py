@@ -1,0 +1,39 @@
+"""Deterministic regex tokenizer (BPE-ish pre-tokenization).
+
+Stand-in for the HF tokenizers the reference downloads
+(``python/dolma/taggers/length.py:124-178``, ``repetitions_taggers.py:100-120``):
+a GPT-2-style pre-tokenization pattern — leading-space word chunks, number
+runs, punctuation runs — with ids assigned by 64-bit FNV-1a hash of the
+token string, so identical token strings always get identical ids (what
+the periodic-repetition finder needs) without any vocabulary file.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..taggers.sampling import fnv1a_64
+
+# GPT-2-style pre-tokenizer pattern (public knowledge; simplified to stdlib `re`)
+_GPT2ISH = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+)
+
+
+class RegexTokenizer:
+    """Tokenize with character offsets; ids are content hashes."""
+
+    def tokenize_with_offsets(self, text: str) -> list[tuple[str, int, int]]:
+        return [(m.group(0), m.start(), m.end()) for m in _GPT2ISH.finditer(text)]
+
+    def encode_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+        ids: list[int] = []
+        offsets: list[tuple[int, int]] = []
+        for tok, s, e in self.tokenize_with_offsets(text):
+            # shift into positive int63 range so numpy int64 + mask_value=-1 works
+            ids.append(fnv1a_64(tok.encode("utf-8")) >> 1)
+            offsets.append((s, e))
+        return ids, offsets
+
+    def count(self, text: str) -> int:
+        return sum(1 for _ in _GPT2ISH.finditer(text))

@@ -1,0 +1,1 @@
+from .flagship import CANONICAL_MIX_CONFIG, flagship, tag_all  # noqa: F401

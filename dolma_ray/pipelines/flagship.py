@@ -1,0 +1,174 @@
+"""The flagship quality-filter pipeline (north-star workload).
+
+read_parquet(web pages) ->
+  stateless tagger pack   (Gopher + C4 + PII + repetitions, fused tasks) ->
+  stateful tagger pack    (langid + toxicity + quality + perplexity,
+                           actor pool: models built once per actor) ->
+  exact doc dedup         (groupby shuffle on text hash) ->
+  paragraph dedup         (paragraph-hash shuffle, span marks) ->
+  mix                     (rule keep/drop + PII/toxic/dup-paragraph scrub)
+-> write_parquet / labeled dataset
+
+The rule set mirrors the production Dolma CC pipeline
+(``configs/dolma-v1_6/mixing/cc-head.yaml:23-122``) with thresholds
+calibrated to this engine's deterministic model stand-ins (langid /
+toxicity / quality scores come from embedded-seed models, so the
+absolute cut-offs differ from fastText's; the *rules* are the same).
+Note: cc-head's ``most_common_{2,3,4}gram`` exclude rules reference a
+misspelled attribute (missing ``s``) and never fire in the reference;
+ours use the correct names and do fire.
+"""
+
+from __future__ import annotations
+
+from ..dedup import mark_duplicate_docs, mark_duplicate_paragraphs
+from ..dedup.exact import DUP_DOCS_ATTR
+from ..dedup.paragraphs import DUP_PARAGRAPHS_ATTR
+from ..mixer import FilterConfig, MixConfig, MixStage, Rule, SpanReplacementConfig
+from ..schema import attr_name
+from ..taggers.base import TagStage
+
+STATELESS_TAGGERS = [
+    "gopher_v1",
+    "c4_v2",
+    "pii_regex_with_counts_fast_v2",
+    "tokenizer_repetitions_v2r2",
+    "random_number_v1",
+]
+
+STATEFUL_TAGGERS = [
+    "lang_id_en_doc_v2",
+    "jigsaw_hatespeech_document_v2",
+    "jigsaw_hatespeech_sentence_v2",
+    "dclm-oh-eli5",
+    "kenlm_ppl_doc_v1",
+]
+
+
+def _g(type_: str) -> str:
+    return attr_name("gopher_v1", type_)
+
+
+CANONICAL_EXCLUDES = [
+    Rule(_g("word_count"), "<", 50),
+    Rule(_g("word_count"), ">", 100000),
+    Rule(_g("median_word_length"), "<", 3),
+    Rule(_g("median_word_length"), ">", 10),
+    Rule(_g("symbol_to_word_ratio"), ">", 0.1),
+    Rule(_g("fraction_of_words_with_alpha_character"), "<", 0.8),
+    Rule(_g("required_word_count"), "<", 2),
+    Rule(_g("fraction_of_lines_starting_with_bullet_point"), ">", 0.9),
+    Rule(_g("fraction_of_lines_ending_with_ellipsis"), ">", 0.3),
+    Rule(_g("fraction_of_duplicate_lines"), ">", 0.3),
+    Rule(_g("fraction_of_characters_in_duplicate_lines"), ">", 0.3),
+    Rule(_g("fraction_of_characters_in_most_common_2grams"), ">", 0.20),
+    Rule(_g("fraction_of_characters_in_most_common_3grams"), ">", 0.18),
+    Rule(_g("fraction_of_characters_in_most_common_4grams"), ">", 0.16),
+    Rule(_g("fraction_of_characters_in_duplicate_5grams"), ">", 0.15),
+    Rule(_g("fraction_of_characters_in_duplicate_6grams"), ">", 0.14),
+    Rule(_g("fraction_of_characters_in_duplicate_7grams"), ">", 0.13),
+    Rule(_g("fraction_of_characters_in_duplicate_8grams"), ">", 0.12),
+    Rule(_g("fraction_of_characters_in_duplicate_9grams"), ">", 0.11),
+    Rule(_g("fraction_of_characters_in_duplicate_10grams"), ">", 0.10),
+    # PII density (cc-head: doc_count > 5)
+    Rule(attr_name("pii_regex_with_counts_fast_v2", "doc_count"), ">", 5),
+    # 100+ token repetitions (cc-head)
+    Rule(attr_name("tokenizer_repetitions_v2r2", "doc_max_score_repetition"), ">=", 100),
+    # exact duplicate documents (cc-head: bff_duplicate_docs >= 1.0)
+    Rule(DUP_DOCS_ATTR, ">=", 1.0),
+    # language ID threshold (north rule; upstream of cc-head in production)
+    Rule(attr_name("lang_id_en_doc_v2", "en"), "<", 0.5),
+    # document-level toxicity (calibrated to the embedded-seed model)
+    Rule(attr_name("jigsaw_hatespeech_document_v2", "__label__toxic"), ">", 0.6),
+]
+
+CANONICAL_SPAN_REPLACEMENTS = [
+    # duplicate paragraphs removed (cc-head: bff_duplicate_paragraph_spans)
+    SpanReplacementConfig(DUP_PARAGRAPHS_ATTR, "", min_score=0.5),
+    # toxic sentences removed (cc-head min_score 0.4; 0.6 for our model)
+    SpanReplacementConfig(
+        attr_name("jigsaw_hatespeech_sentence_v2", "__label__toxic"), "", min_score=0.6
+    ),
+    # PII masked (cc-head replacement strings)
+    SpanReplacementConfig(
+        attr_name("pii_regex_with_counts_fast_v2", "EMAIL_ADDRESS"),
+        " |||EMAIL_ADDRESS||| ",
+        min_score=0.5,
+    ),
+    SpanReplacementConfig(
+        attr_name("pii_regex_with_counts_fast_v2", "PHONE_NUMBER"),
+        " |||PHONE_NUMBER||| ",
+        min_score=0.5,
+    ),
+    SpanReplacementConfig(
+        attr_name("pii_regex_with_counts_fast_v2", "IP_ADDRESS"),
+        " |||IP_ADDRESS||| ",
+        min_score=0.5,
+    ),
+]
+
+CANONICAL_MIX_CONFIG = MixConfig(
+    filter=FilterConfig(exclude=list(CANONICAL_EXCLUDES)),
+    span_replacement=list(CANONICAL_SPAN_REPLACEMENTS),
+    min_text_length=1,
+)
+
+
+def tag_all(
+    ds,
+    stateless=STATELESS_TAGGERS,
+    stateful=STATEFUL_TAGGERS,
+    stateful_concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 256,
+):
+    """Tagging stages only (no dedup, no mix).
+
+    Stateless taggers run as tasks (elastic, instance cached per worker);
+    stateful model taggers run as an actor pool sized by
+    ``stateful_concurrency``.
+    """
+    from ..util import cached_stage
+
+    if stateless:
+        ds = ds.map_batches(
+            cached_stage(TagStage, taggers=list(stateless)),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    if stateful:
+        ds = ds.map_batches(
+            TagStage,
+            fn_constructor_kwargs={"taggers": list(stateful)},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=stateful_concurrency,
+        )
+    return ds
+
+
+def flagship(
+    ds,
+    mode: str = "filter",
+    dedup: bool = True,
+    stateful_concurrency: int | tuple[int, int] = 2,
+    batch_size: int = 256,
+):
+    """Full pipeline on a web-page Dataset; returns the transformed Dataset
+    (lazy).  ``mode="label"`` appends ``keep`` instead of filtering.
+
+    Stage order: dedup runs FIRST, on the narrow raw rows (url/ts/text),
+    so the dedup shuffles never move attribute columns; tagging is
+    map-only and appends columns after.
+    """
+    if dedup:
+        ds = mark_duplicate_docs(ds, key_column="text")
+        ds = mark_duplicate_paragraphs(ds, min_length=1, skip_empty=True)
+    ds = tag_all(
+        ds, stateful_concurrency=stateful_concurrency, batch_size=batch_size
+    )
+    from ..util import cached_stage
+
+    return ds.map_batches(
+        cached_stage(MixStage, config=CANONICAL_MIX_CONFIG, mode=mode),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,70 @@
+"""Name -> tagger-class registry (user-extension surface).
+
+Mirrors the reference's ``@TaggerRegistry.add("name")`` decorator API
+(``python/dolma/core/registry.py:9-64``) including the duplicate-name
+guard, plus dynamic import of user modules (``--tagger_modules``,
+``core/utils.py:118-165``).  A registered tagger is any class with the
+:class:`dolma_ray.taggers.base.BaseTagger` contract, which makes it
+directly usable inside a Ray Data ``map_batches`` tagging stage.
+"""
+
+from __future__ import annotations
+
+import importlib
+import importlib.util
+import sys
+from pathlib import Path
+from typing import Callable, Type
+
+
+class TaggerRegistry:
+    _taggers: dict[str, type] = {}
+
+    @classmethod
+    def add(cls, name: str) -> Callable[[type], type]:
+        def decorator(tagger_cls: type) -> type:
+            existing = cls._taggers.get(name)
+            if existing is not None and existing is not tagger_cls:
+                raise ValueError(
+                    f"Tagger {name!r} already registered by {existing.__module__}.{existing.__name__}"
+                )
+            cls._taggers[name] = tagger_cls
+            tagger_cls.name = name
+            return tagger_cls
+
+        return decorator
+
+    @classmethod
+    def get(cls, name: str) -> Type:
+        try:
+            return cls._taggers[name]
+        except KeyError:
+            raise KeyError(
+                f"Unknown tagger {name!r}; known: {sorted(cls._taggers)}"
+            ) from None
+
+    @classmethod
+    def names(cls) -> list[str]:
+        return sorted(cls._taggers)
+
+    @classmethod
+    def has(cls, name: str) -> bool:
+        return name in cls._taggers
+
+
+def import_modules(modules: list[str] | None) -> None:
+    """Import user tagger modules by dotted name or filesystem path so their
+    ``@TaggerRegistry.add`` decorators run (reference: core/utils.py:118-165)."""
+    for mod in modules or []:
+        path = Path(mod)
+        if path.exists():
+            if path.is_dir():
+                path = path / "__init__.py"
+            spec = importlib.util.spec_from_file_location(path.stem, str(path))
+            if spec is None or spec.loader is None:
+                raise ImportError(f"cannot import {mod!r}")
+            module = importlib.util.module_from_spec(spec)
+            sys.modules[path.stem] = module
+            spec.loader.exec_module(module)
+        else:
+            importlib.import_module(mod)

@@ -1,0 +1,100 @@
+"""Canonical schemas and attribute-column conventions.
+
+The reference (allenai/dolma) stores tagger output as *attribute files*
+parallel to the document files: one JSONL row per document with
+``{id, attributes: {"<exp>__<tagger>__<type>": [[start, end, score], ...]}}``
+(reference: ``python/dolma/core/data_types.py:36-39``,
+``docs/data-format.md:70-109``).  In this engine attributes are **columns
+on the same Dataset**:
+
+* span-valued attributes  ->  ``list<struct<start:int64, end:int64, score:float64>>``
+* doc-valued attributes   ->  plain ``float64`` (the reference encodes these
+  as a single span ``[0, len(text), score]``; a scalar column carries the
+  same information and filters vectorize over it).
+
+Naming follows the reference convention ``{experiment}__{tagger}__{type}``
+with every part passed through :func:`make_variable_name`
+(reference: ``python/dolma/core/utils.py:55-66``, ``core/runtime.py:216``),
+prefixed with ``attr__`` to keep attribute columns recognisable next to
+data columns.  Scores are rounded to 5 decimal digits at materialisation
+(reference: ``python/dolma/core/taggers.py:22,49``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# input schema (BASELINE.json input_hint)
+
+WEB_PAGE_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.large_string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# attribute columns
+
+TAGGER_SCORE_PRECISION = 5  # reference: core/taggers.py:22
+
+SPAN_TYPE = pa.struct(
+    [
+        pa.field("start", pa.int64()),
+        pa.field("end", pa.int64()),
+        pa.field("score", pa.float64()),
+    ]
+)
+SPAN_LIST_TYPE = pa.list_(SPAN_TYPE)
+
+_INVALID_NAME_CHARS = re.compile(r"[^a-zA-Z0-9_]")
+
+
+def make_variable_name(name: str) -> str:
+    """Sanitise a name the way the reference does (core/utils.py:55-66)."""
+    name = _INVALID_NAME_CHARS.sub("_", name)
+    if name[:1].isdigit():
+        raise ValueError(f"Invalid variable name {name!r}")
+    return name
+
+
+def attr_name(tagger: str, type_: str, experiment: str | None = None) -> str:
+    """``attr__{experiment}__{tagger}__{type}`` column name.
+
+    When no experiment is configured the reference uses the tagger name as
+    the experiment (core/runtime.py:143-151); we collapse that duplication
+    to ``attr__{tagger}__{type}``.
+    """
+    parts = [make_variable_name(p) for p in ([experiment] if experiment else []) + [tagger, type_]]
+    return "attr__" + "__".join(parts)
+
+
+def round_score(score: float) -> float:
+    """5-digit score rounding used when materialising spans."""
+    return round(float(score), TAGGER_SCORE_PRECISION)
+
+
+def spans_array(per_row_spans: list[list[tuple[int, int, float]]]) -> pa.Array:
+    """Build a ``list<struct<start,end,score>>`` Arrow array from per-row
+    python span triples, applying the 5-digit rounding contract."""
+    return pa.array(
+        [
+            [
+                {"start": int(s), "end": int(e), "score": round_score(sc)}
+                for (s, e, sc) in row_spans
+            ]
+            for row_spans in per_row_spans
+        ],
+        type=SPAN_LIST_TYPE,
+    )
+
+
+def doc_score_array(scores: list[float]) -> pa.Array:
+    """Build a scalar ``float64`` attribute column with 5-digit rounding."""
+    return pa.array([round_score(s) for s in scores], type=pa.float64())

@@ -1,0 +1,303 @@
+"""Deterministic synthetic Common-Crawl-style web-page corpus.
+
+Produces the exact input shape named in BASELINE.json's input_hint —
+``(url:string, warc_ts:timestamp[us], html:binary, text:large_string,
+lang:string)`` — with every quality-rule feature present in a *known,
+labelled* subset of rows (FIXTURES.md §1), so keep/drop expectations are
+computable from the construction itself.  Seeded and platform-independent:
+``generate_web_pages(n, seed)`` always returns the same table.
+
+Each row carries a ``profile`` label (returned alongside the table) naming
+the feature it exercises; ``PROFILE_EXPECT_DROP`` maps profiles to the
+canonical-ruleset keep/drop expectation used by the F1 tests.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+import pyarrow as pa
+
+from .schema import WEB_PAGE_SCHEMA
+
+_SENTENCE_BANK = [
+    "The committee published its final report on the state of the local economy.",
+    "Researchers at the university discovered a new species of beetle in the valley.",
+    "The bridge was closed for repairs after engineers found cracks in the steel.",
+    "Farmers in the region have adapted their crops to the changing climate.",
+    "The museum announced that the exhibition would be extended through the spring.",
+    "Volunteers spent the weekend cleaning up the river banks and planting trees.",
+    "The city council approved a new budget that includes funding for libraries.",
+    "Scientists have long debated the causes of the sudden population decline.",
+    "The orchestra performed a program of works by composers from the region.",
+    "Students presented their projects at the annual science fair on Saturday.",
+    "The bakery on the corner is famous for its sourdough bread and pastries.",
+    "Historians believe that the settlement dates back to the ninth century.",
+    "The new railway line will connect the port with the industrial district.",
+    "Doctors recommend regular exercise and a balanced diet for heart health.",
+    "The library added hundreds of new titles to its digital collection.",
+    "Local fishermen reported larger catches after the harbour was dredged.",
+    "The theatre company will stage an outdoor production in the park this July.",
+    "Engineers tested the dam gates before the seasonal floods arrived.",
+    "The cooperative sells vegetables grown by farms within twenty miles.",
+    "A rare manuscript was returned to the archive after decades abroad.",
+    "The weather service issued a warning about strong winds along the coast.",
+    "Apprentices learn carpentry and masonry at the restored workshop.",
+    "The startup developed software that helps clinics schedule appointments.",
+    "Children from three schools joined the chess tournament in the hall.",
+    "The national park hired new rangers to patrol the northern trails.",
+    "An old windmill near the village was converted into a small museum.",
+    "The charity distributed blankets and food before the cold season began.",
+    "Astronomers observed the comet from the observatory on the ridge.",
+    "The ferry schedule changes twice a year with the tourist seasons.",
+    "Builders uncovered a mosaic floor while renovating the old courthouse.",
+]
+
+_DE_TEXT = (
+    "Der Gemeinderat hat den neuen Haushalt gebilligt und zusätzliche Mittel "
+    "für Bibliotheken bereitgestellt. Die Forscher der Universität entdeckten "
+    "eine neue Käferart im Tal. Die Brücke wurde wegen Reparaturen gesperrt, "
+    "nachdem Ingenieure Risse im Stahl gefunden hatten. Die Bäckerei an der "
+    "Ecke ist berühmt für ihr Sauerteigbrot und ihre Kuchen."
+)
+_FR_TEXT = (
+    "Le conseil municipal a approuvé le nouveau budget qui prévoit des fonds "
+    "pour les bibliothèques. Les chercheurs de l'université ont découvert une "
+    "nouvelle espèce de coléoptère dans la vallée. Le pont a été fermé pour "
+    "des réparations après que les ingénieurs ont trouvé des fissures dans "
+    "l'acier. La boulangerie du coin est célèbre pour son pain au levain."
+)
+_ZH_TEXT = "市议会批准了新的预算，其中包括图书馆的资金。大学的研究人员在山谷中发现了一种新的甲虫。工程师在钢材中发现裂缝后，桥梁因维修而关闭。街角的面包店以酸面包和糕点闻名。"
+
+# profiles that the canonical ruleset (mixer.CANONICAL_RULESET) must drop
+PROFILE_EXPECT_DROP = {
+    "clean": False,
+    "pii": False,
+    "multibyte_pii": False,
+    "toxic_sentence": False,  # sentence is scrubbed, doc kept
+    "cc_licensed": False,
+    "short": True,  # word_count < 50
+    "low_median": True,  # median word length < 3
+    "high_median": True,  # median word length > 10
+    "symbol_heavy": True,  # symbol_to_word_ratio > 0.1
+    "non_alpha": True,  # alpha-word fraction < 0.8
+    "no_required": True,  # required word count < 2
+    "bullets": True,  # >90% lines start with bullets
+    "ellipsis": True,  # >30% lines end with …
+    "dup_lines": True,  # >30% duplicate lines
+    "repetition": True,  # >=100 token repetitions
+    "non_english": True,  # langid below threshold
+    "dup_doc": True,  # exact duplicate of an earlier url (dedup)
+    "toxic_doc": True,  # document-level toxicity
+    "question_marks": True,  # >10k '?' exercises the PII skip path; the
+    # all-punct words still fail Gopher median/alpha rules -> dropped
+}
+
+PROFILES = list(PROFILE_EXPECT_DROP)
+# sampling weights: majority clean-ish
+_WEIGHTS = {p: (30 if p == "clean" else 2) for p in PROFILES}
+_WEIGHTS["question_marks"] = 1
+
+
+def _prose(rng: random.Random, n_sentences: int, require_stopwords: bool = True) -> str:
+    # sample WITHOUT replacement: a repeated ~12-word sentence would trip the
+    # Gopher duplicate-5..10-gram fractions and flip a "clean" doc to drop
+    sents = rng.sample(_SENTENCE_BANK, min(n_sentences, len(_SENTENCE_BANK)))
+    text = " ".join(sents)
+    if require_stopwords:
+        text = "The report and the data show that we have to work with care. " + text
+    return text
+
+
+def _paragraphs(rng: random.Random, n_paras: int) -> str:
+    # one pass of sampling without replacement across the whole doc
+    total = [rng.randint(2, 4) for _ in range(n_paras)]
+    sents = rng.sample(_SENTENCE_BANK, min(sum(total), len(_SENTENCE_BANK)))
+    paras, i = [], 0
+    for k, n in enumerate(total):
+        chunk = sents[i : i + n]
+        i += n
+        if not chunk:
+            break
+        prefix = (
+            "The report and the data show that we have to work with care. "
+            if k == 0
+            else ""
+        )
+        paras.append(prefix + " ".join(chunk))
+    return "\n".join(paras)
+
+
+def _make_text(profile: str, rng: random.Random, prior_texts: list[str]) -> str:
+    if profile == "clean" or profile == "cc_licensed":
+        return _paragraphs(rng, rng.randint(2, 5))
+    if profile == "pii":
+        # disjoint sentence deck across sections — repeated sentences would
+        # trip the Gopher duplicate-ngram rules on a keep-expected doc
+        deck = rng.sample(_SENTENCE_BANK, 5)
+        # PII lines vary per doc so cross-doc paragraph dedup never removes
+        # them (the scrub-golden tests rely on the mask markers being there)
+        user = f"user{rng.randint(100000, 999999)}.doe"
+        phone = f"({rng.randint(200, 989)}) {rng.randint(100, 999)}-{rng.randint(1000, 9999)}"
+        ip = f"192.168.{rng.randint(1, 250)}.{rng.randint(1, 250)}"
+        return (
+            "The report and the data show that we have to work with care. "
+            + " ".join(deck[:3])
+            + f"\nContact us at {user}@example.com for details.\n"
+            + f"Call {phone} to reach the office.\n"
+            + f"The server at {ip} hosts the archive.\n"
+            + " ".join(deck[3:])
+        )
+    if profile == "multibyte_pii":
+        # mostly-English doc with a multi-byte line containing PII: pins
+        # char-offset (not byte-offset) scrubbing
+        deck = rng.sample(_SENTENCE_BANK, 6)
+        mb_user = f"müller.günther{rng.randint(100000, 999999)}"
+        return (
+            "The report and the data show that we have to work with care. "
+            + " ".join(deck[:3])
+            + f"\nFüße Straße größer — {mb_user}@beispiel.de schrieb über die Brücke. \n"
+            + " ".join(deck[3:])
+        )
+    if profile == "toxic_sentence":
+        deck = rng.sample(_SENTENCE_BANK, 5)
+        return (
+            "The report and the data show that we have to work with care. "
+            + " ".join(deck[:3])
+            + " you are so stupid and ugly i hate you shut up you idiot. "
+            + " ".join(deck[3:])
+        )
+    if profile == "toxic_doc":
+        return (
+            "you are so stupid and ugly i hate you shut up you idiot nobody "
+            "likes you you are a complete moron and a loser go away you "
+            "disgusting pig you are trash and worthless you pathetic freak "
+            "everyone hates you you piece of garbage stupid idiot i hate you "
+            "you are the worst person ever you worthless scum shut your mouth "
+            "you brainless fool you filthy animal you deserve to suffer you "
+            "miserable failure what an ugly stupid face you have go away now"
+        )
+    if profile == "short":
+        return _prose(rng, 1)[:120]
+    if profile == "low_median":
+        return " ".join(rng.choice(["a", "an", "it", "is", "to", "of", "we", "he"]) for _ in range(80))
+    if profile == "high_median":
+        return " ".join(
+            rng.choice(
+                ["extraordinarily", "incomprehensible", "characteristically", "misunderstanding", "internationalization"]
+            )
+            for _ in range(60)
+        )
+    if profile == "symbol_heavy":
+        words = _prose(rng, 5).split()
+        for i in range(0, len(words), 5):
+            words[i] = "#" + words[i]
+        return " ".join(words)
+    if profile == "non_alpha":
+        return " ".join(str(rng.randint(0, 99999)) for _ in range(80)) + " the and that have"
+    if profile == "no_required":
+        return " ".join(
+            rng.choice(["apple", "banana", "orange", "grape", "cherry", "melon", "berry", "peach"])
+            for _ in range(70)
+        ) + "."
+    if profile == "bullets":
+        return "\n".join("* " + rng.choice(_SENTENCE_BANK) for _ in range(12))
+    if profile == "ellipsis":
+        return "\n".join(rng.choice(_SENTENCE_BANK).rstrip(".") + "…" for _ in range(10))
+    if profile == "dup_lines":
+        line = rng.choice(_SENTENCE_BANK)
+        lines = [line] * 6 + [rng.choice(_SENTENCE_BANK) for _ in range(4)]
+        rng.shuffle(lines)
+        return "\n".join(lines)
+    if profile == "repetition":
+        unit = "the cat sat on the mat "
+        return _prose(rng, 2) + "\n" + unit * 120
+    if profile == "non_english":
+        return rng.choice([_DE_TEXT, _FR_TEXT, _ZH_TEXT])
+    if profile == "dup_doc":
+        if prior_texts:
+            return rng.choice(prior_texts)
+        return _paragraphs(rng, 3)
+    if profile == "question_marks":
+        return _prose(rng, 2) + " " + "? " * 10_500 + _prose(rng, 2)
+    raise ValueError(profile)
+
+
+_CC_LINK = b'<a href="https://creativecommons.org/licenses/by/4.0/">CC BY 4.0</a>'
+
+
+def generate_web_pages(
+    n: int, seed: int = 42, start_ts: str = "2024-01-01T00:00:00"
+) -> tuple[pa.Table, list[str]]:
+    """Return ``(table, profiles)`` — the table in WEB_PAGE_SCHEMA order and
+    the per-row profile labels (same order)."""
+    rng = random.Random(seed)
+    base_ts = datetime.fromisoformat(start_ts).replace(tzinfo=timezone.utc)
+    pool = [p for p in PROFILES for _ in range(_WEIGHTS[p])]
+
+    urls, tss, htmls, texts, langs, profiles = [], [], [], [], [], []
+    clean_texts: list[str] = []
+    for i in range(n):
+        profile = rng.choice(pool)
+        text = _make_text(profile, rng, clean_texts)
+        if profile == "clean":
+            clean_texts.append(text)
+            if len(clean_texts) > 50:
+                clean_texts.pop(0)
+        url = f"http://site{rng.randint(0, max(10, n // 20))}.example.com/page/{i}"
+        lang = (
+            "de"
+            if text is _DE_TEXT
+            else "fr"
+            if text is _FR_TEXT
+            else "zh"
+            if text is _ZH_TEXT
+            else "en"
+        )
+        body = text[:500].replace("&", "&amp;").replace("<", "&lt;")
+        html = f"<html><head><title>page {i}</title></head><body><p>{body}</p>".encode()
+        if profile == "cc_licensed":
+            html += _CC_LINK
+        html += b"</body></html>"
+        urls.append(url)
+        tss.append(base_ts + timedelta(seconds=i * 7 + rng.randint(0, 5)))
+        htmls.append(html)
+        texts.append(text)
+        langs.append(lang)
+        profiles.append(profile)
+
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([t.replace(tzinfo=None) for t in tss], pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.large_string()),
+            "lang": pa.array(langs, pa.string()),
+        },
+        schema=WEB_PAGE_SCHEMA,
+    )
+    return table, profiles
+
+
+def write_web_pages_parquet(
+    path: str, n: int, seed: int = 42, shards: int = 1
+) -> list[str]:
+    """Write the synthetic corpus as ``shards`` Parquet files under ``path``
+    (one directory, shard-numbered files — the resumable layout)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    table, _ = generate_web_pages(n, seed=seed)
+    files = []
+    per = (len(table) + shards - 1) // shards
+    for s in range(shards):
+        chunk = table.slice(s * per, per)
+        if len(chunk) == 0:
+            break
+        fp = os.path.join(path, f"part-{s:05d}.parquet")
+        pq.write_table(chunk, fp)
+        files.append(fp)
+    return files

@@ -1,0 +1,19 @@
+"""Tagger implementations. Importing this package registers all built-in
+taggers with :class:`dolma_ray.registry.TaggerRegistry`."""
+
+from .base import DOC, SPAN, STR, BaseTagger, TagStage, tag_dataset  # noqa: F401
+from . import (  # noqa: F401
+    c4,
+    gopher,
+    language,
+    length,
+    licenses,
+    perplexity,
+    pii,
+    punctuation,
+    quality,
+    repetitions,
+    sampling,
+    toxicity,
+    url_taggers,
+)

@@ -1,0 +1,139 @@
+"""Tagger contract + the Ray Data tagging stage.
+
+A tagger maps one document to a dict of attribute values:
+
+* ``type -> float``                       (doc-level scalar attribute)
+* ``type -> [(start, end, score), ...]``  (span-level attribute)
+
+``output_types()`` declares every type the tagger can emit and its kind,
+so the Arrow schema is stable across batches even when a type is absent
+for a given document (doc scalars default to 0.0, span lists to []).
+
+:class:`TagStage` is a callable class for
+``Dataset.map_batches(TagStage, fn_constructor_kwargs=..., batch_format="pyarrow",
+concurrency=N)``: taggers are instantiated once per actor in ``__init__``
+(regex compilation, model/blocklist loading) and applied per batch in
+``__call__`` — the Ray-native replacement for the reference's
+one-process-per-file ``TaggerProcessor`` (``python/dolma/core/runtime.py:225-344``).
+Several taggers fused into one stage means one pass over the batch and a
+single appended set of columns.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Mapping, Sequence
+
+import pyarrow as pa
+
+from ..registry import TaggerRegistry
+from ..schema import attr_name, doc_score_array, spans_array
+
+DOC = "doc"
+SPAN = "span"
+STR = "str"  # string-valued doc attribute (e.g. detected language / license id)
+
+AttrValue = Any  # float | list[(start, end, score)]
+
+
+class BaseTagger:
+    """Contract for a single-document tagger.
+
+    Subclasses set ``name`` via ``@TaggerRegistry.add`` and implement
+    :meth:`predict`; vectorised taggers may instead override
+    :meth:`tag_batch` (same output, computed for the whole batch).
+    ``needs_columns`` lists extra input columns beyond ``text``
+    (e.g. ``url`` for blocklist taggers, ``html`` for license taggers).
+    """
+
+    name: str = ""
+    needs_columns: tuple[str, ...] = ()
+
+    def output_types(self) -> Mapping[str, str]:
+        """``{type: "doc"|"span"}`` for every attribute this tagger emits."""
+        raise NotImplementedError
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, AttrValue]:
+        raise NotImplementedError
+
+    def tag_batch(
+        self, texts: Sequence[str], extras: Mapping[str, Sequence[Any]]
+    ) -> Mapping[str, list[AttrValue]]:
+        """Default: loop :meth:`predict` over the batch. Returns
+        ``{type: per_row_values}`` with every declared type present."""
+        kinds = self.output_types()
+        out: dict[str, list[AttrValue]] = {t: [] for t in kinds}
+        n_extra = {k: v for k, v in extras.items()}
+        for i, text in enumerate(texts):
+            row = {k: v[i] for k, v in n_extra.items()}
+            result = self.predict(text, row)
+            for t, kind in kinds.items():
+                if t in result:
+                    out[t].append(result[t])
+                else:
+                    out[t].append(0.0 if kind == DOC else ("" if kind == STR else []))
+        return out
+
+
+class TagStage:
+    """Fused tagging stage: apply N taggers to an Arrow batch, append
+    ``attr__{experiment}__{tagger}__{type}`` columns."""
+
+    def __init__(
+        self,
+        taggers: Sequence[str],
+        experiment: str | None = None,
+        text_column: str = "text",
+    ) -> None:
+        self.taggers = [TaggerRegistry.get(n)() for n in taggers]
+        self.experiment = experiment
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist() if self.text_column in batch.column_names else [""] * len(batch)
+        texts = ["" if t is None else t for t in texts]
+        for tagger in self.taggers:
+            extras = {
+                c: batch[c].to_pylist()
+                for c in tagger.needs_columns
+                if c in batch.column_names
+            }
+            kinds = tagger.output_types()
+            result = tagger.tag_batch(texts, extras)
+            for type_, values in result.items():
+                col = attr_name(tagger.name, type_, self.experiment)
+                kind = kinds[type_]
+                if kind == DOC:
+                    arr = doc_score_array(values)
+                elif kind == STR:
+                    arr = pa.array([v if v is not None else "" for v in values], type=pa.string())
+                else:
+                    arr = spans_array(values)
+                if col in batch.column_names:
+                    batch = batch.set_column(
+                        batch.column_names.index(col), col, arr
+                    )
+                else:
+                    batch = batch.append_column(col, arr)
+        return batch
+
+
+def tag_dataset(ds, taggers: Sequence[str], experiment: str | None = None, **map_kwargs):
+    """``ds.map_batches`` with a fused :class:`TagStage`.
+
+    Stateless tagger packs run as tasks (instance cached per worker); pass
+    ``concurrency=N`` for an actor pool when any tagger holds heavy state.
+    """
+    if "concurrency" in map_kwargs:
+        return ds.map_batches(
+            TagStage,
+            fn_constructor_kwargs={"taggers": list(taggers), "experiment": experiment},
+            batch_format="pyarrow",
+            **map_kwargs,
+        )
+    from ..util import cached_stage
+
+    return ds.map_batches(
+        cached_stage(TagStage, taggers=list(taggers), experiment=experiment),
+        batch_format="pyarrow",
+        **map_kwargs,
+    )

@@ -1,0 +1,138 @@
+"""C4 quality-rule taggers (Raffel et al. 2020, arXiv:1910.10683 §2.2).
+
+Semantics pinned to the reference (``python/dolma/taggers/c4.py``):
+
+* lines are ``text.split("\n")``; each line's span **includes** its
+  trailing newline (except the last line);
+* a line is flagged ``lines_with_no_ending_punctuation`` when its
+  lower-cased, stripped form doesn't end in ``. ? ! "`` and
+  ``lines_with_too_few_words`` when it has < 3 whitespace words;
+* doc flags: ``has_naughty_word`` (word + phrase blocklist),
+  ``has_javascript``, ``has_lorem_ipsum``, ``has_curly_brace``;
+* ``c4_v2`` is the faster variant that lower-cases the whole doc once and
+  checks substrings doc-wide (``javascript`` as substring, not word) —
+  flags can differ slightly from v1 by design (reference ``c4.py:90-127``);
+* ``line_count`` is emitted as a doc attribute.
+
+The blocklist ships with this engine (``dolma_ray/data/naughty_words_en.txt``,
+same format as the reference's ``taggers/data/naughty_words_en.txt``: one
+term per line, multi-word entries are phrase-matched).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from pathlib import Path
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from .base import DOC, SPAN, BaseTagger
+
+MIN_WORDS_PER_LINE = 3
+EOL_PUNCTUATION = (".", "?", "!", '"')
+
+_DATA_DIR = Path(__file__).parent.parent / "data"
+
+
+@lru_cache(maxsize=1)
+def naughty_lists() -> tuple[frozenset[str], tuple[str, ...]]:
+    lines = (_DATA_DIR / "naughty_words_en.txt").read_text().splitlines()
+    words = frozenset(w for w in lines if w and " " not in w)
+    phrases = tuple(w for w in lines if w and " " in w)
+    return words, phrases
+
+
+C4_TYPES: dict[str, str] = {
+    "lines_with_no_ending_punctuation": SPAN,
+    "lines_with_too_few_words": SPAN,
+    "has_naughty_word": DOC,
+    "has_javascript": DOC,
+    "has_lorem_ipsum": DOC,
+    "has_curly_brace": DOC,
+    "line_count": DOC,
+}
+
+
+@TaggerRegistry.add("c4_v1")
+class C4Tagger(BaseTagger):
+    """Per-line C4 rules; doc flags computed from lower-cased lines."""
+
+    def output_types(self) -> Mapping[str, str]:
+        return C4_TYPES
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        words_bl, phrases_bl = naughty_lists()
+        no_punct: list[tuple[int, int, float]] = []
+        few_words: list[tuple[int, int, float]] = []
+        flags = dict.fromkeys(
+            ("has_naughty_word", "has_javascript", "has_lorem_ipsum", "has_curly_brace"), 0.0
+        )
+        lines = text.split("\n")
+        offset = 0
+        for i, original in enumerate(lines):
+            end = offset + len(original) + (1 if i < len(lines) - 1 else 0)
+            line = original.lower().strip()
+            if not line.endswith(EOL_PUNCTUATION):
+                no_punct.append((offset, end, 1.0))
+            words = line.split()
+            if len(words) < MIN_WORDS_PER_LINE:
+                few_words.append((offset, end, 1.0))
+            if any(w in words_bl for w in words) or any(p in line for p in phrases_bl):
+                flags["has_naughty_word"] = 1.0
+            if any(w == "javascript" for w in words):
+                flags["has_javascript"] = 1.0
+            if "lorem ipsum" in line:
+                flags["has_lorem_ipsum"] = 1.0
+            if "{" in line:
+                flags["has_curly_brace"] = 1.0
+            offset = end
+        return {
+            "lines_with_no_ending_punctuation": no_punct,
+            "lines_with_too_few_words": few_words,
+            **flags,
+            "line_count": float(len(lines)),
+        }
+
+
+@TaggerRegistry.add("c4_v2")
+class FasterC4Tagger(BaseTagger):
+    """Doc-wide lower-case variant (reference ``c4_v2``): substring checks
+    for javascript/lorem/curly over the whole doc, line spans as in v1."""
+
+    def output_types(self) -> Mapping[str, str]:
+        return C4_TYPES
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        words_bl, phrases_bl = naughty_lists()
+        lower = text.lower()
+        flags = {
+            "has_curly_brace": 1.0 if "{" in lower else 0.0,
+            "has_lorem_ipsum": 1.0 if "lorem ipsum" in lower else 0.0,
+            "has_javascript": 1.0 if "javascript" in lower else 0.0,
+            "has_naughty_word": (
+                1.0
+                if any(w in words_bl for w in lower.split())
+                or any(p in lower for p in phrases_bl)
+                else 0.0
+            ),
+        }
+        no_punct: list[tuple[int, int, float]] = []
+        few_words: list[tuple[int, int, float]] = []
+        start = count = 0
+        for sent in lower.split("\n"):
+            end = start + len(sent)
+            if end != len(lower):
+                end += 1  # account for the newline
+            stripped = sent.strip()
+            if not stripped.endswith(EOL_PUNCTUATION):
+                no_punct.append((start, end, 1.0))
+            if len(stripped.split()) < MIN_WORDS_PER_LINE:
+                few_words.append((start, end, 1.0))
+            count += 1
+            start = end
+        return {
+            "lines_with_no_ending_punctuation": no_punct,
+            "lines_with_too_few_words": few_words,
+            **flags,
+            "line_count": float(count),
+        }

@@ -1,0 +1,122 @@
+"""Gopher quality-signal taggers (Rae et al. 2021, arXiv:2112.11446 §A1.1).
+
+Semantics pinned to the reference implementation
+(``python/dolma/taggers/gopher.py:139-233``), including its quirks:
+
+* words are ``text.split()`` whitespace tokens;
+* ``character_count`` used as a denominator for ngram/dup-line fractions is
+  the sum of **word** lengths (whitespace excluded), while span ends use
+  ``len(text)``;
+* most-common-{2,3,4}-gram fraction uses ``Counter.most_common(1)``
+  (insertion order = first-seen wins ties);
+* duplicate-{5..10}-gram fraction counts ngram *occurrences* (not unique
+  positions) over the total ngram-character mass;
+* line stats use ``text.split("\n")`` for v1 and ``re.split("\n+")`` for v2
+  (``gopher_v2`` ignores empty lines);
+* all stats are emitted as doc-level attributes; the reference encodes them
+  as whole-document spans ``[0, len(text), score]``.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from statistics import median
+from typing import Any, Mapping
+
+from ..text_units import split_lines
+from .base import DOC, BaseTagger
+from ..registry import TaggerRegistry
+
+REQUIRED_ENGLISH_WORDS = frozenset({"the", "be", "to", "of", "and", "that", "have", "with"})
+SYMBOLS = ("#", "…")
+BULLET_POINTS = ("*", "-")
+
+_MOST_COMMON_NS = (2, 3, 4)
+_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+GOPHER_DOC_TYPES: dict[str, str] = {
+    **{f"fraction_of_characters_in_most_common_{n}grams": DOC for n in _MOST_COMMON_NS},
+    **{f"fraction_of_characters_in_duplicate_{n}grams": DOC for n in _DUP_NS},
+    "character_count": DOC,
+    "word_count": DOC,
+    "median_word_length": DOC,
+    "symbol_to_word_ratio": DOC,
+    "fraction_of_words_with_alpha_character": DOC,
+    "required_word_count": DOC,
+    "fraction_of_lines_starting_with_bullet_point": DOC,
+    "fraction_of_lines_ending_with_ellipsis": DOC,
+    "fraction_of_duplicate_lines": DOC,
+    "fraction_of_characters_in_duplicate_lines": DOC,
+}
+
+
+def gopher_attributes(text: str, ignore_empty_lines: bool = False) -> dict[str, float]:
+    """Compute all Gopher stats for one document."""
+    out: dict[str, float] = {"character_count": float(len(text))}
+    if not text:
+        return out
+
+    words = text.split()
+    word_count = len(words)
+    word_lengths = [len(w) for w in words]
+    # character mass excluding whitespace — the reference's denominator
+    char_mass = sum(word_lengths)
+
+    out["word_count"] = float(word_count)
+    out["median_word_length"] = float(median(word_lengths)) if word_lengths else 0.0
+    out["symbol_to_word_ratio"] = (
+        sum(1 for w in words if any(s in w for s in SYMBOLS)) / max(word_count, 1)
+    )
+    out["fraction_of_words_with_alpha_character"] = (
+        sum(1 for w in words if any(c.isalpha() for c in w)) / max(word_count, 1)
+    )
+    out["required_word_count"] = float(sum(1 for w in words if w in REQUIRED_ENGLISH_WORDS))
+
+    for n in range(2, 11):
+        grams = Counter(zip(*(words[i:] for i in range(n))))
+        if not grams:
+            continue
+        if n in _MOST_COMMON_NS:
+            gram, count = grams.most_common(1)[0]
+            value = count * sum(len(w) for w in gram) / max(char_mass, 1)
+            out[f"fraction_of_characters_in_most_common_{n}grams"] = value
+        else:
+            total = sum(c * sum(len(w) for w in g) for g, c in grams.items())
+            dup = sum(c * sum(len(w) for w in g) for g, c in grams.items() if c > 1)
+            out[f"fraction_of_characters_in_duplicate_{n}grams"] = dup / max(total, 1)
+
+    lines = split_lines(text, ignore_empty=ignore_empty_lines)
+    line_count = len(lines)
+    out["fraction_of_lines_starting_with_bullet_point"] = (
+        sum(1 for ln in lines if ln.startswith(BULLET_POINTS)) / max(line_count, 1)
+    )
+    out["fraction_of_lines_ending_with_ellipsis"] = (
+        sum(1 for ln in lines if ln.endswith("…")) / max(line_count, 1)
+    )
+    line_counts = Counter(lines)
+    out["fraction_of_duplicate_lines"] = (
+        sum(c for _, c in line_counts.items() if c > 1) / max(line_count, 1)
+    )
+    out["fraction_of_characters_in_duplicate_lines"] = (
+        sum(len(ln) * c for ln, c in line_counts.items() if c > 1) / max(char_mass, 1)
+    )
+    return out
+
+
+@TaggerRegistry.add("gopher_v1")
+class GopherTagger(BaseTagger):
+    ignore_empty_lines = False
+
+    def output_types(self) -> Mapping[str, str]:
+        return GOPHER_DOC_TYPES
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, float]:
+        return gopher_attributes(text, ignore_empty_lines=self.ignore_empty_lines)
+
+
+@TaggerRegistry.add("gopher_v2")
+class GopherTaggerV2(GopherTagger):
+    """Same stats but empty lines are ignored for line-level fractions
+    (reference ``gopher_v2``)."""
+
+    ignore_empty_lines = True

@@ -1,0 +1,135 @@
+"""Language-ID taggers (fastText lid.176 interface shape).
+
+Semantics pinned to the reference (``python/dolma/taggers/language.py``):
+
+* input normalisation: ``text.lower().replace("\\n", " ").strip()``;
+* ``*_doc`` variants emit one attribute per predicted language; ``en``
+  variants keep only the ``en`` prediction (default score 0.0 when absent)
+  plus a negated ``not_en = 1 - score``;
+* ``*_paragraph`` variants run per paragraph and emit spans;
+* ``*_with_doc_score`` adds the char-weighted doc-level
+  ``doc_en = sum(span_len * score) / len(text)`` and
+  ``doc_not_en = 1 - doc_en`` (``language.py:301-317``).
+
+The model is :class:`dolma_ray.models.fasttext_like.CharNgramClassifier`
+trained from embedded seeds at actor init (stand-in for lid.176, which
+needs a download).  These taggers hold model state — run them in an actor
+pool: ``ds.map_batches(TagStage, fn_constructor_kwargs=..., concurrency=N)``.
+
+Schema note: ``lang_id_doc_v1`` (the all-languages variant) emits a fixed
+pair of columns (``lang`` string + ``score``) for the argmax language
+rather than one data-dependent column per language, keeping the Arrow
+schema stable.  Threshold variants mirror the reference exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from ..text_units import split_paragraphs
+from .base import DOC, SPAN, STR, BaseTagger
+
+_MODEL_CACHE: dict[str, Any] = {}
+
+
+def _get_langid_model():
+    if "langid" not in _MODEL_CACHE:
+        from ..data.seeds import LANG_SEEDS
+        from ..models.fasttext_like import CharNgramClassifier
+
+        _MODEL_CACHE["langid"] = CharNgramClassifier(LANG_SEEDS)
+    return _MODEL_CACHE["langid"]
+
+
+def _normalize(text: str) -> str:
+    return text.lower().replace("\n", " ").strip()
+
+
+class _BaseLangId(BaseTagger):
+    def __init__(self) -> None:
+        self.model = _get_langid_model()
+
+    def predict_langs(self, text: str) -> list[tuple[str, float]]:
+        labels, probs = self.model.predict(_normalize(text), k=-1)
+        return [(lb.replace("__label__", ""), float(p)) for lb, p in zip(labels, probs)]
+
+    def en_score(self, text: str) -> float:
+        for lang, score in self.predict_langs(text):
+            if lang == "en":
+                return score
+        return 0.0
+
+
+@TaggerRegistry.add("lang_id_doc_v1")
+class LangIdDocV1(_BaseLangId):
+    """Argmax language + its probability (all-languages doc variant)."""
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"lang": STR, "score": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        preds = self.predict_langs(text)
+        if not preds:
+            return {"lang": "", "score": 0.0}
+        lang, score = preds[0]
+        return {"lang": lang, "score": score}
+
+
+@TaggerRegistry.add("lang_id_en_doc_v2")
+class LangIdEnDocV2(_BaseLangId):
+    """``en`` score + ``not_en`` negation, document level
+    (reference ``ft_lang_id_en_doc_v2``)."""
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"en": DOC, "not_en": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        score = self.en_score(text)
+        return {"en": score, "not_en": 1.0 - score}
+
+
+@TaggerRegistry.add("lang_id_en_only_v2")
+class LangIdEnOnlyV2(_BaseLangId):
+    """``en`` score only (reference ``ft_lang_id_en_only_v2``)."""
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"en": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        return {"en": self.en_score(text)}
+
+
+@TaggerRegistry.add("lang_id_en_paragraph_v2")
+class LangIdEnParagraphV2(_BaseLangId):
+    """Per-paragraph ``en``/``not_en`` spans
+    (reference ``ft_lang_id_en_paragraph_v2``)."""
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"en": SPAN, "not_en": SPAN}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        en, not_en = [], []
+        for p in split_paragraphs(text):
+            score = self.en_score(p.text)
+            en.append((p.start, p.end, score))
+            not_en.append((p.start, p.end, 1.0 - score))
+        return {"en": en, "not_en": not_en}
+
+
+@TaggerRegistry.add("lang_id_en_paragraph_with_doc_score_v2")
+class LangIdEnParagraphWithDocScoreV2(LangIdEnParagraphV2):
+    """Paragraph spans + char-weighted doc score
+    (reference ``ft_lang_id_en_paragraph_with_doc_score_v2``)."""
+
+    def output_types(self) -> Mapping[str, str]:
+        return {**super().output_types(), "doc_en": DOC, "doc_not_en": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        out = dict(super().predict(text, row))
+        if len(text):
+            doc_en = sum((e - s) * sc for s, e, sc in out["en"]) / len(text)
+            doc_not_en = 1.0 - doc_en
+        else:
+            doc_en = doc_not_en = 0.0
+        return {**out, "doc_en": doc_en, "doc_not_en": doc_not_en}

@@ -1,0 +1,170 @@
+"""Length/counter taggers.
+
+Semantics pinned to the reference (``python/dolma/taggers/length.py``):
+
+* ``char_length_v1`` -> ``length`` = ``len(text)``;
+* ``char_length_strip_ws_v1`` -> ``length_no_ws`` = ``len(text.strip())``;
+* ``bytes_length_v1`` -> ``bytes`` = utf-8 byte length;
+* ``doc_count_v1`` -> ``docs`` = 1;
+* ``char_length_with_paragraphs_v1`` -> per-paragraph ``paragraph`` spans
+  (score = paragraph char length incl. newline) + ``document`` doc length;
+* ``whitespace_tokenizer_v1`` -> ``length`` = ``len(re.split(r"\\w+|[^\\w\\s]+", text))``
+  (the reference counts *split pieces*, i.e. matches + 1 — quirk kept);
+* ``uniseg_length_v1`` -> word-segment count of ``text.strip()``
+  (uniseg approximated by ``split_unicode_words``);
+* ``uniseg_length_paragraphs_v1`` (+``_with_empty_v1``,
+  ``_with_doc_length_v1``) -> per-paragraph word counts, plus a
+  ``negative_paragraph`` span with score ``-count`` (the reference's trick
+  so "drop paragraphs shorter than n" can be expressed as a >= filter);
+* ``olmo_pretokenizer_v1`` (+``_with_paragraphs_v1``) -> GPT-NeoX-ish
+  pre-token count via the regex tokenizer (deterministic stand-in for the
+  HF ByteLevel pre-tokenizer, which needs network access).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from ..text_units import split_paragraphs, split_unicode_words
+from .base import DOC, SPAN, BaseTagger
+
+_WS_TOKEN_RE = re.compile(r"\w+|[^\w\s]+")
+
+
+@TaggerRegistry.add("char_length_v1")
+class CharLengthV1(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"length": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        return {"length": float(len(text))}
+
+
+@TaggerRegistry.add("char_length_strip_ws_v1")
+class CharLengthStripWsV1(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"length_no_ws": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        return {"length_no_ws": float(len(text.strip()))}
+
+
+@TaggerRegistry.add("bytes_length_v1")
+class BytesLengthV1(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"bytes": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        return {"bytes": float(len(text.encode("utf-8")))}
+
+
+@TaggerRegistry.add("doc_count_v1")
+class DocCountV1(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"docs": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        return {"docs": 1.0}
+
+
+@TaggerRegistry.add("char_length_with_paragraphs_v1")
+class CharLengthWithParagraphsV1(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"paragraph": SPAN, "document": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        spans = [(p.start, p.end, float(p.end - p.start)) for p in split_paragraphs(text)]
+        return {"paragraph": spans, "document": float(len(text))}
+
+
+@TaggerRegistry.add("whitespace_tokenizer_v1")
+class WhitespaceLengthV1(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"length": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        return {"length": float(len(_WS_TOKEN_RE.split(text)))}
+
+
+@TaggerRegistry.add("whitespace_tokenizer_with_paragraphs_v1")
+class WhitespaceLengthParagraphsV1(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"paragraph": SPAN, "document": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        spans = [
+            (p.start, p.end, float(len(_WS_TOKEN_RE.split(p.text))))
+            for p in split_paragraphs(text)
+        ]
+        return {"paragraph": spans, "document": float(sum(s[2] for s in spans))}
+
+
+@TaggerRegistry.add("uniseg_length_v1")
+class UnisegLengthV1(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"length": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        stripped = text.strip()
+        return {"length": float(len(split_unicode_words(stripped))) if stripped else 0.0}
+
+
+@TaggerRegistry.add("uniseg_length_paragraphs_v1")
+class UnisegParagraphsV1(BaseTagger):
+    remove_empty = True
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"paragraph": SPAN, "negative_paragraph": SPAN}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        pos, neg = [], []
+        for p in split_paragraphs(text, remove_empty=self.remove_empty):
+            n = float(len([w for w in split_unicode_words(p.text.strip()) if w.strip()]))
+            pos.append((p.start, p.end, n))
+            neg.append((p.start, p.end, -n))
+        return {"paragraph": pos, "negative_paragraph": neg}
+
+
+@TaggerRegistry.add("uniseg_length_paragraphs_with_empty_v1")
+class UnisegParagraphsWithEmptyV1(UnisegParagraphsV1):
+    remove_empty = False
+
+
+@TaggerRegistry.add("uniseg_length_paragraphs_with_doc_length_v1")
+class UnisegParagraphsWithDocLengthV1(UnisegParagraphsV1):
+    def output_types(self) -> Mapping[str, str]:
+        return {**super().output_types(), "document": DOC, "negative_document": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        out = dict(super().predict(text, row))
+        pos = sum(s[2] for s in out["paragraph"])
+        return {**out, "document": pos, "negative_document": -pos}
+
+
+@TaggerRegistry.add("olmo_pretokenizer_v1")
+class OlmoPreTokenizerV1(BaseTagger):
+    def __init__(self) -> None:
+        from ..models.tokenizer import RegexTokenizer
+
+        self.tokenizer = RegexTokenizer()
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"length": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        return {"length": float(self.tokenizer.count(text))}
+
+
+@TaggerRegistry.add("olmo_pretokenizer_with_paragraphs_v1")
+class OlmoPreTokenizerParagraphsV1(OlmoPreTokenizerV1):
+    def output_types(self) -> Mapping[str, str]:
+        return {"paragraph": SPAN, "document": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        spans = [
+            (p.start, p.end, float(self.tokenizer.count(p.text)))
+            for p in split_paragraphs(text)
+        ]
+        return {"paragraph": spans, "document": float(sum(s[2] for s in spans))}

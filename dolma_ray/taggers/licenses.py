@@ -1,0 +1,91 @@
+"""Creative-Commons license taggers over the raw ``html`` column.
+
+Semantics pinned to the reference (``python/dolma/taggers/licenses.py``):
+
+* cheap substring pre-filter (``creativecommons.org/licenses`` /
+  ``creativecommons.org/publicdomain``) before running the regex;
+* ``cc_re``: attribute-style regex over ``<a ...>`` / ``<meta ...>`` tags
+  capturing license type (by/by-nc/...-nd/-sa, publicdomain zero /
+  certification / mark), version and language; i-th match scores
+  ``0.5 + 0.5 / (i + 1)`` (1.0, 0.75, 0.667, ...);
+* ``cc_re_fast``: bare-URL regex capturing just the license type.
+
+Schema deviation (documented): the reference emits one span type per
+license string (``cc_by_4.0`` etc.), which would make the Arrow schema
+data-dependent.  This engine emits two fixed columns instead: ``license``
+(string, semicolon-joined license ids in match order) and ``score``
+(doc float, score of the first match; 0.0 when none).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from .base import DOC, STR, BaseTagger
+
+PRE_SEARCH = ("creativecommons.org/licenses", "creativecommons.org/publicdomain")
+
+_LICENSE_TYPE = r"by(-nc)?(-nd)?(-sa)?"
+_VERSION = r"\d+\.\d+"
+_LANG = r"\w{2}"
+
+CC_ATTRIBUTE_RE = re.compile(
+    r"<(a|A|meta)\s[\w\W]*?(href|HREF|content)"
+    r"=('|\"|&quot;)?http(s*)://creativecommons\.org/"
+    rf"(licenses/(?P<type>{_LICENSE_TYPE})|(?P<ptype>publicdomain/(zero|certification|mark)))"
+    rf"(?P<version>/{_VERSION})?"
+    rf"((/{_LANG})?/((deed|legalcode)\.)?(?P<lang>{_LANG}))?.*?('|\"|&quot;).*?>"
+)
+
+CC_FAST_RE = re.compile(
+    r"http[s]?://creativecommons\.org/licenses/"
+    r'(?P<type>by|by-sa|by-nd|by-nc|by-nc-sa|by-nc-nd|publicdomain)["/ >]'
+)
+
+
+def _decode_html(html: Any) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, bytes):
+        return html.decode("utf-8", errors="ignore")
+    return str(html)
+
+
+@TaggerRegistry.add("cc_re")
+class CreativeCommonsRegexLicenseExtractor(BaseTagger):
+    needs_columns = ("html",)
+    pattern = CC_ATTRIBUTE_RE
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"license": STR, "score": DOC}
+
+    def _license_string(self, m: re.Match) -> str:
+        groups = m.groupdict()
+        lic = groups.get("type") or groups.get("ptype") or ""
+        if groups.get("version"):
+            lic += f"_{groups['version'].strip('/')}"
+        if groups.get("lang"):
+            lic += f"_{groups['lang']}"
+        return lic
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        html = _decode_html(row.get("html"))
+        if not any(p in html for p in PRE_SEARCH):
+            return {"license": "", "score": 0.0}
+        licenses = []
+        first_score = 0.0
+        for i, m in enumerate(self.pattern.finditer(html)):
+            licenses.append(self._license_string(m))
+            if i == 0:
+                first_score = 0.5 + 0.5 / (i + 1.0)
+        return {"license": ";".join(licenses), "score": first_score}
+
+
+@TaggerRegistry.add("cc_re_fast")
+class CreativeCommonsFastRegexHtmlExtractor(CreativeCommonsRegexLicenseExtractor):
+    pattern = CC_FAST_RE
+
+    def _license_string(self, m: re.Match) -> str:
+        return m.group("type")

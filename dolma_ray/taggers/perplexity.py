@@ -1,0 +1,59 @@
+"""KenLM-style perplexity taggers.
+
+The reference lists perplexity scoring among its features
+(``docs/README.md:8``) but ships no in-tree tagger; the north rule
+requires a KenLM-style n-gram perplexity stage with the standard span
+shape (doc span, score = log perplexity).  CCNet (arXiv:1911.00359) is
+the public pattern: a KenLM n-gram LM scores each document/paragraph and
+the pipeline thresholds on per-word log-perplexity.
+
+* ``kenlm_ppl_doc_v1`` -> ``doc_ppl`` (per-word log10 perplexity of the doc)
+* ``kenlm_ppl_paragraph_v1`` -> per-paragraph ``paragraph_ppl`` spans +
+  ``doc_ppl``.
+
+The LM is :class:`dolma_ray.models.perplexity.StupidBackoffLM` trained at
+actor init from the embedded corpus.  Stateful: run in an actor pool.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from ..text_units import split_paragraphs
+from .base import DOC, SPAN, BaseTagger
+
+_MODEL_CACHE: dict[str, Any] = {}
+
+
+def _get_lm():
+    if "lm" not in _MODEL_CACHE:
+        from ..models.perplexity import StupidBackoffLM
+
+        _MODEL_CACHE["lm"] = StupidBackoffLM()
+    return _MODEL_CACHE["lm"]
+
+
+@TaggerRegistry.add("kenlm_ppl_doc_v1")
+class KenlmPplDocV1(BaseTagger):
+    def __init__(self) -> None:
+        self.lm = _get_lm()
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"doc_ppl": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        return {"doc_ppl": self.lm.log10_perplexity(text)}
+
+
+@TaggerRegistry.add("kenlm_ppl_paragraph_v1")
+class KenlmPplParagraphV1(KenlmPplDocV1):
+    def output_types(self) -> Mapping[str, str]:
+        return {"paragraph_ppl": SPAN, "doc_ppl": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        spans = [
+            (p.start, p.end, self.lm.log10_perplexity(p.text))
+            for p in split_paragraphs(text)
+        ]
+        return {"paragraph_ppl": spans, "doc_ppl": self.lm.log10_perplexity(text)}

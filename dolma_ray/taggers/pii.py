@@ -1,0 +1,168 @@
+"""Regex PII taggers: emails, phone numbers, IP addresses.
+
+Semantics pinned to the reference (``python/dolma/taggers/pii.py``):
+
+* regexes (reference ``pii.py:55-66``):
+    - EMAIL: ``[.\\s@,?!;:)(]*([^\\s@]+@[^\\s@,?!;:)(]+?)[.\\s@,?!;:)(]?[\\s\\n\\r]``
+    - PHONE: ``\\s+\\(?(\\d{3})\\)?[-\\. ]*(\\d{3})[-. ]?(\\d{4})``
+    - IP: dotted-quad with 0-255 octets
+* postprocess rules (``pii.py:116-158``): drop email matches whose
+  addressee is exactly ``(`` or whose domain has no ``.``; drop phone/IP
+  matches whose +/-100-char context contains ``isbn``/``doi``/``#``; drop
+  phone matches entirely when the doc contains a URL;
+* ``pii_regex_v1/v2``: doc-level score ``n_spans / n_words`` (v2 returns
+  -1.0 on empty docs);
+* ``pii_regex_with_counts_fast_v2`` (``pii.py:184-280``): paragraph-sliced
+  fast path with cheap pre-filters (``@`` for email, any digit for phone,
+  ``.x`` for IP), skips docs with > 10k ``?``, applies the email
+  addressee/domain rule inline and drops IP matches that *are* URLs;
+  emits ``doc_count`` (span count) and ``doc_frac``
+  (sum of span lengths / len(text); -1.0 on empty docs).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from ..text_units import split_paragraphs
+from .base import DOC, SPAN, BaseTagger
+
+EMAIL_KEY = "EMAIL_ADDRESS"
+PHONE_KEY = "PHONE_NUMBER"
+IP_KEY = "IP_ADDRESS"
+
+EMAIL_RE = re.compile("[.\\s@,?!;:)(]*([^\\s@]+@[^\\s@,?!;:)(]+?)[.\\s@,?!;:)(]?[\\s\n\r]")
+PHONE_RE = re.compile("\\s+\\(?(\\d{3})\\)?[-\\. ]*(\\d{3})[-. ]?(\\d{4})")
+IP_RE = re.compile(
+    "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+)
+URL_RE = re.compile(
+    "(?i)\b((?:https?://|www\\d{0,3}[.]|[a-z0-9.\\-]+[.][a-z]{2,4}/)(?:[^\\s()<>]+|\\(([^\\s()<>]+|"
+    "(\\([^\\s()<>]+\\)))*\\))+(?:\\(([^\\s()<>]+|(\\([^\\s()<>]+\\)))*\\)|[^\\s`!()\\[\\]"
+    "{};:'\".,<>?«»“”‘’]))"
+)
+
+_WINDOW = 100
+
+
+def _email_ok(mention: str) -> bool:
+    # reference pii.py:150-158: split on "@" and look at parts [0] and [1]
+    # (NOT first-@ partition: "a@b@c" has domain "b")
+    parts = mention.split("@")
+    addressee = parts[0]
+    domain = parts[1] if len(parts) > 1 else ""
+    return addressee.strip() != "(" and "." in domain
+
+
+class _RegexPii(BaseTagger):
+    """``pii_regex_v1`` semantics: full-text regex scan + postprocess."""
+
+    empty_score = 0.0
+
+    def output_types(self) -> Mapping[str, str]:
+        return {EMAIL_KEY: SPAN, PHONE_KEY: SPAN, IP_KEY: SPAN, "doc": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        spans: dict[str, list[tuple[int, int, float]]] = {
+            EMAIL_KEY: [],
+            PHONE_KEY: [],
+            IP_KEY: [],
+        }
+        has_url: bool | None = None
+        for key, rx in ((EMAIL_KEY, EMAIL_RE), (PHONE_KEY, PHONE_RE), (IP_KEY, IP_RE)):
+            for m in rx.finditer(text):
+                start, end = m.span()
+                if key == EMAIL_KEY:
+                    if not _email_ok(text[start:end]):
+                        continue
+                else:
+                    ctx = text[max(0, start - _WINDOW) : min(len(text), end + _WINDOW)]
+                    if "isbn" in ctx or "doi" in ctx or "#" in ctx:
+                        continue
+                    if key == PHONE_KEY:
+                        if has_url is None:
+                            has_url = URL_RE.search(text) is not None
+                        if has_url:
+                            continue
+                spans[key].append((start, end, 1.0))
+        n_spans = sum(len(v) for v in spans.values())
+        n_words = len(text.split())
+        score = n_spans / n_words if n_words else self.empty_score
+        return {**spans, "doc": score}
+
+
+@TaggerRegistry.add("pii_regex_v1")
+class PiiRegexV1(_RegexPii):
+    pass
+
+
+@TaggerRegistry.add("pii_regex_v2")
+class PiiRegexV2(_RegexPii):
+    empty_score = -1.0
+
+
+@TaggerRegistry.add("pii_regex_with_counts_v2")
+class PiiRegexWithCountV2(_RegexPii):
+    empty_score = -1.0
+
+    def output_types(self) -> Mapping[str, str]:
+        return {**super().output_types(), "doc_count": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        out = dict(super().predict(text, row))
+        out["doc_count"] = float(
+            sum(len(v) for k, v in out.items() if isinstance(v, list))
+        )
+        return out
+
+
+@TaggerRegistry.add("pii_regex_with_counts_fast_v2")
+class FastPiiRegex(BaseTagger):
+    """Paragraph-sliced fast path (reference ``pii.py:184-280``)."""
+
+    def __init__(self) -> None:
+        self.pre_ip = re.compile(r"\.[^\s]")
+        self.pre_phone = re.compile(r"\d")
+
+    def output_types(self) -> Mapping[str, str]:
+        return {
+            EMAIL_KEY: SPAN,
+            PHONE_KEY: SPAN,
+            IP_KEY: SPAN,
+            "doc_count": DOC,
+            "doc_frac": DOC,
+        }
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        spans: dict[str, list[tuple[int, int, float]]] = {
+            EMAIL_KEY: [],
+            PHONE_KEY: [],
+            IP_KEY: [],
+        }
+        paragraphs = [] if text.count("?") > 10_000 else split_paragraphs(text)
+        for p in paragraphs:
+            ptext = p.text
+            if "@" in ptext:
+                for m in EMAIL_RE.finditer(ptext):
+                    addressee, _, domain = m.group(1).partition("@")
+                    if addressee.strip() == "(" or "." not in domain:
+                        continue
+                    spans[EMAIL_KEY].append((m.start() + p.start, m.end() + p.start, 1.0))
+            if self.pre_phone.search(ptext):
+                for m in PHONE_RE.finditer(ptext):
+                    spans[PHONE_KEY].append((m.start() + p.start, m.end() + p.start, 1.0))
+            if self.pre_ip.search(ptext):
+                for m in IP_RE.finditer(ptext):
+                    if URL_RE.search(m.group(0)):
+                        continue
+                    spans[IP_KEY].append((m.start() + p.start, m.end() + p.start, 1.0))
+        count = float(sum(len(v) for v in spans.values()))
+        # Reference quirk (pii.py:271-277): by the time doc_frac is computed
+        # the span list already contains the doc_count span covering the
+        # whole doc, so doc_frac = 1 + (pii chars / len(text)). Replicated
+        # for attribute-value parity.
+        length = sum(e - s for v in spans.values() for (s, e, _) in v) + len(text)
+        frac = length / len(text) if text else -1.0
+        return {**spans, "doc_count": count, "doc_frac": frac}

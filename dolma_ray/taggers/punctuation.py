@@ -1,0 +1,52 @@
+"""All-punctuation paragraph tagger.
+
+Semantics pinned to the reference (``python/dolma/taggers/punctuation.py``):
+a paragraph with no ASCII alphanumeric character that consists entirely of
+punctuation / whitespace / emoji gets an ``all_punct`` span with score 1;
+when no such paragraph exists a single whole-doc span with score 0 is
+emitted (kept here as an empty span list + the scalar default 0.0 is
+implicit in the span-list representation).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from ..text_units import split_paragraphs
+from .base import SPAN, BaseTagger
+
+_HAS_ALNUM = re.compile(r"[a-zA-Z0-9]")
+_EMOJI_RANGES = (
+    (0x1F300, 0x1F64F),
+    (0x1F680, 0x1F6FF),
+    (0x2600, 0x26FF),
+    (0x2700, 0x27BF),
+)
+
+
+def _is_punct_ws_emoji(ch: str) -> bool:
+    if ch.isspace():
+        return True
+    cp = ord(ch)
+    if any(lo <= cp <= hi for lo, hi in _EMOJI_RANGES):
+        return True
+    return unicodedata.category(ch).startswith(("P", "S"))
+
+
+@TaggerRegistry.add("not_alphanum_paragraph_v1")
+class NotAlphanumParagraphV1(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"all_punct": SPAN}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        spans = []
+        for p in split_paragraphs(text):
+            ptext = p.text
+            if _HAS_ALNUM.search(ptext):
+                continue
+            if ptext and all(_is_punct_ws_emoji(c) for c in ptext):
+                spans.append((p.start, p.end, 1.0))
+        return {"all_punct": spans}

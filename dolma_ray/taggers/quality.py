@@ -1,0 +1,65 @@
+"""Quality-classifier taggers (DCLM / dolma-1.7 fastText interface shape).
+
+Semantics pinned to the reference (``python/dolma/taggers/quality.py``):
+
+* ``dclm-oh-eli5``: predict on ``" ".join(text.strip().splitlines())``;
+  emit one attribute ``score`` = P(high quality) (the reference inverts
+  the probability when the argmax label is ``cc``);
+* ``dolma17-quality``: whitespace-pretokenize, predict all labels, emit
+  one attribute per label sorted by probability — here the label set is
+  fixed (``hq``/``lq``) so the schema is stable.
+
+Models are Naive-Bayes stand-ins trained from embedded seeds at actor
+init.  Stateful: run in an actor pool.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from .base import DOC, BaseTagger
+
+_MODEL_CACHE: dict[str, Any] = {}
+
+
+def _get_quality_model():
+    if "quality" not in _MODEL_CACHE:
+        from ..data import seeds
+        from ..models.fasttext_like import NaiveBayesTextClassifier
+
+        _MODEL_CACHE["quality"] = NaiveBayesTextClassifier(
+            {"hq": seeds.HQ_SEED, "cc": seeds.LQ_SEED}
+        )
+    return _MODEL_CACHE["quality"]
+
+
+@TaggerRegistry.add("dclm-oh-eli5")
+class DclmQualityClassifier(BaseTagger):
+    def __init__(self) -> None:
+        self.model = _get_quality_model()
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"score": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        joined = " ".join(text.strip().splitlines())
+        labels, probs = self.model.predict(joined, k=1)
+        label, prob = labels[0], probs[0]
+        if label == "__label__cc":
+            prob = 1.0 - prob
+        return {"score": float(prob)}
+
+
+@TaggerRegistry.add("dolma17-quality")
+class Dolma17QualityClassifier(BaseTagger):
+    def __init__(self) -> None:
+        self.model = _get_quality_model()
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"hq": DOC, "cc": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        tokens = " ".join(text.strip().split())
+        labels, probs = self.model.predict(tokens, k=-1)
+        return {lb.replace("__label__", ""): float(p) for lb, p in zip(labels, probs)}

@@ -1,0 +1,202 @@
+"""Repetition taggers: character repeats and periodic token sequences.
+
+Semantics pinned to the reference
+(``python/dolma/taggers/repetitions/repetitions_taggers.py`` and
+``.../utils.py``):
+
+* ``repetitions_v1``: regex ``(.+?)(\\s?\\1){3,}`` over the whole doc; span
+  score = number of occurrences of the repeated unit inside the match;
+* ``paragraph_repetitions_v1``: same regex per paragraph
+  (``split_paragraphs(remove_empty=False)`` offsets);
+* doc stats appended to every result: ``doc_max_score_repetition``,
+  ``doc_max_length_repetition`` (longest span), ``doc_frac_repetition``
+  (span chars / len(text));
+* ``tokenizer_repetitions_v1``: find periodic subsequences of period
+  1..13 repeating >= 3 times in the token-id stream via the numpy
+  reshape/roll algorithm (``utils.py:40-118``), span score = repeat count.
+  The reference uses the GPT-NeoX HF tokenizer; no network access here, so
+  the default tokenizer is a deterministic regex word/punct tokenizer with
+  char offsets (``dolma_ray.models.tokenizer``) — same algorithm, different
+  vocabulary, documented deviation;
+* ``tokenizer_repetitions_v2r2``: overlap-dedup of spans sorted by
+  ``(start, -end, -score)``, 100k-char doc chunking, doc stats omitted when
+  no repetition found.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterable, Mapping, NamedTuple
+
+import numpy as np
+
+from ..registry import TaggerRegistry
+from ..text_units import split_paragraphs
+from .base import DOC, SPAN, BaseTagger
+
+
+class PeriodicSequence(NamedTuple):
+    start: int  # token index, inclusive
+    end: int  # token index, exclusive
+    period: int
+    times: int
+
+
+def _end_first_true_run(arr: np.ndarray) -> int:
+    if not arr[0]:
+        return 0
+    prog = np.cumsum(arr)
+    if prog[-1] == len(arr):
+        return len(arr)
+    return int(np.where(prog[:-1] == prog[1:])[0][0]) + 1
+
+
+def _start_last_true_run(arr: np.ndarray) -> int:
+    rev = _end_first_true_run(arr[::-1])
+    return len(arr) - rev if rev > 0 else -1
+
+
+def find_periodic_sequences(
+    arr: np.ndarray, max_period: int, min_period: int = 1, mask_value: int = -1
+) -> Iterable[PeriodicSequence]:
+    """Periodic-subsequence finder (reference ``repetitions/utils.py:40-118``):
+    reshape the stream into rows of length ``period`` and look for runs of
+    rows equal to their predecessor, then extend the run boundaries into the
+    neighbouring rows."""
+    if (arr == mask_value).sum() > 0:
+        raise ValueError("mask_value occurs in the array")
+    max_period = min(max_period, len(arr) // 3)
+    for period in range(min_period, max_period + 1):
+        padded = np.pad(arr, (0, period - (len(arr) % period)), constant_values=mask_value)
+        shaped = padded.reshape(-1, period)
+        eq_prev = shaped == np.roll(shaped, shift=1, axis=0)
+        rows, *_ = np.where(eq_prev.all(axis=1))
+        if len(rows) == 0:
+            continue
+        for run in np.split(rows, np.where(np.diff(rows) != 1)[0] + 1):
+            start_row, end_row = int(run[0]), int(run[-1])
+            start_off = _start_last_true_run(eq_prev[start_row - 1])
+            start_off = period - start_off if start_off > 0 else 0
+            # end_row + 1 always exists: padding guarantees a final
+            # (partially) masked row that can never be in `rows`
+            end_off = _end_first_true_run(eq_prev[end_row + 1])
+            start_pos = (start_row - 1) * period - start_off
+            end_pos = (end_row + 1) * period + end_off
+            times = (end_pos - start_pos) // period
+            if times > 2:
+                yield PeriodicSequence(start_pos, end_pos, period, times)
+
+
+_REP_DOC_TYPES = {
+    "repetition": SPAN,
+    "doc_max_score_repetition": DOC,
+    "doc_max_length_repetition": DOC,
+    "doc_frac_repetition": DOC,
+}
+
+
+def _doc_stats(spans: list[tuple[int, int, float]], text_len: int) -> dict[str, float]:
+    return {
+        "doc_max_score_repetition": max((s[2] for s in spans), default=0.0),
+        "doc_max_length_repetition": float(max((e - s for s, e, _ in spans), default=0)),
+        "doc_frac_repetition": (
+            sum(e - s for s, e, _ in spans) / text_len if spans and text_len else 0.0
+        ),
+    }
+
+
+@TaggerRegistry.add("repetitions_v1")
+class RepetitionsTagger(BaseTagger):
+    keep_stats_when_empty = True
+
+    def __init__(self) -> None:
+        self.rx = re.compile(r"(.+?)(\s?\1){3,}")
+
+    def output_types(self) -> Mapping[str, str]:
+        return _REP_DOC_TYPES
+
+    def _extract(self, text: str) -> list[tuple[int, int, float]]:
+        return [
+            (m.start(), m.end(), float(m.group(0).count(m.group(1))))
+            for m in self.rx.finditer(text)
+        ]
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        spans = self._extract(text)
+        out: dict[str, Any] = {"repetition": spans}
+        if self.keep_stats_when_empty or spans:
+            out.update(_doc_stats(spans, len(text)))
+        return out
+
+
+@TaggerRegistry.add("paragraph_repetitions_v1")
+class ParagraphRepetitionsTagger(RepetitionsTagger):
+    def _extract(self, text: str) -> list[tuple[int, int, float]]:
+        spans: list[tuple[int, int, float]] = []
+        for p in split_paragraphs(text, remove_empty=False):
+            spans.extend(
+                (s + p.start, e + p.start, sc)
+                for (s, e, sc) in super()._extract(p.text)
+            )
+        return spans
+
+
+@TaggerRegistry.add("tokenizer_repetitions_v1")
+class TokenizerRepetitionsTagger(BaseTagger):
+    MIN_PERIOD = 1
+    MAX_PERIOD = 13
+    keep_stats_when_empty = True
+    max_length: int | None = None
+
+    def __init__(self) -> None:
+        from ..models.tokenizer import RegexTokenizer
+
+        self.tokenizer = RegexTokenizer()
+
+    def output_types(self) -> Mapping[str, str]:
+        return _REP_DOC_TYPES
+
+    def _extract(self, text: str) -> list[tuple[int, int, float]]:
+        ids, offsets = self.tokenizer.encode_with_offsets(text)
+        if len(ids) < 3:
+            return []
+        spans = []
+        for seq in find_periodic_sequences(
+            np.asarray(ids, dtype=np.int64), max_period=self.MAX_PERIOD, min_period=self.MIN_PERIOD
+        ):
+            spans.append(
+                (offsets[seq.start][0], offsets[seq.end - 1][1], float(seq.times))
+            )
+        return spans
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        if self.max_length is None:
+            spans = self._extract(text)
+        else:
+            spans = []
+            for i in range(0, len(text), self.max_length):
+                chunk = text[i : i + self.max_length]
+                spans.extend((s + i, e + i, sc) for (s, e, sc) in self._dedup(self._extract(chunk)))
+        out: dict[str, Any] = {"repetition": spans}
+        if self.keep_stats_when_empty or spans:
+            out.update(_doc_stats(spans, len(text)))
+        return out
+
+    @staticmethod
+    def _dedup(spans: list[tuple[int, int, float]]) -> list[tuple[int, int, float]]:
+        """Drop spans fully contained in the previously kept span
+        (reference v2r2 ordering ``(start, -end, -score)``)."""
+        out = []
+        prev_start = prev_end = -1
+        for s, e, sc in sorted(spans, key=lambda x: (x[0], -x[1], -x[2])):
+            if s >= prev_start and e <= prev_end:
+                continue
+            prev_start, prev_end = s, e
+            out.append((s, e, sc))
+        return out
+
+
+@TaggerRegistry.add("tokenizer_repetitions_v2r2")
+class TokenizerRepetitionsSkipEmptyTagger(TokenizerRepetitionsTagger):
+    keep_stats_when_empty = False
+    max_length = 100_000

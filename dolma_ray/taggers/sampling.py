@@ -1,0 +1,44 @@
+"""Sampling tagger: a uniform score per document for train/val splits.
+
+The reference (``python/dolma/taggers/sampling.py``) seeds ``random`` with
+``(pid + 1) * seed`` — irreproducible across runs by design.  In a
+distributed engine that would also make results depend on task placement,
+so this implementation is **deterministic**: the score is derived from a
+64-bit FNV-1a hash of the document key (``url`` when present, else the
+text), mapped to [0, 1).  Same corpus -> same split, on any cluster size.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from .base import DOC, BaseTagger
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def fnv1a_64(data: bytes, seed: int = 0) -> int:
+    h = (_FNV_OFFSET ^ (seed * _FNV_PRIME)) & _MASK
+    for b in data:
+        h = ((h ^ b) * _FNV_PRIME) & _MASK
+    return h
+
+
+@TaggerRegistry.add("random_number_v1")
+class RandomNumberTagger(BaseTagger):
+    needs_columns = ("url",)
+
+    def __init__(self, seed: int = 1) -> None:
+        assert seed > 0
+        self.seed = seed
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"random": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        key = row.get("url") or text
+        h = fnv1a_64(str(key).encode("utf-8"), seed=self.seed)
+        return {"random": (h >> 11) / float(1 << 53)}

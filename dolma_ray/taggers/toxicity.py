@@ -1,0 +1,114 @@
+"""Toxicity / NSFW taggers (jigsaw fastText interface shape).
+
+Semantics pinned to the reference (``python/dolma/taggers/jigsaw.py``):
+
+* document taggers predict on ``text.replace("\\n", " ").strip()`` and
+  emit both class probabilities, toxic/nsfw label first
+  (the reference orders by putting the non-``non``-prefixed label first);
+* sentence taggers split the doc into sentences and emit one span pair
+  per sentence — these spans drive the mixer's toxic-sentence scrubbing
+  (``configs/dolma-v1_6/mixing/cc-head.yaml:108-113`` thresholds 0.4);
+* attribute types are the fastText label strings, so the mixer attribute
+  key is e.g. ``...jigsaw_hatespeech_sentence_v2____label__toxic``.
+
+Models are Naive-Bayes stand-ins trained from embedded seeds at actor
+init (the reference downloads jigsaw fastText bigram models).  Stateful:
+run in an actor pool.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from ..text_units import split_sentences
+from .base import DOC, SPAN, BaseTagger
+
+_MODEL_CACHE: dict[str, Any] = {}
+
+
+def _get_model(kind: str):
+    if kind not in _MODEL_CACHE:
+        from ..data import seeds
+        from ..models.fasttext_like import NaiveBayesTextClassifier
+
+        if kind == "hatespeech":
+            seed_map = {"toxic": seeds.TOXIC_SEED, "non_toxic": seeds.CLEAN_SEED}
+        else:
+            seed_map = {"nsfw": seeds.NSFW_SEED, "non_nsfw": seeds.CLEAN_SEED}
+        _MODEL_CACHE[kind] = NaiveBayesTextClassifier(seed_map)
+    return _MODEL_CACHE[kind]
+
+
+class _JigsawBase(BaseTagger):
+    kind = "hatespeech"
+    positive = "toxic"
+
+    def __init__(self) -> None:
+        self.model = _get_model(self.kind)
+
+    def _score(self, text: str) -> float:
+        """P(positive class)."""
+        labels, probs = self.model.predict(text.replace("\n", " ").strip(), k=-1)
+        for lb, p in zip(labels, probs):
+            if lb == f"__label__{self.positive}":
+                return float(p)
+        return 0.0
+
+    @property
+    def _pos_type(self) -> str:
+        return f"__label__{self.positive}"
+
+    @property
+    def _neg_type(self) -> str:
+        return f"__label__non_{self.positive}"
+
+
+class _JigsawDocument(_JigsawBase):
+    def output_types(self) -> Mapping[str, str]:
+        return {self._pos_type: DOC, self._neg_type: DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        p = self._score(text)
+        return {self._pos_type: p, self._neg_type: 1.0 - p}
+
+
+class _JigsawSentence(_JigsawBase):
+    def output_types(self) -> Mapping[str, str]:
+        return {self._pos_type: SPAN, self._neg_type: SPAN}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        pos, neg = [], []
+        for s in split_sentences(text):
+            p = self._score(s.text)
+            pos.append((s.start, s.end, p))
+            neg.append((s.start, s.end, 1.0 - p))
+        return {self._pos_type: pos, self._neg_type: neg}
+
+
+@TaggerRegistry.add("jigsaw_hatespeech_document_v2")
+class JigsawHatespeechDocumentV2(_JigsawDocument):
+    kind, positive = "hatespeech", "toxic"
+
+
+@TaggerRegistry.add("jigsaw_hatespeech_sentence_v2")
+class JigsawHatespeechSentenceV2(_JigsawSentence):
+    kind, positive = "hatespeech", "toxic"
+
+
+@TaggerRegistry.add("jigsaw_nsfw_document_v1")
+class JigsawNsfwDocumentV1(_JigsawDocument):
+    kind, positive = "nsfw", "nsfw"
+
+
+# (sic) — the reference registers this misspelled name
+# (``taggers/jigsaw.py:42``) and the production mixer configs reference it;
+# keep both spellings.
+@TaggerRegistry.add("jigsaw_nsfw_sencence_v2")
+class JigsawNsfwSentenceV2(_JigsawSentence):
+    kind, positive = "nsfw", "nsfw"
+
+
+@TaggerRegistry.add("jigsaw_nsfw_sentence_v2")
+class JigsawNsfwSentenceV2Alias(JigsawNsfwSentenceV2):
+    pass

@@ -1,0 +1,138 @@
+"""URL / domain blocklist taggers — a broadcast hash semi-join.
+
+Semantics pinned to the reference (``python/dolma/taggers/url.py:57-171``):
+
+* url normalisation: drop protocol and query/fragment, keep
+  ``host[:port]/path`` lower-cased with trailing ``/`` stripped;
+* link taggers check the full normalised url; domain taggers check the
+  hostname both bare and with a ``www.`` prefix (the reference strips a
+  leading ``www.`` and checks both forms);
+* a blocklisted url yields a whole-doc attribute ``url`` with score 1.
+
+Scale design: the blocklist (possibly millions of hosts) is loaded ONCE
+per actor in ``__init__`` — either from a file path or from a shared
+``ray.put`` object ref, so on a multi-node cluster the set ships to each
+node's object store once instead of once per batch.  This is the
+broadcast-small-side pattern instead of a shuffle join.
+
+The reference's production blocklists live behind external URLs
+(unreachable here); this engine accepts any ``one entry per line`` file
+(``#``/``;``/``!`` comments ignored, optional hosts-file ``IP host``
+format) or an in-memory iterable.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterable, Mapping
+from urllib.parse import urlsplit
+
+from ..registry import TaggerRegistry
+from .base import DOC, BaseTagger
+
+_COMMENT = ("#", ";", "!")
+_HOSTS_LINE = re.compile(r"^([0-9a-f.:]+)\s+(\S+)$")
+_LOCAL = {"localhost", "localdomain", "127.0.0.1", "0.0.0.0", "::1"}
+
+
+def normalize_url(url: str) -> str:
+    """``host[:port]/path`` lower-cased, no protocol/query/fragment,
+    trailing slash stripped."""
+    url = url.strip()
+    if not url:
+        return ""
+    if "://" not in url:
+        url = "http://" + url
+    parts = urlsplit(url)
+    host = (parts.hostname or "").lower()
+    port = f":{parts.port}" if parts.port else ""
+    path = parts.path.rstrip("/")
+    return f"{host}{port}{path}".lower()
+
+
+def url_host(url: str) -> str:
+    url = url.strip()
+    if not url:
+        return ""
+    if "://" not in url:
+        url = "http://" + url
+    host = (urlsplit(url).hostname or "").lower()
+    return host[4:] if host.startswith("www.") else host
+
+
+def load_blocklist(source: str | Iterable[str], domains_only: bool) -> frozenset[str]:
+    """Parse a blocklist from a file path or iterable of lines."""
+    if isinstance(source, str):
+        with open(source) as f:
+            lines = f.read().splitlines()
+    else:
+        lines = list(source)
+    out: set[str] = set()
+    for ln in lines:
+        ln = ln.strip().lower()
+        if not ln or ln.startswith(_COMMENT):
+            continue
+        m = _HOSTS_LINE.match(ln)
+        if m:
+            ip, host = m.groups()
+            if ip not in _LOCAL and not ip.startswith(("127.", "0.0.0.0", "::1")):
+                out.add(ip)
+            ln = host
+        if ln in _LOCAL:
+            continue
+        if domains_only:
+            host = url_host(ln)
+            if host:
+                out.add(host)
+                out.add(f"www.{host}")
+        else:
+            norm = normalize_url(ln)
+            if norm:
+                out.add(norm)
+    return frozenset(out)
+
+
+class _BaseBlocklistTagger(BaseTagger):
+    """Blocklist membership tagger. Pass the blocklist as
+    ``blocklist=`` (path or iterable) or ``blocklist_ref=`` (a ``ray.put``
+    ObjectRef to an already-parsed frozenset)."""
+
+    needs_columns = ("url",)
+    domains_only = False
+
+    def __init__(self, blocklist: str | Iterable[str] | None = None, blocklist_ref: Any = None) -> None:
+        if blocklist_ref is not None:
+            import ray
+
+            self.blocklist: frozenset[str] = ray.get(blocklist_ref)
+        elif blocklist is not None:
+            self.blocklist = load_blocklist(blocklist, domains_only=self.domains_only)
+        else:
+            raise ValueError("provide blocklist= or blocklist_ref=")
+        if not self.blocklist:
+            raise ValueError(f"Blocklist is empty for {type(self).__name__}")
+
+    def _keys(self, url: str) -> Iterable[str]:
+        if self.domains_only:
+            host = url_host(url)
+            return (host, f"www.{host}") if host else ()
+        norm = normalize_url(url)
+        return (norm,) if norm else ()
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"url": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        url = row.get("url") or ""
+        hit = any(k in self.blocklist for k in self._keys(url))
+        return {"url": 1.0 if hit else 0.0}
+
+
+@TaggerRegistry.add("link_blocklist_v1")
+class LinkBlocklistTagger(_BaseBlocklistTagger):
+    domains_only = False
+
+
+@TaggerRegistry.add("domain_blocklist_v1")
+class DomainBlocklistTagger(_BaseBlocklistTagger):
+    domains_only = True

@@ -1,0 +1,95 @@
+"""Text segmentation primitives: paragraphs, lines, words, sentences.
+
+Semantics pinned to the reference:
+
+* A *paragraph* is a maximal run matched by ``([^\\n]*\\n|[^\\n]+$)`` —
+  i.e. the trailing newline is **included** in the span
+  (reference: ``python/dolma/core/utils.py:83-98``).
+* A *word* for Gopher-style stats is a plain ``str.split()`` whitespace
+  token (reference: ``python/dolma/taggers/gopher.py:146``).
+* A *word* for dedup min-word counts and n-gram dedup is a Unicode
+  word-boundary segment with pure-whitespace segments removed
+  (reference: ``python/dolma/core/utils.py:69-80`` via uniseg;
+  ``src/wimbd/tokens.rs:11-20``).  uniseg is not available here, so
+  :func:`split_unicode_words` uses a regex approximation of UAX-29:
+  letter/digit runs (with common in-word apostrophes kept, as UAX-29
+  MidNumLet does) plus single non-space symbols.  Deviation documented;
+  our tests pin *our* semantics.
+* A *sentence* split approximates Punkt/blingfire
+  (reference: ``python/dolma/core/utils.py:101-115``) with a regex on
+  terminal punctuation — adequate for span-level toxicity scrubbing.
+
+All offsets are **Python character (code point) offsets**, never bytes
+(the reference's Rust mixer converts char->byte when splicing,
+``src/shard.rs:386-441``; we keep everything in char space until Arrow
+materialisation, which is offset-free for our span columns).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+
+class TextSlice(NamedTuple):
+    """A half-open [start, end) character window of ``doc``."""
+
+    doc: str
+    start: int
+    end: int
+
+    @property
+    def text(self) -> str:
+        return self.doc[self.start : self.end]
+
+
+_PARAGRAPH_RE = re.compile(r"[^\n]*\n|[^\n]+$")
+# word-ish runs: letters/digits/underscore plus in-word ' and ’, else single symbol
+_UWORD_RE = re.compile(r"[\w]+(?:['’][\w]+)*|[^\w\s]", re.UNICODE)
+_SENT_RE = re.compile(r"[^.!?]*[.!?]+(?:[\"'’”\\)\\]]+)?(?:\s+|$)|[^.!?]+$")
+
+
+def split_paragraphs(text: str, remove_empty: bool = True) -> list[TextSlice]:
+    """Newline-terminated paragraph slices (newline included in the span)."""
+    slices = [TextSlice(text, m.start(), m.end()) for m in _PARAGRAPH_RE.finditer(text)]
+    if remove_empty:
+        slices = [s for s in slices if s.text.strip()]
+    return slices
+
+
+def split_words(text: str) -> list[str]:
+    """Whitespace tokens (Gopher semantics: ``text.split()``)."""
+    return text.split()
+
+
+def split_unicode_words(text: str) -> list[str]:
+    """Unicode-ish word segments with whitespace removed; includes
+    punctuation marks as single-char segments (uniseg-style)."""
+    return _UWORD_RE.findall(text)
+
+
+def split_unicode_word_tokens(text: str) -> list[str]:
+    """Word tokens only (letters/digits), punctuation excluded — the
+    tokenizer used by the Rust deduper's min_words / ngram dedup
+    (``src/wimbd/tokens.rs:11-20`` keeps only segments containing
+    alphanumerics)."""
+    return [w for w in _UWORD_RE.findall(text) if any(c.isalnum() for c in w)]
+
+
+def split_sentences(text: str) -> list[TextSlice]:
+    """Sentence slices; trailing whitespace after terminal punctuation is
+    included in the preceding sentence span (keeps spans contiguous, which
+    makes sentence-level scrubbing splice cleanly)."""
+    out = []
+    for m in _SENT_RE.finditer(text):
+        if text[m.start() : m.end()].strip():
+            out.append(TextSlice(text, m.start(), m.end()))
+    return out
+
+
+def split_lines(text: str, ignore_empty: bool = False) -> list[str]:
+    """Gopher line semantics: ``text.split("\\n")`` for v1, ``re.split("\\n+")``
+    for v2 (ignore_empty) — reference ``taggers/gopher.py:178-182``."""
+    if ignore_empty:
+        return re.split(r"\n+", text)
+    return text.split("\n")

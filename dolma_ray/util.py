@@ -1,0 +1,33 @@
+"""Small runtime helpers."""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+from typing import Any, Callable
+
+# per-worker-process instance cache for task-based stages
+_STAGE_CACHE: dict[str, Any] = {}
+
+
+def cached_stage(cls: type, /, **kwargs: Any) -> Callable:
+    """Wrap a callable-class stage as a plain function for task-based
+    ``map_batches``.
+
+    Ray runs callable classes as actor pools (requiring ``concurrency``);
+    for stateless-but-setup-heavy stages (regex compilation, config
+    parsing) tasks are more elastic.  The wrapper instantiates the class
+    once per worker process (keyed by constructor args) and reuses it for
+    every batch that worker processes — setup amortized, no actor pool.
+    """
+    payload = pickle.dumps((cls.__module__, cls.__qualname__, kwargs))
+    key = hashlib.blake2b(payload, digest_size=16).hexdigest()
+
+    def stage_fn(batch):
+        inst = _STAGE_CACHE.get(key)
+        if inst is None:
+            inst = _STAGE_CACHE.setdefault(key, cls(**kwargs))
+        return inst(batch)
+
+    stage_fn.__name__ = f"{cls.__name__}_fn"
+    return stage_fn

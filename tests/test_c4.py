@@ -1,0 +1,45 @@
+from dolma_ray.taggers.c4 import C4Tagger, FasterC4Tagger
+
+
+def test_line_spans_and_flags_v1():
+    text = 'Good line ends well.\nshort\nThis has javascript in it okay.\nA { brace here now.'
+    out = C4Tagger().predict(text, {})
+    # spans include trailing newline except last line
+    no_punct = out["lines_with_no_ending_punctuation"]
+    assert no_punct == [(21, 27, 1.0)]  # "short\n"
+    few_words = out["lines_with_too_few_words"]
+    assert few_words == [(21, 27, 1.0)]
+    assert out["has_javascript"] == 1.0
+    assert out["has_curly_brace"] == 1.0
+    assert out["has_lorem_ipsum"] == 0.0
+    assert out["line_count"] == 4.0
+
+
+def test_naughty_words_and_phrases():
+    out = C4Tagger().predict("this mentions porn somewhere.", {})
+    assert out["has_naughty_word"] == 1.0
+    out = C4Tagger().predict("a deep throat phrase match.", {})
+    assert out["has_naughty_word"] == 1.0
+    out = C4Tagger().predict("perfectly fine text here.", {})
+    assert out["has_naughty_word"] == 0.0
+
+
+def test_v2_substring_semantics():
+    # v2 checks "javascript" as substring doc-wide (v1: word match per line)
+    text = "enablejavascript inside a word."
+    assert C4Tagger().predict(text, {})["has_javascript"] == 0.0
+    assert FasterC4Tagger().predict(text, {})["has_javascript"] == 1.0
+
+
+def test_v2_line_spans_match_v1():
+    text = "One two three four.\nno\nLorem ipsum dolor sit."
+    v1 = C4Tagger().predict(text, {})
+    v2 = FasterC4Tagger().predict(text, {})
+    assert v1["lines_with_no_ending_punctuation"] == v2["lines_with_no_ending_punctuation"]
+    assert v1["lines_with_too_few_words"] == v2["lines_with_too_few_words"]
+    assert v2["has_lorem_ipsum"] == 1.0
+
+
+def test_quote_ending_ok():
+    out = C4Tagger().predict('He said "done."\nShe agreed with him "fully."', {})
+    assert out["lines_with_no_ending_punctuation"] == []

@@ -1,0 +1,71 @@
+"""Gopher tagger goldens ported from the reference test suite
+(``tests/python/test_gopher.py``) — pins the exact stat semantics."""
+
+import pytest
+
+from dolma_ray.taggers.gopher import gopher_attributes
+
+
+def test_short_golden():
+    a = gopher_attributes("This is a test.")
+    assert a["fraction_of_characters_in_most_common_2grams"] == 0.5
+    assert a["fraction_of_characters_in_most_common_3grams"] == pytest.approx(
+        0.5833333333333334
+    )
+    assert a["fraction_of_characters_in_most_common_4grams"] == 1.0
+    assert a["character_count"] == 15.0
+    assert a["word_count"] == 4.0
+    assert a["median_word_length"] == 3.0
+    assert a["symbol_to_word_ratio"] == 0.0
+    assert a["fraction_of_words_with_alpha_character"] == 1.0
+    assert a["required_word_count"] == 0.0
+    assert a["fraction_of_lines_starting_with_bullet_point"] == 0.0
+    assert a["fraction_of_lines_ending_with_ellipsis"] == 0.0
+    assert a["fraction_of_duplicate_lines"] == 0.0
+    assert a["fraction_of_characters_in_duplicate_lines"] == 0.0
+    # no 5..10-gram stats for a 4-word doc
+    assert "fraction_of_characters_in_duplicate_5grams" not in a
+
+
+def test_multiline_golden():
+    text = "This is a sentence. \n  \n This is another sentence.\n\n  This is a third sentence."
+    a = gopher_attributes(text)
+    assert a["fraction_of_characters_in_most_common_2grams"] == pytest.approx(
+        0.3050847457627119
+    )
+    assert a["fraction_of_characters_in_most_common_3grams"] == pytest.approx(
+        0.23728813559322035
+    )
+    assert a["fraction_of_characters_in_most_common_4grams"] == pytest.approx(
+        0.2711864406779661
+    )
+    for n in range(5, 11):
+        assert a[f"fraction_of_characters_in_duplicate_{n}grams"] == 0.0
+    assert a["character_count"] == 79.0
+    assert a["word_count"] == 13.0
+    assert a["median_word_length"] == 4.0
+    assert a["fraction_of_words_with_alpha_character"] == 1.0
+    assert a["fraction_of_duplicate_lines"] == 0.0
+
+
+def test_word_count_is_whitespace_sep():
+    a = gopher_attributes("T h i s \n    \n\n\n    isoneword !!!")
+    assert a["word_count"] == 6.0
+
+
+def test_required_word_count():
+    assert gopher_attributes("The.and.that")["required_word_count"] == 0.0
+    assert gopher_attributes("The and that")["required_word_count"] == 2.0
+
+
+def test_empty():
+    a = gopher_attributes("")
+    assert a == {"character_count": 0.0}
+
+
+def test_v2_ignores_empty_lines():
+    text = "* a\n\n* b"
+    v1 = gopher_attributes(text)
+    v2 = gopher_attributes(text, ignore_empty_lines=True)
+    assert v1["fraction_of_lines_starting_with_bullet_point"] == pytest.approx(2 / 3)
+    assert v2["fraction_of_lines_starting_with_bullet_point"] == 1.0

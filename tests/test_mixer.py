@@ -1,0 +1,125 @@
+"""Mixer unit tests: rule evaluation, span splice semantics (reference
+``src/shard.rs:372-444``), scrub goldens incl. multi-byte text."""
+
+import numpy as np
+import pyarrow as pa
+
+from dolma_ray.mixer import (
+    FilterConfig,
+    MixConfig,
+    MixStage,
+    Rule,
+    Scrubber,
+    SpanReplacementConfig,
+    parse_jsonpath_rule,
+    splice,
+)
+from dolma_ray.schema import spans_array
+
+
+def test_splice_basic():
+    assert splice("hello world", [(0, 5, "goodbye")]) == "goodbye world"
+
+
+def test_splice_empty_replacement():
+    assert splice("a dup b", [(2, 5, "")]) == "a  b"
+
+
+def test_splice_template():
+    assert splice("secret word", [(0, 6, "[{}]")]) == "[secret] word"
+
+
+def test_splice_overlap_skip():
+    # second span starts inside the first applied span -> skipped entirely
+    assert splice("abcdefgh", [(1, 5, "X"), (3, 7, "Y")]) == "aXfgh"
+
+
+def test_splice_adjacent_applied():
+    # span starting exactly at previous end is applied
+    assert splice("abcdefgh", [(1, 4, "X"), (4, 6, "Y")]) == "aXYgh"
+
+
+def test_splice_multibyte():
+    text = "Füße — zoë@ex.de done"
+    start = text.index("zoë@ex.de")
+    out = splice(text, [(start, start + len("zoë@ex.de"), "|||EMAIL|||")])
+    assert out == "Füße — |||EMAIL||| done"
+
+
+def test_splice_sorts_by_start():
+    assert splice("0123456789", [(6, 8, "B"), (1, 3, "A")]) == "0A345B89"
+
+
+def _batch(**cols):
+    return pa.table(cols)
+
+
+def test_rule_scalar_and_span():
+    batch = _batch(
+        text=pa.array(["aaa", "bbb"]),
+        attr__t__score=pa.array([0.2, 0.9]),
+        attr__t__spans=spans_array([[(0, 3, 0.7)], []]),
+    )
+    assert Rule("attr__t__score", ">", 0.5).evaluate(batch).tolist() == [False, True]
+    assert Rule("attr__t__spans", ">", 0.5).evaluate(batch).tolist() == [True, False]
+    assert Rule("attr__t__spans", "exists").evaluate(batch).tolist() == [True, False]
+    assert Rule("attr__missing", ">", 0).evaluate(batch).tolist() == [False, False]
+
+
+def test_filter_config_semantics():
+    batch = _batch(x=pa.array([1, 2]), attr__a=pa.array([1.0, 0.0]))
+    # no includes -> keep unless excluded
+    fc = FilterConfig(exclude=[Rule("attr__a", ">", 0.5)])
+    assert fc.keep_mask(batch).tolist() == [False, True]
+    # includes must match
+    fc2 = FilterConfig(include=[Rule("attr__a", ">", 0.5)])
+    assert fc2.keep_mask(batch).tolist() == [True, False]
+
+
+def test_parse_jsonpath_rule():
+    expr = (
+        "$.attributes[?(@.gopher_rules__gopher_v1__word_count && "
+        "@.gopher_rules__gopher_v1__word_count[0] && "
+        "@.gopher_rules__gopher_v1__word_count[0][2] < 50)]"
+    )
+    r = parse_jsonpath_rule(expr)
+    assert r.attr == "attr__gopher_rules__gopher_v1__word_count"
+    assert r.op == "<" and r.value == 50.0
+
+
+def test_scrubber_score_window():
+    batch = _batch(
+        text=pa.array(["one two three"], pa.large_string()),
+        attr__s=spans_array([[(0, 3, 0.3), (4, 7, 0.9)]]),
+    )
+    scrub = Scrubber([SpanReplacementConfig("attr__s", "X", min_score=0.5)])
+    out = scrub.scrub_batch(batch)
+    assert out.to_pylist() == ["one X three"]
+
+
+def test_mix_stage_label_and_filter():
+    batch = _batch(
+        url=pa.array(["u1", "u2"]),
+        text=pa.array(["keep me please", "drop me now"], pa.large_string()),
+        attr__bad=pa.array([0.0, 1.0]),
+    )
+    cfg = MixConfig(filter=FilterConfig(exclude=[Rule("attr__bad", ">=", 1.0)]))
+    labeled = MixStage(cfg, mode="label")(batch)
+    assert labeled["keep"].to_pylist() == [True, False]
+    filtered = MixStage(cfg, mode="filter")(batch)
+    assert filtered["url"].to_pylist() == ["u1"]
+    assert "attr__bad" not in filtered.column_names
+
+
+def test_min_text_length_after_scrub():
+    batch = _batch(
+        text=pa.array(["xy", "  "], pa.large_string()),
+        attr__s=spans_array([[(0, 2, 1.0)], []]),
+    )
+    cfg = MixConfig(
+        span_replacement=[SpanReplacementConfig("attr__s", "", min_score=0.5)],
+        min_text_length=1,
+    )
+    out = MixStage(cfg, mode="filter")(batch)
+    # first row scrubbed to "" -> dropped; second is whitespace-only -> dropped
+    assert len(out) == 0

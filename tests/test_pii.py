@@ -1,0 +1,81 @@
+from dolma_ray.taggers.pii import FastPiiRegex, PiiRegexV1, PiiRegexV2
+
+
+def test_email_detected():
+    text = "Contact us at john.doe@example.com for details.\nmore text\n"
+    out = FastPiiRegex().predict(text, {})
+    spans = out["EMAIL_ADDRESS"]
+    assert len(spans) == 1
+    s, e, _ = spans[0]
+    assert "john.doe@example.com" in text[s:e]
+    assert out["doc_count"] == 1.0
+
+
+def test_email_rejected_no_dot_domain():
+    text = "bad address foo@localdomain here \n"
+    out = FastPiiRegex().predict(text, {})
+    assert out["EMAIL_ADDRESS"] == []
+
+
+def test_email_rejected_paren_addressee():
+    text = "weird ( @example.com thing \n"
+    out = FastPiiRegex().predict(text, {})
+    assert out["EMAIL_ADDRESS"] == []
+
+
+def test_phone_detected():
+    text = "Call (555) 123-4567 to reach the office.\n"
+    out = FastPiiRegex().predict(text, {})
+    assert len(out["PHONE_NUMBER"]) == 1
+
+
+def test_ip_detected():
+    text = "The server at 192.168.10.25 hosts the archive.\n"
+    out = FastPiiRegex().predict(text, {})
+    assert len(out["IP_ADDRESS"]) == 1
+    s, e, _ = out["IP_ADDRESS"][0]
+    assert text[s:e] == "192.168.10.25"
+
+
+def test_slow_path_context_rules():
+    # phone near "isbn" context is rejected
+    text = "isbn reference 555 123 4567 follows.\n"
+    out = PiiRegexV1().predict(text, {})
+    assert out["PHONE_NUMBER"] == []
+    # ip near '#' is rejected
+    text2 = "# config 10.0.0.1 value\n"
+    out2 = PiiRegexV1().predict(text2, {})
+    assert out2["IP_ADDRESS"] == []
+    # clean ip passes
+    out3 = PiiRegexV1().predict("server 10.0.0.1 responds\n", {})
+    assert len(out3["IP_ADDRESS"]) == 1
+
+
+def test_doc_scores():
+    out = PiiRegexV2().predict("", {})
+    assert out["doc"] == -1.0
+    text = "server 10.0.0.1 responds here\n"
+    out = PiiRegexV1().predict(text, {})
+    assert out["doc"] == 1 / 4  # 1 span, 4 words
+
+
+def test_fast_doc_frac_includes_doc_span_quirk():
+    text = "no pii at all in this text\n"
+    out = FastPiiRegex().predict(text, {})
+    # reference quirk: doc_frac includes the doc_count span -> exactly 1.0
+    assert out["doc_frac"] == 1.0
+
+
+def test_question_mark_skip():
+    text = "a@b.com \n" + "?" * 10_001
+    out = FastPiiRegex().predict(text, {})
+    assert out["EMAIL_ADDRESS"] == []
+    assert out["doc_count"] == 0.0
+
+
+def test_multibyte_offsets_are_chars():
+    text = "Füße Straße — müller.günther@beispiel.de schrieb.\n"
+    out = FastPiiRegex().predict(text, {})
+    assert len(out["EMAIL_ADDRESS"]) == 1
+    s, e, _ = out["EMAIL_ADDRESS"][0]
+    assert "müller.günther@beispiel.de" in text[s:e]

@@ -1,0 +1,155 @@
+"""End-to-end flagship pipeline on the synthetic web-page corpus:
+keep/drop F1 vs the construction-time profile expectations, scrub checks,
+dedup marking."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from dolma_ray.dedup import mark_duplicate_docs, mark_duplicate_paragraphs
+from dolma_ray.dedup.exact import DUP_DOCS_ATTR
+from dolma_ray.dedup.paragraphs import DUP_PARAGRAPHS_ATTR
+from dolma_ray.pipelines import flagship
+from dolma_ray.synth import PROFILE_EXPECT_DROP, generate_web_pages
+
+N = 400
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    table, profiles = generate_web_pages(N, seed=SEED)
+    return table, profiles
+
+
+@pytest.fixture(scope="module")
+def labeled(ray_session, corpus):
+    import ray.data as rd
+
+    table, profiles = corpus
+    ds = rd.from_arrow(table)
+    out = flagship(ds, mode="label").to_pandas()
+    out = out.set_index("url", drop=False)
+    return out, dict(zip(table["url"].to_pylist(), profiles))
+
+
+def test_keep_drop_f1(labeled):
+    out, prof_by_url = labeled
+    tp = fp = fn = tn = 0
+    errors = []
+    for url, row in out.iterrows():
+        expect_keep = not PROFILE_EXPECT_DROP[prof_by_url[url]]
+        got_keep = bool(row["keep"])
+        if expect_keep and got_keep:
+            tp += 1
+        elif expect_keep and not got_keep:
+            fn += 1
+            errors.append((url, prof_by_url[url], "dropped"))
+        elif not expect_keep and got_keep:
+            fp += 1
+            errors.append((url, prof_by_url[url], "kept"))
+        else:
+            tn += 1
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.99, f"F1={f1:.4f} errors={errors[:10]}"
+
+
+def test_pii_scrubbed(labeled):
+    out, prof_by_url = labeled
+    for url, row in out.iterrows():
+        if prof_by_url[url] == "pii" and row["keep"]:
+            assert "@example.com" not in row["text"]
+            assert "|||EMAIL_ADDRESS|||" in row["text"]
+            assert "|||PHONE_NUMBER|||" in row["text"]
+            assert "|||IP_ADDRESS|||" in row["text"]
+
+
+def test_multibyte_pii_scrubbed(labeled):
+    out, prof_by_url = labeled
+    seen = 0
+    for url, row in out.iterrows():
+        if prof_by_url[url] == "multibyte_pii" and row["keep"]:
+            seen += 1
+            assert "@beispiel.de" not in row["text"]
+            assert "|||EMAIL_ADDRESS|||" in row["text"]
+            # multi-byte chars around the scrub must be intact
+            assert "Füße Straße größer" in row["text"]
+    assert seen > 0
+
+
+def test_toxic_sentence_scrubbed(labeled):
+    out, prof_by_url = labeled
+    seen = 0
+    for url, row in out.iterrows():
+        if prof_by_url[url] == "toxic_sentence" and row["keep"]:
+            seen += 1
+            assert "you are so stupid and ugly" not in row["text"]
+    assert seen > 0
+
+
+def test_exact_dedup_marks_later_copies(ray_session, corpus):
+    import ray.data as rd
+
+    table, profiles = corpus
+    ds = rd.from_arrow(table)
+    out = mark_duplicate_docs(ds, key_column="text").to_pandas()
+    # every text value appears marked non-dup exactly once
+    dup_flags = out[DUP_DOCS_ATTR].map(len) > 0
+    by_text = out.assign(dup=dup_flags).groupby(out["text"])
+    for _, g in by_text:
+        assert (~g["dup"]).sum() == 1
+        # the non-dup row is the earliest by (warc_ts, url)
+        first = g.sort_values(["warc_ts", "url"]).iloc[0]
+        assert not first["dup"]
+
+
+def test_paragraph_dedup_spans(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": "shared paragraph here\nunique one a"},
+        {"url": "b", "warc_ts": 2, "text": "shared paragraph here\nunique one b"},
+    ]
+    ds = rd.from_items(rows)
+    out = (
+        mark_duplicate_paragraphs(ds, order_columns=("warc_ts", "url"))
+        .to_pandas()
+        .set_index("url")
+    )
+    assert list(out.loc["a", DUP_PARAGRAPHS_ATTR]) == []
+    spans = out.loc["b", DUP_PARAGRAPHS_ATTR]
+    assert len(spans) == 1
+    assert spans[0]["start"] == 0
+    assert spans[0]["end"] == len("shared paragraph here") + 1
+    assert spans[0]["score"] == 1.0
+
+
+def test_ngram_near_dup(ray_session):
+    import ray.data as rd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": base},
+        {"url": "b", "warc_ts": 2, "text": near},
+        {"url": "c", "warc_ts": 3, "text": "totally different words entirely now"},
+    ]
+    ds = rd.from_items(rows)
+    out = (
+        mark_duplicate_paragraphs(
+            ds,
+            order_columns=("warc_ts", "url"),
+            ngram_length=3,
+            stride=1,
+            overlap_threshold=0.5,
+        )
+        .to_pandas()
+        .set_index("url")
+    )
+    assert list(out.loc["a", DUP_PARAGRAPHS_ATTR]) == []
+    b_spans = out.loc["b", DUP_PARAGRAPHS_ATTR]
+    assert len(b_spans) == 1
+    assert 0.5 <= b_spans[0]["score"] < 1.0
+    assert list(out.loc["c", DUP_PARAGRAPHS_ATTR]) == []

@@ -1,0 +1,88 @@
+"""Periodic-sequence finder vectors ported from the reference
+(``tests/python/test_repetitions_utils.py``) + repetition tagger checks."""
+
+import numpy as np
+
+from dolma_ray.taggers.repetitions import (
+    RepetitionsTagger,
+    TokenizerRepetitionsSkipEmptyTagger,
+    TokenizerRepetitionsTagger,
+    find_periodic_sequences,
+)
+
+
+def _arr(s):
+    return np.array(list(map(int, s)))
+
+
+def test_period_1():
+    seqs = list(find_periodic_sequences(_arr("5000007"), max_period=1))
+    assert len(seqs) == 1
+    assert (seqs[0].start, seqs[0].end, seqs[0].period, seqs[0].times) == (1, 6, 1, 5)
+
+
+def test_period_2():
+    seqs = list(find_periodic_sequences(_arr("501010127"), min_period=2, max_period=2))
+    assert len(seqs) == 1
+    assert (seqs[0].start, seqs[0].end, seqs[0].period, seqs[0].times) == (1, 7, 2, 3)
+
+
+def test_period_4():
+    seqs = list(
+        find_periodic_sequences(_arr("5301040104010401"), min_period=4, max_period=4)
+    )
+    assert len(seqs) == 1
+    assert (seqs[0].start, seqs[0].end, seqs[0].period, seqs[0].times) == (2, 16, 4, 3)
+
+
+def test_period_3():
+    seqs = list(
+        find_periodic_sequences(_arr("04004004004030"), min_period=3, max_period=3)
+    )
+    assert len(seqs) == 1
+    assert (seqs[0].start, seqs[0].end, seqs[0].period, seqs[0].times) == (0, 12, 3, 4)
+
+
+def test_two_sequences():
+    seqs = list(
+        find_periodic_sequences(
+            _arr("004646464639955055055046550"), min_period=2, max_period=3
+        )
+    )
+    assert len(seqs) == 2
+    assert (seqs[0].start, seqs[0].end, seqs[0].period, seqs[0].times) == (2, 10, 2, 4)
+    assert (seqs[1].start, seqs[1].end, seqs[1].period, seqs[1].times) == (13, 22, 3, 3)
+
+
+def test_no_sequences():
+    assert list(find_periodic_sequences(_arr("123456789"), max_period=10)) == []
+    assert list(find_periodic_sequences(_arr("112233445566778899"), max_period=10)) == []
+
+
+def test_char_repetition_tagger():
+    out = RepetitionsTagger().predict("xy abcabcabcabc z", {})
+    spans = out["repetition"]
+    assert len(spans) == 1
+    s, e, score = spans[0]
+    assert "abcabcabcabc" == "xy abcabcabcabc z"[s:e]
+    assert score == 4.0
+    assert out["doc_max_score_repetition"] == 4.0
+
+
+def test_char_repetition_empty_keeps_stats():
+    out = RepetitionsTagger().predict("no repeats here", {})
+    assert out["repetition"] == []
+    assert out["doc_max_score_repetition"] == 0.0
+
+
+def test_token_repetition_tagger():
+    text = "the cat sat " * 10
+    out = TokenizerRepetitionsTagger().predict(text, {})
+    assert out["repetition"], "periodic token sequence must be found"
+    assert out["doc_max_score_repetition"] >= 9
+
+
+def test_v2r2_omits_stats_when_empty():
+    out = TokenizerRepetitionsSkipEmptyTagger().predict("completely unique words", {})
+    assert out["repetition"] == []
+    assert "doc_max_score_repetition" not in out

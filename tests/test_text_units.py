@@ -1,0 +1,70 @@
+from dolma_ray.text_units import (
+    split_lines,
+    split_paragraphs,
+    split_sentences,
+    split_unicode_word_tokens,
+    split_unicode_words,
+    split_words,
+)
+
+
+def test_paragraphs_include_newline():
+    text = "one\ntwo\nthree"
+    paras = split_paragraphs(text)
+    assert [(p.start, p.end) for p in paras] == [(0, 4), (4, 8), (8, 13)]
+    assert [p.text for p in paras] == ["one\n", "two\n", "three"]
+
+
+def test_paragraphs_empty_removed_and_kept():
+    text = "a\n\n\nb\n"
+    assert [p.text for p in split_paragraphs(text)] == ["a\n", "b\n"]
+    assert [p.text for p in split_paragraphs(text, remove_empty=False)] == [
+        "a\n",
+        "\n",
+        "\n",
+        "b\n",
+    ]
+
+
+def test_paragraphs_empty_string():
+    assert split_paragraphs("") == []
+
+
+def test_words_whitespace():
+    assert split_words("This is  a test.") == ["This", "is", "a", "test."]
+
+
+def test_unicode_words_include_punct():
+    assert split_unicode_words("Hello, world!") == ["Hello", ",", "world", "!"]
+
+
+def test_unicode_word_tokens_exclude_punct():
+    assert split_unicode_word_tokens("Hello, world! 42") == ["Hello", "world", "42"]
+    assert split_unicode_word_tokens("don't stop") == ["don't", "stop"]
+
+
+def test_sentences_cover_contiguously():
+    text = "First sentence. Second one! Third?"
+    sents = split_sentences(text)
+    assert sents[0].start == 0
+    assert sents[-1].end == len(text)
+    for a, b in zip(sents, sents[1:]):
+        assert a.end == b.start
+    assert [s.text.strip() for s in sents] == [
+        "First sentence.",
+        "Second one!",
+        "Third?",
+    ]
+
+
+def test_sentences_no_terminal_punct():
+    text = "no punctuation here"
+    sents = split_sentences(text)
+    assert len(sents) == 1
+    assert sents[0].text == text
+
+
+def test_split_lines_modes():
+    text = "a\n\nb"
+    assert split_lines(text) == ["a", "", "b"]
+    assert split_lines(text, ignore_empty=True) == ["a", "b"]
