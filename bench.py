@@ -1,0 +1,167 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "web_docs": N,
+     "web_docs_per_sec": N}
+
+``--scaling``: run the same bench twice in fresh processes at
+num_cpus=8 and num_cpus=32 and report both plus scaling efficiency
+(the sandbox proxy for the north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+WEB_N = int(os.environ.get("GRAFT_WEB_N", "20000"))
+
+# queries timed individually over the sf-dir tables
+BENCH_QUERIES = [
+    "doc_stats",
+    "token_count",
+    "scrub_text",
+    "top_words",
+    "events_hourly",
+    "orders_by_segment",
+    "exact_dedup",
+    "ann_topk",
+    "flagship_keep",
+]
+
+
+def _consume(res) -> int:
+    """Fully execute a query result without driver materialization of
+    large data; returns row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    n = 0
+    for batch in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += len(batch)
+    return n
+
+
+def _web_corpus_path() -> str:
+    """Synthetic web-page corpus at bench scale, cached under /tmp."""
+    path = f"/tmp/dolma_ray_bench_corpus_n{WEB_N}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from dolma_ray.synth import write_web_pages_parquet
+
+        write_web_pages_parquet(path, n=WEB_N, seed=7, shards=max(8, NUM_CPUS))
+        open(marker, "w").write("ok")
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from dolma_ray.queries import QUERIES
+
+    # warm the OS page cache AND the Ray worker pool (untimed) so the
+    # first timed query doesn't absorb cluster startup
+    for t in ("documents", "events", "orders", "customer", "embeddings"):
+        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+    _consume(QUERIES["doc_stats"](SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # headline: flagship quality-filter pipeline over the web-page corpus
+    corpus = _web_corpus_path()
+    ds = rd.read_parquet(corpus, columns=["url", "warc_ts", "text", "lang"])
+    ds.count()  # warm
+    t0 = time.perf_counter()
+    from dolma_ray.pipelines import flagship
+
+    n_kept = _consume(
+        flagship(
+            ds,
+            mode="filter",
+            stateful_concurrency=max(2, NUM_CPUS // 4),
+            batch_size=512,
+        )
+    )
+    flagship_sec = round(time.perf_counter() - t0, 3)
+    timings["flagship_web"] = flagship_sec
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "dolma_ray headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "web_docs": WEB_N,
+        "web_docs_kept": n_kept,
+        "web_docs_per_sec": round(WEB_N / flagship_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["flagship_web"]
+    t_hi = r_hi["queries"]["flagship_web"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "flagship scaling efficiency (num_cpus 8 -> 32)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["web_docs_per_sec"],
+        "docs_per_sec_32": r_hi["web_docs_per_sec"],
+        "total_sec_8": r_lo["value"],
+        "total_sec_32": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "web_docs": r_lo["web_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,2 @@
+from .search import brute_force_topk, lsh_topk  # noqa: F401
+from .text_stats import add_doc_stats  # noqa: F401

@@ -1,0 +1,90 @@
+"""Attribute-distribution analyzer (``dolma stat`` equivalent).
+
+The reference analyzer streams attribute files, builds per-file partial
+bucketed trackers of span scores and span lengths per attribute name,
+then merges partials into summaries (``core/analyzer.py:66-200``,
+bucketing ``core/binning.py``).  Ray-native mapping: one ``map_batches``
+pass emits per-batch partial histogram counts (fixed, deterministic
+bucket edges — the mergeable-sketch pattern), then a small
+``groupby(attribute, kind, bucket).sum`` over partials; the shuffle
+moves only histogram rows, never documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _bucket_edges(n_buckets: int, lo: float, hi: float) -> np.ndarray:
+    return np.linspace(lo, hi, n_buckets + 1)
+
+
+def summarize_attributes(
+    ds,
+    attributes: list[str] | None = None,
+    n_buckets: int = 20,
+    score_range: tuple[float, float] = (0.0, 1.0),
+):
+    """Histogram summary of attribute columns.
+
+    Returns a small pandas DataFrame: one row per
+    ``(attribute, kind, bucket_lo, bucket_hi)`` with ``count`` —
+    ``kind`` is ``score`` (doc value or span score) or ``length``
+    (span char length, bucketed over [0, 1000)).
+    """
+    edges_score = _bucket_edges(n_buckets, *score_range)
+    edges_len = _bucket_edges(n_buckets, 0.0, 1000.0)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, kinds, los, his, counts = [], [], [], [], []
+        cols = attributes or [c for c in batch.column_names if c.startswith("attr__")]
+        for col in cols:
+            if col not in batch.column_names:
+                continue
+            arr = batch[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                values = arr.values
+                scores = values.field("score").to_numpy(zero_copy_only=False)
+                lengths = (
+                    values.field("end").to_numpy(zero_copy_only=False)
+                    - values.field("start").to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
+                series = [("score", scores, edges_score), ("length", lengths, edges_len)]
+            elif pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
+                vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+                series = [("score", vals, edges_score)]
+            else:
+                continue
+            for kind, vals, edges in series:
+                if len(vals) == 0:
+                    continue
+                clipped = np.clip(vals, edges[0], edges[-1])
+                hist, _ = np.histogram(clipped, bins=edges)
+                nz = np.nonzero(hist)[0]
+                for b in nz:
+                    names.append(col)
+                    kinds.append(kind)
+                    los.append(float(edges[b]))
+                    his.append(float(edges[b + 1]))
+                    counts.append(int(hist[b]))
+        return pa.table(
+            {
+                "attribute": pa.array(names, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "bucket_lo": pa.array(los, pa.float64()),
+                "bucket_hi": pa.array(his, pa.float64()),
+                "count": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["attribute", "kind", "bucket_lo", "bucket_hi"])
+        .aggregate(Sum("count", alias_name="count"))
+    )
+    return out.sort(["attribute", "kind", "bucket_lo"]).to_pandas()

@@ -1,0 +1,110 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once via ``ray.put``; each ``map_batches`` task does one
+  numpy matmul against its batch and emits only its local top-k
+  (per-batch partial top-k), so the final global sort touches
+  ``k × n_batches`` rows, not the corpus.
+* :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets
+  (signed projections -> bucket id), ``groupby(bucket)`` then exact
+  scoring inside the query's bucket(s) only.  Recall < 1.0 by design;
+  planes are seeded -> deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(batch_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(batch_col, pa.ChunkedArray):
+        batch_col = batch_col.combine_chunks()
+    flat = batch_col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = batch_col.offsets.to_numpy(zero_copy_only=False)
+    dim = offsets[1] - offsets[0] if len(offsets) > 1 else 0
+    return flat.reshape(len(batch_col), int(dim))
+
+
+def brute_force_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    round_digits: int = 6,
+):
+    """Exact cosine top-k; returns a Dataset of (id, cos) rows sorted desc
+    with deterministic (cos desc, id asc) tie-break."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _matrix(batch[embedding_column])
+        norms = np.linalg.norm(m, axis=1)
+        cos = (m @ qv) / np.maximum(norms, 1e-30)
+        cos = np.round(cos, round_digits)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        # local top-k: the global merge then only sees k rows per batch
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                id_column: pa.array(ids[order]),
+                "cos": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cos", id_column], descending=[True, False])
+        .limit(k)
+    )
+
+
+def lsh_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    round_digits: int = 6,
+):
+    """Approximate cosine top-k: score only rows whose hyperplane
+    signature matches the query's."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((len(q), n_planes))
+    q_sig = int((q @ planes > 0).dot(1 << np.arange(n_planes)))
+    ctx = ray.put((q, planes, q_sig))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv, pl, sig = ray.get(ctx)
+        m = _matrix(batch[embedding_column])
+        sigs = (m @ pl > 0).dot(1 << np.arange(pl.shape[1]))
+        mask = sigs == sig
+        m = m[mask]
+        ids = batch[id_column].to_numpy(zero_copy_only=False)[mask]
+        if len(m) == 0:
+            return pa.table(
+                {id_column: pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+            )
+        cos = np.round((m @ qv) / np.maximum(np.linalg.norm(m, axis=1), 1e-30), round_digits)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {id_column: pa.array(ids[order]), "cos": pa.array(cos[order], pa.float64())}
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cos", id_column], descending=[True, False])
+        .limit(k)
+    )

@@ -1,0 +1,67 @@
+"""Vectorized text-analysis stages over generic document tables.
+
+These are the "text analysis" operators of the engine (language-ID
+heuristics live in ``taggers.language``; these are the pure-Arrow
+counters): char/word/line counts, alpha fraction, stopword fraction,
+rolling-hash fingerprints.  All computed with ``pyarrow.compute`` — no
+per-row Python in the hot path — using RE2-safe regexes so an ANSI-SQL
+oracle (DuckDB) reproduces them exactly (the driver's correctness gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is", "that")
+STOPWORD_PATTERN = r"(?i)\b(" + "|".join(STOPWORDS) + r")\b"
+
+
+def add_doc_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append ``n_chars`` / ``n_words`` (whitespace tokens) / ``n_lines`` /
+    ``alpha_frac`` (ASCII-letter chars / chars) / ``stopword_frac``
+    (stopword occurrences / words)."""
+    text = batch[text_column]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    n_lines = pc.cast(pc.add(pc.count_substring(text, "\n"), 1), pa.int64())
+    letters = pc.count_substring_regex(text, "[A-Za-z]")
+    alpha_frac = pc.if_else(
+        pc.greater(n_chars, 0),
+        pc.divide(pc.cast(letters, pa.float64()), pc.cast(n_chars, pa.float64())),
+        pa.scalar(0.0),
+    )
+    n_stop = pc.count_substring_regex(text, STOPWORD_PATTERN)
+    denom = pc.max_element_wise(n_words, pa.scalar(1, pa.int64()))
+    stopword_frac = pc.if_else(
+        pc.greater(n_words, 0),
+        pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(denom, pa.float64())),
+        pa.scalar(0.0),
+    )
+    for name, col in [
+        ("n_chars", n_chars),
+        ("n_words", n_words),
+        ("n_lines", n_lines),
+        ("alpha_frac", alpha_frac),
+        ("stopword_frac", stopword_frac),
+    ]:
+        if name in batch.column_names:
+            batch = batch.drop_columns([name])
+        batch = batch.append_column(name, col)
+    return batch
+
+
+def add_fingerprint(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """64-bit FNV-1a document fingerprint column (``fingerprint``)."""
+    from ..taggers.sampling import fnv1a_64
+
+    texts = batch[text_column].to_pylist()
+    fp = np.fromiter(
+        (fnv1a_64((t or "").encode("utf-8")) >> 1 for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    if "fingerprint" in batch.column_names:
+        batch = batch.drop_columns(["fingerprint"])
+    return batch.append_column("fingerprint", pa.array(fp, pa.int64()))

@@ -19,5 +19,9 @@ Modules:
 * ``embedding`` — embedding-cosine near-dup via hyperplane LSH (beyond)
 """
 
+from .bloom import BloomFilter, make_bloom_shard_actors, mark_duplicate_docs_bloom  # noqa: F401
+from .embedding import mark_near_duplicates_embedding  # noqa: F401
 from .exact import mark_duplicate_docs  # noqa: F401
+from .minhash import mark_near_duplicates_minhash  # noqa: F401
 from .paragraphs import mark_duplicate_paragraphs  # noqa: F401
+from .simhash import mark_near_duplicates_simhash  # noqa: F401

@@ -1,0 +1,123 @@
+"""Bloom filter + sharded dedup actor pool — the streaming one-pass
+alternative to the groupby dedup.
+
+The reference's single global state is a thread-shared Bloom filter
+(``src/bloom_filter.rs``: ``Vec<AtomicU32>``, k seeded hashers, sized
+from (expected items, fp rate) by the standard formulas m = -n·ln p/ln2²,
+k = m/n·ln2).  A multi-node Ray equivalent cannot share memory, so the
+keyspace is sharded: ``hash(key) % num_shards`` routes each key to one
+``@ray.remote`` BloomShard actor; a ``map_batches`` stage batches keys
+per shard and queries/inserts in one RPC per (batch, shard).
+
+Trade-offs vs the groupby dedup (``exact.py``): one pass and bounded
+memory (like the reference, with the same FP behaviour — a false
+positive drops a unique doc at rate ~p), but "first" is *arrival* order,
+which under parallel execution is nondeterministic — the groupby path is
+the deterministic one.  Use this when streaming through data too large
+to shuffle, or to reproduce reference behaviour.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import attr_name, spans_array
+from .hashing import hash_strings
+
+DUP_BLOOM_ATTR = attr_name("dedupe_bloom", "duplicate")
+
+
+def bloom_sizing(expected_items: int, fp_rate: float) -> tuple[int, int]:
+    """(m_bits, k_hashers) from the standard formulas
+    (reference ``src/bloom_filter.rs:27-60``)."""
+    m = max(64, int(-expected_items * math.log(fp_rate) / (math.log(2) ** 2)))
+    k = max(1, round(m / max(expected_items, 1) * math.log(2)))
+    return m, k
+
+
+class BloomFilter:
+    """Vectorized in-memory Bloom filter over uint64 keys.
+
+    The k indexes are derived from the 64-bit key by double hashing
+    (h1 + i*h2, Kirsch & Mitzenmacher 2006) — no per-key Python loops.
+    """
+
+    def __init__(self, expected_items: int, fp_rate: float) -> None:
+        self.m, self.k = bloom_sizing(expected_items, fp_rate)
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _indexes(self, keys: np.ndarray) -> np.ndarray:
+        h1 = keys
+        h2 = (keys >> np.uint64(33)) | np.uint64(1)  # odd -> full period
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(self.m)).astype(np.uint64)
+
+    def contains_then_insert(self, keys: np.ndarray) -> np.ndarray:
+        """For each key (in order): True if already present, else insert.
+        Sequential in key order (duplicate keys within the call count)."""
+        out = np.zeros(len(keys), dtype=bool)
+        idx = self._indexes(keys)
+        words = idx >> np.uint64(6)
+        masks = np.uint64(1) << (idx & np.uint64(63))
+        for j in range(len(keys)):
+            w, mk = words[j], masks[j]
+            present = bool(np.all(self.bits[w] & mk != 0))
+            out[j] = present
+            if not present:
+                np.bitwise_or.at(self.bits, w, mk)
+        return out
+
+
+def make_bloom_shard_actors(num_shards: int, expected_items: int, fp_rate: float):
+    """Spawn the shard actors (call once per job)."""
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class BloomShard:
+        def __init__(self, expected: int, fp: float) -> None:
+            self.bloom = BloomFilter(expected, fp)
+
+        def check_insert(self, keys: np.ndarray) -> np.ndarray:
+            return self.bloom.contains_then_insert(keys)
+
+    per_shard = max(1, expected_items // num_shards)
+    return [BloomShard.remote(per_shard, fp_rate) for _ in range(num_shards)]
+
+
+def mark_duplicate_docs_bloom(
+    ds,
+    shard_actors,
+    key_column: str = "text",
+    text_column: str = "text",
+):
+    """Streaming doc-level dedup through the shard actors: appends
+    ``attr__dedupe_bloom__duplicate`` spans (``[0, len(text), 1]`` on
+    duplicates), one pass, no shuffle."""
+    import ray
+
+    actors_ref = shard_actors
+    n_shards = len(shard_actors)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        keys = hash_strings(batch[key_column])
+        shard_of = (keys % np.uint64(n_shards)).astype(np.int64)
+        dup = np.zeros(len(keys), dtype=bool)
+        futures = {}
+        for s in range(n_shards):
+            sel = np.nonzero(shard_of == s)[0]
+            if len(sel):
+                futures[s] = (sel, actors_ref[s].check_insert.remote(keys[sel]))
+        for s, (sel, fut) in futures.items():
+            dup[sel] = ray.get(fut)
+        texts = batch[text_column].to_pylist()
+        spans = [
+            [(0, len(t or ""), 1.0)] if d else [] for d, t in zip(dup, texts)
+        ]
+        if DUP_BLOOM_ATTR in batch.column_names:
+            batch = batch.drop_columns([DUP_BLOOM_ATTR])
+        return batch.append_column(DUP_BLOOM_ATTR, spans_array(spans))
+
+    return ds.map_batches(mark, batch_format="pyarrow")

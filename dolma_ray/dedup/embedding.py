@@ -1,0 +1,94 @@
+"""Embedding-cosine near-duplicate detection.
+
+Docs whose embeddings have cosine similarity >= ``threshold`` with an
+earlier doc are marked near-dups.  Scale path: random-hyperplane LSH
+(Charikar 2002) buckets candidates — ``groupby(signature)`` — then exact
+cosine verification inside each bucket against earlier members.  Exact
+(O(n^2)) verification is bounded by bucket size; more planes -> smaller
+buckets but lower recall.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schema import attr_name
+
+DUP_EMBEDDING_ATTR = attr_name("dedupe_embedding", "near_duplicate")
+
+
+def mark_near_duplicates_embedding(
+    ds,
+    key_column: str = "vec_id",
+    order_columns: Sequence[str] | None = None,
+    embedding_column: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+):
+    """Append ``attr__dedupe_embedding__near_duplicate`` (scalar 0/1)."""
+    order_columns = list(order_columns or (key_column,))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[embedding_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+        m = flat.reshape(len(col), dim)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        sigs = ((m @ planes) > 0).dot(1 << np.arange(n_planes)).astype(np.int64)
+        norms = np.linalg.norm(m, axis=1)
+        normed = m / np.maximum(norms, 1e-30)[:, None]
+        orders = [
+            "\x1f".join(str(v) for v in row)
+            for row in zip(*(batch[c].to_pylist() for c in order_columns))
+        ]
+        return pa.table(
+            {
+                "key": batch[key_column],
+                "order": pa.array(orders, pa.string()),
+                "sig": pa.array(sigs, pa.int64()),
+                "vec": pa.array(list(normed), pa.list_(pa.float64())),
+            }
+        )
+
+    units = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_mark(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 1:
+            return pd.DataFrame({"key": [], "dup": []})
+        g = g.sort_values(["order"], kind="mergesort")
+        vecs = np.stack([np.asarray(v) for v in g["vec"]])
+        sims = vecs @ vecs.T
+        n = len(g)
+        dup_keys = []
+        for i in range(1, n):
+            if (sims[i, :i] >= threshold).any():
+                dup_keys.append(g["key"].iloc[i])
+        return pd.DataFrame({"key": dup_keys, "dup": [True] * len(dup_keys)})
+
+    dup_keys_ds = units.groupby("sig").map_groups(bucket_mark, batch_format="pandas")
+
+    import ray
+
+    dup_keys: set = set()
+    for row in dup_keys_ds.iter_rows():
+        dup_keys.add(row["key"])
+    ref = ray.put(dup_keys)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dups = ray.get(ref)
+        keys = batch[key_column].to_pylist()
+        col = pa.array([1.0 if k in dups else 0.0 for k in keys], pa.float64())
+        if DUP_EMBEDDING_ATTR in batch.column_names:
+            batch = batch.drop_columns([DUP_EMBEDDING_ATTR])
+        return batch.append_column(DUP_EMBEDDING_ATTR, col)
+
+    return ds.map_batches(attach, batch_format="pyarrow")

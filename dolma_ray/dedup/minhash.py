@@ -1,0 +1,175 @@
+"""MinHash + LSH near-duplicate detection (beyond the reference's ngram
+Bloom dedup; the standard web-scale near-dup pipeline, cf. Broder 1997,
+"On the resemblance and containment of documents", and the Dolma paper's
+use of MinHash-based dedup at corpus scale).
+
+Pipeline shape (Ray-native, two narrow shuffles):
+
+1. ``map_batches``: per doc — shingle (word n-grams) -> 64-bit hashes ->
+   ``num_perm`` minhashes via vectorized multiply-shift permutations ->
+   band digests (``num_bands`` x ``rows_per_band``); emit narrow rows
+   ``(band, band_hash, key, order)``.
+2. ``groupby((band, band_hash))``: any bucket with >1 doc marks every
+   doc except the global-order first as a near-dup candidate.
+3. ``groupby(key)``: a doc is near-dup if any of its bands collided with
+   an earlier doc.  (First-wins transitive approximation — exact
+   connected components would need iterated label propagation; for
+   dedup *marking* the first-wins rule is what the reference's Bloom
+   pass computes too.)
+
+The expensive part (shingling+hashing) is vectorized numpy per batch;
+the shuffles move ``num_bands`` rows of ~3 small columns per doc.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schema import attr_name
+from .hashing import hash_string
+
+DUP_MINHASH_ATTR = attr_name("dedupe_minhash", "near_duplicate")
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _permutation_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(num_perm,) signature from (n_shingles,) uint64 hashes."""
+    # (n, p) = (h * a + b) mod M, min over n — universal hashing
+    h = shingle_hashes.astype(np.uint64)[:, None]
+    vals = (h * a[None, :] + b[None, :]) % _MERSENNE
+    return vals.min(axis=0)
+
+
+def shingle_hashes(text: str, shingle_size: int) -> np.ndarray:
+    words = text.lower().split()
+    if len(words) < shingle_size:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [
+            " ".join(words[i : i + shingle_size])
+            for i in range(len(words) - shingle_size + 1)
+        ]
+    if not grams:
+        return np.array([], dtype=np.uint64)
+    return np.fromiter(
+        (hash_string(g) for g in grams), dtype=np.uint64, count=len(grams)
+    )
+
+
+class ExplodeBands:
+    def __init__(
+        self,
+        key_column: str,
+        order_columns: Sequence[str],
+        text_column: str,
+        shingle_size: int,
+        num_perm: int,
+        num_bands: int,
+        seed: int,
+    ) -> None:
+        assert num_perm % num_bands == 0
+        self.key_column = key_column
+        self.order_columns = list(order_columns)
+        self.text_column = text_column
+        self.shingle_size = shingle_size
+        self.num_bands = num_bands
+        self.rows_per_band = num_perm // num_bands
+        self.a, self.b = _permutation_params(num_perm, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_column].to_pylist()
+        texts = batch[self.text_column].to_pylist()
+        orders = list(zip(*(batch[c].to_pylist() for c in self.order_columns)))
+        r_key, r_order, r_band, r_hash = [], [], [], []
+        for key, text, order in zip(keys, texts, orders):
+            sh = shingle_hashes(text or "", self.shingle_size)
+            if len(sh) == 0:
+                continue
+            sig = minhash_signature(sh, self.a, self.b)
+            order_key = "\x1f".join(str(o) for o in order)
+            for band in range(self.num_bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                digest = hash_string(",".join(map(str, chunk.tolist())))
+                r_key.append(key)
+                r_order.append(order_key)
+                r_band.append(band)
+                r_hash.append(digest)
+        return pa.table(
+            {
+                "key": pa.array(r_key),
+                "order": pa.array(r_order, pa.string()),
+                "band": pa.array(r_band, pa.int32()),
+                "band_hash": pa.array(r_hash, pa.uint64()),
+            }
+        )
+
+
+def mark_near_duplicates_minhash(
+    ds,
+    key_column: str = "url",
+    order_columns: Sequence[str] = ("warc_ts", "url"),
+    text_column: str = "text",
+    shingle_size: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+):
+    """Append ``attr__dedupe_minhash__near_duplicate`` (scalar 0/1):
+    1.0 when the doc shares an LSH band bucket with an earlier doc."""
+    from ..util import cached_stage
+
+    bands = ds.map_batches(
+        cached_stage(
+            ExplodeBands,
+            key_column=key_column,
+            order_columns=tuple(order_columns),
+            text_column=text_column,
+            shingle_size=shingle_size,
+            num_perm=num_perm,
+            num_bands=num_bands,
+            seed=seed,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bucket_mark(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 1:
+            return pd.DataFrame({"key": [], "dup": []})
+        g = g.sort_values(["order", "key"], kind="mergesort")
+        return pd.DataFrame({"key": g["key"].iloc[1:], "dup": True})
+
+    dup_keys_ds = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(bucket_mark, batch_format="pandas")
+    )
+
+    import ray
+
+    dup_keys: set = set()
+    for row in dup_keys_ds.iter_rows():
+        dup_keys.add(row["key"])
+    ref = ray.put(dup_keys)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dups = ray.get(ref)
+        keys = batch[key_column].to_pylist()
+        col = pa.array([1.0 if k in dups else 0.0 for k in keys], pa.float64())
+        if DUP_MINHASH_ATTR in batch.column_names:
+            batch = batch.drop_columns([DUP_MINHASH_ATTR])
+        return batch.append_column(DUP_MINHASH_ATTR, col)
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -1,0 +1,118 @@
+"""SimHash near-duplicate detection (Charikar 2002; Manku et al. 2007,
+"Detecting near-duplicates for web crawling").
+
+64-bit SimHash over word features; two docs are near-dups when their
+fingerprints differ in <= ``max_hamming`` bits.  Scale path per Manku:
+split the 64 bits into ``max_hamming + 1`` bands — by pigeonhole, any
+pair within distance ``max_hamming`` agrees exactly on at least one
+band — ``groupby(band value)`` gives candidate buckets, verified by
+exact Hamming distance against the bucket's earliest doc.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..schema import attr_name
+from .hashing import hash_string
+
+DUP_SIMHASH_ATTR = attr_name("dedupe_simhash", "near_duplicate")
+
+
+def simhash64(text: str) -> int:
+    words = text.lower().split()
+    if not words:
+        return 0
+    hashes = np.fromiter(
+        (hash_string(w) for w in words), dtype=np.uint64, count=len(words)
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    fp = np.uint64(0)
+    for i in np.nonzero(votes > 0)[0]:
+        fp |= np.uint64(1) << np.uint64(i)
+    return int(fp)
+
+
+def _bands(fp: int, n_bands: int) -> list[int]:
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return [(fp >> (i * width)) & mask for i in range(n_bands)]
+
+
+def mark_near_duplicates_simhash(
+    ds,
+    key_column: str = "url",
+    order_columns: Sequence[str] = ("warc_ts", "url"),
+    text_column: str = "text",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+):
+    """Append ``attr__dedupe_simhash__near_duplicate`` (scalar 0/1)."""
+    n_bands = n_bands or (max_hamming + 1)
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = batch[key_column].to_pylist()
+        texts = batch[text_column].to_pylist()
+        orders = list(zip(*(batch[c].to_pylist() for c in order_columns)))
+        r_key, r_order, r_band, r_val, r_fp = [], [], [], [], []
+        for key, text, order in zip(keys, texts, orders):
+            fp = simhash64(text or "")
+            order_key = "\x1f".join(str(o) for o in order)
+            for band, val in enumerate(_bands(fp, n_bands)):
+                r_key.append(key)
+                r_order.append(order_key)
+                r_band.append(band)
+                r_val.append(val)
+                r_fp.append(fp)
+        return pa.table(
+            {
+                "key": pa.array(r_key),
+                "order": pa.array(r_order, pa.string()),
+                "band": pa.array(r_band, pa.int32()),
+                "band_val": pa.array(r_val, pa.uint64()),
+                "fp": pa.array(r_fp, pa.uint64()),
+            }
+        )
+
+    units = ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_mark(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 1:
+            return pd.DataFrame({"key": [], "dup": []})
+        g = g.sort_values(["order", "key"], kind="mergesort")
+        first_fp = int(g["fp"].iloc[0])
+        out_keys = []
+        for _, row in g.iloc[1:].iterrows():
+            dist = bin(int(row["fp"]) ^ first_fp).count("1")
+            if dist <= max_hamming:
+                out_keys.append(row["key"])
+        return pd.DataFrame({"key": out_keys, "dup": [True] * len(out_keys)})
+
+    dup_keys_ds = units.groupby(["band", "band_val"]).map_groups(
+        bucket_mark, batch_format="pandas"
+    )
+
+    import ray
+
+    dup_keys: set = set()
+    for row in dup_keys_ds.iter_rows():
+        dup_keys.add(row["key"])
+    ref = ray.put(dup_keys)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dups = ray.get(ref)
+        keys = batch[key_column].to_pylist()
+        col = pa.array([1.0 if k in dups else 0.0 for k in keys], pa.float64())
+        if DUP_SIMHASH_ATTR in batch.column_names:
+            batch = batch.drop_columns([DUP_SIMHASH_ATTR])
+        return batch.append_column(DUP_SIMHASH_ATTR, col)
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -4,121 +4,174 @@ Interface mirrors what the reference gets from ``fasttext.FastText``
 (``python/dolma/core/ft_tagger.py:33-37``): ``predict(text, k=-1)`` returns
 ``(labels, probs)`` sorted by probability, labels prefixed ``__label__``.
 
-The implementation is a word unigram+bigram multinomial Naive Bayes with
-add-one smoothing: per-class token log-likelihoods are averaged over the
-document's tokens and softmaxed into class probabilities.  That is the
-same *shape* as a fastText linear classifier (bag of word/bigram features
--> linear -> softmax), trained from embedded seed corpora instead of a
-downloaded ``.bin`` — deterministic on any machine, no I/O.
+The implementation is multinomial Naive Bayes with add-one smoothing:
+per-class token log-likelihoods are averaged over the document's tokens
+and softmaxed into class probabilities — the same *shape* as a fastText
+linear classifier (bag of features -> linear -> softmax), trained from
+embedded seed corpora instead of a downloaded ``.bin``: deterministic on
+any machine, no I/O.
+
+Scoring is vectorized for the actor-pool hot path:
+
+* :class:`NaiveBayesTextClassifier` — word-unigram features; a batch of
+  texts is tokenized with one compiled-regex pass, per-token log-liks
+  looked up in one sweep, segment-summed with ``np.add.reduceat``.
+* :class:`CharNgramClassifier` — char 1..3-gram features (Cavnar &
+  Trenkle 1994 style, the lid.176 stand-in); grams are computed with
+  numpy codepoint windows (exact integer packing, no string grams) and
+  scored via ``searchsorted`` into the sorted training-gram table.
 """
 
 from __future__ import annotations
 
 import math
 import re
-from collections import Counter
+
+import numpy as np
 
 _TOKEN_RE = re.compile(r"[\w']+", re.UNICODE)
 
+# codepoint base for exact n-gram packing (max unicode cp = 0x10FFFF)
+_M = np.uint64(0x110000)
+_OFF2 = np.uint64(0x110000)
+_OFF3 = np.uint64(0x110000) + np.uint64(0x110000) * np.uint64(0x110000)
 
-def _features(text: str) -> list[str]:
-    toks = _TOKEN_RE.findall(text.lower())
-    return toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+
+def _softmax_rows(scores: np.ndarray, temp: float = 1.0) -> np.ndarray:
+    z = (scores - scores.max(axis=1, keepdims=True)) * temp
+    e = np.exp(z)
+    return e / e.sum(axis=1, keepdims=True)
 
 
 class NaiveBayesTextClassifier:
-    """``{label: seed_text}`` -> fastText-like ``predict``."""
+    """``{label: seed_text}`` -> fastText-like ``predict`` + vectorized
+    ``predict_batch``."""
 
     def __init__(self, seeds: dict[str, str], label_prefix: str = "__label__") -> None:
         self.label_prefix = label_prefix
         self.labels = sorted(seeds)
-        self._loglik: dict[str, dict[str, float]] = {}
-        self._unk: dict[str, float] = {}
-        vocab: set[str] = set()
-        counts: dict[str, Counter] = {}
-        for label, seed in seeds.items():
-            c = Counter(_features(seed))
-            counts[label] = c
-            vocab.update(c)
+        counts = {
+            label: _count(_TOKEN_RE.findall(seed.lower()))
+            for label, seed in seeds.items()
+        }
+        vocab = sorted(set().union(*counts.values()))
         v = len(vocab) + 1
-        for label in self.labels:
-            c = counts[label]
-            total = sum(c.values()) + v
-            self._loglik[label] = {w: math.log((n + 1) / total) for w, n in c.items()}
-            self._unk[label] = math.log(1 / total)
+        self._index = {w: i for i, w in enumerate(vocab)}
+        self._ll = np.empty((len(vocab), len(self.labels)), dtype=np.float64)
+        self._unk = np.empty(len(self.labels), dtype=np.float64)
+        for c, label in enumerate(self.labels):
+            cnt = counts[label]
+            total = sum(cnt.values()) + v
+            self._unk[c] = math.log(1 / total)
+            for w, i in self._index.items():
+                self._ll[i, c] = math.log((cnt.get(w, 0) + 1) / total)
+
+    def predict_batch(self, texts: list[str]) -> np.ndarray:
+        """(len(texts), n_labels) probabilities, labels in ``self.labels``
+        order."""
+        tok_lists = [_TOKEN_RE.findall(t.lower()) for t in texts]
+        lengths = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+        n_classes = len(self.labels)
+        scores = np.zeros((len(texts), n_classes), dtype=np.float64)
+        total = int(lengths.sum())
+        if total:
+            idx_map = self._index
+            flat_idx = np.fromiter(
+                (idx_map.get(w, -1) for toks in tok_lists for w in toks),
+                np.int64,
+                total,
+            )
+            ll = np.where(
+                (flat_idx >= 0)[:, None],
+                self._ll[np.clip(flat_idx, 0, None)],
+                self._unk[None, :],
+            )
+            starts = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            nonzero = lengths > 0
+            if nonzero.any():
+                sums = np.add.reduceat(ll, starts[nonzero], axis=0)
+                # reduceat with duplicate start points needs the nonzero mask
+                scores[nonzero] = sums / lengths[nonzero][:, None]
+        return _softmax_rows(scores)
 
     def predict(self, text: str, k: int = 1) -> tuple[list[str], list[float]]:
-        feats = _features(text)
-        scores = []
-        for label in self.labels:
-            ll = self._loglik[label]
-            unk = self._unk[label]
-            if feats:
-                s = sum(ll.get(w, unk) for w in feats) / len(feats)
-            else:
-                s = 0.0
-            scores.append(s)
-        m = max(scores)
-        exps = [math.exp(s - m) for s in scores]
-        z = sum(exps)
-        probs = [e / z for e in exps]
-        order = sorted(range(len(self.labels)), key=lambda i: -probs[i])
-        if k == -1 or k >= len(order):
-            top = order
-        else:
-            top = order[:k]
+        probs = self.predict_batch([text])[0]
+        order = np.argsort(-probs, kind="stable")
+        top = order if (k == -1 or k >= len(order)) else order[:k]
         return (
             [f"{self.label_prefix}{self.labels[i]}" for i in top],
-            [probs[i] for i in top],
+            [float(probs[i]) for i in top],
         )
 
 
 class CharNgramClassifier:
-    """Character n-gram Naive Bayes (Cavnar & Trenkle 1994 style) — the
-    language-ID stand-in for fastText lid.176.  n-grams of length 1..3
-    over `` text `` padded with spaces; per-class average log-likelihood
-    softmaxed into probabilities."""
+    """Character 1..3-gram Naive Bayes — the language-ID stand-in for
+    fastText lid.176.  ``max_chars`` caps per-text work (language ID
+    saturates long before 400 chars)."""
 
-    def __init__(self, seeds: dict[str, str], n_max: int = 3) -> None:
+    TEMPERATURE = 8.0
+
+    def __init__(self, seeds: dict[str, str], max_chars: int = 400) -> None:
         self.labels = sorted(seeds)
-        self.n_max = n_max
-        self._loglik: dict[str, dict[str, float]] = {}
-        self._unk: dict[str, float] = {}
-        vocab: set[str] = set()
-        counts: dict[str, Counter] = {}
+        self.max_chars = max_chars
+        gram_counts: dict[str, dict[int, int]] = {}
+        vocab: set[int] = set()
         for label, seed in seeds.items():
-            c = Counter(self._ngrams(seed))
-            counts[label] = c
-            vocab.update(c)
+            grams = self._gram_hashes(seed)
+            uniq, cnt = np.unique(grams, return_counts=True)
+            gram_counts[label] = dict(zip(uniq.tolist(), cnt.tolist()))
+            vocab.update(uniq.tolist())
+        self._hashes = np.array(sorted(vocab), dtype=np.uint64)
         v = len(vocab) + 1
-        for label in self.labels:
-            c = counts[label]
-            total = sum(c.values()) + v
-            self._loglik[label] = {g: math.log((n + 1) / total) for g, n in c.items()}
-            self._unk[label] = math.log(1 / total)
+        self._ll = np.empty((len(self._hashes), len(self.labels)), dtype=np.float64)
+        self._unk = np.empty(len(self.labels), dtype=np.float64)
+        for c, label in enumerate(self.labels):
+            cnt = gram_counts[label]
+            total = sum(cnt.values()) + v
+            self._unk[c] = math.log(1 / total)
+            for i, h in enumerate(self._hashes.tolist()):
+                self._ll[i, c] = math.log((cnt.get(h, 0) + 1) / total)
 
-    def _ngrams(self, text: str) -> list[str]:
+    def _gram_hashes(self, text: str, cap: int | None = None) -> np.ndarray:
         t = " " + re.sub(r"\s+", " ", text.lower().strip()) + " "
-        out = []
-        for n in range(1, self.n_max + 1):
-            out.extend(t[i : i + n] for i in range(len(t) - n + 1))
-        return out
+        if cap is not None:
+            t = t[:cap]
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = len(codes)
+        parts = [codes]
+        if n >= 2:
+            parts.append(codes[:-1] * _M + codes[1:] + _OFF2)
+        if n >= 3:
+            parts.append((codes[:-2] * _M + codes[1:-1]) * _M + codes[2:] + _OFF3)
+        return np.concatenate(parts)
+
+    def _score_one(self, text: str) -> np.ndarray:
+        if not text.strip():
+            return np.zeros(len(self.labels))
+        grams = self._gram_hashes(text, cap=self.max_chars)
+        pos = np.searchsorted(self._hashes, grams)
+        pos_c = np.clip(pos, 0, len(self._hashes) - 1)
+        known = self._hashes[pos_c] == grams
+        ll = np.where(known[:, None], self._ll[pos_c], self._unk[None, :])
+        return ll.mean(axis=0)
+
+    def predict_batch(self, texts: list[str]) -> np.ndarray:
+        scores = np.stack([self._score_one(t) for t in texts])
+        return _softmax_rows(scores, temp=self.TEMPERATURE)
 
     def predict(self, text: str, k: int = 1) -> tuple[list[str], list[float]]:
-        grams = self._ngrams(text) if text.strip() else []
-        scores = []
-        for label in self.labels:
-            ll = self._loglik[label]
-            unk = self._unk[label]
-            if grams:
-                s = sum(ll.get(g, unk) for g in grams) / len(grams)
-            else:
-                s = 0.0
-            scores.append(s)
-        m = max(scores)
-        exps = [math.exp((s - m) * 8.0) for s in scores]  # temperature sharpens
-        z = sum(exps)
-        probs = [e / z for e in exps]
-        order = sorted(range(len(self.labels)), key=lambda i: -probs[i])
+        probs = self.predict_batch([text])[0]
+        order = np.argsort(-probs, kind="stable")
         top = order if (k == -1 or k >= len(order)) else order[:k]
-        return ([f"__label__{self.labels[i]}" for i in top], [probs[i] for i in top])
+        return (
+            [f"__label__{self.labels[i]}" for i in top],
+            [float(probs[i]) for i in top],
+        )
+
+
+def _count(tokens: list[str]) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for t in tokens:
+        out[t] = out.get(t, 0) + 1
+    return out

@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import re
 
-from ..taggers.sampling import fnv1a_64
-
 # GPT-2-style pre-tokenizer pattern (public knowledge; simplified to stdlib `re`)
 _GPT2ISH = re.compile(
     r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
@@ -27,12 +25,20 @@ class RegexTokenizer:
         return [(m.group(0), m.start(), m.end()) for m in _GPT2ISH.finditer(text)]
 
     def encode_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+        # ids only need within-document consistency (the periodic-sequence
+        # finder compares ids for equality), so a per-call first-seen
+        # numbering is enough — far cheaper than content hashing per token
+        vocab: dict[str, int] = {}
         ids: list[int] = []
         offsets: list[tuple[int, int]] = []
-        for tok, s, e in self.tokenize_with_offsets(text):
-            # shift into positive int63 range so numpy int64 + mask_value=-1 works
-            ids.append(fnv1a_64(tok.encode("utf-8")) >> 1)
-            offsets.append((s, e))
+        for m in _GPT2ISH.finditer(text):
+            tok = m.group(0)
+            i = vocab.get(tok)
+            if i is None:
+                i = len(vocab)
+                vocab[tok] = i
+            ids.append(i)
+            offsets.append((m.start(), m.end()))
         return ids, offsets
 
     def count(self, text: str) -> int:

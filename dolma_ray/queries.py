@@ -1,0 +1,475 @@
+"""Driver-contract queries: one entry per engine operator, each with an
+ANSI-SQL oracle (see ``__ray_entry__.py``).
+
+Every query takes ``sf_dir`` (a directory of the driver's testdata
+parquet tables) and returns a Dataset / DataFrame / Table.  Column names
+match the oracle SQL exactly.  Floating-point aggregates use exact
+integer tricks (cents/micros) or rounding shared with the oracle, and
+regexes are RE2-safe so Arrow and DuckDB evaluate identical semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .analysis.text_stats import STOPWORD_PATTERN, add_doc_stats
+
+# RE2-safe shared patterns (no lookahead/backrefs)
+EMAIL_RE2 = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE2 = r"(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+TOKEN_RE2 = r"[0-9A-Za-z_]+|[^\s0-9A-Za-z_]"
+WORD_RE2 = r"[0-9A-Za-z_]+"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (vectorized Arrow kernels)
+
+
+def q_doc_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        batch = add_doc_stats(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "n_words": batch["n_words"],
+                "n_lines": batch["n_lines"],
+                # raw float64: IEEE division is deterministic, so the
+                # oracle's double division matches bitwise (rounding would
+                # diverge: numpy rounds half-even, DuckDB half-away)
+                "alpha_frac": batch["alpha_frac"],
+                "stopword_frac": batch["stopword_frac"],
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_DOC_STATS = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length(regexp_extract_all(text, '\\S+')) AS n_words,
+       length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+             / length(text) AS alpha_frac,
+       length(regexp_extract_all(text, '{STOPWORD_PATTERN}')) * 1.0
+             / greatest(length(regexp_extract_all(text, '\\S+')), 1)
+             AS stopword_frac
+FROM documents
+"""
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], TOKEN_RE2), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '{TOKEN_RE2}')) AS n_tokens
+FROM documents
+"""
+
+
+def q_pii_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pc.cast(
+                    pc.count_substring_regex(batch["text"], EMAIL_RE2), pa.int64()
+                ),
+                "n_ips": pc.cast(
+                    pc.count_substring_regex(batch["text"], IP_RE2), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+SQL_PII_COUNTS = f"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '{EMAIL_RE2}')) AS n_emails,
+       length(regexp_extract_all(text, '{IP_RE2}')) AS n_ips
+FROM documents
+"""
+
+
+def q_scrub_text(sf_dir: str):
+    """Regex scrub — byte-identical per doc vs the SQL oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(
+            batch["text"], EMAIL_RE2, "|||EMAIL_ADDRESS|||"
+        )
+        t = pc.replace_substring_regex(t, IP_RE2, "|||IP_ADDRESS|||")
+        return pa.table({"doc_id": batch["doc_id"], "scrubbed": t})
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+SQL_SCRUB_TEXT = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE2}', '|||EMAIL_ADDRESS|||', 'g'),
+                      '{IP_RE2}', '|||IP_ADDRESS|||', 'g') AS scrubbed
+FROM documents
+"""
+
+
+def q_gopher_word_stats(sf_dir: str):
+    """Gopher word_count + median_word_length (python-semantics stats)."""
+    from statistics import median
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids, wc, med = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            words = (text or "").split()
+            if not words:
+                continue
+            ids.append(doc_id)
+            wc.append(len(words))
+            med.append(float(median([len(w) for w in words])))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "word_count": pa.array(wc, pa.int64()),
+                "median_word_length": pa.array(med, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_GOPHER_WORD_STATS = """
+SELECT doc_id,
+       count(*) AS word_count,
+       median(length(w)) AS median_word_length
+FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents
+)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations (partial-aggregate + small groupby shuffle)
+
+
+def q_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def q_source_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+SQL_SOURCE_STATS = """
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_top_words(sf_dir: str, k: int = 50):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    import re
+
+    word_rx = re.compile(WORD_RE2)
+
+    def words(batch: pa.Table) -> pa.Table:
+        # per-batch partial count (combiner) before the groupby shuffle
+        toks: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for w in word_rx.findall((text or "").lower()):
+                toks[w] = toks.get(w, 0) + 1
+        return pa.table(
+            {
+                "word": pa.array(list(toks.keys()), pa.string()),
+                "n": pa.array(list(toks.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(words, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_TOP_WORDS = f"""
+SELECT w AS word, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE2}')) AS w FROM documents)
+GROUP BY w
+ORDER BY n DESC, word ASC
+LIMIT 50
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        micros = pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": hour,
+                "value_micros": micros,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_micros", alias_name="total_value_micros"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       date_trunc('hour', ts) AS hour,
+       count(*) AS n,
+       sum(cast(round(value * 1000000) AS bigint)) AS total_value_micros
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast hash join: tiny customer dim shipped once via ray.put."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        segments = pa.array([seg.get(int(k)) for k in keys], pa.string())
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+        )
+        return pa.table({"c_mktsegment": segments, "cents": cents})
+
+    return (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents"))
+    )
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       sum(cast(round(o_totalprice * 100) AS bigint)) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup on a 30-char prefix key; first-wins by doc_id."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "k": pc.utf8_slice_codeunits(batch["text"], 0, 30),
+            }
+        )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "is_dup": [False] + [True] * (len(g) - 1)}
+        )
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("k")
+        .map_groups(mark, batch_format="pandas")
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT doc_id,
+       doc_id > min(doc_id) OVER (PARTITION BY substr(text, 1, 30)) AS is_dup
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = pc.index(t["vec_id"], 0).as_py()
+    if idx < 0:
+        idx = 0
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str):
+    from .analysis.search import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, _query_vector(sf_dir), k=10)
+
+
+SQL_ANN_TOPK = """
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings e,
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cos DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# model-driven queries (no SQL oracle: rows-only driver check)
+
+
+def q_langid(sf_dir: str):
+    from .taggers.base import TagStage
+    from .util import cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        cached_stage(TagStage, taggers=["lang_id_doc_v1"]), batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["doc_id", "attr__lang_id_doc_v1__lang", "attr__lang_id_doc_v1__score"]
+    )
+
+
+def q_perplexity(sf_dir: str):
+    from .taggers.base import TagStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        TagStage,
+        fn_constructor_kwargs={"taggers": ["kenlm_ppl_doc_v1"]},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return ds.select_columns(["doc_id", "attr__kenlm_ppl_doc_v1__doc_ppl"])
+
+
+def q_flagship_keep(sf_dir: str):
+    """Flagship keep/drop labels over the documents table (adapted to its
+    schema: doc_id is the key, no warc_ts/html)."""
+    from .pipelines.flagship import CANONICAL_MIX_CONFIG, tag_all
+    from .dedup import mark_duplicate_docs, mark_duplicate_paragraphs
+    from .mixer import MixStage
+    from .util import cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "doc://", pc.cast(batch["doc_id"], pa.string()), ""
+        )
+        return batch.append_column("url", url)
+
+    ds = ds.map_batches(add_url, batch_format="pyarrow")
+    ds = mark_duplicate_docs(ds, key_column="text", order_columns=("doc_id",))
+    ds = mark_duplicate_paragraphs(
+        ds, order_columns=("doc_id",), min_length=1, skip_empty=True
+    )
+    ds = tag_all(ds)
+    ds = ds.map_batches(
+        cached_stage(MixStage, config=CANONICAL_MIX_CONFIG, mode="label"),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["doc_id", "keep"])
+
+
+QUERIES = {
+    "doc_stats": q_doc_stats,
+    "token_count": q_token_count,
+    "pii_counts": q_pii_counts,
+    "scrub_text": q_scrub_text,
+    "gopher_word_stats": q_gopher_word_stats,
+    "lang_counts": q_lang_counts,
+    "source_stats": q_source_stats,
+    "top_words": q_top_words,
+    "events_hourly": q_events_hourly,
+    "orders_by_segment": q_orders_by_segment,
+    "exact_dedup": q_exact_dedup,
+    "ann_topk": q_ann_topk,
+    "langid": q_langid,
+    "perplexity": q_perplexity,
+    "flagship_keep": q_flagship_keep,
+}
+
+ORACLES = {
+    "doc_stats": SQL_DOC_STATS,
+    "token_count": SQL_TOKEN_COUNT,
+    "pii_counts": SQL_PII_COUNTS,
+    "scrub_text": SQL_SCRUB_TEXT,
+    "gopher_word_stats": SQL_GOPHER_WORD_STATS,
+    "lang_counts": SQL_LANG_COUNTS,
+    "source_stats": SQL_SOURCE_STATS,
+    "top_words": SQL_TOP_WORDS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "ann_topk": SQL_ANN_TOPK,
+}

@@ -82,17 +82,36 @@ def round_score(score: float) -> float:
 
 def spans_array(per_row_spans: list[list[tuple[int, int, float]]]) -> pa.Array:
     """Build a ``list<struct<start,end,score>>`` Arrow array from per-row
-    python span triples, applying the 5-digit rounding contract."""
-    return pa.array(
+    python span triples, applying the 5-digit rounding contract.
+
+    Vectorized: flat start/end/score buffers + a ListArray offset vector
+    (no per-span python dicts)."""
+    import numpy as np
+
+    n = len(per_row_spans)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    for i, spans in enumerate(per_row_spans):
+        offsets[i + 1] = offsets[i] + len(spans)
+    total = int(offsets[-1])
+    starts = np.empty(total, dtype=np.int64)
+    ends = np.empty(total, dtype=np.int64)
+    scores = np.empty(total, dtype=np.float64)
+    j = 0
+    for spans in per_row_spans:
+        for s, e, sc in spans:
+            starts[j] = s
+            ends[j] = e
+            scores[j] = sc
+            j += 1
+    struct = pa.StructArray.from_arrays(
         [
-            [
-                {"start": int(s), "end": int(e), "score": round_score(sc)}
-                for (s, e, sc) in row_spans
-            ]
-            for row_spans in per_row_spans
+            pa.array(starts, pa.int64()),
+            pa.array(ends, pa.int64()),
+            pa.array(np.round(scores, TAGGER_SCORE_PRECISION), pa.float64()),
         ],
-        type=SPAN_LIST_TYPE,
+        names=["start", "end", "score"],
     )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
 
 
 def doc_score_array(scores: list[float]) -> pa.Array:

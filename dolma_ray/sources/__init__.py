@@ -1,0 +1,2 @@
+from .jsonl import read_dolma_documents, write_dolma_documents  # noqa: F401
+from .resume import ResumableWriter, read_manifest  # noqa: F401

@@ -1,0 +1,117 @@
+"""Dolma-format corpus IO: gzip JSONL document/attribute files.
+
+The reference's on-disk format (``docs/data-format.md``): gzip (or zstd)
+JSONL shards of ``{id, text, source, version?, added?, created?,
+metadata?}`` under ``documents/``, with parallel ``attributes/<exp>/``
+trees of ``{id, attributes: {name: [[start, end, score], ...]}}`` rows in
+the same order.  This engine reads that format into a Dataset (documents
+as columns; attributes merged as span columns by ``id``) so existing
+Dolma corpora can be processed, and writes it back for consumers that
+expect the reference layout.
+
+Parquet is the engine's native format — these readers exist for
+interchange.  (zstd needs the ``zstandard`` package, absent here; gzip
+is supported via ``ray.data.read_json`` / Arrow, which handles .gz
+natively.)
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from typing import Any
+
+import pyarrow as pa
+
+from ..schema import SPAN_LIST_TYPE, spans_array
+
+
+def read_dolma_documents(paths: str | list[str], include_metadata: bool = True):
+    """Read a dolma documents tree (``*.json.gz``) into a Dataset with
+    columns (id, text, source, and ``metadata`` as a JSON string when
+    present)."""
+    import ray.data as rd
+
+    ds = rd.read_json(paths)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        cols: dict[str, Any] = {}
+        for name in ("id", "text", "source"):
+            cols[name] = (
+                batch[name]
+                if name in batch.column_names
+                else pa.array([""] * len(batch), pa.string())
+            )
+        if include_metadata and "metadata" in batch.column_names:
+            # keep metadata as a JSON string column — schema-stable
+            meta = batch["metadata"].to_pylist()
+            cols["metadata"] = pa.array(
+                [json.dumps(m, sort_keys=True) if m is not None else "{}" for m in meta],
+                pa.string(),
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+def attributes_to_rows(batch: pa.Table, id_column: str = "id") -> list[dict]:
+    """Convert attr__* span/scalar columns of a batch into reference
+    OutputSpec rows ``{id, attributes: {...}}`` (scores already rounded
+    by the schema layer; doc scalars become ``[0, len(text), score]``)."""
+    n = len(batch)
+    ids = batch[id_column].to_pylist()
+    texts = batch["text"].to_pylist() if "text" in batch.column_names else [""] * n
+    attr_cols = [c for c in batch.column_names if c.startswith("attr__")]
+    rows: list[dict] = []
+    data = {c: batch[c].to_pylist() for c in attr_cols}
+    for i in range(n):
+        attrs: dict[str, list] = {}
+        text_len = len(texts[i] or "")
+        for c in attr_cols:
+            v = data[c][i]
+            name = c[len("attr__") :]
+            if isinstance(v, list):
+                attrs[name] = [[s["start"], s["end"], s["score"]] for s in v]
+            elif isinstance(v, float):
+                attrs[name] = [[0, text_len, v]]
+            elif isinstance(v, str):
+                if v:
+                    attrs[name] = [[0, text_len, 1.0]]
+        rows.append({"id": ids[i], "attributes": attrs})
+    return rows
+
+
+def write_dolma_documents(
+    ds,
+    out_dir: str,
+    max_rows_per_shard: int = 100_000,
+    id_column: str = "id",
+):
+    """Write a Dataset as a dolma-format gzip-JSONL documents tree.
+
+    Streaming consumption on the driver via ``iter_batches`` with bounded
+    shard size — for production scale prefer ``ds.write_parquet``; this
+    writer exists for reference-format interchange."""
+    os.makedirs(out_dir, exist_ok=True)
+    shard = rows_in_shard = 0
+    fh = None
+    try:
+        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            cols = {c: batch[c].to_pylist() for c in batch.column_names if not c.startswith("attr__")}
+            n = len(batch)
+            for i in range(n):
+                if fh is None or rows_in_shard >= max_rows_per_shard:
+                    if fh is not None:
+                        fh.close()
+                    path = os.path.join(out_dir, f"{shard:05d}.json.gz")
+                    fh = gzip.open(path, "wt", encoding="utf-8")
+                    shard += 1
+                    rows_in_shard = 0
+                row = {k: v[i] for k, v in cols.items()}
+                fh.write(json.dumps(row, ensure_ascii=False, default=str) + "\n")
+                rows_in_shard += 1
+    finally:
+        if fh is not None:
+            fh.close()
+    return out_dir

@@ -31,6 +31,12 @@ REQUIRED_ENGLISH_WORDS = frozenset({"the", "be", "to", "of", "and", "that", "hav
 SYMBOLS = ("#", "…")
 BULLET_POINTS = ("*", "-")
 
+import re as _re
+
+# "word contains a letter": C-speed stand-in for any(c.isalpha());
+# [^\W\d_] = unicode word chars minus digits/underscore (letters)
+_ALPHA_RE = _re.compile(r"[^\W\d_]", _re.UNICODE)
+
 _MOST_COMMON_NS = (2, 3, 4)
 _DUP_NS = (5, 6, 7, 8, 9, 10)
 
@@ -51,7 +57,17 @@ GOPHER_DOC_TYPES: dict[str, str] = {
 
 
 def gopher_attributes(text: str, ignore_empty_lines: bool = False) -> dict[str, float]:
-    """Compute all Gopher stats for one document."""
+    """Compute all Gopher stats for one document.
+
+    The ngram fractions are computed with numpy rolling hashes instead of
+    ``Counter`` over word tuples (the reference's ``all_ngram_counts``,
+    ``taggers/gopher.py:204-205``) — same values, including the
+    ``most_common(1)`` first-seen tie-break (reproduced via the minimum
+    first-occurrence index among max-count ngrams).  64-bit polynomial
+    hashing: collision odds ~n²/2^64, negligible per document.
+    """
+    import numpy as np
+
     out: dict[str, float] = {"character_count": float(len(text))}
     if not text:
         return out
@@ -64,25 +80,49 @@ def gopher_attributes(text: str, ignore_empty_lines: bool = False) -> dict[str, 
 
     out["word_count"] = float(word_count)
     out["median_word_length"] = float(median(word_lengths)) if word_lengths else 0.0
-    out["symbol_to_word_ratio"] = (
-        sum(1 for w in words if any(s in w for s in SYMBOLS)) / max(word_count, 1)
-    )
-    out["fraction_of_words_with_alpha_character"] = (
-        sum(1 for w in words if any(c.isalpha() for c in w)) / max(word_count, 1)
-    )
-    out["required_word_count"] = float(sum(1 for w in words if w in REQUIRED_ENGLISH_WORDS))
+    n_symbol = n_alpha = n_required = 0
+    alpha_search = _ALPHA_RE.search
+    required = REQUIRED_ENGLISH_WORDS
+    for w in words:
+        if "#" in w or "…" in w:
+            n_symbol += 1
+        if alpha_search(w) is not None:
+            n_alpha += 1
+        if w in required:
+            n_required += 1
+    out["symbol_to_word_ratio"] = n_symbol / max(word_count, 1)
+    out["fraction_of_words_with_alpha_character"] = n_alpha / max(word_count, 1)
+    out["required_word_count"] = float(n_required)
+
+    # word ids (first-seen order) + prefix sums of word lengths
+    ids_map: dict[str, int] = {}
+    ids = np.empty(word_count, dtype=np.uint64)
+    for i, w in enumerate(words):
+        ids[i] = ids_map.setdefault(w, len(ids_map))
+    lens = np.asarray(word_lengths, dtype=np.int64)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    P = np.uint64(1099511628211)
 
     for n in range(2, 11):
-        grams = Counter(zip(*(words[i:] for i in range(n))))
-        if not grams:
+        n_windows = word_count - n + 1
+        if n_windows <= 0:
             continue
+        h = np.zeros(n_windows, dtype=np.uint64)
+        for i in range(n):
+            h = h * P + ids[i : n_windows + i]
+        mass = cum[n:] - cum[:-n]  # chars in each window
+        uniq, first_idx, inverse, counts = np.unique(
+            h, return_index=True, return_inverse=True, return_counts=True
+        )
         if n in _MOST_COMMON_NS:
-            gram, count = grams.most_common(1)[0]
-            value = count * sum(len(w) for w in gram) / max(char_mass, 1)
+            max_count = counts.max()
+            cand = np.nonzero(counts == max_count)[0]
+            pick = cand[np.argmin(first_idx[cand])]  # first-seen tie-break
+            value = int(max_count) * int(mass[first_idx[pick]]) / max(char_mass, 1)
             out[f"fraction_of_characters_in_most_common_{n}grams"] = value
         else:
-            total = sum(c * sum(len(w) for w in g) for g, c in grams.items())
-            dup = sum(c * sum(len(w) for w in g) for g, c in grams.items() if c > 1)
+            total = int(mass.sum())
+            dup = int(mass[counts[inverse] > 1].sum())
             out[f"fraction_of_characters_in_duplicate_{n}grams"] = dup / max(total, 1)
 
     lines = split_lines(text, ignore_empty=ignore_empty_lines)

@@ -49,16 +49,19 @@ def _normalize(text: str) -> str:
 class _BaseLangId(BaseTagger):
     def __init__(self) -> None:
         self.model = _get_langid_model()
+        self._en_idx = self.model.labels.index("en")
 
     def predict_langs(self, text: str) -> list[tuple[str, float]]:
         labels, probs = self.model.predict(_normalize(text), k=-1)
         return [(lb.replace("__label__", ""), float(p)) for lb, p in zip(labels, probs)]
 
     def en_score(self, text: str) -> float:
-        for lang, score in self.predict_langs(text):
-            if lang == "en":
-                return score
-        return 0.0
+        return float(self.en_scores([text])[0])
+
+    def en_scores(self, texts: list[str]):
+        """Vectorized P(en) for a list of texts."""
+        probs = self.model.predict_batch([_normalize(t) for t in texts])
+        return probs[:, self._en_idx]
 
 
 @TaggerRegistry.add("lang_id_doc_v1")
@@ -84,6 +87,10 @@ class LangIdEnDocV2(_BaseLangId):
     def output_types(self) -> Mapping[str, str]:
         return {"en": DOC, "not_en": DOC}
 
+    def tag_batch(self, texts, extras):
+        s = self.en_scores(list(texts))
+        return {"en": s.tolist(), "not_en": (1.0 - s).tolist()}
+
     def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
         score = self.en_score(text)
         return {"en": score, "not_en": 1.0 - score}
@@ -108,13 +115,27 @@ class LangIdEnParagraphV2(_BaseLangId):
     def output_types(self) -> Mapping[str, str]:
         return {"en": SPAN, "not_en": SPAN}
 
+    def tag_batch(self, texts, extras):
+        # one vectorized pass over every paragraph in the batch
+        all_paras = [split_paragraphs(t) for t in texts]
+        flat = [p.text for paras in all_paras for p in paras]
+        scores = self.en_scores(flat) if flat else []
+        en_out, not_en_out = [], []
+        i = 0
+        for paras in all_paras:
+            en, not_en = [], []
+            for p in paras:
+                s = float(scores[i])
+                i += 1
+                en.append((p.start, p.end, s))
+                not_en.append((p.start, p.end, 1.0 - s))
+            en_out.append(en)
+            not_en_out.append(not_en)
+        return {"en": en_out, "not_en": not_en_out}
+
     def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
-        en, not_en = [], []
-        for p in split_paragraphs(text):
-            score = self.en_score(p.text)
-            en.append((p.start, p.end, score))
-            not_en.append((p.start, p.end, 1.0 - score))
-        return {"en": en, "not_en": not_en}
+        out = self.tag_batch([text], {})
+        return {"en": out["en"][0], "not_en": out["not_en"][0]}
 
 
 @TaggerRegistry.add("lang_id_en_paragraph_with_doc_score_v2")

@@ -67,9 +67,15 @@ def find_periodic_sequences(
         raise ValueError("mask_value occurs in the array")
     max_period = min(max_period, len(arr) // 3)
     for period in range(min_period, max_period + 1):
-        padded = np.pad(arr, (0, period - (len(arr) % period)), constant_values=mask_value)
+        pad_n = period - (len(arr) % period)
+        padded = np.empty(len(arr) + pad_n, dtype=arr.dtype)
+        padded[: len(arr)] = arr
+        padded[len(arr) :] = mask_value
         shaped = padded.reshape(-1, period)
-        eq_prev = shaped == np.roll(shaped, shift=1, axis=0)
+        # row i vs row i-1 (row 0 vs the final padded row, as np.roll would)
+        eq_prev = np.empty_like(shaped, dtype=bool)
+        eq_prev[1:] = shaped[1:] == shaped[:-1]
+        eq_prev[0] = shaped[0] == shaped[-1]
         rows, *_ = np.where(eq_prev.all(axis=1))
         if len(rows) == 0:
             continue

@@ -46,14 +46,12 @@ class _JigsawBase(BaseTagger):
 
     def __init__(self) -> None:
         self.model = _get_model(self.kind)
+        self._pos_idx = self.model.labels.index(self.positive)
 
-    def _score(self, text: str) -> float:
-        """P(positive class)."""
-        labels, probs = self.model.predict(text.replace("\n", " ").strip(), k=-1)
-        for lb, p in zip(labels, probs):
-            if lb == f"__label__{self.positive}":
-                return float(p)
-        return 0.0
+    def _scores(self, texts: list[str]):
+        """Vectorized P(positive class) for a list of texts."""
+        probs = self.model.predict_batch([t.replace("\n", " ").strip() for t in texts])
+        return probs[:, self._pos_idx]
 
     @property
     def _pos_type(self) -> str:
@@ -68,8 +66,15 @@ class _JigsawDocument(_JigsawBase):
     def output_types(self) -> Mapping[str, str]:
         return {self._pos_type: DOC, self._neg_type: DOC}
 
+    def tag_batch(self, texts, extras):
+        p = self._scores(list(texts))
+        return {
+            self._pos_type: p.tolist(),
+            self._neg_type: (1.0 - p).tolist(),
+        }
+
     def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
-        p = self._score(text)
+        p = float(self._scores([text])[0])
         return {self._pos_type: p, self._neg_type: 1.0 - p}
 
 
@@ -77,13 +82,27 @@ class _JigsawSentence(_JigsawBase):
     def output_types(self) -> Mapping[str, str]:
         return {self._pos_type: SPAN, self._neg_type: SPAN}
 
+    def tag_batch(self, texts, extras):
+        # one vectorized scoring pass over every sentence in the batch
+        all_slices = [split_sentences(t) for t in texts]
+        flat = [s.text for slices in all_slices for s in slices]
+        scores = self._scores(flat) if flat else []
+        pos_out, neg_out = [], []
+        i = 0
+        for slices in all_slices:
+            pos, neg = [], []
+            for s in slices:
+                p = float(scores[i])
+                i += 1
+                pos.append((s.start, s.end, p))
+                neg.append((s.start, s.end, 1.0 - p))
+            pos_out.append(pos)
+            neg_out.append(neg)
+        return {self._pos_type: pos_out, self._neg_type: neg_out}
+
     def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
-        pos, neg = [], []
-        for s in split_sentences(text):
-            p = self._score(s.text)
-            pos.append((s.start, s.end, p))
-            neg.append((s.start, s.end, 1.0 - p))
-        return {self._pos_type: pos, self._neg_type: neg}
+        out = self.tag_batch([text], {})
+        return {self._pos_type: out[self._pos_type][0], self._neg_type: out[self._neg_type][0]}
 
 
 @TaggerRegistry.add("jigsaw_hatespeech_document_v2")

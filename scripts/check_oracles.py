@@ -1,0 +1,92 @@
+"""Driver-mimic: run each queries() entry and its oracle_sql() side by
+side on a testdata dir, compare row count + sorted-by-name schema +
+order-insensitive values.  Usage: python scripts/check_oracles.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    try:
+        import pyarrow as pa
+
+        if isinstance(res, pa.Table):
+            return res.to_pandas()
+    except ImportError:
+        pass
+    return res.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    from dolma_ray.queries import ORACLES, QUERIES
+
+    failures = 0
+    for name, fn in QUERIES.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            ours = canon(to_pandas(fn(SF_DIR)))
+        except Exception as e:
+            print(f"[ERR ] {name}: query raised {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in ORACLES:
+            print(f"[rows] {name}: {len(ours)} rows (no oracle)")
+            continue
+        theirs = canon(con.sql(ORACLES[name]).df())
+        status = "OK"
+        if len(ours) != len(theirs):
+            status = f"ROWCOUNT {len(ours)} vs {len(theirs)}"
+        elif list(ours.columns) != list(theirs.columns):
+            status = f"SCHEMA {list(ours.columns)} vs {list(theirs.columns)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(
+                    ours, theirs, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+                )
+            except AssertionError as e:
+                status = "VALUES " + str(e).splitlines()[-1][:160]
+        if status != "OK":
+            failures += 1
+            print(f"[FAIL] {name}: {status}")
+        else:
+            print(f"[ ok ] {name}: {len(ours)} rows")
+    ray.shutdown()
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main())
