@@ -1,0 +1,8 @@
+from .media import (  # noqa: F401
+    MEDIA_SCHEMA,
+    AudioFeatureStage,
+    ImageDecodeStage,
+    ImageResizeStage,
+    VideoFrameSampleStage,
+    media_from_binary_files,
+)

@@ -1,0 +1,84 @@
+"""Analyzer histograms, ANN search, text stats."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_add_doc_stats():
+    from dolma_ray.analysis.text_stats import add_doc_stats
+
+    batch = pa.table({"text": pa.array(["The cat and the dog.\nSecond line", ""])})
+    out = add_doc_stats(batch)
+    assert out["n_chars"].to_pylist() == [32, 0]
+    assert out["n_words"].to_pylist() == [7, 0]
+    assert out["n_lines"].to_pylist() == [2, 1]
+    assert out["stopword_frac"].to_pylist()[0] > 0
+    assert out["alpha_frac"].to_pylist()[1] == 0.0
+
+
+def test_fingerprint_deterministic():
+    from dolma_ray.analysis.text_stats import add_fingerprint
+
+    b = pa.table({"text": pa.array(["abc", "abc", "xyz"])})
+    fp = add_fingerprint(b)["fingerprint"].to_pylist()
+    assert fp[0] == fp[1] != fp[2]
+
+
+def test_brute_force_topk(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis import brute_force_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((50, 8))
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+    q = vecs[7]
+    out = brute_force_topk(rd.from_items(rows), q, k=5).to_pandas()
+    assert len(out) == 5
+    assert out.iloc[0]["vec_id"] == 7  # self-similarity = 1.0
+    assert abs(out.iloc[0]["cos"] - 1.0) < 1e-6
+    # results sorted desc
+    assert list(out["cos"]) == sorted(out["cos"], reverse=True)
+
+    # exact check against numpy
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ (q / np.linalg.norm(q))
+    expect = set(np.argsort(-np.round(cos, 6), kind="stable")[:5].tolist())
+    assert set(out["vec_id"]) == expect
+
+
+def test_lsh_topk_contains_query(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis import lsh_topk
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((100, 8))
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+    out = lsh_topk(rd.from_items(rows), vecs[3], k=5, n_planes=4).to_pandas()
+    # the query's own bucket contains the query vector
+    assert 3 in set(out["vec_id"])
+    assert out.iloc[0]["vec_id"] == 3
+
+
+def test_analyzer_histograms(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis.analyzer import summarize_attributes
+    from dolma_ray.schema import spans_array
+
+    t = pa.table(
+        {
+            "attr__x__score": pa.array([0.05, 0.10, 0.95, 0.95]),
+            "attr__y__spans": spans_array(
+                [[(0, 10, 0.5)], [(0, 100, 0.7), (5, 25, 0.9)], [], []]
+            ),
+        }
+    )
+    df = summarize_attributes(rd.from_arrow(t))
+    x = df[df["attribute"] == "attr__x__score"]
+    assert x["count"].sum() == 4
+    y_scores = df[(df["attribute"] == "attr__y__spans") & (df["kind"] == "score")]
+    assert y_scores["count"].sum() == 3
+    y_len = df[(df["attribute"] == "attr__y__spans") & (df["kind"] == "length")]
+    assert y_len["count"].sum() == 3

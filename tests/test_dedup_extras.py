@@ -1,0 +1,141 @@
+"""MinHash / SimHash / embedding near-dup + Bloom dedup tests."""
+
+import numpy as np
+import pytest
+
+from dolma_ray.dedup.bloom import BloomFilter, bloom_sizing
+from dolma_ray.dedup.minhash import DUP_MINHASH_ATTR, minhash_signature, shingle_hashes
+from dolma_ray.dedup.simhash import DUP_SIMHASH_ATTR, simhash64
+from dolma_ray.dedup.embedding import DUP_EMBEDDING_ATTR
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while children watch from "
+    "the garden near the old mill by the river bank under a clear sky"
+)
+NEAR = BASE.replace("clear sky", "cloudy sky")
+OTHER = "completely different content about database systems and query planning engines"
+
+
+def test_minhash_signature_similarity():
+    from dolma_ray.dedup.minhash import _permutation_params
+
+    a, b = _permutation_params(64, seed=1)
+    s1 = minhash_signature(shingle_hashes(BASE, 3), a, b)
+    s2 = minhash_signature(shingle_hashes(NEAR, 3), a, b)
+    s3 = minhash_signature(shingle_hashes(OTHER, 3), a, b)
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.6
+    assert sim13 < 0.2
+
+
+def test_simhash_hamming():
+    f1, f2, f3 = simhash64(BASE), simhash64(NEAR), simhash64(OTHER)
+    d12 = bin(f1 ^ f2).count("1")
+    d13 = bin(f1 ^ f3).count("1")
+    assert d12 < 10
+    assert d13 > 15
+
+
+def test_bloom_filter_basics():
+    m, k = bloom_sizing(1000, 0.001)
+    assert m > 1000 and k >= 1
+    bf = BloomFilter(1000, 0.001)
+    keys = np.arange(1, 101, dtype=np.uint64) * np.uint64(2654435761)
+    first = bf.contains_then_insert(keys)
+    assert not first.any()
+    again = bf.contains_then_insert(keys)
+    assert again.all()
+    # duplicate within one call: second occurrence flagged
+    dup_keys = np.array([keys[0] + 999, keys[0] + 999], dtype=np.uint64)
+    res = bf.contains_then_insert(dup_keys)
+    assert res.tolist() == [False, True]
+
+
+def test_minhash_marking(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": BASE},
+        {"url": "b", "warc_ts": 2, "text": NEAR},
+        {"url": "c", "warc_ts": 3, "text": OTHER},
+    ]
+    from dolma_ray.dedup import mark_near_duplicates_minhash
+
+    out = (
+        mark_near_duplicates_minhash(rd.from_items(rows), num_perm=64, num_bands=16)
+        .to_pandas()
+        .set_index("url")
+    )
+    assert out.loc["a", DUP_MINHASH_ATTR] == 0.0
+    assert out.loc["b", DUP_MINHASH_ATTR] == 1.0
+    assert out.loc["c", DUP_MINHASH_ATTR] == 0.0
+
+
+def test_simhash_marking(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": BASE},
+        {"url": "b", "warc_ts": 2, "text": NEAR},
+        {"url": "c", "warc_ts": 3, "text": OTHER},
+    ]
+    from dolma_ray.dedup import mark_near_duplicates_simhash
+
+    out = (
+        mark_near_duplicates_simhash(rd.from_items(rows), max_hamming=8, n_bands=8)
+        .to_pandas()
+        .set_index("url")
+    )
+    assert out.loc["a", DUP_SIMHASH_ATTR] == 0.0
+    assert out.loc["b", DUP_SIMHASH_ATTR] == 1.0
+    assert out.loc["c", DUP_SIMHASH_ATTR] == 0.0
+
+
+def test_embedding_marking(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16)
+    near = v + rng.standard_normal(16) * 0.01
+    far = rng.standard_normal(16)
+    rows = [
+        {"vec_id": 1, "embedding": v.tolist()},
+        {"vec_id": 2, "embedding": near.tolist()},
+        {"vec_id": 3, "embedding": far.tolist()},
+    ]
+    from dolma_ray.dedup import mark_near_duplicates_embedding
+
+    out = (
+        mark_near_duplicates_embedding(
+            rd.from_items(rows), threshold=0.98, n_planes=4
+        )
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert out.loc[1, DUP_EMBEDDING_ATTR] == 0.0
+    assert out.loc[2, DUP_EMBEDDING_ATTR] == 1.0
+    assert out.loc[3, DUP_EMBEDDING_ATTR] == 0.0
+
+
+def test_bloom_dedup_stage(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup import make_bloom_shard_actors, mark_duplicate_docs_bloom
+    from dolma_ray.dedup.bloom import DUP_BLOOM_ATTR
+
+    actors = make_bloom_shard_actors(2, expected_items=1000, fp_rate=0.001)
+    rows = [
+        {"url": "a", "text": "same text"},
+        {"url": "b", "text": "same text"},
+        {"url": "c", "text": "other text"},
+    ]
+    out = (
+        mark_duplicate_docs_bloom(rd.from_items(rows), actors)
+        .to_pandas()
+        .set_index("url")
+    )
+    flags = {u: len(out.loc[u, DUP_BLOOM_ATTR]) > 0 for u in "abc"}
+    # exactly one of a/b marked duplicate (arrival order), c unique
+    assert flags["a"] != flags["b"]
+    assert not flags["c"]

@@ -1,0 +1,158 @@
+"""Dolma-format JSONL IO, resumable writer + manifest, multimodal stages."""
+
+import gzip
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dolma_ray.sources import read_dolma_documents, write_dolma_documents
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"id": f"d{i}", "text": f"text {i}", "source": "t", "metadata": {"url": f"u{i}"}}
+        for i in range(10)
+    ]
+    with gzip.open(src / "000.json.gz", "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    ds = read_dolma_documents(str(src / "000.json.gz"))
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df["id"]) == [f"d{i}" for i in range(10)]
+    assert json.loads(df["metadata"][0])["url"] == "u0"
+
+    out = tmp_path / "out"
+    write_dolma_documents(rd.from_items(rows[:5]), str(out), max_rows_per_shard=2)
+    files = sorted(os.listdir(out))
+    assert len(files) == 3  # 5 rows, 2 per shard
+    back = []
+    for fn in files:
+        with gzip.open(out / fn, "rt") as f:
+            back.extend(json.loads(ln) for ln in f)
+    assert len(back) == 5
+
+
+def test_attributes_to_rows():
+    from dolma_ray.schema import spans_array
+    from dolma_ray.sources.jsonl import attributes_to_rows
+
+    batch = pa.table(
+        {
+            "id": pa.array(["x"]),
+            "text": pa.array(["hello world"]),
+            "attr__t__span": spans_array([[(0, 5, 0.123456789)]]),
+            "attr__t__doc": pa.array([0.5]),
+        }
+    )
+    rows = attributes_to_rows(batch)
+    assert rows[0]["id"] == "x"
+    assert rows[0]["attributes"]["t__span"] == [[0, 5, 0.12346]]  # 5-digit rounding
+    assert rows[0]["attributes"]["t__doc"] == [[0, 11, 0.5]]
+
+
+def test_resumable_writer(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dolma_ray.sources import ResumableWriter, read_manifest
+    from dolma_ray.synth import write_web_pages_parquet
+
+    src = tmp_path / "in"
+    files = write_web_pages_parquet(str(src), n=60, seed=3, shards=3)
+    out = tmp_path / "out"
+
+    calls = []
+
+    def pipeline(path):
+        calls.append(path)
+        return rd.read_parquet(path).map_batches(
+            lambda b: b.select(["url", "text"]), batch_format="pyarrow"
+        )
+
+    w = ResumableWriter(str(out))
+    recs = w.run(files, pipeline)
+    assert len(recs) == 3
+    assert len(calls) == 3
+    man = read_manifest(str(out))
+    assert len(man) == 3
+    assert all(r["rows_out"] == 20 for r in man)
+
+    # restart: nothing recomputed
+    calls.clear()
+    w2 = ResumableWriter(str(out))
+    recs2 = w2.run(files, pipeline)
+    assert recs2 == [] and calls == []
+
+    # simulate a partial failure: remove one partition -> only it reruns
+    import shutil
+
+    shutil.rmtree(out / w.partition_name(files[1]))
+    recs3 = w2.run(files, pipeline)
+    assert len(recs3) == 1 and calls == [files[1]]
+
+
+def test_multimodal_stages(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.multimodal import (
+        AudioFeatureStage,
+        ImageDecodeStage,
+        ImageResizeStage,
+        VideoFrameSampleStage,
+    )
+
+    rows = [
+        {"media_id": f"m{i}", "kind": "image", "payload": bytes([i] * 100), "mime": "image/jpeg", "meta": "{}"}
+        for i in range(6)
+    ]
+    ds = rd.from_items(rows)
+    decoded = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"target_size": (8, 8)},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=1,
+    )
+    resized = decoded.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={"target_size": (4, 4)},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=1,
+    )
+    out = resized.to_pandas()
+    assert len(out) == 6
+    assert all(len(p) == 4 * 4 * 3 for p in out["pixels"])
+    # deterministic fake decode: same payload -> same pixels
+    again = (
+        ds.map_batches(
+            ImageDecodeStage,
+            fn_constructor_kwargs={"target_size": (8, 8)},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    first = again[again["media_id"] == "m0"]["pixels"].iloc[0]
+    assert len(first) == 8 * 8 * 3
+
+    audio = ds.map_batches(
+        AudioFeatureStage, batch_format="pyarrow", batch_size=4, concurrency=1
+    ).to_pandas()
+    assert all(len(f) == 64 for f in audio["features"])
+
+    video = ds.map_batches(
+        VideoFrameSampleStage, batch_format="pyarrow", batch_size=4, concurrency=1
+    ).to_pandas()
+    assert all(len(f) == 4 for f in video["frames"])
+
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStage(strict=True)._decode_image(b"x")
