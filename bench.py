@@ -106,7 +106,6 @@ def run_bench() -> dict:
         flagship(
             ds,
             mode="filter",
-            stateful_concurrency=max(2, NUM_CPUS // 4),
             batch_size=512,
         )
     )

@@ -1,0 +1,150 @@
+"""Fused doc-level + paragraph-level dedup (one lookup pass, one attach).
+
+``mark_duplicate_docs`` and ``mark_duplicate_paragraphs`` each run their
+own project->aggregate pass over the input; a pipeline that needs both
+(the flagship) would read the input three times.  This fusion emits doc
+keys and paragraph-unit keys into ONE narrow ``(k, o)`` stream — key
+namespaces separated by salting the hash input — aggregates once, and
+attaches both attribute columns in one map pass.  Input is read twice
+total (lookup + attach), the minimum for broadcast-style dedup.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import spans_array
+from .exact import DUP_DOCS_ATTR, _order_strings
+from .hashing import hash_string
+from .paragraphs import DUP_PARAGRAPHS_ATTR, _UnitConfig
+
+_DOC_SALT = "D\x00"
+_PAR_SALT = "P\x00"
+
+
+def mark_duplicates_fused(
+    ds,
+    doc_key_column: str = "text",
+    order_columns: Sequence[str] = ("warc_ts", "url"),
+    text_column: str = "text",
+    min_length: int = 0,
+    min_words: int = 0,
+    skip_empty: bool = False,
+    ngram_length: int = 0,
+    stride: int = 0,
+    overlap_threshold: float = 1.0,
+    skip_short_paragraphs: bool = False,
+):
+    """Append both ``attr__dedupe_docs__duplicate`` and
+    ``attr__dedupe_paragraphs__duplicate`` with a single aggregate."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    order = list(order_columns)
+    cfg_kwargs = dict(
+        min_length=min_length,
+        min_words=min_words,
+        skip_empty=skip_empty,
+        ngram_length=ngram_length,
+        stride=stride,
+        skip_short_paragraphs=skip_short_paragraphs,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        cfg = _UnitConfig(**cfg_kwargs)
+        texts = batch[text_column].to_pylist()
+        doc_keys = (
+            batch[doc_key_column].to_pylist()
+            if doc_key_column != text_column
+            else texts
+        )
+        orders = _order_strings(batch, order)
+        r_hash: list[int] = []
+        r_order: list[str] = []
+        for text, dk, o in zip(texts, doc_keys, orders):
+            r_hash.append(hash_string(_DOC_SALT + (dk or "")))
+            r_order.append(o)
+            seq = 0
+            for _, _, _, hashes in cfg.doc_units(text or ""):
+                for h_raw in hashes:
+                    r_hash.append(h_raw ^ _PAR_XOR)
+                    r_order.append(f"{o}\x1f{seq:012d}")
+                    seq += 1
+        return pa.table(
+            {
+                "k": pa.array(r_hash, pa.int64()),
+                "o": pa.array(r_order, pa.string()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Min("o", alias_name="o_min"), Count(alias_name="n"))
+    )
+    lookup: dict[int, str] = {}
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dup = b.filter(pc.greater(b["n"], 1))
+        for k, o in zip(dup["k"].to_pylist(), dup["o_min"].to_pylist()):
+            lookup[k] = o
+    lookup_ref = ray.put(lookup)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cfg = _UnitConfig(**cfg_kwargs)
+        dup_lookup = ray.get(lookup_ref)
+        texts = batch[text_column].to_pylist()
+        doc_keys = (
+            batch[doc_key_column].to_pylist()
+            if doc_key_column != text_column
+            else texts
+        )
+        orders = _order_strings(batch, order)
+        doc_spans: list[list[tuple[int, int, float]]] = []
+        par_spans: list[list[tuple[int, int, float]]] = []
+        for text, dk, o in zip(texts, doc_keys, orders):
+            text = text or ""
+            dh = hash_string(_DOC_SALT + (dk or ""))
+            first = dup_lookup.get(dh)
+            doc_spans.append(
+                [(0, len(text), 1.0)] if (first is not None and o != first) else []
+            )
+            spans: list[tuple[int, int, float]] = []
+            seq = 0
+            for par_start, par_end, kind, hashes in cfg.doc_units(text):
+                n_dup = 0
+                for h_raw in hashes:
+                    h = h_raw ^ _PAR_XOR
+                    f = dup_lookup.get(h)
+                    if f is not None and f"{o}\x1f{seq:012d}" != f:
+                        n_dup += 1
+                    seq += 1
+                if kind == -1:
+                    if n_dup:
+                        spans.append((par_start, par_end, 1.0))
+                elif kind == 0:
+                    score = 1.0 if n_dup else 0.0
+                    if score >= overlap_threshold:
+                        spans.append((par_start, par_end, score))
+                else:
+                    frac = n_dup / kind
+                    if frac >= overlap_threshold:
+                        spans.append((par_start, par_end, frac))
+            par_spans.append(spans)
+        for col, data in (
+            (DUP_DOCS_ATTR, doc_spans),
+            (DUP_PARAGRAPHS_ATTR, par_spans),
+        ):
+            if col in batch.column_names:
+                batch = batch.drop_columns([col])
+            batch = batch.append_column(col, spans_array(data))
+        return batch
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+# xor mask separating the paragraph-unit key namespace from doc keys
+# (both stay in int63 range)
+_PAR_XOR = 0x2545F4914F6CDD1D & ((1 << 63) - 1)

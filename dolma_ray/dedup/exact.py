@@ -2,19 +2,25 @@
 
 Reference semantics (``src/deduper.rs:232-310``): key = a selected field
 (commonly ``$.metadata.url`` or ``$.text``); the first occurrence is kept,
-every later occurrence gets attribute span ``[0, len(key_or_text), 1]``.
-The reference's "first" is scan order with Bloom false positives; here
+every later occurrence gets attribute span ``[0, len(text), 1]``.  The
+reference's "first" is scan order with Bloom false positives; here
 "first" is deterministic — the minimum of an explicit ``order`` tuple
-(default ``(warc_ts, url)``) — and exact (FP = 0), via a single
-``groupby`` shuffle on the 64-bit key hash.
+(default ``(warc_ts, url)``) — and exact (FP = 0).
 
-Scale notes: the shuffle moves only ``(key_hash, order, url)`` — the
-marking result is joined back by a second tiny broadcast (the duplicate
-url set is usually a small fraction) when ``broadcast_join=True``, or the
-full rows flow through the groupby when the dup fraction is large.  Hot
-keys (identical boilerplate pages) all land in one group; groups are
-processed as a whole but only emit per-row booleans, so skew cost is
-bounded by the largest duplicate class.
+Execution shape (no full-row shuffle, no per-group python):
+
+1. map pass: project narrow ``(key_hash, order_str)`` rows;
+2. ``groupby(key_hash).aggregate(Min(order_str), Count)`` — the only
+   shuffle, over two small columns;
+3. filter ``count > 1`` -> the *duplicated-keys-only* lookup
+   ``{key_hash: min_order}`` (usually a small fraction of the corpus),
+   broadcast once via ``ray.put``;
+4. map pass: a row is a duplicate iff its key is in the lookup and its
+   order_str != the minimum.  Vectorized numpy compare.
+
+At extreme duplicate fractions where the lookup itself is too large to
+broadcast, fall back to ``Dataset.join`` on ``key_hash``
+(``strategy="join"``).
 """
 
 from __future__ import annotations
@@ -22,27 +28,58 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..schema import attr_name, spans_array
-from .hashing import hash_strings
+from .hashing import hash_strings_i63
 
 DUP_DOCS_ATTR = attr_name("dedupe_docs", "duplicate")  # attr__dedupe_docs__duplicate
 
 
-class AddKeyHash:
-    """map_batches stage: append ``_dedup_key`` = hash64(key column)."""
+def _order_strings(batch: pa.Table, order_columns: Sequence[str]) -> list[str]:
+    """Lexicographically sortable encoding of the order tuple (integers are
+    zero-padded so string order == numeric order)."""
+    cols = [batch[c].to_pylist() for c in order_columns]
+    return [
+        "\x1f".join(
+            f"{v:020d}" if isinstance(v, int) else str(v) for v in row
+        )
+        for row in zip(*cols)
+    ]
 
-    def __init__(self, key_column: str = "text") -> None:
-        self.key_column = key_column
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        h = hash_strings(batch[self.key_column])
-        if "_dedup_key" in batch.column_names:
-            batch = batch.drop_columns(["_dedup_key"])
-        return batch.append_column("_dedup_key", pa.array(h, pa.uint64()))
+def duplicate_min_lookup(
+    ds,
+    key_column: str,
+    order_columns: Sequence[str],
+) -> dict[int, str]:
+    """``{key_hash: min_order_str}`` for keys occurring more than once.
+    One narrow aggregate shuffle; everything else map-side."""
+    from ray.data.aggregate import Count, Min
+
+    order = list(order_columns)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = hash_strings_i63(batch[key_column])
+        return pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "o": pa.array(_order_strings(batch, order), pa.string()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Min("o", alias_name="o_min"), Count(alias_name="n"))
+    )
+    lookup: dict[int, str] = {}
+    for batch in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dup = batch.filter(pc.greater(batch["n"], 1))
+        for k, o in zip(dup["k"].to_pylist(), dup["o_min"].to_pylist()):
+            lookup[k] = o
+    return lookup
 
 
 def mark_duplicate_docs(
@@ -52,40 +89,26 @@ def mark_duplicate_docs(
     text_column: str = "text",
 ):
     """Append ``attr__dedupe_docs__duplicate`` span column: ``[]`` for the
-    first occurrence of each key, ``[(0, len(text), 1.0)]`` for later ones.
-
-    One hash-shuffle on the dedup key; everything else is map-side.
-    """
-    from ..util import cached_stage
+    first occurrence of each key, ``[(0, len(text), 1.0)]`` for later ones."""
+    import ray
 
     order = list(order_columns)
+    lookup_ref = ray.put(duplicate_min_lookup(ds, key_column, order))
 
-    ds = ds.map_batches(
-        cached_stage(AddKeyHash, key_column=key_column),
-        batch_format="pyarrow",
-    )
-
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 1:
-            g = g.copy()
-            g["_is_dup"] = False
-            return g
-        g = g.sort_values(order, kind="mergesort")
-        g["_is_dup"] = [False] + [True] * (len(g) - 1)
-        return g
-
-    marked = ds.groupby("_dedup_key").map_groups(mark, batch_format="pandas")
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        texts = batch[text_column]
-        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False)
-        dup = np.asarray(batch["_is_dup"])
-        spans = [
-            [(0, int(l), 1.0)] if d else [] for d, l in zip(dup, lens)
-        ]
-        batch = batch.drop_columns(["_dedup_key", "_is_dup"])
+    def mark(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = hash_strings_i63(batch[key_column])
+        orders = _order_strings(batch, order)
+        lens = pc.utf8_length(batch[text_column]).to_numpy(zero_copy_only=False)
+        spans = []
+        for k, o, ln in zip(keys.tolist(), orders, lens):
+            first = lookup.get(k)
+            if first is not None and o != first:
+                spans.append([(0, int(ln), 1.0)])
+            else:
+                spans.append([])
         if DUP_DOCS_ATTR in batch.column_names:
             batch = batch.drop_columns([DUP_DOCS_ATTR])
         return batch.append_column(DUP_DOCS_ATTR, spans_array(spans))
 
-    return marked.map_batches(finalize, batch_format="pyarrow")
+    return ds.map_batches(mark, batch_format="pyarrow")

@@ -29,9 +29,18 @@ def hash_strings(arr: pa.Array | list[str], bits: int = 64) -> np.ndarray:
     return out
 
 
+def hash_strings_i63(arr: pa.Array | list[str]) -> np.ndarray:
+    """int64-safe variant (top bit dropped): Ray Data's sort/aggregate
+    paths handle int64 key columns natively; uint64 python ints above
+    2^63 fall into a slow conversion fallback."""
+    return (hash_strings(arr) >> np.uint64(1)).astype(np.int64)
+
+
 def hash_string(s: str) -> int:
-    return int.from_bytes(
-        blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    """63-bit content hash (int64-safe, see :func:`hash_strings_i63`)."""
+    return (
+        int.from_bytes(blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+        >> 1
     )
 
 

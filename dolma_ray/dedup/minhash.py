@@ -113,7 +113,7 @@ class ExplodeBands:
                 "key": pa.array(r_key),
                 "order": pa.array(r_order, pa.string()),
                 "band": pa.array(r_band, pa.int32()),
-                "band_hash": pa.array(r_hash, pa.uint64()),
+                "band_hash": pa.array(r_hash, pa.int64()),
             }
         )
 

@@ -9,58 +9,72 @@ Reference semantics (``src/deduper.rs:312-467``):
 * **exact**: a paragraph is a duplicate iff an identical paragraph
   occurred earlier (first occurrence wins) -> span ``[start, end, 1]``;
 * **by-ngram**: hash token n-grams (length ``ngram_length``, start
-  positions ``stride`` apart); the paragraph's score is the fraction of
-  its counted n-grams previously seen anywhere; a span is emitted when
-  the fraction >= ``overlap_threshold``.  Paragraphs with < 2 n-grams
-  fall back to whole-paragraph exact matching (score 1.0/0.0) unless
+  positions ``stride`` apart, including the reference's
+  ``last_ngram_start == 0`` quirk that always counts the second ngram);
+  the paragraph's score is the fraction of its counted n-grams
+  previously seen anywhere; a span is emitted when the fraction >=
+  ``overlap_threshold``.  Paragraphs with < 2 n-grams fall back to
+  whole-paragraph exact matching (score 1.0/0.0) unless
   ``skip_short_paragraphs``;
 * the reference's "previously seen" is Bloom-filter scan order; here it
-  is deterministic global order (the explicit ``order`` tuple), computed
-  exactly with two keyed shuffles:
+  is deterministic global order (the explicit ``order`` tuple).
 
-      docs -> flat_map paragraphs/ngrams -> groupby(hash): first-wins ->
-      groupby(url): reassemble span lists -> join back onto docs.
+Execution shape (mirrors ``exact.py``): one pass projects narrow
+``(unit_hash, order)`` rows; a ``groupby(unit_hash).aggregate(Min,
+Count)`` (the only shuffle) yields the duplicated-units-only lookup
+``{unit_hash: min_order}``, broadcast via ``ray.put``; a second map pass
+recomputes each document's units against the lookup and appends the span
+column.  Unit rows never join back — the attach pass recomputes them
+(cheap, vectorized-ish) instead of shuffling them by url.
 
-The doc join-back is a third shuffle keyed by ``url``; all shuffled rows
-are narrow (hash, order, url, offsets) — the document text never moves.
+First-occurrence subtlety: the reference counts a *repeat within the
+same document* as a duplicate (the Bloom insert happens mid-scan).  The
+lookup reproduces that: occurrences are ordered by ``(order, unit_seq)``
+where unit_seq is the unit's position within the doc, so only the
+globally-first occurrence scores as original.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..schema import attr_name, spans_array
 from ..text_units import split_unicode_word_tokens
+from .exact import _order_strings
 from .hashing import hash_string, hash_tokens_ngram
 
 DUP_PARAGRAPHS_ATTR = attr_name("dedupe_paragraphs", "duplicate")
 
 
-class ExplodeParagraphs:
-    """map_batches: docs -> one row per counted paragraph unit.
+def _paragraph_spans(text: str) -> list[tuple[int, int, str]]:
+    """(start, end, paragraph) with reference offset semantics
+    (``deduper.rs:320-333``: newline included unless at text end)."""
+    out: list[tuple[int, int, str]] = []
+    offset = 0
+    text_length = len(text)
+    if text_length == 0:
+        return out
+    for p in text.split("\n"):
+        par_start = offset
+        offset += len(p)
+        if offset < text_length - 1:
+            offset += 1  # the newline
+        out.append((par_start, offset, p))
+    return out
 
-    Emits narrow rows: url, order (stringified sortable), par_start,
-    par_end, unit_hash, unit_kind ('par' exact / ngram fallback) or
-    per-ngram rows with par identity for the by-ngram mode.
-    """
 
+class _UnitConfig:
     def __init__(
         self,
-        order_columns: Sequence[str] = ("warc_ts", "url"),
-        text_column: str = "text",
-        min_length: int = 0,
-        min_words: int = 0,
-        skip_empty: bool = False,
-        ngram_length: int = 0,
-        stride: int = 0,
-        skip_short_paragraphs: bool = False,
+        min_length: int,
+        min_words: int,
+        skip_empty: bool,
+        ngram_length: int,
+        stride: int,
+        skip_short_paragraphs: bool,
     ) -> None:
-        self.order_columns = list(order_columns)
-        self.text_column = text_column
         self.min_length = min_length
         self.min_words = min_words
         self.skip_empty = skip_empty
@@ -68,101 +82,36 @@ class ExplodeParagraphs:
         self.stride = stride
         self.skip_short_paragraphs = skip_short_paragraphs
 
-    def _paragraph_spans(self, text: str):
-        """(start, end, paragraph) with reference offset semantics."""
-        out = []
-        offset = 0
-        text_length = len(text)
-        if text_length == 0:
-            return out
-        for p in text.split("\n"):
-            par_start = offset
-            offset += len(p)
-            if offset < text_length - 1:
-                offset += 1  # the newline
-            out.append((par_start, offset, p))
-        return out
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
-        urls = batch["url"].to_pylist()
-        orders = list(zip(*(batch[c].to_pylist() for c in self.order_columns)))
-        r_url, r_order, r_start, r_end, r_hash, r_pidx, r_ngrams = (
-            [], [], [], [], [], [], [],
-        )
-        for text, url, order in zip(texts, urls, orders):
-            text = text or ""
-            order_key = "\x1f".join(str(o) for o in order)
-            for pidx, (start, end, par) in enumerate(self._paragraph_spans(text)):
-                if len(par) < self.min_length:
+    def doc_units(self, text: str) -> Iterator[tuple[int, int, int, list[int]]]:
+        """Yield (par_start, par_end, kind, unit_hashes) per counted
+        paragraph.  kind: -1 exact paragraph, 0 short-paragraph fallback
+        (ngram mode), >0 = ngram count."""
+        for par_start, par_end, par in _paragraph_spans(text):
+            if len(par) < self.min_length:
+                continue
+            if self.min_words > 0:
+                if len(split_unicode_word_tokens(par)) < self.min_words:
                     continue
-                if self.min_words > 0:
-                    if len(split_unicode_word_tokens(par)) < self.min_words:
-                        continue
-                elif self.skip_empty and not par.strip():
-                    continue
-                if self.ngram_length <= 0:
-                    r_url.append(url)
-                    r_order.append(order_key)
-                    r_start.append(start)
-                    r_end.append(end)
-                    r_hash.append(hash_string(par))
-                    r_pidx.append(pidx)
-                    r_ngrams.append(-1)  # exact mode marker
+            elif self.skip_empty and not par.strip():
+                continue
+            if self.ngram_length <= 0:
+                yield par_start, par_end, -1, [hash_string(par)]
+            else:
+                tokens = split_unicode_word_tokens(par)
+                hashes: list[int] = []
+                # reference stride rule (deduper.rs:395-404) incl. its
+                # quirk: last_ngram_start==0 keeps passing until a ngram
+                # with start>0 is counted
+                last_start = 0
+                for w in range(len(tokens) - self.ngram_length + 1):
+                    if last_start == 0 or w - last_start >= self.stride:
+                        last_start = w
+                        hashes.append(hash_tokens_ngram(tokens, w, self.ngram_length))
+                if len(hashes) < 2:
+                    if not self.skip_short_paragraphs:
+                        yield par_start, par_end, 0, [hash_string(par)]
                 else:
-                    tokens = split_unicode_word_tokens(par)
-                    hashes = []
-                    # reference stride rule (deduper.rs:395-404) incl. its
-                    # quirk: `last_ngram_start == 0` keeps passing until a
-                    # ngram with start > 0 is counted, so the second ngram
-                    # is always counted regardless of stride
-                    last_start = 0
-                    for w in range(len(tokens) - self.ngram_length + 1):
-                        if last_start == 0 or w - last_start >= self.stride:
-                            last_start = w
-                            hashes.append(hash_tokens_ngram(tokens, w, self.ngram_length))
-                    if len(hashes) < 2 and not self.skip_short_paragraphs:
-                        r_url.append(url)
-                        r_order.append(order_key)
-                        r_start.append(start)
-                        r_end.append(end)
-                        r_hash.append(hash_string(par))
-                        r_pidx.append(pidx)
-                        r_ngrams.append(0)  # short-paragraph fallback
-                    else:
-                        for h in hashes:
-                            r_url.append(url)
-                            r_order.append(order_key)
-                            r_start.append(start)
-                            r_end.append(end)
-                            r_hash.append(h)
-                            r_pidx.append(pidx)
-                            r_ngrams.append(len(hashes))
-        return pa.table(
-            {
-                "url": pa.array(r_url, pa.string()),
-                "order": pa.array(r_order, pa.string()),
-                "par_start": pa.array(r_start, pa.int64()),
-                "par_end": pa.array(r_end, pa.int64()),
-                "unit_hash": pa.array(r_hash, pa.uint64()),
-                "par_idx": pa.array(r_pidx, pa.int64()),
-                "n_ngrams": pa.array(r_ngrams, pa.int64()),
-            }
-        )
-
-
-def _first_wins(g: pd.DataFrame) -> pd.DataFrame:
-    """Mark every unit occurrence that is not the global-order first."""
-    if len(g) == 1:
-        g = g.copy()
-        g["is_dup"] = False
-        return g
-    g = g.sort_values(["order", "par_idx"], kind="mergesort")
-    is_dup = np.ones(len(g), dtype=bool)
-    is_dup[0] = False
-    g = g.copy()
-    g["is_dup"] = is_dup
-    return g
+                    yield par_start, par_end, len(hashes), hashes
 
 
 def mark_duplicate_paragraphs(
@@ -176,8 +125,6 @@ def mark_duplicate_paragraphs(
     stride: int = 0,
     overlap_threshold: float = 1.0,
     skip_short_paragraphs: bool = False,
-    join_strategy: str = "broadcast",
-    join_partitions: int = 32,
 ):
     """Append ``attr__dedupe_paragraphs__duplicate`` spans to ``ds``.
 
@@ -185,94 +132,83 @@ def mark_duplicate_paragraphs(
     ``ngram_length>0`` -> by-ngram overlap dedup (span score = overlap
     fraction, emitted when >= ``overlap_threshold``).
     """
-    from ..util import cached_stage
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Min
 
-    units = ds.map_batches(
-        cached_stage(
-            ExplodeParagraphs,
-            order_columns=tuple(order_columns),
-            text_column=text_column,
-            min_length=min_length,
-            min_words=min_words,
-            skip_empty=skip_empty,
-            ngram_length=ngram_length,
-            stride=stride,
-            skip_short_paragraphs=skip_short_paragraphs,
-        ),
-        batch_format="pyarrow",
+    order = list(order_columns)
+    cfg_kwargs = dict(
+        min_length=min_length,
+        min_words=min_words,
+        skip_empty=skip_empty,
+        ngram_length=ngram_length,
+        stride=stride,
+        skip_short_paragraphs=skip_short_paragraphs,
     )
 
-    marked = units.groupby("unit_hash").map_groups(_first_wins, batch_format="pandas")
-
-    def to_doc_spans(g: pd.DataFrame) -> pd.DataFrame:
-        spans: list[tuple[int, int, float]] = []
-        for (start, end, n_ngrams), grp in g.groupby(
-            ["par_start", "par_end", "n_ngrams"], sort=True
-        ):
-            if n_ngrams == -1:  # exact paragraph mode: emit only duplicates
-                if bool(grp["is_dup"].iloc[0]):
-                    spans.append((int(start), int(end), 1.0))
-            elif n_ngrams == 0:  # ngram mode, short-paragraph fallback
-                score = 1.0 if bool(grp["is_dup"].iloc[0]) else 0.0
-                if score >= overlap_threshold:
-                    spans.append((int(start), int(end), score))
-            else:
-                frac = float(grp["is_dup"].mean())
-                if frac >= overlap_threshold:
-                    spans.append((int(start), int(end), frac))
-        spans.sort(key=lambda s: s[0])
-        return pd.DataFrame(
+    def project(batch: pa.Table) -> pa.Table:
+        cfg = _UnitConfig(**cfg_kwargs)
+        texts = batch[text_column].to_pylist()
+        orders = _order_strings(batch, order)
+        r_hash: list[int] = []
+        r_order: list[str] = []
+        for text, o in zip(texts, orders):
+            seq = 0
+            for _, _, _, hashes in cfg.doc_units(text or ""):
+                for h in hashes:
+                    r_hash.append(h)
+                    r_order.append(f"{o}\x1f{seq:012d}")
+                    seq += 1
+        return pa.table(
             {
-                "url": [g["url"].iloc[0]],
-                "dup_starts": [[s for s, _, _ in spans]],
-                "dup_ends": [[e for _, e, _ in spans]],
-                "dup_scores": [[sc for _, _, sc in spans]],
+                "k": pa.array(r_hash, pa.int64()),
+                "o": pa.array(r_order, pa.string()),
             }
         )
 
-    doc_spans = marked.groupby("url").map_groups(to_doc_spans, batch_format="pandas")
+    agg = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Min("o", alias_name="o_min"), Count(alias_name="n"))
+    )
+    lookup: dict[int, str] = {}
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dup = b.filter(pc.greater(b["n"], 1))
+        for k, o in zip(dup["k"].to_pylist(), dup["o_min"].to_pylist()):
+            lookup[k] = o
+    lookup_ref = ray.put(lookup)
 
-    def build_spans(batch: pa.Table) -> pa.Table:
-        starts = batch["dup_starts"].to_pylist()
-        ends = batch["dup_ends"].to_pylist()
-        scores = batch["dup_scores"].to_pylist()
-        spans = [
-            list(zip(s, e, sc)) if s is not None else []
-            for s, e, sc in zip(starts, ends, scores)
-        ]
-        batch = batch.drop_columns(["dup_starts", "dup_ends", "dup_scores"])
+    def attach(batch: pa.Table) -> pa.Table:
+        cfg = _UnitConfig(**cfg_kwargs)
+        dup_lookup = ray.get(lookup_ref)
+        texts = batch[text_column].to_pylist()
+        orders = _order_strings(batch, order)
+        all_spans: list[list[tuple[int, int, float]]] = []
+        for text, o in zip(texts, orders):
+            spans: list[tuple[int, int, float]] = []
+            seq = 0
+            for par_start, par_end, kind, hashes in cfg.doc_units(text or ""):
+                n_dup = 0
+                for h in hashes:
+                    first = dup_lookup.get(h)
+                    if first is not None and f"{o}\x1f{seq:012d}" != first:
+                        n_dup += 1
+                    seq += 1
+                if kind == -1:  # exact paragraph mode
+                    if n_dup:
+                        spans.append((par_start, par_end, 1.0))
+                elif kind == 0:  # ngram mode, short-paragraph fallback
+                    score = 1.0 if n_dup else 0.0
+                    if score >= overlap_threshold:
+                        spans.append((par_start, par_end, score))
+                else:
+                    frac = n_dup / kind
+                    if frac >= overlap_threshold:
+                        spans.append((par_start, par_end, frac))
+            all_spans.append(spans)
         if DUP_PARAGRAPHS_ATTR in batch.column_names:
             batch = batch.drop_columns([DUP_PARAGRAPHS_ATTR])
-        return batch.append_column(DUP_PARAGRAPHS_ATTR, spans_array(spans))
+        return batch.append_column(DUP_PARAGRAPHS_ATTR, spans_array(all_spans))
 
-    if join_strategy == "join":
-        joined = ds.join(
-            doc_spans,
-            join_type="left_outer",
-            num_partitions=join_partitions,
-            on=("url",),
-        )
-        return joined.map_batches(build_spans, batch_format="pyarrow")
-
-    # broadcast strategy: collect the (sparse) duplicate span lists on the
-    # driver once, ship via the object store to every task.  Right when the
-    # duplicate fraction is modest; use join_strategy="join" when it isn't.
-    import ray
-
-    spans_by_url: dict[str, list] = {}
-    for row in doc_spans.iter_rows():
-        if row["dup_starts"]:
-            spans_by_url[row["url"]] = list(
-                zip(row["dup_starts"], row["dup_ends"], row["dup_scores"])
-            )
-    spans_ref = ray.put(spans_by_url)
-
-    def attach_spans(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(spans_ref)
-        urls = batch["url"].to_pylist()
-        spans = [lookup.get(u, []) for u in urls]
-        if DUP_PARAGRAPHS_ATTR in batch.column_names:
-            batch = batch.drop_columns([DUP_PARAGRAPHS_ATTR])
-        return batch.append_column(DUP_PARAGRAPHS_ATTR, spans_array(spans))
-
-    return ds.map_batches(attach_spans, batch_format="pyarrow")
+    return ds.map_batches(attach, batch_format="pyarrow")

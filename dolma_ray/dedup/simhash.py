@@ -77,8 +77,8 @@ def mark_near_duplicates_simhash(
                 "key": pa.array(r_key),
                 "order": pa.array(r_order, pa.string()),
                 "band": pa.array(r_band, pa.int32()),
-                "band_val": pa.array(r_val, pa.uint64()),
-                "fp": pa.array(r_fp, pa.uint64()),
+                "band_val": pa.array(r_val, pa.int64()),
+                "fp": pa.array([f & ((1<<63)-1) for f in r_fp], pa.int64()),
             }
         )
 

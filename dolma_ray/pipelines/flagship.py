@@ -21,7 +21,7 @@ ours use the correct names and do fire.
 
 from __future__ import annotations
 
-from ..dedup import mark_duplicate_docs, mark_duplicate_paragraphs
+from ..dedup.combined import mark_duplicates_fused
 from ..dedup.exact import DUP_DOCS_ATTR
 from ..dedup.paragraphs import DUP_PARAGRAPHS_ATTR
 from ..mixer import FilterConfig, MixConfig, MixStage, Rule, SpanReplacementConfig
@@ -118,17 +118,33 @@ def tag_all(
     ds,
     stateless=STATELESS_TAGGERS,
     stateful=STATEFUL_TAGGERS,
-    stateful_concurrency: int | tuple[int, int] = 2,
+    stateful_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
 ):
     """Tagging stages only (no dedup, no mix).
 
-    Stateless taggers run as tasks (elastic, instance cached per worker);
-    stateful model taggers run as an actor pool sized by
-    ``stateful_concurrency``.
+    Default (``stateful_concurrency=None``): ALL taggers fuse into one
+    task-based TagStage with per-worker instance caching — one pass, no
+    intermediate attr-column serialization, fully elastic.  The embedded
+    models build in ~0.1 s per worker process, so tasks beat an actor
+    pool here (a pool caps the fused map chain at its size, and a pool
+    as wide as the node starves the read/lookup stages).
+
+    Pass an explicit ``stateful_concurrency`` to run the stateful taggers
+    as a bounded actor pool instead — the right shape for genuinely heavy
+    models (multi-GB weights, GPU) where per-worker duplication hurts.
     """
     from ..util import cached_stage
 
+    if stateful_concurrency is None:
+        taggers = list(stateless or []) + list(stateful or [])
+        if not taggers:
+            return ds
+        return ds.map_batches(
+            cached_stage(TagStage, taggers=taggers),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     if stateless:
         ds = ds.map_batches(
             cached_stage(TagStage, taggers=list(stateless)),
@@ -150,7 +166,7 @@ def flagship(
     ds,
     mode: str = "filter",
     dedup: bool = True,
-    stateful_concurrency: int | tuple[int, int] = 2,
+    stateful_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
 ):
     """Full pipeline on a web-page Dataset; returns the transformed Dataset
@@ -161,8 +177,9 @@ def flagship(
     map-only and appends columns after.
     """
     if dedup:
-        ds = mark_duplicate_docs(ds, key_column="text")
-        ds = mark_duplicate_paragraphs(ds, min_length=1, skip_empty=True)
+        ds = mark_duplicates_fused(
+            ds, doc_key_column="text", min_length=1, skip_empty=True
+        )
     ds = tag_all(
         ds, stateful_concurrency=stateful_concurrency, batch_size=batch_size
     )

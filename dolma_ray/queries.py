@@ -319,28 +319,41 @@ GROUP BY c_mktsegment
 
 
 def q_exact_dedup(sf_dir: str):
-    """Exact dedup on a 30-char prefix key; first-wins by doc_id."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    """Exact dedup on a 30-char prefix key; first-wins by doc_id.
+    Aggregate + duplicates-only broadcast (see ``dedup/exact.py``)."""
+    import ray
 
-    def key(batch: pa.Table) -> pa.Table:
+    from .dedup.exact import duplicate_min_lookup
+
+    def keyed(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "k": pc.utf8_slice_codeunits(batch["text"], 0, 30),
+                "k30": pc.utf8_slice_codeunits(batch["text"], 0, 30),
             }
         )
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
-        return pd.DataFrame(
-            {"doc_id": g["doc_id"], "is_dup": [False] + [True] * (len(g) - 1)}
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    lookup_ref = ray.put(duplicate_min_lookup(ds, "k30", ("doc_id",)))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        from .dedup.exact import _order_strings
+        from .dedup.hashing import hash_strings_i63
+
+        lookup = ray.get(lookup_ref)
+        keys = hash_strings_i63(batch["k30"])
+        orders = _order_strings(batch, ["doc_id"])
+        is_dup = [
+            (lookup.get(k) is not None and o != lookup[k])
+            for k, o in zip(keys.tolist(), orders)
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "is_dup": pa.array(is_dup, pa.bool_())}
         )
 
-    return (
-        ds.map_batches(key, batch_format="pyarrow")
-        .groupby("k")
-        .map_groups(mark, batch_format="pandas")
-    )
+    return ds.map_batches(mark, batch_format="pyarrow")
 
 
 SQL_EXACT_DEDUP = """
@@ -416,7 +429,7 @@ def q_flagship_keep(sf_dir: str):
     """Flagship keep/drop labels over the documents table (adapted to its
     schema: doc_id is the key, no warc_ts/html)."""
     from .pipelines.flagship import CANONICAL_MIX_CONFIG, tag_all
-    from .dedup import mark_duplicate_docs, mark_duplicate_paragraphs
+    from .dedup.combined import mark_duplicates_fused
     from .mixer import MixStage
     from .util import cached_stage
 
@@ -429,9 +442,8 @@ def q_flagship_keep(sf_dir: str):
         return batch.append_column("url", url)
 
     ds = ds.map_batches(add_url, batch_format="pyarrow")
-    ds = mark_duplicate_docs(ds, key_column="text", order_columns=("doc_id",))
-    ds = mark_duplicate_paragraphs(
-        ds, order_columns=("doc_id",), min_length=1, skip_empty=True
+    ds = mark_duplicates_fused(
+        ds, doc_key_column="text", order_columns=("doc_id",), min_length=1, skip_empty=True
     )
     ds = tag_all(ds)
     ds = ds.map_batches(
