@@ -23,7 +23,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-WEB_N = int(os.environ.get("GRAFT_WEB_N", "20000"))
+WEB_N = int(os.environ.get("GRAFT_WEB_N", "100000"))
 
 # queries timed individually over the sf-dir tables
 BENCH_QUERIES = [
@@ -60,7 +60,7 @@ def _web_corpus_path() -> str:
     if not os.path.exists(marker):
         from dolma_ray.synth import write_web_pages_parquet
 
-        write_web_pages_parquet(path, n=WEB_N, seed=7, shards=max(8, NUM_CPUS))
+        write_web_pages_parquet(path, n=WEB_N, seed=7, shards=64)
         open(marker, "w").write("ok")
     return path
 

@@ -1,0 +1,224 @@
+"""Command-line interface — the ``dolma {tag,dedupe,mix,stat,list}``
+surface (reference ``python/dolma/cli/main.py:46-93``) rebuilt over Ray
+Data pipelines.
+
+    python -m dolma_ray tag    --input DIR --output DIR --taggers a,b,c
+    python -m dolma_ray dedupe --input DIR --output DIR [--paragraphs]
+                               [--ngram N --stride S --threshold T]
+    python -m dolma_ray mix    --input DIR --output DIR --config mix.yaml
+    python -m dolma_ray stat   --input DIR [--attributes a,b]
+    python -m dolma_ray list
+
+Inputs/outputs are Parquet directories (this engine's native format; use
+``dolma_ray.sources`` for reference-format gzip JSONL interchange).
+The mix config YAML mirrors the reference stream config schema
+(``cli/mixer.py:50-81``): ``filter.include/exclude`` (JSONPath
+production shape), ``span_replacement: [{span, min_score, max_score,
+replacement}]``, ``min_text_length``.
+
+The CLI owns its Ray session (``ray.init`` guarded, ``ray.shutdown`` at
+exit) — library code never initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, logging_level="ERROR"
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _read(path: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns)
+
+
+def cmd_tag(args: argparse.Namespace) -> int:
+    from .taggers.base import tag_dataset
+
+    ds = _read(args.input)
+    ds = tag_dataset(ds, args.taggers.split(","), experiment=args.experiment)
+    ds.write_parquet(args.output)
+    print(f"tagged -> {args.output}")
+    return 0
+
+
+def cmd_dedupe(args: argparse.Namespace) -> int:
+    from .dedup import mark_duplicate_docs, mark_duplicate_paragraphs
+
+    ds = _read(args.input)
+    order = tuple(args.order_by.split(","))
+    if args.paragraphs or args.ngram:
+        ds = mark_duplicate_paragraphs(
+            ds,
+            order_columns=order,
+            min_length=args.min_length,
+            min_words=args.min_words,
+            skip_empty=True,
+            ngram_length=args.ngram,
+            stride=args.stride,
+            overlap_threshold=args.threshold,
+        )
+    else:
+        ds = mark_duplicate_docs(ds, key_column=args.key, order_columns=order)
+    ds.write_parquet(args.output)
+    print(f"deduped -> {args.output}")
+    return 0
+
+
+def _load_mix_config(path: str):
+    import yaml
+
+    from .mixer import FilterConfig, MixConfig, SpanReplacementConfig, parse_jsonpath_rule
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    # accept either a bare stream config or the reference's streams list
+    if "streams" in raw:
+        raw = raw["streams"][0]
+    filt = raw.get("filter", {}) or {}
+    include = [parse_jsonpath_rule(e) for e in filt.get("include", [])]
+    exclude = [parse_jsonpath_rule(e) for e in filt.get("exclude", [])]
+    spans = []
+    for sr in raw.get("span_replacement", []) or []:
+        attr = sr["span"]
+        # accept "$.attributes.NAME" JSONPath or a bare column name
+        if attr.startswith("$.attributes."):
+            attr = "attr__" + attr[len("$.attributes.") :]
+        spans.append(
+            SpanReplacementConfig(
+                attr=attr,
+                replacement=sr.get("replacement", ""),
+                min_score=sr.get("min_score", float("-inf")),
+                max_score=sr.get("max_score", float("inf")),
+            )
+        )
+    return MixConfig(
+        filter=FilterConfig(include=include, exclude=exclude),
+        span_replacement=spans,
+        min_text_length=int(
+            (raw.get("output", {}) or {}).get("min_text_length", raw.get("min_text_length", 0))
+        ),
+    )
+
+
+def cmd_mix(args: argparse.Namespace) -> int:
+    from .mixer import mix
+
+    if args.config:
+        config = _load_mix_config(args.config)
+    else:
+        from .pipelines.flagship import CANONICAL_MIX_CONFIG as config  # noqa: N813
+
+    ds = _read(args.input)
+    out = mix(ds, config, mode=args.mode)
+    out.write_parquet(args.output)
+    print(f"mixed -> {args.output}")
+    return 0
+
+
+def cmd_flagship(args: argparse.Namespace) -> int:
+    from .pipelines import flagship
+
+    ds = _read(args.input)
+    out = flagship(ds, mode=args.mode)
+    out.write_parquet(args.output)
+    print(f"flagship -> {args.output}")
+    return 0
+
+
+def cmd_stat(args: argparse.Namespace) -> int:
+    from .analysis.analyzer import summarize_attributes
+
+    ds = _read(args.input)
+    attrs = args.attributes.split(",") if args.attributes else None
+    df = summarize_attributes(ds, attributes=attrs)
+    print(df.to_string(index=False))
+    return 0
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    from . import taggers  # noqa: F401  (registers everything)
+    from .registry import TaggerRegistry
+
+    for name in TaggerRegistry.names():
+        print(name)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dolma_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("tag", help="run taggers, appending attribute columns")
+    t.add_argument("--input", required=True)
+    t.add_argument("--output", required=True)
+    t.add_argument("--taggers", required=True, help="comma-separated registry names")
+    t.add_argument("--experiment", default=None)
+    t.set_defaults(fn=cmd_tag)
+
+    d = sub.add_parser("dedupe", help="mark duplicate docs/paragraphs")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--key", default="text")
+    d.add_argument("--order-by", default="url")
+    d.add_argument("--paragraphs", action="store_true")
+    d.add_argument("--ngram", type=int, default=0)
+    d.add_argument("--stride", type=int, default=0)
+    d.add_argument("--threshold", type=float, default=1.0)
+    d.add_argument("--min-length", type=int, default=0)
+    d.add_argument("--min-words", type=int, default=0)
+    d.set_defaults(fn=cmd_dedupe)
+
+    m = sub.add_parser("mix", help="keep/drop filter + span scrub")
+    m.add_argument("--input", required=True)
+    m.add_argument("--output", required=True)
+    m.add_argument("--config", default=None, help="YAML mix config (default: canonical ruleset)")
+    m.add_argument("--mode", choices=["filter", "label"], default="filter")
+    m.set_defaults(fn=cmd_mix)
+
+    f = sub.add_parser("flagship", help="full tag+dedup+mix pipeline")
+    f.add_argument("--input", required=True)
+    f.add_argument("--output", required=True)
+    f.add_argument("--mode", choices=["filter", "label"], default="filter")
+    f.set_defaults(fn=cmd_flagship)
+
+    s = sub.add_parser("stat", help="attribute histogram summary")
+    s.add_argument("--input", required=True)
+    s.add_argument("--attributes", default=None)
+    s.set_defaults(fn=cmd_stat)
+
+    ls = sub.add_parser("list", help="list registered taggers")
+    ls.set_defaults(fn=cmd_list)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    _init_ray(args.num_cpus)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -3,7 +3,9 @@ taggers with :class:`dolma_ray.registry.TaggerRegistry`."""
 
 from .base import DOC, SPAN, STR, BaseTagger, TagStage, tag_dataset  # noqa: F401
 from . import (  # noqa: F401
+    aliases,
     c4,
+    code,
     gopher,
     language,
     length,

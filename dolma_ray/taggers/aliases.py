@@ -1,0 +1,51 @@
+"""Reference-name aliases.
+
+The reference registers its language/toxicity taggers under
+backend-specific names (fastText / cld2 / cld3 / langdetect / lingua —
+``python/dolma/taggers/language.py``).  Those backends aren't available
+in this environment; every variant shape is implemented once over the
+deterministic char-ngram model, and the reference names are registered
+as aliases so existing Dolma configs resolve unchanged.  The attribute
+*types* emitted match the reference variant exactly (``en``/``not_en``
+spans etc.); only the underlying classifier differs.
+"""
+
+from __future__ import annotations
+
+from ..registry import TaggerRegistry
+from .language import (
+    LangIdDocV1,
+    LangIdEnDocV2,
+    LangIdEnOnlyV2,
+    LangIdEnParagraphV2,
+    LangIdEnParagraphWithDocScoreV2,
+)
+
+_ALIASES: dict[str, type] = {
+    # fastText lid.176 variants
+    "ft_lang_id_doc_v1": LangIdDocV1,
+    "ft_lang_id_en_doc_v2": LangIdEnDocV2,
+    "ft_lang_id_en_only_v2": LangIdEnOnlyV2,
+    "ft_lang_id_en_paragraph_v2": LangIdEnParagraphV2,
+    "ft_lang_id_en_paragraph_with_doc_score_v2": LangIdEnParagraphWithDocScoreV2,
+    # cld2 / cld3 variants
+    "cld2_en_doc_v2": LangIdEnDocV2,
+    "cld2_en_paragraph_v2": LangIdEnParagraphV2,
+    "cld2_en_paragraph_with_doc_score_v2": LangIdEnParagraphWithDocScoreV2,
+    "cld3_en_doc_v2": LangIdEnDocV2,
+    "cld3_en_paragraph_v2": LangIdEnParagraphV2,
+    "cld3_en_paragraph_with_doc_score_v2": LangIdEnParagraphWithDocScoreV2,
+    # langdetect / lingua doc variants
+    "langdetect_doc_v1": LangIdDocV1,
+    "langdetect_en_doc_v1": LangIdEnDocV2,
+    "lingua_doc_v1": LangIdDocV1,
+    "lingua_en_doc_v1": LangIdEnDocV2,
+    "lingua_en_doc_v2": LangIdEnDocV2,
+    "lingua_en_paragraph_v1": LangIdEnParagraphV2,
+    "lingua_en_par_v1": LangIdEnParagraphV2,
+}
+
+for name, cls in _ALIASES.items():
+    if not TaggerRegistry.has(name):
+        # subclass so each alias keeps its own registry name attribute
+        TaggerRegistry.add(name)(type(name, (cls,), {}))

@@ -1,0 +1,229 @@
+"""Code-quality taggers (RedPajama / StarCoder heuristics, secrets,
+copyright headers).
+
+Semantics pinned to the reference (``python/dolma/taggers/code/``):
+
+* ``code_redpajama_taggers_v1`` (``code_taggers.py:148-187``): doc scores
+  ``max_line_length_doc``, ``avg_line_length_doc``, ``alnum_prop_doc``
+  (alnum chars / chars), ``alpha_token_prop_doc`` (alpha chars / token
+  count, tokens = pieces of ``re.split(r"\\w+|[^\\w\\s]+")`` — the
+  reference's split-count quirk kept);
+* ``code_copyright_comments_v1`` (``code_taggers.py:82-145``): first
+  ``/* ... */`` block containing "copyright" -> ``copyright_notice``
+  span; else a leading ``//``/``#``/``--``/blank comment block ->
+  ``comment_block`` span; doc score = affected chars (+1) / len;
+* ``code_secrets_v1`` (``code_taggers.py:40-79``): the reference scans
+  with Yelp detect-secrets (unavailable here); this implementation uses
+  regex detectors for the highest-signal plugin classes (AWS access
+  keys, private-key headers, GitHub/Slack/Google tokens, basic-auth
+  URLs, JWTs, generic hex/base64 secrets after ``secret/key/token=``)
+  emitting the same span shape (``SECRET_<Type>``) + ``doc`` score
+  (= count / words, -1.0 on empty);
+* ``code_starcoder_taggers_v2`` (``code_taggers.py:229-271``):
+  ``has_xml_template_doc`` (``<?xml version=`` in first 100 chars),
+  ``num_github_stars_doc`` (metadata), ``code_to_comment_ratio_doc``
+  (python/java/javascript comment-char fraction — computed with a
+  comment-aware line scanner instead of pygments; 0.5 for other
+  languages, per the reference default), ``code_to_text_ratio_html_doc``
+  (html: visible-text chars / html chars, gated at > 100 text chars —
+  computed with a tag-stripping regex instead of BeautifulSoup).
+
+Language comes from the ``ext`` metadata column when present.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+from ..registry import TaggerRegistry
+from .base import DOC, SPAN, BaseTagger
+
+_WS_TOKEN_RE = re.compile(r"\w+|[^\w\s]+")
+_COPYRIGHT_RE = re.compile("copyright", re.IGNORECASE)
+_BLOCK_COMMENT_RE = re.compile(r"/\*[^*]*\*+(?:[^/*][^*]*\*+)*/")
+
+EXT_TO_LANG = {
+    "py": "python",
+    "java": "java",
+    "js": "javascript",
+    "jsx": "javascript",
+    "ts": "javascript",
+    "html": "html",
+    "htm": "html",
+    "c": "c",
+    "h": "c",
+    "cpp": "cpp",
+    "go": "go",
+    "rs": "rust",
+    "rb": "ruby",
+    "sh": "shell",
+    "md": "markdown",
+}
+
+
+@TaggerRegistry.add("code_redpajama_taggers_v1")
+class CodeRedPajamaTaggers(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {
+            "max_line_length_doc": DOC,
+            "avg_line_length_doc": DOC,
+            "alnum_prop_doc": DOC,
+            "alpha_token_prop_doc": DOC,
+        }
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        doc_length = len(text)
+        line_lengths = [len(ln) for ln in text.splitlines()]
+        max_line = float(max(line_lengths, default=0.0))
+        avg_line = float(np.mean(line_lengths)) if line_lengths else 0.0
+        alnum = sum(1 for c in text if c.isalnum())
+        alnum_prop = alnum / doc_length if doc_length else 0.0
+        num_tokens = len(_WS_TOKEN_RE.split(text))
+        num_alpha = sum(1 for c in text if c.isalpha())
+        alpha_token_prop = num_alpha / num_tokens if num_tokens else 0.0
+        return {
+            "max_line_length_doc": max_line,
+            "avg_line_length_doc": avg_line,
+            "alnum_prop_doc": alnum_prop,
+            "alpha_token_prop_doc": alpha_token_prop,
+        }
+
+
+@TaggerRegistry.add("code_copyright_comments_v1")
+class CodeCopyrightTagger(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {"copyright_notice": SPAN, "comment_block": SPAN, "doc": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        notice: list[tuple[int, int, float]] = []
+        block: list[tuple[int, int, float]] = []
+        m = _BLOCK_COMMENT_RE.search(text)
+        if m:
+            if _COPYRIGHT_RE.search(m.group(0)):
+                notice.append((m.start(), m.end(), 1.0))
+        else:
+            end = 0
+            skip = 0
+            for line in text.split("\n"):
+                if line.startswith(("//", "#", "--")) or not line:
+                    skip += 1
+                    end += 1 if not line else len(line)
+                else:
+                    break
+            if skip:
+                block.append((0, end, 1.0))
+        first = (notice or block or None)
+        if first:
+            s, e, _ = first[0]
+            score = (e - s + 1) / len(text) if text else -1.0
+        else:
+            score = 0.0 if text else -1.0
+        return {"copyright_notice": notice, "comment_block": block, "doc": score}
+
+
+_SECRET_PATTERNS: list[tuple[str, re.Pattern]] = [
+    ("AWS_Access_Key", re.compile(r"(?:A3T[A-Z0-9]|AKIA|ASIA|ABIA|ACCA)[A-Z0-9]{16}")),
+    ("Private_Key", re.compile(r"-----BEGIN (?:RSA |EC |DSA |OPENSSH |PGP )?PRIVATE KEY(?: BLOCK)?-----")),
+    ("GitHub_Token", re.compile(r"(?:ghp|gho|ghu|ghs|ghr)_[A-Za-z0-9]{36}")),
+    ("Slack_Token", re.compile(r"xox[baprs]-[A-Za-z0-9-]{10,48}")),
+    ("Google_API_Key", re.compile(r"AIza[0-9A-Za-z_-]{35}")),
+    ("JSON_Web_Token", re.compile(r"eyJ[A-Za-z0-9_=-]{10,}\.eyJ[A-Za-z0-9_=-]{10,}\.[A-Za-z0-9_.+/=-]{10,}")),
+    ("Basic_Auth_Credentials", re.compile(r"://[^\s:@/]{3,}:([^\s:@/]{3,})@")),
+    (
+        "Secret_Keyword",
+        re.compile(
+            r"""(?i)(?:secret|password|passwd|api_key|apikey|token|auth_key)\s*[:=]\s*["']([^"'\s]{8,64})["']"""
+        ),
+    ),
+]
+
+
+@TaggerRegistry.add("code_secrets_v1")
+class CodeSecretsTagger(BaseTagger):
+    def output_types(self) -> Mapping[str, str]:
+        return {
+            **{f"SECRET_{name}": SPAN for name, _ in _SECRET_PATTERNS},
+            "doc": DOC,
+        }
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        out: dict[str, Any] = {f"SECRET_{name}": [] for name, _ in _SECRET_PATTERNS}
+        count = 0
+        for name, rx in _SECRET_PATTERNS:
+            for m in rx.finditer(text):
+                grp = 1 if m.groups() else 0
+                out[f"SECRET_{name}"].append((m.start(grp), m.end(grp), 1.0))
+                count += 1
+        words = len(text.split())
+        out["doc"] = count / words if words else -1.0
+        return out
+
+
+_LINE_COMMENT = {"python": "#", "java": "//", "javascript": "//"}
+_TAG_RE = re.compile(r"<[^>]+>")
+_SCRIPT_STYLE_RE = re.compile(
+    r"<(script|style)\b[^>]*>.*?</\1>", re.IGNORECASE | re.DOTALL
+)
+
+
+def comment_char_fraction(text: str, lang: str) -> float:
+    """Fraction of chars inside comments/docstrings — pygments stand-in:
+    line-comment scanning + triple-quote blocks (python) + /* */ blocks
+    (java/javascript)."""
+    if not text:
+        return 0.0
+    total = 0
+    marker = _LINE_COMMENT.get(lang)
+    if marker:
+        for ln in text.split("\n"):
+            stripped = ln.lstrip()
+            if stripped.startswith(marker):
+                total += len(stripped)
+    if lang == "python":
+        for m in re.finditer(r'("""|\'\'\')(?:.|\n)*?\1', text):
+            total += len(m.group(0))
+    else:
+        for m in _BLOCK_COMMENT_RE.finditer(text):
+            total += len(m.group(0))
+    return min(total / len(text), 1.0)
+
+
+def html_text_ratio(html: str) -> float:
+    """Visible-text / html chars, gated at > 100 text chars
+    (reference ``filter_html``, BeautifulSoup stand-in)."""
+    stripped = _SCRIPT_STYLE_RE.sub("", html)
+    text = _TAG_RE.sub("", stripped)
+    ratio = len(text) / len(html) if html else 0.0
+    return ratio * (len(text) > 100)
+
+
+@TaggerRegistry.add("code_starcoder_taggers_v2")
+class CodeStarCoderTaggers2(BaseTagger):
+    needs_columns = ("ext", "max_stars_count")
+
+    def output_types(self) -> Mapping[str, str]:
+        return {
+            "has_xml_template_doc": DOC,
+            "num_github_stars_doc": DOC,
+            "code_to_comment_ratio_doc": DOC,
+            "code_to_text_ratio_html_doc": DOC,
+        }
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        has_xml = 1.0 if "<?xml version=" in text[:100] else 0.0
+        stars = float(row.get("max_stars_count") or 0)
+        lang = EXT_TO_LANG.get(str(row.get("ext") or "-no-lang"), "-no-lang")
+        if lang in ("python", "java", "javascript"):
+            ratio = comment_char_fraction(text, lang)
+        else:
+            ratio = 0.5  # reference default for unfiltered languages
+        html_ratio = html_text_ratio(text) if lang == "html" else 1.0
+        return {
+            "has_xml_template_doc": has_xml,
+            "num_github_stars_doc": stars,
+            "code_to_comment_ratio_doc": ratio,
+            "code_to_text_ratio_html_doc": html_ratio,
+        }

@@ -1,0 +1,93 @@
+"""CLI smoke test — runs the real `python -m dolma_ray` entry points in a
+subprocess (the CLI owns its own Ray session)."""
+
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+
+@pytest.mark.slow
+def test_cli_tag_and_mix(tmp_path):
+    src = tmp_path / "in"
+    out_tag = tmp_path / "tagged"
+    out_mix = tmp_path / "mixed"
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            f"from dolma_ray.synth import write_web_pages_parquet;"
+            f"write_web_pages_parquet({str(src)!r}, n=80, seed=5, shards=2)",
+        ],
+        check=True,
+    )
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dolma_ray",
+            "--num-cpus",
+            "2",
+            "tag",
+            "--input",
+            str(src),
+            "--output",
+            str(out_tag),
+            "--taggers",
+            "gopher_v1,c4_v2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    cfg = tmp_path / "mix.yaml"
+    cfg.write_text(
+        "filter:\n"
+        "  exclude:\n"
+        '    - "$.attributes[?(@.gopher_v1__word_count && @.gopher_v1__word_count[0]'
+        ' && @.gopher_v1__word_count[0][2] < 50)]"\n'
+        "min_text_length: 1\n"
+    )
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "dolma_ray",
+            "--num-cpus",
+            "2",
+            "mix",
+            "--input",
+            str(out_tag),
+            "--output",
+            str(out_mix),
+            "--config",
+            str(cfg),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    n_in = duckdb.sql(f"select count(*) from read_parquet('{src}/*.parquet')").fetchone()[0]
+    n_tag = duckdb.sql(f"select count(*) from read_parquet('{out_tag}/*.parquet')").fetchone()[0]
+    n_mix = duckdb.sql(f"select count(*) from read_parquet('{out_mix}/*.parquet')").fetchone()[0]
+    assert n_in == n_tag == 80
+    assert 0 < n_mix < 80  # short docs dropped
+    cols = duckdb.sql(f"select * from read_parquet('{out_tag}/*.parquet') limit 0").columns
+    assert "attr__gopher_v1__word_count" in cols
+
+
+def test_cli_list():
+    r = subprocess.run(
+        [sys.executable, "-m", "dolma_ray", "list"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "gopher_v1" in names and "c4_v2" in names and "ft_lang_id_en_doc_v2" in names
