@@ -37,11 +37,11 @@ def mark_duplicates_fused(
     stride: int = 0,
     overlap_threshold: float = 1.0,
     skip_short_paragraphs: bool = False,
+    lookup_strategy: str = "driver",
 ):
     """Append both ``attr__dedupe_docs__duplicate`` and
-    ``attr__dedupe_paragraphs__duplicate`` with a single aggregate."""
+    ``attr__dedupe_paragraphs__duplicate`` with a single lookup pass."""
     import ray
-    from ray.data.aggregate import Count, Min
 
     order = list(order_columns)
     cfg_kwargs = dict(
@@ -80,17 +80,10 @@ def mark_duplicates_fused(
             }
         )
 
-    agg = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Min("o", alias_name="o_min"), Count(alias_name="n"))
-    )
-    lookup: dict[int, str] = {}
-    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        dup = b.filter(pc.greater(b["n"], 1))
-        for k, o in zip(dup["k"].to_pylist(), dup["o_min"].to_pylist()):
-            lookup[k] = o
-    lookup_ref = ray.put(lookup)
+    from .lookup import collect_dup_lookup
+
+    units = ds.map_batches(project, batch_format="pyarrow")
+    lookup_ref = ray.put(collect_dup_lookup(units, strategy=lookup_strategy))
 
     def attach(batch: pa.Table) -> pa.Table:
         cfg = _UnitConfig(**cfg_kwargs)

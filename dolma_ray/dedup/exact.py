@@ -53,10 +53,11 @@ def duplicate_min_lookup(
     ds,
     key_column: str,
     order_columns: Sequence[str],
+    lookup_strategy: str = "driver",
 ) -> dict[int, str]:
     """``{key_hash: min_order_str}`` for keys occurring more than once.
-    One narrow aggregate shuffle; everything else map-side."""
-    from ray.data.aggregate import Count, Min
+    Narrow projection + :func:`dolma_ray.dedup.lookup.collect_dup_lookup`."""
+    from .lookup import collect_dup_lookup
 
     order = list(order_columns)
 
@@ -69,17 +70,8 @@ def duplicate_min_lookup(
             }
         )
 
-    agg = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Min("o", alias_name="o_min"), Count(alias_name="n"))
-    )
-    lookup: dict[int, str] = {}
-    for batch in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        dup = batch.filter(pc.greater(batch["n"], 1))
-        for k, o in zip(dup["k"].to_pylist(), dup["o_min"].to_pylist()):
-            lookup[k] = o
-    return lookup
+    units = ds.map_batches(project, batch_format="pyarrow")
+    return collect_dup_lookup(units, strategy=lookup_strategy)
 
 
 def mark_duplicate_docs(

@@ -1,0 +1,52 @@
+"""Duplicate-key lookup construction shared by the dedup stages.
+
+Input: a narrow Dataset of ``(k: int64, o: string)`` unit rows.
+Output: ``{k: min_o}`` for keys occurring more than once.
+
+Two strategies:
+
+* ``driver`` (default): stream the narrow rows to the driver and
+  aggregate with polars.  The unit stream is ~tens of bytes per unit, so
+  this handles ~10^8 units in seconds without any distributed shuffle —
+  the right choice on a single node and for per-partition dedup scopes.
+* ``shuffle``: ``groupby(k).aggregate(Min, Count)`` in Ray — the
+  all-to-all path for corpus sizes whose unit stream exceeds driver
+  memory (the 10^12-doc regime).  Same result.
+
+Both return a plain dict for ``ray.put`` broadcast.  (If even the
+duplicates-only dict outgrows memory, dedup must become a join — see
+``exact.py`` module notes.)
+"""
+
+from __future__ import annotations
+
+
+def collect_dup_lookup(units_ds, strategy: str = "driver") -> dict[int, str]:
+    if strategy == "driver":
+        import polars as pl
+
+        parts = []
+        for b in units_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            parts.append(pl.from_arrow(b))
+        if not parts:
+            return {}
+        df = (
+            pl.concat(parts)
+            .group_by("k")
+            .agg(pl.col("o").min().alias("o_min"), pl.len().alias("n"))
+            .filter(pl.col("n") > 1)
+        )
+        return dict(zip(df["k"].to_list(), df["o_min"].to_list()))
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    agg = units_ds.groupby("k").aggregate(
+        Min("o", alias_name="o_min"), Count(alias_name="n")
+    )
+    lookup: dict[int, str] = {}
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dup = b.filter(pc.greater(b["n"], 1))
+        for k, o in zip(dup["k"].to_pylist(), dup["o_min"].to_pylist()):
+            lookup[k] = o
+    return lookup

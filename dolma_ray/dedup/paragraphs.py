@@ -125,6 +125,7 @@ def mark_duplicate_paragraphs(
     stride: int = 0,
     overlap_threshold: float = 1.0,
     skip_short_paragraphs: bool = False,
+    lookup_strategy: str = "driver",
 ):
     """Append ``attr__dedupe_paragraphs__duplicate`` spans to ``ds``.
 
@@ -132,10 +133,7 @@ def mark_duplicate_paragraphs(
     ``ngram_length>0`` -> by-ngram overlap dedup (span score = overlap
     fraction, emitted when >= ``overlap_threshold``).
     """
-    import numpy as np
-    import pyarrow.compute as pc
     import ray
-    from ray.data.aggregate import Count, Min
 
     order = list(order_columns)
     cfg_kwargs = dict(
@@ -167,17 +165,10 @@ def mark_duplicate_paragraphs(
             }
         )
 
-    agg = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Min("o", alias_name="o_min"), Count(alias_name="n"))
-    )
-    lookup: dict[int, str] = {}
-    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        dup = b.filter(pc.greater(b["n"], 1))
-        for k, o in zip(dup["k"].to_pylist(), dup["o_min"].to_pylist()):
-            lookup[k] = o
-    lookup_ref = ray.put(lookup)
+    from .lookup import collect_dup_lookup
+
+    units = ds.map_batches(project, batch_format="pyarrow")
+    lookup_ref = ray.put(collect_dup_lookup(units, strategy=lookup_strategy))
 
     def attach(batch: pa.Table) -> pa.Table:
         cfg = _UnitConfig(**cfg_kwargs)
