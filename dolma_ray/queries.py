@@ -485,3 +485,126 @@ ORACLES = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
 }
+
+
+# ---------------------------------------------------------------------------
+# additional queries (wimbd-style ngrams, near-dup suite, analyzer, LSH ANN)
+
+
+def q_top_bigrams(sf_dir: str, k: int = 30):
+    """wimbd-style top-k ngram counts (reference src/wimbd/ngrams) as
+    flat_map -> partial count -> groupby sum -> sort/limit."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    word_rx = re.compile(WORD_RE2)
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def bigrams(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            ws = word_rx.findall((text or "").lower())
+            for a, b in zip(ws, ws[1:]):
+                bg = f"{a} {b}"
+                counts[bg] = counts.get(bg, 0) + 1
+        return pa.table(
+            {
+                "bigram": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bigrams, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_TOP_BIGRAMS = f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE2}') AS ws FROM documents),
+i AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS k FROM w)
+SELECT ws[k] || ' ' || ws[k+1] AS bigram, count(*) AS n
+FROM i GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30
+"""
+
+
+def _doc_id_as_key(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "key", pc.cast(batch["doc_id"], pa.string())
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def q_minhash_near_dup(sf_dir: str):
+    from .dedup import mark_near_duplicates_minhash
+    from .dedup.minhash import DUP_MINHASH_ATTR
+
+    ds = _doc_id_as_key(sf_dir)
+    out = mark_near_duplicates_minhash(
+        ds, key_column="key", order_columns=("doc_id",), shingle_size=3
+    )
+    return out.select_columns(["doc_id", DUP_MINHASH_ATTR])
+
+
+def q_simhash_near_dup(sf_dir: str):
+    from .dedup import mark_near_duplicates_simhash
+    from .dedup.simhash import DUP_SIMHASH_ATTR
+
+    ds = _doc_id_as_key(sf_dir)
+    out = mark_near_duplicates_simhash(
+        ds, key_column="key", order_columns=("doc_id",), max_hamming=3
+    )
+    return out.select_columns(["doc_id", DUP_SIMHASH_ATTR])
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from .dedup import mark_near_duplicates_embedding
+    from .dedup.embedding import DUP_EMBEDDING_ATTR
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = mark_near_duplicates_embedding(ds, threshold=0.95, n_planes=8)
+    return out.select_columns(["vec_id", DUP_EMBEDDING_ATTR])
+
+
+def q_lsh_ann(sf_dir: str):
+    from .analysis.search import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, _query_vector(sf_dir), k=10, n_planes=6)
+
+
+def q_analyzer(sf_dir: str):
+    """Attribute histogram summary over gopher-tagged documents
+    (reference ``dolma stat`` / core/analyzer.py)."""
+    from .analysis.analyzer import summarize_attributes
+    from .taggers.base import TagStage
+    from .util import cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        cached_stage(TagStage, taggers=["gopher_v1", "c4_v2"]),
+        batch_format="pyarrow",
+    )
+    df = summarize_attributes(ds, n_buckets=10)
+    return df
+
+
+QUERIES.update(
+    {
+        "top_bigrams": q_top_bigrams,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lsh_ann": q_lsh_ann,
+        "analyzer": q_analyzer,
+    }
+)
+ORACLES["top_bigrams"] = SQL_TOP_BIGRAMS

@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     aliases,
     c4,
     code,
+    code_composition,
     gopher,
     language,
     length,

@@ -1,0 +1,106 @@
+"""Code/prose composition tagger.
+
+Semantics pinned to the reference
+(``python/dolma/taggers/code_composition.py``): classify each non-empty
+stripped line as code / prose / other (lines <= 3 chars are ``other``
+with no distribution), then emit
+
+* ``boundaries`` — number of code<->prose transitions,
+* per class: ``{label}_pct`` (fraction of lines, rounded to 2),
+  ``{label}`` (line count), ``{label}_entropy`` (mean Shannon entropy of
+  the per-line probability distributions).
+
+The reference uses a downloaded fastText model; here the line classifier
+is the embedded-seed NB model over code-ish vs prose-ish seed lines.
+The label set is fixed (code / prose / other) so the Arrow schema is
+stable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Mapping
+
+from ..registry import TaggerRegistry
+from .base import DOC, BaseTagger
+
+_CODE_SEED = (
+    "def main args return if else for while import from class self x y i "
+    "int void public static string println printf len append push pop "
+    "const let var function percent brackets equals plus minus zero null "
+    "true false foo bar baz tmp buf ptr idx arr obj json config env err "
+    "catch try raise throw assert lambda map filter reduce print input "
+    "open close read write file path os sys np pd df row col val key"
+)
+_PROSE_SEED = (
+    "the quick brown fox jumps over the lazy dog and the children watched "
+    "from the garden while the committee published its final report about "
+    "the state of the local economy because researchers at the university "
+    "discovered a new species in the valley the museum announced that the "
+    "exhibition would be extended through the spring volunteers spent the "
+    "weekend cleaning the river banks and planting trees in the park"
+)
+
+
+def _entropy(dist: list[float]) -> float:
+    out = 0.0
+    for p in dist:
+        if p > 0:
+            out -= p * math.log2(p)
+    return out
+
+
+@TaggerRegistry.add("code_composition")
+class CodeProseCompositionClassifier(BaseTagger):
+    LABELS = ("code", "prose", "other")
+
+    def __init__(self) -> None:
+        from ..models.fasttext_like import NaiveBayesTextClassifier
+
+        self.model = NaiveBayesTextClassifier(
+            {"code": _CODE_SEED, "prose": _PROSE_SEED}
+        )
+
+    def output_types(self) -> Mapping[str, str]:
+        types = {"boundaries": DOC}
+        for lb in self.LABELS:
+            types[f"{lb}_pct"] = DOC
+            types[lb] = DOC
+            types[f"{lb}_entropy"] = DOC
+        return types
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        class_counts: dict[str, int] = {}
+        dists: dict[str, list[list[float]]] = {}
+        active = None
+        boundaries = 0
+        for line in (ln.strip() for ln in text.splitlines()):
+            if not line:
+                continue
+            if len(line) > 3:
+                labels, probs = self.model.predict(line, k=-1)
+                label = labels[0].replace("__label__", "")
+                dist = list(probs)
+            else:
+                label, dist = "other", []
+            dists.setdefault(label, []).append(dist)
+            class_counts[label] = class_counts.get(label, 0) + 1
+            if (
+                active in ("code", "prose")
+                and label in ("code", "prose")
+                and label != active
+            ):
+                boundaries += 1
+            active = label
+
+        total = sum(class_counts.values())
+        out: dict[str, float] = {"boundaries": float(boundaries)}
+        for lb in self.LABELS:
+            count = class_counts.get(lb, 0)
+            out[f"{lb}_pct"] = round(count / total, 2) if total else 0.0
+            out[lb] = float(count)
+            lb_dists = [d for d in dists.get(lb, []) if d]
+            out[f"{lb}_entropy"] = (
+                sum(_entropy(d) for d in lb_dists) / len(lb_dists) if lb_dists else 0.0
+            )
+        return out

@@ -1,0 +1,41 @@
+"""Spot-checks for the extended query set + code_composition."""
+
+import pytest
+
+
+def test_code_composition_semantics():
+    from dolma_ray.registry import TaggerRegistry
+    import dolma_ray.taggers  # noqa: F401
+
+    t = TaggerRegistry.get("code_composition")()
+    text = (
+        "def foo():\n    return bar(1)\n"
+        "This is a long prose sentence about the garden and the weather today.\n"
+        "x=1\n"
+    )
+    out = t.predict(text, {})
+    assert out["boundaries"] >= 1
+    assert out["code"] >= 1
+    assert out["prose"] >= 1
+    assert out["other"] == 1.0  # "x=1" is <= 3 chars
+    assert abs(sum(out[f"{lb}_pct"] for lb in ("code", "prose", "other")) - 1.0) < 0.02
+
+
+def test_empty_doc_composition():
+    from dolma_ray.registry import TaggerRegistry
+
+    t = TaggerRegistry.get("code_composition")()
+    out = t.predict("", {})
+    assert out["boundaries"] == 0.0
+    assert out["code_pct"] == 0.0
+
+
+@pytest.mark.parametrize("name", ["top_bigrams", "lsh_ann", "analyzer"])
+def test_extra_queries_run(ray_session, name):
+    from dolma_ray.queries import QUERIES
+
+    res = QUERIES[name]("/root/testdata/sf0.001")
+    import pandas as pd
+
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    assert len(df) > 0
