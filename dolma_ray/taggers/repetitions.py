@@ -67,6 +67,10 @@ def find_periodic_sequences(
         raise ValueError("mask_value occurs in the array")
     max_period = min(max_period, len(arr) // 3)
     for period in range(min_period, max_period + 1):
+        # cheap precheck: a period-p repetition needs arr[i] == arr[i+p]
+        # somewhere; one vectorized compare skips the reshape machinery
+        if not (arr[period:] == arr[:-period]).any():
+            continue
         pad_n = period - (len(arr) % period)
         padded = np.empty(len(arr) + pad_n, dtype=arr.dtype)
         padded[: len(arr)] = arr

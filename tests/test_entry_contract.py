@@ -1,0 +1,50 @@
+"""Driver-contract sanity: entry()/queries()/oracle_sql() shape, and a
+fast end-to-end oracle comparison for two representative queries."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_contract_shapes():
+    import __ray_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert len(q) >= 15
+    assert set(o) <= set(q)
+    assert len(o) >= 10
+    for name, sql in o.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper()
+
+
+@pytest.mark.parametrize("name", ["lang_counts", "scrub_text"])
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as e
+
+    res = e.queries()[name](SF)
+    ours = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    con = duckdb.connect()
+    for t in ("documents", "events", "orders", "customer", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    theirs = con.sql(e.oracle_sql()[name]).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(ours), canon(theirs), check_dtype=False)
+
+
+def test_entry_runs(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    assert len(df) > 0
+    assert {"doc_id", "keep"} <= set(df.columns)
