@@ -46,7 +46,7 @@ class TextSlice(NamedTuple):
 _PARAGRAPH_RE = re.compile(r"[^\n]*\n|[^\n]+$")
 # word-ish runs: letters/digits/underscore plus in-word ' and ’, else single symbol
 _UWORD_RE = re.compile(r"[\w]+(?:['’][\w]+)*|[^\w\s]", re.UNICODE)
-_SENT_RE = re.compile(r"[^.!?]*[.!?]+(?:[\"'’”\\)\\]]+)?(?:\s+|$)|[^.!?]+$")
+_SENT_BOUND_RE = re.compile(r"[.!?]+[\"'’”)\]]*(?:\s+|$)")
 
 
 def split_paragraphs(text: str, remove_empty: bool = True) -> list[TextSlice]:
@@ -77,13 +77,20 @@ def split_unicode_word_tokens(text: str) -> list[str]:
 
 
 def split_sentences(text: str) -> list[TextSlice]:
-    """Sentence slices; trailing whitespace after terminal punctuation is
-    included in the preceding sentence span (keeps spans contiguous, which
-    makes sentence-level scrubbing splice cleanly)."""
+    """Sentence slices: boundaries fall after terminal punctuation
+    (+closing quotes/brackets) followed by whitespace or end of text.
+    Trailing whitespace is included in the preceding span, so slices are
+    contiguous and cover the text — sentence-level scrubbing splices
+    cleanly and decimal numbers ("2.5") never split a sentence."""
     out = []
-    for m in _SENT_RE.finditer(text):
-        if text[m.start() : m.end()].strip():
-            out.append(TextSlice(text, m.start(), m.end()))
+    start = 0
+    for m in _SENT_BOUND_RE.finditer(text):
+        end = m.end()
+        if text[start:end].strip():
+            out.append(TextSlice(text, start, end))
+        start = end
+    if start < len(text) and text[start:].strip():
+        out.append(TextSlice(text, start, len(text)))
     return out
 
 

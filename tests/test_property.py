@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for offset-critical primitives."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dolma_ray.mixer.scrub import splice
+from dolma_ray.text_units import split_paragraphs
+
+
+def naive_splice(text: str, replacements):
+    """Reference-semantics splice implemented the slow way: walk chars."""
+    reps = sorted(replacements, key=lambda r: r[0])
+    out = []
+    cursor = 0
+    for start, end, rep in reps:
+        if start < cursor:
+            continue
+        out.append(text[cursor:start])
+        out.append(rep.replace("{}", text[start:end]))
+        cursor = max(cursor, end)
+    out.append(text[cursor:])
+    return "".join(out)
+
+
+@st.composite
+def text_and_spans(draw):
+    text = draw(st.text(min_size=0, max_size=80))
+    n = draw(st.integers(0, 5))
+    spans = []
+    for _ in range(n):
+        a = draw(st.integers(0, max(len(text), 1)))
+        b = draw(st.integers(0, max(len(text), 1)))
+        start, end = min(a, b), max(a, b)
+        rep = draw(st.sampled_from(["", "X", "[{}]", " |||MASK||| "]))
+        spans.append((start, end, rep))
+    return text, spans
+
+
+@given(text_and_spans())
+@settings(max_examples=300, deadline=None)
+def test_splice_matches_naive(ts):
+    text, spans = ts
+    assert splice(text, spans) == naive_splice(text, spans)
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_paragraph_slices_cover_and_roundtrip(text):
+    paras = split_paragraphs(text, remove_empty=False)
+    # slices are contiguous, non-overlapping, and reconstruct the text
+    assert "".join(p.text for p in paras) == text
+    for a, b in zip(paras, paras[1:]):
+        assert a.end == b.start
+    # removing empties keeps only whitespace-nonempty slices
+    nonempty = split_paragraphs(text, remove_empty=True)
+    assert all(p.text.strip() for p in nonempty)
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=200, deadline=None)
+def test_sentences_cover(text):
+    from dolma_ray.text_units import split_sentences
+
+    sents = split_sentences(text)
+    if text.strip():
+        # sentence slices are within bounds, ordered, non-overlapping
+        for s in sents:
+            assert 0 <= s.start <= s.end <= len(text)
+        for a, b in zip(sents, sents[1:]):
+            assert a.end <= b.start
+        # every alphanumeric char is inside some sentence (leading
+        # punctuation before a sentence may fall outside spans)
+        covered = set()
+        for s in sents:
+            covered.update(range(s.start, s.end))
+        for i, c in enumerate(text):
+            if c.isalnum():
+                assert i in covered
+
+
+@given(st.lists(st.text(min_size=0, max_size=10), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_paragraph_span_offsets_match_reference_rule(lines):
+    """_paragraph_spans replicates deduper.rs offset arithmetic."""
+    from dolma_ray.dedup.paragraphs import _paragraph_spans
+
+    text = "\n".join(lines)
+    spans = _paragraph_spans(text)
+    if not text:
+        assert spans == []
+        return
+    assert len(spans) == len(text.split("\n"))
+    for (start, end, par), expected in zip(spans, text.split("\n")):
+        assert par == expected
+        # the span starts where the paragraph starts
+        assert text[start : start + len(par)] == par
