@@ -247,25 +247,36 @@ LIMIT 50
 
 
 def q_events_hourly(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1-hour window aggregate with a per-batch partial
+    aggregation (combiner) before the groupby shuffle — the shuffle only
+    moves one row per (event_type, hour) per batch."""
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def prep(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
         micros = pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000.0)), pa.int64())
-        return pa.table(
+        t = pa.table(
             {
                 "event_type": batch["event_type"],
                 "hour": hour,
                 "value_micros": micros,
             }
         )
+        return (
+            t.group_by(["event_type", "hour"])
+            .aggregate([("value_micros", "sum"), ("hour", "count")])
+            .rename_columns(["event_type", "hour", "total_value_micros", "n"])
+        )
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value_micros", alias_name="total_value_micros"))
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("total_value_micros", alias_name="total_value_micros"),
+        )
     )
 
 
