@@ -108,16 +108,22 @@ def run_bench() -> dict:
     # a fixed cost that would skew the high-parallelism leg
     flagship(ds.limit(NUM_CPUS * 64), mode="filter", batch_size=64).count()
 
-    t0 = time.perf_counter()
+    out_dir = f"/tmp/dolma_ray_bench_out_{NUM_CPUS}"
+    import shutil
 
-    n_kept = _consume(
-        flagship(
-            ds,
-            mode="filter",
-            batch_size=512,
-        )
-    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    # the pipeline's real sink: distributed parquet write (no driver pull)
+    flagship(ds, mode="filter", batch_size=256).write_parquet(out_dir)
     flagship_sec = round(time.perf_counter() - t0, 3)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    n_kept = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(f"{out_dir}/*.parquet")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
     timings["flagship_web"] = flagship_sec
 
     total = round(sum(timings.values()), 3)

@@ -1,3 +1,9 @@
-from .jsonl import read_dolma_documents, write_dolma_documents  # noqa: F401
+from .jsonl import (  # noqa: F401
+    attributes_table,
+    attributes_to_rows,
+    read_dolma_documents,
+    write_dolma_attributes,
+    write_dolma_documents,
+)
 from .resume import ResumableWriter, read_manifest  # noqa: F401
 from .linearize import HtmlParserLinearizer, LinearizerRegistry, linearize_html  # noqa: F401

@@ -115,3 +115,51 @@ def write_dolma_documents(
         if fh is not None:
             fh.close()
     return out_dir
+
+
+def write_dolma_attributes(
+    ds,
+    out_dir: str,
+    max_rows_per_shard: int = 100_000,
+    id_column: str = "id",
+):
+    """Write the ``attr__*`` columns of a tagged Dataset as a
+    reference-format attributes tree (gzip JSONL of ``{id, attributes}``,
+    ``docs/data-format.md:70-109``) — for consumers expecting the
+    reference's parallel attribute files.  Scores carry the 5-digit
+    rounding applied at tagging time; doc scalars become
+    ``[0, len(text), score]`` triples."""
+    os.makedirs(out_dir, exist_ok=True)
+    shard = rows_in_shard = 0
+    fh = None
+    try:
+        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            for row in attributes_to_rows(batch, id_column=id_column):
+                if fh is None or rows_in_shard >= max_rows_per_shard:
+                    if fh is not None:
+                        fh.close()
+                    path = os.path.join(out_dir, f"{shard:05d}.json.gz")
+                    fh = gzip.open(path, "wt", encoding="utf-8")
+                    shard += 1
+                    rows_in_shard = 0
+                fh.write(json.dumps(row, ensure_ascii=False) + "\n")
+                rows_in_shard += 1
+    finally:
+        if fh is not None:
+            fh.close()
+    return out_dir
+
+
+def attributes_table(batch: "pa.Table", id_column: str = "id") -> "pa.Table":
+    """Parquet-friendly attribute side-output: ``(id, attributes_json)``
+    per row (SURVEY §1.3's optional reference-comparable dump)."""
+    rows = attributes_to_rows(batch, id_column=id_column)
+    return pa.table(
+        {
+            id_column: pa.array([r["id"] for r in rows]),
+            "attributes_json": pa.array(
+                [json.dumps(r["attributes"], ensure_ascii=False, sort_keys=True) for r in rows],
+                pa.string(),
+            ),
+        }
+    )

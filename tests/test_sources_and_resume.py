@@ -156,3 +156,30 @@ def test_multimodal_stages(ray_session):
 
     with pytest.raises(NotImplementedError):
         ImageDecodeStage(strict=True)._decode_image(b"x")
+
+
+def test_write_dolma_attributes(ray_session, tmp_path):
+    import gzip
+    import json
+
+    import ray.data as rd
+
+    from dolma_ray.sources import write_dolma_attributes
+    from dolma_ray.taggers.base import tag_dataset
+
+    rows = [
+        {"id": f"d{i}", "text": "Contact a@b.com now. " * (i + 1)} for i in range(4)
+    ]
+    ds = tag_dataset(rd.from_items(rows), ["char_length_v1"])
+    out = tmp_path / "attrs"
+    write_dolma_attributes(ds, str(out))
+    files = sorted(out.iterdir())
+    assert files
+    recs = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            recs.extend(json.loads(ln) for ln in fh)
+    assert len(recs) == 4
+    rec = next(r for r in recs if r["id"] == "d0")
+    [(s, e, score)] = rec["attributes"]["char_length_v1__length"]
+    assert (s, e, score) == (0, 21, 21.0)
