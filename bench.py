@@ -82,6 +82,7 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.execution_options.preserve_order = False
 
     from dolma_ray.queries import QUERIES
 
@@ -99,7 +100,7 @@ def run_bench() -> dict:
 
     # headline: flagship quality-filter pipeline over the web-page corpus
     corpus = _web_corpus_path()
-    ds = rd.read_parquet(corpus, columns=["url", "warc_ts", "text", "lang"])
+    ds = rd.read_parquet(corpus, columns=["url", "warc_ts", "text"])
     ds.count()  # warm page cache
     from dolma_ray.pipelines import flagship
 
