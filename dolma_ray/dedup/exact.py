@@ -104,3 +104,63 @@ def mark_duplicate_docs(
         return batch.append_column(DUP_DOCS_ATTR, spans_array(spans))
 
     return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def mark_duplicate_docs_join(
+    ds,
+    key_column: str = "text",
+    order_columns: Sequence[str] = ("warc_ts", "url"),
+    text_column: str = "text",
+    num_partitions: int = 32,
+):
+    """Fully-distributed variant of :func:`mark_duplicate_docs` for
+    corpora whose duplicates-only lookup exceeds broadcast memory: the
+    per-key min-order table stays a Dataset and is hash-joined
+    (``Dataset.join``) against the corpus on the key hash.  Two shuffles
+    (aggregate + join of the narrow key columns); the document text still
+    never moves — only ``(k, o)`` plus the join key on the big side.
+    """
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Count, Min
+
+    order = list(order_columns)
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        keys = hash_strings_i63(batch[key_column])
+        batch = batch.append_column("_k", pa.array(keys, pa.int64()))
+        return batch.append_column(
+            "_o", pa.array(_order_strings(batch, order), pa.string())
+        )
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow")
+
+    mins = (
+        keyed.select_columns(["_k", "_o"])
+        .groupby("_k")
+        .aggregate(Min("_o", alias_name="_o_min"), Count(alias_name="_n"))
+        .filter(lambda r: r["_n"] > 1)
+        .drop_columns(["_n"])
+    )
+
+    # NOTE: Ray's hash join currently fails when a right-side partition is
+    # empty ("No match ... on right side"); with realistic duplicate
+    # densities every partition has rows.  Keep num_partitions <= expected
+    # duplicate-key count (tiny corpora should use the broadcast path).
+    joined = keyed.join(
+        mins, join_type="left_outer", num_partitions=num_partitions, on=("_k",)
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        o = batch["_o"].to_pylist()
+        o_min = batch["_o_min"].to_pylist()
+        lens = pc_.utf8_length(batch[text_column]).to_numpy(zero_copy_only=False)
+        spans = [
+            [(0, int(ln), 1.0)] if (m is not None and a != m) else []
+            for a, m, ln in zip(o, o_min, lens)
+        ]
+        batch = batch.drop_columns(["_k", "_o", "_o_min"])
+        if DUP_DOCS_ATTR in batch.column_names:
+            batch = batch.drop_columns([DUP_DOCS_ATTR])
+        return batch.append_column(DUP_DOCS_ATTR, spans_array(spans))
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -139,3 +139,28 @@ def test_bloom_dedup_stage(ray_session):
     # exactly one of a/b marked duplicate (arrival order), c unique
     assert flags["a"] != flags["b"]
     assert not flags["c"]
+
+
+def test_join_strategy_doc_dedup(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup.exact import DUP_DOCS_ATTR, mark_duplicate_docs_join
+
+    # enough duplicate keys that every join partition is non-empty
+    # (Ray's hash join rejects empty right-side partitions)
+    rows = []
+    for i in range(40):
+        rows.append({"url": f"a{i}", "warc_ts": 1, "text": f"dup text {i}"})
+        rows.append({"url": f"b{i}", "warc_ts": 2, "text": f"dup text {i}"})
+    rows.append({"url": "c", "warc_ts": 3, "text": "unique text here"})
+    out = (
+        mark_duplicate_docs_join(
+            rd.from_items(rows), order_columns=("warc_ts", "url"), num_partitions=2
+        )
+        .to_pandas()
+        .set_index("url")
+    )
+    for i in range(40):
+        assert len(out.loc[f"a{i}", DUP_DOCS_ATTR]) == 0
+        assert len(out.loc[f"b{i}", DUP_DOCS_ATTR]) == 1
+    assert len(out.loc["c", DUP_DOCS_ATTR]) == 0
