@@ -1,0 +1,86 @@
+"""External attribute tables: write tagger output as a standalone table
+and join it back onto documents later — the reference's documents ↔
+attributes workflow (``docs/data-format.md``, positional merge in
+``src/shard.rs:222-365``) re-expressed as a keyed join.
+
+In this engine attributes normally live as columns on the same Dataset
+and no join exists.  These helpers cover the *decoupled* workflow (tag
+once, mix many times later, share attribute sets between teams):
+
+* :func:`write_attribute_table` — project ``(id, attr__*)`` columns to a
+  Parquet attribute table;
+* :func:`join_attributes` — attach an attribute table onto a document
+  Dataset by key.  ``strategy="broadcast"`` ships the attribute table
+  via ``ray.put`` (small side); ``strategy="join"`` uses the
+  distributed hash join.  Key equality replaces the reference's
+  line-position alignment (which it asserts anyway via id checks,
+  ``src/shard.rs:298-309``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def write_attribute_table(ds, out_dir: str, id_column: str = "url"):
+    """Write ``(id, attr__*)`` as a Parquet attribute table."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = [id_column] + [c for c in batch.column_names if c.startswith("attr__")]
+        return batch.select(cols)
+
+    ds.map_batches(project, batch_format="pyarrow").write_parquet(out_dir)
+    return out_dir
+
+
+def join_attributes(
+    ds,
+    attrs,
+    id_column: str = "url",
+    strategy: str = "broadcast",
+    num_partitions: int = 32,
+):
+    """Attach an attribute table (Dataset or path) onto ``ds`` by key."""
+    import ray
+    import ray.data as rd
+
+    if isinstance(attrs, str):
+        attrs = rd.read_parquet(attrs)
+
+    if strategy == "join":
+        return ds.join(
+            attrs,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(id_column,),
+        )
+
+    # broadcast: collect the attribute table once, ship via object store
+    parts = list(attrs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"))
+    tbl = pa.concat_tables(parts) if parts else None
+    if tbl is None:
+        return ds
+    index = {k: i for i, k in enumerate(tbl[id_column].to_pylist())}
+    ref = ray.put((tbl, index))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        attr_tbl, idx = ray.get(ref)
+        keys = batch[id_column].to_pylist()
+        import numpy as np
+
+        rows = np.array([idx.get(k, -1) for k in keys], dtype=np.int64)
+        present = rows >= 0
+        take_idx = pa.array(
+            [int(r) if r >= 0 else None for r in rows], pa.int64()
+        )
+        for col in attr_tbl.column_names:
+            if col == id_column:
+                continue
+            taken = attr_tbl[col].take(take_idx)
+            if col in batch.column_names:
+                batch = batch.set_column(batch.column_names.index(col), col, taken)
+            else:
+                batch = batch.append_column(col, taken)
+        return batch
+
+    return ds.map_batches(attach, batch_format="pyarrow")

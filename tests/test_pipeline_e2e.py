@@ -153,3 +153,27 @@ def test_ngram_near_dup(ray_session):
     assert len(b_spans) == 1
     assert 0.5 <= b_spans[0]["score"] < 1.0
     assert list(out.loc["c", DUP_PARAGRAPHS_ATTR]) == []
+
+
+@pytest.mark.parametrize("seed", [7, 99, 123])
+def test_keep_drop_f1_multi_seed(ray_session, seed):
+    """F1 gate holds across generator seeds (robustness beyond the fixture)."""
+    import ray.data as rd
+
+    table, profiles = generate_web_pages(300, seed=seed)
+    out = flagship(rd.from_arrow(table), mode="label").to_pandas().set_index("url")
+    prof_by_url = dict(zip(table["url"].to_pylist(), profiles))
+    tp = fp = fn = 0
+    for url, row in out.iterrows():
+        expect_keep = not PROFILE_EXPECT_DROP[prof_by_url[url]]
+        got_keep = bool(row["keep"])
+        if expect_keep and got_keep:
+            tp += 1
+        elif expect_keep and not got_keep:
+            fn += 1
+        elif not expect_keep and got_keep:
+            fp += 1
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.99, f"seed={seed} F1={f1:.4f}"

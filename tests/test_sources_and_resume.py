@@ -183,3 +183,31 @@ def test_write_dolma_attributes(ray_session, tmp_path):
     rec = next(r for r in recs if r["id"] == "d0")
     [(s, e, score)] = rec["attributes"]["char_length_v1__length"]
     assert (s, e, score) == (0, 21, 21.0)
+
+
+def test_attribute_table_roundtrip(ray_session, tmp_path):
+    """Tag once -> write attribute table -> join back later -> mix."""
+    import ray.data as rd
+
+    from dolma_ray.mixer import FilterConfig, MixConfig, Rule, mix
+    from dolma_ray.sources import join_attributes, write_attribute_table
+    from dolma_ray.synth import generate_web_pages
+    from dolma_ray.taggers.base import tag_dataset
+
+    table, _ = generate_web_pages(60, seed=9)
+    docs = rd.from_arrow(table.select(["url", "text"]))
+    tagged = tag_dataset(docs, ["gopher_v1"])
+    attr_dir = tmp_path / "attrs"
+    write_attribute_table(tagged, str(attr_dir), id_column="url")
+
+    # later: plain docs + external attributes -> mix
+    rejoined = join_attributes(
+        rd.from_arrow(table.select(["url", "text"])), str(attr_dir), id_column="url"
+    )
+    cfg = MixConfig(
+        filter=FilterConfig(exclude=[Rule("attr__gopher_v1__word_count", "<", 50)])
+    )
+    kept = mix(rejoined, cfg, mode="filter").to_pandas()
+    direct = mix(tagged, cfg, mode="filter").to_pandas()
+    assert set(kept["url"]) == set(direct["url"])
+    assert 0 < len(kept) < 60
