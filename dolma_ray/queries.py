@@ -619,3 +619,97 @@ QUERIES.update(
     }
 )
 ORACLES["top_bigrams"] = SQL_TOP_BIGRAMS
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Paragraph-level dedup over the documents table (single-line docs:
+    paragraph == document, so the SQL oracle is a window over text)."""
+    from .dedup import mark_duplicate_paragraphs
+    from .dedup.paragraphs import DUP_PARAGRAPHS_ATTR
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        return batch.append_column("url", pc.cast(batch["doc_id"], pa.string()))
+
+    ds = ds.map_batches(add_url, batch_format="pyarrow")
+    marked = mark_duplicate_paragraphs(ds, order_columns=("doc_id",), min_length=1)
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch[DUP_PARAGRAPHS_ATTR]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.list_value_length(col)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "is_dup": pc.greater(n, 0),
+            }
+        )
+
+    return marked.map_batches(project, batch_format="pyarrow")
+
+
+SQL_PARAGRAPH_DEDUP = """
+SELECT doc_id,
+       doc_id > min(doc_id) OVER (PARTITION BY text) AS is_dup
+FROM documents
+"""
+
+
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windows over the events stream: per-user event sequences
+    split at >30-minute gaps (the streaming-shaped operator class —
+    ``groupby(key).map_groups`` over ts-sorted groups; the engine has no
+    event-time watermarks, ordering comes from the explicit sort)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = g["ts"].astype("int64")
+        new_session = (ts_us.diff() > gap_us).fillna(False).astype("int64")
+        sid = new_session.cumsum()
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "session_id": sid})
+            .groupby("session_id")
+            .agg(user_id=("user_id", "first"), n_events=("session_id", "size"))
+            .reset_index()
+        )
+        return out[["user_id", "session_id", "n_events"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+SQL_USER_SESSIONS = """
+WITH gaps AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+QUERIES.update(
+    {
+        "paragraph_dedup": q_paragraph_dedup,
+        "user_sessions": q_user_sessions,
+    }
+)
+ORACLES.update(
+    {
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+        "user_sessions": SQL_USER_SESSIONS,
+    }
+)
