@@ -62,4 +62,4 @@ class StupidBackoffLM:
         logp = 0.0
         for i in range(2, len(seq)):
             logp += math.log10(self._score(seq[i - 2], seq[i - 1], seq[i]))
-        return -logp / len(toks)
+        return (-logp / len(toks)) + 0.0  # normalize -0.0

@@ -425,13 +425,12 @@ def q_langid(sf_dir: str):
 
 def q_perplexity(sf_dir: str):
     from .taggers.base import TagStage
+    from .util import cached_stage
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(
-        TagStage,
-        fn_constructor_kwargs={"taggers": ["kenlm_ppl_doc_v1"]},
+        cached_stage(TagStage, taggers=["kenlm_ppl_doc_v1"]),
         batch_format="pyarrow",
-        concurrency=2,
     )
     return ds.select_columns(["doc_id", "attr__kenlm_ppl_doc_v1__doc_ppl"])
 

@@ -1,0 +1,114 @@
+"""Unit tests for the remaining tagger pack: lengths, punctuation,
+sampling determinism, licenses, url blocklists, language variants,
+quality/perplexity shapes."""
+
+import pytest
+
+from dolma_ray.registry import TaggerRegistry
+import dolma_ray.taggers  # noqa: F401  (register everything)
+
+
+def _t(name, **kwargs):
+    return TaggerRegistry.get(name)(**kwargs)
+
+
+def test_length_taggers():
+    text = "ab cd\nef"
+    assert _t("char_length_v1").predict(text, {}) == {"length": 8.0}
+    assert _t("char_length_strip_ws_v1").predict(" x ", {}) == {"length_no_ws": 1.0}
+    assert _t("bytes_length_v1").predict("é", {}) == {"bytes": 2.0}
+    assert _t("doc_count_v1").predict(text, {}) == {"docs": 1.0}
+    out = _t("char_length_with_paragraphs_v1").predict(text, {})
+    assert out["document"] == 8.0
+    assert out["paragraph"] == [(0, 6, 6.0), (6, 8, 2.0)]
+
+
+def test_uniseg_length_negative_trick():
+    out = _t("uniseg_length_paragraphs_v1").predict("one two\n", {})
+    [(s, e, n)] = out["paragraph"]
+    [(s2, e2, neg)] = out["negative_paragraph"]
+    assert (s, e) == (s2, e2) == (0, 8)
+    assert n == 2.0 and neg == -2.0
+
+
+def test_whitespace_tokenizer_split_quirk():
+    # reference counts split PIECES (matches + 1)
+    out = _t("whitespace_tokenizer_v1").predict("a b", {})
+    assert out["length"] == 3.0  # ["", " ", ""] around 'a','b' -> 3 pieces
+
+
+def test_not_alphanum_paragraph():
+    text = "real words here\n!!! ???\n"
+    out = _t("not_alphanum_paragraph_v1").predict(text, {})
+    assert len(out["all_punct"]) == 1
+    s, e, score = out["all_punct"][0]
+    assert text[s:e] == "!!! ???\n" and score == 1.0
+
+
+def test_random_number_deterministic():
+    t = _t("random_number_v1")
+    a = t.predict("text", {"url": "http://x/1"})["random"]
+    b = t.predict("text", {"url": "http://x/1"})["random"]
+    c = t.predict("text", {"url": "http://x/2"})["random"]
+    assert a == b != c
+    assert 0.0 <= a < 1.0
+
+
+def test_cc_license_taggers():
+    html = b'<a href="https://creativecommons.org/licenses/by-nc/4.0/">CC</a>'
+    out = _t("cc_re").predict("", {"html": html})
+    assert out["license"].startswith("by-nc")
+    assert out["score"] == 1.0
+    out_fast = _t("cc_re_fast").predict("", {"html": html})
+    assert out_fast["license"] == "by-nc"
+    none = _t("cc_re").predict("", {"html": b"<p>no license</p>"})
+    assert none == {"license": "", "score": 0.0}
+
+
+def test_url_blocklists():
+    bl = ["bad.example.com", "# comment", "0.0.0.0 host.evil.net"]
+    t = _t("domain_blocklist_v1", blocklist=bl)
+    assert t.predict("", {"url": "http://bad.example.com/page"})["url"] == 1.0
+    assert t.predict("", {"url": "https://www.bad.example.com/x"})["url"] == 1.0
+    assert t.predict("", {"url": "http://host.evil.net/"})["url"] == 1.0
+    assert t.predict("", {"url": "http://good.example.com/"})["url"] == 0.0
+
+    lt = _t("link_blocklist_v1", blocklist=["evil.com/path/page"])
+    assert lt.predict("", {"url": "https://evil.com/path/page?q=1"})["url"] == 1.0
+    assert lt.predict("", {"url": "https://evil.com/other"})["url"] == 0.0
+
+
+def test_language_variants_shapes():
+    text = "The quick brown fox jumps over the lazy dog near the garden wall."
+    doc = _t("lang_id_doc_v1").predict(text, {})
+    assert doc["lang"] == "en" and doc["score"] > 0.5
+    en = _t("lang_id_en_doc_v2").predict(text, {})
+    assert abs(en["en"] + en["not_en"] - 1.0) < 1e-9
+    para = _t("lang_id_en_paragraph_with_doc_score_v2").predict(text + "\n" + text, {})
+    assert len(para["en"]) == 2
+    assert 0 <= para["doc_en"] <= 1
+    # reference aliases resolve
+    alias = _t("ft_lang_id_en_doc_v2").predict(text, {})
+    assert alias["en"] == en["en"]
+
+
+def test_quality_and_perplexity_shapes():
+    hq = "The scientific method involves careful observation and honest debate about evidence."
+    lq = "click here buy now free casino bonus click click subscribe now"
+    q = _t("dclm-oh-eli5")
+    assert q.predict(hq, {})["score"] > q.predict(lq, {})["score"]
+    d17 = _t("dolma17-quality").predict(hq, {})
+    assert abs(d17["hq"] + d17["cc"] - 1.0) < 1e-9
+    ppl = _t("kenlm_ppl_doc_v1")
+    seen = ppl.predict("the quick brown fox jumps over the lazy dog", {})["doc_ppl"]
+    unseen = ppl.predict("zyx qwv mnb plk jhg fds apo iuy", {})["doc_ppl"]
+    assert 0 <= seen < unseen
+    par = _t("kenlm_ppl_paragraph_v1").predict("one line\nanother line", {})
+    assert len(par["paragraph_ppl"]) == 2 and par["doc_ppl"] > 0
+
+
+def test_tokenizer_length_taggers():
+    out = _t("olmo_pretokenizer_v1").predict("Hello world, 42 times!", {})
+    assert out["length"] > 4
+    par = _t("olmo_pretokenizer_with_paragraphs_v1").predict("a b\nc d", {})
+    assert par["document"] == sum(s[2] for s in par["paragraph"])
