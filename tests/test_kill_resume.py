@@ -1,0 +1,95 @@
+"""True kill/restart resumability: a worker process is SIGKILLed mid-run;
+the rerun completes without recomputing finished partitions."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import dolma_ray
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(dolma_ray.__file__)))
+ENV = dict(os.environ, PYTHONPATH=REPO_ROOT)
+
+SCRIPT = r"""
+import sys, time
+import ray, ray.data as rd
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+from dolma_ray.sources import ResumableWriter
+
+src, out, slow = sys.argv[1], sys.argv[2], sys.argv[3] == "slow"
+
+def pipeline(path):
+    ds = rd.read_parquet(path)
+    def work(b):
+        if slow:
+            time.sleep(3)  # give the parent time to SIGKILL us mid-run
+        return b.select(["url", "text"])
+    return ds.map_batches(work, batch_format="pyarrow")
+
+import glob
+files = sorted(glob.glob(src + "/*.parquet"))
+w = ResumableWriter(out)
+done = w.run(files, pipeline)
+print("DONE", len(done))
+ray.shutdown()
+"""
+
+
+def test_kill_and_resume(tmp_path):
+    from dolma_ray.sources import read_manifest
+    from dolma_ray.synth import write_web_pages_parquet
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    write_web_pages_parquet(str(src), n=80, seed=4, shards=4)
+    script = tmp_path / "job.py"
+    script.write_text(SCRIPT)
+
+    # run slow, SIGKILL once at least one partition finished
+    p = subprocess.Popen(
+        [sys.executable, str(script), str(src), str(out), "slow"],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+        env=ENV,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        finished = read_manifest(str(out))
+        if len(finished) >= 1:
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.5)
+    assert p.poll() is None, "job finished before we could kill it — slow path broken"
+    os.kill(p.pid, signal.SIGKILL)
+    p.wait()
+
+    n_before = len(read_manifest(str(out)))
+    assert 1 <= n_before < 4
+
+    # record mtimes of finished partition files
+    mtimes = {}
+    for rec in read_manifest(str(out)):
+        for f in os.listdir(rec["output"]):
+            fp = os.path.join(rec["output"], f)
+            mtimes[fp] = os.path.getmtime(fp)
+
+    # rerun fast: must complete and NOT rewrite finished partitions
+    r = subprocess.run(
+        [sys.executable, str(script), str(src), str(out), "fast"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=ENV,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    finished = read_manifest(str(out))
+    assert len(finished) == 4
+    for fp, mt in mtimes.items():
+        assert os.path.getmtime(fp) == mt, f"finished partition rewritten: {fp}"
+    # no stray tmp dirs
+    assert not [d for d in os.listdir(out) if d.startswith(".tmp-")]
