@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..schema import attr_name
+from .exact import _order_strings
 
 DUP_EMBEDDING_ATTR = attr_name("dedupe_embedding", "near_duplicate")
 
@@ -46,10 +47,7 @@ def mark_near_duplicates_embedding(
         sigs = ((m @ planes) > 0).dot(1 << np.arange(n_planes)).astype(np.int64)
         norms = np.linalg.norm(m, axis=1)
         normed = m / np.maximum(norms, 1e-30)[:, None]
-        orders = [
-            "\x1f".join(str(v) for v in row)
-            for row in zip(*(batch[c].to_pylist() for c in order_columns))
-        ]
+        orders = _order_strings(batch, list(order_columns))
         return pa.table(
             {
                 "key": batch[key_column],
@@ -79,8 +77,8 @@ def mark_near_duplicates_embedding(
     import ray
 
     dup_keys: set = set()
-    for row in dup_keys_ds.iter_rows():
-        dup_keys.add(row["key"])
+    for b in dup_keys_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dup_keys.update(b["key"].to_pylist())
     ref = ray.put(dup_keys)
 
     def attach(batch: pa.Table) -> pa.Table:

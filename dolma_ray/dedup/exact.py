@@ -38,12 +38,14 @@ DUP_DOCS_ATTR = attr_name("dedupe_docs", "duplicate")  # attr__dedupe_docs__dupl
 
 
 def _order_strings(batch: pa.Table, order_columns: Sequence[str]) -> list[str]:
-    """Lexicographically sortable encoding of the order tuple (integers are
-    zero-padded so string order == numeric order)."""
+    """Lexicographically sortable encoding of the order tuple. Integers
+    are bias-encoded (+2^63, zero-padded) so string order == numeric
+    order including negatives; everything else uses str()."""
     cols = [batch[c].to_pylist() for c in order_columns]
     return [
         "\x1f".join(
-            f"{v:020d}" if isinstance(v, int) else str(v) for v in row
+            f"{v + 9223372036854775808:020d}" if isinstance(v, int) else str(v)
+            for v in row
         )
         for row in zip(*cols)
     ]

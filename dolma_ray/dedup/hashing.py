@@ -4,9 +4,14 @@ Dedup keys only need to be consistent within a job (the reference's
 seeded ahash is likewise per-run, ``src/bloom_filter.rs``), but we use
 blake2b-64 so keys are also stable across runs/machines — that makes
 incremental dedup against a persisted key set possible, and tests
-reproducible.  64-bit keyspace: ~5e-8 collision probability per pair;
-at 10^12 documents use ``digest_size=16`` (`bits=128`) for birthday
-safety — exposed as a parameter.
+reproducible.
+
+Keyspace bound: 64 bits — birthday collisions become material around
+~10^9 distinct keys (~3% at 1e9).  At the 10^12-unit regime, partition
+the key space (``hash % P`` scopes, SCALE.md) so each scope stays under
+~10^8 keys, or extend the lookup key to the full 16-byte digest (dict of
+bytes) — the int64 column path deliberately does NOT take a width
+parameter so nobody silently believes they got 128-bit safety.
 """
 
 from __future__ import annotations
@@ -17,15 +22,14 @@ import numpy as np
 import pyarrow as pa
 
 
-def hash_strings(arr: pa.Array | list[str], bits: int = 64) -> np.ndarray:
-    """Hash a string column to uint64 (top 64 bits of blake2b)."""
-    size = bits // 8
+def hash_strings(arr: pa.Array | list[str]) -> np.ndarray:
+    """Hash a string column to uint64 (blake2b-8)."""
     if isinstance(arr, (pa.Array, pa.ChunkedArray)):
         arr = arr.to_pylist()
     out = np.empty(len(arr), dtype=np.uint64)
     for i, s in enumerate(arr):
-        d = blake2b((s or "").encode("utf-8"), digest_size=size).digest()
-        out[i] = int.from_bytes(d[:8], "little")
+        d = blake2b((s or "").encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(d, "little")
     return out
 
 

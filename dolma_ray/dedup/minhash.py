@@ -30,6 +30,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..schema import attr_name
+from .exact import _order_strings
 from .hashing import hash_string
 
 DUP_MINHASH_ATTR = attr_name("dedupe_minhash", "near_duplicate")
@@ -93,14 +94,13 @@ class ExplodeBands:
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_column].to_pylist()
         texts = batch[self.text_column].to_pylist()
-        orders = list(zip(*(batch[c].to_pylist() for c in self.order_columns)))
+        order_keys = _order_strings(batch, self.order_columns)
         r_key, r_order, r_band, r_hash = [], [], [], []
-        for key, text, order in zip(keys, texts, orders):
+        for key, text, order_key in zip(keys, texts, order_keys):
             sh = shingle_hashes(text or "", self.shingle_size)
             if len(sh) == 0:
                 continue
             sig = minhash_signature(sh, self.a, self.b)
-            order_key = "\x1f".join(str(o) for o in order)
             for band in range(self.num_bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 digest = hash_string(",".join(map(str, chunk.tolist())))
@@ -160,8 +160,8 @@ def mark_near_duplicates_minhash(
     import ray
 
     dup_keys: set = set()
-    for row in dup_keys_ds.iter_rows():
-        dup_keys.add(row["key"])
+    for b in dup_keys_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dup_keys.update(b["key"].to_pylist())
     ref = ray.put(dup_keys)
 
     def attach(batch: pa.Table) -> pa.Table:

@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..schema import attr_name
+from .exact import _order_strings
 from .hashing import hash_string
 
 DUP_SIMHASH_ATTR = attr_name("dedupe_simhash", "near_duplicate")
@@ -61,11 +62,10 @@ def mark_near_duplicates_simhash(
     def explode(batch: pa.Table) -> pa.Table:
         keys = batch[key_column].to_pylist()
         texts = batch[text_column].to_pylist()
-        orders = list(zip(*(batch[c].to_pylist() for c in order_columns)))
+        order_keys = _order_strings(batch, list(order_columns))
         r_key, r_order, r_band, r_val, r_fp = [], [], [], [], []
-        for key, text, order in zip(keys, texts, orders):
+        for key, text, order_key in zip(keys, texts, order_keys):
             fp = simhash64(text or "")
-            order_key = "\x1f".join(str(o) for o in order)
             for band, val in enumerate(_bands(fp, n_bands)):
                 r_key.append(key)
                 r_order.append(order_key)
@@ -78,7 +78,8 @@ def mark_near_duplicates_simhash(
                 "order": pa.array(r_order, pa.string()),
                 "band": pa.array(r_band, pa.int32()),
                 "band_val": pa.array(r_val, pa.int64()),
-                "fp": pa.array([f & ((1<<63)-1) for f in r_fp], pa.int64()),
+                # signed reinterpretation keeps all 64 fp bits in an int64 column
+                "fp": pa.array(np.array(r_fp, dtype=np.uint64).view(np.int64)),
             }
         )
 
@@ -88,10 +89,11 @@ def mark_near_duplicates_simhash(
         if len(g) == 1:
             return pd.DataFrame({"key": [], "dup": []})
         g = g.sort_values(["order", "key"], kind="mergesort")
-        first_fp = int(g["fp"].iloc[0])
+        mask64 = (1 << 64) - 1
+        first_fp = int(g["fp"].iloc[0]) & mask64
         out_keys = []
         for _, row in g.iloc[1:].iterrows():
-            dist = bin(int(row["fp"]) ^ first_fp).count("1")
+            dist = bin((int(row["fp"]) & mask64) ^ first_fp).count("1")
             if dist <= max_hamming:
                 out_keys.append(row["key"])
         return pd.DataFrame({"key": out_keys, "dup": [True] * len(out_keys)})
@@ -103,8 +105,8 @@ def mark_near_duplicates_simhash(
     import ray
 
     dup_keys: set = set()
-    for row in dup_keys_ds.iter_rows():
-        dup_keys.add(row["key"])
+    for b in dup_keys_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dup_keys.update(b["key"].to_pylist())
     ref = ray.put(dup_keys)
 
     def attach(batch: pa.Table) -> pa.Table:

@@ -667,7 +667,8 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts_us = g["ts"].astype("int64")
+        # explicit µs conversion: int64 view of datetime64 is unit-dependent
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
         new_session = (ts_us.diff() > gap_us).fillna(False).astype("int64")
         sid = new_session.cumsum()
         out = (

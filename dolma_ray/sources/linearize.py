@@ -22,7 +22,6 @@ canonical input already carries ``html``/``text`` columns (input_hint).
 from __future__ import annotations
 
 import re
-from html import unescape
 from html.parser import HTMLParser
 
 import pyarrow as pa
@@ -101,8 +100,10 @@ class HtmlParserLinearizer:
                 out.append(ln)
             elif out and out[-1] != "":
                 out.append("")
-        text = "\n".join(out).strip("\n")
-        return unescape(text) if "&" in text else text
+        # convert_charrefs=True already decoded entities in handle_data;
+        # a second unescape() here would corrupt text whose decoded form
+        # legitimately contains entity-looking sequences ("a &lt; b")
+        return "\n".join(out).strip("\n")
 
 
 def linearize_html(

@@ -38,6 +38,11 @@ PHONE_RE = re.compile("\\s+\\(?(\\d{3})\\)?[-\\. ]*(\\d{3})[-. ]?(\\d{4})")
 IP_RE = re.compile(
     "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
 )
+# NOTE (reference quirk, pii.py:62-66): the reference builds this pattern
+# from a NON-raw string, so "\b" compiles to a literal backspace and the
+# regex never matches a real URL — the "drop phone matches when the doc
+# contains a URL" rule and the IP-is-URL exclusion never fire in the
+# reference either.  Replicated for attribute-value parity.
 URL_RE = re.compile(
     "(?i)\b((?:https?://|www\\d{0,3}[.]|[a-z0-9.\\-]+[.][a-z]{2,4}/)(?:[^\\s()<>]+|\\(([^\\s()<>]+|"
     "(\\([^\\s()<>]+\\)))*\\))+(?:\\(([^\\s()<>]+|(\\([^\\s()<>]+\\)))*\\)|[^\\s`!()\\[\\]"
