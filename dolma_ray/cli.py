@@ -92,8 +92,17 @@ def _load_mix_config(path: str):
     if "streams" in raw:
         raw = raw["streams"][0]
     filt = raw.get("filter", {}) or {}
-    include = [parse_jsonpath_rule(e) for e in filt.get("include", [])]
-    exclude = [parse_jsonpath_rule(e) for e in filt.get("exclude", [])]
+    jq_filter = None
+    if (filt.get("syntax") or "jsonpath") == "jq":
+        from .mixer.jq import JqFilterConfig
+
+        jq_filter = JqFilterConfig(
+            include=filt.get("include", []), exclude=filt.get("exclude", [])
+        )
+        include, exclude = [], []
+    else:
+        include = [parse_jsonpath_rule(e) for e in filt.get("include", [])]
+        exclude = [parse_jsonpath_rule(e) for e in filt.get("exclude", [])]
     spans = []
     for sr in raw.get("span_replacement", []) or []:
         attr = sr["span"]
@@ -110,6 +119,7 @@ def _load_mix_config(path: str):
         )
     return MixConfig(
         filter=FilterConfig(include=include, exclude=exclude),
+        jq_filter=jq_filter,
         span_replacement=spans,
         min_text_length=int(
             (raw.get("output", {}) or {}).get("min_text_length", raw.get("min_text_length", 0))

@@ -1,3 +1,4 @@
 from .mix import MixConfig, MixStage, mix  # noqa: F401
 from .rules import FilterConfig, Rule, parse_jsonpath_rule  # noqa: F401
 from .scrub import Scrubber, SpanReplacementConfig, splice  # noqa: F401
+from .jq import JqError, JqFilterConfig, evaluate_jq, parse_jq  # noqa: F401

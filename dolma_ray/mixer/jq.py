@@ -1,0 +1,386 @@
+"""Mini-jq predicate engine for mixer filters (``syntax: jq``).
+
+The reference compiles full jq programs with jaq (``src/filters.rs:250-385``).
+The production and test configs use a small, regular subset; this module
+implements exactly that subset with the reference's semantics:
+
+* paths: ``.attributes.NAME``, ``.text``, chained ``.a.b``, integer
+  indexing incl. negatives (``[0]``, ``[-1]``);
+* pipes: ``| length``, ``| add``, ``| map(EXPR)`` (with ``.`` = element
+  inside map);
+* arithmetic ``+ - * /``, comparisons ``< <= > >= == !=``, ``and``/``or``,
+  parentheses, numeric and ``null`` literals;
+* **error propagation**: indexing into null/missing raises
+  (``filters.rs:666-681``: jaq errors on ``.attributes.b.b`` when ``b``
+  is absent) — unlike the null-tolerant JSONPath rules;
+* **truthiness** exactly as the reference's ``evaluate_match``
+  (``filters.rs:317-333``): null -> false, numbers -> != 0, strings/
+  arrays/objects -> non-empty, bools -> themselves;
+* keep = (no includes OR all includes truthy) AND (no exclude truthy) —
+  ``JqDocFilter.should_keep`` semantics.
+
+Evaluation runs per document over a dict view built from the batch's
+``attr__*`` columns (span lists -> ``[[start, end, score], ...]``).  jq
+rules are row-wise python by nature; use the vectorized JSONPath-shape
+rules (``rules.py``) for hot paths.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+
+class JqError(ValueError):
+    """Evaluation error (propagates, like jaq errors in the reference)."""
+
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>-?\d+\.\d+|-?\d+)|(?P<path>\.[A-Za-z_][\w.]*|\.)"
+    r"|(?P<lbrack>\[)|(?P<rbrack>\])|(?P<lparen>\()|(?P<rparen>\))"
+    r"|(?P<pipe>\|)|(?P<op><=|>=|==|!=|<|>|\+|-|\*|/)"
+    r"|(?P<word>and|or|length|add|map|null|not)\b)"
+)
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            if src[pos:].strip() == "":
+                break
+            raise JqError(f"jq parse error at {src[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("num", "path", "lbrack", "rbrack", "lparen", "rparen", "pipe", "op", "word"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+# ---- AST ----------------------------------------------------------------
+
+
+@dataclass
+class Path:
+    segments: list[str]  # [] for bare "."
+    indexes: list[int]
+
+
+@dataclass
+class Pipe:
+    source: Any
+    ops: list[Any]  # ("length",) | ("add",) | ("map", expr)
+
+
+@dataclass
+class Bin:
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass
+class Lit:
+    value: Any
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]) -> None:
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind: str):
+        k, v = self.next()
+        if k != kind:
+            raise JqError(f"expected {kind}, got {k}:{v}")
+        return v
+
+    # precedence: or < and < cmp < add < mul < unary
+    def parse(self):
+        e = self.parse_or()
+        if self.peek()[0] is not None:
+            raise JqError(f"trailing tokens at {self.toks[self.i:]}")
+        return e
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() == ("word", "or"):
+            self.next()
+            left = Bin("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_cmp()
+        while self.peek() == ("word", "and"):
+            self.next()
+            left = Bin("and", left, self.parse_cmp())
+        return left
+
+    def parse_cmp(self):
+        left = self.parse_sum()
+        k, v = self.peek()
+        if k == "op" and v in ("<", "<=", ">", ">=", "==", "!="):
+            self.next()
+            return Bin(v, left, self.parse_sum())
+        return left
+
+    def parse_sum(self):
+        left = self.parse_mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            left = Bin(op, left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            left = Bin(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        k, v = self.peek()
+        if k == "num":
+            self.next()
+            return Lit(float(v) if "." in v else int(v))
+        if k == "word" and v == "null":
+            self.next()
+            return Lit(None)
+        if k == "lparen":
+            self.next()
+            inner = self.parse_pipe()
+            self.expect("rparen")
+            return inner
+        if k == "path":
+            return self.parse_path()
+        raise JqError(f"unexpected token {k}:{v}")
+
+    def parse_path(self):
+        _, v = self.next()
+        segments = [] if v == "." else v[1:].split(".")
+        indexes: list[int] = []
+        while self.peek()[0] == "lbrack":
+            self.next()
+            k2, v2 = self.next()
+            if k2 != "num":
+                raise JqError("only integer indexes supported")
+            indexes.append(int(v2))
+            self.expect("rbrack")
+        return Path(segments, indexes)
+
+    def parse_pipe(self):
+        source = self.parse_or()
+        ops = []
+        while self.peek()[0] == "pipe":
+            self.next()
+            k, v = self.next()
+            if k == "word" and v in ("length", "add", "not"):
+                ops.append((v,))
+            elif k == "word" and v == "map":
+                self.expect("lparen")
+                inner = self.parse_pipe()
+                self.expect("rparen")
+                ops.append(("map", inner))
+            else:
+                raise JqError(f"unsupported pipe op {v!r}")
+        expr = Pipe(source, ops) if ops else source
+        # jq parses "a | length == 0" as "a | (length == 0)": allow a
+        # trailing comparison/arithmetic applied to the piped value
+        k, v = self.peek()
+        while k == "op":
+            self.next()
+            if v in ("<", "<=", ">", ">=", "==", "!="):
+                expr = Bin(v, expr, self.parse_sum())
+            else:
+                expr = Bin(v, expr, self.parse_mul())
+            k, v = self.peek()
+        return expr
+
+
+def _truthy(v: Any) -> bool:
+    """Reference evaluate_match semantics (filters.rs:317-333)."""
+    if v is None:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    if isinstance(v, (str, list, dict)):
+        return len(v) > 0
+    return True
+
+
+def _eval(node: Any, doc: Any, elem: Any = None) -> Any:
+    if isinstance(node, Lit):
+        return node.value
+    if isinstance(node, Path):
+        cur = elem if (not node.segments and elem is not None) else doc
+        for seg in node.segments:
+            if cur is None:
+                raise JqError(f"cannot index null with {seg!r}")
+            if not isinstance(cur, dict):
+                raise JqError(f"cannot index {type(cur).__name__} with {seg!r}")
+            cur = cur.get(seg)
+        for idx in node.indexes:
+            if cur is None:
+                raise JqError(f"cannot index null with [{idx}]")
+            if not isinstance(cur, list):
+                raise JqError(f"cannot index {type(cur).__name__} with [{idx}]")
+            try:
+                cur = cur[idx]
+            except IndexError:
+                cur = None
+        return cur
+    if isinstance(node, Pipe):
+        cur = _eval(node.source, doc, elem)
+        for op in node.ops:
+            if op[0] == "length":
+                if cur is None:
+                    cur = 0
+                elif isinstance(cur, (list, dict, str)):
+                    cur = len(cur)
+                elif isinstance(cur, (int, float)):
+                    cur = abs(cur)
+                else:
+                    raise JqError(f"{type(cur).__name__} has no length")
+            elif op[0] == "add":
+                if not isinstance(cur, list):
+                    raise JqError("add requires an array")
+                cur = sum(cur) if cur else None
+            elif op[0] == "not":
+                cur = not _truthy(cur)
+            elif op[0] == "map":
+                if not isinstance(cur, list):
+                    raise JqError("map requires an array")
+                cur = [_eval(op[1], doc, e) for e in cur]
+        return cur
+    if isinstance(node, Bin):
+        if node.op == "and":
+            return _truthy(_eval(node.left, doc, elem)) and _truthy(
+                _eval(node.right, doc, elem)
+            )
+        if node.op == "or":
+            return _truthy(_eval(node.left, doc, elem)) or _truthy(
+                _eval(node.right, doc, elem)
+            )
+        l = _eval(node.left, doc, elem)
+        r = _eval(node.right, doc, elem)
+        if node.op == "==":
+            return l == r
+        if node.op == "!=":
+            return l != r
+        if l is None or r is None:
+            if node.op in ("<", "<=", ">", ">="):
+                # jq orders null below everything
+                ln = l is None
+                return {"<": ln and r is not None, "<=": ln, ">": not ln and r is None, ">=": r is None}[node.op]
+            raise JqError(f"cannot {node.op} null")
+        if node.op == "<":
+            return l < r
+        if node.op == "<=":
+            return l <= r
+        if node.op == ">":
+            return l > r
+        if node.op == ">=":
+            return l >= r
+        if node.op == "+":
+            return l + r
+        if node.op == "-":
+            return l - r
+        if node.op == "*":
+            return l * r
+        if node.op == "/":
+            if r == 0:
+                raise JqError("division by zero")
+            return l / r
+    raise JqError(f"cannot evaluate {node!r}")
+
+
+def parse_jq(expr: str):
+    """Compile a jq-subset expression; returns an AST evaluable with
+    :func:`evaluate_jq`."""
+    return _Parser(_tokenize(expr)).parse_pipe_root()
+
+
+# allow a top-level pipe too (e.g. ".attributes.x | length")
+def _parse_pipe_root(self):
+    e = self.parse_pipe()
+    if self.peek()[0] is not None:
+        raise JqError(f"trailing tokens at {self.toks[self.i:]}")
+    return e
+
+
+_Parser.parse_pipe_root = _parse_pipe_root
+
+
+def evaluate_jq(ast: Any, doc: dict) -> Any:
+    return _eval(ast, doc)
+
+
+def doc_views(batch: pa.Table, text_column: str = "text") -> list[dict]:
+    """Build reference-shaped doc dicts (``{text, attributes: {...}}``)
+    from a batch's attr__* columns for jq evaluation."""
+    n = len(batch)
+    texts = (
+        batch[text_column].to_pylist()
+        if text_column in batch.column_names
+        else [""] * n
+    )
+    attr_cols = [c for c in batch.column_names if c.startswith("attr__")]
+    data = {c: batch[c].to_pylist() for c in attr_cols}
+    views = []
+    for i in range(n):
+        attrs: dict[str, Any] = {}
+        for c in attr_cols:
+            v = data[c][i]
+            name = c[len("attr__") :]
+            if isinstance(v, list):
+                attrs[name] = [[s["start"], s["end"], s["score"]] for s in v]
+            elif isinstance(v, float):
+                attrs[name] = [[0, len(texts[i] or ""), v]]
+            else:
+                attrs[name] = v
+        views.append({"text": texts[i] or "", "attributes": attrs})
+    return views
+
+
+class JqFilterConfig:
+    """jq-syntax include/exclude filter with reference keep semantics:
+    keep = (no includes OR all includes truthy) AND (no exclude truthy).
+    Evaluation errors propagate (raise), as in the reference."""
+
+    def __init__(self, include: list[str] | None = None, exclude: list[str] | None = None):
+        self.include = [parse_jq(e) for e in (include or [])]
+        self.exclude = [parse_jq(e) for e in (exclude or [])]
+
+    def keep_mask(self, batch: pa.Table, text_column: str = "text") -> np.ndarray:
+        views = doc_views(batch, text_column)
+        out = np.ones(len(views), dtype=bool)
+        for i, doc in enumerate(views):
+            keep = True
+            for ast in self.include:
+                if not _truthy(evaluate_jq(ast, doc)):
+                    keep = False
+                    break
+            if keep:
+                for ast in self.exclude:
+                    if _truthy(evaluate_jq(ast, doc)):
+                        keep = False
+                        break
+            out[i] = keep
+        return out

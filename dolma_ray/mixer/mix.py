@@ -33,6 +33,7 @@ from .scrub import Scrubber, SpanReplacementConfig
 @dataclass
 class MixConfig:
     filter: FilterConfig = field(default_factory=FilterConfig)
+    jq_filter: "object | None" = None  # mixer.jq.JqFilterConfig (syntax: jq)
     span_replacement: list[SpanReplacementConfig] = field(default_factory=list)
     min_text_length: int = 0
     discard_attribute_columns: bool = True
@@ -52,6 +53,8 @@ class MixStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
         keep = cfg.filter.keep_mask(batch)
+        if cfg.jq_filter is not None:
+            keep &= cfg.jq_filter.keep_mask(batch, cfg.text_column)
 
         if cfg.span_replacement:
             scrubbed = self.scrubber.scrub_batch(batch, cfg.text_column)

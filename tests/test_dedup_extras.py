@@ -164,3 +164,26 @@ def test_join_strategy_doc_dedup(ray_session):
         assert len(out.loc[f"a{i}", DUP_DOCS_ATTR]) == 0
         assert len(out.loc[f"b{i}", DUP_DOCS_ATTR]) == 1
     assert len(out.loc["c", DUP_DOCS_ATTR]) == 0
+
+
+def test_near_dup_first_wins_numeric_order(ray_session):
+    """Regression: integer order keys must compare numerically — doc 2
+    is first vs doc 10 (unpadded strings would sort '10' < '2')."""
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_minhash
+    from dolma_ray.dedup.minhash import DUP_MINHASH_ATTR
+
+    rows = [
+        {"key": "d10", "doc_id": 10, "text": BASE},
+        {"key": "d2", "doc_id": 2, "text": BASE},
+    ]
+    out = (
+        mark_near_duplicates_minhash(
+            rd.from_items(rows), key_column="key", order_columns=("doc_id",)
+        )
+        .to_pandas()
+        .set_index("key")
+    )
+    assert out.loc["d2", DUP_MINHASH_ATTR] == 0.0  # the earlier doc is kept
+    assert out.loc["d10", DUP_MINHASH_ATTR] == 1.0
