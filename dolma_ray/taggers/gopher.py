@@ -103,27 +103,53 @@ def gopher_attributes(text: str, ignore_empty_lines: bool = False) -> dict[str, 
     cum = np.concatenate([[0], np.cumsum(lens)])
     P = np.uint64(1099511628211)
 
+    # all 9 ngram sizes share ONE sort: window hashes are tagged with n in
+    # the top 4 bits (hash keeps 60), concatenated n-major (so the first
+    # occurrence index within the combined array preserves per-n window
+    # order for the most_common tie-break), then one np.unique pass
+    parts_h: list[np.ndarray] = []
+    parts_mass: list[np.ndarray] = []
+    sizes: list[tuple[int, int]] = []  # (n, n_windows)
+    h_prev: np.ndarray | None = None
     for n in range(2, 11):
         n_windows = word_count - n + 1
         if n_windows <= 0:
-            continue
-        h = np.zeros(n_windows, dtype=np.uint64)
-        for i in range(n):
-            h = h * P + ids[i : n_windows + i]
-        mass = cum[n:] - cum[:-n]  # chars in each window
-        uniq, first_idx, inverse, counts = np.unique(
-            h, return_index=True, return_inverse=True, return_counts=True
-        )
-        if n in _MOST_COMMON_NS:
-            max_count = counts.max()
-            cand = np.nonzero(counts == max_count)[0]
-            pick = cand[np.argmin(first_idx[cand])]  # first-seen tie-break
-            value = int(max_count) * int(mass[first_idx[pick]]) / max(char_mass, 1)
-            out[f"fraction_of_characters_in_most_common_{n}grams"] = value
+            break
+        if h_prev is None:
+            h = ids[:n_windows] * P + ids[1 : n_windows + 1]
         else:
-            total = int(mass.sum())
-            dup = int(mass[counts[inverse] > 1].sum())
-            out[f"fraction_of_characters_in_duplicate_{n}grams"] = dup / max(total, 1)
+            h = h_prev[:n_windows] * P + ids[n - 1 : n_windows + n - 1]
+        h_prev = h
+        parts_h.append((h & np.uint64((1 << 60) - 1)) | (np.uint64(n) << np.uint64(60)))
+        parts_mass.append(cum[n:] - cum[:-n])
+        sizes.append((n, n_windows))
+    if parts_h:
+        all_h = np.concatenate(parts_h)
+        all_mass = np.concatenate(parts_mass)
+        uniq, first_idx, inverse, counts = np.unique(
+            all_h, return_index=True, return_inverse=True, return_counts=True
+        )
+        dup_occ = counts[inverse] > 1
+        base = 0
+        for n, n_windows in sizes:
+            sl = slice(base, base + n_windows)
+            base += n_windows
+            if n in _MOST_COMMON_NS:
+                sel = (uniq >> np.uint64(60)) == n
+                c = counts[sel]
+                fi = first_idx[sel]
+                max_count = c.max()
+                cand = np.nonzero(c == max_count)[0]
+                pick = cand[np.argmin(fi[cand])]  # first-seen tie-break
+                value = int(max_count) * int(all_mass[fi[pick]]) / max(char_mass, 1)
+                out[f"fraction_of_characters_in_most_common_{n}grams"] = value
+            else:
+                mass_n = all_mass[sl]
+                total = int(mass_n.sum())
+                dup = int(mass_n[dup_occ[sl]].sum())
+                out[f"fraction_of_characters_in_duplicate_{n}grams"] = dup / max(
+                    total, 1
+                )
 
     lines = split_lines(text, ignore_empty=ignore_empty_lines)
     line_count = len(lines)
