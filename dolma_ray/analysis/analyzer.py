@@ -2,12 +2,20 @@
 
 The reference analyzer streams attribute files, builds per-file partial
 bucketed trackers of span scores and span lengths per attribute name,
-then merges partials into summaries (``core/analyzer.py:66-200``,
-bucketing ``core/binning.py``).  Ray-native mapping: one ``map_batches``
-pass emits per-batch partial histogram counts (fixed, deterministic
-bucket edges — the mergeable-sketch pattern), then a small
-``groupby(attribute, kind, bucket).sum`` over partials; the shuffle
-moves only histogram rows, never documents.
+then merges partials into summaries (``core/analyzer.py:66-200``).  Its
+two bucketing strategies (``core/binning.py:206-451``) both exist here:
+
+* ``bins="fixed"`` — deterministic fixed edges
+  (``FixedBucketsValTracker`` analogue): one ``map_batches`` pass emits
+  per-batch partial histogram counts, then a small
+  ``groupby(attribute, kind, bucket).sum`` merges partials; the shuffle
+  moves only histogram rows, never documents.
+* ``bins="equal_count"`` — ``InferBucketsValTracker`` analogue: a first
+  pass collects a deterministic per-batch subsample (sorted stride
+  sample — a mergeable quantile sketch), the driver derives
+  equal-count bucket edges per (attribute, kind) from the combined
+  sample, and the fixed-edge pass above runs with those edges.  Two
+  streaming passes, no full materialization.
 """
 
 from __future__ import annotations
@@ -20,56 +28,51 @@ def _bucket_edges(n_buckets: int, lo: float, hi: float) -> np.ndarray:
     return np.linspace(lo, hi, n_buckets + 1)
 
 
-def summarize_attributes(
-    ds,
-    attributes: list[str] | None = None,
-    n_buckets: int = 20,
-    score_range: tuple[float, float] = (0.0, 1.0),
-):
-    """Histogram summary of attribute columns.
+def _attr_series(batch: pa.Table, attributes, edges_for):
+    """Yield (col, kind, values, edges) for every attribute series."""
+    cols = attributes or [c for c in batch.column_names if c.startswith("attr__")]
+    for col in cols:
+        if col not in batch.column_names:
+            continue
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+            values = arr.values
+            scores = values.field("score").to_numpy(zero_copy_only=False)
+            lengths = (
+                values.field("end").to_numpy(zero_copy_only=False)
+                - values.field("start").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            yield col, "score", scores, edges_for(col, "score")
+            yield col, "length", lengths, edges_for(col, "length")
+        elif pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
+            vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            yield col, "score", vals, edges_for(col, "score")
 
-    Returns a small pandas DataFrame: one row per
-    ``(attribute, kind, bucket_lo, bucket_hi)`` with ``count`` —
-    ``kind`` is ``score`` (doc value or span score) or ``length``
-    (span char length, bucketed over [0, 1000)).
-    """
+
+def _histogram_pass(ds, attributes, edges_by_key: dict | None, n_buckets, score_range):
     edges_score = _bucket_edges(n_buckets, *score_range)
     edges_len = _bucket_edges(n_buckets, 0.0, 1000.0)
 
+    def edges_for(col: str, kind: str) -> np.ndarray:
+        if edges_by_key is not None and (col, kind) in edges_by_key:
+            return edges_by_key[(col, kind)]
+        return edges_score if kind == "score" else edges_len
+
     def partial(batch: pa.Table) -> pa.Table:
         names, kinds, los, his, counts = [], [], [], [], []
-        cols = attributes or [c for c in batch.column_names if c.startswith("attr__")]
-        for col in cols:
-            if col not in batch.column_names:
+        for col, kind, vals, edges in _attr_series(batch, attributes, edges_for):
+            if len(vals) == 0:
                 continue
-            arr = batch[col]
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
-                values = arr.values
-                scores = values.field("score").to_numpy(zero_copy_only=False)
-                lengths = (
-                    values.field("end").to_numpy(zero_copy_only=False)
-                    - values.field("start").to_numpy(zero_copy_only=False)
-                ).astype(np.float64)
-                series = [("score", scores, edges_score), ("length", lengths, edges_len)]
-            elif pa.types.is_floating(arr.type) or pa.types.is_integer(arr.type):
-                vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
-                series = [("score", vals, edges_score)]
-            else:
-                continue
-            for kind, vals, edges in series:
-                if len(vals) == 0:
-                    continue
-                clipped = np.clip(vals, edges[0], edges[-1])
-                hist, _ = np.histogram(clipped, bins=edges)
-                nz = np.nonzero(hist)[0]
-                for b in nz:
-                    names.append(col)
-                    kinds.append(kind)
-                    los.append(float(edges[b]))
-                    his.append(float(edges[b + 1]))
-                    counts.append(int(hist[b]))
+            clipped = np.clip(vals, edges[0], edges[-1])
+            hist, _ = np.histogram(clipped, bins=edges)
+            for b in np.nonzero(hist)[0]:
+                names.append(col)
+                kinds.append(kind)
+                los.append(float(edges[b]))
+                his.append(float(edges[b + 1]))
+                counts.append(int(hist[b]))
         return pa.table(
             {
                 "attribute": pa.array(names, pa.string()),
@@ -88,3 +91,73 @@ def summarize_attributes(
         .aggregate(Sum("count", alias_name="count"))
     )
     return out.sort(["attribute", "kind", "bucket_lo"]).to_pandas()
+
+
+def _sample_pass(ds, attributes, per_batch: int = 512):
+    """Deterministic sorted-stride subsample per (attribute, kind)."""
+
+    def edges_for(col, kind):  # unused in sampling
+        return None
+
+    def sample(batch: pa.Table) -> pa.Table:
+        names, kinds, vals_out = [], [], []
+        for col, kind, vals, _ in _attr_series(batch, attributes, edges_for):
+            if len(vals) == 0:
+                continue
+            s = np.sort(vals)
+            if len(s) > per_batch:
+                idx = np.linspace(0, len(s) - 1, per_batch).astype(np.int64)
+                s = s[idx]
+            names.extend([col] * len(s))
+            kinds.extend([kind] * len(s))
+            vals_out.extend(s.tolist())
+        return pa.table(
+            {
+                "attribute": pa.array(names, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "value": pa.array(vals_out, pa.float64()),
+            }
+        )
+
+    samples: dict[tuple[str, str], list[float]] = {}
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+    for b in sampled.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        for a, k, v in zip(
+            b["attribute"].to_pylist(), b["kind"].to_pylist(), b["value"].to_pylist()
+        ):
+            samples.setdefault((a, k), []).append(v)
+    return samples
+
+
+def summarize_attributes(
+    ds,
+    attributes: list[str] | None = None,
+    n_buckets: int = 20,
+    score_range: tuple[float, float] = (0.0, 1.0),
+    bins: str = "fixed",
+):
+    """Histogram summary of attribute columns.
+
+    Returns a small pandas DataFrame: one row per
+    ``(attribute, kind, bucket_lo, bucket_hi)`` with ``count`` —
+    ``kind`` is ``score`` (doc value or span score) or ``length``
+    (span char length).  ``bins``: ``"fixed"`` (default) or
+    ``"equal_count"`` (quantile-derived edges, reference
+    InferBucketsValTracker analogue).
+    """
+    edges_by_key = None
+    if bins == "equal_count":
+        samples = _sample_pass(ds, attributes)
+        edges_by_key = {}
+        for key, vals in samples.items():
+            arr = np.asarray(vals)
+            qs = np.quantile(arr, np.linspace(0, 1, n_buckets + 1))
+            # strictly increasing edges (duplicate quantiles collapse)
+            edges = np.unique(qs)
+            if len(edges) < 2:
+                edges = np.array([edges[0], edges[0] + 1.0])
+            edges[-1] = np.nextafter(edges[-1], np.inf)  # right-open top
+            edges_by_key[key] = edges
+    elif bins != "fixed":
+        raise ValueError(f"unknown bins mode {bins!r}")
+    return _histogram_pass(ds, attributes, edges_by_key, n_buckets, score_range)

@@ -82,3 +82,22 @@ def test_analyzer_histograms(ray_session):
     assert y_scores["count"].sum() == 3
     y_len = df[(df["attribute"] == "attr__y__spans") & (df["kind"] == "length")]
     assert y_len["count"].sum() == 3
+
+
+def test_analyzer_equal_count_bins(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dolma_ray.analysis.analyzer import summarize_attributes
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.uniform(0, 0.1, 900), rng.uniform(0.9, 1.0, 100)])
+    t = pa.table({"attr__x": pa.array(vals, pa.float64())})
+    df = summarize_attributes(rd.from_arrow(t), n_buckets=10, bins="equal_count")
+    x = df[df["attribute"] == "attr__x"]
+    assert x["count"].sum() == 1000
+    # equal-count edges: most buckets land in the dense [0, 0.1] region
+    assert (x["bucket_hi"] <= 0.11).sum() >= 6
+    # per-bucket counts are near-uniform (within 3x of each other)
+    counts = x["count"].to_numpy()
+    assert counts.max() <= 3 * max(counts.min(), 1)
