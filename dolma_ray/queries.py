@@ -713,3 +713,89 @@ ORACLES.update(
         "user_sessions": SQL_USER_SESSIONS,
     }
 )
+
+
+def q_length_histogram(sf_dir: str):
+    """Fixed-bucket histogram of document lengths (analyzer pattern with
+    an exact SQL oracle): bucket = min(floor(n_chars/100), 9)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        bucket = np.minimum(n // 100, 9).astype(np.int64)
+        uniq, counts = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n_docs": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT least(length(text) // 100, 9) AS bucket, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_nation_revenue(sf_dir: str):
+    """Three-way broadcast join chain: orders -> customer -> nation,
+    revenue per nation (exact integer cents)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_by_key = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    cust_nation = {
+        ck: nation_by_key.get(nk)
+        for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    ref = ray.put(cust_nation)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        names = pa.array([lookup.get(int(k)) for k in keys], pa.string())
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({"n_name": names, "cents": cents})
+
+    return (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents"))
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       count(*) AS n_orders,
+       sum(cast(round(o_totalprice * 100) AS bigint)) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+QUERIES.update(
+    {
+        "length_histogram": q_length_histogram,
+        "nation_revenue": q_nation_revenue,
+    }
+)
+ORACLES.update(
+    {
+        "length_histogram": SQL_LENGTH_HISTOGRAM,
+        "nation_revenue": SQL_NATION_REVENUE,
+    }
+)
