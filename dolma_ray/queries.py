@@ -201,7 +201,7 @@ def q_source_stats(sf_dir: str):
 
 
 SQL_SOURCE_STATS = """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """
 
@@ -284,7 +284,7 @@ SQL_EVENTS_HOURLY = """
 SELECT event_type,
        date_trunc('hour', ts) AS hour,
        count(*) AS n,
-       sum(cast(round(value * 1000000) AS bigint)) AS total_value_micros
+       CAST(sum(cast(round(value * 1000000) AS bigint)) AS BIGINT) AS total_value_micros
 FROM events
 GROUP BY 1, 2
 """
@@ -319,7 +319,7 @@ def q_orders_by_segment(sf_dir: str):
 SQL_ORDERS_BY_SEGMENT = """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       sum(cast(round(o_totalprice * 100) AS bigint)) AS revenue_cents
+       CAST(sum(cast(round(o_totalprice * 100) AS bigint)) AS BIGINT) AS revenue_cents
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -692,8 +692,8 @@ WITH gaps AS (
 ),
 sessions AS (
     SELECT user_id,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM gaps
 )
 SELECT user_id, session_id, count(*) AS n_events
@@ -780,7 +780,7 @@ def q_nation_revenue(sf_dir: str):
 SQL_NATION_REVENUE = """
 SELECT n_name,
        count(*) AS n_orders,
-       sum(cast(round(o_totalprice * 100) AS bigint)) AS revenue_cents
+       CAST(sum(cast(round(o_totalprice * 100) AS bigint)) AS BIGINT) AS revenue_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

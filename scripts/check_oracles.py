@@ -79,6 +79,14 @@ def main() -> int:
                 )
             except AssertionError as e:
                 status = "VALUES " + str(e).splitlines()[-1][:160]
+            else:
+                # driver-strict: the per-round gate hashes rendered values, so
+                # int64 7949 vs float64 7949.0 is a miss even when numerically
+                # equal — compare full stringified frames too.
+                a, b = ours.astype(str), theirs.astype(str)
+                if not a.equals(b):
+                    diff_cols = [c for c in a.columns if not a[c].equals(b[c])]
+                    status = f"STRICT-HASH dtypes differ in {diff_cols} ({[str(ours[c].dtype)+'/'+str(theirs[c].dtype) for c in diff_cols]})"
         if status != "OK":
             failures += 1
             print(f"[FAIL] {name}: {status}")
