@@ -2,10 +2,22 @@
 
 Docs whose embeddings have cosine similarity >= ``threshold`` with an
 earlier doc are marked near-dups.  Scale path: random-hyperplane LSH
-(Charikar 2002) buckets candidates — ``groupby(signature)`` — then exact
-cosine verification inside each bucket against earlier members.  Exact
-(O(n^2)) verification is bounded by bucket size; more planes -> smaller
-buckets but lower recall.
+(Charikar 2002) buckets candidates, then exact cosine verification
+inside each bucket against *all* earlier members.
+
+Execution shape (duplicates-only; vectors never shuffle for singleton
+buckets):
+
+1. narrow pass: ``(k = signature, o = order, key)`` units — no vectors —
+   -> ``collect_dup_buckets`` -> broadcast the colliding-signature set.
+   LSH buckets are ~all singletons, so ~all rows drop out here.
+2. candidate pass: recompute signature (one small matmul) per batch,
+   keep only rows whose signature collides, emit the normalized vector —
+   the only vectors that ever enter a shuffle.
+3. ``groupby(k).map_groups`` verify on the tiny candidate set: one
+   ``vecs @ vecs.T`` per bucket, doc i marked iff cosine >= threshold
+   against ANY earlier member.
+4. dup keys broadcast -> vectorized ``pc.is_in`` flag attach.
 """
 
 from __future__ import annotations
@@ -15,11 +27,30 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..schema import attr_name
 from .exact import _order_strings
 
 DUP_EMBEDDING_ATTR = attr_name("dedupe_embedding", "near_duplicate")
+
+
+def _batch_matrix(batch: pa.Table, embedding_column: str) -> np.ndarray:
+    col = batch[embedding_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    return flat.reshape(len(col), dim)
+
+
+def _signatures(m: np.ndarray, n_planes: int, seed: int) -> np.ndarray:
+    """int64 hyperplane-sign signatures; planes are deterministic in
+    (dim, n_planes, seed) so both passes agree."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((m.shape[1], n_planes))
+    return ((m @ planes) > 0).dot(1 << np.arange(n_planes)).astype(np.int64)
 
 
 def mark_near_duplicates_embedding(
@@ -30,63 +61,65 @@ def mark_near_duplicates_embedding(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    lookup_strategy: str = "driver",
 ):
     """Append ``attr__dedupe_embedding__near_duplicate`` (scalar 0/1)."""
+    import ray
+
+    from .lookup import attach_dup_flag, collect_dup_buckets
+
     order_columns = list(order_columns or (key_column,))
 
-    def explode(batch: pa.Table) -> pa.Table:
-        col = batch[embedding_column]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-        offsets = col.offsets.to_numpy(zero_copy_only=False)
-        dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
-        m = flat.reshape(len(col), dim)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
-        sigs = ((m @ planes) > 0).dot(1 << np.arange(n_planes)).astype(np.int64)
-        norms = np.linalg.norm(m, axis=1)
-        normed = m / np.maximum(norms, 1e-30)[:, None]
-        orders = _order_strings(batch, list(order_columns))
+    def explode_narrow(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, embedding_column)
+        sigs = _signatures(m, n_planes, seed)
+        orders = _order_strings(batch, order_columns)
         return pa.table(
             {
+                "k": pa.array(sigs, pa.int64()),
+                "o": pa.array(orders, pa.string()),
                 "key": batch[key_column],
-                "order": pa.array(orders, pa.string()),
-                "sig": pa.array(sigs, pa.int64()),
-                "vec": pa.array(list(normed), pa.list_(pa.float64())),
             }
         )
 
-    units = ds.map_batches(explode, batch_format="pyarrow")
+    units = ds.map_batches(explode_narrow, batch_format="pyarrow")
+    dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)
+    if not dup_buckets:
+        return attach_dup_flag(ds, key_column, [], DUP_EMBEDDING_ATTR)
+    bucket_ref = ray.put(pa.array(sorted(dup_buckets), pa.int64()))
 
-    def bucket_mark(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 1:
-            return pd.DataFrame({"key": [], "dup": []})
-        g = g.sort_values(["order"], kind="mergesort")
+    def candidates(batch: pa.Table) -> pa.Table:
+        vs = ray.get(bucket_ref)
+        m = _batch_matrix(batch, embedding_column)
+        sigs = _signatures(m, n_planes, seed)
+        keep = pc.is_in(pa.array(sigs, pa.int64()), value_set=vs).to_numpy(
+            zero_copy_only=False
+        )
+        norms = np.linalg.norm(m, axis=1)
+        normed = m / np.maximum(norms, 1e-30)[:, None]
+        orders = _order_strings(batch, order_columns)
+        idx = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "k": pa.array(sigs[idx], pa.int64()),
+                "o": pa.array([orders[i] for i in idx], pa.string()),
+                "key": batch[key_column].take(pa.array(idx, pa.int64())),
+                "vec": pa.array(list(normed[idx]), pa.list_(pa.float64())),
+            }
+        )
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o"], kind="mergesort")
         vecs = np.stack([np.asarray(v) for v in g["vec"]])
         sims = vecs @ vecs.T
-        n = len(g)
-        dup_keys = []
-        for i in range(1, n):
-            if (sims[i, :i] >= threshold).any():
-                dup_keys.append(g["key"].iloc[i])
-        return pd.DataFrame({"key": dup_keys, "dup": [True] * len(dup_keys)})
-
-    dup_keys_ds = units.groupby("sig").map_groups(bucket_mark, batch_format="pandas")
-
-    import ray
+        mask = np.tril(sims >= threshold, k=-1).any(axis=1)  # vs earlier only
+        return pd.DataFrame({"key": g["key"].to_numpy()[mask]})
 
     dup_keys: set = set()
-    for b in dup_keys_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+    marked = cand.groupby("k").map_groups(verify, batch_format="pandas")
+    for b in marked.iter_batches(batch_size=65536, batch_format="pyarrow"):
         dup_keys.update(b["key"].to_pylist())
-    ref = ray.put(dup_keys)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        dups = ray.get(ref)
-        keys = batch[key_column].to_pylist()
-        col = pa.array([1.0 if k in dups else 0.0 for k in keys], pa.float64())
-        if DUP_EMBEDDING_ATTR in batch.column_names:
-            batch = batch.drop_columns([DUP_EMBEDDING_ATTR])
-        return batch.append_column(DUP_EMBEDDING_ATTR, col)
-
-    return ds.map_batches(attach, batch_format="pyarrow")
+    return attach_dup_flag(ds, key_column, list(dup_keys), DUP_EMBEDDING_ATTR)

@@ -50,3 +50,113 @@ def collect_dup_lookup(units_ds, strategy: str = "driver") -> dict[int, str]:
         for k, o in zip(dup["k"].to_pylist(), dup["o_min"].to_pylist()):
             lookup[k] = o
     return lookup
+
+
+def collect_dup_keys(units_ds, strategy: str = "driver") -> list:
+    """Distinct ``key`` values that are *late* in some bucket: rows where
+    ``o > min(o) over k`` (strictly greater implies the bucket has an
+    earlier member, so no separate count is needed).
+
+    Input: a narrow Dataset of ``(k: int64, o: string, key)`` rows — one
+    per (doc, bucket) membership.  Output: the duplicates-only key list
+    for ``ray.put`` broadcast + vectorized ``pc.is_in`` marking.
+
+    * ``driver``: stream the narrow units and resolve with one polars
+      window expression — no distributed shuffle; right up to ~10^8
+      units on one node.
+    * ``shuffle``: ``groupby(k).aggregate(Min)`` in Ray, broadcast the
+      duplicated-bucket minima, then a second vectorized pass over the
+      (materialized) units — the all-to-all path for unit streams that
+      exceed driver memory.
+    """
+    if strategy == "driver":
+        import polars as pl
+
+        parts = []
+        for b in units_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            parts.append(pl.from_arrow(b))
+        if not parts:
+            return []
+        df = pl.concat(parts)
+        late = df.filter(pl.col("o") > pl.col("o").min().over("k"))
+        return late["key"].unique().to_list()
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    units_ds = units_ds.materialize()  # narrow columns only; spillable
+    lookup_ref = ray.put(
+        collect_dup_lookup(units_ds.select_columns(["k", "o"]), strategy="shuffle")
+    )
+
+    def late_keys(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        ks = batch["k"].to_numpy(zero_copy_only=False)
+        os_ = batch["o"].to_pylist()
+        mins = [lookup.get(int(k)) for k in ks]
+        mask = np.array(
+            [m is not None and o > m for o, m in zip(os_, mins)], dtype=bool
+        )
+        return batch.filter(pa.array(mask)).select(["key"])
+
+    out: set = set()
+    for b in units_ds.map_batches(late_keys, batch_format="pyarrow").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        out.update(b["key"].to_pylist())
+    return list(out)
+
+
+def collect_dup_buckets(units_ds, strategy: str = "driver") -> list[int]:
+    """Bucket keys ``k`` (int64) that occur more than once in the narrow
+    unit stream.  Used by the verifying near-dup stages (simhash,
+    embedding) to shrink the exchange to *colliding buckets only* before
+    any per-bucket work: LSH buckets are overwhelmingly singletons, so
+    this filter removes ~all groups before a ``map_groups`` verify."""
+    if strategy == "driver":
+        import polars as pl
+
+        parts = []
+        for b in units_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            parts.append(pl.from_arrow(b.select(["k"])))
+        if not parts:
+            return []
+        df = pl.concat(parts).group_by("k").agg(pl.len().alias("n"))
+        return df.filter(pl.col("n") > 1)["k"].to_list()
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    agg = units_ds.select_columns(["k"]).groupby("k").aggregate(Count(alias_name="n"))
+    out: list[int] = []
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        out.extend(b.filter(pc.greater(b["n"], 1))["k"].to_pylist())
+    return out
+
+
+def attach_dup_flag(ds, key_column: str, dup_keys: list, attr_column: str):
+    """Append a scalar 0/1 float64 column ``attr_column``: 1.0 when the
+    row's ``key_column`` is in the (duplicates-only, broadcast) key list.
+    Marking is a vectorized ``pc.is_in`` per batch — no per-row python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    value_set = pa.array(sorted(dup_keys)) if dup_keys else None
+    ref = ray.put(value_set)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        if vs is None:
+            col = pa.nulls(len(batch)).cast(pa.float64()).fill_null(0.0)
+        else:
+            if vs.type != batch[key_column].type:
+                vs = vs.cast(batch[key_column].type)
+            mask = pc.fill_null(pc.is_in(batch[key_column], value_set=vs), False)
+            col = pc.cast(mask, pa.float64())
+        if attr_column in batch.column_names:
+            batch = batch.drop_columns([attr_column])
+        return batch.append_column(attr_column, col)
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -3,22 +3,29 @@ Bloom dedup; the standard web-scale near-dup pipeline, cf. Broder 1997,
 "On the resemblance and containment of documents", and the Dolma paper's
 use of MinHash-based dedup at corpus scale).
 
-Pipeline shape (Ray-native, two narrow shuffles):
+Pipeline shape (Ray-native, one narrow exchange):
 
 1. ``map_batches``: per doc — shingle (word n-grams) -> 64-bit hashes ->
-   ``num_perm`` minhashes via vectorized multiply-shift permutations ->
-   band digests (``num_bands`` x ``rows_per_band``); emit narrow rows
-   ``(band, band_hash, key, order)``.
-2. ``groupby((band, band_hash))``: any bucket with >1 doc marks every
-   doc except the global-order first as a near-dup candidate.
-3. ``groupby(key)``: a doc is near-dup if any of its bands collided with
-   an earlier doc.  (First-wins transitive approximation — exact
-   connected components would need iterated label propagation; for
-   dedup *marking* the first-wins rule is what the reference's Bloom
-   pass computes too.)
+   ``num_perm`` minhashes via vectorized multiply-add permutations ->
+   band digests (``num_bands`` x ``rows_per_band``); emit narrow unit
+   rows ``(k = bucket hash, o = order, key)``.
+2. duplicates-only resolution (``dedup/lookup.py``): a doc is a near-dup
+   iff some unit has ``o > min(o) over k`` — i.e. one of its band
+   buckets contains an earlier doc.  Resolved with a single polars
+   window pass over the narrow unit stream (driver strategy) or a Ray
+   ``groupby.aggregate(Min)`` + broadcast (shuffle strategy); never a
+   per-bucket ``map_groups`` — LSH buckets are almost all singletons and
+   per-group pandas over millions of tiny groups is the measured
+   scale-killer.
+3. the duplicates-only key list is broadcast once (``ray.put``) and
+   marking is a vectorized ``pc.is_in`` per batch.
+
+(First-wins transitive approximation — exact connected components would
+need iterated label propagation; for dedup *marking* the first-wins rule
+is what the reference's Bloom pass computes too.)
 
 The expensive part (shingling+hashing) is vectorized numpy per batch;
-the shuffles move ``num_bands`` rows of ~3 small columns per doc.
+the exchange moves ``num_bands`` rows of 3 small columns per doc.
 """
 
 from __future__ import annotations
@@ -26,7 +33,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..schema import attr_name
@@ -49,7 +55,11 @@ def minhash_signature(
     shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
     """(num_perm,) signature from (n_shingles,) uint64 hashes."""
-    # (n, p) = (h * a + b) mod M, min over n — universal hashing
+    # (n, p) = ((h * a mod 2^64) + b) mod M, min over n.  NOTE: h * a
+    # wraps mod 2^64 before the Mersenne mod, so this is a mixed
+    # mod-2^64 multiply-add mixer, not textbook universal hashing mod a
+    # prime — empirically fine for LSH banding (inputs are already
+    # blake2b-uniform), and 64-bit vectorizable.
     h = shingle_hashes.astype(np.uint64)[:, None]
     vals = (h * a[None, :] + b[None, :]) % _MERSENNE
     return vals.min(axis=0)
@@ -95,7 +105,7 @@ class ExplodeBands:
         keys = batch[self.key_column].to_pylist()
         texts = batch[self.text_column].to_pylist()
         order_keys = _order_strings(batch, self.order_columns)
-        r_key, r_order, r_band, r_hash = [], [], [], []
+        r_key, r_order, r_bucket = [], [], []
         for key, text, order_key in zip(keys, texts, order_keys):
             sh = shingle_hashes(text or "", self.shingle_size)
             if len(sh) == 0:
@@ -103,17 +113,18 @@ class ExplodeBands:
             sig = minhash_signature(sh, self.a, self.b)
             for band in range(self.num_bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                digest = hash_string(",".join(map(str, chunk.tolist())))
+                # band index folded into the digest: one int64 bucket key
+                digest = hash_string(
+                    f"{band}:" + ",".join(map(str, chunk.tolist()))
+                )
                 r_key.append(key)
                 r_order.append(order_key)
-                r_band.append(band)
-                r_hash.append(digest)
+                r_bucket.append(digest)
         return pa.table(
             {
+                "k": pa.array(r_bucket, pa.int64()),
+                "o": pa.array(r_order, pa.string()),
                 "key": pa.array(r_key),
-                "order": pa.array(r_order, pa.string()),
-                "band": pa.array(r_band, pa.int32()),
-                "band_hash": pa.array(r_hash, pa.int64()),
             }
         )
 
@@ -127,10 +138,17 @@ def mark_near_duplicates_minhash(
     num_perm: int = 64,
     num_bands: int = 16,
     seed: int = 42,
+    lookup_strategy: str = "driver",
 ):
     """Append ``attr__dedupe_minhash__near_duplicate`` (scalar 0/1):
-    1.0 when the doc shares an LSH band bucket with an earlier doc."""
+    1.0 when the doc shares an LSH band bucket with an earlier doc.
+
+    Resolution is the exact-dedup duplicates-only pattern
+    (``dedup/lookup.py``): narrow ``(k, o, key)`` units -> late-in-bucket
+    keys -> broadcast -> vectorized ``pc.is_in`` mark.  No per-bucket
+    ``map_groups``, no driver-side per-row membership loop."""
     from ..util import cached_stage
+    from .lookup import attach_dup_flag, collect_dup_keys
 
     bands = ds.map_batches(
         cached_stage(
@@ -146,30 +164,5 @@ def mark_near_duplicates_minhash(
         batch_format="pyarrow",
     )
 
-    def bucket_mark(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 1:
-            return pd.DataFrame({"key": [], "dup": []})
-        g = g.sort_values(["order", "key"], kind="mergesort")
-        return pd.DataFrame({"key": g["key"].iloc[1:], "dup": True})
-
-    dup_keys_ds = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(bucket_mark, batch_format="pandas")
-    )
-
-    import ray
-
-    dup_keys: set = set()
-    for b in dup_keys_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        dup_keys.update(b["key"].to_pylist())
-    ref = ray.put(dup_keys)
-
-    def attach(batch: pa.Table) -> pa.Table:
-        dups = ray.get(ref)
-        keys = batch[key_column].to_pylist()
-        col = pa.array([1.0 if k in dups else 0.0 for k in keys], pa.float64())
-        if DUP_MINHASH_ATTR in batch.column_names:
-            batch = batch.drop_columns([DUP_MINHASH_ATTR])
-        return batch.append_column(DUP_MINHASH_ATTR, col)
-
-    return ds.map_batches(attach, batch_format="pyarrow")
+    dup_keys = collect_dup_keys(bands, strategy=lookup_strategy)
+    return attach_dup_flag(ds, key_column, dup_keys, DUP_MINHASH_ATTR)

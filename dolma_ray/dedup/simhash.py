@@ -5,8 +5,23 @@
 fingerprints differ in <= ``max_hamming`` bits.  Scale path per Manku:
 split the 64 bits into ``max_hamming + 1`` bands — by pigeonhole, any
 pair within distance ``max_hamming`` agrees exactly on at least one
-band — ``groupby(band value)`` gives candidate buckets, verified by
-exact Hamming distance against the bucket's earliest doc.
+band — band-value buckets give candidate pairs, verified by exact
+Hamming distance against *all* earlier docs in the bucket.
+
+Execution shape (duplicates-only, no per-singleton work):
+
+1. ``map_batches`` explode: narrow units ``(k = bucket key, o = order,
+   key, fp)`` — ``n_bands`` rows per doc.
+2. colliding buckets only: ``collect_dup_buckets`` (polars window on the
+   narrow stream, or Ray aggregate at the 10^12 regime) -> broadcast the
+   bucket-key set -> vectorized ``pc.is_in`` filter.  LSH buckets are
+   ~all singletons, so this removes ~all groups *before* any groupby.
+3. ``groupby(k).map_groups`` verify over the surviving (tiny) candidate
+   set: vectorized pairwise XOR + popcount, doc i marked iff within
+   ``max_hamming`` of ANY earlier doc in the bucket (not just the
+   earliest — pigeonhole only guarantees the pair shares *a* band, so
+   every earlier member must be checked).
+4. dup keys broadcast -> ``pc.is_in`` flag attach (``lookup.py``).
 """
 
 from __future__ import annotations
@@ -16,12 +31,17 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..schema import attr_name
 from .exact import _order_strings
 from .hashing import hash_string
 
 DUP_SIMHASH_ATTR = attr_name("dedupe_simhash", "near_duplicate")
+
+# odd 64-bit mixing constant (golden-ratio); bucket-key collisions only
+# add verify candidates, never false marks
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def simhash64(text: str) -> int:
@@ -47,6 +67,22 @@ def _bands(fp: int, n_bands: int) -> list[int]:
     return [(fp >> (i * width)) & mask for i in range(n_bands)]
 
 
+def _bucket_keys(band: np.ndarray, band_val: np.ndarray) -> np.ndarray:
+    """int64 bucket key mixing (band index, band value)."""
+    k = (band.astype(np.uint64) + np.uint64(1)) * _MIX + band_val.astype(np.uint64)
+    return (k >> np.uint64(1)).view(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no bitwise_count)."""
+    shape = x.shape
+    return (
+        np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+        .reshape(*shape, 64)
+        .sum(axis=-1)
+    )
+
+
 def mark_near_duplicates_simhash(
     ds,
     key_column: str = "url",
@@ -54,8 +90,13 @@ def mark_near_duplicates_simhash(
     text_column: str = "text",
     max_hamming: int = 3,
     n_bands: int | None = None,
+    lookup_strategy: str = "driver",
 ):
     """Append ``attr__dedupe_simhash__near_duplicate`` (scalar 0/1)."""
+    import ray
+
+    from .lookup import attach_dup_flag, collect_dup_buckets
+
     n_bands = n_bands or (max_hamming + 1)
     assert 64 % n_bands == 0, "n_bands must divide 64"
 
@@ -72,49 +113,55 @@ def mark_near_duplicates_simhash(
                 r_band.append(band)
                 r_val.append(val)
                 r_fp.append(fp)
+        k = _bucket_keys(
+            np.array(r_band, dtype=np.uint64), np.array(r_val, dtype=np.uint64)
+        )
         return pa.table(
             {
+                "k": pa.array(k, pa.int64()),
+                "o": pa.array(r_order, pa.string()),
                 "key": pa.array(r_key),
-                "order": pa.array(r_order, pa.string()),
-                "band": pa.array(r_band, pa.int32()),
-                "band_val": pa.array(r_val, pa.int64()),
                 # signed reinterpretation keeps all 64 fp bits in an int64 column
                 "fp": pa.array(np.array(r_fp, dtype=np.uint64).view(np.int64)),
             }
         )
 
-    units = ds.map_batches(explode, batch_format="pyarrow")
+    units = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
-    def bucket_mark(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 1:
-            return pd.DataFrame({"key": [], "dup": []})
-        g = g.sort_values(["order", "key"], kind="mergesort")
-        mask64 = (1 << 64) - 1
-        first_fp = int(g["fp"].iloc[0]) & mask64
-        out_keys = []
-        for _, row in g.iloc[1:].iterrows():
-            dist = bin((int(row["fp"]) & mask64) ^ first_fp).count("1")
-            if dist <= max_hamming:
-                out_keys.append(row["key"])
-        return pd.DataFrame({"key": out_keys, "dup": [True] * len(out_keys)})
+    dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)
+    if not dup_buckets:
+        return attach_dup_flag(ds, key_column, [], DUP_SIMHASH_ATTR)
+    bucket_ref = ray.put(pa.array(sorted(dup_buckets), pa.int64()))
 
-    dup_keys_ds = units.groupby(["band", "band_val"]).map_groups(
-        bucket_mark, batch_format="pandas"
-    )
+    def only_colliding(batch: pa.Table) -> pa.Table:
+        vs = ray.get(bucket_ref)
+        return batch.filter(pc.is_in(batch["k"], value_set=vs))
 
-    import ray
+    candidates = units.map_batches(only_colliding, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame, earlier_cap: int = 4096) -> pd.DataFrame:
+        """Mark doc i iff within max_hamming of ANY earlier bucket member.
+        Chunked row-wise (memory O(chunk x n)); in a degenerate megabucket
+        only the earliest ``earlier_cap`` members serve as references — a
+        doc deep in such a bucket is near-certainly within distance of one
+        of them, and the cap bounds cost to O(n x cap)."""
+        g = g.sort_values(["o", "key"], kind="mergesort")
+        fps = np.ascontiguousarray(g["fp"].to_numpy(dtype=np.int64)).view(np.uint64)
+        n = len(fps)
+        refs = fps[: min(n, earlier_cap)]
+        mask = np.zeros(n, dtype=bool)
+        for lo in range(1, n, 512):
+            hi = min(lo + 512, n)
+            d = _popcount64(fps[lo:hi, None] ^ refs[None, :])  # (chunk, n_refs)
+            ok = d <= max_hamming
+            # only references strictly earlier than row index count
+            idx = np.arange(lo, hi)[:, None] > np.arange(len(refs))[None, :]
+            mask[lo:hi] = (ok & idx).any(axis=1)
+        return pd.DataFrame({"key": g["key"].to_numpy()[mask]})
 
     dup_keys: set = set()
-    for b in dup_keys_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+    marked = candidates.groupby("k").map_groups(verify, batch_format="pandas")
+    for b in marked.iter_batches(batch_size=65536, batch_format="pyarrow"):
         dup_keys.update(b["key"].to_pylist())
-    ref = ray.put(dup_keys)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        dups = ray.get(ref)
-        keys = batch[key_column].to_pylist()
-        col = pa.array([1.0 if k in dups else 0.0 for k in keys], pa.float64())
-        if DUP_SIMHASH_ATTR in batch.column_names:
-            batch = batch.drop_columns([DUP_SIMHASH_ATTR])
-        return batch.append_column(DUP_SIMHASH_ATTR, col)
-
-    return ds.map_batches(attach, batch_format="pyarrow")
+    return attach_dup_flag(ds, key_column, list(dup_keys), DUP_SIMHASH_ATTR)

