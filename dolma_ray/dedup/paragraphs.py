@@ -6,6 +6,15 @@ Reference semantics (``src/deduper.rs:312-467``):
   newline (offset arithmetic at ``deduper.rs:320-333``);
 * paragraphs shorter than ``min_length`` chars or with fewer than
   ``min_words`` tokens are skipped (no attribute);
+
+  DELIBERATE DEVIATION: in the reference, the whole dedup body lives in
+  the ``else`` branch of the ``min_word_count > 0`` check
+  (``deduper.rs:339-359``), so with ``min_words > 0`` a paragraph that
+  *passes* the word-count check is never deduped at all — the setting
+  silently disables paragraph dedup.  Here a passing paragraph IS
+  deduped (the check is a filter, as the config documentation
+  describes), because replicating the quirk would make ``min_words``
+  unusable; set ``min_words=0`` for byte-identical reference output.
 * **exact**: a paragraph is a duplicate iff an identical paragraph
   occurred earlier (first occurrence wins) -> span ``[start, end, 1]``;
 * **by-ngram**: hash token n-grams (length ``ngram_length``, start

@@ -360,8 +360,10 @@ def doc_views(batch: pa.Table, text_column: str = "text") -> list[dict]:
 
 
 class JqFilterConfig:
-    """jq-syntax include/exclude filter with reference keep semantics:
-    keep = (no includes OR all includes truthy) AND (no exclude truthy).
+    """jq-syntax include/exclude filter with reference keep semantics
+    (``src/filters.rs:327-360`` JqDocFilter::should_keep): keep starts
+    false when includes exist and ANY truthy include sets it (OR over
+    includes, with early exit); then ANY truthy exclude drops.
     Evaluation errors propagate (raise), as in the reference."""
 
     def __init__(self, include: list[str] | None = None, exclude: list[str] | None = None):
@@ -372,10 +374,10 @@ class JqFilterConfig:
         views = doc_views(batch, text_column)
         out = np.ones(len(views), dtype=bool)
         for i, doc in enumerate(views):
-            keep = True
+            keep = not self.include
             for ast in self.include:
-                if not _truthy(evaluate_jq(ast, doc)):
-                    keep = False
+                if _truthy(evaluate_jq(ast, doc)):
+                    keep = True
                     break
             if keep:
                 for ast in self.exclude:

@@ -106,3 +106,29 @@ def test_jq_in_mix_stage(ray_session):
     )
     out = MixStage(cfg, mode="label")(batch)
     assert out["keep"].to_pylist() == [True, False]
+
+
+def test_multi_include_any_semantics():
+    """Reference JqDocFilter::should_keep (filters.rs:327-360): keep
+    starts false and ANY truthy include keeps the doc (OR), not all."""
+    import pyarrow as pa
+
+    from dolma_ray.schema import spans_array
+
+    cfg = JqFilterConfig(include=[".attributes.a", ".attributes.b"])
+    batch = pa.table(
+        {
+            "text": pa.array(["only-a", "only-b", "neither", "both"]),
+            "attr__a": spans_array([[(0, 1, 1.0)], [], [], [(0, 1, 1.0)]]),
+            "attr__b": spans_array([[], [(0, 1, 1.0)], [], [(0, 1, 1.0)]]),
+        }
+    )
+    assert cfg.keep_mask(batch).tolist() == [True, True, False, True]
+
+
+def test_no_includes_keeps_all():
+    import pyarrow as pa
+
+    cfg = JqFilterConfig(exclude=[".text | length > 5"])
+    batch = pa.table({"text": pa.array(["short", "a longer text"])})
+    assert cfg.keep_mask(batch).tolist() == [True, False]
