@@ -69,6 +69,38 @@ def _web_corpus_path() -> str:
     return path
 
 
+def _parse_tag_task_wall(stats: str) -> dict | None:
+    """Extract per-task wall-time spread (min/mean/max + max/mean skew)
+    for the fused tagging operator from ``Dataset.stats()`` text."""
+    import re as _re
+
+    def to_sec(val: str, unit: str) -> float:
+        return float(val) * {"us": 1e-6, "ms": 1e-3, "s": 1.0}[unit]
+
+    block = None
+    for m in _re.finditer(r"Operator \d+ ([^\n]+):", stats):
+        if "TagStage" in m.group(1):
+            block = stats[m.end() :]
+    if block is None:
+        return None
+    w = _re.search(
+        r"Remote wall time: ([\d.]+)(us|ms|s) min, ([\d.]+)(us|ms|s) max, "
+        r"([\d.]+)(us|ms|s) mean",
+        block,
+    )
+    if not w:
+        return None
+    mn = to_sec(w.group(1), w.group(2))
+    mx = to_sec(w.group(3), w.group(4))
+    mean = to_sec(w.group(5), w.group(6))
+    return {
+        "min_s": round(mn, 3),
+        "mean_s": round(mean, 3),
+        "max_s": round(mx, 3),
+        "skew_max_over_mean": round(mx / mean, 2) if mean else None,
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -117,8 +149,10 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     # the pipeline's real sink: distributed parquet write (no driver pull)
-    flagship(ds, mode="filter", batch_size=256).write_parquet(out_dir)
+    flag_ds = flagship(ds, mode="filter", batch_size=256)
+    flag_ds.write_parquet(out_dir)
     flagship_sec = round(time.perf_counter() - t0, 3)
+    tag_task_wall = _parse_tag_task_wall(flag_ds.stats())
     import pyarrow.parquet as pq
     import glob as _glob
 
@@ -140,6 +174,9 @@ def run_bench() -> dict:
         "web_docs": WEB_N,
         "web_docs_kept": n_kept,
         "web_docs_per_sec": round(WEB_N / flagship_sec, 1),
+        # straggler diagnostic: per-task wall time of the fused tag stage
+        # (max/mean ~1 => no monster-doc skew at task granularity)
+        "tag_task_wall": tag_task_wall,
     }
     ray.shutdown()
     return result

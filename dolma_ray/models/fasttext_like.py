@@ -134,9 +134,19 @@ class CharNgramClassifier:
                 self._ll[i, c] = math.log((cnt.get(h, 0) + 1) / total)
 
     def _gram_hashes(self, text: str, cap: int | None = None) -> np.ndarray:
-        t = " " + re.sub(r"\s+", " ", text.lower().strip()) + " "
-        if cap is not None:
-            t = t[:cap]
+        if cap is not None and len(text) > cap * 8:
+            # collapse-whitespace only shrinks text, so a raw window of
+            # 8x the cap covers the capped output unless the window is
+            # >87% whitespace — in that rare case redo on the full doc
+            head = " " + re.sub(r"\s+", " ", text[: cap * 8].lower().strip()) + " "
+            if len(head) >= cap:
+                t = head[:cap]
+            else:
+                t = (" " + re.sub(r"\s+", " ", text.lower().strip()) + " ")[:cap]
+        else:
+            t = " " + re.sub(r"\s+", " ", text.lower().strip()) + " "
+            if cap is not None:
+                t = t[:cap]
         codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
         n = len(codes)
         parts = [codes]

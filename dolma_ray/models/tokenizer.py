@@ -41,5 +41,30 @@ class RegexTokenizer:
             offsets.append((m.start(), m.end()))
         return ids, offsets
 
+    def encode_arrays(self, text: str):
+        """``(ids, starts, ends)`` numpy arrays — the vectorized hot path.
+
+        ids come from ``np.unique``'s inverse (injective relabeling; the
+        periodic finder only tests equality, so sorted-order numbering is
+        as good as first-seen).  Offsets are cumulative token lengths,
+        valid because the GPT-2-style alternation covers every character;
+        a length guard falls back to ``finditer`` if a pattern gap ever
+        breaks contiguity."""
+        import numpy as np
+
+        toks = _GPT2ISH.findall(text)
+        n = len(toks)
+        lens = np.fromiter((len(t) for t in toks), np.int64, n)
+        if int(lens.sum()) != len(text):  # non-contiguous match (unexpected)
+            ids_l, offs = self.encode_with_offsets(text)
+            ids = np.asarray(ids_l, dtype=np.int64)
+            starts = np.fromiter((o[0] for o in offs), np.int64, len(offs))
+            ends = np.fromiter((o[1] for o in offs), np.int64, len(offs))
+            return ids, starts, ends
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        _, ids = np.unique(np.asarray(toks), return_inverse=True)
+        return ids.astype(np.int64, copy=False), starts, ends
+
     def count(self, text: str) -> int:
-        return sum(1 for _ in _GPT2ISH.finditer(text))
+        return len(_GPT2ISH.findall(text))

@@ -168,6 +168,8 @@ def flagship(
     dedup: bool = True,
     stateful_concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
+    length_split: int | None = None,
+    long_batch_size: int = 32,
 ):
     """Full pipeline on a web-page Dataset; returns the transformed Dataset
     (lazy).  ``mode="label"`` appends ``keep`` instead of filtering.
@@ -175,17 +177,55 @@ def flagship(
     Stage order: dedup runs FIRST, on the narrow raw rows (url/ts/text),
     so the dedup shuffles never move attribute columns; tagging is
     map-only and appends columns after.
-    """
+
+    Monster-doc skew (SCALE.md "Skew"): setting ``length_split`` routes
+    docs above that many chars (~1.5% of a web corpus, ~30% of its
+    character mass) to a separate tagging branch with small batches, so
+    no task mixes one monster with hundreds of cheap docs.  MEASURED
+    single-node (100k docs, 32 cpus): the split is a net LOSS (12.1s ->
+    24.0s wall) because both branches re-execute the read+dedup-mark
+    lineage (the paragraph-mark attach recomputes paragraph hashes per
+    branch) and the per-doc tagger vectorization already absorbs most of
+    the monster tail (task wall max/mean is only ~1.7x).  Default is
+    therefore OFF; consider it on a cluster only if p99/median task time
+    ratio (reported by bench.py) is large AND the dedup stage is
+    disabled or the mark lineage is cheap."""
     if dedup:
         ds = mark_duplicates_fused(
             ds, doc_key_column="text", min_length=1, skip_empty=True
         )
-    ds = tag_all(
-        ds, stateful_concurrency=stateful_concurrency, batch_size=batch_size
-    )
+
+    if length_split:
+        import pyarrow.compute as _pc
+
+        def short_docs(batch):
+            return batch.filter(
+                _pc.less_equal(_pc.utf8_length(batch["text"]), length_split)
+            )
+
+        def long_docs(batch):
+            return batch.filter(
+                _pc.greater(_pc.utf8_length(batch["text"]), length_split)
+            )
+
+        tagged = tag_all(
+            ds.map_batches(short_docs, batch_format="pyarrow"),
+            stateful_concurrency=stateful_concurrency,
+            batch_size=batch_size,
+        ).union(
+            tag_all(
+                ds.map_batches(long_docs, batch_format="pyarrow"),
+                stateful_concurrency=stateful_concurrency,
+                batch_size=long_batch_size,
+            )
+        )
+    else:
+        tagged = tag_all(
+            ds, stateful_concurrency=stateful_concurrency, batch_size=batch_size
+        )
     from ..util import cached_stage
 
-    return ds.map_batches(
+    return tagged.map_batches(
         cached_stage(MixStage, config=CANONICAL_MIX_CONFIG, mode=mode),
         batch_format="pyarrow",
     )

@@ -40,6 +40,10 @@ _ALPHA_RE = _re.compile(r"[^\W\d_]", _re.UNICODE)
 _MOST_COMMON_NS = (2, 3, 4)
 _DUP_NS = (5, 6, 7, 8, 9, 10)
 
+# cross-document cache of per-word flag bitmasks (bit0 symbol, bit1
+# alpha, bit2 required); bounded, per worker process
+_WORD_PROPS: dict[str, int] = {}
+
 GOPHER_DOC_TYPES: dict[str, str] = {
     **{f"fraction_of_characters_in_most_common_{n}grams": DOC for n in _MOST_COMMON_NS},
     **{f"fraction_of_characters_in_duplicate_{n}grams": DOC for n in _DUP_NS},
@@ -74,32 +78,48 @@ def gopher_attributes(text: str, ignore_empty_lines: bool = False) -> dict[str, 
 
     words = text.split()
     word_count = len(words)
-    word_lengths = [len(w) for w in words]
+    lens = np.fromiter((len(w) for w in words), np.int64, word_count)
     # character mass excluding whitespace — the reference's denominator
-    char_mass = sum(word_lengths)
+    char_mass = int(lens.sum())
 
     out["word_count"] = float(word_count)
-    out["median_word_length"] = float(median(word_lengths)) if word_lengths else 0.0
-    n_symbol = n_alpha = n_required = 0
+    out["median_word_length"] = float(np.median(lens)) if word_count else 0.0
+
+    # single pass: word ids in first-seen order; per-word symbol/alpha/
+    # required flags computed once per UNIQUE word (cross-doc cached —
+    # web vocabulary is Zipfian, so the regex/alpha work amortizes away)
+    # and expanded to occurrence counts with one bincount.
     alpha_search = _ALPHA_RE.search
     required = REQUIRED_ENGLISH_WORDS
-    for w in words:
-        if "#" in w or "…" in w:
-            n_symbol += 1
-        if alpha_search(w) is not None:
-            n_alpha += 1
-        if w in required:
-            n_required += 1
-    out["symbol_to_word_ratio"] = n_symbol / max(word_count, 1)
-    out["fraction_of_words_with_alpha_character"] = n_alpha / max(word_count, 1)
-    out["required_word_count"] = float(n_required)
-
-    # word ids (first-seen order) + prefix sums of word lengths
+    cache = _WORD_PROPS
     ids_map: dict[str, int] = {}
-    ids = np.empty(word_count, dtype=np.uint64)
+    ids = np.empty(word_count, dtype=np.int64)
+    masks: list[int] = []
     for i, w in enumerate(words):
-        ids[i] = ids_map.setdefault(w, len(ids_map))
-    lens = np.asarray(word_lengths, dtype=np.int64)
+        j = ids_map.get(w)
+        if j is None:
+            j = len(ids_map)
+            ids_map[w] = j
+            m = cache.get(w)
+            if m is None:
+                m = (
+                    (1 if ("#" in w or "…" in w) else 0)
+                    | ((alpha_search(w) is not None) << 1)
+                    | ((w in required) << 2)
+                )
+                if len(cache) < 2_000_000:  # bound worker memory
+                    cache[w] = m
+            masks.append(m)
+        ids[i] = j
+    mask = np.frombuffer(bytes(masks), dtype=np.uint8)
+    cnt = np.bincount(ids, minlength=len(ids_map))
+    out["symbol_to_word_ratio"] = int(cnt[(mask & 1) > 0].sum()) / max(word_count, 1)
+    out["fraction_of_words_with_alpha_character"] = int(
+        cnt[(mask & 2) > 0].sum()
+    ) / max(word_count, 1)
+    out["required_word_count"] = float(int(cnt[(mask & 4) > 0].sum()))
+
+    ids = ids.view(np.uint64)
     cum = np.concatenate([[0], np.cumsum(lens)])
     P = np.uint64(1099511628211)
 

@@ -167,15 +167,15 @@ class TokenizerRepetitionsTagger(BaseTagger):
         return _REP_DOC_TYPES
 
     def _extract(self, text: str) -> list[tuple[int, int, float]]:
-        ids, offsets = self.tokenizer.encode_with_offsets(text)
+        ids, starts, ends = self.tokenizer.encode_arrays(text)
         if len(ids) < 3:
             return []
         spans = []
         for seq in find_periodic_sequences(
-            np.asarray(ids, dtype=np.int64), max_period=self.MAX_PERIOD, min_period=self.MIN_PERIOD
+            ids, max_period=self.MAX_PERIOD, min_period=self.MIN_PERIOD
         ):
             spans.append(
-                (offsets[seq.start][0], offsets[seq.end - 1][1], float(seq.times))
+                (int(starts[seq.start]), int(ends[seq.end - 1]), float(seq.times))
             )
         return spans
 

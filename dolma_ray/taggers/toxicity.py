@@ -21,7 +21,7 @@ from __future__ import annotations
 from typing import Any, Mapping
 
 from ..registry import TaggerRegistry
-from ..text_units import split_sentences
+from ..text_units import sentence_trips
 from .base import DOC, SPAN, BaseTagger
 
 _MODEL_CACHE: dict[str, Any] = {}
@@ -83,19 +83,32 @@ class _JigsawSentence(_JigsawBase):
         return {self._pos_type: SPAN, self._neg_type: SPAN}
 
     def tag_batch(self, texts, extras):
-        # one vectorized scoring pass over every sentence in the batch
-        all_slices = [split_sentences(t) for t in texts]
-        flat = [s.text for slices in all_slices for s in slices]
-        scores = self._scores(flat) if flat else []
+        # One scoring pass over the UNIQUE sentence texts in the batch —
+        # web text repeats boilerplate sentences heavily (and monster
+        # docs repeat token-less fragments like "? " thousands of
+        # times), so deduplicating before the model cuts most of the
+        # work.  Token-less sentences short-circuit to the exact value
+        # the model would produce (zero scores -> softmax -> 0.5).
+        from ..models.fasttext_like import _TOKEN_RE
+
+        per_doc = []
+        score_map: dict[str, float] = {}
+        for t in texts:
+            trips = sentence_trips(t)
+            per_doc.append(trips)
+            for _, _, st in trips:
+                score_map.setdefault(st, 0.5)
+        to_score = [t for t in score_map if _TOKEN_RE.search(t)]
+        if to_score:
+            for t, p in zip(to_score, self._scores(to_score)):
+                score_map[t] = float(p)
         pos_out, neg_out = [], []
-        i = 0
-        for slices in all_slices:
+        for trips in per_doc:
             pos, neg = [], []
-            for s in slices:
-                p = float(scores[i])
-                i += 1
-                pos.append((s.start, s.end, p))
-                neg.append((s.start, s.end, 1.0 - p))
+            for start, end, st in trips:
+                p = score_map[st]
+                pos.append((start, end, p))
+                neg.append((start, end, 1.0 - p))
             pos_out.append(pos)
             neg_out.append(neg)
         return {self._pos_type: pos_out, self._neg_type: neg_out}
