@@ -1,0 +1,214 @@
+"""Loader + scorer for real fastText ``.bin`` models (e.g. lid.176.bin).
+
+The binary format is public (fastText source: ``fasttext.cc
+saveModel/loadModel``, ``args.cc save``, ``dictionary.cc save``,
+``matrix.cc save``):
+
+    int32 magic=793712314, int32 version (11/12)
+    args: 12x int32 (dim ws epoch minCount neg wordNgrams loss model
+          bucket minn maxn lrUpdateRate) + double t
+    dict: int32 size, nwords, nlabels; int64 ntokens, pruneidx_size;
+          size x { cstring word, int64 count, int8 type(0=word,1=label) };
+          max(pruneidx_size,0) x (int32, int32)
+    int8 quant flag; input matrix (int64 m, int64 n, m*n float32)
+    int8 qout flag;  output matrix (same layout)
+
+Only UNQUANTIZED models are supported (lid.176.bin is unquantized; the
+``.ftz`` product-quantized variant raises).  Loss: softmax and
+one-vs-all; hierarchical-softmax models raise (documented subset —
+the published lid models use softmax).
+
+Scoring follows fastText supervised prediction: tokens are whitespace
+words; each known word contributes its word vector (plus its char-ngram
+subword vectors when maxn>0), OOV words contribute subword vectors
+only; word-ngram bucket features when wordNgrams>1; hidden = mean of
+rows; scores = output @ hidden -> softmax/sigmoid.
+
+Reference integration point: ``core/ft_tagger.py:33-37`` loads exactly
+such a file via the fasttext package; here
+:class:`FastTextModel` exposes the same ``predict`` /
+``predict_batch`` / ``labels`` interface as the embedded-seed stand-ins
+so taggers can swap it in via a path argument or env var.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = 793712314
+_EOS = "</s>"
+_BOW, _EOW = "<", ">"
+
+
+def _fnv1a(data: bytes) -> np.uint32:
+    """fastText Dictionary::hash — FNV-1a over SIGNED bytes."""
+    h = np.uint32(2166136261)
+    for b in data:
+        # C++ casts char (signed) to uint32_t: negative bytes sign-extend
+        sb = b - 256 if b >= 128 else b
+        h = np.uint32(h ^ np.uint32(sb & 0xFFFFFFFF))
+        h = np.uint32(h * np.uint32(16777619))
+    return h
+
+
+def _utf8_char_starts(b: bytes) -> list[int]:
+    return [i for i, c in enumerate(b) if (c & 0xC0) != 0x80]
+
+
+class FastTextModel:
+    def __init__(self, path: str) -> None:
+        with open(path, "rb") as f:
+            data = f.read()
+        off = 0
+
+        def read(fmt: str):
+            nonlocal off
+            vals = struct.unpack_from("<" + fmt, data, off)
+            off += struct.calcsize("<" + fmt)
+            return vals if len(vals) > 1 else vals[0]
+
+        magic = read("i")
+        if magic != _MAGIC:
+            raise ValueError(f"not a fastText model (magic {magic})")
+        self.version = read("i")
+        (
+            self.dim,
+            _ws,
+            _epoch,
+            _minCount,
+            _neg,
+            self.word_ngrams,
+            self.loss,
+            self.model_type,
+            self.bucket,
+            self.minn,
+            self.maxn,
+            _lr_update,
+        ) = read("12i")
+        _t = read("d")
+        # loss_name enum: hs=1, ns=2, softmax=3, ova=4 (args.h)
+        if self.loss == 1:
+            raise NotImplementedError(
+                "hierarchical-softmax fastText models are outside the "
+                "implemented subset (softmax / ns / one-vs-all supported)"
+            )
+
+        size, self.nwords, self.nlabels = read("3i")
+        _ntokens, pruneidx_size = read("2q")
+        words: list[str] = []
+        labels: list[str] = []
+        self._word_id: dict[str, int] = {}
+        for i in range(size):
+            end = data.index(b"\x00", off)
+            w = data[off:end].decode("utf-8", errors="replace")
+            off = end + 1
+            _count = read("q")
+            etype = read("b")
+            if etype == 0:
+                self._word_id[w] = len(words)
+                words.append(w)
+            else:
+                labels.append(w)
+        for _ in range(max(pruneidx_size, 0)):
+            read("2i")
+        self._raw_labels = labels
+        self.labels = [
+            lb[len("__label__") :] if lb.startswith("__label__") else lb
+            for lb in labels
+        ]
+
+        quant = read("b")
+        if quant:
+            raise NotImplementedError(
+                "product-quantized (.ftz) fastText models are not supported; "
+                "use the unquantized .bin"
+            )
+        m, n = read("2q")
+        self.input = np.frombuffer(data, dtype="<f4", count=m * n, offset=off).reshape(
+            m, n
+        )
+        off += m * n * 4
+        qout = read("b")
+        if qout:
+            raise NotImplementedError("quantized output matrix not supported")
+        m2, n2 = read("2q")
+        self.output = np.frombuffer(
+            data, dtype="<f4", count=m2 * n2, offset=off
+        ).reshape(m2, n2)
+        off += m2 * n2 * 4
+        self._subword_cache: dict[str, list[int]] = {}
+
+    # --- feature extraction (Dictionary::getLine for supervised) ---
+
+    def _compute_subwords(self, word: str) -> list[int]:
+        """char-ngram bucket ids of <word> (Dictionary::computeSubwords)."""
+        out: list[int] = []
+        b = (_BOW + word + _EOW).encode("utf-8")
+        starts = _utf8_char_starts(b) + [len(b)]
+        nchars = len(starts) - 1
+        for i in range(nchars):
+            for n in range(1, self.maxn + 1):
+                if i + n > nchars:
+                    break
+                ng = b[starts[i] : starts[i + n]]
+                if n >= self.minn and not (n == 1 and (i == 0 or i + n == nchars)):
+                    out.append(self.nwords + int(_fnv1a(ng)) % self.bucket)
+        return out
+
+    def _word_features(self, word: str) -> list[int]:
+        feats = self._subword_cache.get(word)
+        if feats is not None:
+            return feats
+        wid = self._word_id.get(word)
+        if wid is not None:
+            feats = [wid]
+            if self.maxn > 0:
+                feats = feats + self._compute_subwords(word)
+        else:
+            feats = self._compute_subwords(word) if self.maxn > 0 else []
+        if len(self._subword_cache) < 1_000_000:
+            self._subword_cache[word] = feats
+        return feats
+
+    def _line_features(self, text: str) -> list[int]:
+        tokens = text.split()
+        feats: list[int] = []
+        hashes: list[int] = []
+        for tok in tokens + [_EOS]:
+            feats.extend(self._word_features(tok))
+            hashes.append(int(_fnv1a(tok.encode("utf-8"))))
+        if self.word_ngrams > 1:
+            # Dictionary::addWordNgrams
+            for i in range(len(hashes)):
+                h = np.uint64(hashes[i])
+                for j in range(i + 1, min(i + self.word_ngrams, len(hashes))):
+                    h = np.uint64(h * np.uint64(116049371) + np.uint64(hashes[j]))
+                    feats.append(self.nwords + int(h % np.uint64(self.bucket)))
+        return feats
+
+    # --- scoring ---
+
+    def _scores_one(self, text: str) -> np.ndarray:
+        feats = self._line_features(text)
+        if not feats:
+            return np.zeros(len(self.labels))
+        hidden = self.input[np.asarray(feats, dtype=np.int64)].mean(axis=0)
+        z = self.output @ hidden
+        if self.loss in (2, 4):  # ns / one-vs-all: independent sigmoids
+            return 1.0 / (1.0 + np.exp(-z))
+        e = np.exp(z - z.max())  # softmax (loss=3)
+        return e / e.sum()
+
+    def predict_batch(self, texts: list[str]) -> np.ndarray:
+        return np.stack([self._scores_one(t) for t in texts])
+
+    def predict(self, text: str, k: int = 1) -> tuple[list[str], list[float]]:
+        probs = self._scores_one(text)
+        order = np.argsort(-probs, kind="stable")
+        top = order if (k == -1 or k >= len(order)) else order[:k]
+        return (
+            [self._raw_labels[i] for i in top],
+            [float(probs[i]) for i in top],
+        )

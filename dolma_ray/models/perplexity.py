@@ -63,3 +63,87 @@ class StupidBackoffLM:
         for i in range(2, len(seq)):
             logp += math.log10(self._score(seq[i - 2], seq[i - 1], seq[i]))
         return (-logp / len(toks)) + 0.0  # normalize -0.0
+
+
+class ArpaLM:
+    """Real-weights path: a KenLM/SRILM ARPA n-gram file with standard
+    Katz backoff scoring (the format KenLM's ``lmplz`` writes and
+    ``build_binary`` consumes; CCNet-style pipelines threshold the same
+    per-word log10 perplexity this returns).
+
+    Scoring: ``p(w | ctx)`` = the longest-matching n-gram's log10 prob;
+    on a miss, add ``backoff(ctx)`` and retry with the shortened
+    context.  OOV words score as ``<unk>`` (or a -7.0 log10 floor when
+    the file has no ``<unk>`` entry).  Same ``log10_perplexity``
+    interface as :class:`StupidBackoffLM`, so taggers swap it in via a
+    path (``DOLMA_RAY_KENLM_ARPA`` env var or constructor arg)."""
+
+    _OOV_FLOOR = -7.0
+
+    def __init__(self, path: str) -> None:
+        self.logprob: dict[tuple[str, ...], float] = {}
+        self.backoff: dict[tuple[str, ...], float] = {}
+        self.order = 0
+        opener = open
+        if path.endswith(".gz"):
+            import functools
+            import gzip
+
+            opener = functools.partial(gzip.open, mode="rt", encoding="utf-8")
+        with opener(path) as f:  # type: ignore[operator]
+            section = 0
+            for raw in f:
+                ln = raw.strip()
+                if not ln or ln.startswith("\\data\\") or ln.startswith("ngram "):
+                    continue
+                if ln.startswith("\\end\\"):
+                    break
+                m = re.match(r"^\\(\d+)-grams:$", ln)
+                if m:
+                    section = int(m.group(1))
+                    self.order = max(self.order, section)
+                    continue
+                if not section:
+                    continue
+                parts = ln.split("\t")
+                if len(parts) < 2:
+                    parts = ln.split()
+                    if len(parts) < section + 1:
+                        continue
+                    lp, grams = parts[0], parts[1 : 1 + section]
+                    bo = parts[1 + section] if len(parts) > 1 + section else None
+                else:
+                    lp = parts[0]
+                    grams = tuple(parts[1].split())
+                    bo = parts[2] if len(parts) > 2 else None
+                key = tuple(grams)
+                self.logprob[key] = float(lp)
+                if bo is not None:
+                    self.backoff[key] = float(bo)
+
+    def _score_word(self, context: tuple[str, ...], w: str) -> float:
+        """log10 p(w | context) with Katz backoff."""
+        for start in range(len(context) + 1):
+            key = context[start:] + (w,)
+            lp = self.logprob.get(key)
+            if lp is not None:
+                bo = sum(
+                    self.backoff.get(context[s:], 0.0) for s in range(start)
+                )
+                return lp + bo
+        unk = self.logprob.get(("<unk>",))
+        base = unk if unk is not None else self._OOV_FLOOR
+        return base + sum(
+            self.backoff.get(context[s:], 0.0) for s in range(len(context))
+        )
+
+    def log10_perplexity(self, text: str) -> float:
+        toks = _tokens(text)
+        if not toks:
+            return 0.0
+        seq = ["<s>"] + toks + ["</s>"]
+        logp = 0.0
+        for i in range(1, len(seq)):
+            ctx = tuple(seq[max(0, i - self.order + 1) : i])
+            logp += self._score_word(ctx, seq[i])
+        return (-logp / (len(toks) + 1)) + 0.0  # </s> scored, KenLM-style

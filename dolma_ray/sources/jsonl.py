@@ -10,9 +10,11 @@ Dolma corpora can be processed, and writes it back for consumers that
 expect the reference layout.
 
 Parquet is the engine's native format — these readers exist for
-interchange.  (zstd needs the ``zstandard`` package, absent here; gzip
-is supported via ``ray.data.read_json`` / Arrow, which handles .gz
-natively.)
+interchange.  Both ``.gz`` and ``.zst`` shards are handled: reads go
+through ``ray.data.read_json``, which auto-detects the compression from
+the extension via Arrow (the zstd codec is built into pyarrow — no
+``zstandard`` package needed, reference ``core/utils.py:175-206``);
+writes pick the codec from the ``compression`` argument.
 """
 
 from __future__ import annotations
@@ -25,6 +27,18 @@ from typing import Any
 import pyarrow as pa
 
 from ..schema import SPAN_LIST_TYPE, spans_array
+
+
+def _open_shard_writer(path: str):
+    """Text-mode JSONL writer for ``.gz`` or ``.zst`` paths."""
+    if path.endswith(".zst"):
+        import io
+
+        return io.TextIOWrapper(
+            pa.CompressedOutputStream(pa.OSFile(path, "wb"), "zstd"),
+            encoding="utf-8",
+        )
+    return gzip.open(path, "wt", encoding="utf-8")
 
 
 def read_dolma_documents(paths: str | list[str], include_metadata: bool = True):
@@ -87,8 +101,10 @@ def write_dolma_documents(
     out_dir: str,
     max_rows_per_shard: int = 100_000,
     id_column: str = "id",
+    compression: str = "gz",
 ):
-    """Write a Dataset as a dolma-format gzip-JSONL documents tree.
+    """Write a Dataset as a dolma-format JSONL documents tree
+    (``compression``: ``"gz"`` or ``"zst"``).
 
     Streaming consumption on the driver via ``iter_batches`` with bounded
     shard size — for production scale prefer ``ds.write_parquet``; this
@@ -104,8 +120,8 @@ def write_dolma_documents(
                 if fh is None or rows_in_shard >= max_rows_per_shard:
                     if fh is not None:
                         fh.close()
-                    path = os.path.join(out_dir, f"{shard:05d}.json.gz")
-                    fh = gzip.open(path, "wt", encoding="utf-8")
+                    path = os.path.join(out_dir, f"{shard:05d}.json.{compression}")
+                    fh = _open_shard_writer(path)
                     shard += 1
                     rows_in_shard = 0
                 row = {k: v[i] for k, v in cols.items()}
@@ -122,6 +138,7 @@ def write_dolma_attributes(
     out_dir: str,
     max_rows_per_shard: int = 100_000,
     id_column: str = "id",
+    compression: str = "gz",
 ):
     """Write the ``attr__*`` columns of a tagged Dataset as a
     reference-format attributes tree (gzip JSONL of ``{id, attributes}``,
@@ -138,8 +155,8 @@ def write_dolma_attributes(
                 if fh is None or rows_in_shard >= max_rows_per_shard:
                     if fh is not None:
                         fh.close()
-                    path = os.path.join(out_dir, f"{shard:05d}.json.gz")
-                    fh = gzip.open(path, "wt", encoding="utf-8")
+                    path = os.path.join(out_dir, f"{shard:05d}.json.{compression}")
+                    fh = _open_shard_writer(path)
                     shard += 1
                     rows_in_shard = 0
                 fh.write(json.dumps(row, ensure_ascii=False) + "\n")

@@ -3,6 +3,7 @@ taggers with :class:`dolma_ray.registry.TaggerRegistry`."""
 
 from .base import DOC, SPAN, STR, BaseTagger, TagStage, tag_dataset  # noqa: F401
 from . import (  # noqa: F401
+    adblock,
     aliases,
     c4,
     code,

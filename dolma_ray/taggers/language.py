@@ -34,11 +34,23 @@ _MODEL_CACHE: dict[str, Any] = {}
 
 
 def _get_langid_model():
+    """Real-weights path: set ``DOLMA_RAY_FASTTEXT_BIN=/path/to/lid.176.bin``
+    to score with a real fastText model (public .bin format, loaded by
+    ``models/fasttext_bin.py`` — reference ``core/ft_tagger.py:33-37``);
+    otherwise the embedded-seed char-ngram classifier stands in."""
     if "langid" not in _MODEL_CACHE:
-        from ..data.seeds import LANG_SEEDS
-        from ..models.fasttext_like import CharNgramClassifier
+        import os
 
-        _MODEL_CACHE["langid"] = CharNgramClassifier(LANG_SEEDS)
+        bin_path = os.environ.get("DOLMA_RAY_FASTTEXT_BIN")
+        if bin_path:
+            from ..models.fasttext_bin import FastTextModel
+
+            _MODEL_CACHE["langid"] = FastTextModel(bin_path)
+        else:
+            from ..data.seeds import LANG_SEEDS
+            from ..models.fasttext_like import CharNgramClassifier
+
+            _MODEL_CACHE["langid"] = CharNgramClassifier(LANG_SEEDS)
     return _MODEL_CACHE["langid"]
 
 

@@ -27,10 +27,21 @@ _MODEL_CACHE: dict[str, Any] = {}
 
 
 def _get_lm():
+    """Real-weights path: set ``DOLMA_RAY_KENLM_ARPA=/path/to/model.arpa``
+    (KenLM/SRILM ARPA, optionally .gz) to score with that LM; otherwise
+    the embedded-seed StupidBackoffLM stands in (no network here)."""
     if "lm" not in _MODEL_CACHE:
-        from ..models.perplexity import StupidBackoffLM
+        import os
 
-        _MODEL_CACHE["lm"] = StupidBackoffLM()
+        arpa = os.environ.get("DOLMA_RAY_KENLM_ARPA")
+        if arpa:
+            from ..models.perplexity import ArpaLM
+
+            _MODEL_CACHE["lm"] = ArpaLM(arpa)
+        else:
+            from ..models.perplexity import StupidBackoffLM
+
+            _MODEL_CACHE["lm"] = StupidBackoffLM()
     return _MODEL_CACHE["lm"]
 
 

@@ -1,0 +1,182 @@
+"""Real-weights load paths: fastText .bin loader and KenLM ARPA loader
+on tiny hand-written artifacts (reference core/ft_tagger.py:33-37 loads
+such files via the fasttext package; format is public)."""
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from dolma_ray.models.fasttext_bin import FastTextModel, _fnv1a
+from dolma_ray.models.perplexity import ArpaLM, StupidBackoffLM
+
+
+def write_tiny_bin(
+    path,
+    words,
+    labels,
+    input_mat,
+    output_mat,
+    dim,
+    bucket=0,
+    minn=0,
+    maxn=0,
+    word_ngrams=1,
+    loss=3,
+):
+    """Serialize the public fastText .bin layout (unquantized)."""
+    out = bytearray()
+    out += struct.pack("<ii", 793712314, 12)  # magic, version
+    out += struct.pack(
+        "<12i", dim, 5, 1, 1, 5, word_ngrams, loss, 3, bucket, minn, maxn, 100
+    )
+    out += struct.pack("<d", 0.0001)  # t
+    size = len(words) + len(labels)
+    out += struct.pack("<3i", size, len(words), len(labels))
+    out += struct.pack("<2q", 1000, 0)  # ntokens, pruneidx_size
+    for w in words:
+        out += w.encode() + b"\x00" + struct.pack("<qb", 10, 0)
+    for lb in labels:
+        out += lb.encode() + b"\x00" + struct.pack("<qb", 10, 1)
+    out += struct.pack("<b", 0)  # quant flag
+    m, n = input_mat.shape
+    out += struct.pack("<2q", m, n) + input_mat.astype("<f4").tobytes()
+    out += struct.pack("<b", 0)  # qout
+    m2, n2 = output_mat.shape
+    out += struct.pack("<2q", m2, n2) + output_mat.astype("<f4").tobytes()
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def test_fasttext_bin_softmax_exact(tmp_path):
+    dim = 4
+    words = ["hello", "world", "</s>"]
+    labels = ["__label__en", "__label__fr"]
+    rng = np.random.default_rng(0)
+    inp = rng.standard_normal((3, dim))
+    outm = rng.standard_normal((2, dim))
+    p = tmp_path / "tiny.bin"
+    write_tiny_bin(str(p), words, labels, inp, outm, dim)
+    m = FastTextModel(str(p))
+    assert m.labels == ["en", "fr"]
+    # hand-computed: hidden = mean(input[hello], input[world], input[</s>])
+    hidden = inp[:3].astype(np.float32).astype(np.float64).mean(axis=0)
+    z = outm.astype(np.float32).astype(np.float64) @ hidden
+    e = np.exp(z - z.max())
+    expect = e / e.sum()
+    got = m.predict_batch(["hello world"])[0]
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    # deterministic across loads
+    m2 = FastTextModel(str(p))
+    np.testing.assert_array_equal(m2.predict_batch(["hello world"])[0], got)
+    lbs, probs = m.predict("hello world", k=-1)
+    assert set(lbs) == {"__label__en", "__label__fr"}
+    assert math.isclose(sum(probs), 1.0, rel_tol=1e-6)
+
+
+def test_fasttext_bin_subwords_oov(tmp_path):
+    """maxn>0: OOV words score via char-ngram bucket vectors."""
+    dim, bucket = 2, 16
+    words = ["</s>"]
+    labels = ["__label__a", "__label__b"]
+    rng = np.random.default_rng(1)
+    inp = rng.standard_normal((1 + bucket, dim))
+    outm = rng.standard_normal((2, dim))
+    p = tmp_path / "sub.bin"
+    write_tiny_bin(str(p), words, labels, inp, outm, dim, bucket=bucket, minn=2, maxn=3)
+    m = FastTextModel(str(p))
+    probs = m.predict_batch(["zzqx"])[0]
+    assert probs.shape == (2,) and math.isclose(probs.sum(), 1.0, rel_tol=1e-6)
+    # OOV features are subword hashes: verify at least one bucket id used
+    feats = m._word_features("zzqx")
+    assert feats and all(f >= m.nwords for f in feats)
+    # known-word + subwords path
+    feats2 = m._word_features("</s>")
+    assert 0 in feats2
+
+
+def test_fasttext_quantized_rejected(tmp_path):
+    p = tmp_path / "q.bin"
+    out = bytearray()
+    out += struct.pack("<ii", 793712314, 12)
+    out += struct.pack("<12i", 2, 5, 1, 1, 5, 1, 3, 3, 0, 0, 0, 100)
+    out += struct.pack("<d", 0.0001)
+    out += struct.pack("<3i", 0, 0, 0) + struct.pack("<2q", 0, 0)
+    out += struct.pack("<b", 1)  # quant!
+    with open(p, "wb") as f:
+        f.write(out)
+    with pytest.raises(NotImplementedError):
+        FastTextModel(str(p))
+
+
+TINY_ARPA = """\
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-1.0\t<s>\t-0.30103
+-1.0\t</s>
+-0.69897\tthe\t-0.30103
+-1.0\tcat\t-0.2
+-2.0\t<unk>
+
+\\2-grams:
+-0.30103\t<s> the
+-0.52\tthe cat
+-0.39794\tcat </s>
+
+\\end\\
+"""
+
+
+def test_arpa_scoring_exact(tmp_path):
+    p = tmp_path / "tiny.arpa"
+    p.write_text(TINY_ARPA)
+    lm = ArpaLM(str(p))
+    assert lm.order == 2
+    # "the cat": p(the|<s>) = -0.30103 (bigram hit)
+    #            p(cat|the) = -0.52
+    #            p(</s>|cat) = -0.39794
+    total = -0.30103 + -0.52 + -0.39794
+    expect = -total / 3  # 2 words + </s>
+    assert math.isclose(lm.log10_perplexity("the cat"), expect, rel_tol=1e-9)
+
+
+def test_arpa_backoff_and_unk(tmp_path):
+    p = tmp_path / "tiny.arpa"
+    p.write_text(TINY_ARPA)
+    lm = ArpaLM(str(p))
+    # "cat the": p(cat|<s>) miss -> backoff(<s>) + p(cat) = -0.30103 + -1.0
+    # p(the|cat) miss -> backoff(cat) + p(the) = -0.2 + -0.69897
+    # p(</s>|the) miss -> backoff(the) + p(</s>) = -0.30103 + -1.0
+    total = (-0.30103 - 1.0) + (-0.2 - 0.69897) + (-0.30103 - 1.0)
+    assert math.isclose(lm.log10_perplexity("cat the"), -total / 3, rel_tol=1e-9)
+    # OOV uses <unk>: p(dog|<s>) -> backoff(<s>) + <unk>
+    total_oov = (-0.30103 - 2.0) + (-1.0)  # p(</s>|dog): no backoff(dog) -> unigram
+    assert math.isclose(lm.log10_perplexity("dog"), -total_oov / 2, rel_tol=1e-9)
+
+
+def test_arpa_env_swap(tmp_path, monkeypatch):
+    p = tmp_path / "tiny.arpa"
+    p.write_text(TINY_ARPA)
+    monkeypatch.setenv("DOLMA_RAY_KENLM_ARPA", str(p))
+    from dolma_ray.taggers import perplexity as pmod
+
+    pmod._MODEL_CACHE.clear()
+    try:
+        tagger = pmod.KenlmPplDocV1()
+        assert isinstance(tagger.lm, ArpaLM)
+        v = tagger.predict("the cat", {})["doc_ppl"]
+        assert v > 0
+    finally:
+        pmod._MODEL_CACHE.clear()
+
+
+def test_stupid_backoff_still_default():
+    from dolma_ray.taggers import perplexity as pmod
+
+    pmod._MODEL_CACHE.clear()
+    t = pmod.KenlmPplDocV1()
+    assert isinstance(t.lm, StupidBackoffLM)

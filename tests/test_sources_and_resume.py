@@ -211,3 +211,27 @@ def test_attribute_table_roundtrip(ray_session, tmp_path):
     direct = mix(tagged, cfg, mode="filter").to_pandas()
     assert set(kept["url"]) == set(direct["url"])
     assert 0 < len(kept) < 60
+
+
+def test_zstd_jsonl_round_trip(ray_session, tmp_path):
+    """Dolma-format .zst shards: written via Arrow's built-in zstd codec,
+    read back through ray.data.read_json auto-detection (reference
+    core/utils.py:175-206 zstd path; no zstandard package needed)."""
+    import ray.data as rd
+
+    from dolma_ray.sources import read_dolma_documents, write_dolma_documents
+
+    rows = [
+        {"id": f"d{i}", "text": f"zstd doc {i} body", "source": "zt"} for i in range(7)
+    ]
+    out = tmp_path / "docs_zst"
+    write_dolma_documents(
+        rd.from_items(rows), str(out), max_rows_per_shard=3, compression="zst"
+    )
+    import glob
+
+    shards = sorted(glob.glob(str(out / "*.json.zst")))
+    assert len(shards) == 3  # 3+3+1
+    back = read_dolma_documents(shards).to_pandas().sort_values("id")
+    assert back["id"].tolist() == sorted(r["id"] for r in rows)
+    assert set(back["text"]) == {r["text"] for r in rows}
