@@ -1,0 +1,217 @@
+"""fastText-style train/test harness for custom quality classifiers.
+
+Re-expresses the reference's two tools Ray-Data-first:
+
+* ``core/ft_dataset.py`` — build a labeled fastText-format training file
+  from a positive (target) corpus and negative (sample) corpora, split
+  at sentence/paragraph/document level
+  -> :func:`build_fasttext_dataset` (``map_batches`` emits labeled
+  lines per split unit; the driver streams them to one file, the format
+  fastText's ``train_supervised`` and this trainer both consume).
+* ``core/ft_tagger.py:39-136`` — ``BaseFastTextTagger.train`` /
+  ``.test`` wrap ``fasttext.train_supervised`` and ``model.test``
+  -> :func:`train_supervised_file` trains the engine's deterministic
+  multinomial-NB text classifier (the fasttext package needs a compiled
+  extension + downloads, absent here) from the same file format, with
+  ``save``/``load`` (json+npz, no pickle) so trained classifiers ship
+  to actors via a path, and :func:`test_file` reports the same
+  ``(N, precision@1, recall@1)`` triple fastText's ``test`` prints.
+
+A model trained elsewhere with real fastText can instead be loaded from
+its ``.bin`` via :class:`dolma_ray.models.fasttext_bin.FastTextModel` —
+both expose ``predict`` / ``predict_batch`` / ``labels``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+import numpy as np
+
+_LABEL_PREFIX = "__label__"
+
+
+def _labeled_lines(
+    batch, text_column: str, label: str, mode: str, newlines: str
+) -> list[str]:
+    from ..text_units import sentence_trips, split_paragraphs
+
+    out: list[str] = []
+    for text in batch[text_column].to_pylist():
+        text = text or ""
+        if not text:
+            continue
+        if mode == "sentence":
+            units = [t for _, _, t in sentence_trips(text)]
+        elif mode == "paragraph":
+            units = [p.text for p in split_paragraphs(text)]
+        elif mode == "document":
+            units = [text]
+        else:
+            raise ValueError(f"unknown split mode {mode!r}")
+        for u in units:
+            if "\n" in u:
+                if newlines == "skip":
+                    continue
+                if newlines == "replace":
+                    u = u.replace("\n", " ")
+            u = u.strip()
+            if u:
+                out.append(f"{_LABEL_PREFIX}{label} {u}")
+    return out
+
+
+def build_fasttext_dataset(
+    pos_ds,
+    neg_ds,
+    out_path: str,
+    text_column: str = "text",
+    mode: str = "sentence",
+    pos_label: str = "pos",
+    neg_label: str = "neg",
+    newlines: str = "replace",
+    max_segments_per_class: int | None = None,
+) -> str:
+    """Write a fastText-format training file: one ``__label__X text``
+    line per split unit, positives first (reference ft_dataset.py
+    semantics; ``newlines``: replace|skip|keep)."""
+    import pyarrow as pa
+
+    def emit(label):
+        def fn(batch: pa.Table) -> pa.Table:
+            lines = _labeled_lines(batch, text_column, label, mode, newlines)
+            return pa.table({"line": pa.array(lines, pa.string())})
+
+        return fn
+
+    with open(out_path, "w", encoding="utf-8") as f:
+        for ds, label in ((pos_ds, pos_label), (neg_ds, neg_label)):
+            written = 0
+            lines_ds = ds.map_batches(emit(label), batch_format="pyarrow")
+            for b in lines_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                for ln in b["line"].to_pylist():
+                    if (
+                        max_segments_per_class is not None
+                        and written >= max_segments_per_class
+                    ):
+                        break
+                    f.write(ln + "\n")
+                    written += 1
+    return out_path
+
+
+def _parse_labeled_file(path: str) -> Iterable[tuple[str, str]]:
+    with open(path, "r", encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln or not ln.startswith(_LABEL_PREFIX):
+                continue
+            head, _, rest = ln.partition(" ")
+            yield head[len(_LABEL_PREFIX) :], rest
+
+
+class TrainedTextClassifier:
+    """Deterministic multinomial-NB classifier with the fastText predict
+    interface, trainable from a labeled file and serializable without
+    pickle."""
+
+    def __init__(self, labels, vocab, ll, unk):
+        self.labels = list(labels)
+        self._index = {w: i for i, w in enumerate(vocab)}
+        self._vocab = list(vocab)
+        self._ll = np.asarray(ll, dtype=np.float64)
+        self._unk = np.asarray(unk, dtype=np.float64)
+
+    @classmethod
+    def train(cls, pairs: Iterable[tuple[str, str]]) -> "TrainedTextClassifier":
+        import math
+        import re
+
+        token_re = re.compile(r"[\w']+", re.UNICODE)
+        counts: dict[str, dict[str, int]] = {}
+        for label, text in pairs:
+            c = counts.setdefault(label, {})
+            for w in token_re.findall(text.lower()):
+                c[w] = c.get(w, 0) + 1
+        if not counts:
+            raise ValueError("no labeled examples found")
+        labels = sorted(counts)
+        vocab = sorted(set().union(*(c.keys() for c in counts.values())))
+        v = len(vocab) + 1
+        ll = np.empty((len(vocab), len(labels)), dtype=np.float64)
+        unk = np.empty(len(labels), dtype=np.float64)
+        for c_i, label in enumerate(labels):
+            cnt = counts[label]
+            total = sum(cnt.values()) + v
+            unk[c_i] = math.log(1 / total)
+            for w_i, w in enumerate(vocab):
+                ll[w_i, c_i] = math.log((cnt.get(w, 0) + 1) / total)
+        return cls(labels, vocab, ll, unk)
+
+    # --- fastText-compatible scoring ---
+
+    def predict_batch(self, texts: list[str]) -> np.ndarray:
+        from .fasttext_like import NaiveBayesTextClassifier
+
+        return NaiveBayesTextClassifier.predict_batch(self, texts)  # type: ignore[arg-type]
+
+    def predict(self, text: str, k: int = 1):
+        probs = self.predict_batch([text])[0]
+        order = np.argsort(-probs, kind="stable")
+        top = order if (k == -1 or k >= len(order)) else order[:k]
+        return (
+            [f"{_LABEL_PREFIX}{self.labels[i]}" for i in top],
+            [float(probs[i]) for i in top],
+        )
+
+    # --- persistence (json header + npz weights; no pickle) ---
+
+    def save(self, path: str) -> str:
+        np.savez_compressed(path + ".npz", ll=self._ll, unk=self._unk)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump({"labels": self.labels, "vocab": self._vocab}, f)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "TrainedTextClassifier":
+        with open(path, "r", encoding="utf-8") as f:
+            head = json.load(f)
+        w = np.load(path + ".npz")
+        return cls(head["labels"], head["vocab"], w["ll"], w["unk"])
+
+
+def train_supervised_file(
+    train_file: str, save_path: str | None = None
+) -> TrainedTextClassifier:
+    """Train from a fastText-format file (reference
+    ``BaseFastTextTagger.train`` entry point; the format check mirrors
+    ft_tagger.py:66-74)."""
+    with open(train_file, "r", encoding="utf-8") as f:
+        head = [ln for _, ln in zip(range(5), f)]
+    if not head:
+        raise ValueError(f"{train_file} is empty!")
+    if not any(_LABEL_PREFIX in ln for ln in head):
+        raise ValueError(f"{train_file} not the fasttext format, no labels found!")
+    model = TrainedTextClassifier.train(_parse_labeled_file(train_file))
+    if save_path:
+        model.save(save_path)
+    return model
+
+
+def test_file(model, test_file: str) -> tuple[int, float, float]:
+    """``(N, precision@1, recall@1)`` — the triple fastText's
+    ``model.test`` returns (for single-label-per-line data P@1 == R@1)."""
+    pairs = list(_parse_labeled_file(test_file))
+    if not pairs:
+        return 0, 0.0, 0.0
+    texts = [t for _, t in pairs]
+    probs = model.predict_batch(texts)
+    pred = np.argmax(probs, axis=1)
+    gold = np.array(
+        [model.labels.index(lb) if lb in model.labels else -1 for lb, _ in pairs]
+    )
+    correct = int((pred == gold).sum())
+    p1 = correct / len(pairs)
+    return len(pairs), p1, p1

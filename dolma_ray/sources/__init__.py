@@ -8,3 +8,4 @@ from .jsonl import (  # noqa: F401
 from .resume import ResumableWriter, read_manifest  # noqa: F401
 from .linearize import HtmlParserLinearizer, LinearizerRegistry, linearize_html  # noqa: F401
 from .attributes import join_attributes, write_attribute_table  # noqa: F401
+from .warc import iter_warc_records, parse_warc_bytes, read_warc  # noqa: F401

@@ -14,9 +14,9 @@ pipeline (``warc/processor.py``).  Here:
 * :func:`linearize_html` is the Ray stage: ``map_batches`` over the
   ``html`` binary column appending/replacing ``text``.
 
-WARC container parsing itself (fastwarc) is gated behind an import-try:
-absent here, `read_warc` raises with a clear message.  The engine's
-canonical input already carries ``html``/``text`` columns (input_hint).
+WARC container parsing is pure python in ``sources/warc.py`` (no
+fastwarc needed).  The engine's canonical input already carries
+``html``/``text`` columns (input_hint).
 """
 
 from __future__ import annotations
@@ -141,15 +141,5 @@ class _LinearizeStage:
         return batch.append_column(self.text_column, arr)
 
 
-def read_warc(paths):
-    """WARC reading requires fastwarc (not available in this
-    environment); raises with guidance."""
-    try:
-        import fastwarc  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "WARC parsing requires the fastwarc package, which is not "
-            "installed in this environment. Use read_binary_files + a "
-            "custom map_batches parse stage when fastwarc is available; "
-            "the engine's canonical input already carries html/text columns."
-        ) from e
+# WARC container parsing lives in sources/warc.py (pure-python ISO 28500
+# parser; no fastwarc needed) — see read_warc there.

@@ -1,0 +1,167 @@
+"""Pure-python WARC container parsing + Ray-native ``read_warc``.
+
+The reference's WARC pipeline (``warc/processor.py:127-200``) iterates
+response/warcinfo/resource records with fastwarc, decodes the HTTP
+payload via its charset, and emits dolma docs with
+``metadata.{warc_url,url,html,warc_date,warc_filename,content_type}``.
+fastwarc is a compiled dependency absent here; the WARC format itself is
+a simple public text format (ISO 28500):
+
+    WARC/1.x CRLF  header-lines CRLF  CRLF  <Content-Length bytes>
+    CRLF CRLF  (record separator)
+
+``.warc.gz`` files are concatenated per-record gzip members — Python's
+``gzip`` handles multi-member streams natively.  Response payloads are
+HTTP messages: status line + headers + CRLF CRLF + body; the charset
+comes from the HTTP ``Content-Type`` (fallback utf-8/replace — the
+chardet fallback the reference uses is also absent, documented).
+
+Execution shape: ``ray.data.read_binary_files`` (one row per WARC file,
+bytes stay in the object store) -> ``map_batches`` parse stage -> one
+output row per response record -> optional linearize stage from
+``linearize.py``.  A 1 GiB WARC is one task — for very large archives
+pre-split files or raise parallelism at the read.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+from typing import Iterator
+
+import pyarrow as pa
+
+_CHARSET_RE = re.compile(rb"charset=[\"']?([\w\-]+)", re.IGNORECASE)
+
+
+def _read_headers(stream: io.BufferedIOBase) -> dict[bytes, bytes] | None:
+    """Read CRLF-terminated header lines up to a blank line."""
+    headers: dict[bytes, bytes] = {}
+    while True:
+        line = stream.readline()
+        if not line:
+            return None
+        line = line.rstrip(b"\r\n")
+        if not line:
+            return headers
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+
+
+def iter_warc_records(stream: io.BufferedIOBase) -> Iterator[dict]:
+    """Yield raw WARC records: ``{headers: {bytes: bytes}, payload: bytes}``."""
+    while True:
+        # skip record separators / stray blank lines
+        line = stream.readline()
+        if not line:
+            return
+        if not line.strip():
+            continue
+        if not line.startswith(b"WARC/"):
+            # tolerate garbage between records by scanning forward
+            continue
+        headers = _read_headers(stream)
+        if headers is None:
+            return
+        try:
+            length = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            length = 0
+        payload = stream.read(length)
+        yield {"headers": headers, "payload": payload}
+
+
+def _split_http_payload(payload: bytes) -> tuple[dict[bytes, bytes], bytes]:
+    """HTTP response message -> (headers, body)."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return {}, payload
+    head, body = payload[:sep], payload[sep + 4 :]
+    headers: dict[bytes, bytes] = {}
+    for ln in head.split(b"\r\n")[1:]:  # skip status line
+        if b":" in ln:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+    return headers, body
+
+
+def _decode(body: bytes, content_type: bytes) -> str:
+    m = _CHARSET_RE.search(content_type)
+    if m:
+        try:
+            return body.decode(m.group(1).decode("ascii", "replace")).strip()
+        except (UnicodeDecodeError, LookupError):
+            pass
+    # no chardet here (reference falls back to it); utf-8/replace instead
+    return body.decode("utf-8", errors="replace").strip()
+
+
+def parse_warc_bytes(data: bytes, filename: str = "") -> list[dict]:
+    """Parse one WARC (or .warc.gz) file's bytes into response-record
+    rows with the reference's metadata fields."""
+    if data[:2] == b"\x1f\x8b":
+        stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
+    rows: list[dict] = []
+    warc_filename = filename
+    for rec in iter_warc_records(stream):
+        h = rec["headers"]
+        rtype = h.get(b"warc-type", b"").decode("ascii", "replace")
+        if rtype == "warcinfo":
+            warc_filename = h.get(b"warc-filename", b"").decode("utf-8", "replace") or filename
+            continue
+        if rtype not in ("response", "resource"):
+            continue
+        if rtype == "response":
+            http_headers, body = _split_http_payload(rec["payload"])
+            ctype = http_headers.get(b"content-type", b"")
+        else:
+            body = rec["payload"]
+            ctype = h.get(b"content-type", b"")
+        html = _decode(body, ctype)
+        if not html:
+            continue
+        rows.append(
+            {
+                "id": h.get(b"warc-record-id", b"").decode("ascii", "replace").strip("<>"),
+                "url": h.get(b"warc-target-uri", b"").decode("utf-8", "replace"),
+                "warc_date": h.get(b"warc-date", b"").decode("ascii", "replace"),
+                "warc_filename": warc_filename,
+                "content_type": ctype.decode("ascii", "replace"),
+                "html": html,
+            }
+        )
+    return rows
+
+
+def read_warc(paths, linearizer: str | None = "htmlparser", text_column: str = "text"):
+    """WARC files -> Dataset of response records (id, url, warc_date,
+    warc_filename, content_type, html [, text]).
+
+    ``linearizer``: a :class:`LinearizerRegistry` name to extract
+    ``text`` from the html (None keeps html only) — the reference's
+    extract step (``warc/processor.py:186-190``)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        all_rows: list[dict] = []
+        for data, path in zip(
+            batch["bytes"].to_pylist(), batch["path"].to_pylist()
+        ):
+            all_rows.extend(parse_warc_bytes(data, filename=path.rsplit("/", 1)[-1]))
+        cols = ("id", "url", "warc_date", "warc_filename", "content_type", "html")
+        return pa.table(
+            {c: pa.array([r[c] for r in all_rows], pa.large_string() if c == "html" else pa.string()) for c in cols}
+        )
+
+    ds = ds.map_batches(parse, batch_format="pyarrow", batch_size=1)
+    if linearizer:
+        from .linearize import linearize_html
+
+        ds = linearize_html(ds, linearizer=linearizer, html_column="html", text_column=text_column)
+    return ds

@@ -1,0 +1,82 @@
+"""fastText train/test harness (reference core/ft_tagger.py:39-136 +
+core/ft_dataset.py re-expressed Ray-Data-first)."""
+
+import numpy as np
+import pytest
+
+from dolma_ray.models.ft_harness import (
+    TrainedTextClassifier,
+    build_fasttext_dataset,
+    test_file as ft_test_file,
+    train_supervised_file,
+)
+
+POS = [
+    {"text": "A thoughtful essay about science and careful reasoning.\nIt cites sources."},
+    {"text": "The study presents rigorous analysis of climate data with methods."},
+]
+NEG = [
+    {"text": "BUY NOW!!! cheap pills casino winner click here click here"},
+    {"text": "free money casino jackpot winner winner prize claim now"},
+]
+
+
+def test_build_and_train_and_test(ray_session, tmp_path):
+    import ray.data as rd
+
+    train = tmp_path / "train.txt"
+    build_fasttext_dataset(
+        rd.from_items(POS), rd.from_items(NEG), str(train),
+        mode="sentence", pos_label="hq", neg_label="lq",
+    )
+    lines = train.read_text().splitlines()
+    assert all(l.startswith("__label__") for l in lines)
+    assert any(l.startswith("__label__hq") for l in lines)
+    assert any(l.startswith("__label__lq") for l in lines)
+    assert not any("\n" in l for l in lines)
+
+    model = train_supervised_file(str(train))
+    assert model.labels == ["hq", "lq"]
+    labels, probs = model.predict("rigorous scientific analysis of data", k=-1)
+    assert labels[0] == "__label__hq"
+    labels2, _ = model.predict("casino winner free pills", k=1)
+    assert labels2 == ["__label__lq"]
+
+    n, p1, r1 = ft_test_file(model, str(train))
+    assert n == len(lines) and p1 == r1 and p1 >= 0.8
+
+
+def test_document_mode_and_cap(ray_session, tmp_path):
+    import ray.data as rd
+
+    out = tmp_path / "doc.txt"
+    build_fasttext_dataset(
+        rd.from_items(POS), rd.from_items(NEG), str(out),
+        mode="document", max_segments_per_class=1,
+    )
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2  # one per class
+
+
+def test_save_load_round_trip(ray_session, tmp_path):
+    import ray.data as rd
+
+    train = tmp_path / "train.txt"
+    build_fasttext_dataset(rd.from_items(POS), rd.from_items(NEG), str(train))
+    model = train_supervised_file(str(train), save_path=str(tmp_path / "model"))
+    back = TrainedTextClassifier.load(str(tmp_path / "model"))
+    texts = ["science analysis", "casino pills now"]
+    np.testing.assert_array_equal(
+        model.predict_batch(texts), back.predict_batch(texts)
+    )
+
+
+def test_format_validation(tmp_path):
+    bad = tmp_path / "bad.txt"
+    bad.write_text("no labels here\njust text\n")
+    with pytest.raises(ValueError, match="no labels"):
+        train_supervised_file(str(bad))
+    empty = tmp_path / "empty.txt"
+    empty.write_text("")
+    with pytest.raises(ValueError, match="empty"):
+        train_supervised_file(str(empty))

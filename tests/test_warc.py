@@ -1,0 +1,110 @@
+"""Pure-python WARC parsing (reference warc/processor.py:127-200
+semantics; ISO 28500 record format built by hand in-test)."""
+
+import gzip
+import io
+
+from dolma_ray.sources.warc import iter_warc_records, parse_warc_bytes
+
+
+def make_record(rtype, uri, body, content_type=b"text/html; charset=utf-8",
+                rec_id="<urn:uuid:1234>", date="2024-01-01T00:00:00Z", http=True):
+    if http:
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + content_type +
+            b"\r\nContent-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        block_type = b"application/http; msgtype=response"
+    else:
+        payload = body
+        block_type = content_type
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: {rec_id}\r\nWARC-Date: {date}\r\n"
+    ).encode()
+    if uri:
+        head += f"WARC-Target-URI: {uri}\r\n".encode()
+    head += b"Content-Type: " + block_type + b"\r\n"
+    head += f"Content-Length: {len(payload)}\r\n\r\n".encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def build_warc(records, gz=False):
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Filename: test.warc.gz\r\n"
+        b"Content-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    raw = info + b"".join(records)
+    if not gz:
+        return raw
+    # real .warc.gz: one gzip member per record (concatenated members)
+    out = io.BytesIO()
+    for chunk in [info] + list(records):
+        out.write(gzip.compress(chunk))
+    return out.getvalue()
+
+
+HTML = b"<html><body><p>Hello WARC world</p></body></html>"
+
+
+def test_parse_plain_warc():
+    data = build_warc([
+        make_record("response", "http://example.com/a", HTML),
+        make_record("request", "http://example.com/a", b"GET / HTTP/1.1"),  # skipped
+        make_record("response", "http://example.com/b", "café".encode("utf-8")),
+    ])
+    rows = parse_warc_bytes(data, filename="f.warc")
+    assert len(rows) == 2
+    assert rows[0]["url"] == "http://example.com/a"
+    assert "Hello WARC world" in rows[0]["html"]
+    assert rows[0]["id"] == "urn:uuid:1234"
+    assert rows[0]["warc_date"] == "2024-01-01T00:00:00Z"
+    assert rows[0]["warc_filename"] == "test.warc.gz"  # from warcinfo
+    assert rows[1]["html"] == "café"
+
+
+def test_parse_gzip_multimember():
+    data = build_warc([make_record("response", "http://x.test/", HTML)], gz=True)
+    rows = parse_warc_bytes(data, filename="x.warc.gz")
+    assert len(rows) == 1 and rows[0]["url"] == "http://x.test/"
+
+
+def test_charset_decoding():
+    body = "héllo".encode("latin-1")
+    data = build_warc([
+        make_record("response", "http://l1.test/", body,
+                    content_type=b"text/html; charset=ISO-8859-1"),
+    ])
+    rows = parse_warc_bytes(data)
+    assert rows[0]["html"] == "héllo"
+
+
+def test_resource_record():
+    data = build_warc([
+        make_record("resource", "http://r.test/f.txt", b"plain resource",
+                    content_type=b"text/plain", http=False),
+    ])
+    rows = parse_warc_bytes(data)
+    assert rows == [dict(rows[0])] and rows[0]["html"] == "plain resource"
+    assert rows[0]["content_type"] == "text/plain"
+
+
+def test_iter_warc_tolerates_separators():
+    rec = make_record("response", "http://y.test/", HTML)
+    data = b"\r\n\r\n" + rec + b"\r\n" + rec
+    recs = list(iter_warc_records(io.BytesIO(data)))
+    assert len(recs) == 2
+
+
+def test_read_warc_dataset(ray_session, tmp_path):
+    p = tmp_path / "sample.warc.gz"
+    p.write_bytes(build_warc([
+        make_record("response", "http://ds.test/page", HTML),
+    ], gz=True))
+    from dolma_ray.sources import read_warc
+
+    df = read_warc(str(p)).to_pandas()
+    assert len(df) == 1
+    assert df.loc[0, "url"] == "http://ds.test/page"
+    assert "Hello WARC world" in df.loc[0, "text"]  # linearized
+    assert "<p>" not in df.loc[0, "text"]
