@@ -37,10 +37,18 @@ def mark_duplicates_fused(
     stride: int = 0,
     overlap_threshold: float = 1.0,
     skip_short_paragraphs: bool = False,
-    lookup_strategy: str = "driver",
+    lookup_strategy: str = "auto",
 ):
     """Append both ``attr__dedupe_docs__duplicate`` and
-    ``attr__dedupe_paragraphs__duplicate`` with a single lookup pass."""
+    ``attr__dedupe_paragraphs__duplicate`` with a single lookup pass.
+
+    ``lookup_strategy``: ``"driver"`` streams the narrow unit rows to a
+    single polars pass (fastest up to ~10^8 units), ``"shuffle"`` runs
+    the Ray groupby path (the 10^9+ regime), ``"auto"`` (default) picks
+    by row count — ``ds.count()`` is metadata-only on a fresh parquet
+    read, which is what the flagship feeds in; pass an explicit strategy
+    when the input already has expensive transforms upstream (count
+    would execute them)."""
     import ray
 
     order = list(order_columns)
@@ -81,6 +89,11 @@ def mark_duplicates_fused(
         )
 
     from .lookup import collect_dup_lookup
+
+    if lookup_strategy == "auto":
+        # ~40 paragraph units/doc on web text; keep the driver pass under
+        # ~10^8 units -> flip to the distributed shuffle above ~2.5M docs
+        lookup_strategy = "shuffle" if ds.count() > 2_500_000 else "driver"
 
     units = ds.map_batches(project, batch_format="pyarrow")
     lookup_ref = ray.put(collect_dup_lookup(units, strategy=lookup_strategy))

@@ -68,3 +68,15 @@ def test_split_lines_modes():
     text = "a\n\nb"
     assert split_lines(text) == ["a", "", "b"]
     assert split_lines(text, ignore_empty=True) == ["a", "b"]
+
+
+def test_unicode_words_cjk_uax29():
+    """UAX-29 parity (uniseg / src/wimbd/tokens.rs): Han and Hiragana
+    break per character, Katakana runs stay joined."""
+    from dolma_ray.text_units import split_unicode_word_tokens
+
+    assert split_unicode_word_tokens("漢字のテスト") == ["漢", "字", "の", "テスト"]
+    assert split_unicode_word_tokens("abc漢def") == ["abc", "漢", "def"]
+    assert split_unicode_word_tokens("カタカナとひらがな") == [
+        "カタカナ", "と", "ひ", "ら", "が", "な",
+    ]
