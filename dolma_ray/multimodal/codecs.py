@@ -1,0 +1,216 @@
+"""Pure-python media codecs for the multimodal stages.
+
+The container has no imaging/audio libraries, but several formats are
+fully decodable with the stdlib + numpy from their public specs:
+
+* PNG (RFC 2083 / W3C spec): zlib IDAT inflate + per-scanline unfilter
+  (None/Sub/Up/Average/Paeth) vectorized per row; bit depth 8, color
+  types gray / gray+alpha / RGB / RGBA / palette; no interlace.
+* PPM / PGM (netpbm P5/P6 binary).
+* BMP (BITMAPINFOHEADER, uncompressed 24/32 bpp, bottom-up or top-down).
+* WAV via the stdlib ``wave`` module (PCM 8/16/32-bit, mono-mixed).
+
+JPEG / MP3 / video containers genuinely need codec libraries and stay
+behind the deterministic-fake/strict hooks in ``media.py`` (documented).
+
+All image decoders return ``(h, w, c) float32`` in [0, 1].
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+class UnsupportedMediaError(ValueError):
+    """Payload is not in a format the pure-python codecs handle."""
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters; ``raw`` is h*(1+stride) filter+data bytes."""
+    raw = raw.reshape(h, 1 + stride)
+    ftypes = raw[:, 0]
+    data = raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = data[y].copy()
+        ft = int(ftypes[y])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise UnsupportedMediaError(f"unknown PNG filter {ft}")
+        out[y] = line
+        prev = line
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if not data.startswith(_PNG_MAGIC):
+        raise UnsupportedMediaError("not a PNG")
+    off = len(_PNG_MAGIC)
+    idat = b""
+    plte = None
+    w = h = depth = ctype = interlace = None
+    while off + 8 <= len(data):
+        length, tag = struct.unpack_from(">I4s", data, off)
+        chunk = data[off + 8 : off + 8 + length]
+        off += 12 + length  # len + tag + data + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise UnsupportedMediaError("PNG missing IHDR")
+    if depth != 8:
+        raise UnsupportedMediaError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace:
+        raise UnsupportedMediaError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise UnsupportedMediaError(f"PNG color type {ctype} unsupported")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise UnsupportedMediaError("PNG data length mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise UnsupportedMediaError("palette PNG missing PLTE")
+        px = plte[px[:, :, 0]]
+    return px.astype(np.float32) / 255.0
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """netpbm binary P6 (RGB) / P5 (gray), maxval <= 255."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise UnsupportedMediaError("not a binary PPM/PGM")
+    # header: magic, width, height, maxval separated by whitespace/comments
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(data):
+        c = data[i : i + 1]
+        if c == b"#":
+            i = data.index(b"\n", i)
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(data) and not data[j : j + 1].isspace():
+                j += 1
+            tokens.append(data[i:j])
+            i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise UnsupportedMediaError("16-bit PPM unsupported")
+    c = 3 if data[:2] == b"P6" else 1
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=i)
+    return px.reshape(h, w, c).astype(np.float32) / float(maxval)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise UnsupportedMediaError("not a BMP")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size = struct.unpack_from("<I", data, 14)[0]
+    if hdr_size < 40:
+        raise UnsupportedMediaError("BMP core header unsupported")
+    w, h_signed = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise UnsupportedMediaError(f"BMP bpp={bpp} compression={compression} unsupported")
+    h = abs(h_signed)
+    nbytes = bpp // 8
+    row_size = ((w * nbytes + 3) // 4) * 4  # rows pad to 4 bytes
+    rows = []
+    for y in range(h):
+        start = pixel_off + y * row_size
+        row = np.frombuffer(data, dtype=np.uint8, count=w * nbytes, offset=start)
+        rows.append(row.reshape(w, nbytes))
+    px = np.stack(rows)
+    if h_signed > 0:  # bottom-up storage
+        px = px[::-1]
+    px = px[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB
+    return np.ascontiguousarray(px).astype(np.float32) / 255.0
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes; raises UnsupportedMediaError for formats
+    that need a codec library (JPEG, WebP, ...)."""
+    if data.startswith(_PNG_MAGIC):
+        return decode_png(data)
+    if data[:2] in (b"P5", b"P6"):
+        return decode_ppm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    raise UnsupportedMediaError("unrecognized image format (png/ppm/bmp supported)")
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV PCM -> (mono float32 samples in [-1, 1], sample_rate)."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(data), "rb") as f:
+            n = f.getnframes()
+            width = f.getsampwidth()
+            channels = f.getnchannels()
+            rate = f.getframerate()
+            frames = f.readframes(n)
+    except (wave.Error, EOFError) as e:
+        raise UnsupportedMediaError(f"not a PCM WAV: {e}") from e
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise UnsupportedMediaError(f"WAV sample width {width} unsupported")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def wav_energy_features(samples: np.ndarray, n_features: int) -> np.ndarray:
+    """Windowed RMS energy over ``n_features`` equal windows — the
+    standard cheap audio feature; fixed-size regardless of duration."""
+    if len(samples) == 0:
+        return np.zeros(n_features, dtype=np.float32)
+    edges = np.linspace(0, len(samples), n_features + 1).astype(np.int64)
+    out = np.empty(n_features, dtype=np.float32)
+    for i in range(n_features):
+        seg = samples[edges[i] : max(edges[i + 1], edges[i] + 1)]
+        out[i] = np.sqrt(np.mean(seg * seg, dtype=np.float64))
+    return out

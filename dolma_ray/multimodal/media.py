@@ -2,12 +2,13 @@
 metadata, processed by actor-pool ``map_batches`` stages.
 
 The Ray-side plumbing here is real and tested — schema, batch sizing,
-actor signatures, output layout.  The codec work itself (JPEG decode,
-resampling, frame extraction) needs imaging/audio libraries that are not
-in this container, so each stage's ``_decode_*`` hook either raises
-``NotImplementedError`` (``strict=True``) or produces a deterministic
-fake derived from the payload bytes (default) so pipelines are runnable
-end-to-end.
+actor signatures, output layout.  Codecs (``codecs.py``): PNG, PPM/PGM,
+BMP and PCM WAV decode are REAL (pure stdlib+numpy from the public
+specs).  Formats that genuinely need codec libraries (JPEG, MP3, video
+containers — not in this container) fall through each stage's hook:
+``strict=True`` raises ``NotImplementedError``; default produces a
+deterministic fake derived from the payload bytes so pipelines are
+runnable end-to-end.
 
 Scale notes (the reason these are their own stages):
 * binary payloads are large — use SMALL ``batch_size`` (default 16) so
@@ -76,12 +77,17 @@ class ImageDecodeStage:
         self.strict = strict
 
     def _decode_image(self, payload: bytes) -> np.ndarray:
-        if self.strict:
-            raise NotImplementedError(
-                "image decoding requires an imaging library (PIL/cv2), "
-                "not available in this environment"
-            )
-        return _fake_floats(payload, self.h * self.w * 3).reshape(self.h, self.w, 3)
+        from .codecs import UnsupportedMediaError, decode_image
+
+        try:
+            return decode_image(payload or b"")
+        except UnsupportedMediaError:
+            if self.strict:
+                raise NotImplementedError(
+                    "payload is not PNG/PPM/BMP; other formats (JPEG, WebP) "
+                    "need an imaging library not available in this environment"
+                )
+            return _fake_floats(payload, self.h * self.w * 3).reshape(self.h, self.w, 3)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pixels, hs, ws, cs = [], [], [], []
@@ -124,19 +130,25 @@ class ImageResizeStage:
 
 
 class AudioFeatureStage:
-    """payload -> fixed-size feature vector (stubbed codec)."""
+    """payload -> fixed-size windowed-RMS feature vector (real for PCM WAV; stubbed for compressed audio)."""
 
     def __init__(self, n_features: int = 64, strict: bool = False) -> None:
         self.n_features = n_features
         self.strict = strict
 
     def _decode_audio(self, payload: bytes) -> np.ndarray:
-        if self.strict:
-            raise NotImplementedError(
-                "audio decoding requires an audio library (soundfile/librosa), "
-                "not available in this environment"
-            )
-        return _fake_floats(payload, self.n_features, -1.0, 1.0)
+        from .codecs import UnsupportedMediaError, decode_wav, wav_energy_features
+
+        try:
+            samples, _rate = decode_wav(payload or b"")
+            return wav_energy_features(samples, self.n_features)
+        except UnsupportedMediaError:
+            if self.strict:
+                raise NotImplementedError(
+                    "payload is not PCM WAV; compressed audio (MP3/OGG) needs "
+                    "an audio library not available in this environment"
+                )
+            return _fake_floats(payload, self.n_features, -1.0, 1.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._decode_audio(p).tolist() for p in batch["payload"].to_pylist()]

@@ -973,3 +973,55 @@ ORACLES.update(
         "nation_revenue": SQL_NATION_REVENUE,
     }
 )
+
+
+def q_url_block(sf_dir: str):
+    """ABP-rule URL blocking through the full Ray path (adblock engine
+    built once, broadcast to workers): documents get deterministic URLs
+    derived from doc_id, the rule list blocks two host groups plus one
+    path rule with an exception — all exactly expressible in SQL."""
+    from .taggers.adblock import AdblockRules
+
+    import ray
+
+    rules = AdblockRules(
+        [
+            "||d17.example^",
+            "||d42.example^",
+            "/blocked-path/",
+            "@@||d42.example/allowed^",
+        ]
+    )
+    ref = ray.put(rules)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        eng = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        urls = [
+            f"http://d{i % 100}.example/"
+            + ("allowed/x" if i % 7 == 0 else ("blocked-path/y" if i % 11 == 0 else "p"))
+            for i in ids
+        ]
+        blocked = pa.array(
+            [1.0 if eng.check_network_urls(u) else 0.0 for u in urls], pa.float64()
+        )
+        return pa.table({"doc_id": batch["doc_id"], "blocked": blocked})
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+SQL_URL_BLOCK = """
+SELECT doc_id,
+       CASE
+         WHEN doc_id % 100 = 42 AND doc_id % 7 = 0 THEN 0.0  -- @@ exception
+         WHEN doc_id % 100 IN (17, 42) THEN 1.0              -- domain rules
+         WHEN doc_id % 11 = 0 AND doc_id % 7 <> 0 THEN 1.0   -- path rule
+         ELSE 0.0
+       END AS blocked
+FROM documents
+"""
+
+QUERIES["url_block"] = q_url_block
+ORACLES["url_block"] = SQL_URL_BLOCK

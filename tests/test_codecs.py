@@ -1,0 +1,163 @@
+"""Pure-python media codecs: hand-built PNG/PPM/BMP/WAV artifacts
+decoded against known pixel/sample values."""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from dolma_ray.multimodal.codecs import (
+    UnsupportedMediaError,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    wav_energy_features,
+)
+
+
+def make_png(pixels: np.ndarray, filters=None, ctype=None) -> bytes:
+    """Minimal PNG writer for tests: uint8 (h,w,c) + per-row filter types."""
+    h, w, c = pixels.shape
+    ctype = ctype if ctype is not None else {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y, ft in enumerate(filters):
+        line = pixels[y].ravel().astype(np.int64)
+        if ft == 0:
+            enc = line
+        elif ft == 1:  # Sub
+            enc = line.copy()
+            enc[c:] = (line[c:] - line[:-c]) % 256
+        elif ft == 2:  # Up
+            enc = (line - prev) % 256
+        else:
+            raise ValueError("test writer supports filters 0/1/2")
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_rgb_all_simple_filters():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [0, 2, 2, 1, 2]):
+        out = decode_png(make_png(px, filters=filters))
+        np.testing.assert_allclose(out, px.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_png_gray_and_rgba():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    out = decode_png(make_png(g))
+    assert out.shape == (3, 4, 1)
+    np.testing.assert_allclose(out, g / 255.0)
+    rgba = np.full((2, 2, 4), 200, dtype=np.uint8)
+    assert decode_png(make_png(rgba)).shape == (2, 2, 4)
+
+
+def test_ppm_and_pgm():
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    data = b"P6\n# comment\n4 2\n255\n" + px.tobytes()
+    np.testing.assert_allclose(decode_ppm(data), px / 255.0)
+    g = np.arange(8, dtype=np.uint8).reshape(2, 4, 1)
+    data5 = b"P5 4 2 255\n" + g.tobytes()
+    np.testing.assert_allclose(decode_ppm(data5), g / 255.0)
+
+
+def make_bmp(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    row_size = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB -> BGR
+        body.extend(row + b"\x00" * (row_size - len(row)))
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return header + bytes(body)
+
+
+def test_bmp_round_trip():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8)
+    np.testing.assert_allclose(decode_bmp(make_bmp(px)), px / 255.0)
+
+
+def test_dispatch_and_unsupported():
+    assert decode_image(b"P6 1 1 255\n\x01\x02\x03").shape == (1, 1, 3)
+    with pytest.raises(UnsupportedMediaError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def make_wav(samples: np.ndarray, rate=16000, channels=1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes((samples * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_and_features():
+    t = np.linspace(0, 1, 16000, endpoint=False)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    x, rate = decode_wav(make_wav(sig))
+    assert rate == 16000 and len(x) == 16000
+    np.testing.assert_allclose(x, sig, atol=1e-3)
+    feats = wav_energy_features(x, 8)
+    assert feats.shape == (8,)
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    np.testing.assert_allclose(feats, 0.5 / np.sqrt(2), atol=0.01)
+
+
+def test_wav_stereo_mixdown():
+    left = np.full(100, 0.5, dtype=np.float64)
+    right = np.full(100, -0.5, dtype=np.float64)
+    inter = np.empty(200)
+    inter[0::2], inter[1::2] = left, right
+    x, _ = decode_wav(make_wav(inter.reshape(-1), channels=2))
+    np.testing.assert_allclose(x, 0.0, atol=1e-3)
+
+
+def test_media_stage_uses_real_codecs(ray_session):
+    import pyarrow as pa
+
+    from dolma_ray.multimodal.media import AudioFeatureStage, ImageDecodeStage
+
+    png = make_png(np.full((4, 4, 3), 128, dtype=np.uint8))
+    stage = ImageDecodeStage(strict=True)  # must NOT raise for real PNG
+    batch = pa.table({"payload": pa.array([png], pa.binary())})
+    out = stage(batch)
+    assert out["height"].to_pylist() == [4]
+    assert out["channels"].to_pylist() == [3]
+    np.testing.assert_allclose(out["pixels"].to_pylist()[0], 128 / 255.0, atol=1e-6)
+
+    wav = make_wav(np.full(1000, 0.25))
+    astage = AudioFeatureStage(n_features=4, strict=True)
+    aout = astage(pa.table({"payload": pa.array([wav], pa.binary())}))
+    np.testing.assert_allclose(aout["features"].to_pylist()[0], 0.25, atol=1e-3)
+
+    # non-decodable payload in strict mode still raises
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"payload": pa.array([b"\xff\xd8jpeg"], pa.binary())}))
