@@ -1,4 +1,4 @@
-"""Command-line interface — the ``dolma {tag,dedupe,mix,stat,list}``
+"""Command-line interface — the ``dolma {tag,dedupe,mix,stat,list,warc}``
 surface (reference ``python/dolma/cli/main.py:46-93``) rebuilt over Ray
 Data pipelines.
 
@@ -152,6 +152,56 @@ def cmd_flagship(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_warc(args: argparse.Namespace) -> int:
+    """WARC extraction (reference ``dolma warc``, cli/warc.py): parse
+    response records, linearize html -> text, write parquet."""
+    from .sources.warc import read_warc
+
+    ds = read_warc(
+        args.input.split(","),
+        linearizer=None if args.no_linearize else args.linearizer,
+    )
+    ds.write_parquet(args.output)
+    print(f"warc extracted -> {args.output}")
+    return 0
+
+
+def cmd_ft_data(args: argparse.Namespace) -> int:
+    """Build a fastText-format training file from positive/negative
+    parquet corpora (reference core/ft_dataset.py)."""
+    from .models.ft_harness import build_fasttext_dataset
+
+    build_fasttext_dataset(
+        _read(args.pos, columns=[args.text_column]),
+        _read(args.neg, columns=[args.text_column]),
+        args.output,
+        text_column=args.text_column,
+        mode=args.mode,
+        pos_label=args.pos_label,
+        neg_label=args.neg_label,
+        max_segments_per_class=args.max_segments,
+    )
+    print(f"labeled dataset -> {args.output}")
+    return 0
+
+
+def cmd_ft_train(args: argparse.Namespace) -> int:
+    from .models.ft_harness import train_supervised_file
+
+    train_supervised_file(args.train_file, save_path=args.output)
+    print(f"model -> {args.output}(.npz)")
+    return 0
+
+
+def cmd_ft_test(args: argparse.Namespace) -> int:
+    from .models.ft_harness import TrainedTextClassifier, test_file
+
+    model = TrainedTextClassifier.load(args.model)
+    n, p1, r1 = test_file(model, args.test_file)
+    print(json.dumps({"n": n, "precision_at_1": p1, "recall_at_1": r1}))
+    return 0
+
+
 def cmd_stat(args: argparse.Namespace) -> int:
     from .analysis.analyzer import summarize_attributes
 
@@ -213,6 +263,34 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--input", required=True)
     s.add_argument("--attributes", default=None)
     s.set_defaults(fn=cmd_stat)
+
+    w = sub.add_parser("warc", help="extract WARC archives to parquet (url/html/text)")
+    w.add_argument("--input", required=True, help="comma-separated WARC paths/globs")
+    w.add_argument("--output", required=True)
+    w.add_argument("--linearizer", default="htmlparser")
+    w.add_argument("--no-linearize", action="store_true", help="keep html only")
+    w.set_defaults(fn=cmd_warc)
+
+    fd = sub.add_parser("ft-data", help="build a fastText training file from pos/neg corpora")
+    fd.add_argument("--pos", required=True)
+    fd.add_argument("--neg", required=True)
+    fd.add_argument("--output", required=True)
+    fd.add_argument("--text-column", default="text")
+    fd.add_argument("--mode", choices=["sentence", "paragraph", "document"], default="sentence")
+    fd.add_argument("--pos-label", default="pos")
+    fd.add_argument("--neg-label", default="neg")
+    fd.add_argument("--max-segments", type=int, default=None)
+    fd.set_defaults(fn=cmd_ft_data)
+
+    ftr = sub.add_parser("ft-train", help="train a quality classifier from a labeled file")
+    ftr.add_argument("--train-file", required=True)
+    ftr.add_argument("--output", required=True)
+    ftr.set_defaults(fn=cmd_ft_train)
+
+    fte = sub.add_parser("ft-test", help="evaluate a trained classifier (N, P@1, R@1)")
+    fte.add_argument("--model", required=True)
+    fte.add_argument("--test-file", required=True)
+    fte.set_defaults(fn=cmd_ft_test)
 
     ls = sub.add_parser("list", help="list registered taggers")
     ls.set_defaults(fn=cmd_list)

@@ -111,7 +111,7 @@ def mark_near_duplicates_embedding(
     cand = ds.map_batches(candidates, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o"], kind="mergesort")
+        g = g.sort_values(["o", "key"], kind="mergesort")  # key tie-break: deterministic
         vecs = np.stack([np.asarray(v) for v in g["vec"]])
         sims = vecs @ vecs.T
         mask = np.tril(sims >= threshold, k=-1).any(axis=1)  # vs earlier only

@@ -53,9 +53,12 @@ def collect_dup_lookup(units_ds, strategy: str = "driver") -> dict[int, str]:
 
 
 def collect_dup_keys(units_ds, strategy: str = "driver") -> list:
-    """Distinct ``key`` values that are *late* in some bucket: rows where
-    ``o > min(o) over k`` (strictly greater implies the bucket has an
-    earlier member, so no separate count is needed).
+    """Distinct ``key`` values that are *late* in some bucket: a unit is
+    late when a bucket-mate sorts strictly before it by the combined
+    ``(o, str(key))`` sort key.  Folding the key into the comparison
+    makes ties on ``o`` safe: of two duplicates sharing an order value,
+    exactly one (the key-max) is marked — the first-wins rule the old
+    per-bucket sort implemented.
 
     Input: a narrow Dataset of ``(k: int64, o: string, key)`` rows — one
     per (doc, bucket) membership.  Output: the duplicates-only key list
@@ -77,15 +80,26 @@ def collect_dup_keys(units_ds, strategy: str = "driver") -> list:
             parts.append(pl.from_arrow(b))
         if not parts:
             return []
-        df = pl.concat(parts)
-        late = df.filter(pl.col("o") > pl.col("o").min().over("k"))
+        df = pl.concat(parts).with_columns(
+            (pl.col("o") + "\x1f" + pl.col("key").cast(pl.Utf8)).alias("_ok")
+        )
+        late = df.filter(pl.col("_ok") > pl.col("_ok").min().over("k"))
         return late["key"].unique().to_list()
 
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
 
-    units_ds = units_ds.materialize()  # narrow columns only; spillable
+    def with_ok(batch: pa.Table) -> pa.Table:
+        ok = pc.binary_join_element_wise(
+            batch["o"], pc.cast(batch["key"], pa.string()), "\x1f"
+        )
+        return pa.table({"k": batch["k"], "o": ok, "key": batch["key"]})
+
+    units_ds = units_ds.map_batches(
+        with_ok, batch_format="pyarrow"
+    ).materialize()  # narrow columns only; spillable
     lookup_ref = ray.put(
         collect_dup_lookup(units_ds.select_columns(["k", "o"]), strategy="shuffle")
     )

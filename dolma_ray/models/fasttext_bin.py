@@ -162,7 +162,11 @@ class FastTextModel:
         if feats is not None:
             return feats
         wid = self._word_id.get(word)
-        if wid is not None:
+        if word == _EOS:
+            # fastText never computes subwords for EOS
+            # (Dictionary::initNgrams / addSubwords skip it explicitly)
+            feats = [wid] if wid is not None else []
+        elif wid is not None:
             feats = [wid]
             if self.maxn > 0:
                 feats = feats + self._compute_subwords(word)

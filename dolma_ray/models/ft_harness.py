@@ -99,6 +99,14 @@ def build_fasttext_dataset(
                         break
                     f.write(ln + "\n")
                     written += 1
+                # stop pulling batches once the cap is hit — exiting the
+                # iterator cancels the rest of the (lazy) pipeline rather
+                # than splitting the whole remaining corpus
+                if (
+                    max_segments_per_class is not None
+                    and written >= max_segments_per_class
+                ):
+                    break
     return out_path
 
 

@@ -28,7 +28,27 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 class UnsupportedMediaError(ValueError):
-    """Payload is not in a format the pure-python codecs handle."""
+    """Payload is not in a format the pure-python codecs handle (or is
+    corrupt/truncated — callers treat both as not-decodable)."""
+
+
+def _to_unsupported(fn):
+    """Decorator: parse-level failures (truncated chunks, bad zlib
+    streams, malformed headers) surface as UnsupportedMediaError so one
+    corrupt payload can't kill a whole map_batches task in non-strict
+    pipelines."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data):
+        try:
+            return fn(data)
+        except UnsupportedMediaError:
+            raise
+        except (struct.error, zlib.error, ValueError, IndexError, EOFError) as e:
+            raise UnsupportedMediaError(f"corrupt/undecodable payload: {e}") from e
+
+    return wrapped
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -68,6 +88,7 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+@_to_unsupported
 def decode_png(data: bytes) -> np.ndarray:
     if not data.startswith(_PNG_MAGIC):
         raise UnsupportedMediaError("not a PNG")
@@ -110,6 +131,7 @@ def decode_png(data: bytes) -> np.ndarray:
     return px.astype(np.float32) / 255.0
 
 
+@_to_unsupported
 def decode_ppm(data: bytes) -> np.ndarray:
     """netpbm binary P6 (RGB) / P5 (gray), maxval <= 255."""
     if data[:2] not in (b"P5", b"P6"):
@@ -138,6 +160,7 @@ def decode_ppm(data: bytes) -> np.ndarray:
     return px.reshape(h, w, c).astype(np.float32) / float(maxval)
 
 
+@_to_unsupported
 def decode_bmp(data: bytes) -> np.ndarray:
     if data[:2] != b"BM":
         raise UnsupportedMediaError("not a BMP")
@@ -177,6 +200,7 @@ def decode_image(data: bytes) -> np.ndarray:
     raise UnsupportedMediaError("unrecognized image format (png/ppm/bmp supported)")
 
 
+@_to_unsupported
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV PCM -> (mono float32 samples in [-1, 1], sample_rate)."""
     import wave

@@ -170,6 +170,7 @@ def flagship(
     batch_size: int = 256,
     length_split: int | None = None,
     long_batch_size: int = 32,
+    lookup_strategy: str = "auto",
 ):
     """Full pipeline on a web-page Dataset; returns the transformed Dataset
     (lazy).  ``mode="label"`` appends ``keep`` instead of filtering.
@@ -191,8 +192,15 @@ def flagship(
     ratio (reported by bench.py) is large AND the dedup stage is
     disabled or the mark lineage is cheap."""
     if dedup:
+        # "auto" counts rows to pick driver vs shuffle lookup — metadata-
+        # only on a fresh parquet read; pass "driver"/"shuffle" explicitly
+        # when feeding a transformed lineage (see dedup/combined.py)
         ds = mark_duplicates_fused(
-            ds, doc_key_column="text", min_length=1, skip_empty=True
+            ds,
+            doc_key_column="text",
+            min_length=1,
+            skip_empty=True,
+            lookup_strategy=lookup_strategy,
         )
 
     if length_split:

@@ -452,8 +452,15 @@ def q_flagship_keep(sf_dir: str):
         return batch.append_column("url", url)
 
     ds = ds.map_batches(add_url, batch_format="pyarrow")
+    # explicit strategy: the input lineage has a map stage, so the
+    # "auto" count would re-execute it just to pick a strategy
     ds = mark_duplicates_fused(
-        ds, doc_key_column="text", order_columns=("doc_id",), min_length=1, skip_empty=True
+        ds,
+        doc_key_column="text",
+        order_columns=("doc_id",),
+        min_length=1,
+        skip_empty=True,
+        lookup_strategy="driver",
     )
     ds = tag_all(ds)
     ds = ds.map_batches(
@@ -587,7 +594,19 @@ def _plant_docs(sf_dir: str):
     return ds.map_batches(plant, batch_format="pyarrow")
 
 
-SQL_PLANTED_NEAR_DUP = """
+SQL_PLANTED_MINHASH = """
+SELECT doc_id + 10000000 AS doc_id,
+       -- a copy of a whitespace-only doc emits no shingles, so it can't
+       -- be bucketed (guard keeps the guarantee exact on any testdata)
+       CASE WHEN regexp_matches(text, '\\S') THEN 1.0 ELSE 0.0 END AS near_dup
+FROM documents
+UNION ALL
+SELECT doc_id + 20000000 AS doc_id, 0.0 AS near_dup FROM documents
+"""
+
+# simhash fingerprints exist for empty text too (fp = 0), so an exact
+# copy is marked unconditionally (distance 0 to its earlier original)
+SQL_PLANTED_SIMHASH = """
 SELECT doc_id + 10000000 AS doc_id, 1.0 AS near_dup FROM documents
 UNION ALL
 SELECT doc_id + 20000000 AS doc_id, 0.0 AS near_dup FROM documents
@@ -665,7 +684,11 @@ def q_embedding_near_dup(sf_dir: str):
 
 
 SQL_EMBEDDING_NEAR_DUP = """
-SELECT vec_id + 10000000 AS vec_id, 1.0 AS near_dup FROM embeddings
+SELECT vec_id + 10000000 AS vec_id,
+       -- a zero vector has cosine 0 with everything incl. its own copy
+       CASE WHEN list_aggregate(list_transform(embedding, x -> abs(x)), 'sum') > 0
+            THEN 1.0 ELSE 0.0 END AS near_dup
+FROM embeddings
 UNION ALL
 SELECT vec_id + 20000000 AS vec_id, 0.0 AS near_dup FROM embeddings
 """
@@ -756,8 +779,8 @@ QUERIES.update(
 ORACLES.update(
     {
         "top_bigrams": SQL_TOP_BIGRAMS,
-        "minhash_near_dup": SQL_PLANTED_NEAR_DUP,
-        "simhash_near_dup": SQL_PLANTED_NEAR_DUP,
+        "minhash_near_dup": SQL_PLANTED_MINHASH,
+        "simhash_near_dup": SQL_PLANTED_SIMHASH,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "analyzer": SQL_ANALYZER,
     }

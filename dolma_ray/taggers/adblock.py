@@ -83,6 +83,9 @@ class AdblockRules:
                 ln = ln[: ln.rindex("$")]
                 if not ln:
                     continue
+            # ABP matching is case-insensitive; URLs are lowercased at
+            # check time, so rule bodies must be lowercased here too
+            ln = ln.lower()
             domains = self.exc_domains if exception else self.domains
             regexes = exc_res if exception else block_res
             if ln.startswith("||"):

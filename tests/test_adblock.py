@@ -99,3 +99,11 @@ def test_adb_tagger_batch(ray_session):
     stage.taggers = [AdblockUrlTagger(rules=["||ads.bad.test^"])]
     out = stage(pa.table({k: [r[k] for r in rows] for k in ("url", "text")}))
     assert out["attr__adb_url_v1__url"].to_pylist() == [1.0, 0.0]
+
+
+def test_mixed_case_rules_match():
+    """ABP matching is case-insensitive (round-2 review regression)."""
+    r = AdblockRules(["||Example.com/Ads/", "/AdServer/"])
+    assert r.check_network_urls("http://example.com/ads/x.gif")
+    assert r.check_network_urls("http://x.com/adserver/a.js")
+    assert r.check_network_urls("http://x.com/AdServer/a.js")

@@ -91,3 +91,51 @@ def test_cli_list():
     assert r.returncode == 0
     names = r.stdout.split()
     assert "gopher_v1" in names and "c4_v2" in names and "ft_lang_id_en_doc_v2" in names
+
+
+def test_cli_warc_and_ft(tmp_path):
+    """warc + ft-data/ft-train/ft-test subcommands end-to-end."""
+    import subprocess
+    import sys
+    import json as _json
+
+    # build a tiny warc
+    sys.path.insert(0, "tests")
+    from test_warc import build_warc, make_record
+
+    warc = tmp_path / "a.warc.gz"
+    warc.write_bytes(build_warc([
+        make_record("response", "http://cli.test/p", b"<html><p>cli warc text</p></html>"),
+    ], gz=True))
+    out = tmp_path / "warc_out"
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin", "HOME": "/root",
+           "RAY_ADDRESS": "local"}
+    r = subprocess.run(
+        [sys.executable, "-m", "dolma_ray", "--num-cpus", "2", "warc",
+         "--input", str(warc), "--output", str(out)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import duckdb
+
+    row = duckdb.sql(f"select url, text from read_parquet('{out}/*.parquet')").fetchone()
+    assert row[0] == "http://cli.test/p" and "cli warc text" in row[1]
+
+    # ft harness round trip via CLI (no ray needed for train/test)
+    train = tmp_path / "train.txt"
+    train.write_text("__label__a good fine text\n__label__b bad spam words\n")
+    model = tmp_path / "m"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "dolma_ray", "ft-train",
+         "--train-file", str(train), "--output", str(model)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    r3 = subprocess.run(
+        [sys.executable, "-m", "dolma_ray", "ft-test",
+         "--model", str(model), "--test-file", str(train)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    res = _json.loads(r3.stdout.strip().splitlines()[-1])
+    assert res["n"] == 2 and res["precision_at_1"] == 1.0

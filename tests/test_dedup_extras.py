@@ -264,3 +264,27 @@ def test_collect_dup_keys_shuffle_matches_driver(ray_session):
     drv = sorted(collect_dup_keys(ds, strategy="driver"))
     shf = sorted(collect_dup_keys(rd.from_arrow(t), strategy="shuffle"))
     assert drv == shf == ["u2", "u5", "u6"]
+
+
+def test_minhash_tie_on_order_still_marks(ray_session):
+    """Regression (round-2 review): two identical docs sharing the same
+    order value must still produce exactly one mark (key tie-break)."""
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_minhash
+    from dolma_ray.dedup.minhash import DUP_MINHASH_ATTR
+
+    rows = [
+        {"url": "a", "warc_ts": 5, "text": BASE},
+        {"url": "b", "warc_ts": 5, "text": BASE},  # identical text AND ts
+        {"url": "c", "warc_ts": 5, "text": OTHER},
+    ]
+    out = (
+        mark_near_duplicates_minhash(
+            rd.from_items(rows), order_columns=("warc_ts",)
+        )
+        .to_pandas()
+        .set_index("url")[DUP_MINHASH_ATTR]
+    )
+    assert sorted(out[["a", "b"]].tolist()) == [0.0, 1.0]  # exactly one marked
+    assert out["c"] == 0.0

@@ -91,9 +91,9 @@ def test_fasttext_bin_subwords_oov(tmp_path):
     # OOV features are subword hashes: verify at least one bucket id used
     feats = m._word_features("zzqx")
     assert feats and all(f >= m.nwords for f in feats)
-    # known-word + subwords path
+    # EOS never gets subwords (fastText Dictionary::initNgrams skips it)
     feats2 = m._word_features("</s>")
-    assert 0 in feats2
+    assert feats2 == [0]
 
 
 def test_fasttext_quantized_rejected(tmp_path):
