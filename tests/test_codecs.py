@@ -161,3 +161,76 @@ def test_media_stage_uses_real_codecs(ray_session):
     # non-decodable payload in strict mode still raises
     with pytest.raises(NotImplementedError):
         stage(pa.table({"payload": pa.array([b"\xff\xd8jpeg"], pa.binary())}))
+
+
+def test_png_average_and_paeth_filters():
+    """Filters 3 (Average) and 4 (Paeth) — encode by hand (inverse of the
+    spec's reconstruction) and check exact round trip."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    h, w, c = px.shape
+
+    def encode(filters):
+        raw = bytearray()
+        prev = np.zeros(w * c, dtype=np.int64)
+        for y, ft in enumerate(filters):
+            line = px[y].ravel().astype(np.int64)
+            enc = np.empty_like(line)
+            for x in range(w * c):
+                a = line[x - c] if x >= c else 0
+                b = prev[x]
+                cc = prev[x - c] if x >= c else 0
+                if ft == 3:
+                    pred = (a + b) >> 1
+                elif ft == 4:
+                    p = a + b - cc
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else cc)
+                else:
+                    pred = 0
+                enc[x] = (line[x] - pred) % 256
+            raw.append(ft)
+            raw.extend(enc.astype(np.uint8).tobytes())
+            prev = line
+        return bytes(raw)
+
+    import struct as _struct
+
+    def png_from_raw(raw):
+        def chunk(tag, payload):
+            return (_struct.pack(">I", len(payload)) + tag + payload
+                    + _struct.pack(">I", zlib.crc32(tag + payload)))
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    for filters in ([3] * h, [4] * h, [0, 3, 4, 3, 4, 0]):
+        out = decode_png(png_from_raw(encode(filters)))
+        np.testing.assert_allclose(out, px.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_png_palette():
+    import struct as _struct
+
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(tag, payload):
+        return (_struct.pack(">I", len(payload)) + tag + payload
+                + _struct.pack(">I", zlib.crc32(tag + payload)))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+            + chunk(b"PLTE", plte.tobytes())
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_png(data)
+    np.testing.assert_allclose(out[0, 0], [1.0, 0, 0])
+    np.testing.assert_allclose(out[0, 1], [0, 1.0, 0])
+    np.testing.assert_allclose(out[1, 0], [0, 0, 1.0])
+
+
+def test_corrupt_payloads_raise_unsupported():
+    for bad in (b"\x89PNG\r\n\x1a\ntrunc", b"BM\x00\x01", b"P6 9999999999 2 255\n\x00"):
+        with pytest.raises(UnsupportedMediaError):
+            decode_image(bad)
