@@ -211,20 +211,21 @@ def q_top_words(sf_dir: str, k: int = 50):
 
     ds = _read(sf_dir, "documents", columns=["text"])
 
-    import re
-
-    word_rx = re.compile(WORD_RE2)
-
     def words(batch: pa.Table) -> pa.Table:
-        # per-batch partial count (combiner) before the groupby shuffle
-        toks: dict[str, int] = {}
-        for text in batch["text"].to_pylist():
-            for w in word_rx.findall((text or "").lower()):
-                toks[w] = toks.get(w, 0) + 1
+        # per-batch partial count (combiner) before the groupby shuffle —
+        # fully vectorized: split on the complement of the word class
+        # (identical token set to findall(WORD_RE2) on lowered text,
+        # empties from boundary/consecutive delimiters filtered out),
+        # then one Arrow value_counts over the flattened tokens
+        lowered = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(lowered, "[^0-9a-z_]+")
+        flat = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
         return pa.table(
             {
-                "word": pa.array(list(toks.keys()), pa.string()),
-                "n": pa.array(list(toks.values()), pa.int64()),
+                "word": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
@@ -509,26 +510,39 @@ ORACLES = {
 
 
 def q_top_bigrams(sf_dir: str, k: int = 30):
-    """wimbd-style top-k ngram counts (reference src/wimbd/ngrams) as
-    flat_map -> partial count -> groupby sum -> sort/limit."""
-    import re
-
+    """wimbd-style top-k ngram counts (reference src/wimbd/ngrams) as a
+    vectorized per-batch partial count -> groupby sum -> sort/limit.
+    Bigrams are built without a python loop: tokens are split per doc,
+    empties dropped with offset bookkeeping (numpy doc-id vector), and
+    consecutive same-doc tokens joined with one Arrow kernel."""
     from ray.data.aggregate import Sum
 
-    word_rx = re.compile(WORD_RE2)
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def bigrams(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for text in batch["text"].to_pylist():
-            ws = word_rx.findall((text or "").lower())
-            for a, b in zip(ws, ws[1:]):
-                bg = f"{a} {b}"
-                counts[bg] = counts.get(bg, 0) + 1
+        lowered = pc.utf8_lower(batch["text"])
+        toks = pc.split_pattern_regex(lowered, "[^0-9a-z_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(np.arange(len(counts)), counts)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        clean = flat.filter(pa.array(keep))
+        clean_docs = doc_ids[keep]
+        if len(clean) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        pair_ok = clean_docs[:-1] == clean_docs[1:]
+        joined = pc.binary_join_element_wise(
+            clean.slice(0, len(clean) - 1), clean.slice(1), " "
+        ).filter(pa.array(pair_ok))
+        vc = joined.value_counts()
         return pa.table(
             {
-                "bigram": pa.array(list(counts.keys()), pa.string()),
-                "n": pa.array(list(counts.values()), pa.int64()),
+                "bigram": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 

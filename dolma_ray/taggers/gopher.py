@@ -23,6 +23,8 @@ from collections import Counter
 from statistics import median
 from typing import Any, Mapping
 
+import numpy as np
+
 from ..text_units import split_lines
 from .base import DOC, BaseTagger
 from ..registry import TaggerRegistry
@@ -60,6 +62,63 @@ GOPHER_DOC_TYPES: dict[str, str] = {
 }
 
 
+def _ngram_fractions(ids: np.ndarray, lens: np.ndarray, char_mass: int) -> dict[str, float]:
+    """most-common-{2,3,4} / duplicate-{5..10} ngram character fractions
+    from one doc's word-id array (any per-call equality-consistent ids).
+
+    All 9 ngram sizes share ONE sort: window hashes are tagged with n in
+    the top 4 bits (hash keeps 60), concatenated n-major (so the first
+    occurrence index within the combined array preserves per-n window
+    order for the most_common tie-break), then one np.unique pass."""
+    out: dict[str, float] = {}
+    word_count = len(ids)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    P = np.uint64(1099511628211)
+    parts_h: list[np.ndarray] = []
+    parts_mass: list[np.ndarray] = []
+    sizes: list[tuple[int, int]] = []  # (n, n_windows)
+    h_prev: np.ndarray | None = None
+    for n in range(2, 11):
+        n_windows = word_count - n + 1
+        if n_windows <= 0:
+            break
+        if h_prev is None:
+            h = ids[:n_windows] * P + ids[1 : n_windows + 1]
+        else:
+            h = h_prev[:n_windows] * P + ids[n - 1 : n_windows + n - 1]
+        h_prev = h
+        parts_h.append((h & np.uint64((1 << 60) - 1)) | (np.uint64(n) << np.uint64(60)))
+        parts_mass.append(cum[n:] - cum[:-n])
+        sizes.append((n, n_windows))
+    if not parts_h:
+        return out
+    all_h = np.concatenate(parts_h)
+    all_mass = np.concatenate(parts_mass)
+    uniq, first_idx, inverse, counts = np.unique(
+        all_h, return_index=True, return_inverse=True, return_counts=True
+    )
+    dup_occ = counts[inverse] > 1
+    base = 0
+    for n, n_windows in sizes:
+        sl = slice(base, base + n_windows)
+        base += n_windows
+        if n in _MOST_COMMON_NS:
+            sel = (uniq >> np.uint64(60)) == n
+            c = counts[sel]
+            fi = first_idx[sel]
+            max_count = c.max()
+            cand = np.nonzero(c == max_count)[0]
+            pick = cand[np.argmin(fi[cand])]  # first-seen tie-break
+            value = int(max_count) * int(all_mass[fi[pick]]) / max(char_mass, 1)
+            out[f"fraction_of_characters_in_most_common_{n}grams"] = value
+        else:
+            mass_n = all_mass[sl]
+            total = int(mass_n.sum())
+            dup = int(mass_n[dup_occ[sl]].sum())
+            out[f"fraction_of_characters_in_duplicate_{n}grams"] = dup / max(total, 1)
+    return out
+
+
 def gopher_attributes(text: str, ignore_empty_lines: bool = False) -> dict[str, float]:
     """Compute all Gopher stats for one document.
 
@@ -70,8 +129,6 @@ def gopher_attributes(text: str, ignore_empty_lines: bool = False) -> dict[str, 
     first-occurrence index among max-count ngrams).  64-bit polynomial
     hashing: collision odds ~n²/2^64, negligible per document.
     """
-    import numpy as np
-
     out: dict[str, float] = {"character_count": float(len(text))}
     if not text:
         return out
@@ -120,56 +177,7 @@ def gopher_attributes(text: str, ignore_empty_lines: bool = False) -> dict[str, 
     out["required_word_count"] = float(int(cnt[(mask & 4) > 0].sum()))
 
     ids = ids.view(np.uint64)
-    cum = np.concatenate([[0], np.cumsum(lens)])
-    P = np.uint64(1099511628211)
-
-    # all 9 ngram sizes share ONE sort: window hashes are tagged with n in
-    # the top 4 bits (hash keeps 60), concatenated n-major (so the first
-    # occurrence index within the combined array preserves per-n window
-    # order for the most_common tie-break), then one np.unique pass
-    parts_h: list[np.ndarray] = []
-    parts_mass: list[np.ndarray] = []
-    sizes: list[tuple[int, int]] = []  # (n, n_windows)
-    h_prev: np.ndarray | None = None
-    for n in range(2, 11):
-        n_windows = word_count - n + 1
-        if n_windows <= 0:
-            break
-        if h_prev is None:
-            h = ids[:n_windows] * P + ids[1 : n_windows + 1]
-        else:
-            h = h_prev[:n_windows] * P + ids[n - 1 : n_windows + n - 1]
-        h_prev = h
-        parts_h.append((h & np.uint64((1 << 60) - 1)) | (np.uint64(n) << np.uint64(60)))
-        parts_mass.append(cum[n:] - cum[:-n])
-        sizes.append((n, n_windows))
-    if parts_h:
-        all_h = np.concatenate(parts_h)
-        all_mass = np.concatenate(parts_mass)
-        uniq, first_idx, inverse, counts = np.unique(
-            all_h, return_index=True, return_inverse=True, return_counts=True
-        )
-        dup_occ = counts[inverse] > 1
-        base = 0
-        for n, n_windows in sizes:
-            sl = slice(base, base + n_windows)
-            base += n_windows
-            if n in _MOST_COMMON_NS:
-                sel = (uniq >> np.uint64(60)) == n
-                c = counts[sel]
-                fi = first_idx[sel]
-                max_count = c.max()
-                cand = np.nonzero(c == max_count)[0]
-                pick = cand[np.argmin(fi[cand])]  # first-seen tie-break
-                value = int(max_count) * int(all_mass[fi[pick]]) / max(char_mass, 1)
-                out[f"fraction_of_characters_in_most_common_{n}grams"] = value
-            else:
-                mass_n = all_mass[sl]
-                total = int(mass_n.sum())
-                dup = int(mass_n[dup_occ[sl]].sum())
-                out[f"fraction_of_characters_in_duplicate_{n}grams"] = dup / max(
-                    total, 1
-                )
+    out.update(_ngram_fractions(ids, lens, char_mass))
 
     lines = split_lines(text, ignore_empty=ignore_empty_lines)
     line_count = len(lines)
@@ -198,6 +206,96 @@ class GopherTagger(BaseTagger):
 
     def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, float]:
         return gopher_attributes(text, ignore_empty_lines=self.ignore_empty_lines)
+
+    def tag_batch(self, texts, extras):
+        """Batch-vectorized path, identical values to :meth:`predict`:
+        words stay ``text.split()`` (python semantics — Arrow's
+        whitespace split differs on \\x1c-\\x1f), but everything after
+        is computed on ONE flattened Arrow array for the whole batch:
+        char lengths, symbol/alpha/required flags (Arrow kernels;
+        ``[\\p{L}\\p{Nl}\\p{No}]`` == python's ``[^\\W\\d_]``), per-doc
+        sums via ``np.add.reduceat``, and word ids from one vectorized
+        polars 64-bit hash (ids only need within-call equality
+        consistency for the ngram rolling hash)."""
+        import itertools
+
+        import polars as pl
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n_docs = len(texts)
+        words_per_doc = [(t or "").split() for t in texts]
+        counts = np.fromiter((len(w) for w in words_per_doc), np.int64, n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        flat = pa.array(
+            list(itertools.chain.from_iterable(words_per_doc)), pa.string()
+        )
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        sym = pc.or_(
+            pc.match_substring(flat, "#"), pc.match_substring(flat, "…")
+        ).to_numpy(zero_copy_only=False)
+        alpha = pc.match_substring_regex(
+            flat, r"[\p{L}\p{Nl}\p{No}]"
+        ).to_numpy(zero_copy_only=False)
+        req = pc.is_in(
+            flat, value_set=pa.array(sorted(REQUIRED_ENGLISH_WORDS))
+        ).to_numpy(zero_copy_only=False)
+        ids_all = pl.from_arrow(flat).hash(seed=0).to_numpy().astype(np.uint64)
+
+        def seg_sums(values: np.ndarray) -> np.ndarray:
+            out = np.zeros(n_docs, dtype=np.int64)
+            nz = counts > 0
+            if nz.any():
+                out[nz] = np.add.reduceat(values.astype(np.int64), offsets[:-1][nz])
+            return out
+
+        char_mass = seg_sums(lens)
+        n_sym = seg_sums(sym)
+        n_alpha = seg_sums(alpha)
+        n_req = seg_sums(req)
+
+        kinds = self.output_types()
+        out: dict[str, list[float]] = {t: [] for t in kinds}
+        for i, text in enumerate(texts):
+            text = text or ""
+            row: dict[str, float] = {"character_count": float(len(text))}
+            if text:
+                wc = int(counts[i])
+                sl = slice(offsets[i], offsets[i + 1])
+                row["word_count"] = float(wc)
+                row["median_word_length"] = (
+                    float(np.median(lens[sl])) if wc else 0.0
+                )
+                row["symbol_to_word_ratio"] = int(n_sym[i]) / max(wc, 1)
+                row["fraction_of_words_with_alpha_character"] = int(
+                    n_alpha[i]
+                ) / max(wc, 1)
+                row["required_word_count"] = float(int(n_req[i]))
+                row.update(
+                    _ngram_fractions(ids_all[sl], lens[sl], int(char_mass[i]))
+                )
+                lines = split_lines(text, ignore_empty=self.ignore_empty_lines)
+                line_count = len(lines)
+                row["fraction_of_lines_starting_with_bullet_point"] = (
+                    sum(1 for ln in lines if ln.startswith(BULLET_POINTS))
+                    / max(line_count, 1)
+                )
+                row["fraction_of_lines_ending_with_ellipsis"] = (
+                    sum(1 for ln in lines if ln.endswith("…")) / max(line_count, 1)
+                )
+                line_counts = Counter(lines)
+                row["fraction_of_duplicate_lines"] = (
+                    sum(c for _, c in line_counts.items() if c > 1)
+                    / max(line_count, 1)
+                )
+                row["fraction_of_characters_in_duplicate_lines"] = (
+                    sum(len(ln) * c for ln, c in line_counts.items() if c > 1)
+                    / max(int(char_mass[i]), 1)
+                )
+            for t, kind in kinds.items():
+                out[t].append(row.get(t, 0.0))
+        return out
 
 
 @TaggerRegistry.add("gopher_v2")
