@@ -1,0 +1,151 @@
+"""Time-ordered joins Ray Data lacks natively: as-of join.
+
+``asof_join(left, right, ...)`` matches each left row to the most
+recent right row with ``right.ts <= left.ts`` for the same key (DuckDB
+``ASOF JOIN`` / kdb ``aj`` semantics, left-outer: unmatched left rows
+keep nulls).
+
+Execution shape (documented partitioning assumption): both sides are
+salted into ``n_buckets`` hash buckets on the join key — all rows of a
+key land in one bucket, so the merge is correct per bucket with NO
+cross-bucket state.  Within a bucket every key is resolved by one
+vectorized pass: sort the unioned rows by ``(key, ts, side)`` with
+right rows first at equal timestamps (inclusive match), then a running
+``np.maximum.accumulate`` of right-row positions gives each left row
+its predecessor, validated against key boundaries.  Bucket count scales
+with the cluster, not with key cardinality — the same shape as the
+salt-bucketed sessionization (``queries.py::q_user_sessions``).
+
+Ties among right rows sharing (key, ts) resolve to the LAST one in
+``(ts, tie_column)`` order; pass ``tie_column`` (e.g. an event id) to
+make that deterministic — DuckDB's ASOF leaves it unspecified, so
+oracle comparisons should pre-dedupe right to one row per (key, ts).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def asof_join(
+    left,
+    right,
+    key_column: str,
+    ts_column: str,
+    right_columns: Sequence[str],
+    n_buckets: int = 64,
+    tie_column: str | None = None,
+):
+    """Left-outer as-of join; returns left's columns plus ``right_columns``
+    (null where no right row precedes) and ``_asof_ts`` (matched right
+    timestamp, null when unmatched)."""
+    left_cols = None
+
+    def norm(side: int, keep: Sequence[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key_column].to_numpy(zero_copy_only=False)
+            bucket = (np.abs(keys) % n_buckets).astype(np.int32)
+            cols = {
+                "bucket": pa.array(bucket),
+                "_k": batch[key_column],
+                "_ts": batch[ts_column],
+                "_side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            }
+            for c in keep:
+                cols[f"_c_{c}"] = batch[c]
+            if tie_column is not None and tie_column in batch.column_names:
+                cols["_tie"] = batch[tie_column]
+            else:
+                cols["_tie"] = pa.array(np.zeros(len(batch), dtype=np.int64))
+            return pa.table(cols)
+
+        return fn
+
+    left_keep = []
+    for c in left.schema().names:
+        if c not in (key_column, ts_column):
+            left_keep.append(c)
+    left_cols = list(left_keep)
+
+    l_norm = left.map_batches(norm(1, left_keep), batch_format="pyarrow")
+    r_norm = right.map_batches(norm(0, list(right_columns)), batch_format="pyarrow")
+
+    # union of two different schemas: pad each side with the other's
+    # value columns as nulls so the schemas align
+    def pad(missing: Sequence[str], template_side):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in missing:
+                batch = batch.append_column(
+                    f"_c_{c}", pa.nulls(len(batch), pa.int64())
+                )
+            return batch
+
+        return fn
+
+    # NOTE: null-typed padding needs real types; read them lazily from the
+    # other side's schema instead (Arrow unifies null -> typed on concat
+    # only when types known). We instead union via pandas-free approach:
+    # keep the two normalized datasets separate and merge per bucket via
+    # groupby on their union after aligning columns explicitly.
+    l_schema = l_norm.schema()
+    r_schema = r_norm.schema()
+
+    def pad_typed(batch: pa.Table, want_names, want_types) -> pa.Table:
+        for name, typ in zip(want_names, want_types):
+            if name not in batch.column_names:
+                batch = batch.append_column(name, pa.nulls(len(batch), typ))
+        return batch.select(want_names)
+
+    all_names = list(
+        dict.fromkeys(list(l_schema.names) + list(r_schema.names))
+    )
+    types_by_name = {}
+    for s in (l_schema, r_schema):
+        for name in s.names:
+            types_by_name.setdefault(name, s.base_schema.field(name).type)
+    all_types = [types_by_name[n] for n in all_names]
+
+    l_al = l_norm.map_batches(
+        lambda b: pad_typed(b, all_names, all_types), batch_format="pyarrow"
+    )
+    r_al = r_norm.map_batches(
+        lambda b: pad_typed(b, all_names, all_types), batch_format="pyarrow"
+    )
+    unioned = l_al.union(r_al)
+
+    rcols = [f"_c_{c}" for c in right_columns]
+    lcols = [f"_c_{c}" for c in left_cols]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_k", "_ts", "_side", "_tie"], kind="mergesort")
+        n = len(g)
+        keys = g["_k"].to_numpy()
+        side = g["_side"].to_numpy()
+        is_right = side == 0
+        pos = np.where(is_right, np.arange(n), -1)
+        last_right = np.maximum.accumulate(pos)
+        left_mask = ~is_right
+        li = np.nonzero(left_mask)[0]
+        lr = last_right[li]
+        valid = lr >= 0
+        valid[valid] &= keys[lr[valid]] == keys[li[valid]]
+        out = {}
+        for c, oc in zip(lcols, left_cols):
+            out[oc] = g[c].to_numpy()[li]
+        out[key_column] = keys[li]
+        out[ts_column] = g["_ts"].to_numpy()[li]
+        for c, oc in zip(rcols, right_columns):
+            vals = g[c].to_numpy()
+            col = np.full(len(li), None, dtype=object)
+            col[valid] = vals[lr[valid]]
+            out[oc] = col
+        ats = np.full(len(li), np.datetime64("NaT"), dtype=g["_ts"].to_numpy().dtype)
+        ats[valid] = g["_ts"].to_numpy()[lr[valid]]
+        out["_asof_ts"] = ats
+        return pd.DataFrame(out)
+
+    return unioned.groupby("bucket").map_groups(merge, batch_format="pandas")

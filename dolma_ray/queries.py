@@ -1062,3 +1062,137 @@ FROM documents
 
 QUERIES["url_block"] = q_url_block
 ORACLES["url_block"] = SQL_URL_BLOCK
+
+
+def q_events_sliding(sf_dir: str, window: int = 3):
+    """Sliding (trailing 3-row) window aggregate over the hourly event
+    stream — the windowed-aggregate operator class.  Shape: the same
+    per-batch partial count as ``events_hourly`` shrinks the data to one
+    row per (event_type, hour) BEFORE any shuffle; the rolling sum then
+    runs vectorized per event_type (cardinality = #types, each group =
+    #hours — bounded by the time range, not the corpus, so per-group
+    frames stay small at any input scale)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({"event_type": batch["event_type"], "hour": hour})
+        return (
+            t.group_by(["event_type", "hour"])
+            .aggregate([("hour", "count")])
+            .rename_columns(["event_type", "hour", "n"])
+        )
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour")
+        n = g["n"].to_numpy(dtype=np.int64)
+        c = np.cumsum(n)
+        lag = np.zeros_like(c)
+        if len(c) > window:
+            lag[window:] = c[:-window]
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "hour": g["hour"].to_numpy(),
+                "n": n,
+                "n_3h": (c - lag).astype(np.int64),
+            }
+        )
+
+    return hourly.groupby("event_type").map_groups(roll, batch_format="pandas")
+
+
+SQL_EVENTS_SLIDING = """
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n,
+       CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h
+FROM hourly
+"""
+
+QUERIES["events_sliding"] = q_events_sliding
+ORACLES["events_sliding"] = SQL_EVENTS_SLIDING
+
+
+def q_purchase_attribution(sf_dir: str):
+    """As-of join (DuckDB ASOF JOIN / kdb aj semantics): each purchase
+    event is attributed to the same user's most recent preceding view
+    event.  Implemented by the engine's salt-bucketed vectorized
+    :func:`dolma_ray.analysis.joins.asof_join`; the right side is
+    pre-deduped to one row per (user, ts) so tie behavior is defined on
+    both sides.  Nulls are coalesced to -1 so the value-hash compares
+    int64 to int64."""
+    from ray.data.aggregate import Max
+
+    from .analysis.joins import asof_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def only(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch["event_type"], kind))
+            return b.drop_columns(["event_type"])
+
+        return fn
+
+    purchases = ds.map_batches(only("purchase"), batch_format="pyarrow")
+    views = (
+        ds.map_batches(only("view"), batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("event_id", alias_name="view_event_id"))
+    )
+
+    joined = asof_join(
+        purchases,
+        views,
+        key_column="user_id",
+        ts_column="ts",
+        right_columns=["view_event_id"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        ats = batch["_asof_ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        wait = pc.fill_null(pc.subtract(ts, ats), -1)
+        vid = pc.fill_null(pc.cast(batch["view_event_id"], pa.int64()), -1)
+        return pa.table(
+            {
+                # left value columns ride through the union padded with
+                # nulls on right rows -> pandas floats; cast back
+                "event_id": pc.cast(batch["event_id"], pa.int64()),
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "view_event_id": vid,
+                "wait_us": wait,
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH v AS (
+    SELECT user_id, ts, max(event_id) AS view_event_id
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       COALESCE(v.view_event_id, -1) AS view_event_id,
+       COALESCE(CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT), -1) AS wait_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+QUERIES["purchase_attribution"] = q_purchase_attribution
+ORACLES["purchase_attribution"] = SQL_PURCHASE_ATTRIBUTION

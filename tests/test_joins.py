@@ -1,0 +1,77 @@
+"""asof_join semantics: inclusive match, key isolation, left-outer nulls,
+tie determinism (DuckDB ASOF JOIN parity is pinned by the
+purchase_attribution oracle; these are the unit edges)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _run(left_rows, right_rows, **kw):
+    import ray.data as rd
+
+    from dolma_ray.analysis.joins import asof_join
+
+    out = asof_join(
+        rd.from_items(left_rows),
+        rd.from_items(right_rows),
+        key_column="k",
+        ts_column="ts",
+        right_columns=["rv"],
+        **kw,
+    ).to_pandas()
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+TS = pd.Timestamp
+
+
+def test_basic_asof(ray_session):
+    left = [
+        {"k": 1, "ts": TS("2024-01-01 10:00"), "lid": 1},
+        {"k": 1, "ts": TS("2024-01-01 12:00"), "lid": 2},
+        {"k": 2, "ts": TS("2024-01-01 11:00"), "lid": 3},
+    ]
+    right = [
+        {"k": 1, "ts": TS("2024-01-01 09:00"), "rv": 100},
+        {"k": 1, "ts": TS("2024-01-01 11:30"), "rv": 200},
+        {"k": 2, "ts": TS("2024-01-01 11:00"), "rv": 300},  # equal ts: inclusive
+    ]
+    out = _run(left, right)
+    assert out["rv"].tolist() == [100, 200, 300]
+    assert out.loc[2, "_asof_ts"] == TS("2024-01-01 11:00")
+
+
+def test_left_outer_null_and_key_isolation(ray_session):
+    left = [
+        {"k": 1, "ts": TS("2024-01-01 08:00"), "lid": 1},  # before any right
+        {"k": 3, "ts": TS("2024-01-01 12:00"), "lid": 2},  # key with no right
+    ]
+    right = [{"k": 1, "ts": TS("2024-01-01 09:00"), "rv": 100}]
+    out = _run(left, right)
+    assert out["rv"].isna().all()  # both unmatched
+    assert out["_asof_ts"].isna().all()
+
+
+def test_right_tie_resolves_to_last_by_tie_column(ray_session):
+    left = [{"k": 1, "ts": TS("2024-01-01 10:00"), "lid": 1}]
+    right = [
+        {"k": 1, "ts": TS("2024-01-01 09:00"), "rv": 1, "tid": 5},
+        {"k": 1, "ts": TS("2024-01-01 09:00"), "rv": 2, "tid": 9},
+    ]
+    out = _run(left, right, tie_column="tid")
+    assert out["rv"].tolist() == [2]  # max tie wins
+
+
+def test_many_keys_across_buckets(ray_session):
+    rng = np.random.default_rng(0)
+    left, right, expect = [], [], {}
+    for k in range(200):  # > n_buckets, exercises bucketing
+        lt = TS("2024-01-01") + pd.Timedelta(minutes=int(rng.integers(60, 600)))
+        rt = lt - pd.Timedelta(minutes=int(rng.integers(1, 59)))
+        left.append({"k": k, "ts": lt, "lid": k})
+        right.append({"k": k, "ts": rt, "rv": k * 10})
+        expect[k] = k * 10
+    out = _run(left, right)
+    assert len(out) == 200
+    assert all(out.set_index("lid")["rv"][k] == expect[k] for k in expect)
