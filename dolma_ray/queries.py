@@ -291,20 +291,42 @@ GROUP BY 1, 2
 """
 
 
+def _broadcast_lookup(keys_np: np.ndarray, values: list):
+    """Broadcastable vectorized dim lookup: sorted key array + aligned
+    value array; probe with one np.searchsorted per batch (no per-row
+    python dict gets)."""
+    order = np.argsort(keys_np, kind="stable")
+    return keys_np[order], np.asarray(values, dtype=object)[order]
+
+
+def _probe(sorted_keys: np.ndarray, values: np.ndarray, probe: np.ndarray):
+    idx = np.searchsorted(sorted_keys, probe)
+    idx_c = np.clip(idx, 0, len(sorted_keys) - 1)
+    hit = sorted_keys[idx_c] == probe
+    out = np.full(len(probe), None, dtype=object)
+    out[hit] = values[idx_c[hit]]
+    return out
+
+
 def q_orders_by_segment(sf_dir: str):
-    """Broadcast hash join: tiny customer dim shipped once via ray.put."""
+    """Broadcast hash join: tiny customer dim shipped once via ray.put,
+    probed with a vectorized searchsorted per batch."""
     import ray
     from ray.data.aggregate import Count, Sum
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    seg_ref = ray.put(
+        _broadcast_lookup(
+            cust["c_custkey"].to_numpy(), cust["c_mktsegment"].tolist()
+        )
+    )
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def join(batch: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
+        sk, vals = ray.get(seg_ref)
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        segments = pa.array([seg.get(int(k)) for k in keys], pa.string())
+        segments = pa.array(_probe(sk, vals, keys), pa.string())
         cents = pc.cast(
             pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
         )
@@ -966,18 +988,20 @@ def q_nation_revenue(sf_dir: str):
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     nation_by_key = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    cust_nation = {
-        ck: nation_by_key.get(nk)
-        for ck, nk in zip(cust["c_custkey"], cust["c_nationkey"])
-    }
-    ref = ray.put(cust_nation)
+    # pre-join the two dims driver-side (tiny), broadcast one lookup
+    ref = ray.put(
+        _broadcast_lookup(
+            cust["c_custkey"].to_numpy(),
+            [nation_by_key.get(nk) for nk in cust["c_nationkey"]],
+        )
+    )
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def join(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
+        sk, vals = ray.get(ref)
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        names = pa.array([lookup.get(int(k)) for k in keys], pa.string())
+        names = pa.array(_probe(sk, vals, keys), pa.string())
         cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
         return pa.table({"n_name": names, "cents": cents})
 
@@ -1196,3 +1220,65 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 
 QUERIES["purchase_attribution"] = q_purchase_attribution
 ORACLES["purchase_attribution"] = SQL_PURCHASE_ATTRIBUTION
+
+
+def q_event_pairs_60s(sf_dir: str, window_s: int = 60, n_buckets: int = 64):
+    """Range self-join with an equi key: per user, the number of ordered
+    event pairs (a, b) with ``a.ts < b.ts <= a.ts + 60s`` — the banded /
+    interval join class.  Shape: users salt into hash buckets (all rows
+    of a user co-locate), and each bucket resolves every user with two
+    vectorized ``searchsorted`` sweeps over its time-sorted events — no
+    pair materialization, cost O(n log n) per bucket regardless of how
+    many pairs the window contains."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    win_us = window_s * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (np.abs(uid) % n_buckets).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        n = len(g)
+        starts = np.nonzero(
+            np.concatenate([[True], uid[1:] != uid[:-1]])
+        )[0]
+        ends = np.append(starts[1:], n)
+        users, counts = [], []
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg, side="right")
+            hi = np.searchsorted(seg, seg + win_us, side="right")
+            c = int((hi - lo).sum())
+            if c > 0:
+                users.append(uid[s])
+                counts.append(c)
+        return pd.DataFrame(
+            {
+                "user_id": np.asarray(users, dtype=np.int64),
+                "n_pairs": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_pairs, batch_format="pandas")
+    )
+
+
+SQL_EVENT_PAIRS_60S = """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 60 SECOND
+GROUP BY 1
+"""
+
+QUERIES["event_pairs_60s"] = q_event_pairs_60s
+ORACLES["event_pairs_60s"] = SQL_EVENT_PAIRS_60S
