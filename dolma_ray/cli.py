@@ -202,6 +202,27 @@ def cmd_ft_test(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tokens(args: argparse.Namespace) -> int:
+    """Tokenizer memmap sink (reference ``dolma tokens``)."""
+    from .sources.tokens import tokenize_to_parquet, write_token_memmaps
+
+    ds = _read(args.input)
+    if args.format == "parquet":
+        tokenize_to_parquet(
+            ds, args.output, tokenizer_path=args.tokenizer,
+            bos_id=args.bos_id, eos_id=args.eos_id,
+        )
+    else:
+        write_token_memmaps(
+            ds, args.output, tokenizer_path=args.tokenizer,
+            id_column=args.id_column, dtype=args.dtype,
+            max_tokens_per_shard=args.max_tokens,
+            bos_id=args.bos_id, eos_id=args.eos_id,
+        )
+    print(f"tokens -> {args.output}")
+    return 0
+
+
 def cmd_stat(args: argparse.Namespace) -> int:
     from .analysis.analyzer import summarize_attributes
 
@@ -263,6 +284,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--input", required=True)
     s.add_argument("--attributes", default=None)
     s.set_defaults(fn=cmd_stat)
+
+    tk = sub.add_parser("tokens", help="tokenize documents to npy memmap shards or parquet")
+    tk.add_argument("--input", required=True)
+    tk.add_argument("--output", required=True)
+    tk.add_argument("--tokenizer", default=None, help="tokenizer.json path (default: regex stand-in)")
+    tk.add_argument("--format", choices=["memmap", "parquet"], default="memmap")
+    tk.add_argument("--dtype", default="uint16")
+    tk.add_argument("--id-column", default=None)
+    tk.add_argument("--max-tokens", type=int, default=512 * 1024 * 1024)
+    tk.add_argument("--bos-id", type=int, default=None)
+    tk.add_argument("--eos-id", type=int, default=None)
+    tk.set_defaults(fn=cmd_tokens)
 
     w = sub.add_parser("warc", help="extract WARC archives to parquet (url/html/text)")
     w.add_argument("--input", required=True, help="comma-separated WARC paths/globs")

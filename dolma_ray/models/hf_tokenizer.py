@@ -1,0 +1,139 @@
+"""Pure-python loader/encoder for HF ``tokenizer.json`` files.
+
+The reference's tokens pipeline loads a tokenizers-library file
+(``tokenizer/tokenizer.py:233-246``); the ``tokenizers`` package is a
+compiled dependency absent here, but the file format is public JSON.
+This loader covers the subset the common LLM tokenizers use:
+
+* ``model.type == "WordLevel"``: vocab map + ``unk_token``; whitespace
+  or byte-level pre-tokenization.
+* ``model.type == "BPE"``: vocab + ranked merges, GPT-2-style
+  byte-level pre-tokenization (the published byte-to-unicode table) and
+  the standard lowest-rank-first merge loop.
+
+Not implemented (documented subset): Unigram/WordPiece models,
+normalizers beyond NFC/lowercase, added-token processors beyond plain
+id mapping.  Encodings are exact for tokenizers within the subset —
+pinned by tests on hand-written tokenizer.json artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import unicodedata
+from functools import lru_cache
+
+# GPT-2's public byte<->unicode table (printable remapping)
+@lru_cache(maxsize=1)
+def _byte_to_unicode() -> dict[int, str]:
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+# GPT-2 pre-tokenization pattern (public); stdlib-re approximation of the
+# contraction lookahead
+_GPT2_PRE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[^\s\d\W_]+[\w]*| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+)
+_SIMPLE_PRE = re.compile(r"\S+")
+
+
+class HFTokenizer:
+    def __init__(self, path: str) -> None:
+        with open(path, "r", encoding="utf-8") as f:
+            spec = json.load(f)
+        model = spec.get("model", {})
+        self.model_type = model.get("type", "WordLevel")
+        self.vocab: dict[str, int] = dict(model.get("vocab", {}))
+        self.unk_token = model.get("unk_token")
+        self.merges: dict[tuple[str, str], int] = {}
+        for rank, m in enumerate(model.get("merges", [])):
+            pair = tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
+            self.merges[pair] = rank
+        pre = (spec.get("pre_tokenizer") or {}).get("type", "Whitespace")
+        self.byte_level = pre == "ByteLevel" or self.model_type == "BPE"
+        norm = (spec.get("normalizer") or {}).get("type")
+        self.lowercase = norm == "Lowercase"
+        self.nfc = norm == "NFC"
+        # added tokens (specials) resolve directly to ids
+        self.added = {
+            t["content"]: t["id"] for t in spec.get("added_tokens", []) or []
+        }
+        if self.model_type not in ("WordLevel", "BPE"):
+            raise NotImplementedError(
+                f"tokenizer model type {self.model_type!r} outside the "
+                "implemented subset (WordLevel, BPE)"
+            )
+        self._bpe_cache: dict[str, list[str]] = {}
+
+    @property
+    def vocab_size(self) -> int:
+        return max(
+            [max(self.vocab.values(), default=-1)]
+            + [max(self.added.values(), default=-1)]
+        ) + 1
+
+    def token_to_id(self, token: str):
+        if token in self.added:
+            return self.added[token]
+        return self.vocab.get(token)
+
+    def _bpe(self, word: str) -> list[str]:
+        cached = self._bpe_cache.get(word)
+        if cached is not None:
+            return cached
+        parts = list(word)
+        while len(parts) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(parts) - 1):
+                r = self.merges.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts = (
+                parts[:best_i]
+                + [parts[best_i] + parts[best_i + 1]]
+                + parts[best_i + 2 :]
+            )
+        if len(self._bpe_cache) < 500_000:
+            self._bpe_cache[word] = parts
+        return parts
+
+    def encode(self, text: str) -> list[int]:
+        if self.nfc:
+            text = unicodedata.normalize("NFC", text)
+        if self.lowercase:
+            text = text.lower()
+        ids: list[int] = []
+        unk_id = self.vocab.get(self.unk_token) if self.unk_token else None
+        if self.model_type == "WordLevel":
+            for tok in _SIMPLE_PRE.findall(text):
+                i = self.token_to_id(tok)
+                if i is None:
+                    i = unk_id
+                if i is not None:
+                    ids.append(i)
+            return ids
+        b2u = _byte_to_unicode()
+        for chunk in _GPT2_PRE.findall(text):
+            mapped = "".join(b2u[b] for b in chunk.encode("utf-8"))
+            for piece in self._bpe(mapped):
+                i = self.vocab.get(piece)
+                if i is None:
+                    i = unk_id
+                if i is not None:
+                    ids.append(i)
+        return ids

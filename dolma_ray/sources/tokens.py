@@ -1,0 +1,184 @@
+"""Tokenizer memmap sink — the reference's ``dolma tokens`` pipeline
+(``tokenizer/executor.py``, ``tokenizer/memmap_writer.py``) rebuilt on
+Ray Data.
+
+Output format parity: flat ``.npy`` shards of token ids (default
+``uint16``) where each document is ``[bos?] ids [eos?]``, plus a
+parallel ``.csv.gz`` metadata file per shard with rows
+``id,src,loc,start,end`` (token offsets into the shard) — what OLMo's
+training loader consumes.  Shards are bounded by ``max_tokens_per_shard``
+(the reference's ``max_size`` in tokens).
+
+Execution shape: tokenization runs distributed
+(``map_batches`` over a per-worker-cached :class:`TokenizeStage`, the
+tokenizer built once per worker from a ``tokenizer.json`` —
+``models/hf_tokenizer.py`` — or the engine's regex tokenizer); the
+driver streams the resulting narrow (id, ids) rows into memmap shards,
+like the JSONL interchange writers.  For the fully-distributed native
+path use :func:`tokenize_to_parquet`, which writes token-id list
+columns with ``ds.write_parquet`` (no driver funnel) — reshard to
+memmap afterwards only if a trainer needs the reference layout.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+
+class TokenizeStage:
+    """map_batches stage: append ``token_ids`` (list<int32>) + ``n_tokens``."""
+
+    def __init__(
+        self,
+        tokenizer_path: str | None = None,
+        text_column: str = "text",
+        bos_id: int | None = None,
+        eos_id: int | None = None,
+    ) -> None:
+        if tokenizer_path:
+            from ..models.hf_tokenizer import HFTokenizer
+
+            self.tok: Any = HFTokenizer(tokenizer_path)
+            self._encode = self.tok.encode
+        else:
+            # engine stand-in: GPT-2-style regex tokenizer, hashed ids
+            # folded to uint16 range (documented: for pipeline testing,
+            # not for training against a real vocab)
+            from ..models.tokenizer import RegexTokenizer
+
+            rt = RegexTokenizer()
+
+            def enc(text: str) -> list[int]:
+                ids, _, _ = rt.encode_arrays(text)
+                return (ids % 65000).tolist()
+
+            self._encode = enc
+        self.text_column = text_column
+        self.bos_id = bos_id
+        self.eos_id = eos_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: list[list[int]] = []
+        for text in batch[self.text_column].to_pylist():
+            ids = self._encode(text or "")
+            if ids:
+                # reference add_special_tokens: bos/eos added if absent
+                if self.bos_id is not None and ids[0] != self.bos_id:
+                    ids = [self.bos_id] + ids
+                if self.eos_id is not None and ids[-1] != self.eos_id:
+                    ids = ids + [self.eos_id]
+            out.append(ids)
+        batch = batch.append_column(
+            "token_ids", pa.array(out, pa.list_(pa.int32()))
+        )
+        return batch.append_column(
+            "n_tokens",
+            pa.array([len(x) for x in out], pa.int64()),
+        )
+
+
+def tokenize_to_parquet(
+    ds,
+    out_dir: str,
+    tokenizer_path: str | None = None,
+    text_column: str = "text",
+    bos_id: int | None = None,
+    eos_id: int | None = None,
+):
+    """Fully-distributed token sink: ``(id?, token_ids, n_tokens)``
+    parquet via ``write_parquet`` — the scale path."""
+    from ..util import cached_stage
+
+    tokenized = ds.map_batches(
+        cached_stage(
+            TokenizeStage,
+            tokenizer_path=tokenizer_path,
+            text_column=text_column,
+            bos_id=bos_id,
+            eos_id=eos_id,
+        ),
+        batch_format="pyarrow",
+    )
+    keep = [c for c in ("id", "doc_id", "url") if c in ds.schema().names]
+    tokenized.select_columns(keep + ["token_ids", "n_tokens"]).write_parquet(out_dir)
+    return out_dir
+
+
+def write_token_memmaps(
+    ds,
+    out_dir: str,
+    tokenizer_path: str | None = None,
+    text_column: str = "text",
+    id_column: str | None = None,
+    dtype: str = "uint16",
+    max_tokens_per_shard: int = 512 * 1024 * 1024,
+    bos_id: int | None = None,
+    eos_id: int | None = None,
+) -> str:
+    """Reference-format sink: ``NNNNN.npy`` flat token shards +
+    ``NNNNN.csv.gz`` metadata (``id,src,loc,start,end`` — reference
+    MemmapMetadata order, ``memmap_writer.py:81-92``)."""
+    from ..util import cached_stage
+
+    os.makedirs(out_dir, exist_ok=True)
+    np_dtype = np.dtype(dtype)
+    limit = int(np.iinfo(np_dtype).max)
+
+    tokenized = ds.map_batches(
+        cached_stage(
+            TokenizeStage,
+            tokenizer_path=tokenizer_path,
+            text_column=text_column,
+            bos_id=bos_id,
+            eos_id=eos_id,
+        ),
+        batch_format="pyarrow",
+    )
+
+    shard = written = loc = 0
+    buf: list[np.ndarray] = []
+    meta_rows: list[tuple] = []
+
+    def flush():
+        nonlocal shard, written, buf, meta_rows
+        if not buf:
+            return
+        arr = np.concatenate(buf).astype(np_dtype)
+        np.save(os.path.join(out_dir, f"{shard:05d}.npy"), arr)
+        with gzip.open(
+            os.path.join(out_dir, f"{shard:05d}.csv.gz"), "wt", encoding="utf-8"
+        ) as f:
+            for row in meta_rows:
+                f.write(",".join(str(x) for x in row) + "\n")
+        shard += 1
+        written = 0
+        buf, meta_rows = [], []
+
+    for batch in tokenized.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        ids_col = batch["token_ids"].to_pylist()
+        doc_ids = (
+            batch[id_column].to_pylist()
+            if id_column and id_column in batch.column_names
+            else [""] * len(batch)
+        )
+        for doc_id, ids in zip(doc_ids, ids_col):
+            if not ids:
+                loc += 1
+                continue
+            if any(i > limit or i < 0 for i in ids):
+                raise ValueError(
+                    f"token id out of range for dtype {dtype} (vocab too large?)"
+                )
+            if written + len(ids) > max_tokens_per_shard and written > 0:
+                flush()
+            meta_rows.append((doc_id, "", loc, written, written + len(ids)))
+            buf.append(np.asarray(ids, dtype=np_dtype))
+            written += len(ids)
+            loc += 1
+    flush()
+    return out_dir

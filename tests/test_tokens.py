@@ -1,0 +1,123 @@
+"""HF tokenizer.json loader subset + tokens memmap sink (reference
+tokenizer/executor.py, memmap_writer.py format parity)."""
+
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from dolma_ray.models.hf_tokenizer import HFTokenizer
+
+
+def write_wordlevel(path):
+    spec = {
+        "model": {
+            "type": "WordLevel",
+            "vocab": {"<unk>": 0, "hello": 1, "world": 2, "a": 3},
+            "unk_token": "<unk>",
+        },
+        "pre_tokenizer": {"type": "Whitespace"},
+        "added_tokens": [{"id": 4, "content": "<eos>"}],
+    }
+    path.write_text(json.dumps(spec))
+    return str(path)
+
+
+def test_wordlevel_encode(tmp_path):
+    tok = HFTokenizer(write_wordlevel(tmp_path / "t.json"))
+    assert tok.encode("hello world") == [1, 2]
+    assert tok.encode("hello unknown a") == [1, 0, 3]  # unk mapping
+    assert tok.vocab_size == 5
+    assert tok.token_to_id("<eos>") == 4
+
+
+def test_bpe_encode(tmp_path):
+    # byte-level BPE: "ab" merges; "Ġ" (U+0120) is the byte-level space
+    vocab = {"a": 0, "b": 1, "ab": 2, "Ġ": 3, "Ġa": 4, "<unk>": 5}
+    merges = ["a b", "Ġ a"]
+    spec = {
+        "model": {"type": "BPE", "vocab": vocab, "merges": merges, "unk_token": "<unk>"},
+        "pre_tokenizer": {"type": "ByteLevel"},
+    }
+    p = tmp_path / "bpe.json"
+    p.write_text(json.dumps(spec))
+    tok = HFTokenizer(str(p))
+    # "ab" -> pre-token "ab" -> merge -> ["ab"] -> [2]
+    assert tok.encode("ab") == [2]
+    # "ab a" -> ["ab", " a"]; " a" maps to "Ġa" -> merge rank 1
+    assert tok.encode("ab a") == [2, 4]
+    # unknown byte sequence -> unk per piece
+    assert tok.encode("c") == [5]
+
+
+def test_unsupported_model_type(tmp_path):
+    p = tmp_path / "u.json"
+    p.write_text(json.dumps({"model": {"type": "Unigram", "vocab": []}}))
+    with pytest.raises(NotImplementedError):
+        HFTokenizer(str(p))
+
+
+def test_memmap_sink_round_trip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dolma_ray.sources.tokens import write_token_memmaps
+
+    tok_path = write_wordlevel(tmp_path / "t.json")
+    rows = [
+        {"id": "d1", "text": "hello world"},
+        {"id": "d2", "text": "a hello"},
+        {"id": "d3", "text": ""},          # empty doc: skipped, loc advances
+        {"id": "d4", "text": "world"},
+    ]
+    out = tmp_path / "toks"
+    write_token_memmaps(
+        rd.from_items(rows), str(out), tokenizer_path=tok_path,
+        id_column="id", bos_id=4, eos_id=4, max_tokens_per_shard=6,
+    )
+    import glob
+
+    shards = sorted(glob.glob(str(out / "*.npy")))
+    assert len(shards) >= 2  # 6-token cap forces a split
+    all_tokens = np.concatenate([np.load(s) for s in shards])
+    assert all_tokens.dtype == np.uint16
+    # d1: [4,1,2,4]  d2: [4,3,1,4]  d4: [4,2,4]
+    assert all_tokens.tolist() == [4, 1, 2, 4, 4, 3, 1, 4, 4, 2, 4]
+    metas = []
+    for m in sorted(glob.glob(str(out / "*.csv.gz"))):
+        with gzip.open(m, "rt") as f:
+            metas.extend(ln.strip().split(",") for ln in f)
+    ids = [m[0] for m in metas]
+    assert ids == ["d1", "d2", "d4"]
+    # start/end are per-shard token offsets
+    assert metas[0][3:5] == ["0", "4"]
+
+
+def test_tokenize_to_parquet(ray_session, tmp_path):
+    import duckdb
+    import ray.data as rd
+
+    from dolma_ray.sources.tokens import tokenize_to_parquet
+
+    rows = [{"id": "x", "text": "hello world hello"}]
+    out = tmp_path / "pq"
+    tokenize_to_parquet(
+        rd.from_items(rows), str(out),
+        tokenizer_path=write_wordlevel(tmp_path / "t.json"),
+    )
+    r = duckdb.sql(f"select id, token_ids, n_tokens from read_parquet('{out}/*.parquet')").fetchone()
+    assert r[0] == "x" and list(r[1]) == [1, 2, 1] and r[2] == 3
+
+
+def test_regex_standin_stage(ray_session):
+    import pyarrow as pa
+
+    from dolma_ray.sources.tokens import TokenizeStage
+
+    st = TokenizeStage()  # no tokenizer.json: regex stand-in
+    out = st(pa.table({"text": pa.array(["hello hello hello", ""])}))
+    ids = out["token_ids"].to_pylist()
+    # GPT-2-style pre-tokens: ["hello", " hello", " hello"] — the two
+    # space-prefixed tokens are identical and must share an id
+    assert len(ids[0]) == 3 and ids[0][1] == ids[0][2]
+    assert ids[1] == []
