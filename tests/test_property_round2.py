@@ -1,0 +1,151 @@
+"""Property tests for round-2 operators: asof_join vs pandas.merge_asof,
+ArpaLM vs a brute-force backoff scorer, PNG round trip under random
+filter choices."""
+
+import math
+import zlib
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+
+# ---------- asof_join vs pandas.merge_asof ----------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10_000)),
+        min_size=1, max_size=40,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 10_000), st.integers(0, 99)),
+        min_size=1, max_size=40,
+    ),
+)
+def test_asof_matches_pandas(ray_session, left_rows, right_rows):
+    import ray.data as rd
+
+    from dolma_ray.analysis.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    # dedupe right per (key, ts): keep max rv (defined tie semantics both sides)
+    rdf = (
+        pd.DataFrame(right_rows, columns=["k", "t", "rv"])
+        .groupby(["k", "t"], as_index=False)["rv"].max()
+    )
+    ldf = pd.DataFrame(left_rows, columns=["k", "t"]).drop_duplicates()
+    ldf["lid"] = np.arange(len(ldf))
+    ldf["ts"] = base + pd.to_timedelta(ldf["t"], unit="s")
+    rdf["ts"] = base + pd.to_timedelta(rdf["t"], unit="s")
+
+    out = asof_join(
+        rd.from_pandas(ldf[["k", "ts", "lid"]]),
+        rd.from_pandas(rdf[["k", "ts", "rv"]]),
+        key_column="k", ts_column="ts", right_columns=["rv"], n_buckets=3,
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+
+    expect = pd.merge_asof(
+        ldf.sort_values("ts"), rdf.sort_values("ts"),
+        on="ts", by="k", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    got = out["rv"].astype("float64").where(out["rv"].notna(), np.nan)
+    want = expect["rv"].astype("float64")
+    assert np.array_equal(got.to_numpy(), want.to_numpy(), equal_nan=True)
+
+
+# ---------- ArpaLM vs brute-force recursive backoff ----------
+
+TINY = """\
+\\data\\
+ngram 1=4
+ngram 2=3
+ngram 3=1
+
+\\1-grams:
+-0.9\t<s>\t-0.4
+-1.1\t</s>
+-0.6\tx\t-0.25
+-0.8\ty\t-0.15
+
+\\2-grams:
+-0.3\t<s> x\t-0.2
+-0.45\tx y\t-0.1
+-0.5\ty </s>
+
+\\3-grams:
+-0.25\t<s> x y
+
+\\end\\
+"""
+
+
+def brute_score(lm, context, w):
+    key = tuple(context) + (w,)
+    if key in lm.logprob:
+        return lm.logprob[key]
+    if not context:
+        unk = lm.logprob.get(("<unk>",))
+        return unk if unk is not None else lm._OOV_FLOOR
+    return lm.backoff.get(tuple(context), 0.0) + brute_score(lm, context[1:], w)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.sampled_from(["x", "y", "z", "q"]), min_size=1, max_size=8))
+def test_arpa_matches_recursive_backoff(tmp_path_factory, words):
+    from dolma_ray.models.perplexity import ArpaLM
+
+    p = tmp_path_factory.mktemp("arpa") / "t.arpa"
+    p.write_text(TINY)
+    lm = ArpaLM(str(p))
+    seq = ["<s>"] + words + ["</s>"]
+    total = 0.0
+    for i in range(1, len(seq)):
+        ctx = seq[max(0, i - lm.order + 1):i]
+        total += brute_score(lm, ctx, seq[i])
+    expect = -total / (len(words) + 1)
+    assert math.isclose(lm.log10_perplexity(" ".join(words)), expect, rel_tol=1e-12)
+
+
+# ---------- PNG round trip with random filter rows ----------
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 6), st.integers(1, 6), st.sampled_from([1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1), st.data(),
+)
+def test_png_random_round_trip(h, w, c, seed, data):
+    import struct
+
+    from dolma_ray.multimodal.codecs import decode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    filters = [data.draw(st.sampled_from([0, 1, 2])) for _ in range(h)]
+    # encode (inverse of reconstruction) for filters 0/1/2
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y, ft in enumerate(filters):
+        line = px[y].ravel().astype(np.int64)
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = line.copy()
+            enc[c:] = (line[c:] - line[:-c]) % 256
+        else:
+            enc = (line - prev) % 256
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    out = decode_png(png)
+    np.testing.assert_allclose(out, px.astype(np.float32) / 255.0, atol=1e-6)
