@@ -1,12 +1,17 @@
-"""Command-line interface — the ``dolma {tag,dedupe,mix,stat,list,warc}``
-surface (reference ``python/dolma/cli/main.py:46-93``) rebuilt over Ray
-Data pipelines.
+"""Command-line interface — the ``dolma {tag,dedupe,mix,stat,list,
+tokens,warc}`` surface (reference ``python/dolma/cli/main.py:20-31``)
+rebuilt over Ray Data pipelines, plus the fastText harness commands the
+reference lists as not-yet-implemented.
 
-    python -m dolma_ray tag    --input DIR --output DIR --taggers a,b,c
-    python -m dolma_ray dedupe --input DIR --output DIR [--paragraphs]
-                               [--ngram N --stride S --threshold T]
-    python -m dolma_ray mix    --input DIR --output DIR --config mix.yaml
-    python -m dolma_ray stat   --input DIR [--attributes a,b]
+    python -m dolma_ray tag      --input DIR --output DIR --taggers a,b,c
+    python -m dolma_ray dedupe   --input DIR --output DIR [--paragraphs]
+                                 [--ngram N --stride S --threshold T]
+    python -m dolma_ray mix      --input DIR --output DIR --config mix.yaml
+    python -m dolma_ray flagship --input DIR --output DIR
+    python -m dolma_ray stat     --input DIR [--attributes a,b]
+    python -m dolma_ray tokens   --input DIR --output DIR [--tokenizer t.json]
+    python -m dolma_ray warc     --input a.warc.gz --output DIR
+    python -m dolma_ray ft-data/ft-train/ft-test ...
     python -m dolma_ray list
 
 Inputs/outputs are Parquet directories (this engine's native format; use
