@@ -17,9 +17,11 @@ with the cluster, not with key cardinality — the same shape as the
 salt-bucketed sessionization (``queries.py::q_user_sessions``).
 
 Ties among right rows sharing (key, ts) resolve to the LAST one in
-``(ts, tie_column)`` order; pass ``tie_column`` (e.g. an event id) to
-make that deterministic — DuckDB's ASOF leaves it unspecified, so
-oracle comparisons should pre-dedupe right to one row per (key, ts).
+``(ts, str(tie_column))`` order (the tie value is string-cast so any
+column type yields one deterministic total order); pass ``tie_column``
+(e.g. an event id) to pin it — DuckDB's ASOF leaves tie choice
+unspecified, so oracle comparisons should pre-dedupe right to one row
+per (key, ts).
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as _pc
 
 
 def asof_join(
@@ -43,7 +46,6 @@ def asof_join(
     """Left-outer as-of join; returns left's columns plus ``right_columns``
     (null where no right row precedes) and ``_asof_ts`` (matched right
     timestamp, null when unmatched)."""
-    left_cols = None
 
     def norm(side: int, keep: Sequence[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -58,39 +60,32 @@ def asof_join(
             for c in keep:
                 cols[f"_c_{c}"] = batch[c]
             if tie_column is not None and tie_column in batch.column_names:
-                cols["_tie"] = batch[tie_column]
+                # string-cast: one concrete type regardless of the tie
+                # column's type (and whether both sides carry it)
+                cols["_tie"] = _pc.cast(batch[tie_column], pa.string())
             else:
-                cols["_tie"] = pa.array(np.zeros(len(batch), dtype=np.int64))
+                cols["_tie"] = pa.array([""] * len(batch), pa.string())
             return pa.table(cols)
 
         return fn
 
-    left_keep = []
-    for c in left.schema().names:
-        if c not in (key_column, ts_column):
-            left_keep.append(c)
+    left_keep = [
+        c for c in left.schema().names if c not in (key_column, ts_column)
+    ]
+    overlap = set(left_keep) & set(right_columns)
+    if overlap:
+        raise ValueError(
+            f"left columns {sorted(overlap)} collide with right_columns; "
+            "rename one side before joining"
+        )
     left_cols = list(left_keep)
 
     l_norm = left.map_batches(norm(1, left_keep), batch_format="pyarrow")
     r_norm = right.map_batches(norm(0, list(right_columns)), batch_format="pyarrow")
 
-    # union of two different schemas: pad each side with the other's
-    # value columns as nulls so the schemas align
-    def pad(missing: Sequence[str], template_side):
-        def fn(batch: pa.Table) -> pa.Table:
-            for c in missing:
-                batch = batch.append_column(
-                    f"_c_{c}", pa.nulls(len(batch), pa.int64())
-                )
-            return batch
-
-        return fn
-
-    # NOTE: null-typed padding needs real types; read them lazily from the
-    # other side's schema instead (Arrow unifies null -> typed on concat
-    # only when types known). We instead union via pandas-free approach:
-    # keep the two normalized datasets separate and merge per bucket via
-    # groupby on their union after aligning columns explicitly.
+    # union of two different schemas: pad each side with the other side's
+    # value columns as typed nulls (types read from the schemas) so the
+    # aligned datasets concatenate cleanly
     l_schema = l_norm.schema()
     r_schema = r_norm.schema()
 

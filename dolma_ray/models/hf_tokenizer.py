@@ -42,12 +42,19 @@ def _byte_to_unicode() -> dict[int, str]:
     return dict(zip(bs, (chr(c) for c in cs)))
 
 
-# GPT-2 pre-tokenization pattern (public); stdlib-re approximation of the
-# contraction lookahead
+# GPT-2 pre-tokenization pattern (public).  stdlib-re mapping of the
+# original's unicode classes: letters `\p{L}` -> `[^\W\d_]` (folds the
+# rare Nl/No number-letters into the letter run — boundary-only
+# deviation), numbers `\p{N}` -> `\d`, other `[^\s\p{L}\p{N}]` ->
+# `[^\s\w]|_` (underscore is "other" in GPT-2, and every non-space
+# byte must be covered — a byte-level BPE may not drop input).
 _GPT2_PRE = re.compile(
-    r"'(?:[sdmt]|ll|ve|re)| ?[^\s\d\W_]+[\w]*| ?\d+| ?[^\s\w]+|\s+(?!\S)|\s+"
+    r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
 )
-_SIMPLE_PRE = re.compile(r"\S+")
+# HF pre-tokenizer types: "Whitespace" = \w+|[^\w\s]+ (punctuation runs
+# split off), "WhitespaceSplit" = \S+
+_HF_WHITESPACE = re.compile(r"\w+|[^\w\s]+")
+_WS_SPLIT = re.compile(r"\S+")
 
 
 class HFTokenizer:
@@ -62,8 +69,8 @@ class HFTokenizer:
         for rank, m in enumerate(model.get("merges", [])):
             pair = tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
             self.merges[pair] = rank
-        pre = (spec.get("pre_tokenizer") or {}).get("type", "Whitespace")
-        self.byte_level = pre == "ByteLevel" or self.model_type == "BPE"
+        self.pre = (spec.get("pre_tokenizer") or {}).get("type", "Whitespace")
+        self.byte_level = self.pre == "ByteLevel" or self.model_type == "BPE"
         norm = (spec.get("normalizer") or {}).get("type")
         self.lowercase = norm == "Lowercase"
         self.nfc = norm == "NFC"
@@ -75,6 +82,11 @@ class HFTokenizer:
             raise NotImplementedError(
                 f"tokenizer model type {self.model_type!r} outside the "
                 "implemented subset (WordLevel, BPE)"
+            )
+        if self.model_type == "WordLevel" and self.pre == "ByteLevel":
+            raise NotImplementedError(
+                "WordLevel + ByteLevel pre-tokenization is outside the "
+                "implemented subset"
             )
         self._bpe_cache: dict[str, list[str]] = {}
 
@@ -120,7 +132,8 @@ class HFTokenizer:
         ids: list[int] = []
         unk_id = self.vocab.get(self.unk_token) if self.unk_token else None
         if self.model_type == "WordLevel":
-            for tok in _SIMPLE_PRE.findall(text):
+            pre_rx = _WS_SPLIT if self.pre == "WhitespaceSplit" else _HF_WHITESPACE
+            for tok in pre_rx.findall(text):
                 i = self.token_to_id(tok)
                 if i is None:
                     i = unk_id

@@ -217,7 +217,7 @@ def q_top_words(sf_dir: str, k: int = 50):
         # (identical token set to findall(WORD_RE2) on lowered text,
         # empties from boundary/consecutive delimiters filtered out),
         # then one Arrow value_counts over the flattened tokens
-        lowered = pc.utf8_lower(batch["text"])
+        lowered = pc.utf8_lower(pc.fill_null(batch["text"], ""))
         toks = pc.split_pattern_regex(lowered, "[^0-9a-z_]+")
         flat = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
         flat = flat.filter(pc.not_equal(flat, ""))
@@ -542,7 +542,7 @@ def q_top_bigrams(sf_dir: str, k: int = 30):
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def bigrams(batch: pa.Table) -> pa.Table:
-        lowered = pc.utf8_lower(batch["text"])
+        lowered = pc.utf8_lower(pc.fill_null(batch["text"], ""))
         toks = pc.split_pattern_regex(lowered, "[^0-9a-z_]+")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -1226,10 +1226,11 @@ def q_event_pairs_60s(sf_dir: str, window_s: int = 60, n_buckets: int = 64):
     """Range self-join with an equi key: per user, the number of ordered
     event pairs (a, b) with ``a.ts < b.ts <= a.ts + 60s`` — the banded /
     interval join class.  Shape: users salt into hash buckets (all rows
-    of a user co-locate), and each bucket resolves every user with two
-    vectorized ``searchsorted`` sweeps over its time-sorted events — no
-    pair materialization, cost O(n log n) per bucket regardless of how
-    many pairs the window contains."""
+    of a user co-locate); within a bucket each multi-event user resolves
+    with two vectorized ``searchsorted`` sweeps over its time-sorted
+    events (single-event users are skipped wholesale) — no pair
+    materialization, cost O(n log n) per bucket regardless of how many
+    pairs the window contains."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     win_us = window_s * 1_000_000
 
@@ -1247,8 +1248,9 @@ def q_event_pairs_60s(sf_dir: str, window_s: int = 60, n_buckets: int = 64):
             np.concatenate([[True], uid[1:] != uid[:-1]])
         )[0]
         ends = np.append(starts[1:], n)
+        multi = (ends - starts) > 1  # a 1-event user can't form a pair
         users, counts = [], []
-        for s, e in zip(starts, ends):
+        for s, e in zip(starts[multi], ends[multi]):
             seg = ts[s:e]
             lo = np.searchsorted(seg, seg, side="right")
             hi = np.searchsorted(seg, seg + win_us, side="right")

@@ -46,16 +46,26 @@ class TokenizeStage:
             self.tok: Any = HFTokenizer(tokenizer_path)
             self._encode = self.tok.encode
         else:
-            # engine stand-in: GPT-2-style regex tokenizer, hashed ids
-            # folded to uint16 range (documented: for pipeline testing,
-            # not for training against a real vocab)
-            from ..models.tokenizer import RegexTokenizer
+            # engine stand-in: GPT-2-style regex pre-tokens with
+            # CONTENT-hashed ids folded to uint16 range, so the same
+            # token string maps to the same id across all documents and
+            # workers (documented: for pipeline testing, not for
+            # training against a real vocab — folding collides ids)
+            from ..dedup.hashing import hash_string
+            from ..models.tokenizer import _GPT2ISH
 
-            rt = RegexTokenizer()
+            cache: dict[str, int] = {}
 
             def enc(text: str) -> list[int]:
-                ids, _, _ = rt.encode_arrays(text)
-                return (ids % 65000).tolist()
+                out: list[int] = []
+                for tok in _GPT2ISH.findall(text):
+                    i = cache.get(tok)
+                    if i is None:
+                        i = hash_string(tok) % 65000
+                        if len(cache) < 1_000_000:
+                            cache[tok] = i
+                    out.append(i)
+                return out
 
             self._encode = enc
         self.text_column = text_column
@@ -139,6 +149,11 @@ def write_token_memmaps(
         ),
         batch_format="pyarrow",
     )
+
+    # narrow the driver funnel to the columns the sink reads — the wide
+    # text/html columns never leave the workers
+    narrow = [c for c in ([id_column] if id_column else [])] + ["token_ids"]
+    tokenized = tokenized.select_columns(narrow)
 
     shard = written = loc = 0
     buf: list[np.ndarray] = []

@@ -75,3 +75,37 @@ def test_many_keys_across_buckets(ray_session):
     out = _run(left, right)
     assert len(out) == 200
     assert all(out.set_index("lid")["rv"][k] == expect[k] for k in expect)
+
+
+def test_column_collision_raises(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis.joins import asof_join
+
+    left = [{"k": 1, "ts": TS("2024-01-01"), "rv": 5}]
+    right = [{"k": 1, "ts": TS("2024-01-01"), "rv": 7}]
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            rd.from_items(left), rd.from_items(right),
+            key_column="k", ts_column="ts", right_columns=["rv"],
+        )
+
+
+def test_string_tie_column_one_side_only(ray_session):
+    """Review regression: tie column typed string and present only on
+    the right side must not break the union/sort."""
+    import ray.data as rd
+
+    from dolma_ray.analysis.joins import asof_join
+
+    left = [{"k": 1, "ts": TS("2024-01-01 10:00"), "lid": 1}]
+    right = [
+        {"k": 1, "ts": TS("2024-01-01 09:00"), "rv": 1, "name": "a"},
+        {"k": 1, "ts": TS("2024-01-01 09:00"), "rv": 2, "name": "b"},
+    ]
+    out = asof_join(
+        rd.from_items(left), rd.from_items(right),
+        key_column="k", ts_column="ts", right_columns=["rv"],
+        tie_column="name",
+    ).to_pandas()
+    assert out["rv"].tolist() == [2]  # "b" > "a" wins

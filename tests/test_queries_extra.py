@@ -39,3 +39,25 @@ def test_extra_queries_run(ray_session, name):
 
     df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
     assert len(df) > 0
+
+
+def test_top_bigrams_null_text(ray_session):
+    """Review regression: null text rows must not crash the vectorized
+    bigram construction."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from dolma_ray import queries as q
+
+    t = pa.table({"text": pa.array(["a b c", None, "b c"], pa.string()),
+                  "doc_id": pa.array([1, 2, 3], pa.int64())})
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = q.q_top_bigrams(d, k=10).to_pandas()
+    got = dict(zip(out["bigram"], out["n"]))
+    assert got == {"a b": 1, "b c": 2}

@@ -121,3 +121,30 @@ def test_regex_standin_stage(ray_session):
     # space-prefixed tokens are identical and must share an id
     assert len(ids[0]) == 3 and ids[0][1] == ids[0][2]
     assert ids[1] == []
+
+
+def test_gpt2_pre_covers_underscores():
+    """Review regression: byte-level BPE must cover every byte —
+    underscores and underscore-adjacent runs are not dropped."""
+    from dolma_ray.models.hf_tokenizer import _GPT2_PRE
+
+    assert "".join(_GPT2_PRE.findall("__init__")) == "__init__"
+    assert "".join(_GPT2_PRE.findall("foo _ bar")) == "foo _ bar"
+    # letters and digits split like GPT-2 (\p{L}+ then \p{N}+)
+    assert _GPT2_PRE.findall("ab1") == ["ab", "1"]
+
+
+def test_wordlevel_whitespace_splits_punctuation(tmp_path):
+    spec = {
+        "model": {
+            "type": "WordLevel",
+            "vocab": {"hello": 0, ",": 1, "world": 2},
+            "unk_token": None,
+        },
+        "pre_tokenizer": {"type": "Whitespace"},
+    }
+    p = tmp_path / "w.json"
+    p.write_text(json.dumps(spec))
+    tok = HFTokenizer(str(p))
+    # HF Whitespace = \w+|[^\w\s]+ -> punctuation is its own token
+    assert tok.encode("hello, world") == [0, 1, 2]
