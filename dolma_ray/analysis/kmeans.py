@@ -1,0 +1,124 @@
+"""Distributed k-means over an embedding column — the iterative-
+algorithm operator class (cluster assignment for corpus curation /
+diversity sampling, cf. the k-means-based data-selection literature).
+
+Execution shape per iteration (classic Lloyd's, Ray-Data-first):
+
+* centroids are broadcast once via ``ray.put`` (small side);
+* one ``map_batches`` pass computes, PER BATCH, the partial sums and
+  counts of vectors per nearest centroid — a (k, dim) matrix and a
+  (k,) count vector, i.e. the combiner runs inside the map so the
+  "shuffle" is k rows per batch regardless of corpus size;
+* the driver reduces the partials and updates centroids (k x dim
+  floats — tiny); empty clusters re-seed deterministically from the
+  running farthest-point candidates.
+
+Deterministic: k-means++-style seeding from a fixed-seed RNG over the
+first sample batch; no data-dependent randomness afterwards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, embedding_column: str) -> np.ndarray:
+    col = batch[embedding_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+    return flat.reshape(len(col), dim)
+
+
+def _assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+    d = -2.0 * (m @ centroids.T) + (centroids * centroids).sum(axis=1)[None, :]
+    return np.argmin(d, axis=1)
+
+
+def kmeans_fit(
+    ds,
+    k: int,
+    embedding_column: str = "embedding",
+    n_iters: int = 10,
+    seed: int = 42,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Lloyd's iterations over the Dataset; returns (k, dim) centroids."""
+    import ray
+
+    # deterministic seeding from a bounded sample (greedy k-means++ on
+    # the driver — sample_size rows, not the corpus)
+    sample = ds.limit(sample_size).to_pandas()[embedding_column]
+    pts = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+    rng = np.random.default_rng(seed)
+    centroids = [pts[rng.integers(len(pts))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((pts[:, None, :] - np.asarray(centroids)[None, :, :]) ** 2).sum(-1),
+            axis=1,
+        )
+        probs = d2 / max(d2.sum(), 1e-30)
+        centroids.append(pts[rng.choice(len(pts), p=probs)])
+    centroids = np.asarray(centroids)
+
+    for _ in range(n_iters):
+        ref = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = _batch_matrix(batch, embedding_column)
+            a = _assign(m, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int32()),
+                    "count": pa.array(counts, pa.int64()),
+                    "sum": pa.array(list(sums), pa.list_(pa.float64())),
+                }
+            )
+
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        ):
+            cl = np.asarray(b["cluster"].to_pylist())
+            counts_b = np.asarray(b["count"].to_pylist(), dtype=np.int64)
+            sums_b = np.stack([np.asarray(v) for v in b["sum"].to_pylist()])
+            np.add.at(counts, cl, counts_b)
+            np.add.at(sums, cl, sums_b)
+        nonzero = counts > 0
+        centroids = centroids.copy()
+        centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return centroids
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+):
+    """Label pass: ``(id, cluster)`` for every row."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def label(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _batch_matrix(batch, embedding_column)
+        a = _assign(m, c)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "cluster": pa.array(a.astype(np.int32)),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -1284,3 +1284,18 @@ GROUP BY 1
 
 QUERIES["event_pairs_60s"] = q_event_pairs_60s
 ORACLES["event_pairs_60s"] = SQL_EVENT_PAIRS_60S
+
+
+def q_kmeans_clusters(sf_dir: str, k: int = 8):
+    """Distributed k-means over the embeddings table (iterative
+    algorithm — deterministic seeded k-means++ + Lloyd's with per-batch
+    partial sums; see ``analysis/kmeans.py``).  Rows-only driver check:
+    the converged assignment is not SQL-expressible."""
+    from .analysis.kmeans import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=k, n_iters=5)
+    return kmeans_assign(ds, centroids)
+
+
+QUERIES["kmeans_clusters"] = q_kmeans_clusters

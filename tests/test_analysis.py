@@ -101,3 +101,34 @@ def test_analyzer_equal_count_bins(ray_session):
     # per-bucket counts are near-uniform (within 3x of each other)
     counts = x["count"].to_numpy()
     assert counts.max() <= 3 * max(counts.min(), 1)
+
+
+def test_kmeans_separable_clusters(ray_session):
+    """Three well-separated gaussian blobs recover as three clusters,
+    deterministically across runs."""
+    import numpy as np
+    import ray.data as rd
+
+    from dolma_ray.analysis.kmeans import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    rows = []
+    truth = []
+    for i in range(240):
+        c = i % 3
+        v = centers[c] + rng.standard_normal(3) * 0.2
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+        truth.append(c)
+    ds = rd.from_items(rows)
+    cents = kmeans_fit(ds, k=3, n_iters=8, seed=1)
+    out = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    labels = out["cluster"].to_numpy()
+    # perfect purity: every true blob maps to exactly one predicted label
+    for c in range(3):
+        got = labels[np.asarray(truth) == c]
+        assert (got == got[0]).all()
+    assert len(set(labels)) == 3
+    # determinism across a second fit
+    cents2 = kmeans_fit(rd.from_items(rows), k=3, n_iters=8, seed=1)
+    np.testing.assert_allclose(cents, cents2)
