@@ -1,0 +1,191 @@
+"""Differential parity: run the REFERENCE's own pure-python gopher
+implementation (loaded from /root/reference at test time, never copied)
+against this engine's gopher_attributes and the vectorized tag_batch
+path on randomized + crafted inputs, asserting exact float equality."""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/python/dolma/taggers/gopher.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference checkout not available"
+)
+
+
+def load_reference_gopher():
+    src = open(REF, "r", encoding="utf-8").read()
+    cut = src.index("@TaggerRegistry")
+    body = "\n".join(
+        ln for ln in src[:cut].splitlines() if not ln.startswith("from ..")
+    )
+    # dummy stand-ins for the reference's data types, referenced only in
+    # type annotations / span-conversion methods we never call
+    ns: dict = {"Span": object, "DocResult": object, "Document": object}
+    exec(compile(body, "reference_gopher", "exec"), ns)
+    return ns["get_attributes"]
+
+
+WORDS = (
+    "the be to of and that have with quick brown fox jumps lazy dog "
+    "garden river sky data model #tag wow… price $9.99 naïve café résumé "
+    "* - bullet item reasons systems"
+).split()
+
+
+def random_docs(n=150, seed=11):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(n):
+        n_lines = int(rng.integers(1, 8))
+        lines = []
+        for _ in range(n_lines):
+            k = int(rng.integers(0, 30))
+            words = [WORDS[i] for i in rng.integers(0, len(WORDS), k)]
+            if rng.random() < 0.2 and words:
+                words = words + words  # force duplicate ngrams
+            line = " ".join(words)
+            if rng.random() < 0.15:
+                line = "* " + line
+            if rng.random() < 0.15:
+                line = line + "…"
+            lines.append(line)
+        if rng.random() < 0.3 and lines:
+            lines.append(lines[0])  # duplicate line
+        if rng.random() < 0.2:
+            lines.append("")  # empty line
+        docs.append("\n".join(lines))
+    docs += ["", " ", "one", "a b a b a b a b", "…", "###", "*\n*\n*"]
+    return docs
+
+
+def ref_to_dict(attrs) -> dict:
+    out = {
+        "character_count": float(attrs.character_count),
+        "word_count": float(attrs.word_count),
+        "median_word_length": float(attrs.median_word_length),
+        "symbol_to_word_ratio": attrs.symbol_to_word_ratio,
+        "fraction_of_words_with_alpha_character": attrs.fraction_of_words_with_alpha_character,
+        "required_word_count": float(attrs.required_word_count),
+        "fraction_of_lines_starting_with_bullet_point": attrs.fraction_of_lines_starting_with_bullet_point,
+        "fraction_of_lines_ending_with_ellipsis": attrs.fraction_of_lines_ending_with_ellipsis,
+        "fraction_of_duplicate_lines": attrs.fraction_of_duplicate_lines,
+        "fraction_of_characters_in_duplicate_lines": attrs.fraction_of_characters_in_duplicate_lines,
+    }
+    for n, v in attrs.fraction_of_characters_in_most_common_ngram:
+        out[f"fraction_of_characters_in_most_common_{n}grams"] = v
+    for n, v in attrs.fraction_of_characters_in_duplicate_ngrams:
+        out[f"fraction_of_characters_in_duplicate_{n}grams"] = v
+    return out
+
+
+@pytest.mark.parametrize("ignore_empty", [False, True])
+def test_gopher_matches_reference_exactly(ignore_empty):
+    from dolma_ray.taggers.gopher import gopher_attributes
+
+    ref_fn = load_reference_gopher()
+    for text in random_docs():
+        ref = ref_to_dict(ref_fn(text, ignore_empty_lines=ignore_empty))
+        ours = gopher_attributes(text, ignore_empty_lines=ignore_empty)
+        # reference leaves fields at defaults for empty text; ours omits
+        keys = set(ref) | set(ours)
+        for k in keys:
+            a = ours.get(k, 0.0)
+            b = ref.get(k, 0.0)
+            assert a == b, (k, a, b, repr(text[:80]))
+
+
+def test_gopher_tag_batch_matches_reference():
+    from dolma_ray.taggers.gopher import GopherTagger
+
+    ref_fn = load_reference_gopher()
+    docs = random_docs(seed=23)
+    out = GopherTagger().tag_batch(docs, {})
+    for i, text in enumerate(docs):
+        ref = ref_to_dict(ref_fn(text))
+        for k, vals in out.items():
+            assert vals[i] == ref.get(k, 0.0), (k, i, vals[i], ref.get(k, 0.0))
+
+
+def test_periodic_finder_matches_reference():
+    """Differential: the reference's numpy periodic-sequence finder
+    (taggers/repetitions/utils.py, pure numpy — exec'd from the
+    reference checkout) vs this engine's find_periodic_sequences on
+    randomized id streams."""
+    ref_path = "/root/reference/python/dolma/taggers/repetitions/utils.py"
+    ns: dict = {}
+    exec(compile(open(ref_path).read(), "reference_rep_utils", "exec"), ns)
+    ref_find = ns["find_periodic_sequences"]
+
+    from dolma_ray.taggers.repetitions import find_periodic_sequences
+
+    rng = np.random.default_rng(5)
+    cases = []
+    for _ in range(120):
+        n = int(rng.integers(3, 60))
+        arr = rng.integers(0, 5, n)
+        cases.append(arr)
+    # crafted: pure repeats, period-2/3 runs, repeats at boundaries
+    cases += [
+        np.array([7] * 12),
+        np.array([1, 2] * 8),
+        np.array([1, 2, 3] * 5 + [9]),
+        np.array([9] + [4, 5] * 6),
+        np.array([1, 1, 1, 2, 3, 2, 3, 2, 3, 2, 3, 8]),
+    ]
+    for arr in cases:
+        ours = sorted(
+            (s.start, s.end, s.period, s.times)
+            for s in find_periodic_sequences(arr.astype(np.int64), max_period=13)
+        )
+        theirs = sorted(
+            (s.start, s.end, s.period, s.times)
+            for s in ref_find(arr.astype(np.int64), max_period=13)
+        )
+        assert ours == theirs, (arr.tolist(), ours, theirs)
+
+
+def test_c4_matches_reference():
+    """Differential: reference c4 get_attributes (exec'd with a fake
+    Span and the reference's own naughty-word data file) vs our
+    C4Tagger.predict on randomized docs."""
+    ref_path = "/root/reference/python/dolma/taggers/c4.py"
+    src = open(ref_path, "r", encoding="utf-8").read()
+    cut = src.index("@TaggerRegistry")
+    body = "\n".join(
+        ln for ln in src[:cut].splitlines() if not ln.startswith("from ..")
+    )
+
+    class FakeSpan:
+        def __init__(self, start, end, type=None, score=1.0):
+            self.start, self.end, self.type, self.score = start, end, type, score
+
+    ns: dict = {
+        "Span": FakeSpan, "DocResult": object, "Document": object,
+        "__file__": ref_path,
+    }
+    exec(compile(body, "reference_c4", "exec"), ns)
+    ref_fn = ns["get_attributes"]
+
+    from dolma_ray.taggers.c4 import C4Tagger
+
+    ours_tagger = C4Tagger()
+    rng = np.random.default_rng(7)
+    docs = random_docs(seed=31)
+    docs += [
+        "short\nthis line has javascript in it.\nlorem ipsum dolor { x }",
+        'ends with quote"\nends with dot.\nno punct here',
+        "",
+        "\n\n\n",
+    ]
+    for text in docs:
+        ref = ref_fn(text)
+        ours = ours_tagger.predict(text, {})
+        assert ours["line_count"] == float(ref.line_count), text[:60]
+        for flag in ("has_naughty_word", "has_javascript", "has_lorem_ipsum", "has_curly_brace"):
+            assert ours[flag] == float(getattr(ref, flag)), (flag, text[:60])
+        for field in ("lines_with_no_ending_punctuation", "lines_with_too_few_words"):
+            ref_spans = [(s.start, s.end, 1.0) for s in getattr(ref, field)]
+            assert list(map(tuple, ours[field])) == ref_spans, (field, text[:60])
