@@ -177,3 +177,32 @@ def test_keep_drop_f1_multi_seed(ray_session, seed):
     recall = tp / max(tp + fn, 1)
     f1 = 2 * precision * recall / max(precision + recall, 1e-9)
     assert f1 >= 0.99, f"seed={seed} F1={f1:.4f}"
+
+
+def test_tag_all_actor_pool_path(ray_session):
+    """The stateful_concurrency actor-pool variant produces identical
+    attributes to the default fused-task path (advertised API, used for
+    genuinely heavy models)."""
+    import ray.data as rd
+
+    from dolma_ray.pipelines.flagship import tag_all
+    from dolma_ray.synth import generate_web_pages
+
+    table, _ = generate_web_pages(n=60, seed=9)
+    table = table.select(["url", "warc_ts", "text"])
+    a = tag_all(rd.from_arrow(table)).to_pandas().sort_values("url").reset_index(drop=True)
+    b = (
+        tag_all(rd.from_arrow(table), stateful_concurrency=2, batch_size=32)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert sorted(a.columns) == sorted(b.columns)
+
+    def canon(col):
+        import numpy as _np
+
+        return [v.tolist() if isinstance(v, _np.ndarray) else v for v in col]
+
+    for c in a.columns:
+        assert canon(a[c]) == canon(b[c]), c
