@@ -47,28 +47,6 @@ def asof_join(
     (null where no right row precedes) and ``_asof_ts`` (matched right
     timestamp, null when unmatched)."""
 
-    def norm(side: int, keep: Sequence[str]):
-        def fn(batch: pa.Table) -> pa.Table:
-            keys = batch[key_column].to_numpy(zero_copy_only=False)
-            bucket = (np.abs(keys) % n_buckets).astype(np.int32)
-            cols = {
-                "bucket": pa.array(bucket),
-                "_k": batch[key_column],
-                "_ts": batch[ts_column],
-                "_side": pa.array(np.full(len(batch), side, dtype=np.int8)),
-            }
-            for c in keep:
-                cols[f"_c_{c}"] = batch[c]
-            if tie_column is not None and tie_column in batch.column_names:
-                # string-cast: one concrete type regardless of the tie
-                # column's type (and whether both sides carry it)
-                cols["_tie"] = _pc.cast(batch[tie_column], pa.string())
-            else:
-                cols["_tie"] = pa.array([""] * len(batch), pa.string())
-            return pa.table(cols)
-
-        return fn
-
     left_keep = [
         c for c in left.schema().names if c not in (key_column, ts_column)
     ]
@@ -80,37 +58,53 @@ def asof_join(
         )
     left_cols = list(left_keep)
 
-    l_norm = left.map_batches(norm(1, left_keep), batch_format="pyarrow")
-    r_norm = right.map_batches(norm(0, list(right_columns)), batch_format="pyarrow")
+    # one normalized schema for both sides: each side pads the OTHER
+    # side's value columns with typed nulls (types read from the input
+    # schemas up front), so the union concatenates with no extra stages
+    def _arrow_types(ds) -> dict:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return {f: base.field(f).type for f in sch.names}
+        # pandas-block datasets expose no arrow schema: learn it from one row
+        b = next(iter(ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow")))
+        return {name: b.schema.field(name).type for name in b.schema.names}
 
-    # union of two different schemas: pad each side with the other side's
-    # value columns as typed nulls (types read from the schemas) so the
-    # aligned datasets concatenate cleanly
-    l_schema = l_norm.schema()
-    r_schema = r_norm.schema()
+    l_types = _arrow_types(left)
+    r_types = _arrow_types(right)
+    value_fields = [(f"_c_{c}", l_types[c]) for c in left_cols] + [
+        (f"_c_{c}", r_types[c]) for c in right_columns
+    ]
 
-    def pad_typed(batch: pa.Table, want_names, want_types) -> pa.Table:
-        for name, typ in zip(want_names, want_types):
-            if name not in batch.column_names:
-                batch = batch.append_column(name, pa.nulls(len(batch), typ))
-        return batch.select(want_names)
+    def norm(side: int, keep: Sequence[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[key_column].to_numpy(zero_copy_only=False)
+            bucket = (np.abs(keys) % n_buckets).astype(np.int32)
+            cols = {
+                "bucket": pa.array(bucket),
+                "_k": batch[key_column],
+                "_ts": batch[ts_column],
+                "_side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            }
+            for name, typ in value_fields:
+                src = name[len("_c_") :]
+                if src in keep:
+                    cols[name] = batch[src]
+                else:
+                    cols[name] = pa.nulls(len(batch), typ)
+            if tie_column is not None and tie_column in batch.column_names:
+                # string-cast: one concrete type regardless of the tie
+                # column's type (and whether both sides carry it)
+                cols["_tie"] = _pc.cast(batch[tie_column], pa.string())
+            else:
+                cols["_tie"] = pa.array([""] * len(batch), pa.string())
+            return pa.table(cols)
 
-    all_names = list(
-        dict.fromkeys(list(l_schema.names) + list(r_schema.names))
+        return fn
+
+    unioned = left.map_batches(norm(1, left_keep), batch_format="pyarrow").union(
+        right.map_batches(norm(0, list(right_columns)), batch_format="pyarrow")
     )
-    types_by_name = {}
-    for s in (l_schema, r_schema):
-        for name in s.names:
-            types_by_name.setdefault(name, s.base_schema.field(name).type)
-    all_types = [types_by_name[n] for n in all_names]
-
-    l_al = l_norm.map_batches(
-        lambda b: pad_typed(b, all_names, all_types), batch_format="pyarrow"
-    )
-    r_al = r_norm.map_batches(
-        lambda b: pad_typed(b, all_names, all_types), batch_format="pyarrow"
-    )
-    unioned = l_al.union(r_al)
 
     rcols = [f"_c_{c}" for c in right_columns]
     lcols = [f"_c_{c}" for c in left_cols]
