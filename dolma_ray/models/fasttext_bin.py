@@ -14,9 +14,11 @@ saveModel/loadModel``, ``args.cc save``, ``dictionary.cc save``,
     int8 qout flag;  output matrix (same layout)
 
 Only UNQUANTIZED models are supported (lid.176.bin is unquantized; the
-``.ftz`` product-quantized variant raises).  Loss: softmax and
-one-vs-all; hierarchical-softmax models raise (documented subset —
-the published lid models use softmax).
+``.ftz`` product-quantized variant raises).  All four supervised loss
+modes score: softmax, negative-sampling / one-vs-all (sigmoids), and
+hierarchical softmax (the Huffman tree is rebuilt from the dictionary's
+label counts exactly as fastText's buildTree, and P(label) is the
+product of sigmoids along the root path).
 
 Scoring follows fastText supervised prediction: tokens are whitespace
 words; each known word contributes its word vector (plus its char-ngram
@@ -57,6 +59,52 @@ def _utf8_char_starts(b: bytes) -> list[int]:
     return [i for i, c in enumerate(b) if (c & 0xC0) != 0x80]
 
 
+def _build_hs_paths(counts: list[int]) -> list[list[tuple[int, bool]]]:
+    """Huffman tree over label counts, exactly as fastText's
+    HierarchicalSoftmaxLoss::buildTree (public source): labels are
+    stored count-descending, leaves merge from the tail; returns per
+    label the root-ward path as ``(output_row, went_right)`` pairs —
+    P(label) = prod over path of sigmoid(z[row]) if right else
+    1 - sigmoid(z[row])."""
+    osz = len(counts)
+    if osz == 0:
+        return []
+    BIG = 1 << 62
+    n_nodes = 2 * osz - 1
+    count = [0] * n_nodes
+    parent = [-1] * n_nodes
+    binary = [False] * n_nodes  # True = this node is its parent's RIGHT child
+    for i in range(osz):
+        count[i] = counts[i]
+    for i in range(osz, n_nodes):
+        count[i] = BIG
+    leaf = osz - 1
+    node = osz
+    for i in range(osz, n_nodes):
+        mini = [0, 0]
+        for j in range(2):
+            node_count = count[node] if node < n_nodes else BIG
+            if leaf >= 0 and count[leaf] < node_count:
+                mini[j] = leaf
+                leaf -= 1
+            else:
+                mini[j] = node
+                node += 1
+        count[i] = count[mini[0]] + count[mini[1]]
+        parent[mini[0]] = i
+        parent[mini[1]] = i
+        binary[mini[1]] = True
+    paths: list[list[tuple[int, bool]]] = []
+    for i in range(osz):
+        path: list[tuple[int, bool]] = []
+        j = i
+        while parent[j] != -1:
+            path.append((parent[j] - osz, binary[j]))
+            j = parent[j]
+        paths.append(path)
+    return paths
+
+
 class FastTextModel:
     def __init__(self, path: str) -> None:
         with open(path, "rb") as f:
@@ -89,28 +137,25 @@ class FastTextModel:
         ) = read("12i")
         _t = read("d")
         # loss_name enum: hs=1, ns=2, softmax=3, ova=4 (args.h)
-        if self.loss == 1:
-            raise NotImplementedError(
-                "hierarchical-softmax fastText models are outside the "
-                "implemented subset (softmax / ns / one-vs-all supported)"
-            )
 
         size, self.nwords, self.nlabels = read("3i")
         _ntokens, pruneidx_size = read("2q")
         words: list[str] = []
         labels: list[str] = []
+        label_counts: list[int] = []
         self._word_id: dict[str, int] = {}
         for i in range(size):
             end = data.index(b"\x00", off)
             w = data[off:end].decode("utf-8", errors="replace")
             off = end + 1
-            _count = read("q")
+            count = read("q")
             etype = read("b")
             if etype == 0:
                 self._word_id[w] = len(words)
                 words.append(w)
             else:
                 labels.append(w)
+                label_counts.append(count)
         for _ in range(max(pruneidx_size, 0)):
             read("2i")
         self._raw_labels = labels
@@ -139,6 +184,8 @@ class FastTextModel:
         ).reshape(m2, n2)
         off += m2 * n2 * 4
         self._subword_cache: dict[str, list[int]] = {}
+        if self.loss == 1:  # hierarchical softmax: Huffman tree over labels
+            self._hs_paths = _build_hs_paths(label_counts)
 
     # --- feature extraction (Dictionary::getLine for supervised) ---
 
@@ -200,6 +247,15 @@ class FastTextModel:
             return np.zeros(len(self.labels))
         hidden = self.input[np.asarray(feats, dtype=np.int64)].mean(axis=0)
         z = self.output @ hidden
+        if self.loss == 1:  # hierarchical softmax: product along tree path
+            sig = 1.0 / (1.0 + np.exp(-z))
+            probs = np.empty(len(self.labels))
+            for i, path in enumerate(self._hs_paths):
+                p = 1.0
+                for row, right in path:
+                    p *= sig[row] if right else (1.0 - sig[row])
+                probs[i] = p
+            return probs
         if self.loss in (2, 4):  # ns / one-vs-all: independent sigmoids
             return 1.0 / (1.0 + np.exp(-z))
         e = np.exp(z - z.max())  # softmax (loss=3)

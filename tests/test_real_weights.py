@@ -180,3 +180,39 @@ def test_stupid_backoff_still_default():
     pmod._MODEL_CACHE.clear()
     t = pmod.KenlmPplDocV1()
     assert isinstance(t.lm, StupidBackoffLM)
+
+
+def test_fasttext_hs_two_labels_exact(tmp_path):
+    """Hierarchical softmax with 2 labels = one internal node:
+    P(first/most-frequent label) = sigmoid(w0 . hidden) exactly."""
+    dim = 3
+    words = ["hello", "</s>"]
+    labels = ["__label__a", "__label__b"]  # written count-descending
+    rng = np.random.default_rng(2)
+    inp = rng.standard_normal((2, dim))
+    outm = rng.standard_normal((1, dim))  # osz-1 = 1 internal node
+    p = tmp_path / "hs.bin"
+    write_tiny_bin(str(p), words, labels, inp, outm, dim, loss=1)
+    m = FastTextModel(str(p))
+    hidden = inp[:2].astype(np.float32).astype(np.float64).mean(axis=0)
+    z = float(outm.astype(np.float32).astype(np.float64)[0] @ hidden)
+    sig = 1.0 / (1.0 + math.exp(-z))
+    probs = m.predict_batch(["hello"])[0]
+    assert math.isclose(probs[0], sig, rel_tol=1e-6)
+    assert math.isclose(probs[1], 1.0 - sig, rel_tol=1e-6)
+
+
+def test_fasttext_hs_probs_sum_to_one(tmp_path):
+    dim, k = 4, 5
+    words = ["w", "</s>"]
+    labels = [f"__label__{i}" for i in range(k)]
+    rng = np.random.default_rng(4)
+    inp = rng.standard_normal((2, dim))
+    outm = rng.standard_normal((k - 1, dim))
+    p = tmp_path / "hs5.bin"
+    write_tiny_bin(str(p), words, labels, inp, outm, dim, loss=1)
+    m = FastTextModel(str(p))
+    probs = m.predict_batch(["w"])[0]
+    assert probs.shape == (k,)
+    assert math.isclose(probs.sum(), 1.0, rel_tol=1e-9)  # leaves partition
+    assert (probs > 0).all()
