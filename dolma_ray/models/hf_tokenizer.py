@@ -78,15 +78,26 @@ class HFTokenizer:
         self.added = {
             t["content"]: t["id"] for t in spec.get("added_tokens", []) or []
         }
-        if self.model_type not in ("WordLevel", "BPE"):
+        # WordPiece fields
+        self.continuing_prefix = model.get("continuing_subword_prefix", "##")
+        self.max_input_chars = model.get("max_input_chars_per_word", 100)
+        # Unigram fields: vocab is [[token, logprob], ...]
+        if self.model_type == "Unigram":
+            uv = model.get("vocab", [])
+            self.uni_logp = {tok: float(lp) for tok, lp in uv}
+            self.vocab = {tok: i for i, (tok, _) in enumerate(uv)}
+            unk_id = model.get("unk_id")
+            if unk_id is not None and 0 <= unk_id < len(uv):
+                self.unk_token = uv[unk_id][0]
+        if self.model_type not in ("WordLevel", "BPE", "WordPiece", "Unigram"):
             raise NotImplementedError(
                 f"tokenizer model type {self.model_type!r} outside the "
-                "implemented subset (WordLevel, BPE)"
+                "implemented subset (WordLevel, BPE, WordPiece, Unigram)"
             )
-        if self.model_type == "WordLevel" and self.pre == "ByteLevel":
+        if self.model_type != "BPE" and self.pre == "ByteLevel":
             raise NotImplementedError(
-                "WordLevel + ByteLevel pre-tokenization is outside the "
-                "implemented subset"
+                f"{self.model_type} + ByteLevel pre-tokenization is outside "
+                "the implemented subset"
             )
         self._bpe_cache: dict[str, list[str]] = {}
 
@@ -124,6 +135,58 @@ class HFTokenizer:
             self._bpe_cache[word] = parts
         return parts
 
+    def _wordpiece(self, word: str) -> list[str] | None:
+        """BERT greedy longest-match-first; None = whole word -> unk."""
+        if len(word) > self.max_input_chars:
+            return None
+        pieces: list[str] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = self.continuing_prefix + sub
+                if sub in self.vocab:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return None
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    _UNI_MAX_PIECE = 24
+
+    def _unigram(self, word: str) -> list[str | None]:
+        """Viterbi segmentation maximizing total logprob; None entries
+        mark unknown single characters (mapped to unk at id time)."""
+        n = len(word)
+        unk_pen = min(self.uni_logp.values(), default=0.0) - 10.0
+        best = [float("-inf")] * (n + 1)
+        best[0] = 0.0
+        back = [0] * (n + 1)
+        known = [True] * (n + 1)
+        for e in range(1, n + 1):
+            for s in range(max(0, e - self._UNI_MAX_PIECE), e):
+                lp = self.uni_logp.get(word[s:e])
+                ok = lp is not None
+                if not ok and e - s == 1:
+                    lp = unk_pen
+                if lp is not None and best[s] + lp > best[e]:
+                    best[e] = best[s] + lp
+                    back[e] = s
+                    known[e] = ok
+        pieces: list[str | None] = []
+        e = n
+        while e > 0:
+            s = back[e]
+            pieces.append(word[s:e] if known[e] else None)
+            e = s
+        return list(reversed(pieces))
+
     def encode(self, text: str) -> list[int]:
         if self.nfc:
             text = unicodedata.normalize("NFC", text)
@@ -131,22 +194,40 @@ class HFTokenizer:
             text = text.lower()
         ids: list[int] = []
         unk_id = self.vocab.get(self.unk_token) if self.unk_token else None
+
+        def emit(piece_id):
+            if piece_id is None:
+                piece_id = unk_id
+            if piece_id is not None:
+                ids.append(piece_id)
+
         if self.model_type == "WordLevel":
             pre_rx = _WS_SPLIT if self.pre == "WhitespaceSplit" else _HF_WHITESPACE
             for tok in pre_rx.findall(text):
-                i = self.token_to_id(tok)
-                if i is None:
-                    i = unk_id
-                if i is not None:
-                    ids.append(i)
+                emit(self.token_to_id(tok))
+            return ids
+        if self.model_type == "WordPiece":
+            for tok in _HF_WHITESPACE.findall(text):
+                pieces = self._wordpiece(tok)
+                if pieces is None:
+                    emit(None)
+                else:
+                    for p in pieces:
+                        emit(self.vocab.get(p))
+            return ids
+        if self.model_type == "Unigram":
+            if self.pre == "Metaspace" or self.pre is None:
+                # sentencepiece-style: the whole sequence, spaces -> U+2581
+                chunks = ["▁" + text.replace(" ", "▁")] if text else []
+            else:
+                chunks = _WS_SPLIT.findall(text)
+            for chunk in chunks:
+                for p in self._unigram(chunk):
+                    emit(self.vocab.get(p) if p is not None else None)
             return ids
         b2u = _byte_to_unicode()
         for chunk in _GPT2_PRE.findall(text):
             mapped = "".join(b2u[b] for b in chunk.encode("utf-8"))
             for piece in self._bpe(mapped):
-                i = self.vocab.get(piece)
-                if i is None:
-                    i = unk_id
-                if i is not None:
-                    ids.append(i)
+                emit(self.vocab.get(piece))
         return ids

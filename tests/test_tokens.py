@@ -53,7 +53,7 @@ def test_bpe_encode(tmp_path):
 
 def test_unsupported_model_type(tmp_path):
     p = tmp_path / "u.json"
-    p.write_text(json.dumps({"model": {"type": "Unigram", "vocab": []}}))
+    p.write_text(json.dumps({"model": {"type": "SomeFutureModel", "vocab": {}}}))
     with pytest.raises(NotImplementedError):
         HFTokenizer(str(p))
 
@@ -71,10 +71,18 @@ def test_memmap_sink_round_trip(ray_session, tmp_path):
         {"id": "d4", "text": "world"},
     ]
     out = tmp_path / "toks"
+    # Ray snapshots DataContext at dataset creation: order-reproducible
+    # shards need preserve_order set BEFORE building the input dataset
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
     write_token_memmaps(
         rd.from_items(rows), str(out), tokenizer_path=tok_path,
         id_column="id", bos_id=4, eos_id=4, max_tokens_per_shard=6,
     )
+    ctx.execution_options.preserve_order = prev
     import glob
 
     shards = sorted(glob.glob(str(out / "*.npy")))
@@ -148,3 +156,50 @@ def test_wordlevel_whitespace_splits_punctuation(tmp_path):
     tok = HFTokenizer(str(p))
     # HF Whitespace = \w+|[^\w\s]+ -> punctuation is its own token
     assert tok.encode("hello, world") == [0, 1, 2]
+
+
+def test_wordpiece_encode(tmp_path):
+    """BERT WordPiece: greedy longest-match-first with ## continuations."""
+    spec = {
+        "model": {
+            "type": "WordPiece",
+            "vocab": {"[UNK]": 0, "un": 1, "##aff": 2, "##able": 3, "hello": 4},
+            "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##",
+        },
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+    }
+    p = tmp_path / "wp.json"
+    p.write_text(json.dumps(spec))
+    tok = HFTokenizer(str(p))
+    assert tok.encode("unaffable") == [1, 2, 3]
+    assert tok.encode("hello unaffable") == [4, 1, 2, 3]
+    assert tok.encode("xyz") == [0]  # no match -> whole-word unk
+
+
+def test_unigram_viterbi(tmp_path):
+    """Unigram: Viterbi picks the max-logprob segmentation."""
+    spec = {
+        "model": {
+            "type": "Unigram",
+            "unk_id": 0,
+            "vocab": [
+                ["<unk>", -10.0],
+                ["▁hello", -1.0],
+                ["▁", -2.0],
+                ["hell", -3.0],
+                ["o", -3.0],
+                ["▁world", -1.5],
+            ],
+        },
+        "pre_tokenizer": {"type": "Metaspace"},
+    }
+    p = tmp_path / "uni.json"
+    p.write_text(json.dumps(spec))
+    tok = HFTokenizer(str(p))
+    # "▁hello" (-1.0) beats "▁"+"hell"+"o" (-8.0)
+    assert tok.encode("hello world") == [1, 5]
+    # unknown char falls back to unk
+    assert tok.vocab["▁hello"] == 1 and tok.vocab["▁world"] == 5
+    out = tok.encode("hello ζ")
+    assert out[0] == 1 and 0 in out  # unk for the unknown char
