@@ -38,17 +38,22 @@ def mark_duplicates_fused(
     overlap_threshold: float = 1.0,
     skip_short_paragraphs: bool = False,
     lookup_strategy: str = "auto",
+    num_partitions: int = 64,
 ):
     """Append both ``attr__dedupe_docs__duplicate`` and
     ``attr__dedupe_paragraphs__duplicate`` with a single lookup pass.
 
     ``lookup_strategy``: ``"driver"`` streams the narrow unit rows to a
     single polars pass (fastest up to ~10^8 units), ``"shuffle"`` runs
-    the Ray groupby path (the 10^9+ regime), ``"auto"`` (default) picks
-    by row count — ``ds.count()`` is metadata-only on a fresh parquet
-    read, which is what the flagship feeds in; pass an explicit strategy
-    when the input already has expensive transforms upstream (count
-    would execute them)."""
+    the Ray groupby aggregate but still collects the duplicates-only
+    dict driver-side, ``"join"`` keeps everything a Dataset — the
+    min-order table is hash-joined against the units and the per-doc
+    late-unit lists are hash-joined against the corpus, so no stage
+    holds O(duplicates) on one process (the 10^12-doc shape).  ``"auto"``
+    (default) picks by row count — ``ds.count()`` is metadata-only on a
+    fresh parquet read, which is what the flagship feeds in; pass an
+    explicit strategy when the input already has expensive transforms
+    upstream (count would execute them)."""
     import ray
 
     order = list(order_columns)
@@ -92,8 +97,19 @@ def mark_duplicates_fused(
 
     if lookup_strategy == "auto":
         # ~40 paragraph units/doc on web text; keep the driver pass under
-        # ~10^8 units -> flip to the distributed shuffle above ~2.5M docs
-        lookup_strategy = "shuffle" if ds.count() > 2_500_000 else "driver"
+        # ~10^8 units -> flip to the fully-distributed join above ~2.5M docs
+        lookup_strategy = "join" if ds.count() > 2_500_000 else "driver"
+
+    if lookup_strategy == "join":
+        return _mark_fused_join(
+            ds,
+            doc_key_column=doc_key_column,
+            order=order,
+            cfg_kwargs=cfg_kwargs,
+            text_column=text_column,
+            overlap_threshold=overlap_threshold,
+            num_partitions=num_partitions,
+        )
 
     units = ds.map_batches(project, batch_format="pyarrow")
     lookup_ref = ray.put(collect_dup_lookup(units, strategy=lookup_strategy))
@@ -154,3 +170,192 @@ def mark_duplicates_fused(
 # xor mask separating the paragraph-unit key namespace from doc keys
 # (both stay in int63 range)
 _PAR_XOR = 0x2545F4914F6CDD1D & ((1 << 63) - 1)
+
+
+def _mark_fused_join(
+    ds,
+    doc_key_column: str,
+    order: list[str],
+    cfg_kwargs: dict,
+    text_column: str,
+    overlap_threshold: float,
+    num_partitions: int = 64,
+):
+    """Fully-distributed fused dedup: identical marks to the broadcast
+    path, but the duplicates-only state never leaves the Dataset world.
+
+    1. narrow units ``(k, o, d, seq)`` — ``d`` is a per-row identity
+       (hash of order ⊕ doc key; rows that tie on both are identical
+       docs and correctly receive identical marks), ``seq`` is the unit
+       index within the doc (-1 for the doc-level key);
+    2. ``groupby(k).aggregate(Min, Count)`` → duplicated-keys-only
+       min-order table (distributed, spillable);
+    3. inner ``Dataset.join`` units ⋈ mins on ``k``; a unit is late iff
+       ``o > o_min`` — same rule the broadcast path applies per row;
+    4. ``groupby(d).aggregate(Unique(seq))`` → per-doc late-unit lists;
+    5. left-outer ``Dataset.join`` corpus ⋈ per-doc lists on the row
+       identity, then one vectorized attach pass rebuilds both span
+       columns from the late-seq set.
+
+    Reference semantics unchanged (``src/deduper.rs:232-310``); only
+    the exchange strategy differs.  All joined columns are narrow —
+    document text never enters a shuffle except in step 5's corpus-side
+    hash exchange (one all-to-all, streaming, no driver state).
+    """
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Unique
+
+    from .lookup import _join_partitions, dup_min_table
+
+    def row_ident(dk: str, o: str) -> int:
+        return hash_string(o + "\x1f" + (dk or ""))
+
+    def project_units(batch: pa.Table) -> pa.Table:
+        cfg = _UnitConfig(**cfg_kwargs)
+        texts = batch[text_column].to_pylist()
+        doc_keys = (
+            batch[doc_key_column].to_pylist()
+            if doc_key_column != text_column
+            else texts
+        )
+        orders = _order_strings(batch, order)
+        r_hash: list[int] = []
+        r_order: list[str] = []
+        r_d: list[int] = []
+        r_seq: list[int] = []
+        for text, dk, o in zip(texts, doc_keys, orders):
+            d = row_ident(dk, o)
+            r_hash.append(hash_string(_DOC_SALT + (dk or "")))
+            r_order.append(o)
+            r_d.append(d)
+            r_seq.append(-1)
+            seq = 0
+            for _, _, _, hashes in cfg.doc_units(text or ""):
+                for h_raw in hashes:
+                    r_hash.append(h_raw ^ _PAR_XOR)
+                    r_order.append(f"{o}\x1f{seq:012d}")
+                    r_d.append(d)
+                    r_seq.append(seq)
+                    seq += 1
+        return pa.table(
+            {
+                "k": pa.array(r_hash, pa.int64()),
+                "o": pa.array(r_order, pa.string()),
+                "d": pa.array(r_d, pa.int64()),
+                "seq": pa.array(r_seq, pa.int64()),
+            }
+        )
+
+    # narrow unit stream, used twice (aggregate + join probe) — spillable
+    units = ds.map_batches(project_units, batch_format="pyarrow").materialize()
+    mins, n_dup = dup_min_table(units.select_columns(["k", "o"]))
+
+    def attach_with(late_lists_ds, parts: int):
+        def add_ident(batch: pa.Table) -> pa.Table:
+            texts = batch[text_column].to_pylist()
+            doc_keys = (
+                batch[doc_key_column].to_pylist()
+                if doc_key_column != text_column
+                else texts
+            )
+            orders = _order_strings(batch, order)
+            idents = [row_ident(dk, o) for dk, o in zip(doc_keys, orders)]
+            return batch.append_column("_d", pa.array(idents, pa.int64()))
+
+        keyed = ds.map_batches(add_ident, batch_format="pyarrow")
+        restore = lambda b: b  # noqa: E731
+        if late_lists_ds is None:
+            joined = keyed.map_batches(
+                lambda b: b.append_column("_late", pa.nulls(len(b), pa.string())),
+                batch_format="pyarrow",
+            )
+        else:
+            from .lookup import shield_complex_columns
+
+            keyed, restore = shield_complex_columns(keyed)
+            joined = keyed.join(
+                late_lists_ds,
+                join_type="left_outer",
+                num_partitions=parts,
+                on=("_d",),
+                right_on=("d",),
+            )
+
+        def attach(batch: pa.Table) -> pa.Table:
+            batch = restore(batch)
+            cfg = _UnitConfig(**cfg_kwargs)
+            texts = batch[text_column].to_pylist()
+            late_lists = batch["_late"].to_pylist()
+            doc_spans: list[list[tuple[int, int, float]]] = []
+            par_spans: list[list[tuple[int, int, float]]] = []
+            for text, lates in zip(texts, late_lists):
+                text = text or ""
+                late_set = (
+                    {int(x) for x in lates.split(",")} if lates else ()
+                )
+                doc_spans.append([(0, len(text), 1.0)] if -1 in late_set else [])
+                spans: list[tuple[int, int, float]] = []
+                seq = 0
+                for par_start, par_end, kind, hashes in cfg.doc_units(text):
+                    n_dup_u = 0
+                    for _ in hashes:
+                        if seq in late_set:
+                            n_dup_u += 1
+                        seq += 1
+                    if kind == -1:
+                        if n_dup_u:
+                            spans.append((par_start, par_end, 1.0))
+                    elif kind == 0:
+                        score = 1.0 if n_dup_u else 0.0
+                        if score >= overlap_threshold:
+                            spans.append((par_start, par_end, score))
+                    else:
+                        frac = n_dup_u / kind
+                        if frac >= overlap_threshold:
+                            spans.append((par_start, par_end, frac))
+                par_spans.append(spans)
+            drop = [c for c in ("_d", "_late", "d") if c in batch.column_names]
+            batch = batch.drop_columns(drop)
+            for col, data in (
+                (DUP_DOCS_ATTR, doc_spans),
+                (DUP_PARAGRAPHS_ATTR, par_spans),
+            ):
+                if col in batch.column_names:
+                    batch = batch.drop_columns([col])
+                batch = batch.append_column(col, spans_array(data))
+            return batch
+
+        return joined.map_batches(attach, batch_format="pyarrow")
+
+    if n_dup == 0:
+        return attach_with(None, 1)
+
+    late = units.join(
+        mins,
+        join_type="inner",
+        num_partitions=_join_partitions(n_dup, num_partitions),
+        on=("k",),
+    ).map_batches(
+        lambda b: b.filter(pc_.greater(b["o"], b["o_min"])).select(["d", "seq"]),
+        batch_format="pyarrow",
+    )
+    def encode_lists(batch: pa.Table) -> pa.Table:
+        # hash joins reject list-typed payload columns -> comma-string
+        lates = [
+            ",".join(str(int(x)) for x in lst)
+            for lst in batch["unique(seq)"].to_pylist()
+        ]
+        return pa.table(
+            {"d": batch["d"], "_late": pa.array(lates, pa.string())}
+        )
+
+    per_doc = (
+        late.groupby("d")
+        .aggregate(Unique("seq"))
+        .map_batches(encode_lists, batch_format="pyarrow")
+        .materialize()
+    )
+    n_docs_late = per_doc.count()
+    if n_docs_late == 0:
+        return attach_with(None, 1)
+    return attach_with(per_doc, _join_partitions(n_docs_late, num_partitions))

@@ -61,14 +61,34 @@ def mark_near_duplicates_embedding(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
-    lookup_strategy: str = "driver",
+    lookup_strategy: str = "auto",
+    num_partitions: int = 64,
 ):
-    """Append ``attr__dedupe_embedding__near_duplicate`` (scalar 0/1)."""
+    """Append ``attr__dedupe_embedding__near_duplicate`` (scalar 0/1).
+
+    ``lookup_strategy``: ``"driver"``/``"shuffle"`` broadcast the
+    colliding-signature set (vectors of non-colliding rows never move)
+    and collect the dup-key set on the driver; ``"join"`` keeps all
+    duplicate state in Datasets — the candidate selection becomes one
+    inner hash join of the ``(k, o, key, vec)`` stream against the
+    colliding-signature table (one all-to-all of the normalized
+    vectors, streaming, no driver state), and the attach a left-outer
+    join.  ``"auto"`` flips to join above ~2.5M input rows."""
     import ray
 
-    from .lookup import attach_dup_flag, collect_dup_buckets
+    from .lookup import (
+        attach_dup_flag,
+        attach_dup_flag_join,
+        collect_dup_buckets,
+        distinct_key_table,
+        dup_bucket_table,
+        _join_partitions,
+    )
 
     order_columns = list(order_columns or (key_column,))
+
+    if lookup_strategy == "auto":
+        lookup_strategy = "join" if ds.count() > 2_500_000 else "driver"
 
     def explode_narrow(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, embedding_column)
@@ -83,42 +103,88 @@ def mark_near_duplicates_embedding(
         )
 
     units = ds.map_batches(explode_narrow, batch_format="pyarrow")
-    dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)
-    if not dup_buckets:
-        return attach_dup_flag(ds, key_column, [], DUP_EMBEDDING_ATTR)
-    bucket_ref = ray.put(pa.array(sorted(dup_buckets), pa.int64()))
 
-    def candidates(batch: pa.Table) -> pa.Table:
-        vs = ray.get(bucket_ref)
-        m = _batch_matrix(batch, embedding_column)
-        sigs = _signatures(m, n_planes, seed)
-        keep = pc.is_in(pa.array(sigs, pa.int64()), value_set=vs).to_numpy(
-            zero_copy_only=False
-        )
-        norms = np.linalg.norm(m, axis=1)
-        normed = m / np.maximum(norms, 1e-30)[:, None]
-        orders = _order_strings(batch, order_columns)
-        idx = np.nonzero(keep)[0]
-        return pa.table(
-            {
-                "k": pa.array(sigs[idx], pa.int64()),
-                "o": pa.array([orders[i] for i in idx], pa.string()),
-                "key": batch[key_column].take(pa.array(idx, pa.int64())),
-                "vec": pa.array(list(normed[idx]), pa.list_(pa.float64())),
-            }
-        )
+    if lookup_strategy == "join":
+        units = units.materialize()  # narrow (k, o, key); counted + probed
+        buckets_ds, n_b = dup_bucket_table(units)
+        if n_b == 0:
+            return attach_dup_flag(ds, key_column, [], DUP_EMBEDDING_ATTR)
 
-    cand = ds.map_batches(candidates, batch_format="pyarrow")
+        def with_vec(batch: pa.Table) -> pa.Table:
+            m = _batch_matrix(batch, embedding_column)
+            sigs = _signatures(m, n_planes, seed)
+            norms = np.linalg.norm(m, axis=1)
+            normed = m / np.maximum(norms, 1e-30)[:, None]
+            orders = _order_strings(batch, order_columns)
+            # hash joins reject list-typed payload columns -> raw float64
+            # bytes (decoded in verify)
+            return pa.table(
+                {
+                    "k": pa.array(sigs, pa.int64()),
+                    "o": pa.array(orders, pa.string()),
+                    "key": batch[key_column],
+                    "vec": pa.array([row.tobytes() for row in normed], pa.binary()),
+                }
+            )
+
+        cand = ds.map_batches(with_vec, batch_format="pyarrow").join(
+            buckets_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(n_b, num_partitions),
+            on=("k",),
+        )
+    else:
+        dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)
+        if not dup_buckets:
+            return attach_dup_flag(ds, key_column, [], DUP_EMBEDDING_ATTR)
+        bucket_ref = ray.put(pa.array(sorted(dup_buckets), pa.int64()))
+
+        def candidates(batch: pa.Table) -> pa.Table:
+            vs = ray.get(bucket_ref)
+            m = _batch_matrix(batch, embedding_column)
+            sigs = _signatures(m, n_planes, seed)
+            keep = pc.is_in(pa.array(sigs, pa.int64()), value_set=vs).to_numpy(
+                zero_copy_only=False
+            )
+            norms = np.linalg.norm(m, axis=1)
+            normed = m / np.maximum(norms, 1e-30)[:, None]
+            orders = _order_strings(batch, order_columns)
+            idx = np.nonzero(keep)[0]
+            return pa.table(
+                {
+                    "k": pa.array(sigs[idx], pa.int64()),
+                    "o": pa.array([orders[i] for i in idx], pa.string()),
+                    "key": batch[key_column].take(pa.array(idx, pa.int64())),
+                    "vec": pa.array(list(normed[idx]), pa.list_(pa.float64())),
+                }
+            )
+
+        cand = ds.map_batches(candidates, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o", "key"], kind="mergesort")  # key tie-break: deterministic
-        vecs = np.stack([np.asarray(v) for v in g["vec"]])
+        vecs = np.stack(
+            [
+                np.frombuffer(v, dtype=np.float64)
+                if isinstance(v, (bytes, bytearray))
+                else np.asarray(v)
+                for v in g["vec"]
+            ]
+        )
         sims = vecs @ vecs.T
         mask = np.tril(sims >= threshold, k=-1).any(axis=1)  # vs earlier only
         return pd.DataFrame({"key": g["key"].to_numpy()[mask]})
 
-    dup_keys: set = set()
     marked = cand.groupby("k").map_groups(verify, batch_format="pandas")
+
+    if lookup_strategy == "join":
+        dup_keys_ds = distinct_key_table(marked)
+        return attach_dup_flag_join(
+            ds, key_column, dup_keys_ds, DUP_EMBEDDING_ATTR,
+            num_partitions=num_partitions,
+        )
+
+    dup_keys: set = set()
     for b in marked.iter_batches(batch_size=65536, batch_format="pyarrow"):
         dup_keys.update(b["key"].to_pylist())
 

@@ -13,12 +13,214 @@ Two strategies:
   all-to-all path for corpus sizes whose unit stream exceeds driver
   memory (the 10^12-doc regime).  Same result.
 
-Both return a plain dict for ``ray.put`` broadcast.  (If even the
-duplicates-only dict outgrows memory, dedup must become a join — see
-``exact.py`` module notes.)
+Both return a plain dict for ``ray.put`` broadcast.  When even the
+duplicates-only structure outgrows one process, the ``join`` family
+below keeps everything a Dataset end-to-end: the per-key min-order
+table is hash-joined (``Dataset.join``) against the unit stream, and
+the resulting duplicates-only key table is hash-joined against the
+corpus — no stage ever holds O(duplicates) on the driver.
 """
 
 from __future__ import annotations
+
+
+def _join_partitions(right_count: int, requested: int) -> int:
+    """Partition count for a hash join whose RIGHT side has
+    ``right_count`` rows.  Two caps:
+
+    * Ray 2.49's hash join errors when a right-side hash partition is
+      empty — stay well below the row count (>= ~8 expected rows per
+      partition makes an empty one negligible);
+    * each partition is a ``HashShuffleAggregator`` ACTOR: a partition
+      count far above the cluster's CPU slots starves the producing
+      task stages (observed full stall at 64 partitions / 8 CPUs), so
+      cap at half the cluster CPUs.  On a multi-node cluster the CPU
+      cap is large and ``requested`` governs."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    cap = max(1, cpus // 2)
+    return max(1, min(requested, cap, right_count // 8 or 1))
+
+
+def dup_min_table(units_ds):
+    """Distributed ``(k, o_min)`` table for keys occurring more than
+    once, plus its row count: ``groupby(k).aggregate(Min, Count)`` →
+    filter ``n > 1``.  Materialized (narrow, spillable) so callers can
+    both count it and feed it to a join without recomputing.
+
+    Scale path for :func:`collect_dup_lookup` — same content, kept as a
+    Dataset instead of a driver dict."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def only_dups(batch):
+        return batch.filter(pc.greater(batch["n"], 1)).drop_columns(["n"])
+
+    mins = (
+        units_ds.groupby("k")
+        .aggregate(Min("o", alias_name="o_min"), Count(alias_name="n"))
+        .map_batches(only_dups, batch_format="pyarrow")
+        .materialize()
+    )
+    return mins, mins.count()
+
+
+def late_key_table(units_ds, num_partitions: int = 64):
+    """Join-based variant of :func:`collect_dup_keys`: distinct ``key``
+    values that are late in some bucket, as a single-column Dataset
+    ``(key,)`` — never collected on the driver.
+
+    Input: narrow ``(k, o, key)`` units.  The combined ``(o, key)``
+    tie-break is folded into ``o`` exactly as in the driver path."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def with_ok(batch: pa.Table) -> pa.Table:
+        ok = pc.binary_join_element_wise(
+            batch["o"], pc.cast(batch["key"], pa.string()), "\x1f"
+        )
+        return pa.table({"k": batch["k"], "o": ok, "key": batch["key"]})
+
+    units = units_ds.map_batches(with_ok, batch_format="pyarrow").materialize()
+    mins, n_dup = dup_min_table(units.select_columns(["k", "o"]))
+    if n_dup == 0:
+        return None
+    joined = units.join(
+        mins,
+        join_type="inner",
+        num_partitions=_join_partitions(n_dup, num_partitions),
+        on=("k",),
+    )
+
+    def late_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o"], batch["o_min"])).select(["key"])
+
+    late = joined.map_batches(late_only, batch_format="pyarrow")
+    return distinct_key_table(late)
+
+
+def dup_bucket_table(units_ds):
+    """Distributed variant of :func:`collect_dup_buckets`: single-column
+    Dataset ``(k,)`` of bucket keys occurring more than once, plus its
+    row count.  Materialized (narrow) so it can be counted and joined."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    buckets = (
+        units_ds.select_columns(["k"])
+        .groupby("k")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["n"], 1)).drop_columns(["n"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    return buckets, buckets.count()
+
+
+def distinct_key_table(keys_ds):
+    """Distinct values of a single-column ``(key,)`` Dataset, kept as a
+    Dataset (``Dataset.unique`` would collect to the driver).  Returns
+    ``None`` when empty — the sentinel :func:`attach_dup_flag_join`
+    accepts."""
+    from ray.data.aggregate import Count
+
+    keys_ds = keys_ds.materialize()
+    if keys_ds.count() == 0:
+        return None
+    distinct = (
+        keys_ds.groupby("key")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    return distinct
+
+
+def shield_complex_columns(ds):
+    """Ray 2.49's hash join only supports primitive payload columns
+    (``ArrowInvalid: Data type list<...> is not supported in join
+    non-key field``).  Pickle nested-typed (list/struct/map) columns to
+    binary before a join; returns ``(shielded_ds, restore_fn)`` where
+    ``restore_fn(batch)`` rebuilds the original columns after the join.
+    Cost is O(nested cells), paid only on the join fallback path."""
+    import pickle
+
+    import pyarrow as pa
+
+    schema = ds.schema()
+    complex_cols = {
+        n: t for n, t in zip(schema.names, schema.types) if pa.types.is_nested(t)
+    }
+    if not complex_cols:
+        return ds, lambda b: b
+
+    def encode(batch: pa.Table) -> pa.Table:
+        for c in complex_cols:
+            idx = batch.column_names.index(c)
+            vals = batch[c].to_pylist()
+            batch = batch.set_column(
+                idx, c, pa.array([pickle.dumps(v) for v in vals], pa.binary())
+            )
+        return batch
+
+    def restore(batch: pa.Table) -> pa.Table:
+        for c, t in complex_cols.items():
+            if c not in batch.column_names:
+                continue
+            idx = batch.column_names.index(c)
+            vals = [pickle.loads(v) for v in batch[c].to_pylist()]
+            batch = batch.set_column(idx, c, pa.array(vals, t))
+        return batch
+
+    return ds.map_batches(encode, batch_format="pyarrow"), restore
+
+
+def attach_dup_flag_join(ds, key_column: str, dup_keys_ds, attr_column: str,
+                         num_partitions: int = 64):
+    """Join-based variant of :func:`attach_dup_flag`: left-outer
+    ``Dataset.join`` of the corpus against the distinct duplicates-only
+    key table (column ``key``); matched rows get 1.0.  Two narrow hash
+    exchanges instead of a driver broadcast — the 10^12-doc shape.
+
+    ``dup_keys_ds`` may be ``None`` (no duplicates) — flags are all 0."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if dup_keys_ds is None:
+        from .lookup import attach_dup_flag  # self-import safe
+
+        return attach_dup_flag(ds, key_column, [], attr_column)
+
+    flagged = dup_keys_ds.map_batches(
+        lambda b: b.append_column("_dup", pa.array([1.0] * len(b), pa.float64())),
+        batch_format="pyarrow",
+    )
+    n_keys = dup_keys_ds.count()
+    ds, restore = shield_complex_columns(ds)
+    joined = ds.join(
+        flagged,
+        join_type="left_outer",
+        num_partitions=_join_partitions(n_keys, num_partitions),
+        on=(key_column,),
+        right_on=("key",),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        batch = restore(batch)
+        col = pc.fill_null(batch["_dup"], 0.0)
+        batch = batch.drop_columns(["_dup"])
+        if "key" in batch.column_names and key_column != "key":
+            batch = batch.drop_columns(["key"])
+        if attr_column in batch.column_names:
+            batch = batch.drop_columns([attr_column])
+        return batch.append_column(attr_column, col)
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 def collect_dup_lookup(units_ds, strategy: str = "driver") -> dict[int, str]:

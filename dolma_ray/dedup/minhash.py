@@ -138,7 +138,8 @@ def mark_near_duplicates_minhash(
     num_perm: int = 64,
     num_bands: int = 16,
     seed: int = 42,
-    lookup_strategy: str = "driver",
+    lookup_strategy: str = "auto",
+    num_partitions: int = 64,
 ):
     """Append ``attr__dedupe_minhash__near_duplicate`` (scalar 0/1):
     1.0 when the doc shares an LSH band bucket with an earlier doc.
@@ -146,9 +147,24 @@ def mark_near_duplicates_minhash(
     Resolution is the exact-dedup duplicates-only pattern
     (``dedup/lookup.py``): narrow ``(k, o, key)`` units -> late-in-bucket
     keys -> broadcast -> vectorized ``pc.is_in`` mark.  No per-bucket
-    ``map_groups``, no driver-side per-row membership loop."""
+    ``map_groups``, no driver-side per-row membership loop.
+
+    ``lookup_strategy``: ``"driver"`` / ``"shuffle"`` resolve late keys
+    into a driver list (fine to ~10^8 units); ``"join"`` keeps the
+    late-key table a Dataset and attaches via hash join — no driver
+    state, the 10^12-doc shape.  ``"auto"`` (default) flips to join
+    above ~2.5M input rows (``ds.count()`` is metadata-only on fresh
+    parquet reads)."""
     from ..util import cached_stage
-    from .lookup import attach_dup_flag, collect_dup_keys
+    from .lookup import (
+        attach_dup_flag,
+        attach_dup_flag_join,
+        collect_dup_keys,
+        late_key_table,
+    )
+
+    if lookup_strategy == "auto":
+        lookup_strategy = "join" if ds.count() > 2_500_000 else "driver"
 
     bands = ds.map_batches(
         cached_stage(
@@ -163,6 +179,13 @@ def mark_near_duplicates_minhash(
         ),
         batch_format="pyarrow",
     )
+
+    if lookup_strategy == "join":
+        dup_keys_ds = late_key_table(bands, num_partitions=num_partitions)
+        return attach_dup_flag_join(
+            ds, key_column, dup_keys_ds, DUP_MINHASH_ATTR,
+            num_partitions=num_partitions,
+        )
 
     dup_keys = collect_dup_keys(bands, strategy=lookup_strategy)
     return attach_dup_flag(ds, key_column, dup_keys, DUP_MINHASH_ATTR)

@@ -90,15 +90,32 @@ def mark_near_duplicates_simhash(
     text_column: str = "text",
     max_hamming: int = 3,
     n_bands: int | None = None,
-    lookup_strategy: str = "driver",
+    lookup_strategy: str = "auto",
+    num_partitions: int = 64,
 ):
-    """Append ``attr__dedupe_simhash__near_duplicate`` (scalar 0/1)."""
+    """Append ``attr__dedupe_simhash__near_duplicate`` (scalar 0/1).
+
+    ``lookup_strategy``: ``"driver"``/``"shuffle"`` broadcast the
+    colliding-bucket set and collect the dup-key set on the driver;
+    ``"join"`` keeps both as Datasets (units ⋈ colliding-buckets inner
+    join, corpus ⋈ dup-keys left-outer join) — no driver state.
+    ``"auto"`` flips to join above ~2.5M input rows."""
     import ray
 
-    from .lookup import attach_dup_flag, collect_dup_buckets
+    from .lookup import (
+        attach_dup_flag,
+        attach_dup_flag_join,
+        collect_dup_buckets,
+        distinct_key_table,
+        dup_bucket_table,
+        _join_partitions,
+    )
 
     n_bands = n_bands or (max_hamming + 1)
     assert 64 % n_bands == 0, "n_bands must divide 64"
+
+    if lookup_strategy == "auto":
+        lookup_strategy = "join" if ds.count() > 2_500_000 else "driver"
 
     def explode(batch: pa.Table) -> pa.Table:
         keys = batch[key_column].to_pylist()
@@ -128,16 +145,27 @@ def mark_near_duplicates_simhash(
 
     units = ds.map_batches(explode, batch_format="pyarrow").materialize()
 
-    dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)
-    if not dup_buckets:
-        return attach_dup_flag(ds, key_column, [], DUP_SIMHASH_ATTR)
-    bucket_ref = ray.put(pa.array(sorted(dup_buckets), pa.int64()))
+    if lookup_strategy == "join":
+        buckets_ds, n_b = dup_bucket_table(units)
+        if n_b == 0:
+            return attach_dup_flag(ds, key_column, [], DUP_SIMHASH_ATTR)
+        candidates = units.join(
+            buckets_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(n_b, num_partitions),
+            on=("k",),
+        )
+    else:
+        dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)
+        if not dup_buckets:
+            return attach_dup_flag(ds, key_column, [], DUP_SIMHASH_ATTR)
+        bucket_ref = ray.put(pa.array(sorted(dup_buckets), pa.int64()))
 
-    def only_colliding(batch: pa.Table) -> pa.Table:
-        vs = ray.get(bucket_ref)
-        return batch.filter(pc.is_in(batch["k"], value_set=vs))
+        def only_colliding(batch: pa.Table) -> pa.Table:
+            vs = ray.get(bucket_ref)
+            return batch.filter(pc.is_in(batch["k"], value_set=vs))
 
-    candidates = units.map_batches(only_colliding, batch_format="pyarrow")
+        candidates = units.map_batches(only_colliding, batch_format="pyarrow")
 
     def verify(g: pd.DataFrame, earlier_cap: int = 4096) -> pd.DataFrame:
         """Mark doc i iff within max_hamming of ANY earlier bucket member.
@@ -159,8 +187,16 @@ def mark_near_duplicates_simhash(
             mask[lo:hi] = (ok & idx).any(axis=1)
         return pd.DataFrame({"key": g["key"].to_numpy()[mask]})
 
-    dup_keys: set = set()
     marked = candidates.groupby("k").map_groups(verify, batch_format="pandas")
+
+    if lookup_strategy == "join":
+        dup_keys_ds = distinct_key_table(marked)
+        return attach_dup_flag_join(
+            ds, key_column, dup_keys_ds, DUP_SIMHASH_ATTR,
+            num_partitions=num_partitions,
+        )
+
+    dup_keys: set = set()
     for b in marked.iter_batches(batch_size=65536, batch_format="pyarrow"):
         dup_keys.update(b["key"].to_pylist())
 

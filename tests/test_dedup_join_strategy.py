@@ -1,0 +1,235 @@
+"""Forced ``lookup_strategy="join"`` parity: the fully-distributed
+join-based attach must produce byte-identical marks to the broadcast
+path for fused exact dedup and all three near-dup stages (VERDICT r2
+item 1 — removing the last driver-memory ceiling)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while children watch from "
+    "the garden near the old mill by the river bank under a clear sky"
+)
+NEAR = BASE.replace("clear sky", "cloudy sky")
+OTHER = "completely different content about database systems and query planning engines"
+
+PAR_A = "shared boilerplate paragraph that appears in many documents on this site"
+PAR_B = "unique body paragraph with its own content and phrasing for this doc"
+
+
+def _fused_corpus():
+    rows = []
+    for i in range(30):
+        rows.append(
+            {
+                "url": f"u{i}",
+                "warc_ts": i,
+                "text": f"{PAR_A}\n{PAR_B} variant {i}",
+            }
+        )
+    # exact doc duplicates of u0 (later order -> marked)
+    rows.append({"url": "dup1", "warc_ts": 100, "text": rows[0]["text"]})
+    rows.append({"url": "dup2", "warc_ts": 101, "text": rows[0]["text"]})
+    rows.append({"url": "solo", "warc_ts": 102, "text": "totally unique doc body"})
+    return rows
+
+
+def _spans_frame(ds, cols):
+    df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    out = {"url": df["url"]}
+    for c in cols:
+        out[c] = df[c].map(
+            lambda spans: tuple(tuple(s) for s in (spans if spans is not None else []))
+        )
+    return pd.DataFrame(out)
+
+
+def test_fused_join_matches_driver(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup.combined import mark_duplicates_fused
+    from dolma_ray.dedup.exact import DUP_DOCS_ATTR
+    from dolma_ray.dedup.paragraphs import DUP_PARAGRAPHS_ATTR
+
+    rows = _fused_corpus()
+    cols = [DUP_DOCS_ATTR, DUP_PARAGRAPHS_ATTR]
+    drv = _spans_frame(
+        mark_duplicates_fused(rd.from_items(rows), lookup_strategy="driver"), cols
+    )
+    jn = _spans_frame(
+        mark_duplicates_fused(
+            rd.from_items(rows), lookup_strategy="join", num_partitions=2
+        ),
+        cols,
+    )
+    pd.testing.assert_frame_equal(drv, jn)
+    # sanity: duplicates actually exist in this corpus
+    marked = {u for u, s in zip(jn["url"], jn[DUP_DOCS_ATTR]) if s}
+    assert marked == {"dup1", "dup2"}
+    par_marked = {u for u, s in zip(jn["url"], jn[DUP_PARAGRAPHS_ATTR]) if s}
+    assert "solo" not in par_marked and len(par_marked) >= 30
+
+
+def test_fused_join_ngram_mode_matches_driver(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup.combined import mark_duplicates_fused
+    from dolma_ray.dedup.exact import DUP_DOCS_ATTR
+    from dolma_ray.dedup.paragraphs import DUP_PARAGRAPHS_ATTR
+
+    rows = _fused_corpus()
+    kwargs = dict(ngram_length=5, stride=2, overlap_threshold=0.4)
+    cols = [DUP_DOCS_ATTR, DUP_PARAGRAPHS_ATTR]
+    drv = _spans_frame(
+        mark_duplicates_fused(rd.from_items(rows), lookup_strategy="driver", **kwargs),
+        cols,
+    )
+    jn = _spans_frame(
+        mark_duplicates_fused(
+            rd.from_items(rows), lookup_strategy="join", num_partitions=2, **kwargs
+        ),
+        cols,
+    )
+    pd.testing.assert_frame_equal(drv, jn)
+
+
+def test_fused_join_no_duplicates(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup.combined import mark_duplicates_fused
+    from dolma_ray.dedup.exact import DUP_DOCS_ATTR
+    from dolma_ray.dedup.paragraphs import DUP_PARAGRAPHS_ATTR
+
+    rows = [
+        {"url": f"u{i}", "warc_ts": i, "text": f"every doc body is distinct {i}"}
+        for i in range(5)
+    ]
+    out = mark_duplicates_fused(
+        rd.from_items(rows), lookup_strategy="join"
+    ).to_pandas()
+    assert all(len(s) == 0 for s in out[DUP_DOCS_ATTR])
+    assert all(len(s) == 0 for s in out[DUP_PARAGRAPHS_ATTR])
+
+
+def test_minhash_join_matches_driver(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_minhash
+    from dolma_ray.dedup.minhash import DUP_MINHASH_ATTR
+
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": BASE},
+        {"url": "b", "warc_ts": 2, "text": NEAR},
+        {"url": "c", "warc_ts": 3, "text": OTHER},
+    ]
+    for i in range(20):
+        rows.append({"url": f"x{i}", "warc_ts": 10 + i, "text": f"{BASE} tail {i}"})
+    drv = (
+        mark_near_duplicates_minhash(rd.from_items(rows), lookup_strategy="driver")
+        .to_pandas()
+        .set_index("url")[DUP_MINHASH_ATTR]
+        .sort_index()
+    )
+    jn = (
+        mark_near_duplicates_minhash(
+            rd.from_items(rows), lookup_strategy="join", num_partitions=2
+        )
+        .to_pandas()
+        .set_index("url")[DUP_MINHASH_ATTR]
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(drv, jn)
+    assert drv["a"] == 0.0 and drv["b"] == 1.0 and drv["c"] == 0.0
+
+
+def test_simhash_join_matches_driver(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_simhash
+    from dolma_ray.dedup.simhash import DUP_SIMHASH_ATTR
+
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": BASE},
+        {"url": "b", "warc_ts": 2, "text": NEAR},
+        {"url": "c", "warc_ts": 3, "text": OTHER},
+    ]
+    drv = (
+        mark_near_duplicates_simhash(
+            rd.from_items(rows), max_hamming=8, n_bands=8, lookup_strategy="driver"
+        )
+        .to_pandas()
+        .set_index("url")[DUP_SIMHASH_ATTR]
+        .sort_index()
+    )
+    jn = (
+        mark_near_duplicates_simhash(
+            rd.from_items(rows),
+            max_hamming=8,
+            n_bands=8,
+            lookup_strategy="join",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("url")[DUP_SIMHASH_ATTR]
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(drv, jn)
+    assert jn["b"] == 1.0
+
+
+def test_embedding_join_matches_driver(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_embedding
+    from dolma_ray.dedup.embedding import DUP_EMBEDDING_ATTR
+
+    rng = np.random.default_rng(0)
+    rows = []
+    vid = 0
+    for _ in range(10):
+        v = rng.standard_normal(16)
+        near = v + rng.standard_normal(16) * 0.01
+        far = rng.standard_normal(16)
+        for vec in (v, near, far):
+            vid += 1
+            rows.append({"vec_id": vid, "embedding": vec.tolist()})
+    kwargs = dict(threshold=0.98, n_planes=4)
+    drv = (
+        mark_near_duplicates_embedding(
+            rd.from_items(rows), lookup_strategy="driver", **kwargs
+        )
+        .to_pandas()
+        .set_index("vec_id")[DUP_EMBEDDING_ATTR]
+        .sort_index()
+    )
+    jn = (
+        mark_near_duplicates_embedding(
+            rd.from_items(rows), lookup_strategy="join", num_partitions=2, **kwargs
+        )
+        .to_pandas()
+        .set_index("vec_id")[DUP_EMBEDDING_ATTR]
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(drv, jn)
+    # most planted near vectors marked (4-plane LSH may miss a pair —
+    # identically in both strategies, which is what this test pins)
+    assert jn.sum() >= 8.0
+
+
+def test_near_dup_join_no_duplicates(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_minhash
+    from dolma_ray.dedup.minhash import DUP_MINHASH_ATTR
+
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": BASE},
+        {"url": "c", "warc_ts": 3, "text": OTHER},
+    ]
+    out = (
+        mark_near_duplicates_minhash(rd.from_items(rows), lookup_strategy="join")
+        .to_pandas()
+        .set_index("url")[DUP_MINHASH_ATTR]
+    )
+    assert out["a"] == 0.0 and out["c"] == 0.0
