@@ -430,32 +430,163 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
-# model-driven queries (no SQL oracle: rows-only driver check)
+# model-driven queries with planted-label oracles.  Raw model scores on
+# arbitrary text aren't SQL-expressible, but deterministic models give
+# analytically-pinned labels on planted inputs (same trick as the
+# near-dup suite below):
+#   * langid: a rotation of the seed model's own training sentences for
+#     language L is classified L (verified exhaustively for all 8 langs
+#     x all rotations in tests);
+#   * perplexity: a window of the LM's own training corpus scores lower
+#     per-word log-perplexity than a same-length doc of globally-unseen
+#     tokens (worst seen window 0.19 vs unseen 3.79 — order, not value,
+#     is compared).
+# The planted rows ride the full distributed tagging path (actor-pool
+# map_batches over the union with the real corpus); the oracle SQL emits
+# the guaranteed labels.
 
 
 def q_langid(sf_dir: str):
+    """Language-ID with a planted-label oracle: for every real doc, one
+    planted doc (+10M id) whose text is a doc_id-rotated shuffle of the
+    seed model's training sentences for language ``langs[doc_id % 8]``;
+    output is the planted rows' predicted language."""
+    import re
+
+    from .data.seeds import LANG_SEEDS
     from .taggers.base import TagStage
     from .util import cached_stage
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        cached_stage(TagStage, taggers=["lang_id_doc_v1"]), batch_format="pyarrow"
+    langs = list(LANG_SEEDS)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_ids = list(ids)
+        out_texts = list(batch["text"].to_pylist())
+        for i in ids:
+            lang = langs[i % len(langs)]
+            sents = [
+                s
+                for s in re.split(r"(?<=[.!?。])\s+", LANG_SEEDS[lang])
+                if s.strip()
+            ]
+            rot = (i // len(langs)) % len(sents)
+            out_ids.append(i + _PLANT_COPY)
+            out_texts.append(" ".join(sents[rot:] + sents[:rot]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    tagged = (
+        ds.map_batches(plant, batch_format="pyarrow")
+        .map_batches(
+            cached_stage(TagStage, taggers=["lang_id_doc_v1"]),
+            batch_format="pyarrow",
+        )
     )
-    return ds.select_columns(
-        ["doc_id", "attr__lang_id_doc_v1__lang", "attr__lang_id_doc_v1__score"]
-    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["doc_id"], _PLANT_COPY))
+        return pa.table(
+            {"doc_id": b["doc_id"], "lang": b["attr__lang_id_doc_v1__lang"]}
+        )
+
+    return tagged.map_batches(project, batch_format="pyarrow")
+
+
+SQL_LANGID_PLANTED = """
+SELECT doc_id + 10000000 AS doc_id,
+       CASE doc_id % 8 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+            WHEN 3 THEN 'es' WHEN 4 THEN 'it' WHEN 5 THEN 'pt'
+            WHEN 6 THEN 'nl' ELSE 'zh' END AS lang
+FROM documents
+"""
 
 
 def q_perplexity(sf_dir: str):
+    """KenLM-style perplexity with a planted-ordering oracle: per real
+    doc, a 30-word window of the LM's own training corpus (seen) and a
+    24-token doc of globally-unseen tokens; output asserts the seen doc
+    scores strictly lower per-word log10 perplexity.  Pairing is a
+    distributed groupby-aggregate (no driver state)."""
+    from ray.data.aggregate import Sum
+
+    from .data.seeds import LM_SEED
     from .taggers.base import TagStage
     from .util import cached_stage
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(
-        cached_stage(TagStage, taggers=["kenlm_ppl_doc_v1"]),
-        batch_format="pyarrow",
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    words = LM_SEED.split()
+    n_words = len(words)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_orig: list[int] = []
+        out_kind: list[int] = []
+        out_texts: list[str] = []
+        for i in ids:
+            start = (i * 7) % (n_words - 30)
+            out_orig.append(i)
+            out_kind.append(1)
+            out_texts.append(" ".join(words[start : start + 30]))
+            out_orig.append(i)
+            out_kind.append(0)
+            u = i + _PLANT_DISJOINT
+            out_texts.append(" ".join(f"uniqtok{u}w{j}" for j in range(24)))
+        return pa.table(
+            {
+                "orig": pa.array(out_orig, pa.int64()),
+                "kind": pa.array(out_kind, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    tagged = (
+        ds.map_batches(plant, batch_format="pyarrow")
+        .map_batches(
+            cached_stage(TagStage, taggers=["kenlm_ppl_doc_v1"]),
+            batch_format="pyarrow",
+        )
     )
-    return ds.select_columns(["doc_id", "attr__kenlm_ppl_doc_v1__doc_ppl"])
+
+    def split_cols(batch: pa.Table) -> pa.Table:
+        ppl = batch["attr__kenlm_ppl_doc_v1__doc_ppl"].to_numpy(zero_copy_only=False)
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "orig": batch["orig"],
+                "ppl_seen": pa.array(np.where(kind == 1, ppl, 0.0)),
+                "ppl_unseen": pa.array(np.where(kind == 0, ppl, 0.0)),
+            }
+        )
+
+    pairs = (
+        tagged.map_batches(split_cols, batch_format="pyarrow")
+        .groupby("orig")
+        .aggregate(
+            Sum("ppl_seen", alias_name="_s"), Sum("ppl_unseen", alias_name="_u")
+        )
+    )
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        lower = pc.less(batch["_s"], batch["_u"])
+        return pa.table(
+            {
+                "doc_id": pc.add(batch["orig"], pa.scalar(_PLANT_COPY, pa.int64())),
+                "seen_lower": pc.cast(lower, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verdict, batch_format="pyarrow")
+
+
+SQL_PERPLEXITY_PLANTED = """
+SELECT doc_id + 10000000 AS doc_id, 1.0 AS seen_lower FROM documents
+"""
 
 
 def q_flagship_keep(sf_dir: str):
@@ -524,6 +655,8 @@ ORACLES = {
     "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ann_topk": SQL_ANN_TOPK,
+    "langid": SQL_LANGID_PLANTED,
+    "perplexity": SQL_PERPLEXITY_PLANTED,
 }
 
 

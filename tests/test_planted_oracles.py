@@ -1,0 +1,37 @@
+"""Exhaustive guarantees behind the langid / perplexity planted-label
+oracles (queries.py): every text the query can plant must carry its
+oracle label for EVERY possible doc_id, not just the ones in testdata."""
+
+import re
+
+import numpy as np
+
+
+def test_langid_all_rotations_all_langs():
+    from dolma_ray.data.seeds import LANG_SEEDS
+    from dolma_ray.models.fasttext_like import CharNgramClassifier
+
+    model = CharNgramClassifier(LANG_SEEDS)
+    for lang, seed in LANG_SEEDS.items():
+        sents = [s for s in re.split(r"(?<=[.!?。])\s+", seed) if s.strip()]
+        for rot in range(len(sents)):
+            txt = " ".join(sents[rot:] + sents[:rot])
+            norm = txt.lower().replace("\n", " ").strip()
+            labels, _ = model.predict(norm, k=1)
+            assert labels[0].replace("__label__", "") == lang, (lang, rot)
+
+
+def test_perplexity_every_seen_window_below_unseen():
+    from dolma_ray.data.seeds import LM_SEED
+    from dolma_ray.models.perplexity import StupidBackoffLM
+
+    lm = StupidBackoffLM()
+    words = LM_SEED.split()
+    unseen = lm.log10_perplexity(
+        " ".join(f"uniqtok{20_000_123}w{j}" for j in range(24))
+    )
+    worst = -np.inf
+    for start in range(len(words) - 30):
+        seen = lm.log10_perplexity(" ".join(words[start : start + 30]))
+        worst = max(worst, seen)
+    assert worst < unseen - 1.0  # wide margin, not a knife-edge
