@@ -19,5 +19,6 @@ from . import (  # noqa: F401
     repetitions,
     sampling,
     toxicity,
+    url_instances,
     url_taggers,
 )

@@ -14,32 +14,45 @@ from __future__ import annotations
 
 from ..registry import TaggerRegistry
 from .language import (
+    LangId1e2,
     LangIdDocV1,
     LangIdEnDocV2,
     LangIdEnOnlyV2,
     LangIdEnParagraphV2,
     LangIdEnParagraphWithDocScoreV2,
+    LangIdParagraphV1,
 )
 
 _ALIASES: dict[str, type] = {
     # fastText lid.176 variants
     "ft_lang_id_doc_v1": LangIdDocV1,
+    "ft_lang_id_1e2": LangId1e2,
+    "ft_lang_id_paragraph_v1": LangIdParagraphV1,
     "ft_lang_id_en_doc_v2": LangIdEnDocV2,
     "ft_lang_id_en_only_v2": LangIdEnOnlyV2,
     "ft_lang_id_en_paragraph_v2": LangIdEnParagraphV2,
     "ft_lang_id_en_paragraph_with_doc_score_v2": LangIdEnParagraphWithDocScoreV2,
     # cld2 / cld3 variants
+    "cld2_doc_v2": LangIdDocV1,
+    "cld2_paragraph_v2": LangIdParagraphV1,
     "cld2_en_doc_v2": LangIdEnDocV2,
     "cld2_en_paragraph_v2": LangIdEnParagraphV2,
     "cld2_en_paragraph_with_doc_score_v2": LangIdEnParagraphWithDocScoreV2,
     "cld3_en_doc_v2": LangIdEnDocV2,
     "cld3_en_paragraph_v2": LangIdEnParagraphV2,
     "cld3_en_paragraph_with_doc_score_v2": LangIdEnParagraphWithDocScoreV2,
-    # langdetect / lingua doc variants
+    # langdetect variants (reference names: language.py:226-248 —
+    # note the reference's ..._doc_en_v1 word order)
     "langdetect_doc_v1": LangIdDocV1,
-    "langdetect_en_doc_v1": LangIdEnDocV2,
+    "langdetect_doc_en_v1": LangIdEnDocV2,
+    "langdetect_paragraph_v1": LangIdParagraphV1,
+    "langdetect_en_paragraph_v1": LangIdEnParagraphV2,
+    # lingua variants (language.py:249-298)
     "lingua_doc_v1": LangIdDocV1,
-    "lingua_en_doc_v1": LangIdEnDocV2,
+    "lingua_doc_en_v1": LangIdEnDocV2,
+    "lingua_1e2": LangId1e2,
+    "lingua_en_only_v1": LangIdEnOnlyV2,
+    "lingua_par_v1": LangIdParagraphV1,
     "lingua_en_doc_v2": LangIdEnDocV2,
     "lingua_en_paragraph_v1": LangIdEnParagraphV2,
     "lingua_en_par_v1": LangIdEnParagraphV2,

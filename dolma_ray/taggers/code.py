@@ -200,6 +200,50 @@ def html_text_ratio(html: str) -> float:
     return ratio * (len(text) > 100)
 
 
+@TaggerRegistry.add("code_starcoder_taggers_v1")
+class CodeStarCoderTaggers(BaseTagger):
+    """Reference ``code_starcoder_taggers_v1``
+    (``taggers/code/code_taggers.py:190-227``): emits
+    ``has_xml_template_doc``, ``num_github_stars_doc``, ``nl_ratio_doc``
+    and ``code_to_text_ratio_html_doc``.  The reference computes
+    ``nl_ratio`` (comment/doc fraction) via pygments for any mapped
+    language; here the stdlib stand-in covers python/java/javascript and
+    emits the reference's exception value (-1.0) for other languages."""
+
+    needs_columns = ("ext", "max_stars_count")
+
+    def output_types(self) -> Mapping[str, str]:
+        return {
+            "has_xml_template_doc": DOC,
+            "num_github_stars_doc": DOC,
+            "nl_ratio_doc": DOC,
+            "code_to_text_ratio_html_doc": DOC,
+        }
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        has_xml = 1.0 if "<?xml version=" in text[:100] else 0.0
+        stars = float(row.get("max_stars_count") or 0)
+        lang = EXT_TO_LANG.get(str(row.get("ext") or "-no-lang"), None)
+        if lang in ("python", "java", "javascript"):
+            nl_ratio = comment_char_fraction(text, lang)
+            ratio = 1.0
+        elif lang == "html":
+            nl_ratio = -1.0
+            ratio = html_text_ratio(text)
+        elif lang is None:
+            nl_ratio = -1.0
+            ratio = -1.0
+        else:
+            nl_ratio = -1.0
+            ratio = 1.0
+        return {
+            "has_xml_template_doc": has_xml,
+            "num_github_stars_doc": stars,
+            "nl_ratio_doc": nl_ratio,
+            "code_to_text_ratio_html_doc": ratio,
+        }
+
+
 @TaggerRegistry.add("code_starcoder_taggers_v2")
 class CodeStarCoderTaggers2(BaseTagger):
     needs_columns = ("ext", "max_stars_count")

@@ -91,6 +91,51 @@ class LangIdDocV1(_BaseLangId):
         return {"lang": lang, "score": score}
 
 
+@TaggerRegistry.add("lang_id_1e2")
+class LangId1e2(LangIdDocV1):
+    """Low-resolution all-languages doc variant (reference
+    ``ft_lang_id_1e2`` / ``lingua_1e2``, ``language.py:163-167``): scores
+    rounded to 2 decimals, predictions at or below 0.01 dropped.  Same
+    stable-schema deviation as ``lang_id_doc_v1`` (argmax pair instead of
+    one column per language)."""
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        preds = [
+            (lang, round(score, 2))
+            for lang, score in self.predict_langs(text)
+            if score > 0.01
+        ]
+        if not preds:
+            return {"lang": "", "score": 0.0}
+        lang, score = preds[0]
+        return {"lang": lang, "score": score}
+
+
+@TaggerRegistry.add("lang_id_paragraph_v1")
+class LangIdParagraphV1(_BaseLangId):
+    """Per-paragraph argmax language (reference
+    ``ft_lang_id_paragraph_v1`` / ``cld2_paragraph_v2`` /
+    ``langdetect_paragraph_v1`` / ``lingua_par_v1`` emit one span per
+    (paragraph, language); stable-schema deviation: one ``lang`` span per
+    paragraph scored with the argmax probability, plus ``langs`` — the
+    ``|``-joined argmax language names in paragraph order)."""
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"lang": SPAN, "langs": STR}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        spans: list[tuple[int, int, float]] = []
+        names: list[str] = []
+        for p in split_paragraphs(text):
+            preds = self.predict_langs(p.text)
+            if not preds:
+                continue
+            lang, score = preds[0]
+            spans.append((p.start, p.end, float(score)))
+            names.append(lang)
+        return {"lang": spans, "langs": "|".join(names)}
+
+
 @TaggerRegistry.add("lang_id_en_doc_v2")
 class LangIdEnDocV2(_BaseLangId):
     """``en`` score + ``not_en`` negation, document level

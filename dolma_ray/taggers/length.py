@@ -157,6 +157,73 @@ class OlmoPreTokenizerV1(BaseTagger):
         return {"length": float(self.tokenizer.count(text))}
 
 
+@TaggerRegistry.add("dolma_v1_tokenizer")
+class DolmaV1Tokenizer(BaseTagger):
+    """Reference ``dolma_v1_tokenizer`` (``taggers/length.py:163-175``):
+    token count of ``text.strip()`` with the allenai/gpt-neox-olmo-dolma
+    tokenizer (0 for whitespace-only docs).  The HF hub is unreachable
+    offline — set ``DOLMA_RAY_TOKENIZER_JSON`` (or the per-name variant
+    ``DOLMA_RAY_TOKENIZER_JSON_DOLMA_V1``) to a local ``tokenizer.json``
+    to count with real vocab; otherwise the GPT-2-style regex
+    pre-tokenizer stands in (counts differ from BPE merges; shape and
+    strip/empty semantics match)."""
+
+    ENV_KEYS = ("DOLMA_RAY_TOKENIZER_JSON_DOLMA_V1", "DOLMA_RAY_TOKENIZER_JSON")
+
+    def __init__(self) -> None:
+        import os
+
+        path = next(
+            (os.environ[k] for k in self.ENV_KEYS if os.environ.get(k)), None
+        )
+        if path:
+            from ..models.hf_tokenizer import HFTokenizer
+
+            tok = HFTokenizer(path)
+            self._count = lambda t: len(tok.encode(t))
+        else:
+            from ..models.tokenizer import RegexTokenizer
+
+            tok = RegexTokenizer()
+            self._count = tok.count
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"length": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        stripped = text.strip()
+        return {"length": float(self._count(stripped)) if stripped else 0.0}
+
+
+@TaggerRegistry.add("dolma_v2_tokenizer")
+class DolmaV2Tokenizer(DolmaV1Tokenizer):
+    """Reference ``dolma_v2_tokenizer`` (allenai/dolma2-tokenizer)."""
+
+    ENV_KEYS = ("DOLMA_RAY_TOKENIZER_JSON_DOLMA_V2", "DOLMA_RAY_TOKENIZER_JSON")
+
+
+@TaggerRegistry.add("tokenizers_EleutherAI_GPT_NeoX_20B")
+class GPTNeoX20BTokenizer(DolmaV1Tokenizer):
+    """Reference ``taggers/tokenizers.py:30-32``: token count of the raw
+    text (no strip guard), attribute type ``tokens``."""
+
+    ENV_KEYS = ("DOLMA_RAY_TOKENIZER_JSON_GPT_NEOX", "DOLMA_RAY_TOKENIZER_JSON")
+
+    def output_types(self) -> Mapping[str, str]:
+        return {"tokens": DOC}
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        return {"tokens": float(self._count(text))}
+
+
+@TaggerRegistry.add("tokenizers_AI2_OLMo_v1")
+class OLMoV1Tokenizer(GPTNeoX20BTokenizer):
+    """Reference ``taggers/tokenizers.py:34-36``
+    (allenai/eleuther-ai-gpt-neox-20b-pii-special)."""
+
+    ENV_KEYS = ("DOLMA_RAY_TOKENIZER_JSON_OLMO", "DOLMA_RAY_TOKENIZER_JSON")
+
+
 @TaggerRegistry.add("olmo_pretokenizer_with_paragraphs_v1")
 class OlmoPreTokenizerParagraphsV1(OlmoPreTokenizerV1):
     def output_types(self) -> Mapping[str, str]:

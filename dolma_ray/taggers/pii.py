@@ -103,6 +103,19 @@ class PiiRegexV1(_RegexPii):
     pass
 
 
+@TaggerRegistry.add("pii_presidio_v1")
+class PiiPresidioV1(_RegexPii):
+    """Reference ``pii_presidio_v1`` (``taggers/pii.py:162-165``) runs the
+    presidio NER analyzer with the same postprocess rules.  presidio (and
+    its spacy model download) is unavailable offline, so this registers
+    the name over the regex engine — identical attribute shape
+    (EMAIL_ADDRESS/PHONE_NUMBER/IP_ADDRESS spans + doc score), detection
+    backend documented deviation.  Configs referencing the name resolve
+    and run; swap in presidio by re-registering over this name."""
+
+    pass
+
+
 @TaggerRegistry.add("pii_regex_v2")
 class PiiRegexV2(_RegexPii):
     empty_score = -1.0

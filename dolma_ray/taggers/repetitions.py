@@ -206,6 +206,29 @@ class TokenizerRepetitionsTagger(BaseTagger):
         return out
 
 
+@TaggerRegistry.add("paragraph_tokenizer_repetitions_v1")
+class ParagraphTokenizerRepetitionsTagger(TokenizerRepetitionsTagger):
+    """Per-paragraph token repetitions (reference
+    ``repetitions_taggers.py:129-145``): each paragraph is tokenized with
+    a leading space (so its first symbol doesn't merge into a different
+    token) and span offsets are shifted back by ``offset - 1``; cheaper
+    than the doc-level tagger but misses cross-paragraph repetitions."""
+
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        from ..text_units import split_paragraphs
+
+        spans: list[tuple[int, int, float]] = []
+        offset = 0
+        for p in split_paragraphs(text, remove_empty=False):
+            for s, e, sc in self._extract(" " + p.text):
+                spans.append((s + offset - 1, e + offset - 1, sc))
+            offset += len(p.text)
+        out: dict[str, Any] = {"repetition": spans}
+        if self.keep_stats_when_empty or spans:
+            out.update(_doc_stats(spans, len(text)))
+        return out
+
+
 @TaggerRegistry.add("tokenizer_repetitions_v2r2")
 class TokenizerRepetitionsSkipEmptyTagger(TokenizerRepetitionsTagger):
     keep_stats_when_empty = False

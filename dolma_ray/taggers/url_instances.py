@@ -1,0 +1,163 @@
+"""Named blocklist / allowlist / ABP tagger instances.
+
+The reference registers ~27 curated-list taggers
+(``python/dolma/taggers/url.py:150-420``): domain blocklists (firebog,
+hosts, blocklist-project, UTP, phishing), a link blocklist, wikidata
+allowlists, and AdblockPlus engines (oisd, brave) — each downloading its
+list from dolma-artifacts.org at init.  This module registers every name
+over the existing engines (``url_taggers.py`` broadcast semi-join,
+``adblock.py`` ABP engine) with an offline resolution order:
+
+1. ``DOLMA_RAY_BLOCKLIST_<NAME>`` (name upper-cased) — path to the real
+   list file for that instance;
+2. ``DOLMA_RAY_BLOCKLIST_DIR`` — directory containing ``<name>.txt``;
+3. a tiny bundled synthetic list (``<name>.blocked.example``) so the
+   tagger constructs and runs offline — clearly NOT the production list.
+
+Attribute shape matches the reference: whole-doc attribute ``url``,
+score 1.0 on a hit (0.0 emitted for non-hits — schema-stability
+deviation shared with ``domain_blocklist_v1``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+from ..registry import TaggerRegistry
+from .adblock import AdblockUrlTagger, _read_lines
+from .url_taggers import _BaseBlocklistTagger, url_host
+
+
+def _resolve_list(name: str) -> str | None:
+    p = os.environ.get(f"DOLMA_RAY_BLOCKLIST_{name.upper()}")
+    if p:
+        return p
+    d = os.environ.get("DOLMA_RAY_BLOCKLIST_DIR")
+    if d:
+        cand = os.path.join(d, f"{name}.txt")
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+def _synthetic_entries(name: str) -> list[str]:
+    # deterministic, obviously-fake fallback so the tagger constructs
+    return [f"{name.replace('_', '-')}.blocked.example"]
+
+
+class _NamedDomainBlocklist(_BaseBlocklistTagger):
+    domains_only = True
+
+    def __init__(self) -> None:
+        src: str | Iterable[str] | None = _resolve_list(self.name)
+        if src is None:
+            src = _synthetic_entries(self.name)
+        super().__init__(blocklist=src)
+
+
+class _NamedLinkBlocklist(_NamedDomainBlocklist):
+    domains_only = False
+
+
+class _WikidataAllowlist(_NamedDomainBlocklist):
+    """Reference ``allowlist_wikidata_v1`` (``url.py:384-420``): entries
+    come from wikidata JSON dumps and matching ALSO tries the base domain
+    (last two labels when the host has more than two dots)."""
+
+    @staticmethod
+    def _base_domain(host: str) -> str:
+        if host.count(".") > 2:
+            _, *rest = host.rsplit(".", 2)
+            return ".".join(rest)
+        return host
+
+    def __init__(self) -> None:
+        src = _resolve_list(self.name)
+        if src is not None and src.endswith(".json"):
+            hosts: list[str] = []
+            for ln in _read_lines(src):
+                ln = ln.strip()
+                if not ln:
+                    continue
+                try:
+                    data = json.loads(ln)
+                except json.JSONDecodeError:
+                    continue
+                rows = data if isinstance(data, list) else [data]
+                for row in rows:
+                    h = url_host(str(row.get("url") or ""))
+                    if h:
+                        hosts.append(h)
+            _BaseBlocklistTagger.__init__(self, blocklist=hosts)
+        else:
+            super().__init__()
+        # augment with base domains so either form matches
+        extra = {self._base_domain(h) for h in self.blocklist}
+        self.blocklist = frozenset(self.blocklist | extra)
+
+    def _keys(self, url: str) -> Iterable[str]:
+        host = url_host(url)
+        if not host:
+            return ()
+        base = self._base_domain(host)
+        return (host, f"www.{host}", base, f"www.{base}")
+
+
+class _NamedAdblock(AdblockUrlTagger):
+    def __init__(self) -> None:
+        src = _resolve_list(self.name)
+        if src is not None:
+            super().__init__(paths=[src])
+        else:
+            super().__init__(
+                rules=[f"||{self.name.replace('_', '-')}.blocked.example^"]
+            )
+
+
+_DOMAIN_NAMES = [
+    # reference url.py:150-152 / 213-338 / 356-381
+    "domain_blocklist_utp_v1",
+    "domain_blocklist_phishing_v1",
+    "blocklist_project_nsfw_v1",
+    "blocklist_project_social_v1",
+    "blocklist_project_crime_v1",
+    "blocklist_project_vice_v1",
+    "blocklist_project_ads_v1",
+    "blocklist_firebog_ads_v1",
+    "blocklist_firebog_crypto_v1",
+    "blocklist_firebog_malicious_v1",
+    "blocklist_firebog_nsfw_v1",
+    "blocklist_firebog_social_v1",
+    "blocklist_firebog_suspicious_v1",
+    "blocklist_firebog_trackers_v1",
+    "blocklist_hosts_adware_malware_v1",
+    "blocklist_hosts_fakenews_v1",
+    "blocklist_hosts_gambling_v1",
+    "blocklist_hosts_porn_v1",
+    "blocklist_hosts_social_v1",
+]
+_LINK_NAMES = ["link_blocklist_phishing_v1"]  # url.py:155-163
+_ALLOWLIST_NAMES = ["allowlist_wikidata_v1", "allowlist_wikidata_cleaned_v1"]
+_ABP_NAMES = [
+    # url.py:186-211
+    "oisd_small_abp_v1",
+    "oisd_big_abp_v1",
+    "oisd_nsfw_abp_v1",
+    "brave_core_abp_v1",
+    "brave_nsfw_abp_v1",
+]
+
+for _n in _DOMAIN_NAMES:
+    if not TaggerRegistry.has(_n):
+        TaggerRegistry.add(_n)(type(_n, (_NamedDomainBlocklist,), {}))
+for _n in _LINK_NAMES:
+    if not TaggerRegistry.has(_n):
+        TaggerRegistry.add(_n)(type(_n, (_NamedLinkBlocklist,), {}))
+for _n in _ALLOWLIST_NAMES:
+    if not TaggerRegistry.has(_n):
+        TaggerRegistry.add(_n)(type(_n, (_WikidataAllowlist,), {}))
+for _n in _ABP_NAMES:
+    if not TaggerRegistry.has(_n):
+        TaggerRegistry.add(_n)(type(_n, (_NamedAdblock,), {}))
