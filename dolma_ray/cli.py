@@ -64,10 +64,26 @@ def cmd_tag(args: argparse.Namespace) -> int:
 
 
 def cmd_dedupe(args: argparse.Namespace) -> int:
-    from .dedup import mark_duplicate_docs, mark_duplicate_paragraphs
+    from .dedup import (
+        build_bloom_filter,
+        mark_against_bloom,
+        mark_duplicate_docs,
+        mark_duplicate_paragraphs,
+    )
 
     ds = _read(args.input)
     order = tuple(args.order_by.split(","))
+    if args.bloom_build:
+        bf = build_bloom_filter(ds, key_column=args.key, fp_rate=args.fp_rate)
+        bf.write_to_file(args.bloom_build)
+        print(f"bloom filter ({bf.m} bits, k={bf.k}) -> {args.bloom_build}")
+        return 0
+    if args.bloom_filter:
+        # decontamination: mark against a pre-built filter, never insert
+        ds = mark_against_bloom(ds, args.bloom_filter, key_column=args.key)
+        ds.write_parquet(args.output)
+        print(f"decontamination-marked -> {args.output}")
+        return 0
     if args.paragraphs or args.ngram:
         ds = mark_duplicate_paragraphs(
             ds,
@@ -270,6 +286,21 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--threshold", type=float, default=1.0)
     d.add_argument("--min-length", type=int, default=0)
     d.add_argument("--min-words", type=int, default=0)
+    d.add_argument(
+        "--bloom-build",
+        default=None,
+        metavar="PATH",
+        help="build a Bloom filter from the input's keys and write it to "
+        "PATH (reference bloom_filter.rs file layout); no marking output",
+    )
+    d.add_argument(
+        "--bloom-filter",
+        default=None,
+        metavar="PATH",
+        help="read-only decontamination: mark docs whose key is in the "
+        "pre-built filter at PATH (never inserts)",
+    )
+    d.add_argument("--fp-rate", type=float, default=1e-6)
     d.set_defaults(fn=cmd_dedupe)
 
     m = sub.add_parser("mix", help="keep/drop filter + span scrub")

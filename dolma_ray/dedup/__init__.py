@@ -19,7 +19,14 @@ Modules:
 * ``embedding`` — embedding-cosine near-dup via hyperplane LSH (beyond)
 """
 
-from .bloom import BloomFilter, make_bloom_shard_actors, mark_duplicate_docs_bloom  # noqa: F401
+from .bloom import (  # noqa: F401
+    BloomFilter,
+    build_bloom_filter,
+    make_bloom_shard_actors,
+    mark_against_bloom,
+    mark_duplicate_docs_bloom,
+    merge_bloom_shards,
+)
 from .embedding import mark_near_duplicates_embedding  # noqa: F401
 from .exact import mark_duplicate_docs  # noqa: F401
 from .minhash import mark_near_duplicates_minhash  # noqa: F401

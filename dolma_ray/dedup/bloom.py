@@ -1,25 +1,45 @@
 """Bloom filter + sharded dedup actor pool — the streaming one-pass
-alternative to the groupby dedup.
+alternative to the groupby dedup — with the reference's file format and
+read-only decontamination mode.
 
 The reference's single global state is a thread-shared Bloom filter
 (``src/bloom_filter.rs``: ``Vec<AtomicU32>``, k seeded hashers, sized
 from (expected items, fp rate) by the standard formulas m = -n·ln p/ln2²,
-k = m/n·ln2).  A multi-node Ray equivalent cannot share memory, so the
-keyspace is sharded: ``hash(key) % num_shards`` routes each key to one
+k = m/n·ln2), persisted to disk (magic ``0x81F0F117``, version 1,
+``bloom_filter.rs:100-179``) and optionally loaded ``read_only`` for
+decontamination passes (``src/deduper.rs:39-49``: mark documents seen in
+e.g. an eval corpus WITHOUT inserting new keys).
+
+A multi-node Ray equivalent cannot share memory, so the insert path
+shards the keyspace: ``hash(key) % num_shards`` routes each key to one
 ``@ray.remote`` BloomShard actor; a ``map_batches`` stage batches keys
-per shard and queries/inserts in one RPC per (batch, shard).
+per shard and queries/inserts in one RPC per (batch, shard).  All shards
+share identical (m, k, seeds), so the final filter is the bitwise OR of
+the shard bitmaps (Bloom union) — persistable as one reference-layout
+file.  The read-only path needs no actors at all: the filter is
+broadcast once (``ray.put``) and membership is a vectorized pure read
+per batch.
+
+File-format note: the container layout (header, seeds, u32 bit words)
+matches ``bloom_filter.rs`` byte-for-byte, so files round-trip between
+runs and tools of THIS repo; the reference hashes with Rust's seeded
+ahash, which has no Python implementation here, so a filter built by the
+reference binary loads structurally but its membership bits target a
+different hash family — rebuild filters with this repo before use.
 
 Trade-offs vs the groupby dedup (``exact.py``): one pass and bounded
 memory (like the reference, with the same FP behaviour — a false
 positive drops a unique doc at rate ~p), but "first" is *arrival* order,
 which under parallel execution is nondeterministic — the groupby path is
 the deterministic one.  Use this when streaming through data too large
-to shuffle, or to reproduce reference behaviour.
+to shuffle, for cross-run incremental dedup, or for decontamination.
 """
 
 from __future__ import annotations
 
 import math
+import os
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -29,39 +49,86 @@ from .hashing import hash_strings
 
 DUP_BLOOM_ATTR = attr_name("dedupe_bloom", "duplicate")
 
+_MAGIC = 0x81F0F117
+_VERSION = 1
+
 
 def bloom_sizing(expected_items: int, fp_rate: float) -> tuple[int, int]:
     """(m_bits, k_hashers) from the standard formulas
-    (reference ``src/bloom_filter.rs:27-60``)."""
+    (reference ``src/bloom_filter.rs:27-60``); m rounded up to a whole
+    number of u32 words to match the file layout."""
     m = max(64, int(-expected_items * math.log(fp_rate) / (math.log(2) ** 2)))
+    m = (m + 31) // 32 * 32
     k = max(1, round(m / max(expected_items, 1) * math.log(2)))
     return m, k
 
 
 class BloomFilter:
-    """Vectorized in-memory Bloom filter over uint64 keys.
+    """Vectorized Bloom filter over uint64 keys with seeded hashers and
+    reference-layout file persistence.
 
-    The k indexes are derived from the 64-bit key by double hashing
-    (h1 + i*h2, Kirsch & Mitzenmacher 2006) — no per-key Python loops.
+    Each of the k hashers is parameterized by 4 stored u64 seeds (the
+    reference's ``RandomState::with_seeds`` shape); the index derivation
+    is a multiply–xorshift mixer over those seeds, fully vectorized —
+    no per-key Python in the pure-read path.
     """
 
-    def __init__(self, expected_items: int, fp_rate: float) -> None:
+    def __init__(
+        self,
+        expected_items: int | None = None,
+        fp_rate: float | None = None,
+        *,
+        seed: int | None = None,
+        read_only: bool = False,
+        _state: tuple[np.ndarray, np.ndarray] | None = None,
+    ) -> None:
+        self.read_only = read_only
+        if _state is not None:
+            self.seeds, self.bits = _state
+            self.k = len(self.seeds)
+            self.m = len(self.bits) * 32
+            return
+        assert expected_items is not None and fp_rate is not None
         self.m, self.k = bloom_sizing(expected_items, fp_rate)
-        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        rng = np.random.default_rng(seed)
+        self.seeds = rng.integers(
+            0, 1 << 63, size=(self.k, 4), dtype=np.uint64
+        )  # 4 u64 per hasher, reference seed shape
+        self.bits = np.zeros(self.m // 32, dtype=np.uint32)
 
+    # -- hashing ---------------------------------------------------------
     def _indexes(self, keys: np.ndarray) -> np.ndarray:
-        h1 = keys
-        h2 = (keys >> np.uint64(33)) | np.uint64(1)  # odd -> full period
-        i = np.arange(self.k, dtype=np.uint64)[None, :]
-        return ((h1[:, None] + i * h2[:, None]) % np.uint64(self.m)).astype(np.uint64)
+        """(n, k) bit indexes.  Per hasher i with seeds (s0, s1, s2, s3):
+        h = mix((key ^ s3) * (s0|1) + s1) * (s2|1); idx = h mod m."""
+        with np.errstate(over="ignore"):
+            s = self.seeds
+            h = (keys[:, None] ^ s[None, :, 3]) * (s[None, :, 0] | np.uint64(1))
+            h = h + s[None, :, 1]
+            h ^= h >> np.uint64(33)
+            h = h * (s[None, :, 2] | np.uint64(1))
+            h ^= h >> np.uint64(29)
+        return (h % np.uint64(self.m)).astype(np.uint64)
+
+    # -- queries ---------------------------------------------------------
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Pure-read membership (no insertion, parallel-safe): True where
+        every hasher bit is set.  Fully vectorized."""
+        idx = self._indexes(keys)
+        words = (idx >> np.uint64(5)).astype(np.int64)
+        masks = (np.uint64(1) << (idx & np.uint64(31))).astype(np.uint32)
+        return ((self.bits[words] & masks) != 0).all(axis=1)
 
     def contains_then_insert(self, keys: np.ndarray) -> np.ndarray:
         """For each key (in order): True if already present, else insert.
-        Sequential in key order (duplicate keys within the call count)."""
+        Sequential in key order (duplicate keys within the call count).
+        Refused on read-only filters (reference ``deduper.rs`` read_only
+        semantics: decontamination must never mutate the filter)."""
+        if self.read_only:
+            raise RuntimeError("read-only Bloom filter: use contains()")
         out = np.zeros(len(keys), dtype=bool)
         idx = self._indexes(keys)
-        words = idx >> np.uint64(6)
-        masks = np.uint64(1) << (idx & np.uint64(63))
+        words = (idx >> np.uint64(5)).astype(np.int64)
+        masks = (np.uint64(1) << (idx & np.uint64(31))).astype(np.uint32)
         for j in range(len(keys)):
             w, mk = words[j], masks[j]
             present = bool(np.all(self.bits[w] & mk != 0))
@@ -70,21 +137,73 @@ class BloomFilter:
                 np.bitwise_or.at(self.bits, w, mk)
         return out
 
+    # -- persistence (reference layout, bloom_filter.rs:100-179) ---------
+    def write_to_file(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(struct.pack("<III", _MAGIC, _VERSION, self.k))
+            f.write(self.seeds.astype("<u8").tobytes())
+            f.write(struct.pack("<Q", len(self.bits)))
+            f.write(self.bits.astype("<u4").tobytes())
 
-def make_bloom_shard_actors(num_shards: int, expected_items: int, fp_rate: float):
-    """Spawn the shard actors (call once per job)."""
+    @classmethod
+    def from_file(cls, path: str, read_only: bool = False) -> "BloomFilter":
+        with open(path, "rb") as f:
+            magic, version, k = struct.unpack("<III", f.read(12))
+            if magic != _MAGIC:
+                raise ValueError(f"invalid magic {magic:#x} in {path}")
+            if version != _VERSION:
+                raise ValueError(f"unsupported version {version} in {path}")
+            seeds = np.frombuffer(f.read(32 * k), dtype="<u8").reshape(k, 4)
+            (n_words,) = struct.unpack("<Q", f.read(8))
+            bits = np.frombuffer(f.read(4 * n_words), dtype="<u4")
+        return cls(
+            read_only=read_only,
+            _state=(seeds.astype(np.uint64), bits.astype(np.uint32)),
+        )
+
+    def union_(self, other: "BloomFilter") -> None:
+        """In-place Bloom union; requires identical (m, k, seeds)."""
+        if self.m != other.m or not np.array_equal(self.seeds, other.seeds):
+            raise ValueError("Bloom union requires identical size and seeds")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+
+
+def make_bloom_shard_actors(
+    num_shards: int, expected_items: int, fp_rate: float, seed: int = 0
+):
+    """Spawn the shard actors (call once per job).  Every shard gets the
+    FULL (m, k, seeds) so the final filter is the OR of the shard bitmaps
+    (build-time memory is num_shards x m bits; the merged filter has the
+    designed fp_rate at expected_items total insertions)."""
     import ray
 
     @ray.remote(num_cpus=0.25)
     class BloomShard:
-        def __init__(self, expected: int, fp: float) -> None:
-            self.bloom = BloomFilter(expected, fp)
+        def __init__(self, expected: int, fp: float, seed_: int) -> None:
+            self.bloom = BloomFilter(expected, fp, seed=seed_)
 
         def check_insert(self, keys: np.ndarray) -> np.ndarray:
             return self.bloom.contains_then_insert(keys)
 
-    per_shard = max(1, expected_items // num_shards)
-    return [BloomShard.remote(per_shard, fp_rate) for _ in range(num_shards)]
+        def state(self) -> tuple[np.ndarray, np.ndarray]:
+            return self.bloom.seeds, self.bloom.bits
+
+    return [
+        BloomShard.remote(expected_items, fp_rate, seed) for _ in range(num_shards)
+    ]
+
+
+def merge_bloom_shards(shard_actors) -> BloomFilter:
+    """OR the shard bitmaps into one persistable filter."""
+    import ray
+
+    states = ray.get([a.state.remote() for a in shard_actors])
+    seeds, bits = states[0]
+    merged = BloomFilter(_state=(seeds.copy(), bits.copy()))
+    for s, b in states[1:]:
+        merged.union_(BloomFilter(_state=(s, b)))
+    return merged
 
 
 def mark_duplicate_docs_bloom(
@@ -112,6 +231,74 @@ def mark_duplicate_docs_bloom(
                 futures[s] = (sel, actors_ref[s].check_insert.remote(keys[sel]))
         for s, (sel, fut) in futures.items():
             dup[sel] = ray.get(fut)
+        texts = batch[text_column].to_pylist()
+        spans = [
+            [(0, len(t or ""), 1.0)] if d else [] for d, t in zip(dup, texts)
+        ]
+        if DUP_BLOOM_ATTR in batch.column_names:
+            batch = batch.drop_columns([DUP_BLOOM_ATTR])
+        return batch.append_column(DUP_BLOOM_ATTR, spans_array(spans))
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def build_bloom_filter(
+    ds,
+    key_column: str = "text",
+    expected_items: int | None = None,
+    fp_rate: float = 1e-6,
+    num_shards: int = 4,
+    seed: int = 0,
+) -> BloomFilter:
+    """Build a persistable filter from a corpus (the decontamination
+    workflow's first step: insert every key of e.g. an eval corpus).
+    Runs the sharded-actor insert pass, then merges the shard bitmaps."""
+    import ray
+
+    if expected_items is None:
+        expected_items = ds.count()
+    actors = make_bloom_shard_actors(num_shards, expected_items, fp_rate, seed=seed)
+
+    def insert(batch: pa.Table) -> pa.Table:
+        keys = hash_strings(batch[key_column])
+        shard_of = (keys % np.uint64(len(actors))).astype(np.int64)
+        futs = []
+        for s in range(len(actors)):
+            sel = np.nonzero(shard_of == s)[0]
+            if len(sel):
+                futs.append(actors[s].check_insert.remote(keys[sel]))
+        ray.get(futs)
+        return pa.table({"n": pa.array([len(batch)], pa.int64())})
+
+    # consume the stream (count() triggers execution of the insert pass)
+    ds.map_batches(insert, batch_format="pyarrow").count()
+    merged = merge_bloom_shards(actors)
+    for a in actors:
+        ray.kill(a)
+    return merged
+
+
+def mark_against_bloom(
+    ds,
+    bloom: "BloomFilter | str",
+    key_column: str = "text",
+    text_column: str = "text",
+):
+    """Read-only decontamination marking (reference ``deduper.rs:39-49``
+    read_only config): docs whose key is in the pre-built filter get the
+    ``attr__dedupe_bloom__duplicate`` span; the filter is NEVER mutated.
+    The filter is broadcast once via ``ray.put`` and each batch does one
+    vectorized pure-read membership test — no actors, no shuffle."""
+    import ray
+
+    if isinstance(bloom, str):
+        bloom = BloomFilter.from_file(bloom, read_only=True)
+    bloom_ref = ray.put(bloom)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        bf: BloomFilter = ray.get(bloom_ref)
+        keys = hash_strings(batch[key_column])
+        dup = bf.contains(keys)
         texts = batch[text_column].to_pylist()
         spans = [
             [(0, len(t or ""), 1.0)] if d else [] for d, t in zip(dup, texts)

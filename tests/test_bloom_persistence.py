@@ -1,0 +1,102 @@
+"""Bloom filter file persistence (reference ``src/bloom_filter.rs``
+layout: magic 0x81F0F117, version 1, seeded hashers, u32 bit words) and
+the read-only decontamination workflow (``src/deduper.rs:39-49``)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from dolma_ray.dedup.bloom import BloomFilter, bloom_sizing
+
+
+def _keys(n, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 1 << 63, size=n, dtype=np.uint64)
+
+
+def test_file_round_trip(tmp_path):
+    bf = BloomFilter(10_000, 1e-4, seed=42)
+    keys = _keys(1000)
+    assert not bf.contains_then_insert(keys).any()
+    path = str(tmp_path / "filters" / "f.bin")
+    bf.write_to_file(path)
+    loaded = BloomFilter.from_file(path)
+    assert loaded.m == bf.m and loaded.k == bf.k
+    assert np.array_equal(loaded.bits, bf.bits)
+    assert np.array_equal(loaded.seeds, bf.seeds)
+    assert loaded.contains(keys).all()
+    assert not loaded.contains(_keys(1000, seed=8)).any()
+
+
+def test_file_header_golden(tmp_path):
+    """Pin the on-disk layout: little-endian magic/version/k header,
+    k x 4 u64 seeds, u64 word count, u32 words."""
+    bf = BloomFilter(100, 0.01, seed=0)
+    path = str(tmp_path / "g.bin")
+    bf.write_to_file(path)
+    raw = open(path, "rb").read()
+    magic, version, k = struct.unpack_from("<III", raw, 0)
+    assert magic == 0x81F0F117 and version == 1 and k == bf.k
+    (n_words,) = struct.unpack_from("<Q", raw, 12 + 32 * k)
+    assert n_words == bf.m // 32
+    assert len(raw) == 12 + 32 * k + 8 + 4 * n_words
+
+
+def test_bad_magic_rejected(tmp_path):
+    p = tmp_path / "bad.bin"
+    p.write_bytes(struct.pack("<III", 0xDEADBEEF, 1, 1) + b"\0" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        BloomFilter.from_file(str(p))
+
+
+def test_read_only_refuses_insert(tmp_path):
+    bf = BloomFilter(100, 0.01, seed=1)
+    bf.contains_then_insert(_keys(10))
+    path = str(tmp_path / "ro.bin")
+    bf.write_to_file(path)
+    ro = BloomFilter.from_file(path, read_only=True)
+    with pytest.raises(RuntimeError, match="read-only"):
+        ro.contains_then_insert(_keys(5))
+    before = ro.bits.copy()
+    ro.contains(_keys(1000, seed=9))
+    assert np.array_equal(ro.bits, before)  # pure read
+
+
+def test_contains_matches_insert_path():
+    bf = BloomFilter(5000, 1e-4, seed=3)
+    keys = _keys(2000)
+    bf.contains_then_insert(keys)
+    assert bf.contains(keys).all()
+    fresh = _keys(2000, seed=4)
+    # fp rate ~1e-4 -> expect ~0 false positives out of 2000
+    assert bf.contains(fresh).sum() <= 2
+
+
+def test_sizing_word_aligned():
+    m, k = bloom_sizing(12345, 1e-5)
+    assert m % 32 == 0 and k >= 1
+
+
+def test_shard_merge_and_decontamination(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dolma_ray.dedup import build_bloom_filter, mark_against_bloom
+    from dolma_ray.dedup.bloom import DUP_BLOOM_ATTR
+
+    eval_rows = [{"text": f"eval doc number {i}"} for i in range(50)]
+    bf = build_bloom_filter(
+        rd.from_items(eval_rows), key_column="text", num_shards=3, fp_rate=1e-5
+    )
+    path = str(tmp_path / "decontam.bin")
+    bf.write_to_file(path)
+
+    train_rows = [{"text": f"train doc number {i}"} for i in range(40)]
+    contaminated = [{"text": f"eval doc number {i}"} for i in range(0, 50, 5)]
+    marked = mark_against_bloom(
+        rd.from_items(train_rows + contaminated), path, key_column="text"
+    ).to_pandas()
+    flagged = {
+        r["text"] for _, r in marked.iterrows() if len(r[DUP_BLOOM_ATTR]) > 0
+    }
+    assert flagged == {f"eval doc number {i}" for i in range(0, 50, 5)}
