@@ -65,6 +65,78 @@ def minhash_signature(
     return vals.min(axis=0)
 
 
+_WMIX = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def batch_signatures(
+    texts: list[str], a: np.ndarray, b: np.ndarray, shingle_size: int
+) -> tuple[np.ndarray, list[int]]:
+    """(n_kept, num_perm) MinHash signatures for a whole batch, plus the
+    kept doc indexes (docs with zero words are dropped).  Fully
+    vectorized: one polars hash call for every word in the batch, one
+    xorshift chain for the shingle windows, and per-doc mins via
+    ``np.minimum.reduceat`` — no per-shingle Python.
+
+    Hash values differ from the per-doc :func:`shingle_hashes` path
+    (polars wyhash vs blake2b) — irrelevant to LSH semantics: equal token
+    sequences still produce equal shingle hashes (verified deterministic
+    across processes), which is the only property marking relies on."""
+    import polars as pl
+
+    words_per_doc = [(t or "").lower().split() for t in texts]
+    counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    kept = [i for i, c in enumerate(counts) if c > 0]
+    if not kept:
+        return np.empty((0, len(a)), dtype=np.uint64), []
+    flat = [w for ws in words_per_doc for w in ws]
+    wh = pl.Series(flat).hash(seed=0).to_numpy().astype(np.uint64)
+    n = len(wh)
+    s = shingle_size
+    starts = np.concatenate(([0], np.cumsum(counts)))  # doc word offsets
+
+    # global window hashes W[j] = chain over wh[j : j+s] (only windows
+    # fully inside a doc are selected below)
+    with np.errstate(over="ignore"):
+        if n >= s:
+            w_win = np.zeros(n - s + 1, dtype=np.uint64)
+            for r in range(s):
+                w_win = (w_win ^ wh[r : n - s + 1 + r]) * _WMIX
+                w_win ^= w_win >> np.uint64(33)
+        else:
+            w_win = np.zeros(0, dtype=np.uint64)
+
+    gram_chunks: list[np.ndarray] = []
+    gram_counts: list[int] = []
+    for i in kept:
+        c = int(counts[i])
+        st = int(starts[i])
+        if c >= s:
+            gram_chunks.append(w_win[st : st + c - s + 1])
+            gram_counts.append(c - s + 1)
+        else:
+            # short doc: one shingle over all its words (chain of c words)
+            with np.errstate(over="ignore"):
+                h = np.uint64(0)
+                for r in range(c):
+                    h = (h ^ wh[st + r]) * _WMIX
+                    h ^= h >> np.uint64(33)
+            gram_chunks.append(np.array([h], dtype=np.uint64))
+            gram_counts.append(1)
+    grams = np.concatenate(gram_chunks)
+    offsets = np.concatenate(([0], np.cumsum(gram_counts)[:-1]))
+
+    num_perm = len(a)
+    sigs = np.empty((len(kept), num_perm), dtype=np.uint64)
+    # chunk the (grams x perms) matrix to bound transient memory
+    chunk = max(1, min(num_perm, (1 << 24) // max(len(grams), 1)))
+    with np.errstate(over="ignore"):
+        for p0 in range(0, num_perm, chunk):
+            p1 = min(p0 + chunk, num_perm)
+            vals = (grams[:, None] * a[None, p0:p1] + b[None, p0:p1]) % _MERSENNE
+            sigs[:, p0:p1] = np.minimum.reduceat(vals, offsets, axis=0)
+    return sigs, kept
+
+
 def shingle_hashes(text: str, shingle_size: int) -> np.ndarray:
     words = text.lower().split()
     if len(words) < shingle_size:
@@ -131,15 +203,8 @@ class ExplodeBands:
         keys = batch[self.key_column].to_pylist()
         texts = batch[self.text_column].to_pylist()
         order_keys = _order_strings(batch, self.order_columns)
-        sigs: list[np.ndarray] = []
-        kept: list[int] = []
-        for j, text in enumerate(texts):
-            sh = shingle_hashes(text or "", self.shingle_size)
-            if len(sh) == 0:
-                continue
-            sigs.append(minhash_signature(sh, self.a, self.b))
-            kept.append(j)
-        if not sigs:
+        sigs, kept = batch_signatures(texts, self.a, self.b, self.shingle_size)
+        if not kept:
             return pa.table(
                 {
                     "k": pa.array([], pa.int64()),
@@ -148,7 +213,7 @@ class ExplodeBands:
                 }
             )
         buckets = _band_digests(
-            np.stack(sigs).reshape(len(sigs), self.num_bands, self.rows_per_band)
+            sigs.reshape(len(kept), self.num_bands, self.rows_per_band)
         )
         nb = self.num_bands
         return pa.table(

@@ -1,0 +1,59 @@
+"""Batched MinHash signature path: boundary invariance, similarity
+properties, and digest vectorization semantics."""
+
+import numpy as np
+
+from dolma_ray.dedup.minhash import (
+    _band_digests,
+    _permutation_params,
+    batch_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while children watch from "
+    "the garden near the old mill by the river bank under a clear sky"
+)
+NEAR = BASE.replace("clear sky", "cloudy sky")
+OTHER = "completely different content about database systems and query planning engines"
+
+
+def test_batch_signatures_similarity():
+    a, b = _permutation_params(64, 42)
+    S, kept = batch_signatures([BASE, NEAR, OTHER], a, b, 3)
+    assert kept == [0, 1, 2]
+    assert (S[0] == S[1]).mean() > 0.6
+    assert (S[0] == S[2]).mean() < 0.2
+
+
+def test_batch_boundary_invariance():
+    """A doc's signature must not depend on its batch neighbours (the
+    window chain crosses doc boundaries in the flat array; only in-doc
+    windows may be selected)."""
+    a, b = _permutation_params(32, 7)
+    docs = [BASE, "tiny", NEAR, "", "two words", OTHER]
+    S_all, kept = batch_signatures(docs, a, b, 3)
+    for row, i in enumerate(kept):
+        S_one, k_one = batch_signatures([docs[i]], a, b, 3)
+        assert k_one == [0]
+        assert np.array_equal(S_all[row], S_one[0]), docs[i]
+
+
+def test_zero_word_docs_dropped():
+    a, b = _permutation_params(16, 1)
+    S, kept = batch_signatures(["", "   ", "\n\n"], a, b, 3)
+    assert kept == [] and S.shape == (0, 16)
+
+
+def test_band_digests_equality_semantics():
+    rng = np.random.default_rng(0)
+    t = rng.integers(0, 1 << 61, size=(3, 4, 4), dtype=np.uint64)
+    t[1] = t[0]  # doc 1 identical to doc 0
+    d = _band_digests(t)
+    assert np.array_equal(d[0], d[1])
+    assert not np.array_equal(d[0], d[2])
+    assert (d >= 0).all()  # int63 range for Ray-friendly int64 keys
+    # same band values in DIFFERENT band positions must not collide
+    t2 = t.copy()
+    t2[2, 0], t2[2, 1] = t[2, 1].copy(), t[2, 0].copy()
+    d2 = _band_digests(t2)
+    assert d2[2, 0] != d[2, 1] and d2[2, 1] != d[2, 0]
