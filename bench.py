@@ -133,11 +133,35 @@ def run_bench() -> dict:
         rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
     _consume(QUERIES["doc_stats"](SF_DIR))
 
+    # min-of-N passes per query: round-2 showed 20-75% in-session
+    # contamination drift on individual queries when 19 run back-to-back
+    # (events_hourly 1.81 s in-session vs 0.97 s isolated, identical
+    # code); the min over passes recovers the isolated cost without a
+    # fresh Ray session per query.  GRAFT_BENCH_ISOLATE=1 runs each
+    # query in its own subprocess instead (slower, fully isolated).
+    passes = max(1, int(os.environ.get("GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(QUERIES[name](SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(passes):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](SF_DIR))
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+
+    if os.environ.get("GRAFT_SKIP_FLAGSHIP"):
+        total = round(sum(timings.values()), 3)
+        result = {
+            "metric": "dolma_ray headline pipelines wall time",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "per_query": f"min_of_{passes}_passes",
+        }
+        ray.shutdown()
+        return result
 
     # headline: flagship quality-filter pipeline over the web-page corpus
     corpus = _web_corpus_path()
@@ -153,13 +177,17 @@ def run_bench() -> dict:
     out_dir = f"/tmp/dolma_ray_bench_out_{NUM_CPUS}"
     import shutil
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    # the pipeline's real sink: distributed parquet write (no driver pull)
-    flag_ds = flagship(ds, mode="filter", batch_size=256)
-    flag_ds.write_parquet(out_dir)
-    flagship_sec = round(time.perf_counter() - t0, 3)
-    tag_task_wall = _parse_tag_task_wall(flag_ds.stats())
+    flagship_sec = None
+    for _ in range(passes):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        # the pipeline's real sink: distributed parquet write (no driver pull)
+        flag_ds = flagship(ds, mode="filter", batch_size=256)
+        flag_ds.write_parquet(out_dir)
+        dt = round(time.perf_counter() - t0, 3)
+        if flagship_sec is None or dt < flagship_sec:
+            flagship_sec = dt
+            tag_task_wall = _parse_tag_task_wall(flag_ds.stats())
     import pyarrow.parquet as pq
     import glob as _glob
 
@@ -181,6 +209,7 @@ def run_bench() -> dict:
         "web_docs": WEB_N,
         "web_docs_kept": n_kept,
         "web_docs_per_sec": round(WEB_N / flagship_sec, 1),
+        "per_query": f"min_of_{passes}_passes",
         # straggler diagnostic: per-task wall time of the fused tag stage
         # (max/mean ~1 => no monster-doc skew at task granularity)
         "tag_task_wall": tag_task_wall,
@@ -189,9 +218,46 @@ def run_bench() -> dict:
     return result
 
 
+def run_isolated() -> dict:
+    """One fresh subprocess (own Ray session) per query — the fully
+    isolated mode for chasing in-session contamination."""
+
+    def run_child(extra_env: dict) -> dict:
+        env = dict(os.environ, **extra_env)
+        env.pop("GRAFT_BENCH_ISOLATE", None)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        r = run_child(
+            {"GRAFT_BENCH_QUERIES": name, "GRAFT_SKIP_FLAGSHIP": "1"}
+        )
+        timings[name] = r["queries"][name]
+    flag = run_child({"GRAFT_BENCH_QUERIES": ""})
+    timings["flagship_web"] = flag["queries"]["flagship_web"]
+    flag["queries"] = timings
+    flag["value"] = round(sum(timings.values()), 3)
+    flag["per_query"] = "isolated_subprocess_" + flag.get("per_query", "")
+    return flag
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="")
+        # passes=1: the outer min-of-repeats already dampens noise
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_QUERIES="",
+            GRAFT_BENCH_PASSES="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -229,5 +295,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_ISOLATE"):
+        print(json.dumps(run_isolated()))
     else:
         print(json.dumps(run_bench()))
