@@ -40,10 +40,11 @@ class JqError(ValueError):
 
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<num>-?\d+\.\d+|-?\d+)|(?P<path>\.[A-Za-z_][\w.]*|\.)"
+    r"\s*(?:(?P<num>-?\d+\.\d+|-?\d+)|(?P<str>\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<path>\.[A-Za-z_][\w.]*|\.)"
     r"|(?P<lbrack>\[)|(?P<rbrack>\])|(?P<lparen>\()|(?P<rparen>\))"
-    r"|(?P<pipe>\|)|(?P<op><=|>=|==|!=|<|>|\+|-|\*|/)"
-    r"|(?P<word>and|or|length|add|map|null|not)\b)"
+    r"|(?P<pipe>\|)|(?P<opt>\?)|(?P<op><=|>=|==|!=|<|>|\+|-|\*|/)"
+    r"|(?P<word>and|or|length|add|map|select|any|all|null|true|false|not)\b)"
 )
 
 
@@ -56,7 +57,7 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 break
             raise JqError(f"jq parse error at {src[pos:pos+20]!r}")
         pos = m.end()
-        for kind in ("num", "path", "lbrack", "rbrack", "lparen", "rparen", "pipe", "op", "word"):
+        for kind in ("num", "str", "path", "lbrack", "rbrack", "lparen", "rparen", "pipe", "opt", "op", "word"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -71,6 +72,18 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
 class Path:
     segments: list[str]  # [] for bare "."
     indexes: list[int]
+    optional: bool = False  # any "?" in the path: errors -> null
+
+
+class _EmptyType:
+    """jq's empty stream (what ``select`` yields on a false condition).
+    Falsy; propagates through pipe ops and comparisons."""
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return "<jq empty>"
+
+
+_EMPTY = _EmptyType()
 
 
 @dataclass
@@ -158,14 +171,30 @@ class _Parser:
         if k == "num":
             self.next()
             return Lit(float(v) if "." in v else int(v))
+        if k == "str":
+            self.next()
+            # unescape the jq/json string literal
+            import json as _json
+
+            return Lit(_json.loads(v))
         if k == "word" and v == "null":
             self.next()
             return Lit(None)
+        if k == "word" and v in ("true", "false"):
+            self.next()
+            return Lit(v == "true")
         if k == "lparen":
             self.next()
             inner = self.parse_pipe()
             self.expect("rparen")
             return inner
+        if k == "word" and v == "select":
+            # standalone select(f) applies to "."
+            self.next()
+            self.expect("lparen")
+            inner = self.parse_pipe()
+            self.expect("rparen")
+            return Pipe(Path([], []), [("select", inner)])
         if k == "path":
             return self.parse_path()
         raise JqError(f"unexpected token {k}:{v}")
@@ -174,14 +203,28 @@ class _Parser:
         _, v = self.next()
         segments = [] if v == "." else v[1:].split(".")
         indexes: list[int] = []
-        while self.peek()[0] == "lbrack":
-            self.next()
-            k2, v2 = self.next()
-            if k2 != "num":
-                raise JqError("only integer indexes supported")
-            indexes.append(int(v2))
-            self.expect("rbrack")
-        return Path(segments, indexes)
+        optional = False
+        while True:
+            k2, v2 = self.peek()
+            if k2 == "opt":
+                self.next()
+                optional = True
+            elif k2 == "path":
+                # "?" splits a dotted path into several path tokens:
+                # .attributes?.foo? -> path(.attributes) opt path(.foo) opt
+                self.next()
+                if v2 != ".":
+                    segments.extend(v2[1:].split("."))
+            elif k2 == "lbrack":
+                self.next()
+                k3, v3 = self.next()
+                if k3 != "num":
+                    raise JqError("only integer indexes supported")
+                indexes.append(int(v3))
+                self.expect("rbrack")
+            else:
+                break
+        return Path(segments, indexes, optional)
 
     def parse_pipe(self):
         source = self.parse_or()
@@ -189,13 +232,13 @@ class _Parser:
         while self.peek()[0] == "pipe":
             self.next()
             k, v = self.next()
-            if k == "word" and v in ("length", "add", "not"):
+            if k == "word" and v in ("length", "add", "not", "any", "all"):
                 ops.append((v,))
-            elif k == "word" and v == "map":
+            elif k == "word" and v in ("map", "select"):
                 self.expect("lparen")
                 inner = self.parse_pipe()
                 self.expect("rparen")
-                ops.append(("map", inner))
+                ops.append((v, inner))
             else:
                 raise JqError(f"unsupported pipe op {v!r}")
         expr = Pipe(source, ops) if ops else source
@@ -213,8 +256,9 @@ class _Parser:
 
 
 def _truthy(v: Any) -> bool:
-    """Reference evaluate_match semantics (filters.rs:317-333)."""
-    if v is None:
+    """Reference evaluate_match semantics (filters.rs:317-333); jq's
+    empty stream (a false ``select``) matches nothing -> false."""
+    if v is None or v is _EMPTY:
         return False
     if isinstance(v, bool):
         return v
@@ -225,21 +269,34 @@ def _truthy(v: Any) -> bool:
     return True
 
 
-def _eval(node: Any, doc: Any, elem: Any = None) -> Any:
+_NO_ELEM = object()  # distinguishes "no element context" from a null element
+
+
+def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM) -> Any:
     if isinstance(node, Lit):
         return node.value
     if isinstance(node, Path):
-        cur = elem if (not node.segments and elem is not None) else doc
+        # inside map/select the element is the current input for ALL
+        # paths (jq: map(.foo) reads each element's foo)
+        cur = doc if elem is _NO_ELEM else elem
         for seg in node.segments:
             if cur is None:
+                if node.optional:
+                    return None
                 raise JqError(f"cannot index null with {seg!r}")
             if not isinstance(cur, dict):
+                if node.optional:
+                    return None
                 raise JqError(f"cannot index {type(cur).__name__} with {seg!r}")
             cur = cur.get(seg)
         for idx in node.indexes:
             if cur is None:
+                if node.optional:
+                    return None
                 raise JqError(f"cannot index null with [{idx}]")
             if not isinstance(cur, list):
+                if node.optional:
+                    return None
                 raise JqError(f"cannot index {type(cur).__name__} with [{idx}]")
             try:
                 cur = cur[idx]
@@ -249,6 +306,8 @@ def _eval(node: Any, doc: Any, elem: Any = None) -> Any:
     if isinstance(node, Pipe):
         cur = _eval(node.source, doc, elem)
         for op in node.ops:
+            if cur is _EMPTY:
+                break  # empty propagates through every op
             if op[0] == "length":
                 if cur is None:
                     cur = 0
@@ -261,13 +320,33 @@ def _eval(node: Any, doc: Any, elem: Any = None) -> Any:
             elif op[0] == "add":
                 if not isinstance(cur, list):
                     raise JqError("add requires an array")
-                cur = sum(cur) if cur else None
+                if not cur:
+                    cur = None
+                else:
+                    # jq add = reduce +: numbers sum, strings concatenate
+                    acc = cur[0]
+                    for v in cur[1:]:
+                        acc = acc + v
+                    cur = acc
             elif op[0] == "not":
                 cur = not _truthy(cur)
+            elif op[0] == "any":
+                if not isinstance(cur, list):
+                    raise JqError("any requires an array")
+                cur = any(_truthy(v) for v in cur)
+            elif op[0] == "all":
+                if not isinstance(cur, list):
+                    raise JqError("all requires an array")
+                cur = all(_truthy(v) for v in cur)
+            elif op[0] == "select":
+                if not _truthy(_eval(op[1], doc, cur)):
+                    cur = _EMPTY
             elif op[0] == "map":
                 if not isinstance(cur, list):
                     raise JqError("map requires an array")
-                cur = [_eval(op[1], doc, e) for e in cur]
+                vals = [_eval(op[1], doc, e) for e in cur]
+                # map(select(f)) drops the empties, like jq
+                cur = [v for v in vals if v is not _EMPTY]
         return cur
     if isinstance(node, Bin):
         if node.op == "and":
@@ -280,6 +359,8 @@ def _eval(node: Any, doc: Any, elem: Any = None) -> Any:
             )
         l = _eval(node.left, doc, elem)
         r = _eval(node.right, doc, elem)
+        if l is _EMPTY or r is _EMPTY:
+            return _EMPTY  # jq: any op on empty yields empty
         if node.op == "==":
             return l == r
         if node.op == "!=":

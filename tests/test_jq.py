@@ -132,3 +132,102 @@ def test_no_includes_keeps_all():
     cfg = JqFilterConfig(exclude=[".text | length > 5"])
     batch = pa.table({"text": pa.array(["short", "a longer text"])})
     assert cfg.keep_mask(batch).tolist() == [True, False]
+
+
+# ---- round-3 additions: reference string/optional/add tests + select ----
+
+
+def test_string_literal_compare_keep():
+    """filters.rs test_should_keep: exclude .attributes.baz == "quac"."""
+    doc = {"attributes": {"foo": [1], "baz": "qux"}}
+    f = JqFilterConfig(
+        include=[".attributes.foo"], exclude=['.attributes.baz == "quac"']
+    )
+    import pyarrow as pa
+
+    # evaluate directly (doc_views shapes attrs; use raw eval here)
+    assert _keep(f, doc) is True
+
+
+def _keep(f, doc):
+    from dolma_ray.mixer.jq import _truthy, evaluate_jq
+
+    keep = not f.include
+    for ast in f.include:
+        if _truthy(evaluate_jq(ast, doc)):
+            keep = True
+            break
+    if keep:
+        for ast in f.exclude:
+            if _truthy(evaluate_jq(ast, doc)):
+                keep = False
+                break
+    return keep
+
+
+def test_string_literal_compare_remove():
+    """filters.rs test_should_remove: exclude matches -> dropped."""
+    doc = {"attributes": {"foo": [1], "baz": "qux"}}
+    f = JqFilterConfig(
+        include=[".attributes.foo"], exclude=['.attributes.baz == "qux"']
+    )
+    assert _keep(f, doc) is False
+
+
+def test_add_concatenates_strings():
+    """filters.rs selector test: .attributes.foo | add on strings."""
+    doc = {"attributes": {"foo": ["water", " & ", "bread"]}}
+    assert evaluate_jq(parse_jq(".attributes.foo | add"), doc) == "water & bread"
+
+
+def test_optional_access_nested_null():
+    """filters.rs test_nested_select_null: .attributes?.foo?.baz? -> null."""
+    doc = {"attributes": {"foo": None}}
+    assert evaluate_jq(parse_jq(".attributes?.foo?.baz?"), doc) is None
+
+
+def test_optional_access_still_errors_without_question():
+    doc = {"attributes": {"foo": None}}
+    with pytest.raises(JqError):
+        evaluate_jq(parse_jq(".attributes.foo.baz"), doc)
+
+
+def test_select_passes_and_drops():
+    doc = {"attributes": {"score": 5}}
+    assert evaluate_jq(parse_jq(".attributes.score | select(. > 3)"), doc) == 5
+    from dolma_ray.mixer.jq import _truthy
+
+    dropped = evaluate_jq(parse_jq(".attributes.score | select(. > 9)"), doc)
+    assert not _truthy(dropped)
+
+
+def test_select_standalone_on_doc():
+    doc = {"attributes": {"foo": [1, 2]}}
+    f = JqFilterConfig(include=["select(.attributes.foo | length >= 2)"])
+    assert _keep(f, doc) is True
+    f2 = JqFilterConfig(include=["select(.attributes.foo | length >= 3)"])
+    assert _keep(f2, doc) is False
+
+
+def test_map_select_filters_elements():
+    doc = {"attributes": {"spans": [[0, 5, 0.2], [5, 9, 0.9], [9, 12, 0.7]]}}
+    out = evaluate_jq(
+        parse_jq(".attributes.spans | map(select(.[2] >= 0.5)) | length"), doc
+    )
+    assert out == 2
+
+
+def test_map_reads_element_fields():
+    doc = {"items": [{"v": 1}, {"v": 4}]}
+    assert evaluate_jq(parse_jq(".items | map(.v) | add"), doc) == 5
+
+
+def test_any_all():
+    doc = {"attributes": {"flags": [0, 0, 1]}}
+    assert evaluate_jq(parse_jq(".attributes.flags | any"), doc) is True
+    assert evaluate_jq(parse_jq(".attributes.flags | all"), doc) is False
+
+
+def test_boolean_literals():
+    assert evaluate_jq(parse_jq("true"), {}) is True
+    assert evaluate_jq(parse_jq("false"), {}) is False
