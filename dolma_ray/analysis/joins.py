@@ -78,8 +78,29 @@ def asof_join(
 
     def norm(side: int, keep: Sequence[str]):
         def fn(batch: pa.Table) -> pa.Table:
+            if not (
+                pa.types.is_temporal(batch[ts_column].type)
+                or pa.types.is_integer(batch[ts_column].type)
+                or pa.types.is_floating(batch[ts_column].type)
+            ):
+                raise TypeError(
+                    f"asof_join ts_column {ts_column!r} must be temporal or "
+                    f"numeric, got {batch[ts_column].type}"
+                )
             keys = batch[key_column].to_numpy(zero_copy_only=False)
-            bucket = (np.abs(keys) % n_buckets).astype(np.int32)
+            if np.issubdtype(keys.dtype, np.number):
+                bucket = (np.abs(keys) % n_buckets).astype(np.int32)
+            else:
+                # non-numeric join keys (strings etc.): hash-bucket with
+                # one vectorized polars pass
+                import polars as pl
+
+                col = batch[key_column]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                bucket = (
+                    pl.from_arrow(col).hash(seed=0).to_numpy() % n_buckets
+                ).astype(np.int32)
             cols = {
                 "bucket": pa.array(bucket),
                 "_k": batch[key_column],
@@ -132,8 +153,15 @@ def asof_join(
             col = np.full(len(li), None, dtype=object)
             col[valid] = vals[lr[valid]]
             out[oc] = col
-        ats = np.full(len(li), np.datetime64("NaT"), dtype=g["_ts"].to_numpy().dtype)
-        ats[valid] = g["_ts"].to_numpy()[lr[valid]]
+        ts_vals = g["_ts"].to_numpy()
+        if np.issubdtype(ts_vals.dtype, np.datetime64):
+            ats = np.full(len(li), np.datetime64("NaT"), dtype=ts_vals.dtype)
+            ats[valid] = ts_vals[lr[valid]]
+        else:
+            # integer/float epoch timestamps: a NaT fill would silently
+            # cast to INT64_MIN — use a nullable object column instead
+            ats = np.full(len(li), None, dtype=object)
+            ats[valid] = ts_vals[lr[valid]]
         out["_asof_ts"] = ats
         return pd.DataFrame(out)
 

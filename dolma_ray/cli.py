@@ -227,6 +227,12 @@ def cmd_tokens(args: argparse.Namespace) -> int:
     """Tokenizer memmap sink (reference ``dolma tokens``)."""
     from .sources.tokens import tokenize_to_parquet, write_token_memmaps
 
+    if args.format != "parquet":
+        # memmap shards must be input-order reproducible; Ray snapshots
+        # DataContext at dataset creation, so set this BEFORE _read
+        from ray.data import DataContext
+
+        DataContext.get_current().execution_options.preserve_order = True
     ds = _read(args.input)
     if args.format == "parquet":
         tokenize_to_parquet(

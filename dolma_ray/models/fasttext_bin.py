@@ -44,14 +44,16 @@ _EOS = "</s>"
 _BOW, _EOW = "<", ">"
 
 
-def _fnv1a(data: bytes) -> np.uint32:
-    """fastText Dictionary::hash — FNV-1a over SIGNED bytes."""
-    h = np.uint32(2166136261)
+def _fnv1a(data: bytes) -> int:
+    """fastText Dictionary::hash — FNV-1a over SIGNED bytes.  Plain
+    Python ints masked to 32 bits: numpy scalar arithmetic here emitted
+    overflow RuntimeWarnings and was several times slower on the
+    subword/word-ngram hot path."""
+    h = 2166136261
     for b in data:
         # C++ casts char (signed) to uint32_t: negative bytes sign-extend
         sb = b - 256 if b >= 128 else b
-        h = np.uint32(h ^ np.uint32(sb & 0xFFFFFFFF))
-        h = np.uint32(h * np.uint32(16777619))
+        h = ((h ^ (sb & 0xFFFFFFFF)) * 16777619) & 0xFFFFFFFF
     return h
 
 
@@ -137,6 +139,11 @@ class FastTextModel:
         ) = read("12i")
         _t = read("d")
         # loss_name enum: hs=1, ns=2, softmax=3, ova=4 (args.h)
+        # fastText loadModel back-compat (fasttext.cc checkModel/loadModel):
+        # version-11 supervised models predate char-ngram subwords for
+        # supervised training — force maxn = 0 (model_name enum: sup=3)
+        if self.version == 11 and self.model_type == 3:
+            self.maxn = 0
 
         size, self.nwords, self.nlabels = read("3i")
         _ntokens, pruneidx_size = read("2q")
@@ -156,8 +163,13 @@ class FastTextModel:
             else:
                 labels.append(w)
                 label_counts.append(count)
-        for _ in range(max(pruneidx_size, 0)):
-            read("2i")
+        if pruneidx_size > 0:
+            # the pruneidx remaps pruned ngram buckets; silently ignoring
+            # it would score with wrong subword features
+            raise NotImplementedError(
+                "pruned fastText dictionaries (pruneidx_size > 0) are not "
+                "supported — quantize/prune-free .bin models only"
+            )
         self._raw_labels = labels
         self.labels = [
             lb[len("__label__") :] if lb.startswith("__label__") else lb

@@ -10,11 +10,17 @@ This loader covers the subset the common LLM tokenizers use:
 * ``model.type == "BPE"``: vocab + ranked merges, GPT-2-style
   byte-level pre-tokenization (the published byte-to-unicode table) and
   the standard lowest-rank-first merge loop.
+* ``model.type == "WordPiece"``: greedy longest-match with the
+  continuing-subword prefix.
+* ``model.type == "Unigram"``: Viterbi segmentation over token
+  log-probs, Metaspace or whitespace pre-tokenization.
 
-Not implemented (documented subset): Unigram/WordPiece models,
-normalizers beyond NFC/lowercase, added-token processors beyond plain
-id mapping.  Encodings are exact for tokenizers within the subset —
-pinned by tests on hand-written tokenizer.json artifacts.
+Outside the subset the loader RAISES ``NotImplementedError`` instead of
+silently mis-encoding: unknown model types, pre-tokenizers beyond
+Whitespace/WhitespaceSplit/ByteLevel/Metaspace (e.g. BertPreTokenizer
+groups punctuation differently), and normalizers beyond NFC/Lowercase
+(e.g. BertNormalizer).  Encodings are exact for tokenizers within the
+subset — pinned by tests on hand-written tokenizer.json artifacts.
 """
 
 from __future__ import annotations
@@ -52,9 +58,26 @@ _GPT2_PRE = re.compile(
     r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
 )
 # HF pre-tokenizer types: "Whitespace" = \w+|[^\w\s]+ (punctuation runs
-# split off), "WhitespaceSplit" = \S+
+# split off), "WhitespaceSplit" = \S+, "BertPreTokenizer" = whitespace
+# split + EACH punctuation char as its own token (no runs)
 _HF_WHITESPACE = re.compile(r"\w+|[^\w\s]+")
 _WS_SPLIT = re.compile(r"\S+")
+_BERT_PRE = re.compile(r"\w+|[^\w\s]")
+
+
+def _is_cjk_char(c: str) -> bool:
+    """BertNormalizer handle_chinese_chars ranges (public BERT source)."""
+    cp = ord(c)
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
 
 
 class HFTokenizer:
@@ -70,10 +93,41 @@ class HFTokenizer:
             pair = tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
             self.merges[pair] = rank
         self.pre = (spec.get("pre_tokenizer") or {}).get("type", "Whitespace")
+        if self.pre not in (
+            "Whitespace",
+            "WhitespaceSplit",
+            "ByteLevel",
+            "Metaspace",
+            "BertPreTokenizer",
+        ):
+            raise NotImplementedError(
+                f"pre_tokenizer type {self.pre!r} outside the implemented "
+                "subset (Whitespace, WhitespaceSplit, ByteLevel, Metaspace, "
+                "BertPreTokenizer) — refusing to silently mis-encode"
+            )
         self.byte_level = self.pre == "ByteLevel" or self.model_type == "BPE"
-        norm = (spec.get("normalizer") or {}).get("type")
-        self.lowercase = norm == "Lowercase"
-        self.nfc = norm == "NFC"
+        norm_spec = spec.get("normalizer") or {}
+        norm = norm_spec.get("type")
+        self.bert_clean = self.bert_cjk = False
+        if norm == "BertNormalizer":
+            # faithful except strip_accents (raise rather than mis-encode)
+            if norm_spec.get("strip_accents"):
+                raise NotImplementedError(
+                    "BertNormalizer strip_accents is outside the implemented subset"
+                )
+            self.lowercase = bool(norm_spec.get("lowercase", True))
+            self.bert_clean = bool(norm_spec.get("clean_text", True))
+            self.bert_cjk = bool(norm_spec.get("handle_chinese_chars", True))
+            self.nfc = False
+        elif norm in (None, "Lowercase", "NFC"):
+            self.lowercase = norm == "Lowercase"
+            self.nfc = norm == "NFC"
+        else:
+            raise NotImplementedError(
+                f"normalizer type {norm!r} outside the implemented subset "
+                "(Lowercase, NFC, BertNormalizer) — refusing to silently "
+                "mis-encode"
+            )
         # added tokens (specials) resolve directly to ids
         self.added = {
             t["content"]: t["id"] for t in spec.get("added_tokens", []) or []
@@ -190,6 +244,21 @@ class HFTokenizer:
     def encode(self, text: str) -> list[int]:
         if self.nfc:
             text = unicodedata.normalize("NFC", text)
+        if self.bert_clean:
+            # BertNormalizer clean_text: drop control chars/U+FFFD,
+            # normalize all whitespace to plain spaces
+            text = "".join(
+                " "
+                if c in "\t\n\r" or c.isspace()
+                else c
+                for c in text
+                if c not in ("\x00", "�")
+                and not (unicodedata.category(c) in ("Cc", "Cf") and c not in "\t\n\r")
+            )
+        if self.bert_cjk:
+            text = "".join(
+                f" {c} " if _is_cjk_char(c) else c for c in text
+            )
         if self.lowercase:
             text = text.lower()
         ids: list[int] = []
@@ -201,13 +270,18 @@ class HFTokenizer:
             if piece_id is not None:
                 ids.append(piece_id)
 
+        if self.pre == "WhitespaceSplit":
+            word_rx = _WS_SPLIT
+        elif self.pre == "BertPreTokenizer":
+            word_rx = _BERT_PRE
+        else:
+            word_rx = _HF_WHITESPACE
         if self.model_type == "WordLevel":
-            pre_rx = _WS_SPLIT if self.pre == "WhitespaceSplit" else _HF_WHITESPACE
-            for tok in pre_rx.findall(text):
+            for tok in word_rx.findall(text):
                 emit(self.token_to_id(tok))
             return ids
         if self.model_type == "WordPiece":
-            for tok in _HF_WHITESPACE.findall(text):
+            for tok in word_rx.findall(text):
                 pieces = self._wordpiece(tok)
                 if pieces is None:
                     emit(None)

@@ -157,15 +157,24 @@ def write_token_memmaps(
 
     # the reference writes documents in input order and the metadata's
     # loc/start/end depend on it.  Ray snapshots DataContext at DATASET
-    # CREATION, so set preserve_order here for the datasets we create
-    # below and document that callers passing an already-built ``ds``
-    # should set ``DataContext.execution_options.preserve_order = True``
-    # before creating it if byte-reproducible shard order matters.
+    # CREATION, so a toggle here would be a dead no-op for the ``ds`` the
+    # caller already built — order reproducibility requires
+    # ``DataContext.execution_options.preserve_order = True`` BEFORE the
+    # input dataset is created (cmd_tokens does this; the unit test
+    # pins it).  Warn loudly when the flag is off.
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
-    prev_order = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
+    if not ctx.execution_options.preserve_order:
+        import warnings
+
+        warnings.warn(
+            "write_token_memmaps: DataContext.execution_options."
+            "preserve_order is False — shard content and loc/start/end "
+            "metadata will not be input-order reproducible.  Set it "
+            "before building the input dataset.",
+            stacklevel=2,
+        )
 
     shard = written = loc = 0
     buf: list[np.ndarray] = []
@@ -186,29 +195,26 @@ def write_token_memmaps(
         written = 0
         buf, meta_rows = [], []
 
-    try:
-        for batch in tokenized.iter_batches(batch_size=1024, batch_format="pyarrow"):
-            ids_col = batch["token_ids"].to_pylist()
-            doc_ids = (
-                batch[id_column].to_pylist()
-                if id_column and id_column in batch.column_names
-                else [""] * len(batch)
-            )
-            for doc_id, ids in zip(doc_ids, ids_col):
-                if not ids:
-                    loc += 1
-                    continue
-                if any(i > limit or i < 0 for i in ids):
-                    raise ValueError(
-                        f"token id out of range for dtype {dtype} (vocab too large?)"
-                    )
-                if written + len(ids) > max_tokens_per_shard and written > 0:
-                    flush()
-                meta_rows.append((doc_id, "", loc, written, written + len(ids)))
-                buf.append(np.asarray(ids, dtype=np_dtype))
-                written += len(ids)
+    for batch in tokenized.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        ids_col = batch["token_ids"].to_pylist()
+        doc_ids = (
+            batch[id_column].to_pylist()
+            if id_column and id_column in batch.column_names
+            else [""] * len(batch)
+        )
+        for doc_id, ids in zip(doc_ids, ids_col):
+            if not ids:
                 loc += 1
-        flush()
-    finally:
-        ctx.execution_options.preserve_order = prev_order
+                continue
+            if any(i > limit or i < 0 for i in ids):
+                raise ValueError(
+                    f"token id out of range for dtype {dtype} (vocab too large?)"
+                )
+            if written + len(ids) > max_tokens_per_shard and written > 0:
+                flush()
+            meta_rows.append((doc_id, "", loc, written, written + len(ids)))
+            buf.append(np.asarray(ids, dtype=np_dtype))
+            written += len(ids)
+            loc += 1
+    flush()
     return out_dir

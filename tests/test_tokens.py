@@ -203,3 +203,49 @@ def test_unigram_viterbi(tmp_path):
     assert tok.vocab["▁hello"] == 1 and tok.vocab["▁world"] == 5
     out = tok.encode("hello ζ")
     assert out[0] == 1 and 0 in out  # unk for the unknown char
+
+
+def test_bert_pretokenizer_and_normalizer(tmp_path):
+    """BertPreTokenizer isolates EACH punctuation char (no runs) and
+    BertNormalizer lowercases + spaces CJK chars (round-3 advice: these
+    previously fell back silently to Whitespace grouping)."""
+    spec = {
+        "model": {
+            "type": "WordPiece",
+            "vocab": {"[UNK]": 0, "hello": 1, "!": 2, "world": 3, "中": 4},
+            "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##",
+        },
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+        "normalizer": {"type": "BertNormalizer", "lowercase": True, "strip_accents": None},
+    }
+    p = tmp_path / "bert.json"
+    p.write_text(json.dumps(spec))
+    tok = HFTokenizer(str(p))
+    assert tok.encode("Hello!! world中") == [1, 2, 2, 3, 4]
+
+
+def test_unknown_pretokenizer_raises(tmp_path):
+    import pytest
+
+    spec = {
+        "model": {"type": "WordLevel", "vocab": {"a": 0}, "unk_token": "a"},
+        "pre_tokenizer": {"type": "SomeFutureType"},
+    }
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(spec))
+    with pytest.raises(NotImplementedError):
+        HFTokenizer(str(p))
+
+
+def test_unknown_normalizer_raises(tmp_path):
+    import pytest
+
+    spec = {
+        "model": {"type": "WordLevel", "vocab": {"a": 0}, "unk_token": "a"},
+        "normalizer": {"type": "NFKC"},
+    }
+    p = tmp_path / "bad2.json"
+    p.write_text(json.dumps(spec))
+    with pytest.raises(NotImplementedError):
+        HFTokenizer(str(p))
