@@ -250,6 +250,19 @@ def cmd_tokens(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_reshard(args: argparse.Namespace) -> int:
+    """Merge token memmap shards (reference ``dolma.tokenizer.reshard``)."""
+    import json as _json
+
+    from .sources.reshard import reshard_token_shards
+
+    info = reshard_token_shards(
+        args.input, args.output, max_bytes=args.max_bytes, dtype=args.dtype
+    )
+    print(_json.dumps(info))
+    return 0
+
+
 def cmd_stat(args: argparse.Namespace) -> int:
     from .analysis.analyzer import summarize_attributes
 
@@ -338,6 +351,15 @@ def build_parser() -> argparse.ArgumentParser:
     tk.add_argument("--bos-id", type=int, default=None)
     tk.add_argument("--eos-id", type=int, default=None)
     tk.set_defaults(fn=cmd_tokens)
+
+    rs = sub.add_parser(
+        "reshard", help="merge token memmap shards to a minimum size"
+    )
+    rs.add_argument("--input", required=True)
+    rs.add_argument("--output", required=True)
+    rs.add_argument("--max-bytes", type=int, default=1 << 30)
+    rs.add_argument("--dtype", default="uint16")
+    rs.set_defaults(fn=cmd_reshard)
 
     w = sub.add_parser("warc", help="extract WARC archives to parquet (url/html/text)")
     w.add_argument("--input", required=True, help="comma-separated WARC paths/globs")

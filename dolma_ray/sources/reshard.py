@@ -1,0 +1,126 @@
+"""Token-shard resharder (reference ``tokenizer/reshard.py``).
+
+The reference merges ``NNNNN.npy`` + ``NNNNN.csv.gz`` token shards so
+every output shard satisfies a size constraint, rewriting the metadata
+offsets (``reshard.py::merge_group``).  This version is Ray-parallel —
+one remote task per output shard, each streaming its inputs — and
+ORDER-PRESERVING: inputs are grouped greedily in shard order, so the
+global document order of an order-reproducible sink
+(``tokens.py::write_token_memmaps``) survives resharding (the
+reference's first-fit-by-size grouping reorders; its upsampling /
+repetition-count feature is out of scope here).
+
+Metadata columns follow this repo's sink: ``id,src,loc,start,end`` with
+``loc`` a global doc index (unchanged by resharding) and ``start/end``
+token offsets within the shard (rebased during the merge).
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import numpy as np
+
+
+def _shard_pairs(src_dir: str) -> list[tuple[str, str]]:
+    npys = sorted(glob.glob(os.path.join(src_dir, "*.npy")))
+    pairs = []
+    for npy in npys:
+        csv = npy[: -len(".npy")] + ".csv.gz"
+        if not os.path.exists(csv):
+            raise FileNotFoundError(f"metadata missing for {npy}: {csv}")
+        pairs.append((npy, csv))
+    if not pairs:
+        raise FileNotFoundError(f"no .npy shards under {src_dir}")
+    return pairs
+
+
+def plan_groups(
+    pairs: list[tuple[str, str]], max_bytes: int
+) -> list[list[tuple[str, str]]]:
+    """Greedy order-preserving grouping: consecutive shards accumulate
+    until the next one would exceed ``max_bytes`` (a single oversized
+    shard forms its own group)."""
+    groups: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    cur_bytes = 0
+    for npy, csv in pairs:
+        # payload bytes (the .npy header would dominate tiny shards)
+        size = int(np.load(npy, mmap_mode="r").nbytes)
+        if cur and cur_bytes + size > max_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append((npy, csv))
+        cur_bytes += size
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _merge_group(
+    group: list[tuple[str, str]], out_npy: str, out_csv: str, dtype: str
+) -> int:
+    """Concatenate the group's token arrays and rebase start/end in the
+    metadata.  Returns total tokens written."""
+    np_dtype = np.dtype(dtype)
+    arrays = [np.load(npy, mmap_mode="r") for npy, _ in group]
+    total = int(sum(a.shape[0] for a in arrays))
+    merged = np.lib.format.open_memmap(
+        out_npy, mode="w+", dtype=np_dtype, shape=(total,)
+    )
+    token_offset = 0
+    with gzip.open(out_csv, "wt", encoding="utf-8") as out:
+        for (npy, csv), arr in zip(group, arrays):
+            if arr.dtype != np_dtype:
+                raise ValueError(f"{npy}: dtype {arr.dtype} != {np_dtype}")
+            merged[token_offset : token_offset + arr.shape[0]] = arr[:]
+            with gzip.open(csv, "rt", encoding="utf-8") as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    # rsplit: doc ids are free-form, the last 4 fields are not
+                    doc_id, src, loc, start, end = line.rsplit(",", 4)
+                    out.write(
+                        f"{doc_id},{src},{loc},"
+                        f"{int(start) + token_offset},{int(end) + token_offset}\n"
+                    )
+            token_offset += int(arr.shape[0])
+    merged.flush()
+    del merged
+    return total
+
+
+def reshard_token_shards(
+    src_dir: str,
+    dst_dir: str,
+    max_bytes: int = 1 << 30,
+    dtype: str = "uint16",
+) -> dict:
+    """Merge the shards under ``src_dir`` into order-preserving groups of
+    at most ``max_bytes`` each, written as ``NNNNN.npy``/``.csv.gz``
+    under ``dst_dir``.  One Ray task per output shard."""
+    import ray
+
+    pairs = _shard_pairs(src_dir)
+    groups = plan_groups(pairs, max_bytes)
+    os.makedirs(dst_dir, exist_ok=True)
+
+    merge_task = ray.remote(num_cpus=1)(_merge_group)
+    futures = [
+        merge_task.remote(
+            group,
+            os.path.join(dst_dir, f"{i:05d}.npy"),
+            os.path.join(dst_dir, f"{i:05d}.csv.gz"),
+            dtype,
+        )
+        for i, group in enumerate(groups)
+    ]
+    totals = ray.get(futures)
+    return {
+        "input_shards": len(pairs),
+        "output_shards": len(groups),
+        "total_tokens": int(sum(totals)),
+    }

@@ -249,3 +249,55 @@ def test_unknown_normalizer_raises(tmp_path):
     p.write_text(json.dumps(spec))
     with pytest.raises(NotImplementedError):
         HFTokenizer(str(p))
+
+
+def test_reshard_round_trip(ray_session, tmp_path):
+    """Resharding merges shards under the size cap, preserves global
+    token order, and rebases start/end so each doc's slice decodes
+    identically (reference tokenizer/reshard.py semantics)."""
+    import glob
+    import gzip
+
+    import ray.data as rd
+
+    from dolma_ray.sources.reshard import reshard_token_shards
+    from dolma_ray.sources.tokens import write_token_memmaps
+
+    tok_path = write_wordlevel(tmp_path / "t.json")
+    rows = [{"id": f"d{i}", "text": "hello world a" } for i in range(10)]
+    out = tmp_path / "toks"
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    write_token_memmaps(
+        rd.from_items(rows), str(out), tokenizer_path=tok_path,
+        id_column="id", max_tokens_per_shard=7,
+    )
+    ctx.execution_options.preserve_order = prev
+    src_shards = sorted(glob.glob(str(out / "*.npy")))
+    assert len(src_shards) >= 4
+
+    dst = tmp_path / "resharded"
+    info = reshard_token_shards(str(out), str(dst), max_bytes=40)  # uint16: 20 tokens
+    dst_shards = sorted(glob.glob(str(dst / "*.npy")))
+    assert info["output_shards"] == len(dst_shards) < len(src_shards)
+
+    before = np.concatenate([np.load(s) for s in src_shards])
+    after = np.concatenate([np.load(s) for s in dst_shards])
+    assert before.tolist() == after.tolist()
+    assert info["total_tokens"] == len(after)
+
+    # per-doc slices decode identically via the rebased metadata
+    def doc_map(root):
+        docs = {}
+        for csv in sorted(glob.glob(str(root / "*.csv.gz"))):
+            arr = np.load(csv[: -len(".csv.gz")] + ".npy")
+            with gzip.open(csv, "rt") as f:
+                for line in f:
+                    doc_id, src, loc, start, end = line.strip().rsplit(",", 4)
+                    docs[doc_id] = arr[int(start):int(end)].tolist()
+        return docs
+
+    assert doc_map(out) == doc_map(dst)
