@@ -1,0 +1,116 @@
+"""Analyzer visualization — plain-text analogue of the reference's rich
+tables and span highlighter (``core/analyzer.py::visualize_summaries``,
+``core/vizualizer.py``).
+
+No ``rich``/``termcolor`` dependency: tables render with box-drawing
+characters and a unicode bar column; the doc highlighter uses raw ANSI
+SGR codes (disabled when the stream is not a TTY or ``color=False``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import pandas as pd
+
+_BAR = "█"
+_BAR_WIDTH = 20
+
+
+def _fmt_num(v: float, max_decimal: int = 4) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    s = f"{v:.{max_decimal}f}".rstrip("0").rstrip(".")
+    return s if s else "0"
+
+
+def render_summary_table(
+    name: str, rows: list[tuple[str, int]], max_decimal: int = 4
+) -> str:
+    """One attribute's histogram as a value/dist/count table with a bar
+    column (reference visualize_summaries layout)."""
+    total = sum(c for _, c in rows) or 1
+    lines = []
+    header = ("value", "dist", "", "count")
+    body = []
+    for rng, count in rows:
+        frac = count / total
+        bar = _BAR * max(1 if count else 0, round(frac * _BAR_WIDTH))
+        body.append((rng, _fmt_num(frac, max_decimal), bar, f"{count:,}"))
+    widths = [
+        max(len(header[i]), *(len(r[i]) for r in body)) if body else len(header[i])
+        for i in range(4)
+    ]
+    rule = "─" * (sum(widths) + 3 * len(widths) + 1)
+    lines.append(name)
+    lines.append(rule)
+    lines.append(
+        " " + "   ".join(h.ljust(widths[i]) for i, h in enumerate(header))
+    )
+    lines.append(rule)
+    for r in body:
+        lines.append(" " + "   ".join(r[i].ljust(widths[i]) for i in range(4)))
+    lines.append(rule)
+    return "\n".join(lines)
+
+
+def render_summaries(df: pd.DataFrame, max_decimal: int = 4) -> str:
+    """Render the ``summarize_attributes`` DataFrame (rows of
+    ``attribute, kind, bucket_lo, bucket_hi, count``) as one table per
+    (attribute, kind)."""
+    out = []
+    for (attr, kind), g in df.groupby(["attribute", "kind"], sort=True):
+        g = g.sort_values("bucket_lo")
+        los = [_fmt_num(v, max_decimal) for v in g["bucket_lo"]]
+        his = [_fmt_num(v, max_decimal) for v in g["bucket_hi"]]
+        n = len(g)
+        rows = [
+            (
+                f"[{lo}, {hi}" + ("]" if i == n - 1 else ")"),
+                int(c),
+            )
+            for i, (lo, hi, c) in enumerate(zip(los, his, g["count"]))
+        ]
+        title = attr if kind == "score" else f"{attr} ({kind})"
+        out.append(render_summary_table(title, rows, max_decimal))
+    return "\n\n".join(out)
+
+
+# ---- span highlighter (vizualizer.py analogue) --------------------------
+
+_COLORS = [31, 32, 33, 34, 35, 36]  # ANSI fg reds..cyans, cycled per attr
+
+
+def highlight_spans(
+    text: str,
+    spans_by_attr: Mapping[str, Iterable[tuple[int, int, float]]],
+    color: bool = True,
+    score_threshold: float | None = None,
+) -> str:
+    """Render a document with tagged spans highlighted: colored
+    ``[attr:score]``-bracketed regions (ANSI when ``color``), matching
+    the reference visualizer's single-doc view in spirit."""
+    marks: list[tuple[int, int, str, float, int]] = []
+    for ai, (attr, spans) in enumerate(sorted(spans_by_attr.items())):
+        code = _COLORS[ai % len(_COLORS)]
+        for s, e, score in spans:
+            if score_threshold is not None and score < score_threshold:
+                continue
+            marks.append((int(s), int(e), attr, float(score), code))
+    marks.sort(key=lambda m: (m[0], -m[1]))
+    out = []
+    pos = 0
+    for s, e, attr, score, code in marks:
+        s = max(s, pos)
+        if s >= e:
+            continue
+        out.append(text[pos:s])
+        seg = text[s:e]
+        label = f"[{attr}:{_fmt_num(score)}]"
+        if color:
+            out.append(f"\x1b[{code}m{label}{seg}\x1b[0m")
+        else:
+            out.append(f"{label}{seg}")
+        pos = e
+    out.append(text[pos:])
+    return "".join(out)

@@ -269,7 +269,12 @@ def cmd_stat(args: argparse.Namespace) -> int:
     ds = _read(args.input)
     attrs = args.attributes.split(",") if args.attributes else None
     df = summarize_attributes(ds, attributes=attrs)
-    print(df.to_string(index=False))
+    if getattr(args, "viz", False):
+        from .analysis.visualize import render_summaries
+
+        print(render_summaries(df))
+    else:
+        print(df.to_string(index=False))
     return 0
 
 
@@ -338,6 +343,10 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("stat", help="attribute histogram summary")
     s.add_argument("--input", required=True)
     s.add_argument("--attributes", default=None)
+    s.add_argument(
+        "--viz", action="store_true",
+        help="render histogram tables (reference analyzer visualization)",
+    )
     s.set_defaults(fn=cmd_stat)
 
     tk = sub.add_parser("tokens", help="tokenize documents to npy memmap shards or parquet")

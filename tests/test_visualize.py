@@ -1,0 +1,50 @@
+"""Analyzer visualization (reference core/analyzer.py visualize_summaries
+/ core/vizualizer.py analogue)."""
+
+import pandas as pd
+
+from dolma_ray.analysis.visualize import highlight_spans, render_summaries
+
+
+def _df():
+    return pd.DataFrame(
+        {
+            "attribute": ["g__frac"] * 3 + ["pii__email"] * 2,
+            "kind": ["score"] * 3 + ["length"] * 2,
+            "bucket_lo": [0.0, 0.5, 0.75, 0, 10],
+            "bucket_hi": [0.5, 0.75, 1.0, 10, 20],
+            "count": [120, 30, 5, 9, 1],
+        }
+    )
+
+
+def test_render_summaries_layout():
+    out = render_summaries(_df())
+    assert "g__frac" in out and "pii__email (length)" in out
+    # reference bin format: [lo, hi) for all but the last, [lo, hi] last
+    assert "[0, 0.5)" in out and "[0.75, 1]" in out
+    assert "120" in out and "█" in out
+    # dist column normalizes within the table
+    assert "0.7742" in out
+
+
+def test_highlight_spans_plain():
+    text = "contact me at x@y.com please"
+    out = highlight_spans(text, {"pii": [(14, 21, 1.0)]}, color=False)
+    assert out == "contact me at [pii:1]x@y.com please"
+
+
+def test_highlight_spans_threshold_and_overlap():
+    text = "abcdef"
+    out = highlight_spans(
+        text,
+        {"a": [(0, 4, 0.9), (2, 6, 0.2)]},
+        color=False,
+        score_threshold=0.5,
+    )
+    assert out == "[a:0.9]abcdef"  # low-score span dropped
+
+
+def test_highlight_spans_ansi():
+    out = highlight_spans("xy", {"a": [(0, 1, 1.0)]}, color=True)
+    assert "\x1b[" in out and out.endswith("y")
