@@ -590,22 +590,52 @@ SELECT doc_id + 10000000 AS doc_id, 1.0 AS seen_lower FROM documents
 
 
 def q_flagship_keep(sf_dir: str):
-    """Flagship keep/drop labels over the documents table (adapted to its
-    schema: doc_id is the key, no warc_ts/html)."""
+    """Flagship keep/drop labels with a planted-label oracle (same trick
+    as langid/perplexity): per real doc, one planted doc guaranteed KEPT
+    (a doc_id-rotated shuffle of the English seed prose + a unique suffix
+    token — verified against every canonical exclude for all rotations in
+    ``tests/test_planted_oracles.py``) and one guaranteed DROPPED (a
+    3-word doc fails the analytic ``gopher word_count < 50`` rule
+    regardless of any model score).  The real docs ride the full
+    pipeline (dedup + 10 taggers + mix) in the same pool; output is the
+    planted rows' keep labels."""
+    import re
+
+    from .data.seeds import LANG_SEEDS
     from .pipelines.flagship import CANONICAL_MIX_CONFIG, tag_all
     from .dedup.combined import mark_duplicates_fused
     from .mixer import MixStage
     from .util import cached_stage
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    en_sents = [
+        s for s in re.split(r"(?<=[.!?。])\s+", LANG_SEEDS["en"]) if s.strip()
+    ]
 
-    def add_url(batch: pa.Table) -> pa.Table:
-        url = pc.binary_join_element_wise(
-            "doc://", pc.cast(batch["doc_id"], pa.string()), ""
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_ids = list(ids)
+        out_texts = list(batch["text"].to_pylist())
+        for i in ids:
+            rot = i % len(en_sents)
+            out_ids.append(i + _PLANT_COPY)
+            out_texts.append(
+                " ".join(en_sents[rot:] + en_sents[:rot]) + f" uniqueword{i}x"
+            )
+            out_ids.append(i + _PLANT_DISJOINT)
+            out_texts.append(f"tiny doc {i}")
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
         )
-        return batch.append_column("url", url)
+        url = pc.binary_join_element_wise(
+            "doc://", pc.cast(t["doc_id"], pa.string()), ""
+        )
+        return t.append_column("url", url)
 
-    ds = ds.map_batches(add_url, batch_format="pyarrow")
+    ds = ds.map_batches(plant, batch_format="pyarrow")
     # explicit strategy: the input lineage has a map stage, so the
     # "auto" count would re-execute it just to pick a strategy
     ds = mark_duplicates_fused(
@@ -621,7 +651,21 @@ def q_flagship_keep(sf_dir: str):
         cached_stage(MixStage, config=CANONICAL_MIX_CONFIG, mode="label"),
         batch_format="pyarrow",
     )
-    return ds.select_columns(["doc_id", "keep"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["doc_id"], _PLANT_COPY))
+        return pa.table(
+            {"doc_id": b["doc_id"], "keep": pc.cast(b["keep"], pa.float64())}
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+SQL_FLAGSHIP_KEEP_PLANTED = """
+SELECT doc_id + 10000000 AS doc_id, 1.0 AS keep FROM documents
+UNION ALL
+SELECT doc_id + 20000000 AS doc_id, 0.0 AS keep FROM documents
+"""
 
 
 QUERIES = {
@@ -657,6 +701,7 @@ ORACLES = {
     "ann_topk": SQL_ANN_TOPK,
     "langid": SQL_LANGID_PLANTED,
     "perplexity": SQL_PERPLEXITY_PLANTED,
+    "flagship_keep": SQL_FLAGSHIP_KEEP_PLANTED,
 }
 
 

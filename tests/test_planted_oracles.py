@@ -35,3 +35,46 @@ def test_perplexity_every_seen_window_below_unseen():
         seen = lm.log10_perplexity(" ".join(words[start : start + 30]))
         worst = max(worst, seen)
     assert worst < unseen - 1.0  # wide margin, not a knife-edge
+
+
+def test_flagship_keep_planted_guarantee():
+    """Every rotation of the keep-family text passes ALL canonical
+    excludes; every drop-family doc fails the analytic word-count rule —
+    the guarantee behind q_flagship_keep's planted oracle."""
+    import pyarrow as pa
+
+    from dolma_ray.data.seeds import LANG_SEEDS
+    from dolma_ray.dedup.exact import DUP_DOCS_ATTR
+    from dolma_ray.dedup.paragraphs import DUP_PARAGRAPHS_ATTR
+    from dolma_ray.mixer import MixStage
+    from dolma_ray.pipelines.flagship import (
+        CANONICAL_MIX_CONFIG,
+        STATEFUL_TAGGERS,
+        STATELESS_TAGGERS,
+    )
+    from dolma_ray.schema import spans_array
+    from dolma_ray.taggers.base import TagStage
+
+    sents = [s for s in re.split(r"(?<=[.!?。])\s+", LANG_SEEDS["en"]) if s.strip()]
+    texts, ids = [], []
+    for rot in range(len(sents)):
+        for suffix in ("uniqueword0x", "uniqueword987654321x"):
+            texts.append(" ".join(sents[rot:] + sents[:rot]) + " " + suffix)
+            ids.append(f"keep-r{rot}-{suffix}")
+    for u in (1, 22, 333):
+        texts.append(f"tiny doc {u}")
+        ids.append(f"drop{u}")
+    batch = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(texts),
+            "url": pa.array([f"doc://{i}" for i in ids]),
+        }
+    )
+    tagged = TagStage(taggers=STATELESS_TAGGERS + STATEFUL_TAGGERS)(batch)
+    n = len(tagged)
+    tagged = tagged.append_column(DUP_DOCS_ATTR, spans_array([[]] * n))
+    tagged = tagged.append_column(DUP_PARAGRAPHS_ATTR, spans_array([[]] * n))
+    out = MixStage(config=CANONICAL_MIX_CONFIG, mode="label")(tagged)
+    for doc_id, keep in zip(out["doc_id"].to_pylist(), out["keep"].to_pylist()):
+        assert bool(keep) == doc_id.startswith("keep-"), doc_id
