@@ -915,6 +915,119 @@ def q_lsh_ann(sf_dir: str):
     return lsh_topk(ds, _query_vector(sf_dir), k=10, n_planes=6)
 
 
+def q_lsh_ann_recall(sf_dir: str):
+    """LSH-ANN with a planted-recall oracle: an exact copy (+10M id) of
+    the query vector is planted into the pool; LSH guarantees an exact
+    copy shares the query's hyperplane signature, so it MUST be retrieved
+    with cosine 1.0.  Output: the top-k rows at cosine 1.0 — exactly the
+    query vector itself and the planted copy (random synth embeddings
+    admit no other exact duplicates); the oracle emits those constants.
+    The approximate tail of the top-k stays covered by the rows-only
+    ``lsh_ann`` query."""
+    from .analysis.search import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vector(sf_dir)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        if 0 not in ids:
+            return batch
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vecs = col.to_pylist()
+        i0 = ids.index(0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids + [_PLANT_COPY], pa.int64()),
+                "embedding": pa.array(
+                    vecs + [vecs[i0]], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    top = lsh_topk(planted, q, k=10, n_planes=6)
+
+    def exact_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["cos"], 0.999999))
+
+    return top.map_batches(exact_only, batch_format="pyarrow")
+
+
+SQL_LSH_ANN_RECALL = """
+SELECT 0 AS vec_id, 1.0 AS cos
+UNION ALL
+SELECT 10000000 AS vec_id, 1.0 AS cos
+"""
+
+
+def q_kmeans_pairs(sf_dir: str, k: int = 8):
+    """k-means with a planted co-clustering oracle: an exact copy (+10M
+    id) of every vector is planted; identical vectors are equidistant to
+    every centroid, so the assignment step MUST give both the same
+    cluster regardless of where the centroids converge.  Output: one row
+    per planted copy with ``same_cluster`` — analytically always 1.0.
+    The converged assignment itself stays covered by the rows-only
+    ``kmeans_clusters`` query."""
+    from ray.data.aggregate import Max, Min
+
+    from .analysis.kmeans import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vecs = col.to_pylist()
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    ids + [i + _PLANT_COPY for i in ids], pa.int64()
+                ),
+                "embedding": pa.array(vecs + vecs, pa.list_(pa.float64())),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    centroids = kmeans_fit(planted, k=k, n_iters=5)
+    assigned = kmeans_assign(planted, centroids)
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "orig": pa.array(ids % _PLANT_COPY, pa.int64()),
+                "cluster": batch["cluster"],
+            }
+        )
+
+    pairs = (
+        assigned.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby("orig")
+        .aggregate(Min("cluster", alias_name="_lo"), Max("cluster", alias_name="_hi"))
+    )
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        same = pc.equal(batch["_lo"], batch["_hi"])
+        return pa.table(
+            {
+                "vec_id": pc.add(batch["orig"], pa.scalar(_PLANT_COPY, pa.int64())),
+                "same_cluster": pc.cast(same, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(verdict, batch_format="pyarrow")
+
+
+SQL_KMEANS_PAIRS = """
+SELECT vec_id + 10000000 AS vec_id, 1.0 AS same_cluster FROM embeddings
+"""
+
+
 def q_analyzer(sf_dir: str):
     """Fixed-bucket analyzer histogram (reference ``dolma stat`` /
     core/analyzer.py:66-157, FixedBucketsValTracker binning of
@@ -986,6 +1099,8 @@ QUERIES.update(
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann": q_lsh_ann,
+        "lsh_ann_recall": q_lsh_ann_recall,
+        "kmeans_pairs": q_kmeans_pairs,
         "analyzer": q_analyzer,
         "analyzer_tagged": q_analyzer_tagged,
     }
@@ -996,6 +1111,8 @@ ORACLES.update(
         "minhash_near_dup": SQL_PLANTED_MINHASH,
         "simhash_near_dup": SQL_PLANTED_SIMHASH,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "lsh_ann_recall": SQL_LSH_ANN_RECALL,
+        "kmeans_pairs": SQL_KMEANS_PAIRS,
         "analyzer": SQL_ANALYZER,
     }
 )
