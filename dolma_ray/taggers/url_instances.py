@@ -57,8 +57,24 @@ class _NamedDomainBlocklist(_BaseBlocklistTagger):
         super().__init__(blocklist=src)
 
 
-class _NamedLinkBlocklist(_NamedDomainBlocklist):
+class _NamedRawLinkBlocklist(_BaseBlocklistTagger):
+    """Reference ``LinkBlocklistPhishingTagger`` (url.py:155-163)
+    overrides ``parse_line`` to yield every stripped/lowered line that
+    does not start with ``#`` VERBATIM — no URL grammar, no
+    normalization, and ``;``/``!`` comments are kept as entries
+    (reproduced bug-for-bug; pinned by the differential test)."""
+
     domains_only = False
+
+    def __init__(self) -> None:
+        src = _resolve_list(self.name)
+        lines = _read_lines(src) if src else _synthetic_entries(self.name)
+        entries = [
+            s for ln in lines if not (s := ln.strip().lower()).startswith("#")
+        ]
+        self.blocklist = frozenset(e for e in entries if e)
+        if not self.blocklist:
+            raise ValueError(f"Blocklist is empty for {type(self).__name__}")
 
 
 class _WikidataAllowlist(_NamedDomainBlocklist):
@@ -154,7 +170,7 @@ for _n in _DOMAIN_NAMES:
         TaggerRegistry.add(_n)(type(_n, (_NamedDomainBlocklist,), {}))
 for _n in _LINK_NAMES:
     if not TaggerRegistry.has(_n):
-        TaggerRegistry.add(_n)(type(_n, (_NamedLinkBlocklist,), {}))
+        TaggerRegistry.add(_n)(type(_n, (_NamedRawLinkBlocklist,), {}))
 for _n in _ALLOWLIST_NAMES:
     if not TaggerRegistry.has(_n):
         TaggerRegistry.add(_n)(type(_n, (_WikidataAllowlist,), {}))

@@ -24,6 +24,7 @@ format) or an in-memory iterable.
 from __future__ import annotations
 
 import re
+import socket
 from typing import Any, Iterable, Mapping
 from urllib.parse import urlsplit
 
@@ -31,8 +32,54 @@ from ..registry import TaggerRegistry
 from .base import DOC, BaseTagger
 
 _COMMENT = ("#", ";", "!")
-_HOSTS_LINE = re.compile(r"^([0-9a-f.:]+)\s+(\S+)$")
-_LOCAL = {"localhost", "localdomain", "127.0.0.1", "0.0.0.0", "::1"}
+# the reference's line-recognition grammar (url.py:62-66): a dotted
+# word run, localhost/localdomain; hosts-file "IP url" pairs; ADP
+# "||domain^" rules
+_URL_PAT = r"(([a-z0-9\-_]+\.?){2,}|localhost|localdomain)"
+_ONLY_URL_RE = re.compile("^" + _URL_PAT)
+_ADP_RE = re.compile(r"\|+" + _URL_PAT + r"\^")
+_IP_AND_URL_RE = re.compile(r"([0-9a-f\.\:]+)\s+" + _URL_PAT)
+
+
+def _valid_ip(s: str) -> bool:
+    for fam in (socket.AF_INET, socket.AF_INET6):
+        try:
+            socket.inet_pton(fam, s)
+            return True
+        except OSError:
+            pass
+    return False
+
+
+def parse_blocklist_line(ln: str):
+    """Reference ``BaseUrlTagger.parse_line`` semantics (url.py:86-112),
+    yielding ``(kind, value)`` with kind in {"ip", "url", "raw"}:
+
+    * hosts-format ``IP url``: the IP is yielded whenever it is valid —
+      including localhost IPs, because the reference's localhost filter
+      (``IGNORE_IP_REGEX_START``) is built from an unprefixed f-string
+      and never matches (bug reproduced for parity); the url part is
+      skipped for localhost/localdomain, else yielded as "url";
+    * a line matching the URL grammar from the start: yielded as "url";
+    * an ADP ``||domain^`` rule: the bare domain yielded as "raw" (no
+      further cleaning, matching the reference);
+    * anything else (incl. invalid-IP hosts lines): skipped, as the
+      reference's UrlNotParsedError path logs-and-drops."""
+    ln = ln.strip().lower()
+    if not ln or ln.startswith(_COMMENT):
+        return
+    m = _IP_AND_URL_RE.match(ln)
+    if m:
+        ip, url = m.group(1), m.group(2)
+        if not _valid_ip(ip):
+            return  # UrlNotParsedError in the reference
+        yield ("ip", ip)
+        if url not in ("localhost", "localdomain"):
+            yield ("url", url)
+    elif _ONLY_URL_RE.match(ln):
+        yield ("url", ln)
+    elif (m := _ADP_RE.match(ln)):
+        yield ("raw", m.group(1))
 
 
 def normalize_url(url: str) -> str:
@@ -57,11 +104,19 @@ def url_host(url: str) -> str:
     if "://" not in url:
         url = "http://" + url
     host = (urlsplit(url).hostname or "").lower()
-    return host[4:] if host.startswith("www.") else host
+    # the reference strips the www prefix with str.lstrip("www.")
+    # (BaseDomainTagger.clean_url) — a character-set strip that also eats
+    # leading w/. runs of non-www hosts; reproduced for mark parity
+    return host.lstrip("www.")
 
 
 def load_blocklist(source: str | Iterable[str], domains_only: bool) -> frozenset[str]:
-    """Parse a blocklist from a file path or iterable of lines."""
+    """Parse a blocklist from a file path or iterable of lines with the
+    reference's exact line semantics (:func:`parse_blocklist_line`,
+    pinned by ``tests/test_reference_url_differential.py``): link mode
+    normalizes "url" entries to ``host[:port]/path``; domain mode keeps
+    the hostname in bare + ``www.`` forms; "ip"/"raw" entries are added
+    verbatim in both modes (the reference applies no cleaning there)."""
     if isinstance(source, str):
         with open(source) as f:
             lines = f.read().splitlines()
@@ -69,26 +124,18 @@ def load_blocklist(source: str | Iterable[str], domains_only: bool) -> frozenset
         lines = list(source)
     out: set[str] = set()
     for ln in lines:
-        ln = ln.strip().lower()
-        if not ln or ln.startswith(_COMMENT):
-            continue
-        m = _HOSTS_LINE.match(ln)
-        if m:
-            ip, host = m.groups()
-            if ip not in _LOCAL and not ip.startswith(("127.", "0.0.0.0", "::1")):
-                out.add(ip)
-            ln = host
-        if ln in _LOCAL:
-            continue
-        if domains_only:
-            host = url_host(ln)
-            if host:
-                out.add(host)
-                out.add(f"www.{host}")
-        else:
-            norm = normalize_url(ln)
-            if norm:
-                out.add(norm)
+        for kind, val in parse_blocklist_line(ln):
+            if kind in ("ip", "raw"):
+                out.add(val)
+            elif domains_only:
+                host = url_host(val)
+                if host:
+                    out.add(host)
+                    out.add(f"www.{host}")
+            else:
+                norm = normalize_url(val)
+                if norm:
+                    out.add(norm)
     return frozenset(out)
 
 

@@ -1,0 +1,187 @@
+"""Differential parity for the URL blocklist line semantics: run the
+REFERENCE's own ``BaseUrlTagger.parse_line`` / ``clean_url`` /
+``BaseDomainTagger.clean_url`` (loaded from /root/reference at test
+time, never copied) against this engine's ``load_blocklist`` /
+``normalize_url`` / ``url_host`` on crafted blocklist lines."""
+
+import os
+import re
+
+import pytest
+
+REF = "/root/reference/python/dolma/taggers/url.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference checkout not available"
+)
+
+
+def load_reference_url_classes():
+    src = open(REF, "r", encoding="utf-8").read()
+    body = "\n".join(
+        ln
+        for ln in src.splitlines()
+        if not ln.startswith("from ..") and not ln.startswith("import smart_open")
+    )
+
+    class _Registry:
+        @staticmethod
+        def add(name):
+            return lambda cls: cls
+
+    ns: dict = {
+        "DocResult": object,
+        "DocumentWithMetadata": object,
+        "Span": object,
+        "BaseTaggerWithMetadata": object,
+        "UrlBlocker": object,
+        "TaggerRegistry": _Registry,
+        "get_logger": lambda name: __import__("logging").getLogger(name),
+        "cached_path": lambda p: p,
+    }
+    exec(compile(body, "reference_url", "exec"), ns)
+    return ns
+
+
+REFNS = load_reference_url_classes()
+
+
+def ref_parse_lines(cls_name: str, lines: list[str]) -> set:
+    cls = REFNS[cls_name]
+    inst = object.__new__(cls)
+    out: set = set()
+    for ln in lines:
+        try:
+            out.update(cls.parse_line(inst, ln))
+        except REFNS["UrlNotParsedError"]:
+            pass
+        except ValueError:
+            pass
+    return out
+
+
+LINK_LINES = [
+    "example.com/some/path",
+    "EXAMPLE.ORG/Path/",
+    "plain-domain.net",
+    "# a comment",
+    "; other comment",
+    "! abp comment",
+    "",
+    "127.0.0.1 localhost",
+    "0.0.0.0 ads.example.com",
+    "1.2.3.4 tracker.example.org",
+    "::1 localhost",
+    "||adp-domain.example^",
+    "sub.domain.example/page",
+]
+
+
+def test_link_parse_line_parity():
+    """Reference BaseUrlTagger.parse_line output == our load_blocklist
+    (domains_only=False) for every crafted line class."""
+    from dolma_ray.taggers.url_taggers import load_blocklist
+
+    theirs = ref_parse_lines("BaseUrlTagger", LINK_LINES)
+    ours = set(load_blocklist(LINK_LINES, domains_only=False))
+    assert ours == theirs, (sorted(ours - theirs), sorted(theirs - ours))
+
+
+def test_domain_clean_url_parity():
+    """Reference BaseDomainTagger.clean_url yields (host, www.host) after
+    stripping a leading www. — our url_host + www-prefix pair must
+    match for every crafted url."""
+    cls = REFNS["BaseDomainTagger"]
+    from dolma_ray.taggers.url_taggers import url_host
+
+    for url in (
+        "http://www.Example.COM/path?q=1",
+        "sub.site.example/page/",
+        "plain.example",
+        "www.already.example",
+        "site.example:8080/x",
+    ):
+        theirs = set(cls.clean_url(url))
+        host = url_host(url)
+        ours = {host, f"www.{host}"}
+        # the reference keeps the port/path variant from the base parse
+        # only for the full-url tagger; domain taggers yield hosts
+        theirs_hosts = {
+            t if not t.startswith("www.") else t for t in theirs if "/" not in t
+        }
+        assert ours <= theirs_hosts | ours
+        # host itself must agree
+        ref_bare = {t[4:] if t.startswith("www.") else t for t in theirs_hosts}
+        assert host in ref_bare or host.split(":")[0] in {
+            h.split(":")[0] for h in ref_bare
+        }, (url, theirs, host)
+
+
+def test_wikidata_base_domain_parity():
+    """Reference AllowlistWikidataTagger.get_base_domain == ours."""
+    cls = REFNS["AllowlistWikidataTagger"]
+    from dolma_ray.taggers.url_instances import _WikidataAllowlist
+
+    for host in (
+        "a.b.c.d.example",
+        "news.paper.example",
+        "paper.example",
+        "x.y.z.w",
+        "single",
+    ):
+        assert cls.get_base_domain(host) == _WikidataAllowlist._base_domain(host), host
+
+
+MORE_LINES = [
+    "*.wildcard.example",
+    "-leading-dash.example",
+    "UPPER.Example/QueryPath?x=1",
+    "host.example:8443/with/port",
+    "deadbeef::1 cafe.example",
+    "999.999.1.1 notanip.example",
+    "a.b",
+    "x",
+    "   spaced.example   ",
+    "example.com^extra",
+    "|||triple.example^",
+]
+
+
+def test_link_parse_line_parity_extended():
+    from dolma_ray.taggers.url_taggers import load_blocklist
+
+    theirs = ref_parse_lines("BaseUrlTagger", MORE_LINES)
+    ours = set(load_blocklist(MORE_LINES, domains_only=False))
+    assert ours == theirs, (sorted(ours - theirs), sorted(theirs - ours))
+
+
+def test_phishing_link_parse_line_parity(tmp_path, monkeypatch):
+    """LinkBlocklistPhishingTagger yields raw lines (only '#' comments
+    skipped; ';'/'!' lines KEPT — reference bug reproduced)."""
+    cls = REFNS["LinkBlocklistPhishingTagger"]
+    inst = object.__new__(cls)
+    lines = ["Bad.Example/Path", "# comment", "; kept", "! also kept", "plain.example"]
+    theirs = set()
+    for ln in lines:
+        theirs.update(cls.parse_line(inst, ln))
+
+    from dolma_ray.registry import TaggerRegistry
+
+    lst = tmp_path / "ph.txt"
+    lst.write_text("\n".join(lines) + "\n")
+    monkeypatch.setenv("DOLMA_RAY_BLOCKLIST_LINK_BLOCKLIST_PHISHING_V1", str(lst))
+    t = TaggerRegistry.get("link_blocklist_phishing_v1")()
+    assert t.blocklist == frozenset(x for x in theirs if x)
+
+
+def test_www_lstrip_quirk_parity():
+    """BaseDomainTagger strips 'www.' with str.lstrip — a character-set
+    strip that also eats leading w/. runs (e.g. 'web.x' -> 'eb.x').
+    Reproduced so marks match the reference."""
+    cls = REFNS["BaseDomainTagger"]
+    from dolma_ray.taggers.url_taggers import url_host
+
+    for url in ("www.example.com", "web.example.com", "wwwww.example.com", "w.x.example"):
+        theirs = {t for t in cls.clean_url(url) if not t.startswith("www.")}
+        bare = url_host(url)
+        assert bare in theirs, (url, theirs, bare)
