@@ -233,3 +233,25 @@ def test_near_dup_join_no_duplicates(ray_session):
         .set_index("url")[DUP_MINHASH_ATTR]
     )
     assert out["a"] == 0.0 and out["c"] == 0.0
+
+
+def test_flagship_forced_join_matches_driver(ray_session, tmp_path):
+    """The full flagship pipeline (dedup -> 10 taggers -> mix/scrub)
+    produces identical kept rows through the join strategy."""
+    import ray.data as rd
+
+    from dolma_ray.pipelines import flagship
+    from dolma_ray.synth import write_web_pages_parquet
+
+    corpus = str(tmp_path / "corpus")
+    write_web_pages_parquet(corpus, n=400, seed=5, shards=4)
+
+    def run(strategy):
+        ds = rd.read_parquet(corpus, columns=["url", "warc_ts", "text"])
+        out = flagship(ds, mode="filter", lookup_strategy=strategy).to_pandas()
+        return out.sort_values("url").reset_index(drop=True)[["url", "text"]]
+
+    drv = run("driver")
+    jn = run("join")
+    pd.testing.assert_frame_equal(drv, jn)
+    assert 0.3 < len(drv) / 400 < 0.9  # plausible keep-rate, not degenerate
