@@ -96,7 +96,10 @@ def cmd_dedupe(args: argparse.Namespace) -> int:
             overlap_threshold=args.threshold,
         )
     else:
-        ds = mark_duplicate_docs(ds, key_column=args.key, order_columns=order)
+        ds = mark_duplicate_docs(
+            ds, key_column=args.key, order_columns=order,
+            lookup_strategy=args.lookup_strategy,
+        )
     ds.write_parquet(args.output)
     print(f"deduped -> {args.output}")
     return 0
@@ -167,7 +170,7 @@ def cmd_flagship(args: argparse.Namespace) -> int:
     from .pipelines import flagship
 
     ds = _read(args.input)
-    out = flagship(ds, mode=args.mode)
+    out = flagship(ds, mode=args.mode, lookup_strategy=args.lookup_strategy)
     out.write_parquet(args.output)
     print(f"flagship -> {args.output}")
     return 0
@@ -325,6 +328,13 @@ def build_parser() -> argparse.ArgumentParser:
         "pre-built filter at PATH (never inserts)",
     )
     d.add_argument("--fp-rate", type=float, default=1e-6)
+    d.add_argument(
+        "--lookup-strategy",
+        choices=["driver", "shuffle", "join"],
+        default="driver",
+        help="doc-level duplicate-state strategy (join = fully "
+        "distributed, no driver broadcast)",
+    )
     d.set_defaults(fn=cmd_dedupe)
 
     m = sub.add_parser("mix", help="keep/drop filter + span scrub")
@@ -338,6 +348,14 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--input", required=True)
     f.add_argument("--output", required=True)
     f.add_argument("--mode", choices=["filter", "label"], default="filter")
+    f.add_argument(
+        "--lookup-strategy",
+        choices=["auto", "driver", "shuffle", "join"],
+        default="auto",
+        help="dedup duplicate-state strategy: driver broadcast (fast, "
+        "single-node), shuffle aggregate, or fully-distributed join "
+        "(the 10^12-doc shape); auto picks by input row count",
+    )
     f.set_defaults(fn=cmd_flagship)
 
     s = sub.add_parser("stat", help="attribute histogram summary")

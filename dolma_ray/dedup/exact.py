@@ -81,13 +81,26 @@ def mark_duplicate_docs(
     key_column: str = "text",
     order_columns: Sequence[str] = ("warc_ts", "url"),
     text_column: str = "text",
+    lookup_strategy: str = "driver",
 ):
     """Append ``attr__dedupe_docs__duplicate`` span column: ``[]`` for the
-    first occurrence of each key, ``[(0, len(text), 1.0)]`` for later ones."""
+    first occurrence of each key, ``[(0, len(text), 1.0)]`` for later ones.
+
+    ``lookup_strategy``: ``driver``/``shuffle`` broadcast the
+    duplicates-only lookup; ``join`` delegates to
+    :func:`mark_duplicate_docs_join` (no driver state)."""
     import ray
 
+    if lookup_strategy == "join":
+        return mark_duplicate_docs_join(
+            ds, key_column=key_column, order_columns=order_columns,
+            text_column=text_column,
+        )
+
     order = list(order_columns)
-    lookup_ref = ray.put(duplicate_min_lookup(ds, key_column, order))
+    lookup_ref = ray.put(
+        duplicate_min_lookup(ds, key_column, order, lookup_strategy=lookup_strategy)
+    )
 
     def mark(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
