@@ -71,12 +71,23 @@ def cmd_dedupe(args: argparse.Namespace) -> int:
         mark_duplicate_paragraphs,
     )
 
+    if (args.paragraphs or args.ngram) and args.lookup_strategy != "driver":
+        print(
+            "error: --lookup-strategy applies to doc-level dedup only; "
+            "for distributed paragraph dedup use `flagship "
+            "--lookup-strategy join` (fused doc+paragraph path)",
+            file=sys.stderr,
+        )
+        return 2
     ds = _read(args.input)
     order = tuple(args.order_by.split(","))
     if args.bloom_build:
         bf = build_bloom_filter(ds, key_column=args.key, fp_rate=args.fp_rate)
         bf.write_to_file(args.bloom_build)
-        print(f"bloom filter ({bf.m} bits, k={bf.k}) -> {args.bloom_build}")
+        print(
+            f"bloom filter ({bf.m} bits, k={bf.k}) -> {args.bloom_build} "
+            "(build mode: no marked --output written)"
+        )
         return 0
     if args.bloom_filter:
         # decontamination: mark against a pre-built filter, never insert

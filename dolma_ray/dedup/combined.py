@@ -185,9 +185,9 @@ def _mark_fused_join(
     path, but the duplicates-only state never leaves the Dataset world.
 
     1. narrow units ``(k, o, d, seq)`` — ``d`` is a per-row identity
-       (hash of order ⊕ doc key; rows that tie on both are identical
-       docs and correctly receive identical marks), ``seq`` is the unit
-       index within the doc (-1 for the doc-level key);
+       (hash of order ⊕ doc key ⊕ text; rows that tie on all three are
+       identical docs and correctly receive identical marks), ``seq`` is
+       the unit index within the doc (-1 for the doc-level key);
     2. ``groupby(k).aggregate(Min, Count)`` → duplicated-keys-only
        min-order table (distributed, spillable);
     3. inner ``Dataset.join`` units ⋈ mins on ``k``; a unit is late iff
@@ -207,8 +207,13 @@ def _mark_fused_join(
 
     from .lookup import _join_partitions, dup_min_table
 
-    def row_ident(dk: str, o: str) -> int:
-        return hash_string(o + "\x1f" + (dk or ""))
+    def row_ident(dk: str, o: str, text: str) -> int:
+        # identity over (order, doc key, text): rows that tie on all
+        # three are genuinely identical and correctly share marks; key
+        # alone is NOT enough when doc_key_column != text_column (two
+        # re-crawls of one url+ts with different text must not merge
+        # their late-unit lists)
+        return hash_string(o + "\x1f" + (dk or "") + "\x1f" + (text or ""))
 
     def project_units(batch: pa.Table) -> pa.Table:
         cfg = _UnitConfig(**cfg_kwargs)
@@ -224,7 +229,7 @@ def _mark_fused_join(
         r_d: list[int] = []
         r_seq: list[int] = []
         for text, dk, o in zip(texts, doc_keys, orders):
-            d = row_ident(dk, o)
+            d = row_ident(dk, o, text)
             r_hash.append(hash_string(_DOC_SALT + (dk or "")))
             r_order.append(o)
             r_d.append(d)
@@ -259,14 +264,17 @@ def _mark_fused_join(
                 else texts
             )
             orders = _order_strings(batch, order)
-            idents = [row_ident(dk, o) for dk, o in zip(doc_keys, orders)]
-            return batch.append_column("_d", pa.array(idents, pa.int64()))
+            idents = [
+                row_ident(dk, o, tx)
+                for dk, o, tx in zip(doc_keys, orders, texts)
+            ]
+            return batch.append_column("__ddj_d", pa.array(idents, pa.int64()))
 
         keyed = ds.map_batches(add_ident, batch_format="pyarrow")
         restore = lambda b: b  # noqa: E731
         if late_lists_ds is None:
             joined = keyed.map_batches(
-                lambda b: b.append_column("_late", pa.nulls(len(b), pa.string())),
+                lambda b: b.append_column("__ddj_late", pa.nulls(len(b), pa.string())),
                 batch_format="pyarrow",
             )
         else:
@@ -277,15 +285,15 @@ def _mark_fused_join(
                 late_lists_ds,
                 join_type="left_outer",
                 num_partitions=parts,
-                on=("_d",),
-                right_on=("d",),
+                on=("__ddj_d",),
+                right_on=("__ddj_rd",),
             )
 
         def attach(batch: pa.Table) -> pa.Table:
             batch = restore(batch)
             cfg = _UnitConfig(**cfg_kwargs)
             texts = batch[text_column].to_pylist()
-            late_lists = batch["_late"].to_pylist()
+            late_lists = batch["__ddj_late"].to_pylist()
             doc_spans: list[list[tuple[int, int, float]]] = []
             par_spans: list[list[tuple[int, int, float]]] = []
             for text, lates in zip(texts, late_lists):
@@ -314,7 +322,11 @@ def _mark_fused_join(
                         if frac >= overlap_threshold:
                             spans.append((par_start, par_end, frac))
                 par_spans.append(spans)
-            drop = [c for c in ("_d", "_late", "d") if c in batch.column_names]
+            drop = [
+                c
+                for c in ("__ddj_d", "__ddj_late", "__ddj_rd")
+                if c in batch.column_names
+            ]
             batch = batch.drop_columns(drop)
             for col, data in (
                 (DUP_DOCS_ATTR, doc_spans),
@@ -346,7 +358,7 @@ def _mark_fused_join(
             for lst in batch["unique(seq)"].to_pylist()
         ]
         return pa.table(
-            {"d": batch["d"], "_late": pa.array(lates, pa.string())}
+            {"__ddj_rd": batch["d"], "__ddj_late": pa.array(lates, pa.string())}
         )
 
     per_doc = (

@@ -136,7 +136,8 @@ def mark_duplicate_docs_join(
     never moves — only ``(k, o)`` plus the join key on the big side.
     """
     import pyarrow.compute as pc_
-    from ray.data.aggregate import Count, Min
+
+    from .lookup import _join_partitions, dup_min_table, shield_complex_columns
 
     order = list(order_columns)
 
@@ -149,23 +150,39 @@ def mark_duplicate_docs_join(
 
     keyed = ds.map_batches(add_keys, batch_format="pyarrow")
 
-    mins = (
-        keyed.select_columns(["_k", "_o"])
-        .groupby("_k")
-        .aggregate(Min("_o", alias_name="_o_min"), Count(alias_name="_n"))
-        .filter(lambda r: r["_n"] > 1)
-        .drop_columns(["_n"])
-    )
+    def rename_units(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch["_k"], "o": batch["_o"]})
 
-    # NOTE: Ray's hash join currently fails when a right-side partition is
-    # empty ("No match ... on right side"); with realistic duplicate
-    # densities every partition has rows.  Keep num_partitions <= expected
-    # duplicate-key count (tiny corpora should use the broadcast path).
+    mins, n_dup = dup_min_table(
+        keyed.select_columns(["_k", "_o"]).map_batches(
+            rename_units, batch_format="pyarrow"
+        )
+    )
+    if n_dup == 0:
+        def no_dups(batch: pa.Table) -> pa.Table:
+            batch = batch.drop_columns(["_k", "_o"])
+            if DUP_DOCS_ATTR in batch.column_names:
+                batch = batch.drop_columns([DUP_DOCS_ATTR])
+            return batch.append_column(DUP_DOCS_ATTR, spans_array([[]] * len(batch)))
+
+        return keyed.map_batches(no_dups, batch_format="pyarrow")
+
+    mins = mins.map_batches(
+        lambda b: pa.table({"_k": b["k"], "_o_min": b["o_min"]}),
+        batch_format="pyarrow",
+    )
+    keyed, restore = shield_complex_columns(keyed)
+    # partitions capped by dup-key count (Ray rejects empty right-side
+    # partitions) and cluster CPUs (aggregators are actors) — lookup.py
     joined = keyed.join(
-        mins, join_type="left_outer", num_partitions=num_partitions, on=("_k",)
+        mins,
+        join_type="left_outer",
+        num_partitions=_join_partitions(n_dup, num_partitions),
+        on=("_k",),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        batch = restore(batch)
         o = batch["_o"].to_pylist()
         o_min = batch["_o_min"].to_pylist()
         lens = pc_.utf8_length(batch[text_column]).to_numpy(zero_copy_only=False)

@@ -196,8 +196,15 @@ def attach_dup_flag_join(ds, key_column: str, dup_keys_ds, attr_column: str,
 
         return attach_dup_flag(ds, key_column, [], attr_column)
 
+    # reserved right-side names so a user column literally named "key"
+    # (or "_dup") is never clobbered/dropped
     flagged = dup_keys_ds.map_batches(
-        lambda b: b.append_column("_dup", pa.array([1.0] * len(b), pa.float64())),
+        lambda b: pa.table(
+            {
+                "__ddj_key": b["key"],
+                "__ddj_dup": pa.array([1.0] * len(b), pa.float64()),
+            }
+        ),
         batch_format="pyarrow",
     )
     n_keys = dup_keys_ds.count()
@@ -207,15 +214,14 @@ def attach_dup_flag_join(ds, key_column: str, dup_keys_ds, attr_column: str,
         join_type="left_outer",
         num_partitions=_join_partitions(n_keys, num_partitions),
         on=(key_column,),
-        right_on=("key",),
+        right_on=("__ddj_key",),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
         batch = restore(batch)
-        col = pc.fill_null(batch["_dup"], 0.0)
-        batch = batch.drop_columns(["_dup"])
-        if "key" in batch.column_names and key_column != "key":
-            batch = batch.drop_columns(["key"])
+        col = pc.fill_null(batch["__ddj_dup"], 0.0)
+        drop = [c for c in ("__ddj_dup", "__ddj_key") if c in batch.column_names]
+        batch = batch.drop_columns(drop)
         if attr_column in batch.column_names:
             batch = batch.drop_columns([attr_column])
         return batch.append_column(attr_column, col)

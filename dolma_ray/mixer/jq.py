@@ -70,8 +70,9 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
 
 @dataclass
 class Path:
-    segments: list[str]  # [] for bare "."
-    indexes: list[int]
+    # ordered access steps: ("seg", name) | ("idx", int) — order matters
+    # (".a[0].b" applies the index between the two segments)
+    steps: list[tuple[str, object]]
     optional: bool = False  # any "?" in the path: errors -> null
 
 
@@ -194,15 +195,16 @@ class _Parser:
             self.expect("lparen")
             inner = self.parse_pipe()
             self.expect("rparen")
-            return Pipe(Path([], []), [("select", inner)])
+            return Pipe(Path([]), [("select", inner)])
         if k == "path":
             return self.parse_path()
         raise JqError(f"unexpected token {k}:{v}")
 
     def parse_path(self):
         _, v = self.next()
-        segments = [] if v == "." else v[1:].split(".")
-        indexes: list[int] = []
+        steps: list[tuple[str, object]] = (
+            [] if v == "." else [("seg", s) for s in v[1:].split(".")]
+        )
         optional = False
         while True:
             k2, v2 = self.peek()
@@ -214,17 +216,17 @@ class _Parser:
                 # .attributes?.foo? -> path(.attributes) opt path(.foo) opt
                 self.next()
                 if v2 != ".":
-                    segments.extend(v2[1:].split("."))
+                    steps.extend(("seg", s) for s in v2[1:].split("."))
             elif k2 == "lbrack":
                 self.next()
                 k3, v3 = self.next()
                 if k3 != "num":
                     raise JqError("only integer indexes supported")
-                indexes.append(int(v3))
+                steps.append(("idx", int(v3)))
                 self.expect("rbrack")
             else:
                 break
-        return Path(segments, indexes, optional)
+        return Path(steps, optional)
 
     def parse_pipe(self):
         source = self.parse_or()
@@ -279,29 +281,30 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM) -> Any:
         # inside map/select the element is the current input for ALL
         # paths (jq: map(.foo) reads each element's foo)
         cur = doc if elem is _NO_ELEM else elem
-        for seg in node.segments:
-            if cur is None:
-                if node.optional:
-                    return None
-                raise JqError(f"cannot index null with {seg!r}")
-            if not isinstance(cur, dict):
-                if node.optional:
-                    return None
-                raise JqError(f"cannot index {type(cur).__name__} with {seg!r}")
-            cur = cur.get(seg)
-        for idx in node.indexes:
-            if cur is None:
-                if node.optional:
-                    return None
-                raise JqError(f"cannot index null with [{idx}]")
-            if not isinstance(cur, list):
-                if node.optional:
-                    return None
-                raise JqError(f"cannot index {type(cur).__name__} with [{idx}]")
-            try:
-                cur = cur[idx]
-            except IndexError:
-                cur = None
+        for kind, key in node.steps:
+            if kind == "seg":
+                if cur is None:
+                    if node.optional:
+                        return None
+                    raise JqError(f"cannot index null with {key!r}")
+                if not isinstance(cur, dict):
+                    if node.optional:
+                        return None
+                    raise JqError(f"cannot index {type(cur).__name__} with {key!r}")
+                cur = cur.get(key)
+            else:
+                if cur is None:
+                    if node.optional:
+                        return None
+                    raise JqError(f"cannot index null with [{key}]")
+                if not isinstance(cur, list):
+                    if node.optional:
+                        return None
+                    raise JqError(f"cannot index {type(cur).__name__} with [{key}]")
+                try:
+                    cur = cur[key]
+                except IndexError:
+                    cur = None
         return cur
     if isinstance(node, Pipe):
         cur = _eval(node.source, doc, elem)

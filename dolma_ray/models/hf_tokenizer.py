@@ -58,11 +58,46 @@ _GPT2_PRE = re.compile(
     r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
 )
 # HF pre-tokenizer types: "Whitespace" = \w+|[^\w\s]+ (punctuation runs
-# split off), "WhitespaceSplit" = \S+, "BertPreTokenizer" = whitespace
-# split + EACH punctuation char as its own token (no runs)
+# split off), "WhitespaceSplit" = \S+
 _HF_WHITESPACE = re.compile(r"\w+|[^\w\s]+")
 _WS_SPLIT = re.compile(r"\S+")
-_BERT_PRE = re.compile(r"\w+|[^\w\s]")
+
+
+def _is_bert_punct(ch: str) -> bool:
+    """BERT's _is_punctuation: the four ASCII symbol ranges (which
+    include '_', '$', etc.) plus every unicode category-P char."""
+    cp = ord(ch)
+    if (
+        33 <= cp <= 47
+        or 58 <= cp <= 64
+        or 91 <= cp <= 96
+        or 123 <= cp <= 126
+    ):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _bert_pretokenize(text: str) -> list[str]:
+    """BertPreTokenizer: whitespace split, then EACH punctuation char
+    (BERT definition above — '_' is punctuation, '€' is not) as its own
+    token; everything else grouped."""
+    out: list[str] = []
+    cur: list[str] = []
+    for ch in text:
+        if ch.isspace():
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        elif _is_bert_punct(ch):
+            if cur:
+                out.append("".join(cur))
+                cur = []
+            out.append(ch)
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
 
 
 def _is_cjk_char(c: str) -> bool:
@@ -271,17 +306,17 @@ class HFTokenizer:
                 ids.append(piece_id)
 
         if self.pre == "WhitespaceSplit":
-            word_rx = _WS_SPLIT
+            words = _WS_SPLIT.findall(text)
         elif self.pre == "BertPreTokenizer":
-            word_rx = _BERT_PRE
+            words = _bert_pretokenize(text)
         else:
-            word_rx = _HF_WHITESPACE
+            words = _HF_WHITESPACE.findall(text)
         if self.model_type == "WordLevel":
-            for tok in word_rx.findall(text):
+            for tok in words:
                 emit(self.token_to_id(tok))
             return ids
         if self.model_type == "WordPiece":
-            for tok in word_rx.findall(text):
+            for tok in words:
                 pieces = self._wordpiece(tok)
                 if pieces is None:
                     emit(None)

@@ -840,8 +840,11 @@ def q_minhash_near_dup(sf_dir: str):
     from .dedup import mark_near_duplicates_minhash
     from .dedup.minhash import DUP_MINHASH_ATTR
 
+    # explicit strategy: "auto" would ds.count() the planted map lineage,
+    # executing the plant stage an extra time (see combined.py docstring)
     out = mark_near_duplicates_minhash(
-        _plant_docs(sf_dir), key_column="key", order_columns=("doc_id",), shingle_size=3
+        _plant_docs(sf_dir), key_column="key", order_columns=("doc_id",),
+        shingle_size=3, lookup_strategy="driver",
     )
     return _planted_only(out, DUP_MINHASH_ATTR)
 
@@ -851,7 +854,8 @@ def q_simhash_near_dup(sf_dir: str):
     from .dedup.simhash import DUP_SIMHASH_ATTR
 
     out = mark_near_duplicates_simhash(
-        _plant_docs(sf_dir), key_column="key", order_columns=("doc_id",), max_hamming=3
+        _plant_docs(sf_dir), key_column="key", order_columns=("doc_id",),
+        max_hamming=3, lookup_strategy="driver",
     )
     return _planted_only(out, DUP_SIMHASH_ATTR)
 
@@ -887,7 +891,9 @@ def q_embedding_near_dup(sf_dir: str):
         )
 
     planted = ds.map_batches(plant, batch_format="pyarrow")
-    out = mark_near_duplicates_embedding(planted, threshold=0.95, n_planes=8)
+    out = mark_near_duplicates_embedding(
+        planted, threshold=0.95, n_planes=8, lookup_strategy="driver"
+    )
 
     def project(batch: pa.Table) -> pa.Table:
         keep = pc.greater_equal(batch["vec_id"], _PLANT_COPY)

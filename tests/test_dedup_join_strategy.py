@@ -255,3 +255,81 @@ def test_flagship_forced_join_matches_driver(ray_session, tmp_path):
     jn = run("join")
     pd.testing.assert_frame_equal(drv, jn)
     assert 0.3 < len(drv) / 400 < 0.9  # plausible keep-rate, not degenerate
+
+
+def test_doc_join_single_dup_and_no_dup(ray_session):
+    """Review regression: mark_duplicate_docs_join must survive a corpus
+    with ONE duplicate key (partitions capped by dup count) and a corpus
+    with none (early-out instead of an empty-right-side join crash)."""
+    import ray.data as rd
+
+    from dolma_ray.dedup.exact import DUP_DOCS_ATTR, mark_duplicate_docs_join
+
+    rows = [{"url": f"u{i}", "warc_ts": i, "text": f"body {i}"} for i in range(10)]
+    rows.append({"url": "dup", "warc_ts": 99, "text": "body 0"})
+    out = (
+        mark_duplicate_docs_join(rd.from_items(rows))
+        .to_pandas()
+        .set_index("url")[DUP_DOCS_ATTR]
+    )
+    assert len(out["dup"]) == 1 and len(out["u0"]) == 0
+
+    nodup = [{"url": f"v{i}", "warc_ts": i, "text": f"unique {i}"} for i in range(5)]
+    out2 = mark_duplicate_docs_join(rd.from_items(nodup)).to_pandas()
+    assert all(len(s) == 0 for s in out2[DUP_DOCS_ATTR])
+
+
+def test_mark_duplicate_docs_join_strategy_param(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_duplicate_docs
+    from dolma_ray.dedup.exact import DUP_DOCS_ATTR
+
+    rows = [{"url": "a", "warc_ts": 1, "text": "t"}, {"url": "b", "warc_ts": 2, "text": "t"}]
+    out = (
+        mark_duplicate_docs(rd.from_items(rows), lookup_strategy="join")
+        .to_pandas()
+        .set_index("url")[DUP_DOCS_ATTR]
+    )
+    assert len(out["a"]) == 0 and len(out["b"]) == 1
+
+
+def test_join_attach_preserves_user_key_column(ray_session):
+    """Review regression: a corpus column literally named 'key' must
+    survive the join attach."""
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_minhash
+    from dolma_ray.dedup.minhash import DUP_MINHASH_ATTR
+
+    rows = [
+        {"url": "a", "warc_ts": 1, "key": "user-a", "text": BASE},
+        {"url": "b", "warc_ts": 2, "key": "user-b", "text": BASE},
+    ]
+    out = mark_near_duplicates_minhash(
+        rd.from_items(rows), key_column="url", lookup_strategy="join"
+    ).to_pandas()
+    assert set(out["key"]) == {"user-a", "user-b"}
+    assert out.set_index("url")[DUP_MINHASH_ATTR]["b"] == 1.0
+
+
+def test_fused_join_url_key_distinct_texts(ray_session):
+    """Review regression: doc_key_column='url' with two rows sharing
+    (url, ts) but different TEXT must not merge their late-unit lists."""
+    import ray.data as rd
+
+    from dolma_ray.dedup.combined import mark_duplicates_fused
+    from dolma_ray.dedup.paragraphs import DUP_PARAGRAPHS_ATTR
+
+    rows = [
+        {"url": "u", "warc_ts": 1, "text": f"{PAR_A}\n{PAR_B} one"},
+        {"url": "u", "warc_ts": 1, "text": "totally different body here"},
+        {"url": "w", "warc_ts": 2, "text": f"{PAR_A}\nanother body"},
+    ]
+    for strat in ("driver", "join"):
+        out = mark_duplicates_fused(
+            rd.from_items(rows), doc_key_column="url", lookup_strategy=strat
+        ).to_pandas()
+        by_text = {r["text"]: r[DUP_PARAGRAPHS_ATTR] for _, r in out.iterrows()}
+        # the unrelated-body row shares no paragraph with anyone
+        assert len(by_text["totally different body here"]) == 0, strat

@@ -231,3 +231,12 @@ def test_any_all():
 def test_boolean_literals():
     assert evaluate_jq(parse_jq("true"), {}) is True
     assert evaluate_jq(parse_jq("false"), {}) is False
+
+
+def test_index_then_field_path_order():
+    """Review regression: '.a[0].b' must apply the index BETWEEN the
+    segments (previously parsed as '.a.b[0]')."""
+    doc = {"a": [{"b": 5}]}
+    assert evaluate_jq(parse_jq(".a[0].b"), doc) == 5
+    assert evaluate_jq(parse_jq(".a[0].b?"), doc) == 5
+    assert evaluate_jq(parse_jq(".a[-1].b"), doc) == 5

@@ -301,3 +301,22 @@ def test_reshard_round_trip(ray_session, tmp_path):
         return docs
 
     assert doc_map(out) == doc_map(dst)
+
+
+def test_bert_pretokenizer_underscore_and_symbols(tmp_path):
+    """Review regression: '_' is BERT punctuation (ASCII 91-96) and must
+    split; non-punctuation symbols like '€' must NOT be isolated."""
+    spec = {
+        "model": {
+            "type": "WordPiece",
+            "vocab": {"[UNK]": 0, "foo": 1, "_": 2, "bar": 3, "€€": 4},
+            "unk_token": "[UNK]",
+            "continuing_subword_prefix": "##",
+        },
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+    }
+    p = tmp_path / "bp.json"
+    p.write_text(json.dumps(spec))
+    tok = HFTokenizer(str(p))
+    assert tok.encode("foo_bar") == [1, 2, 3]
+    assert tok.encode("€€") == [4]  # symbol run stays grouped
