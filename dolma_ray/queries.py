@@ -1082,9 +1082,15 @@ FROM b GROUP BY 1, 2, 3, 4
 
 
 def q_analyzer_tagged(sf_dir: str):
-    """Attribute histogram summary over gopher-tagged documents — the
-    model-driven analyzer run (attribute values are tagger outputs, not
-    SQL-expressible: rows-only driver check)."""
+    """Attribute histogram summary over TAGGER outputs — the full
+    gopher_v1 + c4_v2 pack runs distributed, then the analyzer
+    histograms the word-stats attributes.  Oracle-checked: gopher's
+    word_count / median_word_length are deterministic python-semantics
+    text functions DuckDB reproduces exactly (same trick as
+    gopher_word_stats), and the fixed bucket edges are multiples of 50
+    (IEEE-exact between numpy linspace and SQL arithmetic, as in
+    q_analyzer).  The remaining gopher/c4 attributes are pinned by the
+    differential tests that exec the reference's own code."""
     from .analysis.analyzer import summarize_attributes  # noqa: F811
     from .taggers.base import TagStage
     from .util import cached_stage
@@ -1094,8 +1100,42 @@ def q_analyzer_tagged(sf_dir: str):
         cached_stage(TagStage, taggers=["gopher_v1", "c4_v2"]),
         batch_format="pyarrow",
     )
-    df = summarize_attributes(ds, n_buckets=10)
+    df = summarize_attributes(
+        ds,
+        attributes=[
+            "attr__gopher_v1__word_count",
+            "attr__gopher_v1__median_word_length",
+        ],
+        n_buckets=10,
+        score_range=(0.0, 500.0),
+    )
     return df
+
+
+SQL_ANALYZER_TAGGED = """
+WITH words AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+    FROM documents
+),
+vals AS (
+    SELECT 'attr__gopher_v1__word_count' AS attribute, 'score' AS kind,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM words GROUP BY doc_id
+    UNION ALL
+    SELECT 'attr__gopher_v1__median_word_length', 'score',
+           CAST(median(length(w)) AS DOUBLE)
+    FROM words GROUP BY doc_id
+),
+b AS (
+    SELECT attribute, kind,
+           least(greatest(CAST(floor(v / 50.0) AS BIGINT), 0), 9) AS bi
+    FROM vals
+)
+SELECT attribute, kind, bi * 50.0 AS bucket_lo, (bi + 1) * 50.0 AS bucket_hi,
+       count(*) AS "count"
+FROM b GROUP BY 1, 2, 3, 4
+"""
 
 
 QUERIES.update(
@@ -1120,6 +1160,7 @@ ORACLES.update(
         "lsh_ann_recall": SQL_LSH_ANN_RECALL,
         "kmeans_pairs": SQL_KMEANS_PAIRS,
         "analyzer": SQL_ANALYZER,
+        "analyzer_tagged": SQL_ANALYZER_TAGGED,
     }
 )
 
