@@ -84,12 +84,17 @@ _COLORS = [31, 32, 33, 34, 35, 36]  # ANSI fg reds..cyans, cycled per attr
 def highlight_spans(
     text: str,
     spans_by_attr: Mapping[str, Iterable[tuple[int, int, float]]],
-    color: bool = True,
+    color: bool | None = None,
     score_threshold: float | None = None,
 ) -> str:
     """Render a document with tagged spans highlighted: colored
-    ``[attr:score]``-bracketed regions (ANSI when ``color``), matching
+    ``[attr:score]``-bracketed regions (ANSI when ``color``; the default
+    ``None`` auto-detects — color only when stdout is a TTY), matching
     the reference visualizer's single-doc view in spirit."""
+    if color is None:
+        import sys
+
+        color = bool(getattr(sys.stdout, "isatty", lambda: False)())
     marks: list[tuple[int, int, str, float, int]] = []
     for ai, (attr, spans) in enumerate(sorted(spans_by_attr.items())):
         code = _COLORS[ai % len(_COLORS)]

@@ -252,10 +252,15 @@ def build_bloom_filter(
 ) -> BloomFilter:
     """Build a persistable filter from a corpus (the decontamination
     workflow's first step: insert every key of e.g. an eval corpus).
-    Runs the sharded-actor insert pass, then merges the shard bitmaps."""
+    Runs the sharded-actor insert pass, then merges the shard bitmaps.
+
+    When ``expected_items`` is omitted the key column is projected and
+    materialized ONCE (narrow, spillable) so sizing the filter doesn't
+    re-execute an arbitrarily expensive upstream lineage."""
     import ray
 
     if expected_items is None:
+        ds = ds.select_columns([key_column]).materialize()
         expected_items = ds.count()
     actors = make_bloom_shard_actors(num_shards, expected_items, fp_rate, seed=seed)
 

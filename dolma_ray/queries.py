@@ -17,6 +17,14 @@ import pyarrow.compute as pc
 
 from .analysis.text_stats import STOPWORD_PATTERN, add_doc_stats
 
+# RE2 class equal to python str.split() whitespace (str.isspace chars):
+# the gopher oracles must split exactly like the python-semantics engine
+# path, and RE2 \s is only [\t\n\f\r\v ] — \xa0 etc. would diverge
+PYSPACE_RE2 = (
+    r"[\t\n\x0b\x0c\r\x1c-\x1f \x{85}\x{a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+)
+
 # RE2-safe shared patterns (no lookahead/backrefs)
 EMAIL_RE2 = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IP_RE2 = r"(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
@@ -62,7 +70,7 @@ SELECT doc_id,
        length(regexp_extract_all(text, '\\S+')) AS n_words,
        length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
-             / length(text) AS alpha_frac,
+             / greatest(length(text), 1) AS alpha_frac,
        length(regexp_extract_all(text, '{STOPWORD_PATTERN}')) * 1.0
              / greatest(length(regexp_extract_all(text, '\\S+')), 1)
              AS stopword_frac
@@ -164,13 +172,13 @@ def q_gopher_word_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-SQL_GOPHER_WORD_STATS = """
+SQL_GOPHER_WORD_STATS = f"""
 SELECT doc_id,
        count(*) AS word_count,
        median(length(w)) AS median_word_length
 FROM (
     SELECT doc_id,
-           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+           unnest(list_filter(regexp_split_to_array(text, '{PYSPACE_RE2}+'), x -> x <> '')) AS w
     FROM documents
 )
 GROUP BY doc_id
@@ -257,7 +265,15 @@ def q_events_hourly(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        micros = pc.cast(pc.round(pc.multiply(batch["value"], 1_000_000.0)), pa.int64())
+        micros = pc.cast(
+            pc.round(
+                pc.multiply(batch["value"], 1_000_000.0),
+                # DuckDB round() is half-away-from-zero; Arrow defaults to
+                # half-to-even — knife-edge .5 products would diverge
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
         t = pa.table(
             {
                 "event_type": batch["event_type"],
@@ -328,7 +344,11 @@ def q_orders_by_segment(sf_dir: str):
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
         segments = pa.array(_probe(sk, vals, keys), pa.string())
         cents = pc.cast(
-            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+            pc.round(
+                pc.multiply(batch["o_totalprice"], 100.0),
+                round_mode="half_towards_infinity",  # DuckDB round() parity
+            ),
+            pa.int64(),
         )
         return pa.table({"c_mktsegment": segments, "cents": cents})
 
@@ -1112,20 +1132,26 @@ def q_analyzer_tagged(sf_dir: str):
     return df
 
 
-SQL_ANALYZER_TAGGED = """
-WITH words AS (
+SQL_ANALYZER_TAGGED = f"""
+WITH ws AS (
+    -- zero-word docs keep a row (empty list): gopher emits
+    -- word_count = 0 / median_word_length = 0 for them
     SELECT doc_id,
-           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+           list_filter(regexp_split_to_array(text, '{PYSPACE_RE2}+'),
+                       x -> x <> '') AS words
     FROM documents
 ),
 vals AS (
     SELECT 'attr__gopher_v1__word_count' AS attribute, 'score' AS kind,
-           CAST(count(*) AS DOUBLE) AS v
-    FROM words GROUP BY doc_id
+           CAST(length(words) AS DOUBLE) AS v
+    FROM ws
     UNION ALL
     SELECT 'attr__gopher_v1__median_word_length', 'score',
-           CAST(median(length(w)) AS DOUBLE)
-    FROM words GROUP BY doc_id
+           CASE WHEN length(words) = 0 THEN 0.0
+                ELSE CAST(list_aggregate(
+                        list_transform(words, w -> length(w)), 'median'
+                     ) AS DOUBLE) END
+    FROM ws
 ),
 b AS (
     SELECT attribute, kind,
@@ -1298,7 +1324,11 @@ def q_length_histogram(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        n = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        # null text counts as empty on BOTH sides (a null would become
+        # NaN -> undefined int cast here, a NULL group in SQL)
+        n = pc.utf8_length(pc.fill_null(batch["text"], "")).to_numpy(
+            zero_copy_only=False
+        )
         bucket = np.minimum(n // 100, 9).astype(np.int64)
         uniq, counts = np.unique(bucket, return_counts=True)
         return pa.table(
@@ -1316,7 +1346,7 @@ def q_length_histogram(sf_dir: str):
 
 
 SQL_LENGTH_HISTOGRAM = """
-SELECT least(length(text) // 100, 9) AS bucket, count(*) AS n_docs
+SELECT least(length(coalesce(text, '')) // 100, 9) AS bucket, count(*) AS n_docs
 FROM documents GROUP BY 1
 """
 
@@ -1344,7 +1374,13 @@ def q_nation_revenue(sf_dir: str):
         sk, vals = ray.get(ref)
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
         names = pa.array(_probe(sk, vals, keys), pa.string())
-        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(batch["o_totalprice"], 100.0),
+                round_mode="half_towards_infinity",  # DuckDB round() parity
+            ),
+            pa.int64(),
+        )
         return pa.table({"n_name": names, "cents": cents})
 
     return (

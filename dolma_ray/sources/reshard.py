@@ -25,7 +25,14 @@ import numpy as np
 
 
 def _shard_pairs(src_dir: str) -> list[tuple[str, str]]:
-    npys = sorted(glob.glob(os.path.join(src_dir, "*.npy")))
+    # numeric sort by shard stem: lexicographic order breaks at the
+    # 5-digit zero-padding rollover (shard 100000 would sort between
+    # 10000 and 10001, silently permuting the "order-preserving" merge)
+    def key(path: str) -> tuple:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        return (0, int(stem)) if stem.isdigit() else (1, stem)
+
+    npys = sorted(glob.glob(os.path.join(src_dir, "*.npy")), key=key)
     pairs = []
     for npy in npys:
         csv = npy[: -len(".npy")] + ".csv.gz"
