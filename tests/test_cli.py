@@ -139,3 +139,66 @@ def test_cli_warc_and_ft(tmp_path):
     assert r3.returncode == 0, r3.stderr[-2000:]
     res = _json.loads(r3.stdout.strip().splitlines()[-1])
     assert res["n"] == 2 and res["precision_at_1"] == 1.0
+
+
+@pytest.mark.slow
+def test_cli_round3_commands(tmp_path):
+    """dedupe --bloom-build/--bloom-filter, tokens+reshard, stat --viz,
+    and the --lookup-strategy guard — real subprocess runs."""
+    src = tmp_path / "in"
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            f"from dolma_ray.synth import write_web_pages_parquet;"
+            f"write_web_pages_parquet({str(src)!r}, n=60, seed=9, shards=2)",
+        ],
+        check=True,
+    )
+
+    def cli(*args, expect=0):
+        r = subprocess.run(
+            [sys.executable, "-m", "dolma_ray", "--num-cpus", "2", *args],
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+        assert r.returncode == expect, (args, r.stderr[-1500:])
+        return r
+
+    # bloom build + read-only decontamination marking
+    bloom = tmp_path / "f.bloom"
+    cli("dedupe", "--input", str(src), "--output", str(tmp_path / "unused"),
+        "--key", "text", "--bloom-build", str(bloom))
+    assert bloom.exists() and bloom.stat().st_size > 12
+    marked = tmp_path / "marked"
+    cli("dedupe", "--input", str(src), "--output", str(marked),
+        "--key", "text", "--bloom-filter", str(bloom))
+    n_marked = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{marked}/*.parquet') "
+        "WHERE length(attr__dedupe_bloom__duplicate) > 0"
+    ).fetchone()[0]
+    assert n_marked == 60  # every doc was inserted at build time
+
+    # paragraphs + non-driver lookup strategy is rejected loudly
+    r = cli("dedupe", "--input", str(src), "--output", str(tmp_path / "x"),
+            "--paragraphs", "--lookup-strategy", "join", expect=2)
+    assert "doc-level" in r.stderr
+
+    # tokens -> memmap shards -> reshard
+    toks = tmp_path / "toks"
+    cli("tokens", "--input", str(src), "--output", str(toks),
+        "--format", "memmap", "--max-tokens", "4096")
+    resharded = tmp_path / "resharded"
+    cli("reshard", "--input", str(toks), "--output", str(resharded),
+        "--max-bytes", str(1 << 20))
+    import glob
+
+    assert glob.glob(str(resharded / "*.npy"))
+
+    # stat --viz renders tables
+    tagged = tmp_path / "tagged"
+    cli("tag", "--input", str(src), "--output", str(tagged),
+        "--taggers", "char_length_v1")
+    r = cli("stat", "--input", str(tagged), "--viz")
+    assert "█" in r.stdout and "count" in r.stdout
