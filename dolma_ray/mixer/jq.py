@@ -43,7 +43,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>-?\d+\.\d+|-?\d+)|(?P<str>\"(?:[^\"\\]|\\.)*\")"
     r"|(?P<path>\.[A-Za-z_][\w.]*|\.)"
     r"|(?P<lbrack>\[)|(?P<rbrack>\])|(?P<lparen>\()|(?P<rparen>\))"
-    r"|(?P<pipe>\|)|(?P<opt>\?)|(?P<op><=|>=|==|!=|<|>|\+|-|\*|/)"
+    r"|(?P<pipe>\|)|(?P<opt>\?)|(?P<op><=|>=|==|!=|<|>|\+|-|\*|//|/)"
     r"|(?P<word>and|or|length|add|map|select|any|all|null|true|false|not)\b)"
 )
 
@@ -124,12 +124,19 @@ class _Parser:
             raise JqError(f"expected {kind}, got {k}:{v}")
         return v
 
-    # precedence: or < and < cmp < add < mul < unary
+    # precedence: alt (//) < or < and < cmp < add < mul < unary
     def parse(self):
-        e = self.parse_or()
+        e = self.parse_alt()
         if self.peek()[0] is not None:
             raise JqError(f"trailing tokens at {self.toks[self.i:]}")
         return e
+
+    def parse_alt(self):
+        left = self.parse_or()
+        while self.peek() == ("op", "//"):
+            self.next()
+            left = Bin("//", left, self.parse_or())
+        return left
 
     def parse_or(self):
         left = self.parse_and()
@@ -229,7 +236,7 @@ class _Parser:
         return Path(steps, optional)
 
     def parse_pipe(self):
-        source = self.parse_or()
+        source = self.parse_alt()
         ops = []
         while self.peek()[0] == "pipe":
             self.next()
@@ -352,6 +359,16 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM) -> Any:
                 cur = [v for v in vals if v is not _EMPTY]
         return cur
     if isinstance(node, Bin):
+        if node.op == "//":
+            # jq alternative: left unless it is null/false/empty; errors
+            # on the left also fall through to the right (jaq semantics)
+            try:
+                l = _eval(node.left, doc, elem)
+            except JqError:
+                l = None
+            if l is not None and l is not False and l is not _EMPTY:
+                return l
+            return _eval(node.right, doc, elem)
         if node.op == "and":
             return _truthy(_eval(node.left, doc, elem)) and _truthy(
                 _eval(node.right, doc, elem)

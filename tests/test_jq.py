@@ -240,3 +240,13 @@ def test_index_then_field_path_order():
     assert evaluate_jq(parse_jq(".a[0].b"), doc) == 5
     assert evaluate_jq(parse_jq(".a[0].b?"), doc) == 5
     assert evaluate_jq(parse_jq(".a[-1].b"), doc) == 5
+
+
+def test_alternative_operator():
+    """jq `//`: left unless null/false/empty (errors fall through)."""
+    doc = {"attributes": {"x": 3}}
+    assert evaluate_jq(parse_jq(".attributes.x // 0"), doc) == 3
+    assert evaluate_jq(parse_jq(".attributes.missing // 7"), doc) == 7
+    assert evaluate_jq(parse_jq(".attributes.missing.deep // 7"), doc) == 7
+    assert evaluate_jq(parse_jq(".attributes.x | select(. > 5) // 9"), doc) == 9
+    assert evaluate_jq(parse_jq("(.attributes.x // 0) + 1"), doc) == 4
