@@ -195,14 +195,19 @@ def make_bloom_shard_actors(
 
 
 def merge_bloom_shards(shard_actors) -> BloomFilter:
-    """OR the shard bitmaps into one persistable filter."""
+    """OR the shard bitmaps into one persistable filter.  Shard states
+    are fetched ONE at a time so driver peak memory is ~2 bitmaps, not
+    num_shards (a 1e-6 @ 1e9-item filter is ~3.6 GB per bitmap)."""
     import ray
 
-    states = ray.get([a.state.remote() for a in shard_actors])
-    seeds, bits = states[0]
-    merged = BloomFilter(_state=(seeds.copy(), bits.copy()))
-    for s, b in states[1:]:
-        merged.union_(BloomFilter(_state=(s, b)))
+    merged: BloomFilter | None = None
+    for a in shard_actors:
+        seeds, bits = ray.get(a.state.remote())
+        if merged is None:
+            merged = BloomFilter(_state=(seeds.copy(), bits.copy()))
+        else:
+            merged.union_(BloomFilter(_state=(seeds, bits)))
+    assert merged is not None, "no shard actors"
     return merged
 
 
