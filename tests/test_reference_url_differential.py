@@ -185,3 +185,68 @@ def test_www_lstrip_quirk_parity():
         theirs = {t for t in cls.clean_url(url) if not t.startswith("www.")}
         bare = url_host(url)
         assert bare in theirs, (url, theirs, bare)
+
+
+def test_link_parse_line_fuzz_parity():
+    """Property fuzz over the realistic blocklist-line grammar: our
+    load_blocklist (link mode) equals the reference's parse_line yields
+    line by line.  (Degenerate garbage like 'a:|b' is out of scope: the
+    reference's own loader crashes on urllib3 parse errors there, and
+    its unguarded f-string can emit literal 'none/...' entries — error
+    behaviour, not list content.)"""
+    import random
+
+    from dolma_ray.taggers.url_taggers import load_blocklist
+
+    rng = random.Random(1234)
+    labels = ["example", "ads", "x", "a-b", "foo_bar", "tracker", "cdn7"]
+    tlds = ["com", "net", "org", "example"]
+    ips_good = ["0.0.0.0", "127.0.0.1", "10.1.2.3", "255.255.255.255", "::1", "dead::beef"]
+    ips_bad = ["999.1.1.1", "1.2.3", "deadbeef", "1.2.3.4.5.6.7.8.9"]
+
+    def domain():
+        n = rng.randint(1, 3)
+        return ".".join(rng.choice(labels) for _ in range(n)) + "." + rng.choice(tlds)
+
+    def rand_line() -> str:
+        kind = rng.randrange(8)
+        if kind == 0:
+            return domain()
+        if kind == 1:
+            return domain() + "/" + rng.choice(labels) + ("/" if rng.random() < 0.5 else "")
+        if kind == 2:
+            return f"{rng.choice(ips_good)} {domain()}"
+        if kind == 3:
+            return f"{rng.choice(ips_bad)} {domain()}"
+        if kind == 4:
+            return "|" * rng.randint(1, 3) + domain() + "^"
+        if kind == 5:
+            return rng.choice(["# c", "; c", "! c", "", "   "])
+        if kind == 6:
+            return rng.choice(["localhost", "localdomain", f"{rng.choice(ips_good)} localhost"])
+        return domain().upper() + ":" + str(rng.randint(1, 65535))
+
+    cls = REFNS["BaseUrlTagger"]
+    inst = object.__new__(cls)
+    mismatches = []
+    for _ in range(800):
+        ln = rand_line()
+        their_err = our_err = False
+        theirs: set = set()
+        try:
+            theirs.update(cls.parse_line(inst, ln))
+        except REFNS["UrlNotParsedError"]:
+            pass  # the reference loader logs-and-drops these
+        except Exception:
+            their_err = True
+        try:
+            ours = set(load_blocklist([ln], domains_only=False))
+        except Exception:
+            our_err, ours = True, set()
+        if their_err or our_err:
+            if their_err != our_err:
+                mismatches.append((repr(ln), "error-parity", their_err, our_err))
+            continue
+        if ours != theirs:
+            mismatches.append((repr(ln), sorted(theirs), sorted(ours)))
+    assert not mismatches, mismatches[:10]
