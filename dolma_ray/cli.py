@@ -121,8 +121,25 @@ def _load_mix_config(path: str):
 
     from .mixer import FilterConfig, MixConfig, SpanReplacementConfig, parse_jsonpath_rule
 
+    import os
+    import re as _re
+
     with open(path) as f:
-        raw = yaml.safe_load(f)
+        text = f.read()
+
+    # the reference loads configs through omegaconf: resolve its
+    # ${oc.env:NAME} interpolations (e.g. test_filtered_mixer.yaml)
+    def env_sub(m):
+        name = m.group(1)
+        if name not in os.environ:
+            raise KeyError(
+                f"config {path} interpolates ${{oc.env:{name}}} but the "
+                "environment variable is not set"
+            )
+        return os.environ[name]
+
+    text = _re.sub(r"\$\{oc\.env:([A-Za-z_][A-Za-z0-9_]*)\}", env_sub, text)
+    raw = yaml.safe_load(text)
     # accept either a bare stream config or the reference's streams list
     if "streams" in raw:
         raw = raw["streams"][0]

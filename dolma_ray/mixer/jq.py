@@ -44,7 +44,8 @@ _TOKEN_RE = re.compile(
     r"|(?P<path>\.[A-Za-z_][\w.]*|\.)"
     r"|(?P<lbrack>\[)|(?P<rbrack>\])|(?P<lparen>\()|(?P<rparen>\))"
     r"|(?P<pipe>\|)|(?P<opt>\?)|(?P<op><=|>=|==|!=|<|>|\+|-|\*|//|/)"
-    r"|(?P<word>and|or|length|add|map|select|any|all|null|true|false|not)\b)"
+    r"|(?P<word>and|or|length|add|map|select|any|all|null|true|false|not"
+    r"|if|then|elif|else|end|type|to_entries|startswith|endswith)\b)"
 )
 
 
@@ -103,6 +104,13 @@ class Bin:
 @dataclass
 class Lit:
     value: Any
+
+
+@dataclass
+class If:
+    cond: Any
+    then: Any
+    orelse: Any  # None -> identity (jq's else-less if)
 
 
 class _Parser:
@@ -203,14 +211,47 @@ class _Parser:
             inner = self.parse_pipe()
             self.expect("rparen")
             return Pipe(Path([]), [("select", inner)])
+        if k == "word" and v in ("length", "add", "type", "to_entries", "any", "all"):
+            # zero-arg filters standalone apply to "." (e.g. select(length == 3))
+            self.next()
+            return Pipe(Path([]), [(v,)])
+        if k == "word" and v == "if":
+            return self.parse_if()
         if k == "path":
             return self.parse_path()
         raise JqError(f"unexpected token {k}:{v}")
 
+    def parse_if(self):
+        """``if COND then A [elif C then B]... [else Z] end``; no else ->
+        identity on the input (jq semantics)."""
+        self.next()  # "if"
+        cond = self.parse_pipe()
+        k, v = self.next()
+        if (k, v) != ("word", "then"):
+            raise JqError(f"expected 'then', got {k}:{v}")
+        then = self.parse_pipe()
+        k, v = self.next()
+        if (k, v) == ("word", "elif"):
+            self.i -= 1
+            self.toks[self.i] = ("word", "if")  # treat elif as nested if
+            orelse = self.parse_if()
+            return If(cond, then, orelse)
+        if (k, v) == ("word", "else"):
+            orelse = self.parse_pipe()
+            k, v = self.next()
+            if (k, v) != ("word", "end"):
+                raise JqError(f"expected 'end', got {k}:{v}")
+            return If(cond, then, orelse)
+        if (k, v) == ("word", "end"):
+            return If(cond, then, None)
+        raise JqError(f"expected 'elif'/'else'/'end', got {k}:{v}")
+
     def parse_path(self):
         _, v = self.next()
+        # a trailing dot (".attributes." before a quoted segment) yields
+        # an empty split element — drop it
         steps: list[tuple[str, object]] = (
-            [] if v == "." else [("seg", s) for s in v[1:].split(".")]
+            [] if v == "." else [("seg", s) for s in v[1:].split(".") if s]
         )
         optional = False
         while True:
@@ -223,7 +264,15 @@ class _Parser:
                 # .attributes?.foo? -> path(.attributes) opt path(.foo) opt
                 self.next()
                 if v2 != ".":
-                    steps.extend(("seg", s) for s in v2[1:].split("."))
+                    steps.extend(("seg", s) for s in v2[1:].split(".") if s)
+            elif k2 == "str" and (
+                (self.i > 0 and self.toks[self.i - 1][0] == "path")
+            ):
+                # quoted segment: ."some-key.with/punct" (jq quoted field)
+                import json as _json
+
+                self.next()
+                steps.append(("seg", _json.loads(v2)))
             elif k2 == "lbrack":
                 self.next()
                 k3, v3 = self.next()
@@ -241,13 +290,16 @@ class _Parser:
         while self.peek()[0] == "pipe":
             self.next()
             k, v = self.next()
-            if k == "word" and v in ("length", "add", "not", "any", "all"):
+            if k == "word" and v in ("length", "add", "not", "any", "all", "type", "to_entries"):
                 ops.append((v,))
-            elif k == "word" and v in ("map", "select"):
+            elif k == "word" and v in ("map", "select", "startswith", "endswith"):
                 self.expect("lparen")
                 inner = self.parse_pipe()
                 self.expect("rparen")
                 ops.append((v, inner))
+            elif k == "word" and v == "if":
+                self.i -= 1
+                ops.append(("expr", self.parse_if()))
             else:
                 raise JqError(f"unsupported pipe op {v!r}")
         expr = Pipe(source, ops) if ops else source
@@ -262,6 +314,22 @@ class _Parser:
                 expr = Bin(v, expr, self.parse_mul())
             k, v = self.peek()
         return expr
+
+
+def _jq_type(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, (int, float)):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    raise JqError(f"no jq type for {type(v).__name__}")
 
 
 def _truthy(v: Any) -> bool:
@@ -351,6 +419,19 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM) -> Any:
             elif op[0] == "select":
                 if not _truthy(_eval(op[1], doc, cur)):
                     cur = _EMPTY
+            elif op[0] == "type":
+                cur = _jq_type(cur)
+            elif op[0] == "to_entries":
+                if not isinstance(cur, dict):
+                    raise JqError("to_entries requires an object")
+                cur = [{"key": k_, "value": v_} for k_, v_ in cur.items()]
+            elif op[0] in ("startswith", "endswith"):
+                arg = _eval(op[1], doc, cur)
+                if not isinstance(cur, str) or not isinstance(arg, str):
+                    raise JqError(f"{op[0]} requires strings")
+                cur = cur.startswith(arg) if op[0] == "startswith" else cur.endswith(arg)
+            elif op[0] == "expr":
+                cur = _eval(op[1], doc, cur)
             elif op[0] == "map":
                 if not isinstance(cur, list):
                     raise JqError("map requires an array")
@@ -358,6 +439,14 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM) -> Any:
                 # map(select(f)) drops the empties, like jq
                 cur = [v for v in vals if v is not _EMPTY]
         return cur
+    if isinstance(node, If):
+        cond = _eval(node.cond, doc, elem)
+        if _truthy(cond):
+            return _eval(node.then, doc, elem)
+        if node.orelse is None:
+            # jq else-less if passes the input through
+            return doc if elem is _NO_ELEM else elem
+        return _eval(node.orelse, doc, elem)
     if isinstance(node, Bin):
         if node.op == "//":
             # jq alternative: left unless it is null/false/empty; errors

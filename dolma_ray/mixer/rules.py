@@ -34,10 +34,17 @@ _OPS = {
     "!=": operator.ne,
 }
 
-# the production JSONPath exclude-rule shape (cc-head.yaml)
+# the production JSONPath exclude-rule shapes: the guarded form
+# (cc-head.yaml: `@.n && @.n[0] && @.n[0][2] op v`) and the direct form
+# (books/wiki/sampling configs: `@.n[i][2] op v` — JSONPath semantics
+# make a missing/empty attribute simply not match, same as our Rule)
 _JSONPATH_RULE = re.compile(
     r"^\$\.?@?\.?attributes\[\?\(@\.(?P<name>\w+)\s*&&\s*@\.(?P=name)\[0\]\s*"
     r"(?:&&\s*@\.(?P=name)\[0\]\[2\]\s*(?P<op>[<>=!]+)\s*(?P<value>-?[\d.]+)\s*)?\)\]$"
+)
+_JSONPATH_RULE_DIRECT = re.compile(
+    r"^\$\.?@?\.?attributes\[\?\(@\.(?P<name>\w+)\[(?P<idx>\d+)\]\[2\]\s*"
+    r"(?P<op>[<>=!]+)\s*(?P<value>-?[\d.eE+]+)\s*\)\]$"
 )
 
 
@@ -120,10 +127,19 @@ def parse_jsonpath_rule(expr: str) -> Rule:
     """Compile the production JSONPath exclude shape into a :class:`Rule`.
     The attribute name keeps the reference's ``{exp}__{tagger}__{type}``
     form and is prefixed with ``attr__`` to address our columns."""
-    m = _JSONPATH_RULE.match(expr.replace("\n", " ").strip())
-    if not m:
-        raise ValueError(f"unsupported filter expression: {expr!r}")
-    name = "attr__" + m.group("name")
-    if m.group("op") is None:
-        return Rule(attr=name, op="exists")
-    return Rule(attr=name, op=m.group("op"), value=float(m.group("value")))
+    norm = expr.replace("\n", " ").strip()
+    m = _JSONPATH_RULE.match(norm)
+    if m:
+        name = "attr__" + m.group("name")
+        if m.group("op") is None:
+            return Rule(attr=name, op="exists")
+        return Rule(attr=name, op=m.group("op"), value=float(m.group("value")))
+    m = _JSONPATH_RULE_DIRECT.match(norm)
+    if m:
+        return Rule(
+            attr="attr__" + m.group("name"),
+            op=m.group("op"),
+            value=float(m.group("value")),
+            span_index=int(m.group("idx")),
+        )
+    raise ValueError(f"unsupported filter expression: {expr!r}")

@@ -250,3 +250,82 @@ def test_alternative_operator():
     assert evaluate_jq(parse_jq(".attributes.missing.deep // 7"), doc) == 7
     assert evaluate_jq(parse_jq(".attributes.x | select(. > 5) // 9"), doc) == 9
     assert evaluate_jq(parse_jq("(.attributes.x // 0) + 1"), doc) == 4
+
+
+def test_if_type_guard_expression():
+    """The reference test_config_jq.yaml idiom: pipe into an if with a
+    type guard."""
+    expr = (
+        '.attributes.x | if type == "array" and length > 0 and .[0] != null '
+        "and .[0][2] != null then .[0][2] < 0.8 else false end"
+    )
+    ast = parse_jq(expr)
+    assert evaluate_jq(ast, {"attributes": {"x": [[0, 5, 0.5]]}}) is True
+    assert evaluate_jq(ast, {"attributes": {"x": [[0, 5, 0.9]]}}) is False
+    assert evaluate_jq(ast, {"attributes": {"x": []}}) is False
+    assert evaluate_jq(ast, {"attributes": {"x": None}}) is False
+    assert evaluate_jq(ast, {"attributes": {"x": 3}}) is False
+
+
+def test_if_without_else_passes_input():
+    assert evaluate_jq(parse_jq(".x | if . > 5 then 99 end"), {"x": 3}) == 3
+    assert evaluate_jq(parse_jq(".x | if . > 5 then 99 end"), {"x": 7}) == 99
+
+
+def test_elif_chain():
+    ast = parse_jq(".x | if . > 10 then 1 elif . > 5 then 2 else 3 end")
+    assert evaluate_jq(ast, {"x": 20}) == 1
+    assert evaluate_jq(ast, {"x": 7}) == 2
+    assert evaluate_jq(ast, {"x": 1}) == 3
+
+
+def test_to_entries_startswith_pipeline():
+    """The reference dedupe-test.yaml idiom: span-mass ratio over
+    attributes selected by key prefix."""
+    doc = {
+        "text": "x" * 100,
+        "attributes": {
+            "613test_a": [[0, 30, 1.0]],
+            "613test_b": [[10, 20, 1.0]],
+            "other": [[0, 99, 1.0]],
+        },
+    }
+    expr = (
+        '(.attributes | to_entries | map(select(.key | startswith("613test"))) '
+        "| map(.value[0]) | map(select(length == 3)) "
+        "| map(.[2] * (.[1] - .[0])) | add) / (.text | length)"
+    )
+    assert evaluate_jq(parse_jq(expr), doc) == pytest.approx(0.4)
+
+
+def test_quoted_path_segments():
+    doc = {"attributes": {"HuggingFaceFW_fineweb-edu_score": [[0, 1, 2.5]]}}
+    expr = '.attributes."HuggingFaceFW_fineweb-edu_score"[0][-1]'
+    assert evaluate_jq(parse_jq(expr), doc) == 2.5
+
+
+def test_all_reference_mixer_configs_parse(monkeypatch, tmp_path):
+    """Every mixer config shipped in the reference repo (40 files:
+    dolma-v1_5/1_6/1_7 production mixes + samples + its own tests) loads
+    through _load_mix_config — filters compile, span replacements map."""
+    import glob
+    import os
+
+    import yaml
+
+    if not os.path.isdir("/root/reference/configs"):
+        pytest.skip("reference not present")
+    monkeypatch.setenv("ALPHA", "0.5")
+    from dolma_ray.cli import _load_mix_config
+
+    n = 0
+    for p in sorted(glob.glob("/root/reference/configs/**/*.yaml", recursive=True)):
+        try:
+            raw = yaml.safe_load(open(p))
+        except Exception:
+            continue
+        if not isinstance(raw, dict) or "streams" not in raw:
+            continue
+        _load_mix_config(p)  # must not raise
+        n += 1
+    assert n >= 40
