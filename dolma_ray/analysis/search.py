@@ -108,3 +108,76 @@ def lsh_topk(
         .sort(["cos", id_column], descending=[True, False])
         .limit(k)
     )
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    seed: int = 42,
+    round_digits: int = 6,
+):
+    """IVF (inverted-file) approximate cosine top-k — the classic
+    coarse-quantizer scale path (Jegou et al. 2011 product-quantization
+    lineage, minus PQ): a small k-means coarse quantizer partitions the
+    corpus into ``n_cells`` cells; only rows whose cell is among the
+    query's ``nprobe`` nearest cells are scored exactly.
+
+    Ray shape: centroids fit once (`analysis/kmeans.py`: broadcast
+    centroids + per-batch partial sums), then ONE ``map_batches`` pass
+    assigns + filters + scores + emits the local top-k — vectors of
+    non-probed cells never leave their batch, and the global merge sees
+    ``k x n_batches`` rows.  Deterministic (seeded quantizer, cos/id
+    tie-break).  Recall < 1.0 by design, but an EXACT copy of the query
+    vector is always retrieved: identical vectors get identical coarse
+    assignments, and the query's own cell is always probed (pinned by
+    the ``ivf_ann_recall`` oracle query).
+    """
+    import ray
+
+    from .kmeans import _assign, kmeans_fit
+
+    q = np.asarray(query, dtype=np.float64)
+    centroids = kmeans_fit(
+        ds, k=n_cells, embedding_column=embedding_column, n_iters=3, seed=seed
+    )
+    # the query's nprobe nearest cells under the SAME metric as _assign
+    d = -2.0 * (centroids @ q) + (centroids * centroids).sum(axis=1)
+    probe = np.sort(np.argsort(d, kind="stable")[:nprobe])
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    ctx = ray.put((qn, centroids, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv, cents, pr = ray.get(ctx)
+        m = _matrix(batch[embedding_column])
+        if m.shape[0] == 0:
+            return pa.table(
+                {id_column: pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+            )
+        cells = _assign(m, cents)
+        mask = np.isin(cells, pr)
+        m = m[mask]
+        ids = batch[id_column].to_numpy(zero_copy_only=False)[mask]
+        if len(m) == 0:
+            return pa.table(
+                {id_column: pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
+            )
+        norms = np.linalg.norm(m, axis=1)
+        cos = np.round((m @ qv) / np.maximum(norms, 1e-30), round_digits)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                id_column: pa.array(ids[order]),
+                "cos": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cos", id_column], descending=[True, False])
+        .limit(k)
+    )

@@ -989,6 +989,48 @@ SELECT 10000000 AS vec_id, 1.0 AS cos
 """
 
 
+def q_ivf_ann_recall(sf_dir: str):
+    """IVF-ANN (k-means coarse quantizer + nprobe cells) with the same
+    planted-recall oracle as lsh_ann_recall: an exact copy of the query
+    vector gets the query's own coarse-cell assignment, which is always
+    probed — it MUST return at cosine 1.0."""
+    from .analysis.search import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vector(sf_dir)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_pylist()
+        if 0 not in ids:
+            return batch
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vecs = col.to_pylist()
+        i0 = ids.index(0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids + [_PLANT_COPY], pa.int64()),
+                "embedding": pa.array(vecs + [vecs[i0]], pa.list_(pa.float64())),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    top = ivf_topk(planted, q, k=10, n_cells=8, nprobe=2)
+
+    def exact_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["cos"], 0.999999))
+
+    return top.map_batches(exact_only, batch_format="pyarrow")
+
+
+SQL_IVF_ANN_RECALL = """
+SELECT 0 AS vec_id, 1.0 AS cos
+UNION ALL
+SELECT 10000000 AS vec_id, 1.0 AS cos
+"""
+
+
 def q_kmeans_pairs(sf_dir: str, k: int = 8):
     """k-means with a planted co-clustering oracle: an exact copy (+10M
     id) of every vector is planted; identical vectors are equidistant to
@@ -1172,6 +1214,7 @@ QUERIES.update(
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann": q_lsh_ann,
         "lsh_ann_recall": q_lsh_ann_recall,
+        "ivf_ann_recall": q_ivf_ann_recall,
         "kmeans_pairs": q_kmeans_pairs,
         "analyzer": q_analyzer,
         "analyzer_tagged": q_analyzer_tagged,
@@ -1184,6 +1227,7 @@ ORACLES.update(
         "simhash_near_dup": SQL_PLANTED_SIMHASH,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "lsh_ann_recall": SQL_LSH_ANN_RECALL,
+        "ivf_ann_recall": SQL_IVF_ANN_RECALL,
         "kmeans_pairs": SQL_KMEANS_PAIRS,
         "analyzer": SQL_ANALYZER,
         "analyzer_tagged": SQL_ANALYZER_TAGGED,

@@ -132,3 +132,31 @@ def test_kmeans_separable_clusters(ray_session):
     # determinism across a second fit
     cents2 = kmeans_fit(rd.from_items(rows), k=3, n_iters=8, seed=1)
     np.testing.assert_allclose(cents, cents2)
+
+
+def test_ivf_topk_exact_copy_recall(ray_session):
+    """IVF-ANN: an exact copy of the query vector shares its coarse-cell
+    assignment, so it is always probed and returned at cosine 1.0; the
+    approximate tail is deterministic (seeded quantizer)."""
+    import numpy as np
+    import ray.data as rd
+
+    from dolma_ray.analysis.search import ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = [
+        {"vec_id": i, "embedding": rng.standard_normal(16).tolist()}
+        for i in range(200)
+    ]
+    q = np.asarray(rows[5]["embedding"])
+    rows.append({"vec_id": 9999, "embedding": q.tolist()})  # exact copy
+
+    out = ivf_topk(
+        rd.from_items(rows), q, k=10, n_cells=8, nprobe=2
+    ).to_pandas()
+    exact = set(out[out["cos"] >= 0.999999]["vec_id"])
+    assert exact == {5, 9999}
+    out2 = ivf_topk(
+        rd.from_items(rows), q, k=10, n_cells=8, nprobe=2
+    ).to_pandas()
+    assert out["vec_id"].tolist() == out2["vec_id"].tolist()  # deterministic
