@@ -9,9 +9,11 @@ fully decodable with the stdlib + numpy from their public specs:
 * PPM / PGM (netpbm P5/P6 binary).
 * BMP (BITMAPINFOHEADER, uncompressed 24/32 bpp, bottom-up or top-down).
 * WAV via the stdlib ``wave`` module (PCM 8/16/32-bit, mono-mixed).
+* Baseline JPEG (ITU-T T.81) in ``jpeg.py`` — decoder + encoder.
 
-JPEG / MP3 / video containers genuinely need codec libraries and stay
-behind the deterministic-fake/strict hooks in ``media.py`` (documented).
+Baseline JPEG is decoded (and encoded) by the pure-spec codec in
+``jpeg.py``; MP3 / video containers genuinely need codec libraries and
+stay behind the deterministic-fake/strict hooks in ``media.py``.
 
 All image decoders return ``(h, w, c) float32`` in [0, 1].
 """
@@ -190,14 +192,20 @@ def decode_bmp(data: bytes) -> np.ndarray:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes; raises UnsupportedMediaError for formats
-    that need a codec library (JPEG, WebP, ...)."""
+    that need a codec library (WebP, AVIF, ...)."""
     if data.startswith(_PNG_MAGIC):
         return decode_png(data)
     if data[:2] in (b"P5", b"P6"):
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
-    raise UnsupportedMediaError("unrecognized image format (png/ppm/bmp supported)")
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg  # pure-spec baseline decoder
+
+        return decode_jpeg(data)
+    raise UnsupportedMediaError(
+        "unrecognized image format (png/ppm/bmp/jpeg supported)"
+    )
 
 
 @_to_unsupported

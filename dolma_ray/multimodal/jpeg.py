@@ -1,0 +1,524 @@
+"""Pure-python baseline JPEG codec (ITU-T T.81 / JFIF, public spec).
+
+No codec library exists in this environment, but baseline sequential
+JPEG is fully decodable from the spec with stdlib + numpy:
+
+* **Decoder**: SOI/APPn/DQT/SOF0/DHT/DRI/SOS marker parse; canonical
+  Huffman tables built from the file's own DHT segments; entropy decode
+  with byte-unstuffing and restart markers; dequantize + dezigzag;
+  8x8 IDCT as two matrix multiplies; chroma upsampling for 4:2:0/4:2:2;
+  YCbCr -> RGB.  Handles 8-bit baseline (SOF0) with 1 or 3 components —
+  the overwhelming web case.  Progressive (SOF2), arithmetic coding and
+  12-bit raise :class:`UnsupportedMediaError`.
+* **Encoder** (for round-trips and test fixtures): 4:4:4 or 4:2:0,
+  quality-scaled Annex-K-style quantization, and fixed-length canonical
+  Huffman tables written into the file's DHT segments — valid JPEG
+  (tables travel with the file), deliberately simple over optimal.
+
+Scale note: entropy decode is a per-coefficient python loop — fine for
+tests and moderate thumbnails, but a production 100-TB image pipeline
+should plug a codec library into the same stage seam
+(``media.py::DecodeImages``); the plumbing, schema and batching are
+identical either way.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import UnsupportedMediaError
+
+# zigzag scan order (T.81 figure A.6)
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# 8x8 DCT-II basis matrix: IDCT(X) = C.T @ X @ C, DCT(x) = C @ x @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+# base luminance / chrominance quantization tables (Annex K shape)
+_QL = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_QC = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+# ---- Huffman ------------------------------------------------------------
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """{(length, code): symbol} from a DHT segment's BITS/HUFFVAL
+    (canonical code assignment, T.81 Annex C)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _flat_encode_table(symbols: list[int]) -> tuple[list[int], list[int], dict]:
+    """Fixed-length canonical table covering ``symbols``: the smallest L
+    with 2^L > len(symbols) (the all-ones code must stay unused).
+    Returns (bits, vals, {symbol: (length, code)})."""
+    n = len(symbols)
+    length = 1
+    while (1 << length) <= n:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = n
+    enc = {s: (length, i) for i, s in enumerate(symbols)}
+    return bits, list(symbols), enc
+
+
+class _BitReader:
+    """Entropy-segment bit reader with FF00 unstuffing; restart markers
+    are handled by the caller via :meth:`align_and_expect_rst`."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.bitbuf = (self.bitbuf << 8) | 0  # pad (spec: 1s or 0s)
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: stop filling; caller consumes it
+                    self.bitbuf = (self.bitbuf << 8) | 0
+                    self.nbits += 8
+                    continue
+                else:
+                    # EOI or another marker: pad
+                    self.bitbuf = (self.bitbuf << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise UnsupportedMediaError("invalid Huffman code in entropy stream")
+
+    def align_and_expect_rst(self) -> None:
+        """Restart boundary: drop buffered bits, consume the RSTn marker."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise UnsupportedMediaError("missing restart marker")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---- decoder ------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w, c) float32 in [0, 1] (c = 1 or 3)."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None
+
+    try:
+        while pos < len(data):
+            if data[pos] != 0xFF:
+                raise UnsupportedMediaError("marker expected")
+            marker = data[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack_from(">H", data, pos)
+            seg = data[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0xF
+                    p += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                            np.float64
+                        )
+                        p += 64
+                    else:
+                        tbl = np.frombuffer(
+                            seg[p : p + 128], dtype=">u2"
+                        ).astype(np.float64)
+                        p += 128
+                    qt[tq] = tbl
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0xF
+                    bits = list(seg[p + 1 : p + 17])
+                    n = sum(bits)
+                    vals = list(seg[p + 17 : p + 17 + n])
+                    p += 17 + n
+                    tbl = _build_decode_table(bits, vals)
+                    (huff_dc if tc == 0 else huff_ac)[th] = tbl
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 baseline
+                prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8:
+                    raise UnsupportedMediaError(f"{prec}-bit JPEG unsupported")
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                    )
+                frame = {"h": h, "w": w, "comps": comps}
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise UnsupportedMediaError(
+                    f"non-baseline JPEG (SOF marker {marker:#x})"
+                )
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise UnsupportedMediaError("SOS before SOF")
+                ns = seg[0]
+                scan = []
+                for i in range(ns):
+                    cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                    comp = next(c for c in frame["comps"] if c["id"] == cs)
+                    scan.append((comp, tdta >> 4, tdta & 0xF))
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            pos += seglen
+    except (struct.error, IndexError, StopIteration) as e:
+        raise UnsupportedMediaError(f"corrupt JPEG: {e}") from e
+    raise UnsupportedMediaError("no SOS segment")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    planes = []
+    for c in comps:
+        planes.append(np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64))
+
+    reader = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                reader.align_and_expect_rst()
+                pred = [0] * len(comps)
+            for ci, (comp, td, ta) in enumerate(scan):
+                dct = huff_dc.get(td)
+                act = huff_ac.get(ta)
+                if dct is None or act is None:
+                    raise UnsupportedMediaError("missing Huffman table")
+                q = qt.get(comp["tq"])
+                if q is None:
+                    raise UnsupportedMediaError("missing quant table")
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        coeffs = np.zeros(64, np.float64)
+                        t = reader.decode(dct)
+                        diff = _extend(reader.receive(t), t)
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci]
+                        kk = 1
+                        while kk < 64:
+                            rs = reader.decode(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    kk += 16
+                                    continue
+                                break  # EOB
+                            kk += r
+                            if kk > 63:
+                                raise UnsupportedMediaError("AC index overflow")
+                            coeffs[kk] = _extend(reader.receive(s), s)
+                            kk += 1
+                        block = np.zeros(64, np.float64)
+                        block[_ZZ] = coeffs * q
+                        px = _C.T @ block.reshape(8, 8) @ _C + 128.0
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+
+    # upsample each component to full MCU-grid resolution, crop to (h, w)
+    full = []
+    for c, plane in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
+
+    if len(comps) == 1:
+        out = full[0][..., None]
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        out = np.stack([r, g, b], axis=-1)
+    return (np.clip(out, 0, 255) / 255.0).astype(np.float32)
+
+
+# ---- encoder ------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s (spec)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(bw, block, q, dc_enc, ac_enc, pred):
+    coeffs = _C @ (block - 128.0) @ _C.T
+    zz = np.round(coeffs.reshape(64)[_ZZ] / q).astype(np.int64)
+    diff = int(zz[0]) - pred
+    t = _category(diff)
+    length, code = dc_enc[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = np.nonzero(zz[1:])[0]
+    last = int(last_nz[-1]) + 1 if len(last_nz) else 0
+    for kk in range(1, last + 1):
+        v = int(zz[kk])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_enc[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        length, code = ac_enc[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        length, code = ac_enc[0x00]
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
+    """(h, w, 1|3) float in [0,1] (or uint8) -> baseline JFIF bytes.
+    ``subsample=True`` writes 4:2:0 (exercises the decoder's upsampling
+    path); tables are embedded, so any baseline decoder can read it."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(np.asarray(a, np.float64) * 255.0, 0, 255)
+    a = a.astype(np.float64)
+    if a.ndim == 2:
+        a = a[..., None]
+    h, w, nc = a.shape
+    if nc == 1:
+        ycc = [a[..., 0]]
+    else:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ycc = [y, cb, cr]
+
+    ql, qc = _quality_tables(quality)
+    dc_bits, dc_vals, dc_enc = _flat_encode_table(list(range(12)))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_bits, ac_vals, ac_enc = _flat_encode_table(ac_syms)
+
+    sub = subsample and nc == 3
+    hv0 = (2, 2) if sub else (1, 1)
+    mcu_w, mcu_h = 8 * hv0[0], 8 * hv0[1]
+    mcux = (w + mcu_w - 1) // mcu_w
+    mcuy = (h + mcu_h - 1) // mcu_h
+
+    def padded(plane, ph, pw):
+        out = np.empty((ph, pw), np.float64)
+        ih, iw = plane.shape
+        out[:ih, :iw] = plane
+        out[ih:, :iw] = plane[ih - 1 : ih, :]
+        out[:, iw:] = out[:, iw - 1 : iw]
+        return out
+
+    yp = padded(ycc[0], mcuy * mcu_h, mcux * mcu_w)
+    if nc == 3:
+        if sub:
+            cpl = [
+                padded(c, mcuy * mcu_h, mcux * mcu_w)[::2, ::2] for c in ycc[1:]
+            ]
+        else:
+            cpl = [padded(c, mcuy * 8, mcux * 8) for c in ycc[1:]]
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for by in range(hv0[1]):
+                for bx in range(hv0[0]):
+                    y0, x0 = my * mcu_h + by * 8, mx * mcu_w + bx * 8
+                    pred[0] = _encode_block(
+                        bw, yp[y0 : y0 + 8, x0 : x0 + 8], ql, dc_enc, ac_enc, pred[0]
+                    )
+            if nc == 3:
+                for ci, plane in enumerate(cpl, start=1):
+                    y0, x0 = my * 8, mx * 8
+                    pred[ci] = _encode_block(
+                        bw, plane[y0 : y0 + 8, x0 : x0 + 8], qc, dc_enc, ac_enc,
+                        pred[ci],
+                    )
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    # APP0 JFIF: id(5) version(2) units(1) density(4) thumb(2) = 14 + len(2)
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    # DQT (two 8-bit tables)
+    for tq, tbl in ((0, ql), (1, qc)) if nc == 3 else ((0, ql),):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            tbl.astype(np.uint8)
+        )
+    # SOF0
+    ncomp = 1 if nc == 1 else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof += struct.pack(">BBB", 1, (hv0[0] << 4) | hv0[1], 0)
+    if ncomp == 3:
+        sof += struct.pack(">BBB", 2, 0x11, 1)
+        sof += struct.pack(">BBB", 3, 0x11, 1)
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: same tables for dc/ac, classes 0/1, ids 0 (and 1 for chroma)
+    for tc, th, bits, vals in (
+        (0, 0, dc_bits, dc_vals),
+        (1, 0, ac_bits, ac_vals),
+        (0, 1, dc_bits, dc_vals),
+        (1, 1, ac_bits, ac_vals),
+    )[: 4 if ncomp == 3 else 2]:
+        seg = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    # SOS
+    sos = bytes([ncomp, 1, 0x00])
+    if ncomp == 3:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -234,3 +234,95 @@ def test_corrupt_payloads_raise_unsupported():
     for bad in (b"\x89PNG\r\n\x1a\ntrunc", b"BM\x00\x01", b"P6 9999999999 2 255\n\x00"):
         with pytest.raises(UnsupportedMediaError):
             decode_image(bad)
+
+
+# ---- baseline JPEG (pure-spec codec, round 3) ---------------------------
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def test_jpeg_round_trip_rgb():
+    import numpy as np
+
+    from dolma_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([xx / w, yy / h, (xx + yy) / (h + w)], axis=-1)
+    img = np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1)
+    for q, sub, floor in ((95, False, 35.0), (85, True, 31.0), (50, False, 31.0)):
+        out = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        assert out.shape == (h, w, 3) and out.dtype == np.float32
+        assert _psnr(img, out) > floor, (q, sub)
+
+
+def test_jpeg_gray_and_odd_sizes():
+    import numpy as np
+
+    from dolma_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.clip(np.mgrid[0:30, 0:41][0] / 30, 0, 1)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == (30, 41, 1) and _psnr(g[..., None], out) > 35.0
+    for hh, ww in ((17, 23), (8, 8), (9, 33)):
+        im = np.clip(np.mgrid[0:hh, 0:ww][0] / hh, 0, 1)
+        o = decode_jpeg(encode_jpeg(np.stack([im] * 3, -1), subsample=True))
+        assert o.shape == (hh, ww, 3)
+
+
+def test_jpeg_rejects_non_baseline_and_garbage():
+    import pytest
+
+    from dolma_ray.multimodal.codecs import UnsupportedMediaError
+    from dolma_ray.multimodal.jpeg import decode_jpeg
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(b"not a jpeg")
+    # progressive SOF2 marker
+    import struct
+
+    prog = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HHB", 8, 8, 1
+    ) + b"\x01\x11\x00"
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(prog)
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x05trunc")
+
+
+def test_decode_image_dispatches_jpeg():
+    import numpy as np
+
+    from dolma_ray.multimodal.codecs import decode_image
+    from dolma_ray.multimodal.jpeg import encode_jpeg
+
+    img = np.clip(np.mgrid[0:16, 0:16][0] / 16, 0, 1)
+    data = encode_jpeg(np.stack([img] * 3, -1), quality=90)
+    out = decode_image(data)
+    assert out.shape == (16, 16, 3)
+
+
+def test_media_stage_decodes_jpeg_strict(ray_session):
+    """DecodeImages in strict mode now accepts JPEG payloads (previously
+    a NotImplementedError fake path)."""
+    import numpy as np
+    import ray.data as rd
+
+    from dolma_ray.multimodal.jpeg import encode_jpeg
+    from dolma_ray.multimodal.media import ImageDecodeStage
+
+    img = np.clip(np.mgrid[0:12, 0:12][0] / 12, 0, 1)
+    payload = encode_jpeg(np.stack([img] * 3, -1), quality=90)
+    rows = [{"media_id": 1, "payload": payload}]
+    out = (
+        rd.from_items(rows)
+        .map_batches(ImageDecodeStage(strict=True), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert out.loc[0, "height"] == 12 and out.loc[0, "channels"] == 3
