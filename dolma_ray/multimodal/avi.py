@@ -1,0 +1,90 @@
+"""Minimal RIFF/AVI container support for MJPEG video (public spec).
+
+Motion-JPEG AVI is the one video format fully handled by pure-spec
+code: the RIFF container is a trivial chunk tree, and every ``00dc``
+video chunk is a standalone baseline JPEG that ``jpeg.py`` decodes.
+H.264/VP9/... remain behind the stubbed/strict hooks in ``media.py``.
+
+* :func:`iter_mjpeg_frames` — walk the RIFF tree to the ``movi`` list
+  and yield each video chunk's JPEG bytes.
+* :func:`encode_mjpeg_avi` — a writer (for tests/fixtures): standard
+  ``avih``/``strh``/``strf`` headers + ``movi`` chunks; any MJPEG-aware
+  player or our own parser can read it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import UnsupportedMediaError
+
+
+def iter_mjpeg_frames(data: bytes) -> list[bytes]:
+    """All video-stream chunk payloads (JPEG bytes) in play order."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise UnsupportedMediaError("not a RIFF/AVI file")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if tag == b"LIST":
+                list_type = buf[body_start : body_start + 4]
+                if list_type in (b"movi", b"hdrl", b"strl"):
+                    walk(buf, body_start + 4, body_end)
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                frames.append(buf[body_start:body_end])
+            pos = body_start + size + (size & 1)  # chunks pad to even
+
+    walk(data, 12, len(data))
+    if not frames:
+        raise UnsupportedMediaError("AVI contains no video chunks")
+    return frames
+
+
+def encode_mjpeg_avi(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 85
+) -> bytes:
+    """Encode (h, w, 3) float frames as an MJPEG AVI (test fixture
+    writer; headers are standard, frames via :func:`jpeg.encode_jpeg`)."""
+    from .jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # us per frame
+        0, 0, 0x10,        # max bytes/s, padding, flags (HASINDEX off)
+        len(payloads), 0, 1, 0,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0)
+        + struct.pack("<HHI", 0, 0, 0)
+        + struct.pack("<5I", 1, fps, 0, len(payloads), 0)
+        + struct.pack("<2I", 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

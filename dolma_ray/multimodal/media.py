@@ -157,7 +157,10 @@ class AudioFeatureStage:
 
 
 class VideoFrameSampleStage:
-    """payload -> ``n_frames`` sampled frame tensors (stubbed codec)."""
+    """payload -> ``n_frames`` sampled frame tensors.  REAL for MJPEG
+    AVI (RIFF parse + per-frame baseline-JPEG decode, ``avi.py`` /
+    ``jpeg.py``); other codecs (H.264 etc.) fall back to the labeled
+    deterministic fake, or raise under ``strict=True``."""
 
     def __init__(
         self, n_frames: int = 4, frame_size: tuple[int, int] = (16, 16), strict: bool = False
@@ -167,13 +170,34 @@ class VideoFrameSampleStage:
         self.strict = strict
 
     def _sample_frames(self, payload: bytes) -> np.ndarray:
-        if self.strict:
-            raise NotImplementedError(
-                "video decoding requires ffmpeg/av, not available in this environment"
+        from .avi import iter_mjpeg_frames
+        from .codecs import UnsupportedMediaError
+        from .jpeg import decode_jpeg
+
+        try:
+            jpegs = iter_mjpeg_frames(payload or b"")
+            # evenly spaced frame sample across the clip
+            idx = np.linspace(0, len(jpegs) - 1, self.n_frames).round().astype(int)
+            out = []
+            for i in idx:
+                arr = decode_jpeg(jpegs[i])
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                ih, iw = arr.shape[:2]
+                yi = (np.arange(self.h) * ih // self.h).clip(0, ih - 1)
+                xi = (np.arange(self.w) * iw // self.w).clip(0, iw - 1)
+                out.append(arr[yi][:, xi].ravel())
+            return np.stack(out)
+        except UnsupportedMediaError:
+            if self.strict:
+                raise NotImplementedError(
+                    "payload is not MJPEG-AVI; other video codecs (H.264, "
+                    "VP9, ...) need ffmpeg/av, not available in this "
+                    "environment"
+                )
+            return _fake_floats(payload, self.n_frames * self.h * self.w * 3).reshape(
+                self.n_frames, -1
             )
-        return _fake_floats(payload, self.n_frames * self.h * self.w * 3).reshape(
-            self.n_frames, -1
-        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         frames = [self._sample_frames(p).tolist() for p in batch["payload"].to_pylist()]

@@ -326,3 +326,60 @@ def test_media_stage_decodes_jpeg_strict(ray_session):
         .to_pandas()
     )
     assert out.loc[0, "height"] == 12 and out.loc[0, "channels"] == 3
+
+
+def test_mjpeg_avi_round_trip():
+    import numpy as np
+
+    from dolma_ray.multimodal.avi import encode_mjpeg_avi, iter_mjpeg_frames
+    from dolma_ray.multimodal.jpeg import decode_jpeg
+
+    frames = []
+    for t in range(6):
+        yy, xx = np.mgrid[0:24, 0:32]
+        frames.append(
+            np.clip(np.stack([xx / 32, yy / 24, np.full_like(xx, t / 6.0, dtype=float)], -1), 0, 1)
+        )
+    avi = encode_mjpeg_avi(frames, fps=5, quality=90)
+    jpegs = iter_mjpeg_frames(avi)
+    assert len(jpegs) == 6
+    for t, j in enumerate(jpegs):
+        out = decode_jpeg(j)
+        assert out.shape == (24, 32, 3)
+        assert abs(float(out[..., 2].mean()) - t / 6.0) < 0.05  # frame order kept
+
+
+def test_video_stage_real_mjpeg(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dolma_ray.multimodal.avi import encode_mjpeg_avi
+    from dolma_ray.multimodal.media import VideoFrameSampleStage
+
+    frames = [
+        np.clip(np.full((20, 20, 3), t / 8.0) + 0.05, 0, 1) for t in range(8)
+    ]
+    payload = encode_mjpeg_avi(frames, quality=95)
+    rows = [{"media_id": 1, "payload": payload}]
+    out = (
+        rd.from_items(rows)
+        .map_batches(
+            VideoFrameSampleStage(n_frames=4, frame_size=(8, 8), strict=True),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    sampled = np.asarray(out.loc[0, "frames"].tolist())
+    assert sampled.shape == (4, 8 * 8 * 3)
+    means = sampled.mean(axis=1)
+    assert (np.diff(means) > 0).all()  # evenly sampled, increasing brightness
+
+
+def test_video_stage_non_avi_strict_raises(ray_session):
+    import pytest
+
+    from dolma_ray.multimodal.media import VideoFrameSampleStage
+
+    stage = VideoFrameSampleStage(strict=True)
+    with pytest.raises(NotImplementedError):
+        stage._sample_frames(b"\x00\x00\x00 ftypisom not really mp4")
