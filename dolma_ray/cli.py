@@ -130,15 +130,19 @@ def _load_mix_config(path: str):
     # the reference loads configs through omegaconf: resolve its
     # ${oc.env:NAME} interpolations (e.g. test_filtered_mixer.yaml)
     def env_sub(m):
-        name = m.group(1)
-        if name not in os.environ:
-            raise KeyError(
-                f"config {path} interpolates ${{oc.env:{name}}} but the "
-                "environment variable is not set"
-            )
-        return os.environ[name]
+        name, default = m.group(1), m.group(2)
+        if name in os.environ:
+            return os.environ[name]
+        if default is not None:
+            return default
+        raise KeyError(
+            f"config {path} interpolates ${{oc.env:{name}}} but the "
+            "environment variable is not set"
+        )
 
-    text = _re.sub(r"\$\{oc\.env:([A-Za-z_][A-Za-z0-9_]*)\}", env_sub, text)
+    text = _re.sub(
+        r"\$\{oc\.env:([A-Za-z_][A-Za-z0-9_]*)(?:,([^}]*))?\}", env_sub, text
+    )
     raw = yaml.safe_load(text)
     # accept either a bare stream config or the reference's streams list
     if "streams" in raw:

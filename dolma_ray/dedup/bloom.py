@@ -207,7 +207,8 @@ def merge_bloom_shards(shard_actors) -> BloomFilter:
             merged = BloomFilter(_state=(seeds.copy(), bits.copy()))
         else:
             merged.union_(BloomFilter(_state=(seeds, bits)))
-    assert merged is not None, "no shard actors"
+    if merged is None:
+        raise ValueError("no shard actors")
     return merged
 
 

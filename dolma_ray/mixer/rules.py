@@ -44,7 +44,7 @@ _JSONPATH_RULE = re.compile(
 )
 _JSONPATH_RULE_DIRECT = re.compile(
     r"^\$\.?@?\.?attributes\[\?\(@\.(?P<name>\w+)\[(?P<idx>\d+)\]\[2\]\s*"
-    r"(?P<op>[<>=!]+)\s*(?P<value>-?[\d.eE+]+)\s*\)\]$"
+    r"(?P<op>[<>=!]+)\s*(?P<value>-?[\d.]+(?:[eE][-+]?\d+)?)\s*\)\]$"
 )
 
 

@@ -35,7 +35,7 @@ def iter_mjpeg_frames(data: bytes) -> list[bytes]:
             body_end = min(body_start + size, end)
             if tag == b"LIST":
                 list_type = buf[body_start : body_start + 4]
-                if list_type in (b"movi", b"hdrl", b"strl"):
+                if list_type in (b"movi", b"hdrl", b"strl", b"rec "):
                     walk(buf, body_start + 4, body_end)
             elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
                 frames.append(buf[body_start:body_end])
@@ -69,7 +69,7 @@ def encode_mjpeg_avi(
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,  # us per frame
-        0, 0, 0x10,        # max bytes/s, padding, flags (HASINDEX off)
+        0, 0, 0,           # max bytes/s, padding, flags (no idx1 -> no HASINDEX)
         len(payloads), 0, 1, 0,
         w, h, 0, 0, 0, 0,
     )

@@ -28,7 +28,7 @@ import struct
 
 import numpy as np
 
-from .codecs import UnsupportedMediaError
+from .codecs import UnsupportedMediaError, _to_unsupported
 
 # zigzag scan order (T.81 figure A.6)
 _ZZ = np.array(
@@ -191,6 +191,7 @@ def _extend(v: int, t: int) -> int:
 # ---- decoder ------------------------------------------------------------
 
 
+@_to_unsupported
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG -> (h, w, c) float32 in [0, 1] (c = 1 or 3)."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -206,6 +207,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         while pos < len(data):
             if data[pos] != 0xFF:
                 raise UnsupportedMediaError("marker expected")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1
             marker = data[pos + 1]
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -265,6 +269,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                     comp = next(c for c in frame["comps"] if c["id"] == cs)
                     scan.append((comp, tdta >> 4, tdta & 0xF))
+                if len(scan) != len(frame["comps"]):
+                    raise UnsupportedMediaError(
+                        "non-interleaved (multi-scan) baseline JPEG unsupported"
+                    )
                 return _decode_scan(
                     data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
                     restart_interval,
@@ -433,6 +441,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: bool = False) -> 
         ycc = [y, cb, cr]
 
     ql, qc = _quality_tables(quality)
+    # DQT stores tables in zigzag order and _encode_block divides
+    # zigzag-ordered coefficients — reorder once here
+    ql, qc = ql[_ZZ], qc[_ZZ]
     dc_bits, dc_vals, dc_enc = _flat_encode_table(list(range(12)))
     ac_syms = [0x00, 0xF0] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)

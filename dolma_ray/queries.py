@@ -941,61 +941,9 @@ def q_lsh_ann(sf_dir: str):
     return lsh_topk(ds, _query_vector(sf_dir), k=10, n_planes=6)
 
 
-def q_lsh_ann_recall(sf_dir: str):
-    """LSH-ANN with a planted-recall oracle: an exact copy (+10M id) of
-    the query vector is planted into the pool; LSH guarantees an exact
-    copy shares the query's hyperplane signature, so it MUST be retrieved
-    with cosine 1.0.  Output: the top-k rows at cosine 1.0 — exactly the
-    query vector itself and the planted copy (random synth embeddings
-    admit no other exact duplicates); the oracle emits those constants.
-    The approximate tail of the top-k stays covered by the rows-only
-    ``lsh_ann`` query."""
-    from .analysis.search import lsh_topk
-
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = _query_vector(sf_dir)
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_pylist()
-        if 0 not in ids:
-            return batch
-        col = batch["embedding"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        vecs = col.to_pylist()
-        i0 = ids.index(0)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids + [_PLANT_COPY], pa.int64()),
-                "embedding": pa.array(
-                    vecs + [vecs[i0]], pa.list_(pa.float64())
-                ),
-            }
-        )
-
-    planted = ds.map_batches(plant, batch_format="pyarrow")
-    top = lsh_topk(planted, q, k=10, n_planes=6)
-
-    def exact_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch["cos"], 0.999999))
-
-    return top.map_batches(exact_only, batch_format="pyarrow")
-
-
-SQL_LSH_ANN_RECALL = """
-SELECT 0 AS vec_id, 1.0 AS cos
-UNION ALL
-SELECT 10000000 AS vec_id, 1.0 AS cos
-"""
-
-
-def q_ivf_ann_recall(sf_dir: str):
-    """IVF-ANN (k-means coarse quantizer + nprobe cells) with the same
-    planted-recall oracle as lsh_ann_recall: an exact copy of the query
-    vector gets the query's own coarse-cell assignment, which is always
-    probed — it MUST return at cosine 1.0."""
-    from .analysis.search import ivf_topk
-
+def _plant_query_copy(sf_dir: str):
+    """Embeddings table + an exact copy (+10M id) of query vector 0, plus
+    the query vector — shared by the ANN planted-recall oracles."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vector(sf_dir)
 
@@ -1015,13 +963,47 @@ def q_ivf_ann_recall(sf_dir: str):
             }
         )
 
-    planted = ds.map_batches(plant, batch_format="pyarrow")
-    top = ivf_topk(planted, q, k=10, n_cells=8, nprobe=2)
+    return ds.map_batches(plant, batch_format="pyarrow"), q
 
+
+def _exact_cos_only(top):
     def exact_only(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["cos"], 0.999999))
 
     return top.map_batches(exact_only, batch_format="pyarrow")
+
+
+def q_lsh_ann_recall(sf_dir: str):
+    """LSH-ANN with a planted-recall oracle: an exact copy (+10M id) of
+    the query vector is planted into the pool; LSH guarantees an exact
+    copy shares the query's hyperplane signature, so it MUST be retrieved
+    with cosine 1.0.  Output: the top-k rows at cosine 1.0 — exactly the
+    query vector itself and the planted copy (random synth embeddings
+    admit no other exact duplicates); the oracle emits those constants.
+    The approximate tail of the top-k stays covered by the rows-only
+    ``lsh_ann`` query."""
+    from .analysis.search import lsh_topk
+
+    planted, q = _plant_query_copy(sf_dir)
+    return _exact_cos_only(lsh_topk(planted, q, k=10, n_planes=6))
+
+
+SQL_LSH_ANN_RECALL = """
+SELECT 0 AS vec_id, 1.0 AS cos
+UNION ALL
+SELECT 10000000 AS vec_id, 1.0 AS cos
+"""
+
+
+def q_ivf_ann_recall(sf_dir: str):
+    """IVF-ANN (k-means coarse quantizer + nprobe cells) with the same
+    planted-recall oracle as lsh_ann_recall: an exact copy of the query
+    vector gets the query's own coarse-cell assignment, which is always
+    probed — it MUST return at cosine 1.0."""
+    from .analysis.search import ivf_topk
+
+    planted, q = _plant_query_copy(sf_dir)
+    return _exact_cos_only(ivf_topk(planted, q, k=10, n_cells=8, nprobe=2))
 
 
 SQL_IVF_ANN_RECALL = """
