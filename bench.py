@@ -141,11 +141,13 @@ def run_bench() -> dict:
     # query in its own subprocess instead (slower, fully isolated).
     passes = max(1, int(os.environ.get("GRAFT_BENCH_PASSES", "2")))
     timings: dict[str, float] = {}
+    raw_timings: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
     for _ in range(passes):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             _consume(QUERIES[name](SF_DIR))
             dt = round(time.perf_counter() - t0, 3)
+            raw_timings[name].append(dt)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
 
@@ -159,6 +161,7 @@ def run_bench() -> dict:
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
             "per_query": f"min_of_{passes}_passes",
+            "raw_timings": raw_timings,
         }
         ray.shutdown()
         return result
@@ -178,6 +181,7 @@ def run_bench() -> dict:
     import shutil
 
     flagship_sec = None
+    raw_timings["flagship_web"] = []
     for _ in range(passes):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
@@ -185,6 +189,7 @@ def run_bench() -> dict:
         flag_ds = flagship(ds, mode="filter", batch_size=256)
         flag_ds.write_parquet(out_dir)
         dt = round(time.perf_counter() - t0, 3)
+        raw_timings["flagship_web"].append(dt)
         if flagship_sec is None or dt < flagship_sec:
             flagship_sec = dt
             tag_task_wall = _parse_tag_task_wall(flag_ds.stats())
@@ -210,6 +215,9 @@ def run_bench() -> dict:
         "web_docs_kept": n_kept,
         "web_docs_per_sec": round(WEB_N / flagship_sec, 1),
         "per_query": f"min_of_{passes}_passes",
+        # all per-pass raw timings so cross-round comparisons can be
+        # normalized regardless of the min-of-N policy
+        "raw_timings": raw_timings,
         # straggler diagnostic: per-task wall time of the fused tag stage
         # (max/mean ~1 => no monster-doc skew at task granularity)
         "tag_task_wall": tag_task_wall,

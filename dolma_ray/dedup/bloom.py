@@ -154,9 +154,21 @@ class BloomFilter:
                 raise ValueError(f"invalid magic {magic:#x} in {path}")
             if version != _VERSION:
                 raise ValueError(f"unsupported version {version} in {path}")
-            seeds = np.frombuffer(f.read(32 * k), dtype="<u8").reshape(k, 4)
+            seed_buf = f.read(32 * k)
+            if len(seed_buf) != 32 * k:
+                raise ValueError(
+                    f"truncated bloom file {path}: expected {32 * k} seed "
+                    f"bytes, got {len(seed_buf)}"
+                )
+            seeds = np.frombuffer(seed_buf, dtype="<u8").reshape(k, 4)
             (n_words,) = struct.unpack("<Q", f.read(8))
-            bits = np.frombuffer(f.read(4 * n_words), dtype="<u4")
+            bits_buf = f.read(4 * n_words)
+            if len(bits_buf) != 4 * n_words:
+                raise ValueError(
+                    f"truncated bloom file {path}: expected {4 * n_words} "
+                    f"bitmap bytes, got {len(bits_buf)}"
+                )
+            bits = np.frombuffer(bits_buf, dtype="<u4")
         return cls(
             read_only=read_only,
             _state=(seeds.astype(np.uint64), bits.astype(np.uint32)),

@@ -39,6 +39,7 @@ def mark_duplicates_fused(
     skip_short_paragraphs: bool = False,
     lookup_strategy: str = "auto",
     num_partitions: int = 64,
+    row_count_hint: int | None = None,
 ):
     """Append both ``attr__dedupe_docs__duplicate`` and
     ``attr__dedupe_paragraphs__duplicate`` with a single lookup pass.
@@ -50,10 +51,10 @@ def mark_duplicates_fused(
     min-order table is hash-joined against the units and the per-doc
     late-unit lists are hash-joined against the corpus, so no stage
     holds O(duplicates) on one process (the 10^12-doc shape).  ``"auto"``
-    (default) picks by row count — ``ds.count()`` is metadata-only on a
-    fresh parquet read, which is what the flagship feeds in; pass an
-    explicit strategy when the input already has expensive transforms
-    upstream (count would execute them)."""
+    (default) picks by row count, decided from ``row_count_hint`` or
+    plan metadata only (fresh parquet reads / materialized inputs);
+    when neither is known it stays ``"driver"`` rather than executing
+    upstream transforms just to pick a strategy."""
     import ray
 
     order = list(order_columns)
@@ -93,12 +94,12 @@ def mark_duplicates_fused(
             }
         )
 
-    from .lookup import collect_dup_lookup
+    from .lookup import collect_dup_lookup, resolve_auto_strategy
 
     if lookup_strategy == "auto":
         # ~40 paragraph units/doc on web text; keep the driver pass under
         # ~10^8 units -> flip to the fully-distributed join above ~2.5M docs
-        lookup_strategy = "join" if ds.count() > 2_500_000 else "driver"
+        lookup_strategy = resolve_auto_strategy(ds, row_count_hint)
 
     if lookup_strategy == "join":
         return _mark_fused_join(
@@ -352,10 +353,14 @@ def _mark_fused_join(
         batch_format="pyarrow",
     )
     def encode_lists(batch: pa.Table) -> pa.Table:
-        # hash joins reject list-typed payload columns -> comma-string
+        # hash joins reject list-typed payload columns -> comma-string.
+        # Ray auto-names the Unique aggregate column ("unique(seq)" in
+        # 2.49); resolve it as the one non-key column so a rename in a
+        # future Ray release can't KeyError here.
+        uniq_col = next(c for c in batch.column_names if c != "d")
         lates = [
             ",".join(str(int(x)) for x in lst)
-            for lst in batch["unique(seq)"].to_pylist()
+            for lst in batch[uniq_col].to_pylist()
         ]
         return pa.table(
             {"__ddj_rd": batch["d"], "__ddj_late": pa.array(lates, pa.string())}

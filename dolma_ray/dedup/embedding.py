@@ -63,6 +63,7 @@ def mark_near_duplicates_embedding(
     seed: int = 42,
     lookup_strategy: str = "auto",
     num_partitions: int = 64,
+    row_count_hint: int | None = None,
 ):
     """Append ``attr__dedupe_embedding__near_duplicate`` (scalar 0/1).
 
@@ -83,12 +84,13 @@ def mark_near_duplicates_embedding(
         distinct_key_table,
         dup_bucket_table,
         _join_partitions,
+        resolve_auto_strategy,
     )
 
     order_columns = list(order_columns or (key_column,))
 
     if lookup_strategy == "auto":
-        lookup_strategy = "join" if ds.count() > 2_500_000 else "driver"
+        lookup_strategy = resolve_auto_strategy(ds, row_count_hint)
 
     def explode_narrow(batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, embedding_column)

@@ -24,6 +24,25 @@ corpus — no stage ever holds O(duplicates) on the driver.
 from __future__ import annotations
 
 
+def resolve_auto_strategy(ds, row_count_hint=None, threshold: int = 2_500_000) -> str:
+    """Pick ``"driver"`` vs ``"join"`` for ``lookup_strategy="auto"``
+    WITHOUT executing the plan.  Precedence: the caller's
+    ``row_count_hint``, else the plan's metadata-only row count
+    (available on fresh parquet reads and materialized datasets —
+    ``Dataset.count()`` would be free there anyway).  When neither is
+    known — the input has unexecuted transforms upstream — default to
+    ``"driver"`` rather than paying a full extra execution pass just to
+    pick a strategy.  Callers at true 10^12 scale pass ``"join"``
+    explicitly (or a hint)."""
+    n = row_count_hint
+    if n is None:
+        try:
+            n = ds._meta_count()
+        except Exception:
+            n = None
+    return "join" if (n is not None and n > threshold) else "driver"
+
+
 def _join_partitions(right_count: int, requested: int) -> int:
     """Partition count for a hash join whose RIGHT side has
     ``right_count`` rows.  Two caps:

@@ -238,6 +238,7 @@ def mark_near_duplicates_minhash(
     seed: int = 42,
     lookup_strategy: str = "auto",
     num_partitions: int = 64,
+    row_count_hint: int | None = None,
 ):
     """Append ``attr__dedupe_minhash__near_duplicate`` (scalar 0/1):
     1.0 when the doc shares an LSH band bucket with an earlier doc.
@@ -251,18 +252,19 @@ def mark_near_duplicates_minhash(
     into a driver list (fine to ~10^8 units); ``"join"`` keeps the
     late-key table a Dataset and attaches via hash join — no driver
     state, the 10^12-doc shape.  ``"auto"`` (default) flips to join
-    above ~2.5M input rows (``ds.count()`` is metadata-only on fresh
-    parquet reads)."""
+    above ~2.5M input rows, decided from ``row_count_hint`` or plan
+    metadata only — never by executing the plan."""
     from ..util import cached_stage
     from .lookup import (
         attach_dup_flag,
         attach_dup_flag_join,
         collect_dup_keys,
         late_key_table,
+        resolve_auto_strategy,
     )
 
     if lookup_strategy == "auto":
-        lookup_strategy = "join" if ds.count() > 2_500_000 else "driver"
+        lookup_strategy = resolve_auto_strategy(ds, row_count_hint)
 
     bands = ds.map_batches(
         cached_stage(

@@ -92,6 +92,7 @@ def mark_near_duplicates_simhash(
     n_bands: int | None = None,
     lookup_strategy: str = "auto",
     num_partitions: int = 64,
+    row_count_hint: int | None = None,
 ):
     """Append ``attr__dedupe_simhash__near_duplicate`` (scalar 0/1).
 
@@ -99,7 +100,8 @@ def mark_near_duplicates_simhash(
     colliding-bucket set and collect the dup-key set on the driver;
     ``"join"`` keeps both as Datasets (units ⋈ colliding-buckets inner
     join, corpus ⋈ dup-keys left-outer join) — no driver state.
-    ``"auto"`` flips to join above ~2.5M input rows."""
+    ``"auto"`` flips to join above ~2.5M input rows, decided from
+    ``row_count_hint`` or metadata only — never by executing the plan."""
     import ray
 
     from .lookup import (
@@ -109,13 +111,14 @@ def mark_near_duplicates_simhash(
         distinct_key_table,
         dup_bucket_table,
         _join_partitions,
+        resolve_auto_strategy,
     )
 
     n_bands = n_bands or (max_hamming + 1)
     assert 64 % n_bands == 0, "n_bands must divide 64"
 
     if lookup_strategy == "auto":
-        lookup_strategy = "join" if ds.count() > 2_500_000 else "driver"
+        lookup_strategy = resolve_auto_strategy(ds, row_count_hint)
 
     def explode(batch: pa.Table) -> pa.Table:
         keys = batch[key_column].to_pylist()

@@ -40,7 +40,8 @@ _OPS = {
 # make a missing/empty attribute simply not match, same as our Rule)
 _JSONPATH_RULE = re.compile(
     r"^\$\.?@?\.?attributes\[\?\(@\.(?P<name>\w+)\s*&&\s*@\.(?P=name)\[0\]\s*"
-    r"(?:&&\s*@\.(?P=name)\[0\]\[2\]\s*(?P<op>[<>=!]+)\s*(?P<value>-?[\d.]+)\s*)?\)\]$"
+    r"(?:&&\s*@\.(?P=name)\[0\]\[2\]\s*(?P<op>[<>=!]+)\s*"
+    r"(?P<value>-?[\d.]+(?:[eE][-+]?\d+)?)\s*)?\)\]$"
 )
 _JSONPATH_RULE_DIRECT = re.compile(
     r"^\$\.?@?\.?attributes\[\?\(@\.(?P<name>\w+)\[(?P<idx>\d+)\]\[2\]\s*"

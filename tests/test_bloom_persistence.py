@@ -100,3 +100,18 @@ def test_shard_merge_and_decontamination(ray_session, tmp_path):
         r["text"] for _, r in marked.iterrows() if len(r[DUP_BLOOM_ATTR]) > 0
     }
     assert flagged == {f"eval doc number {i}" for i in range(0, 50, 5)}
+
+
+def test_truncated_file_rejected(tmp_path):
+    """A file cut mid-bitmap (or mid-seeds) must error, not silently
+    load a shorter filter whose queries return garbage."""
+    bf = BloomFilter(10_000, 1e-4, seed=42)
+    bf.contains_then_insert(_keys(100))
+    path = str(tmp_path / "t.bin")
+    bf.write_to_file(path)
+    raw = open(path, "rb").read()
+    for cut in (len(raw) - 40, 12 + 32 * bf.k - 16):
+        p = tmp_path / f"cut_{cut}.bin"
+        p.write_bytes(raw[:cut])
+        with pytest.raises(ValueError, match="truncated"):
+            BloomFilter.from_file(str(p))

@@ -333,3 +333,32 @@ def test_fused_join_url_key_distinct_texts(ray_session):
         by_text = {r["text"]: r[DUP_PARAGRAPHS_ATTR] for _, r in out.iterrows()}
         # the unrelated-body row shares no paragraph with anyone
         assert len(by_text["totally different body here"]) == 0, strat
+
+
+def test_resolve_auto_strategy_no_execution(ray_session):
+    """'auto' must never execute the plan: metadata-known inputs pick
+    by row count; unknown-count inputs (transforms upstream) default to
+    driver instead of paying a counting pass."""
+    import ray.data as rd
+
+    from dolma_ray.dedup.lookup import resolve_auto_strategy
+
+    fresh = rd.range(10)
+    assert resolve_auto_strategy(fresh, threshold=5) == "join"
+    assert resolve_auto_strategy(fresh, threshold=100) == "driver"
+
+    executed = {"n": 0}
+
+    def bump(b):
+        executed["n"] += 1
+        return b
+
+    transformed = fresh.map_batches(bump, batch_format="pyarrow")
+    assert resolve_auto_strategy(transformed, threshold=1) == "driver"
+    assert executed["n"] == 0  # plan was not executed to decide
+    # an explicit hint overrides and still does not execute
+    assert (
+        resolve_auto_strategy(transformed, row_count_hint=10, threshold=5)
+        == "join"
+    )
+    assert executed["n"] == 0

@@ -123,3 +123,16 @@ def test_min_text_length_after_scrub():
     out = MixStage(cfg, mode="filter")(batch)
     # first row scrubbed to "" -> dropped; second is whitespace-only -> dropped
     assert len(out) == 0
+
+
+def test_parse_jsonpath_rule_scientific_notation():
+    """Guarded form must accept exponent thresholds like 1e-4 (the
+    direct form already did)."""
+    r = parse_jsonpath_rule(
+        "$.attributes[?(@.x && @.x[0] && @.x[0][2] < 1e-4)]"
+    )
+    assert r.attr == "attr__x" and r.op == "<" and r.value == 1e-4
+    r2 = parse_jsonpath_rule(
+        "$.attributes[?(@.y && @.y[0] && @.y[0][2] >= -2.5E+3)]"
+    )
+    assert r2.value == -2500.0
