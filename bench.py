@@ -203,6 +203,34 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     timings["flagship_web"] = flagship_sec
 
+    # forced lookup_strategy="join" leg: the fully-distributed dedup
+    # path (min-order table + late-list hash joins, no driver dict) has
+    # byte-identical parity tests; this records its cost UNDER LOAD so
+    # the auto driver->join flip (>2.5M rows) is backed by bench
+    # evidence, not just sf<=0.1 parity tests (VERDICT r3 item 1)
+    join_sec = join_kept = None
+    if os.environ.get("GRAFT_SKIP_JOIN"):
+        passes_join = 0
+    else:
+        passes_join = passes
+    raw_timings["flagship_web_join"] = []
+    for _ in range(passes_join):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        flagship(ds, mode="filter", batch_size=256,
+                 lookup_strategy="join").write_parquet(out_dir)
+        dt = round(time.perf_counter() - t0, 3)
+        raw_timings["flagship_web_join"].append(dt)
+        if join_sec is None or dt < join_sec:
+            join_sec = dt
+    if join_sec is not None:
+        join_kept = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(f"{out_dir}/*.parquet")
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+        timings["flagship_web_join"] = join_sec
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "dolma_ray headline pipelines wall time",
@@ -214,6 +242,12 @@ def run_bench() -> dict:
         "web_docs": WEB_N,
         "web_docs_kept": n_kept,
         "web_docs_per_sec": round(WEB_N / flagship_sec, 1),
+        # join-strategy leg parity: must equal web_docs_kept (same rules,
+        # different dedup exchange strategy)
+        "web_docs_kept_join": join_kept,
+        "join_over_driver": (
+            round(join_sec / flagship_sec, 2) if join_sec is not None else None
+        ),
         "per_query": f"min_of_{passes}_passes",
         # all per-pass raw timings so cross-round comparisons can be
         # normalized regardless of the min-of-N policy
@@ -251,6 +285,8 @@ def run_isolated() -> dict:
         timings[name] = r["queries"][name]
     flag = run_child({"GRAFT_BENCH_QUERIES": ""})
     timings["flagship_web"] = flag["queries"]["flagship_web"]
+    if "flagship_web_join" in flag["queries"]:
+        timings["flagship_web_join"] = flag["queries"]["flagship_web_join"]
     flag["queries"] = timings
     flag["value"] = round(sum(timings.values()), 3)
     flag["per_query"] = "isolated_subprocess_" + flag.get("per_query", "")
@@ -265,6 +301,7 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_QUERIES="",
             GRAFT_BENCH_PASSES="1",
+            GRAFT_SKIP_JOIN="1",  # scaling measures the default path only
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -203,10 +203,11 @@ def _mark_fused_join(
     document text never enters a shuffle except in step 5's corpus-side
     hash exchange (one all-to-all, streaming, no driver state).
     """
+    import ray
     import pyarrow.compute as pc_
     from ray.data.aggregate import Unique
 
-    from .lookup import _join_partitions, dup_min_table
+    from .lookup import _coalesce_narrow, _join_partitions, dup_min_table
 
     def row_ident(dk: str, o: str, text: str) -> int:
         # identity over (order, doc key, text): rows that tie on all
@@ -254,6 +255,11 @@ def _mark_fused_join(
 
     # narrow unit stream, used twice (aggregate + join probe) — spillable
     units = ds.map_batches(project_units, batch_format="pyarrow").materialize()
+    n_units = units.count()
+    try:
+        n_corpus = ds._meta_count()
+    except Exception:
+        n_corpus = None
     mins, n_dup = dup_min_table(units.select_columns(["k", "o"]))
 
     def attach_with(late_lists_ds, parts: int):
@@ -289,6 +295,11 @@ def _mark_fused_join(
                 on=("__ddj_d",),
                 right_on=("__ddj_rd",),
             )
+            # the join emits one block per partition; re-split so the
+            # python-heavy attach (and every downstream stage) isn't
+            # parallelism-starved by a volume-scaled partition count
+            blocks = max(cpus * 2, -(-(n_corpus or 0) // 10_000))
+            joined = joined.repartition(blocks)
 
         def attach(batch: pa.Table) -> pa.Table:
             batch = restore(batch)
@@ -346,12 +357,17 @@ def _mark_fused_join(
     late = units.join(
         mins,
         join_type="inner",
-        num_partitions=_join_partitions(n_dup, num_partitions),
+        num_partitions=_join_partitions(n_dup, num_partitions, probe_rows=n_units),
         on=("k",),
     ).map_batches(
         lambda b: b.filter(pc_.greater(b["o"], b["o_min"])).select(["d", "seq"]),
         batch_format="pyarrow",
     )
+    # the join emits as many blocks as it has partitions (often 1-2 at
+    # the volume-scaled count) — re-split so the groupby's sort shuffle
+    # isn't parallelism-starved (measured 8.6 s -> 2.7 s at 32 cpus)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    late = late.repartition(max(cpus, -(-n_units // 500_000)))
     def encode_lists(batch: pa.Table) -> pa.Table:
         # hash joins reject list-typed payload columns -> comma-string.
         # Ray auto-names the Unique aggregate column ("unique(seq)" in
@@ -375,4 +391,12 @@ def _mark_fused_join(
     n_docs_late = per_doc.count()
     if n_docs_late == 0:
         return attach_with(None, 1)
-    return attach_with(per_doc, _join_partitions(n_docs_late, num_partitions))
+    # wide corpus rows exchange through the aggregator actors — scale
+    # partitions to the document volume, not the late-key count
+    return attach_with(
+        per_doc,
+        _join_partitions(
+            n_docs_late, num_partitions, probe_rows=n_corpus,
+            rows_per_partition=50_000,
+        ),
+    )

@@ -43,9 +43,14 @@ def resolve_auto_strategy(ds, row_count_hint=None, threshold: int = 2_500_000) -
     return "join" if (n is not None and n > threshold) else "driver"
 
 
-def _join_partitions(right_count: int, requested: int) -> int:
+def _join_partitions(
+    right_count: int,
+    requested: int,
+    probe_rows: int | None = None,
+    rows_per_partition: int = 250_000,
+) -> int:
     """Partition count for a hash join whose RIGHT side has
-    ``right_count`` rows.  Two caps:
+    ``right_count`` rows.  Three caps:
 
     * Ray 2.49's hash join errors when a right-side hash partition is
       empty — stay well below the row count (>= ~8 expected rows per
@@ -54,14 +59,50 @@ def _join_partitions(right_count: int, requested: int) -> int:
       count far above the cluster's CPU slots starves the producing
       task stages (observed full stall at 64 partitions / 8 CPUs), so
       cap at half the cluster CPUs.  On a multi-node cluster the CPU
-      cap is large and ``requested`` governs."""
+      cap is large and ``requested`` governs;
+    * aggregator-actor startup is ~constant per partition, so scale the
+      count with the DATA VOLUME (the larger of the two sides,
+      ``probe_rows`` when the probe side is bigger): measured on the
+      100k-doc bench corpus the corpus-side join is 3.5x faster at 2
+      partitions than 16.  Callers pass a smaller
+      ``rows_per_partition`` for wide rows (full documents) than for
+      narrow unit rows."""
     import ray
 
     cpus = (
         int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     )
     cap = max(1, cpus // 2)
-    return max(1, min(requested, cap, right_count // 8 or 1))
+    vol = max(right_count, probe_rows or 0)
+    by_volume = max(1, -(-vol // rows_per_partition))
+    return max(1, min(requested, cap, right_count // 8 or 1, by_volume))
+
+
+def _coalesce_narrow(units_ds, rows: int | None = None):
+    """Coalesce a narrow unit Dataset's tiny blocks before a groupby.
+
+    Blocks coming out of per-read-task map stages are far below the
+    target block size at bench scale (192 blocks for a 30 MB unit
+    stream), and Ray's sort-based groupby pays a per-block cost that
+    then dominates (measured: 4.3 s -> 3.1 s on 442k rows at 32 cpus
+    after coalescing to 32 blocks).  Only kicks in when the row count
+    is known metadata-only and small enough that the tiny-block regime
+    applies; at real scale blocks are already near target size and the
+    reshuffle would be pure cost."""
+    import ray
+
+    if rows is None:
+        try:
+            rows = units_ds._meta_count()
+        except Exception:
+            rows = None
+    if rows is None or rows == 0 or rows > 50_000_000:
+        return units_ds
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    blocks = max(cpus, -(-rows // 100_000))
+    return units_ds.repartition(blocks)
 
 
 def dup_min_table(units_ds):
@@ -79,7 +120,8 @@ def dup_min_table(units_ds):
         return batch.filter(pc.greater(batch["n"], 1)).drop_columns(["n"])
 
     mins = (
-        units_ds.groupby("k")
+        _coalesce_narrow(units_ds)
+        .groupby("k")
         .aggregate(Min("o", alias_name="o_min"), Count(alias_name="n"))
         .map_batches(only_dups, batch_format="pyarrow")
         .materialize()
@@ -104,13 +146,14 @@ def late_key_table(units_ds, num_partitions: int = 64):
         return pa.table({"k": batch["k"], "o": ok, "key": batch["key"]})
 
     units = units_ds.map_batches(with_ok, batch_format="pyarrow").materialize()
+    n_units = units.count()
     mins, n_dup = dup_min_table(units.select_columns(["k", "o"]))
     if n_dup == 0:
         return None
     joined = units.join(
         mins,
         join_type="inner",
-        num_partitions=_join_partitions(n_dup, num_partitions),
+        num_partitions=_join_partitions(n_dup, num_partitions, probe_rows=n_units),
         on=("k",),
     )
 
@@ -129,7 +172,7 @@ def dup_bucket_table(units_ds):
     from ray.data.aggregate import Count
 
     buckets = (
-        units_ds.select_columns(["k"])
+        _coalesce_narrow(units_ds.select_columns(["k"]))
         .groupby("k")
         .aggregate(Count(alias_name="n"))
         .map_batches(
@@ -149,10 +192,12 @@ def distinct_key_table(keys_ds):
     from ray.data.aggregate import Count
 
     keys_ds = keys_ds.materialize()
-    if keys_ds.count() == 0:
+    n_keys = keys_ds.count()
+    if n_keys == 0:
         return None
     distinct = (
-        keys_ds.groupby("key")
+        _coalesce_narrow(keys_ds, rows=n_keys)
+        .groupby("key")
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
         .materialize()
@@ -227,14 +272,30 @@ def attach_dup_flag_join(ds, key_column: str, dup_keys_ds, attr_column: str,
         batch_format="pyarrow",
     )
     n_keys = dup_keys_ds.count()
+    try:
+        n_corpus = ds._meta_count()
+    except Exception:
+        n_corpus = None
     ds, restore = shield_complex_columns(ds)
     joined = ds.join(
         flagged,
         join_type="left_outer",
-        num_partitions=_join_partitions(n_keys, num_partitions),
+        # wide rows (full documents) exchange through the aggregator
+        # actors: far fewer rows per partition than the narrow joins
+        num_partitions=_join_partitions(
+            n_keys, num_partitions, probe_rows=n_corpus, rows_per_partition=50_000
+        ),
         on=(key_column,),
         right_on=("__ddj_key",),
     )
+    # the join emits one block per partition — re-split so downstream
+    # stages aren't parallelism-starved by a volume-scaled partition count
+    import ray as _ray
+
+    cpus = (
+        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    )
+    joined = joined.repartition(max(cpus * 2, -(-(n_corpus or 0) // 10_000)))
 
     def finalize(batch: pa.Table) -> pa.Table:
         batch = restore(batch)
