@@ -383,3 +383,53 @@ def test_video_stage_non_avi_strict_raises(ray_session):
     stage = VideoFrameSampleStage(strict=True)
     with pytest.raises(NotImplementedError):
         stage._sample_frames(b"\x00\x00\x00 ftypisom not really mp4")
+
+
+def test_jpeg_restart_markers_round_trip():
+    """DRI + RSTn path: the decoder splits the scan at restart markers
+    (fresh bit alignment + DC predictor reset per segment)."""
+    import numpy as np
+
+    from dolma_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = np.clip(
+        np.linspace(0, 1, 72 * 56 * 3).reshape(72, 56, 3)
+        + rng.normal(0, 0.05, (72, 56, 3)),
+        0,
+        1,
+    ).astype(np.float32)
+    for sub, dri in ((False, 1), (False, 3), (True, 2)):
+        data = encode_jpeg(img, quality=90, subsample=sub, restart_interval=dri)
+        assert b"\xff\xdd" in data  # DRI segment present
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+        mse = float(((out - img) ** 2).mean())
+        psnr = 10 * np.log10(1.0 / mse)
+        assert psnr > (24 if sub else 29), (sub, dri, psnr)
+        # must match the no-restart encoding bit-for-bit after decode
+        # (same quantized coefficients, different framing only)
+        base = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert np.array_equal(out, base)
+
+
+def test_jpeg_decode_speed_fixture():
+    """The entropy decode is LUT-per-symbol + batched-numpy IDCT: a
+    256x256 RGB decode must stay well under the old per-coefficient
+    python-loop cost (~1.7 s); generous 0.5 s bound for noisy CI."""
+    import time
+
+    import numpy as np
+
+    from dolma_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    x, y = np.meshgrid(np.arange(256), np.arange(256))
+    img = np.stack(
+        [(np.sin(x / 9) + 1) / 2, (np.cos(y / 13) + 1) / 2, ((x + y) % 256) / 255.0],
+        -1,
+    ).astype(np.float32)
+    data = encode_jpeg(img, quality=85)
+    decode_jpeg(data)  # warm (LUT cache)
+    t0 = time.perf_counter()
+    decode_jpeg(data)
+    assert time.perf_counter() - t0 < 0.5
