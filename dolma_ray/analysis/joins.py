@@ -17,11 +17,13 @@ with the cluster, not with key cardinality — the same shape as the
 salt-bucketed sessionization (``queries.py::q_user_sessions``).
 
 Ties among right rows sharing (key, ts) resolve to the LAST one in
-``(ts, str(tie_column))`` order (the tie value is string-cast so any
-column type yields one deterministic total order); pass ``tie_column``
-(e.g. an event id) to pin it — DuckDB's ASOF leaves tie choice
-unspecified, so oracle comparisons should pre-dedupe right to one row
-per (key, ts).
+``(ts, tie_column)`` order — numeric tie columns keep their native
+order (so an int64 id ties to ``max(id)``, SQL-expressible), other
+types are string-cast for one deterministic total order.  Pass
+``tie_column`` (e.g. an event id) to pin it — DuckDB's ASOF leaves tie
+choice unspecified.  A numeric tie therefore REPLACES a
+``groupby(key, ts).aggregate(Max(id))`` pre-dedup of the right side:
+same matched row, one less all-to-all shuffle.
 """
 
 from __future__ import annotations
@@ -76,6 +78,16 @@ def asof_join(
         (f"_c_{c}", r_types[c]) for c in right_columns
     ]
 
+    # one concrete tie type across both sides: numeric ties keep native
+    # order (max-id semantics), everything else string-casts
+    tie_typ = pa.string()
+    if tie_column is not None:
+        src_typ = r_types.get(tie_column) or l_types.get(tie_column)
+        if src_typ is not None and pa.types.is_integer(src_typ):
+            tie_typ = pa.int64()
+        elif src_typ is not None and pa.types.is_floating(src_typ):
+            tie_typ = pa.float64()
+
     def norm(side: int, keep: Sequence[str]):
         def fn(batch: pa.Table) -> pa.Table:
             if not (
@@ -114,11 +126,11 @@ def asof_join(
                 else:
                     cols[name] = pa.nulls(len(batch), typ)
             if tie_column is not None and tie_column in batch.column_names:
-                # string-cast: one concrete type regardless of the tie
-                # column's type (and whether both sides carry it)
-                cols["_tie"] = _pc.cast(batch[tie_column], pa.string())
+                cols["_tie"] = _pc.cast(batch[tie_column], tie_typ)
+            elif pa.types.is_string(tie_typ):
+                cols["_tie"] = pa.array([""] * len(batch), tie_typ)
             else:
-                cols["_tie"] = pa.array([""] * len(batch), pa.string())
+                cols["_tie"] = pa.nulls(len(batch), tie_typ)
             return pa.table(cols)
 
         return fn

@@ -1557,28 +1557,28 @@ def q_purchase_attribution(sf_dir: str):
     """As-of join (DuckDB ASOF JOIN / kdb aj semantics): each purchase
     event is attributed to the same user's most recent preceding view
     event.  Implemented by the engine's salt-bucketed vectorized
-    :func:`dolma_ray.analysis.joins.asof_join`; the right side is
-    pre-deduped to one row per (user, ts) so tie behavior is defined on
-    both sides.  Nulls are coalesced to -1 so the value-hash compares
-    int64 to int64."""
-    from ray.data.aggregate import Max
-
+    :func:`dolma_ray.analysis.joins.asof_join`; (user, ts) ties among
+    views resolve to ``max(event_id)`` via the numeric ``tie_column``
+    INSIDE the bucket merge — no ``groupby(user_id, ts)`` pre-dedup
+    shuffle of the view side (it was the query's dominant cost).  Nulls
+    are coalesced to -1 so the value-hash compares int64 to int64."""
     from .analysis.joins import asof_join
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
 
-    def only(kind):
+    def only(kind, rename=None):
         def fn(batch: pa.Table) -> pa.Table:
             b = batch.filter(pc.equal(batch["event_type"], kind))
-            return b.drop_columns(["event_type"])
+            b = b.drop_columns(["event_type"])
+            if rename:
+                b = b.rename_columns([rename.get(c, c) for c in b.column_names])
+            return b
 
         return fn
 
     purchases = ds.map_batches(only("purchase"), batch_format="pyarrow")
-    views = (
-        ds.map_batches(only("view"), batch_format="pyarrow")
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("event_id", alias_name="view_event_id"))
+    views = ds.map_batches(
+        only("view", rename={"event_id": "view_event_id"}), batch_format="pyarrow"
     )
 
     joined = asof_join(
@@ -1587,6 +1587,7 @@ def q_purchase_attribution(sf_dir: str):
         key_column="user_id",
         ts_column="ts",
         right_columns=["view_event_id"],
+        tie_column="view_event_id",
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
