@@ -13,12 +13,15 @@ Semantics pinned to the reference (``python/dolma/taggers/code/``):
   span; else a leading ``//``/``#``/``--``/blank comment block ->
   ``comment_block`` span; doc score = affected chars (+1) / len;
 * ``code_secrets_v1`` (``code_taggers.py:40-79``): the reference scans
-  with Yelp detect-secrets (unavailable here); this implementation uses
-  regex detectors for the highest-signal plugin classes (AWS access
-  keys, private-key headers, GitHub/Slack/Google tokens, basic-auth
-  URLs, JWTs, generic hex/base64 secrets after ``secret/key/token=``)
-  emitting the same span shape (``SECRET_<Type>``) + ``doc`` score
-  (= count / words, -1.0 on empty);
+  with Yelp detect-secrets (the pip package is unavailable here); this
+  implementation re-creates its default line-based plugin set —
+  regex plugins with detect-secrets' type names, keyword detector with
+  the denylist/affix/quotes-optional form, base64/hex high-entropy
+  strings at the 4.5/3.0 limits, private-key headers, the default
+  value filters, and (type, value) first-line dedup — in
+  ``taggers/secrets.py``, emitting the same span shape
+  (``SECRET_<Type_With_Underscores>``) + ``doc`` score (= count /
+  words, -1.0 on empty), pinned by the reference's own test vector;
 * ``code_starcoder_taggers_v2`` (``code_taggers.py:229-271``):
   ``has_xml_template_doc`` (``<?xml version=`` in first 100 chars),
   ``num_github_stars_doc`` (metadata), ``code_to_comment_ratio_doc``
@@ -124,39 +127,49 @@ class CodeCopyrightTagger(BaseTagger):
         return {"copyright_notice": notice, "comment_block": block, "doc": score}
 
 
-_SECRET_PATTERNS: list[tuple[str, re.Pattern]] = [
-    ("AWS_Access_Key", re.compile(r"(?:A3T[A-Z0-9]|AKIA|ASIA|ABIA|ACCA)[A-Z0-9]{16}")),
-    ("Private_Key", re.compile(r"-----BEGIN (?:RSA |EC |DSA |OPENSSH |PGP )?PRIVATE KEY(?: BLOCK)?-----")),
-    ("GitHub_Token", re.compile(r"(?:ghp|gho|ghu|ghs|ghr)_[A-Za-z0-9]{36}")),
-    ("Slack_Token", re.compile(r"xox[baprs]-[A-Za-z0-9-]{10,48}")),
-    ("Google_API_Key", re.compile(r"AIza[0-9A-Za-z_-]{35}")),
-    ("JSON_Web_Token", re.compile(r"eyJ[A-Za-z0-9_=-]{10,}\.eyJ[A-Za-z0-9_=-]{10,}\.[A-Za-z0-9_.+/=-]{10,}")),
-    ("Basic_Auth_Credentials", re.compile(r"://[^\s:@/]{3,}:([^\s:@/]{3,})@")),
-    (
-        "Secret_Keyword",
-        re.compile(
-            r"""(?i)(?:secret|password|passwd|api_key|apikey|token|auth_key)\s*[:=]\s*["']([^"'\s]{8,64})["']"""
-        ),
-    ),
+from .secrets import _REGEX_PLUGINS, scan_text  # noqa: E402
+
+# every secret_type the scanner can emit, as attribute column names
+_SECRET_TYPES: list[str] = [name for name, _ in _REGEX_PLUGINS] + [
+    "Private Key",
+    "Secret Keyword",
+    "Base64 High Entropy String",
+    "Hex High Entropy String",
 ]
 
 
 @TaggerRegistry.add("code_secrets_v1")
 class CodeSecretsTagger(BaseTagger):
+    """detect-secrets-engine scan (``taggers/secrets.py``) with the
+    reference tagger's span-location quirks kept bug-for-bug
+    (``code_taggers.py:47-62``): the line is located by its FIRST
+    occurrence in the document (duplicate lines map to the first copy)
+    and the value by its first occurrence within that line; doc score =
+    span count / whitespace word count (-1.0 on empty text)."""
+
     def output_types(self) -> Mapping[str, str]:
         return {
-            **{f"SECRET_{name}": SPAN for name, _ in _SECRET_PATTERNS},
+            **{
+                f"SECRET_{name.replace(' ', '_')}": SPAN
+                for name in _SECRET_TYPES
+            },
             "doc": DOC,
         }
 
     def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
-        out: dict[str, Any] = {f"SECRET_{name}": [] for name, _ in _SECRET_PATTERNS}
+        out: dict[str, Any] = {
+            f"SECRET_{name.replace(' ', '_')}": [] for name in _SECRET_TYPES
+        }
+        lines = text.splitlines()
         count = 0
-        for name, rx in _SECRET_PATTERNS:
-            for m in rx.finditer(text):
-                grp = 1 if m.groups() else 0
-                out[f"SECRET_{name}"].append((m.start(grp), m.end(grp), 1.0))
-                count += 1
+        for name, value, line_no in scan_text(text):
+            span_line = lines[line_no]
+            line_start = text.find(span_line)
+            start = line_start + span_line.find(value)
+            out[f"SECRET_{name.replace(' ', '_')}"].append(
+                (start, start + len(value), 1.0)
+            )
+            count += 1
         words = len(text.split())
         out["doc"] = count / words if words else -1.0
         return out

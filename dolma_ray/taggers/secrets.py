@@ -1,0 +1,267 @@
+"""Line-based secret scanner replicating Yelp detect-secrets' default
+plugin set (the engine the reference's ``code_secrets_v1`` runs,
+``python/dolma/taggers/code/utils.py:25-53``; detect-secrets is public
+Apache-2.0 — the plugin regexes, entropy thresholds and filter
+heuristics below are reimplemented from its documented behavior).
+
+Semantics matched to the reference pipeline:
+
+* scan is per LINE (``_process_line_based_plugins`` over
+  ``text.splitlines()``), emitted types are detect-secrets' plugin
+  ``secret_type`` strings;
+* one secret per distinct ``(type, value)`` — detect-secrets'
+  ``PotentialSecret.__eq__`` ignores the line number, so re-occurrences
+  of the same value collapse to the FIRST line;
+* the default filter set is applied to every candidate: templated
+  values (``${..}``/``{{..}}``/``<..>``), ``$``-prefixed variables,
+  sequential strings, UUIDs, and values with no alphanumerics are not
+  secrets;
+* high-entropy strings use Shannon entropy with detect-secrets' limits
+  (base64 charset > 4.5 bits, hex > 3.0 bits with the all-digits
+  penalty) and only fire on QUOTED strings;
+* keyword detection uses the detect-secrets denylist with affixes and
+  the quotes-optional (yaml-style) value form — the reference scans
+  under the filename ``code_str.yml``.
+
+The span-offset quirk of the reference tagger (locating the FIRST
+occurrence of the line text, then the first occurrence of the value in
+that line — ``code_taggers.py:47-62``) lives in the caller
+(``code.py::CodeSecretsTagger``), not here.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+# ---- regex plugins (detect-secrets plugin_type -> patterns) -------------
+
+_REGEX_PLUGINS: list[tuple[str, list[re.Pattern]]] = [
+    (
+        "Artifactory Credentials",
+        [
+            re.compile(r"(?:\s|=|:|^)(AP[\dABCDEF][a-zA-Z0-9]{8,})"),
+            re.compile(r"(?:\s|=|:|^)(AKC[a-zA-Z0-9]{10,})"),
+        ],
+    ),
+    (
+        "AWS Access Key",
+        [re.compile(r"((?:A3T[A-Z0-9]|ABIA|ACCA|AKIA|ASIA)[0-9A-Z]{16})")],
+    ),
+    (
+        "Azure Storage Account access key",
+        [re.compile(r"AccountKey=([a-zA-Z0-9+/=]{88})")],
+    ),
+    (
+        "Basic Auth Credentials",
+        # group = the password between ':' and '@' in a URL userinfo
+        [re.compile(r"://[^\s:@]+:([^\s:@]+)@")],
+    ),
+    (
+        "Discord Bot Token",
+        [re.compile(r"([MNO][a-zA-Z\d_-]{23,25}\.[a-zA-Z\d_-]{6}\.[a-zA-Z\d_-]{27})")],
+    ),
+    (
+        "GitHub Token",
+        [re.compile(r"((?:ghp|gho|ghu|ghs|ghr)_[A-Za-z0-9_]{36})")],
+    ),
+    (
+        "GitLab Token",
+        [re.compile(r"(glpat-[\w-]{20})")],
+    ),
+    (
+        "JSON Web Token",
+        [re.compile(r"(eyJ[A-Za-z0-9_=-]+\.eyJ[A-Za-z0-9_=-]+\.[A-Za-z0-9_.+/=-]*)")],
+    ),
+    (
+        "Mailchimp Access Key",
+        [re.compile(r"([0-9a-z]{32}-us\d{1,2})\b")],
+    ),
+    (
+        "NPM tokens",
+        [re.compile(r"//.+/:_authToken=\s*((?:npm_[A-Za-z0-9]+)|(?:[A-Fa-f0-9-]{36}))")],
+    ),
+    (
+        "OpenAI Token",
+        [re.compile(r"(sk-[A-Za-z0-9]{20}T3BlbkFJ[A-Za-z0-9]{20})")],
+    ),
+    (
+        "PyPI Token",
+        [re.compile(r"(pypi-AgEIcHlwaS5vcmc[A-Za-z0-9_-]{50,})")],
+    ),
+    (
+        "SendGrid API Key",
+        [re.compile(r"(SG\.[A-Za-z0-9_-]{22}\.[A-Za-z0-9_-]{43})")],
+    ),
+    (
+        "Slack Token",
+        [
+            re.compile(r"(xox(?:a|b|p|o|s|r)-(?:\d+-)+[a-z0-9]+)"),
+            re.compile(
+                r"(https://hooks\.slack\.com/services/T[a-zA-Z0-9_]+/B[a-zA-Z0-9_]+/"
+                r"[a-zA-Z0-9_]+)"
+            ),
+        ],
+    ),
+    (
+        "Square OAuth Secret",
+        [re.compile(r"(sq0csp-[0-9A-Za-z_-]{43})")],
+    ),
+    (
+        "Stripe Access Key",
+        [re.compile(r"([rs]k_live_[0-9a-zA-Z]{24})")],
+    ),
+    (
+        "Telegram Bot Token",
+        [re.compile(r"(\d{8,10}:[0-9A-Za-z_-]{35})")],
+    ),
+    (
+        "Twilio API Key",
+        [re.compile(r"((?:AC|SK)[a-z0-9]{32})")],
+    ),
+]
+
+# private-key header lines (PrivateKeyDetector denylist)
+_PRIVATE_KEY_RE = re.compile(
+    r"(BEGIN (?:DSA|EC|OPENSSH|PGP|RSA|SSH2 ENCRYPTED)? ?PRIVATE KEY(?: BLOCK)?"
+    r"|PuTTY-User-Key-File-2)"
+)
+
+# keyword detector: denylist with \w* affixes, yaml/colon + equals forms,
+# quotes optional, value = non-whitespace run
+_KEYWORD_DENYLIST = (
+    "api_key",
+    "auth_key",
+    "service_api_key",
+    "account_key",
+    "db_key",
+    "database_key",
+    "priv_key",
+    "private_key",
+    "client_key",
+    "db_pass",
+    "database_pass",
+    "key_pass",
+    "password",
+    "passwd",
+    "pass",
+    "pwd",
+    "secret",
+    "token",
+    "contrasena",
+    "contraseña",
+)
+_KEYWORD_RE = re.compile(
+    r"(?i)\w*(?:" + "|".join(_KEYWORD_DENYLIST) + r")\w*"
+    r"\s*(?::=|=>|[:=])\s*(['\"`]?)([^\s'\"`]+)\1"
+)
+
+# high-entropy strings: quoted runs over the plugin's charset
+_BASE64_STRING_RE = re.compile(r"(['\"])([A-Za-z0-9+/=]+)(\1)")
+_HEX_STRING_RE = re.compile(r"(['\"])([0-9a-fA-F]+)(\1)")
+_BASE64_LIMIT = 4.5
+_HEX_LIMIT = 3.0
+
+# ---- default filters ----------------------------------------------------
+
+_UUID_RE = re.compile(
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    r"[0-9a-fA-F]{12}$"
+)
+_ALNUM_RE = re.compile(r"[a-zA-Z0-9]")
+_SEQUENCES = (
+    "abcdefghijklmnopqrstuvwxyzabcdefghijklmnopqrstuvwxyz",
+    "0123456789012345678901234567890123456789",
+    "0123456789abcdef0123456789abcdef",
+)
+
+
+def _is_filtered(value: str) -> bool:
+    """detect-secrets' default heuristic filters (the subset that needs
+    only the candidate value): templated secrets, env-var references,
+    sequential strings, UUIDs, strings without alphanumerics."""
+    if not value or not _ALNUM_RE.search(value):
+        return True
+    if value.startswith("$"):  # is_prefixed_with_dollar_sign / templated
+        return True
+    if (
+        (value.startswith("{{") and value.endswith("}}"))
+        or (value.startswith("{") and value.endswith("}"))
+        or (value.startswith("<") and value.endswith(">"))
+    ):
+        return True  # is_templated_secret
+    if _UUID_RE.match(value):
+        return True  # is_potential_uuid
+    low = value.lower()
+    if len(low) >= 3 and any(low in seq for seq in _SEQUENCES):
+        return True  # is_sequential_string
+    return False
+
+
+def _shannon_entropy(data: str) -> float:
+    if not data:
+        return 0.0
+    entropy = 0.0
+    n = len(data)
+    for ch in set(data):
+        p = data.count(ch) / n
+        entropy -= p * math.log2(p)
+    return entropy
+
+
+def _hex_entropy(data: str) -> float:
+    """HexHighEntropyString's adjusted entropy: purely-numeric strings
+    get a penalty so int literals don't flag (detect-secrets
+    plugins/high_entropy_strings.py)."""
+    entropy = _shannon_entropy(data)
+    if len(data) == 1:
+        return 0.0
+    try:
+        int(data)
+        entropy -= 1.2 / math.log2(len(data))
+    except ValueError:
+        pass
+    return entropy
+
+
+def scan_line(line: str) -> list[tuple[str, str]]:
+    """All (secret_type, secret_value) candidates on one line, in plugin
+    order, filters applied."""
+    out: list[tuple[str, str]] = []
+    for name, patterns in _REGEX_PLUGINS:
+        for rx in patterns:
+            for m in rx.finditer(line):
+                v = m.group(1)
+                if not _is_filtered(v):
+                    out.append((name, v))
+    m = _PRIVATE_KEY_RE.search(line)
+    if m:
+        out.append(("Private Key", m.group(1)))
+    for m in _KEYWORD_RE.finditer(line):
+        v = m.group(2)
+        if not _is_filtered(v):
+            out.append(("Secret Keyword", v))
+    for m in _BASE64_STRING_RE.finditer(line):
+        v = m.group(2)
+        if _shannon_entropy(v) > _BASE64_LIMIT and not _is_filtered(v):
+            out.append(("Base64 High Entropy String", v))
+    for m in _HEX_STRING_RE.finditer(line):
+        v = m.group(2)
+        if _hex_entropy(v) > _HEX_LIMIT and not _is_filtered(v):
+            out.append(("Hex High Entropy String", v))
+    return out
+
+
+def scan_text(text: str) -> list[tuple[str, str, int]]:
+    """detect-secrets collection semantics over a whole document:
+    distinct ``(type, value)`` pairs with the 0-based line number of
+    their first occurrence, in scan order."""
+    seen: set[tuple[str, str]] = set()
+    found: list[tuple[str, str, int]] = []
+    for line_no, line in enumerate(text.splitlines()):
+        for name, value in scan_line(line):
+            if (name, value) in seen:
+                continue
+            seen.add((name, value))
+            found.append((name, value, line_no))
+    return found
