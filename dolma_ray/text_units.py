@@ -10,11 +10,10 @@ Semantics pinned to the reference:
 * A *word* for dedup min-word counts and n-gram dedup is a Unicode
   word-boundary segment with pure-whitespace segments removed
   (reference: ``python/dolma/core/utils.py:69-80`` via uniseg;
-  ``src/wimbd/tokens.rs:11-20``).  uniseg is not available here, so
-  :func:`split_unicode_words` uses a regex approximation of UAX-29:
-  letter/digit runs (with common in-word apostrophes kept, as UAX-29
-  MidNumLet does) plus single non-space symbols.  Deviation documented;
-  our tests pin *our* semantics.
+  ``src/wimbd/tokens.rs:11-20``).  :func:`split_unicode_words` /
+  :func:`split_unicode_word_tokens` run the real UAX-29 rule set
+  (``dolma_ray/uax29.py``) — the uniseg pip package is unavailable
+  here, but the segmentation itself is spec-exact.
 * A *sentence* split approximates Punkt/blingfire
   (reference: ``python/dolma/core/utils.py:101-115``) with a regex on
   terminal punctuation — adequate for span-level toxicity scrubbing.
@@ -82,17 +81,23 @@ def split_words(text: str) -> list[str]:
 
 
 def split_unicode_words(text: str) -> list[str]:
-    """Unicode-ish word segments with whitespace removed; includes
-    punctuation marks as single-char segments (uniseg-style)."""
-    return _UWORD_RE.findall(text)
+    """ALL UAX-29 word segments, whitespace runs and punctuation
+    included — exactly ``uniseg.wordbreak.words`` (the reference's
+    ``uniseg_length_v1`` counts every segment,
+    ``python/dolma/taggers/length.py:78-83``)."""
+    from .uax29 import word_bounds
+
+    return word_bounds(text)
 
 
 def split_unicode_word_tokens(text: str) -> list[str]:
-    """Word tokens only (letters/digits), punctuation excluded — the
-    tokenizer used by the Rust deduper's min_words / ngram dedup
-    (``src/wimbd/tokens.rs:11-20`` keeps only segments containing
-    alphanumerics)."""
-    return [w for w in _UWORD_RE.findall(text) if any(c.isalnum() for c in w)]
+    """UAX-29 segments containing at least one non-whitespace char —
+    the tokenizer used by the Rust deduper's min_words / ngram dedup
+    (``src/wimbd/tokens.rs:11-20`` filters whitespace-only segments;
+    punctuation segments are KEPT)."""
+    from .uax29 import word_bounds
+
+    return [w for w in word_bounds(text) if not w.isspace()]
 
 
 def sentence_trips(text: str) -> list[tuple[int, int, str]]:

@@ -1,0 +1,252 @@
+"""UAX #29 word-boundary segmentation (Unicode Standard Annex 29,
+public spec), replacing the earlier regex approximation.
+
+Implements the current word-boundary rule set WB1-WB999 — including
+WB3c (ZWJ x Extended_Pictographic), WB3d (WSegSpace runs), the
+MidLetter/MidNum/MidNumLet infix rules, Hebrew quote rules and
+regional-indicator pairing — the same rules the reference's two word
+segmenters follow (python ``uniseg.wordbreak.words``,
+``python/dolma/taggers/length.py:78-103``; Rust
+``unicode_segmentation::split_word_bounds``,
+``src/wimbd/tokens.rs:11-20``).
+
+Word_Break property classes are derived from ``unicodedata`` general
+categories plus the spec's explicit code-point lists (the Mid* classes,
+Katakana/Hebrew/SA-script ranges, WSegSpace exclusions).  Properties
+are cached per character — web text reuses a tiny alphabet, so the
+per-char cost is one dict hit.
+"""
+
+from __future__ import annotations
+
+import unicodedata as _ud
+
+# property class ids
+_ANY = 0
+_CR = 1
+_LF = 2
+_NEWLINE = 3
+_EXTEND = 4
+_ZWJ = 5
+_RI = 6
+_FORMAT = 7
+_KATAKANA = 8
+_HEBREW = 9
+_ALETTER = 10
+_SQ = 11
+_DQ = 12
+_MIDNUMLET = 13
+_MIDLETTER = 14
+_MIDNUM = 15
+_NUMERIC = 16
+_EXTNUMLET = 17
+_WSEG = 18
+
+_MIDNUMLET_SET = {0x2E, 0x2018, 0x2019, 0x2024, 0xFE52, 0xFF07, 0xFF0E}
+_MIDLETTER_SET = {0x3A, 0xB7, 0x387, 0x55F, 0x5F4, 0x2027, 0xFE13, 0xFE55, 0xFF1A}
+_MIDNUM_SET = {
+    0x2C, 0x3B, 0x37E, 0x60C, 0x60D, 0x66C, 0x7F8, 0x2044,
+    0xFE10, 0xFE14, 0xFE50, 0xFE54, 0xFF0C, 0xFF1B,
+}
+_NEWLINE_SET = {0x0B, 0x0C, 0x85, 0x2028, 0x2029}
+
+_KATAKANA_RANGES = (
+    (0x3031, 0x3035), (0x309B, 0x309C), (0x30A0, 0x30FA), (0x30FC, 0x30FF),
+    (0x31F0, 0x31FF), (0x32D0, 0x32FE), (0x3300, 0x3357), (0xFF66, 0xFF9D),
+    (0x1B000, 0x1B000), (0x1B164, 0x1B167),
+)
+# scripts excluded from ALetter: ideographs, Hiragana, and the
+# no-space (LineBreak=SA) scripts — their letters fall to Any (one
+# word per character, WB999), which is what uniseg/unicode-segmentation
+# produce on CJK/Thai/Lao/Khmer/Myanmar text
+_NOT_ALETTER_RANGES = (
+    (0x3040, 0x309F),     # Hiragana (309B/C caught as Katakana first)
+    (0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF),   # Han
+    (0x20000, 0x2EBEF), (0x2F800, 0x2FA1F), (0x30000, 0x3134A),
+    (0x0E00, 0x0E7F),     # Thai
+    (0x0E80, 0x0EFF),     # Lao
+    (0x1000, 0x109F), (0xAA60, 0xAA7F),   # Myanmar
+    (0x1780, 0x17FF), (0x19E0, 0x19FF),   # Khmer
+    (0x1980, 0x19DF),     # New Tai Lue
+    (0x1A20, 0x1AAF),     # Tai Tham
+    (0xAA80, 0xAADF),     # Tai Viet
+)
+
+
+def _in_ranges(cp: int, ranges) -> bool:
+    for lo, hi in ranges:
+        if lo <= cp <= hi:
+            return True
+    return False
+
+
+def _is_ext_pict(ch: str) -> bool:
+    """Extended_Pictographic approximation (emoji-data.txt blocks)."""
+    cp = ord(ch)
+    return (
+        cp in (0xA9, 0xAE, 0x203C, 0x2049, 0x2122, 0x2139, 0x3030, 0x303D,
+               0x3297, 0x3299)
+        or 0x2190 <= cp <= 0x2BFF
+        or 0x1F000 <= cp <= 0x1FAFF
+        or 0x1FC00 <= cp <= 0x1FFFD
+    )
+
+
+def _compute_prop(ch: str) -> int:
+    cp = ord(ch)
+    if cp == 0x0D:
+        return _CR
+    if cp == 0x0A:
+        return _LF
+    if cp in _NEWLINE_SET:
+        return _NEWLINE
+    if cp == 0x200D:
+        return _ZWJ
+    if cp == 0x200C:
+        return _EXTEND  # ZWNJ
+    if 0x1F1E6 <= cp <= 0x1F1FF:
+        return _RI
+    if cp == 0x27:
+        return _SQ
+    if cp == 0x22:
+        return _DQ
+    if cp in _MIDNUMLET_SET:
+        return _MIDNUMLET
+    if cp in _MIDLETTER_SET:
+        return _MIDLETTER
+    if cp in _MIDNUM_SET:
+        return _MIDNUM
+    if 0x1F3FB <= cp <= 0x1F3FF:
+        return _EXTEND  # emoji modifiers
+    cat = _ud.category(ch)
+    if cat in ("Mn", "Mc", "Me"):
+        return _EXTEND
+    if cat == "Cf":
+        return _ANY if cp == 0x200B else _FORMAT
+    if cp == 0x202F:
+        return _EXTNUMLET  # narrow no-break space (category Zs)
+    if cat == "Zs":
+        return _ANY if cp in (0xA0, 0x2007) else _WSEG
+    if cat == "Pc":
+        return _EXTNUMLET
+    if cat == "Nd" or cp == 0x66B:
+        return _NUMERIC
+    if _in_ranges(cp, _KATAKANA_RANGES):
+        return _KATAKANA
+    if (0x5D0 <= cp <= 0x5EA) or cp == 0x5EF or (
+        0xFB1D <= cp <= 0xFB4F and cat == "Lo"
+    ):
+        return _HEBREW
+    if ch.isalpha() and not _in_ranges(cp, _NOT_ALETTER_RANGES):
+        return _ALETTER
+    return _ANY
+
+
+_PROP_CACHE: dict[str, int] = {}
+
+
+def _prop(ch: str) -> int:
+    p = _PROP_CACHE.get(ch)
+    if p is None:
+        p = _compute_prop(ch)
+        _PROP_CACHE[ch] = p
+    return p
+
+
+_IGN = (_EXTEND, _FORMAT, _ZWJ)
+_AH = (_ALETTER, _HEBREW)
+_MID_WB6 = (_MIDLETTER, _MIDNUMLET, _SQ)
+_MID_WB11 = (_MIDNUM, _MIDNUMLET, _SQ)
+_EXT_LHS = (_ALETTER, _HEBREW, _NUMERIC, _KATAKANA, _EXTNUMLET)
+_EXT_RHS = (_ALETTER, _HEBREW, _NUMERIC, _KATAKANA)
+
+
+def _next_effective(props: list[int], i: int) -> int:
+    """Property of the first non-ignorable char after position i."""
+    for j in range(i + 1, len(props)):
+        if props[j] not in _IGN:
+            return props[j]
+    return _ANY
+
+
+def word_boundaries(text: str) -> list[int]:
+    """Break positions per UAX #29 word rules, including 0 and len."""
+    n = len(text)
+    if n == 0:
+        return [0]
+    props = [_prop(c) for c in text]
+    bounds = [0]
+    lp = props[0]  # last non-ignorable property (raw first char at sot)
+    lp2 = _ANY
+    ri = 1 if props[0] == _RI else 0  # length of RI run ending at lp
+    for i in range(1, n):
+        pa = props[i - 1]
+        pb = props[i]
+        if pa == _CR and pb == _LF:
+            brk = False  # WB3
+        elif pa in (_NEWLINE, _CR, _LF):
+            brk = True  # WB3a
+        elif pb in (_NEWLINE, _CR, _LF):
+            brk = True  # WB3b
+        elif pa == _ZWJ and _is_ext_pict(text[i]):
+            brk = False  # WB3c
+        elif pa == _WSEG and pb == _WSEG:
+            brk = False  # WB3d
+        elif pb in _IGN:
+            brk = False  # WB4 (attach)
+        else:
+            l, l2 = lp, lp2
+            if l in _AH and pb in _AH:
+                brk = False  # WB5
+            elif l in _AH and pb in _MID_WB6 and _next_effective(props, i) in _AH:
+                brk = False  # WB6
+            elif l in _MID_WB6 and l2 in _AH and pb in _AH:
+                brk = False  # WB7
+            elif l == _HEBREW and pb == _SQ:
+                brk = False  # WB7a
+            elif (
+                l == _HEBREW and pb == _DQ
+                and _next_effective(props, i) == _HEBREW
+            ):
+                brk = False  # WB7b
+            elif l == _DQ and l2 == _HEBREW and pb == _HEBREW:
+                brk = False  # WB7c
+            elif l == _NUMERIC and pb == _NUMERIC:
+                brk = False  # WB8
+            elif l in _AH and pb == _NUMERIC:
+                brk = False  # WB9
+            elif l == _NUMERIC and pb in _AH:
+                brk = False  # WB10
+            elif l in _MID_WB11 and l2 == _NUMERIC and pb == _NUMERIC:
+                brk = False  # WB11
+            elif (
+                l == _NUMERIC and pb in _MID_WB11
+                and _next_effective(props, i) == _NUMERIC
+            ):
+                brk = False  # WB12
+            elif l == _KATAKANA and pb == _KATAKANA:
+                brk = False  # WB13
+            elif l in _EXT_LHS and pb == _EXTNUMLET:
+                brk = False  # WB13a
+            elif l == _EXTNUMLET and pb in _EXT_RHS:
+                brk = False  # WB13b
+            elif l == _RI and pb == _RI and ri % 2 == 1:
+                brk = False  # WB15/WB16
+            else:
+                brk = True  # WB999
+        if brk:
+            bounds.append(i)
+        if pb not in _IGN:
+            ri = (ri + 1) if (pb == _RI and lp == _RI) else (1 if pb == _RI else 0)
+            lp2 = lp
+            lp = pb
+    bounds.append(n)
+    return bounds
+
+
+def word_bounds(text: str) -> list[str]:
+    """All segments between word boundaries — the equivalent of
+    ``uniseg.wordbreak.words`` / Rust ``split_word_bounds`` (whitespace
+    runs and punctuation are segments too)."""
+    b = word_boundaries(text)
+    return [text[b[i] : b[i + 1]] for i in range(len(b) - 1)]

@@ -34,12 +34,18 @@ def test_words_whitespace():
     assert split_words("This is  a test.") == ["This", "is", "a", "test."]
 
 
-def test_unicode_words_include_punct():
-    assert split_unicode_words("Hello, world!") == ["Hello", ",", "world", "!"]
+def test_unicode_words_all_segments():
+    # uniseg.wordbreak.words semantics: whitespace runs are segments too
+    assert split_unicode_words("Hello, world!") == [
+        "Hello", ",", " ", "world", "!",
+    ]
 
 
-def test_unicode_word_tokens_exclude_punct():
-    assert split_unicode_word_tokens("Hello, world! 42") == ["Hello", "world", "42"]
+def test_unicode_word_tokens_keep_punct():
+    # tokens.rs filters whitespace-only segments; punctuation is KEPT
+    assert split_unicode_word_tokens("Hello, world! 42") == [
+        "Hello", ",", "world", "!", "42",
+    ]
     assert split_unicode_word_tokens("don't stop") == ["don't", "stop"]
 
 

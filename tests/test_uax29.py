@@ -1,0 +1,100 @@
+"""UAX #29 word segmentation (dolma_ray/uax29.py) — cases derived from
+the spec's rule list and the uniseg / unicode-segmentation behavior the
+reference relies on (taggers/length.py uniseg counts, wimbd tokens.rs
+min_words/ngram tokens)."""
+
+from dolma_ray.uax29 import word_bounds, word_boundaries
+
+
+def seg(text):
+    return word_bounds(text)
+
+
+def test_basic_latin_and_quotes():
+    assert seg("The quick (“brown”) fox") == [
+        "The", " ", "quick", " ", "(", "“", "brown", "”", ")", " ", "fox",
+    ]
+
+
+def test_wb6_wb7_apostrophes():
+    assert seg("don't stop") == ["don't", " ", "stop"]
+    assert seg("can’t") == ["can’t"]  # U+2019 is MidNumLet
+    assert seg("'quoted'") == ["'", "quoted", "'"]  # no letter after/before
+
+
+def test_trailing_mid_chars_break():
+    # a Mid* char with no following letter/number splits off (WB999)
+    assert seg("e.g.") == ["e.g", "."]
+    assert seg("Mr. Smith") == ["Mr", ".", " ", "Smith"]
+
+
+def test_numeric_infixes():
+    assert seg("3.14 1,000") == ["3.14", " ", "1,000"]
+    assert seg("v1.2.3") == ["v1.2.3"]
+    assert seg("1..2") == ["1", ".", ".", "2"]  # double Mid doesn't chain
+
+
+def test_midletter_colon():
+    assert seg("a:b") == ["a:b"]  # Swedish-style colon-in-word
+    assert seg("a: b") == ["a", ":", " ", "b"]
+
+
+def test_wsegspace_runs():
+    assert seg("a  b") == ["a", "  ", "b"]
+    assert seg("a   b") == ["a", " ", " ", " ", "b"]  # NBSP not WSegSpace
+
+
+def test_newlines():
+    assert seg("a\r\nb") == ["a", "\r\n", "b"]
+    assert seg("a\nb") == ["a", "\n", "b"]
+
+
+def test_cjk_per_character_and_katakana_runs():
+    assert seg("漢字のテスト") == ["漢", "字", "の", "テスト"]
+    assert seg("abc漢def") == ["abc", "漢", "def"]
+    assert seg("カタカナ") == ["カタカナ"]
+    assert seg("ひらがな") == ["ひ", "ら", "が", "な"]
+
+
+def test_sa_scripts_per_character():
+    assert seg("ไทย") == ["ไ", "ท", "ย"]  # Thai: no ALetter joining
+
+
+def test_extendnumlet():
+    assert seg("A_B_1") == ["A_B_1"]
+    assert seg("snake_case word") == ["snake_case", " ", "word"]
+
+
+def test_extend_and_format_attach():
+    assert seg("étude") == ["étude"]  # combining acute
+    assert seg("a­b") == ["a­b"]  # soft hyphen (Format)
+
+
+def test_regional_indicator_pairs():
+    assert seg("🇺🇸🇫🇷") == ["🇺🇸", "🇫🇷"]
+    assert seg("🇺🇸🇫") == ["🇺🇸", "🇫"]
+
+
+def test_zwj_emoji():
+    assert seg("👩‍💻x") == ["👩‍💻", "x"]
+
+
+def test_hebrew_quotes():
+    # WB7a: Hebrew letter + single quote stays attached
+    assert seg("ש'") == ["ש'"]
+    # WB7b/c: double quote BETWEEN Hebrew letters stays inside
+    assert seg('א"ב') == ['א"ב']
+    assert seg('א" ') == ["א", '"', " "]
+
+
+def test_boundaries_cover_text():
+    for text in ("", "x", "hello world", "漢 a1"):
+        b = word_boundaries(text)
+        assert b[0] == 0 and b[-1] == len(text)
+        assert b == sorted(set(b))
+        assert "".join(word_bounds(text)) == text
+
+
+def test_numbers_letters_cross():
+    assert seg("abc123") == ["abc123"]  # WB9/WB10
+    assert seg("MiB128 x") == ["MiB128", " ", "x"]
