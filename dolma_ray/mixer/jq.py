@@ -10,6 +10,12 @@ implements exactly that subset with the reference's semantics:
   inside map);
 * arithmetic ``+ - * /``, comparisons ``< <= > >= == !=``, ``and``/``or``,
   parentheses, numeric and ``null`` literals;
+* ``reduce SRC[] as $v (INIT; UPDATE)`` folds (``.`` = accumulator,
+  ``$v`` = element inside UPDATE; ``$v[i]``/``$v.field`` suffixes work);
+* string interpolation ``"\\(EXPR)"`` (non-strings JSON-encoded like
+  jq), ``tostring`` / ``tonumber``;
+* update assignment ``= |= //= += -=`` on paths (jq setpath: returns
+  the updated document copy, creating missing objects, padding arrays);
 * **error propagation**: indexing into null/missing raises
   (``filters.rs:666-681``: jaq errors on ``.attributes.b.b`` when ``b``
   is absent) — unlike the null-tolerant JSONPath rules;
@@ -41,11 +47,15 @@ class JqError(ValueError):
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>-?\d+\.\d+|-?\d+)|(?P<str>\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<var>\$[A-Za-z_]\w*)"
     r"|(?P<path>\.[A-Za-z_][\w.]*|\.)"
     r"|(?P<lbrack>\[)|(?P<rbrack>\])|(?P<lparen>\()|(?P<rparen>\))"
-    r"|(?P<pipe>\|)|(?P<opt>\?)|(?P<op><=|>=|==|!=|<|>|\+|-|\*|//|/)"
+    r"|(?P<semi>;)"
+    r"|(?P<pipe>\|(?!=))|(?P<opt>\?)"
+    r"|(?P<op><=|>=|==|!=|//=|\|=|\+=|-=|<|>|\+|-|\*|//|/|=)"
     r"|(?P<word>and|or|length|add|map|select|any|all|null|true|false|not"
-    r"|if|then|elif|else|end|type|to_entries|startswith|endswith)\b)"
+    r"|if|then|elif|else|end|type|to_entries|startswith|endswith"
+    r"|reduce|as|tostring|tonumber)\b)"
 )
 
 
@@ -58,7 +68,8 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 break
             raise JqError(f"jq parse error at {src[pos:pos+20]!r}")
         pos = m.end()
-        for kind in ("num", "str", "path", "lbrack", "rbrack", "lparen", "rparen", "pipe", "opt", "op", "word"):
+        for kind in ("num", "str", "var", "path", "lbrack", "rbrack", "lparen",
+                     "rparen", "semi", "pipe", "opt", "op", "word"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -111,6 +122,36 @@ class If:
     cond: Any
     then: Any
     orelse: Any  # None -> identity (jq's else-less if)
+
+
+@dataclass
+class Var:
+    name: str
+
+
+@dataclass
+class Reduce:
+    # reduce SOURCE as $var (INIT; UPDATE); SOURCE must be a path
+    # ending in the iterate-all step "[]"
+    source: Any
+    var: str
+    init: Any
+    update: Any
+
+
+@dataclass
+class Assign:
+    # PATH op= EXPR (op in =, |=, //=, +=, -=): returns the updated doc
+    op: str
+    path: Any
+    expr: Any
+
+
+@dataclass
+class Interp:
+    # string interpolation "a \(expr) b": parts are ("lit", str) or
+    # ("expr", ast); non-string values are JSON-encoded like jq
+    parts: list[tuple[str, Any]]
 
 
 class _Parser:
@@ -189,10 +230,44 @@ class _Parser:
             return Lit(float(v) if "." in v else int(v))
         if k == "str":
             self.next()
+            if "\\(" in v:
+                return _parse_interp(v)
             # unescape the jq/json string literal
             import json as _json
 
             return Lit(_json.loads(v))
+        if k == "var":
+            self.next()
+            var = Var(v[1:])
+            # path suffixes on a variable: $s[2], $s.field — reuse Path
+            # evaluation by piping the variable into a relative path
+            steps: list[tuple[str, object]] = []
+            optional = False
+            while True:
+                k2, v2 = self.peek()
+                if k2 == "lbrack":
+                    self.next()
+                    k3, v3 = self.next()
+                    if k3 == "rbrack":
+                        steps.append(("iter", None))
+                        continue
+                    if k3 != "num":
+                        raise JqError("only integer indexes supported")
+                    steps.append(("idx", int(v3)))
+                    self.expect("rbrack")
+                elif k2 == "path":
+                    self.next()
+                    steps.extend(("seg", s) for s in v2[1:].split(".") if s)
+                elif k2 == "opt":
+                    self.next()
+                    optional = True
+                else:
+                    break
+            if steps:
+                return Pipe(var, [("expr", Path(steps, optional))])
+            return var
+        if k == "word" and v == "reduce":
+            return self.parse_reduce()
         if k == "word" and v == "null":
             self.next()
             return Lit(None)
@@ -211,7 +286,8 @@ class _Parser:
             inner = self.parse_pipe()
             self.expect("rparen")
             return Pipe(Path([]), [("select", inner)])
-        if k == "word" and v in ("length", "add", "type", "to_entries", "any", "all"):
+        if k == "word" and v in ("length", "add", "type", "to_entries", "any",
+                                 "all", "tostring", "tonumber"):
             # zero-arg filters standalone apply to "." (e.g. select(length == 3))
             self.next()
             return Pipe(Path([]), [(v,)])
@@ -220,6 +296,24 @@ class _Parser:
         if k == "path":
             return self.parse_path()
         raise JqError(f"unexpected token {k}:{v}")
+
+    def parse_reduce(self):
+        """``reduce SRC[] as $v (INIT; UPDATE)`` — jq's fold."""
+        self.next()  # "reduce"
+        src = self.parse_path() if self.peek()[0] == "path" else self.parse_unary()
+        k, v = self.next()
+        if (k, v) != ("word", "as"):
+            raise JqError(f"expected 'as' in reduce, got {k}:{v}")
+        k, v = self.next()
+        if k != "var":
+            raise JqError(f"expected $variable in reduce, got {k}:{v}")
+        var = v[1:]
+        self.expect("lparen")
+        init = self.parse_pipe()
+        self.expect("semi")
+        update = self.parse_pipe()
+        self.expect("rparen")
+        return Reduce(src, var, init, update)
 
     def parse_if(self):
         """``if COND then A [elif C then B]... [else Z] end``; no else ->
@@ -276,6 +370,9 @@ class _Parser:
             elif k2 == "lbrack":
                 self.next()
                 k3, v3 = self.next()
+                if k3 == "rbrack":
+                    steps.append(("iter", None))  # ".[]" iterate-all
+                    continue
                 if k3 != "num":
                     raise JqError("only integer indexes supported")
                 steps.append(("idx", int(v3)))
@@ -286,11 +383,19 @@ class _Parser:
 
     def parse_pipe(self):
         source = self.parse_alt()
+        k, v = self.peek()
+        if k == "op" and v in ("=", "|=", "//=", "+=", "-="):
+            if not isinstance(source, Path):
+                raise JqError(f"left side of {v} must be a path")
+            self.next()
+            source = Assign(v, source, self.parse_alt())
         ops = []
         while self.peek()[0] == "pipe":
             self.next()
             k, v = self.next()
-            if k == "word" and v in ("length", "add", "not", "any", "all", "type", "to_entries"):
+            if k == "word" and v in ("length", "add", "not", "any", "all",
+                                     "type", "to_entries", "tostring",
+                                     "tonumber"):
                 ops.append((v,))
             elif k == "word" and v in ("map", "select", "startswith", "endswith"):
                 self.expect("lparen")
@@ -300,6 +405,13 @@ class _Parser:
             elif k == "word" and v == "if":
                 self.i -= 1
                 ops.append(("expr", self.parse_if()))
+            elif k == "word" and v == "reduce":
+                self.i -= 1
+                ops.append(("expr", self.parse_reduce()))
+            elif k == "path" or k == "var" or (k == "str" and "\\(" in v):
+                # "| .foo", "| $x", "| \"...\(interp)\"" — expression ops
+                self.i -= 1
+                ops.append(("expr", self.parse_alt()))
             else:
                 raise JqError(f"unsupported pipe op {v!r}")
         expr = Pipe(source, ops) if ops else source
@@ -349,14 +461,183 @@ def _truthy(v: Any) -> bool:
 _NO_ELEM = object()  # distinguishes "no element context" from a null element
 
 
-def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM) -> Any:
+def _jq_tostring(v: Any) -> str:
+    """jq tostring / interpolation encoding: strings pass through, other
+    values JSON-encode (integers without a trailing .0)."""
+    import json as _json
+
+    if isinstance(v, str):
+        return v
+    if v is _EMPTY:
+        raise JqError("cannot stringify empty")
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return _json.dumps(v)
+
+
+def _parse_interp(raw: str) -> Interp:
+    """Split a quoted literal containing ``\\(expr)`` into an Interp."""
+    import json as _json
+
+    body = raw[1:-1]
+    parts: list[tuple[str, Any]] = []
+    buf: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            nxt = body[i + 1] if i + 1 < len(body) else ""
+            if nxt == "(":
+                depth, j = 1, i + 2
+                while j < len(body) and depth:
+                    if body[j] == "(":
+                        depth += 1
+                    elif body[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise JqError(f"unterminated \\( in {raw!r}")
+                if buf:
+                    parts.append(("lit", "".join(buf)))
+                    buf = []
+                inner = _Parser(_tokenize(body[i + 2 : j - 1])).parse_pipe_root()
+                parts.append(("expr", inner))
+                i = j
+                continue
+            end = i + 6 if nxt == "u" else i + 2
+            buf.append(_json.loads('"' + body[i:end] + '"'))
+            i = end
+            continue
+        buf.append(c)
+        i += 1
+    if buf or not parts:
+        parts.append(("lit", "".join(buf)))
+    return Interp(parts)
+
+
+def _set_path(container: Any, steps: list, value: Any) -> Any:
+    """jq setpath: returns a copy with the path set, creating missing
+    objects and padding arrays with nulls (negative indexes resolve
+    against the current length)."""
+    if not steps:
+        return value
+    kind, key = steps[0]
+    if kind == "iter":
+        raise JqError("cannot assign through []")
+    if kind == "seg":
+        obj = dict(container) if isinstance(container, dict) else {}
+        if container is not None and not isinstance(container, dict):
+            raise JqError(f"cannot set field {key!r} of {_jq_type(container)}")
+        obj[key] = _set_path(obj.get(key), steps[1:], value)
+        return obj
+    # index step
+    if container is None:
+        arr = []
+    elif isinstance(container, list):
+        arr = list(container)
+    else:
+        raise JqError(f"cannot set index of {_jq_type(container)}")
+    idx = key if key >= 0 else len(arr) + key
+    if idx < 0:
+        raise JqError("out of range negative array index in assignment")
+    while len(arr) <= idx:
+        arr.append(None)
+    arr[idx] = _set_path(arr[idx], steps[1:], value)
+    return arr
+
+
+def _get_path(container: Any, steps: list) -> Any:
+    """Null-tolerant getpath for assignment left sides."""
+    cur = container
+    for kind, key in steps:
+        if cur is None:
+            return None
+        if kind == "seg":
+            if not isinstance(cur, dict):
+                raise JqError(f"cannot index {_jq_type(cur)} with {key!r}")
+            cur = cur.get(key)
+        elif kind == "idx":
+            if not isinstance(cur, list):
+                raise JqError(f"cannot index {_jq_type(cur)} with [{key}]")
+            try:
+                cur = cur[key]
+            except IndexError:
+                cur = None
+        else:
+            raise JqError("cannot read through []")
+    return cur
+
+
+def _apply_arith(op: str, l: Any, r: Any) -> Any:
+    if op == "+":
+        if l is None:
+            return r
+        if r is None:
+            return l
+        return l + r
+    if l is None or r is None:
+        raise JqError(f"cannot {op} null")
+    return l - r
+
+
+def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -> Any:
     if isinstance(node, Lit):
         return node.value
+    if isinstance(node, Var):
+        if env is not None and node.name in env:
+            return env[node.name]
+        raise JqError(f"undefined variable ${node.name}")
+    if isinstance(node, Interp):
+        out = []
+        for kind, part in node.parts:
+            if kind == "lit":
+                out.append(part)
+            else:
+                out.append(_jq_tostring(_eval(part, doc, elem, env)))
+        return "".join(out)
+    if isinstance(node, Reduce):
+        src = node.source
+        if not (isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter"):
+            raise JqError("reduce source must be a path ending in []")
+        seq = _eval(Path(src.steps[:-1], src.optional), doc, elem, env)
+        if seq is None and src.optional:
+            seq = []
+        if isinstance(seq, dict):
+            seq = list(seq.values())
+        if not isinstance(seq, list):
+            raise JqError(f"cannot iterate over {_jq_type(seq)}")
+        acc = _eval(node.init, doc, elem, env)
+        for item in seq:
+            env2 = dict(env) if env else {}
+            env2[node.var] = item
+            # inside UPDATE "." is the accumulator, $var the item
+            acc = _eval(node.update, doc, acc, env2)
+        return acc
+    if isinstance(node, Assign):
+        cur_in = doc if elem is _NO_ELEM else elem
+        old = _get_path(cur_in, node.path.steps)
+        if node.op == "=":
+            new = _eval(node.expr, doc, elem, env)
+        elif node.op == "|=":
+            new = _eval(node.expr, doc, old, env)
+        elif node.op == "//=":
+            new = (
+                old
+                if old is not None and old is not False
+                else _eval(node.expr, doc, elem, env)
+            )
+        elif node.op == "+=":
+            new = _apply_arith("+", old, _eval(node.expr, doc, elem, env))
+        else:  # "-="
+            new = _apply_arith("-", old, _eval(node.expr, doc, elem, env))
+        return _set_path(cur_in, node.path.steps, new)
     if isinstance(node, Path):
         # inside map/select the element is the current input for ALL
         # paths (jq: map(.foo) reads each element's foo)
         cur = doc if elem is _NO_ELEM else elem
         for kind, key in node.steps:
+            if kind == "iter":
+                raise JqError("[] stream iteration only supported in reduce")
             if kind == "seg":
                 if cur is None:
                     if node.optional:
@@ -382,7 +663,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM) -> Any:
                     cur = None
         return cur
     if isinstance(node, Pipe):
-        cur = _eval(node.source, doc, elem)
+        cur = _eval(node.source, doc, elem, env)
         for op in node.ops:
             if cur is _EMPTY:
                 break  # empty propagates through every op
@@ -417,57 +698,69 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM) -> Any:
                     raise JqError("all requires an array")
                 cur = all(_truthy(v) for v in cur)
             elif op[0] == "select":
-                if not _truthy(_eval(op[1], doc, cur)):
+                if not _truthy(_eval(op[1], doc, cur, env)):
                     cur = _EMPTY
             elif op[0] == "type":
                 cur = _jq_type(cur)
+            elif op[0] == "tostring":
+                cur = _jq_tostring(cur)
+            elif op[0] == "tonumber":
+                if isinstance(cur, (int, float)) and not isinstance(cur, bool):
+                    pass
+                elif isinstance(cur, str):
+                    try:
+                        cur = float(cur) if "." in cur or "e" in cur.lower() else int(cur)
+                    except ValueError as e:
+                        raise JqError(f"cannot parse {cur!r} as number") from e
+                else:
+                    raise JqError(f"cannot convert {_jq_type(cur)} to number")
             elif op[0] == "to_entries":
                 if not isinstance(cur, dict):
                     raise JqError("to_entries requires an object")
                 cur = [{"key": k_, "value": v_} for k_, v_ in cur.items()]
             elif op[0] in ("startswith", "endswith"):
-                arg = _eval(op[1], doc, cur)
+                arg = _eval(op[1], doc, cur, env)
                 if not isinstance(cur, str) or not isinstance(arg, str):
                     raise JqError(f"{op[0]} requires strings")
                 cur = cur.startswith(arg) if op[0] == "startswith" else cur.endswith(arg)
             elif op[0] == "expr":
-                cur = _eval(op[1], doc, cur)
+                cur = _eval(op[1], doc, cur, env)
             elif op[0] == "map":
                 if not isinstance(cur, list):
                     raise JqError("map requires an array")
-                vals = [_eval(op[1], doc, e) for e in cur]
+                vals = [_eval(op[1], doc, e, env) for e in cur]
                 # map(select(f)) drops the empties, like jq
                 cur = [v for v in vals if v is not _EMPTY]
         return cur
     if isinstance(node, If):
-        cond = _eval(node.cond, doc, elem)
+        cond = _eval(node.cond, doc, elem, env)
         if _truthy(cond):
-            return _eval(node.then, doc, elem)
+            return _eval(node.then, doc, elem, env)
         if node.orelse is None:
             # jq else-less if passes the input through
             return doc if elem is _NO_ELEM else elem
-        return _eval(node.orelse, doc, elem)
+        return _eval(node.orelse, doc, elem, env)
     if isinstance(node, Bin):
         if node.op == "//":
             # jq alternative: left unless it is null/false/empty; errors
             # on the left also fall through to the right (jaq semantics)
             try:
-                l = _eval(node.left, doc, elem)
+                l = _eval(node.left, doc, elem, env)
             except JqError:
                 l = None
             if l is not None and l is not False and l is not _EMPTY:
                 return l
-            return _eval(node.right, doc, elem)
+            return _eval(node.right, doc, elem, env)
         if node.op == "and":
-            return _truthy(_eval(node.left, doc, elem)) and _truthy(
-                _eval(node.right, doc, elem)
+            return _truthy(_eval(node.left, doc, elem, env)) and _truthy(
+                _eval(node.right, doc, elem, env)
             )
         if node.op == "or":
-            return _truthy(_eval(node.left, doc, elem)) or _truthy(
-                _eval(node.right, doc, elem)
+            return _truthy(_eval(node.left, doc, elem, env)) or _truthy(
+                _eval(node.right, doc, elem, env)
             )
-        l = _eval(node.left, doc, elem)
-        r = _eval(node.right, doc, elem)
+        l = _eval(node.left, doc, elem, env)
+        r = _eval(node.right, doc, elem, env)
         if l is _EMPTY or r is _EMPTY:
             return _EMPTY  # jq: any op on empty yields empty
         if node.op == "==":

@@ -329,3 +329,61 @@ def test_all_reference_mixer_configs_parse(monkeypatch, tmp_path):
         _load_mix_config(p)  # must not raise
         n += 1
     assert n >= 40
+
+
+# ---- round-4 surface: reduce / interpolation / assignment ---------------
+
+
+def _doc():
+    return {"text": "hello", "attributes": {"x": [[0, 5, 0.9], [5, 9, 0.2]], "n": 3}}
+
+
+def test_reduce_fold():
+    ast = parse_jq("reduce .attributes.x[] as $s (0; . + $s[2])")
+    assert abs(evaluate_jq(ast, _doc()) - 1.1) < 1e-9
+    ast = parse_jq(
+        "reduce .attributes.x[] as $s (0; if $s[2] > 0.5 then . + 1 else . end)"
+    )
+    assert evaluate_jq(ast, _doc()) == 1
+
+
+def test_reduce_empty_and_errors():
+    ast = parse_jq("reduce .attributes.x[] as $s (0; . + 1)")
+    assert evaluate_jq(ast, {"attributes": {"x": []}}) == 0
+    with pytest.raises(JqError):
+        evaluate_jq(parse_jq("reduce .attributes.n[] as $s (0; .)"), _doc())
+    with pytest.raises(JqError):
+        evaluate_jq(parse_jq("$nope"), _doc())
+
+
+def test_string_interpolation():
+    assert evaluate_jq(parse_jq('"\\(.attributes.n) items"'), _doc()) == "3 items"
+    assert (
+        evaluate_jq(parse_jq('"s=\\(.attributes.x[0][2])"'), _doc()) == "s=0.9"
+    )
+    # non-string values JSON-encode; escapes inside literals still work
+    assert evaluate_jq(parse_jq('"a\\n\\(.attributes.x | length)"'), _doc()) == "a\n2"
+
+
+def test_tostring_tonumber():
+    assert evaluate_jq(parse_jq(".text | tostring"), _doc()) == "hello"
+    assert evaluate_jq(parse_jq('"4.5" | tonumber'), _doc()) == 4.5
+    assert evaluate_jq(parse_jq('"7" | tonumber'), _doc()) == 7
+    with pytest.raises(JqError):
+        evaluate_jq(parse_jq(".attributes | tonumber"), _doc())
+
+
+def test_update_assignments():
+    d = _doc()
+    assert evaluate_jq(parse_jq(".attributes.n //= 5"), d)["attributes"]["n"] == 3
+    assert (
+        evaluate_jq(parse_jq(".attributes.missing //= 5"), d)["attributes"]["missing"]
+        == 5
+    )
+    assert evaluate_jq(parse_jq(".attributes.n |= . + 1"), d)["attributes"]["n"] == 4
+    assert evaluate_jq(parse_jq(".attributes.n += 2"), d)["attributes"]["n"] == 5
+    assert evaluate_jq(parse_jq(".attributes.n = 10"), d)["attributes"]["n"] == 10
+    # setpath creates intermediates and pads arrays; input is not mutated
+    out = evaluate_jq(parse_jq(".a.b[2] = 1"), {})
+    assert out == {"a": {"b": [None, None, 1]}}
+    assert d["attributes"]["n"] == 3 and "missing" not in d["attributes"]
