@@ -46,24 +46,38 @@ def kmeans_fit(
     n_iters: int = 10,
     seed: int = 42,
     sample_size: int = 4096,
+    init: np.ndarray | None = None,
+    round_decimals: int | None = None,
 ) -> np.ndarray:
-    """Lloyd's iterations over the Dataset; returns (k, dim) centroids."""
+    """Lloyd's iterations over the Dataset; returns (k, dim) centroids.
+
+    ``init`` overrides the k-means++ seeding with explicit (k, dim)
+    starting centroids.  ``round_decimals`` rounds the updated centroids
+    after every iteration — summation order across batches perturbs the
+    means at ~1e-16, so rounding pins the trajectory to one exact value
+    that an order-independent re-implementation (e.g. a SQL oracle)
+    reproduces bit-for-bit."""
     import ray
 
-    # deterministic seeding from a bounded sample (greedy k-means++ on
-    # the driver — sample_size rows, not the corpus)
-    sample = ds.limit(sample_size).to_pandas()[embedding_column]
-    pts = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
-    rng = np.random.default_rng(seed)
-    centroids = [pts[rng.integers(len(pts))]]
-    for _ in range(1, k):
-        d2 = np.min(
-            ((pts[:, None, :] - np.asarray(centroids)[None, :, :]) ** 2).sum(-1),
-            axis=1,
-        )
-        probs = d2 / max(d2.sum(), 1e-30)
-        centroids.append(pts[rng.choice(len(pts), p=probs)])
-    centroids = np.asarray(centroids)
+    if init is not None:
+        centroids = np.asarray(init, dtype=np.float64)
+        if centroids.shape[0] != k:
+            raise ValueError(f"init has {centroids.shape[0]} rows, expected {k}")
+    else:
+        # deterministic seeding from a bounded sample (greedy k-means++
+        # on the driver — sample_size rows, not the corpus)
+        sample = ds.limit(sample_size).to_pandas()[embedding_column]
+        pts = np.stack([np.asarray(v, dtype=np.float64) for v in sample])
+        rng = np.random.default_rng(seed)
+        centroids = [pts[rng.integers(len(pts))]]
+        for _ in range(1, k):
+            d2 = np.min(
+                ((pts[:, None, :] - np.asarray(centroids)[None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            probs = d2 / max(d2.sum(), 1e-30)
+            centroids.append(pts[rng.choice(len(pts), p=probs)])
+        centroids = np.asarray(centroids)
 
     for _ in range(n_iters):
         ref = ray.put(centroids)
@@ -96,6 +110,8 @@ def kmeans_fit(
         nonzero = counts > 0
         centroids = centroids.copy()
         centroids[nonzero] = sums[nonzero] / counts[nonzero, None]
+        if round_decimals is not None:
+            centroids = np.round(centroids, round_decimals)
     return centroids
 
 

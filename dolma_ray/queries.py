@@ -1691,16 +1691,96 @@ QUERIES["event_pairs_60s"] = q_event_pairs_60s
 ORACLES["event_pairs_60s"] = SQL_EVENT_PAIRS_60S
 
 
-def q_kmeans_clusters(sf_dir: str, k: int = 8):
+def q_kmeans_clusters(sf_dir: str, k: int = 8, n_iters: int = 5):
     """Distributed k-means over the embeddings table (iterative
-    algorithm — deterministic seeded k-means++ + Lloyd's with per-batch
-    partial sums; see ``analysis/kmeans.py``).  Rows-only driver check:
-    the converged assignment is not SQL-expressible."""
+    algorithm — Lloyd's with combiner-in-map partial sums; see
+    ``analysis/kmeans.py``).  Fully deterministic and ORACLE-CHECKED:
+    init = the embeddings of the k smallest vec_ids, centroids rounded
+    to 9 decimals after each update (kills summation-order FP noise),
+    argmin ties break to the lowest cluster id — the exact trajectory
+    :data:`SQL_KMEANS_CLUSTERS` replays in DuckDB long-format SQL."""
+    import numpy as np
+
     from .analysis.kmeans import kmeans_assign, kmeans_fit
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    centroids = kmeans_fit(ds, k=k, n_iters=5)
-    return kmeans_assign(ds, centroids)
+    seeds = ds.sort("vec_id").limit(k).to_pandas()
+    init = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in seeds["embedding"]]
+    )
+    centroids = kmeans_fit(ds, k=k, n_iters=n_iters, init=init, round_decimals=9)
+    labeled = kmeans_assign(ds, centroids)
+    return labeled.map_batches(
+        lambda b: pa.table(
+            {"vec_id": b["vec_id"], "cluster": pc.cast(b["cluster"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
 
+
+def _kmeans_clusters_sql(k: int = 8, n_iters: int = 5) -> str:
+    """Long-format Lloyd's in SQL: the same init (k smallest vec_ids),
+    per-iteration assignment (argmin of summed squared distance, ties
+    to the lowest cluster) and 9-decimal-rounded mean update, with
+    empty clusters keeping their previous centroid."""
+    parts = [
+        """WITH emb AS (
+    -- long format (vec_id, dim index, value); unnest(generate_series)
+    -- in the SELECT list is row-correlated (duckdb 1.0 has no WITH
+    -- ORDINALITY)
+    SELECT vec_id, d - 1 AS d, embedding[d] AS v
+    FROM (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS d
+        FROM embeddings
+    )
+),
+cent0 AS (
+    SELECT s.cluster, e.d, e.v AS cv
+    FROM (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+               vec_id
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    ) s JOIN emb e USING (vec_id)
+)""".format(k=k)
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            """dist{i} AS (
+    SELECT e.vec_id, c.cluster, sum((e.v - c.cv) * (e.v - c.cv)) AS dd
+    FROM emb e JOIN cent{prev} c USING (d)
+    GROUP BY 1, 2
+),
+asg{i} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dd, cluster) AS rn
+        FROM dist{i}
+    ) WHERE rn = 1
+),
+cent{i} AS (
+    SELECT c.cluster, c.d, round(coalesce(n.cv, c.cv), 9) AS cv
+    FROM cent{prev} c LEFT JOIN (
+        SELECT a.cluster, e.d, avg(e.v) AS cv
+        FROM asg{i} a JOIN emb e USING (vec_id)
+        GROUP BY 1, 2
+    ) n ON n.cluster = c.cluster AND n.d = c.d
+)""".format(i=i, prev=i - 1)
+        )
+    final = """fdist AS (
+    SELECT e.vec_id, c.cluster, sum((e.v - c.cv) * (e.v - c.cv)) AS dd
+    FROM emb e JOIN cent{n} c USING (d)
+    GROUP BY 1, 2
+)
+SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cluster) AS rn
+    FROM fdist
+) WHERE rn = 1""".format(n=n_iters)
+    return ",\n".join(parts) + ",\n" + final
+
+
+SQL_KMEANS_CLUSTERS = _kmeans_clusters_sql()
 
 QUERIES["kmeans_clusters"] = q_kmeans_clusters
+ORACLES["kmeans_clusters"] = SQL_KMEANS_CLUSTERS
