@@ -935,10 +935,72 @@ SELECT vec_id + 20000000 AS vec_id, 0.0 AS near_dup FROM embeddings
 
 
 def q_lsh_ann(sf_dir: str):
+    """Hyperplane-LSH approximate top-k — fully ORACLE-CHECKED: the
+    planes are seeded (`search.lsh_topk` seed=42), so the candidate set
+    (rows whose 6-bit signature matches the query's) and the 6-digit
+    rounded cosine scores are deterministic.  :data:`SQL_LSH_ANN`
+    replays the same signature computation in DuckDB with the plane
+    matrix embedded as literals (dim pinned to 64 — the testdata
+    embedding width; `list_cosine_similarity` FP-parity at 6 digits is
+    established by the `ann_topk` oracle)."""
     from .analysis.search import lsh_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return lsh_topk(ds, _query_vector(sf_dir), k=10, n_planes=6)
+    q = _query_vector(sf_dir)
+    assert len(q) == _LSH_ANN_DIM, "SQL_LSH_ANN plane literals assume dim=64"
+    return lsh_topk(ds, q, k=10, n_planes=6)
+
+
+_LSH_ANN_DIM = 64
+
+
+def _lsh_ann_sql(dim: int = _LSH_ANN_DIM, n_planes: int = 6, seed: int = 42) -> str:
+    """Replay of `search.lsh_topk`'s signature filter in SQL.  The
+    hyperplane matrix is the same `default_rng(seed).standard_normal`
+    draw lsh_topk makes, embedded as (d, j, p) literals; a row is a
+    candidate iff its signature bits (sign of the per-plane projection)
+    all match the query's.  Projection signs are scale-invariant, so the
+    raw (un-normalized) embeddings feed the sign test on both sides,
+    exactly as in numpy."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    rows = ",".join(
+        f"({d},{j},{planes[d, j]!r})" for d in range(dim) for j in range(n_planes)
+    )
+    return f"""
+WITH planes(d, j, p) AS (VALUES {rows}),
+emb AS (
+    SELECT vec_id, d - 1 AS d, CAST(embedding[d] AS DOUBLE) AS v
+    FROM (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS d
+        FROM embeddings
+    )
+),
+proj AS (
+    SELECT e.vec_id, p.j, sum(e.v * p.p) AS pr
+    FROM emb e JOIN planes p USING (d)
+    GROUP BY 1, 2
+),
+sigs AS (
+    SELECT vec_id, sum(CASE WHEN pr > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS sig
+    FROM proj GROUP BY 1
+)
+SELECT s.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS cos
+FROM sigs s
+JOIN embeddings e USING (vec_id),
+     (SELECT embedding FROM embeddings WHERE vec_id = 0) q,
+     (SELECT sig FROM sigs WHERE vec_id = 0) qs
+WHERE s.sig = qs.sig
+ORDER BY cos DESC, s.vec_id ASC
+LIMIT 10
+"""
+
+
+SQL_LSH_ANN = _lsh_ann_sql()
 
 
 def _plant_query_copy(sf_dir: str):
@@ -1208,6 +1270,7 @@ ORACLES.update(
         "minhash_near_dup": SQL_PLANTED_MINHASH,
         "simhash_near_dup": SQL_PLANTED_SIMHASH,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "lsh_ann": SQL_LSH_ANN,
         "lsh_ann_recall": SQL_LSH_ANN_RECALL,
         "ivf_ann_recall": SQL_IVF_ANN_RECALL,
         "kmeans_pairs": SQL_KMEANS_PAIRS,

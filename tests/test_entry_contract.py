@@ -20,7 +20,9 @@ def test_contract_shapes():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
-@pytest.mark.parametrize("name", ["lang_counts", "scrub_text", "langid", "perplexity"])
+@pytest.mark.parametrize(
+    "name", ["lang_counts", "scrub_text", "langid", "perplexity", "lsh_ann"]
+)
 def test_query_matches_oracle(ray_session, name):
     import __ray_entry__ as e
 
