@@ -112,7 +112,14 @@ def dup_min_table(units_ds):
     both count it and feed it to a join without recomputing.
 
     Scale path for :func:`collect_dup_lookup` — same content, kept as a
-    Dataset instead of a driver dict."""
+    Dataset instead of a driver dict.
+
+    Measured dead end (round 4, sf0.1 / 442k units / 32 cpus): splitting
+    this into a count-only shuffle followed by Min over the
+    duplicates-only subset is 3.5x SLOWER (10.97 s vs 3.17 s) — the
+    second phase needs an inner join of units vs duplicated keys (7.3 s
+    of Ray hash-join actor overhead) that dwarfs the string-min saved in
+    phase one.  Keep the single fused Min+Count aggregate."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Min
 
