@@ -105,15 +105,42 @@ class PiiRegexV1(_RegexPii):
 
 @TaggerRegistry.add("pii_presidio_v1")
 class PiiPresidioV1(_RegexPii):
-    """Reference ``pii_presidio_v1`` (``taggers/pii.py:162-165``) runs the
-    presidio NER analyzer with the same postprocess rules.  presidio (and
-    its spacy model download) is unavailable offline, so this registers
-    the name over the regex engine — identical attribute shape
-    (EMAIL_ADDRESS/PHONE_NUMBER/IP_ADDRESS spans + doc score), detection
-    backend documented deviation.  Configs referencing the name resolve
-    and run; swap in presidio by re-registering over this name."""
+    """Reference ``pii_presidio_v1`` (``taggers/pii.py:162-165``): the
+    presidio ``AnalyzerEngine`` detects EMAIL/PHONE/IP spans, then the same
+    postprocess rules as the regex path run on top (``pii.py:116-158``).
+    Detection uses :mod:`dolma_ray.taggers.presidio` — a pure-stdlib
+    re-implementation of presidio's three predefined recognizers (patterns
+    verbatim, TLD validation, libphonenumber-lite phone matcher); see that
+    module's docstring for the scoped deviations."""
 
-    pass
+    def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
+        from . import presidio
+
+        spans: dict[str, list[tuple[int, int, float]]] = {
+            EMAIL_KEY: [],
+            PHONE_KEY: [],
+            IP_KEY: [],
+        }
+        has_url: bool | None = None
+        for m in presidio.analyze(text):
+            start, end = m.start, m.end
+            if m.entity_type == EMAIL_KEY:
+                if not _email_ok(text[start:end]):
+                    continue
+            else:
+                ctx = text[max(0, start - _WINDOW) : min(len(text), end + _WINDOW)]
+                if "isbn" in ctx or "doi" in ctx or "#" in ctx:
+                    continue
+                if m.entity_type == PHONE_KEY:
+                    if has_url is None:
+                        has_url = URL_RE.search(text) is not None
+                    if has_url:
+                        continue
+            spans[m.entity_type].append((start, end, 1.0))
+        n_spans = sum(len(v) for v in spans.values())
+        n_words = len(text.split())
+        score = n_spans / n_words if n_words else self.empty_score
+        return {**spans, "doc": score}
 
 
 @TaggerRegistry.add("pii_regex_v2")

@@ -1,0 +1,250 @@
+"""Presidio-parity PII detection engine (pure stdlib).
+
+The reference's ``pii_presidio_v1`` (``python/dolma/taggers/pii.py:104-113``,
+``162-165``) calls ``presidio_analyzer.AnalyzerEngine.analyze(text,
+entities=["EMAIL_ADDRESS", "PHONE_NUMBER", "IP_ADDRESS"], language="en")``
+and keeps only ``(start, end, entity_type)`` per result.  presidio (plus its
+spacy model download) is unavailable offline, so this module re-implements
+the three predefined recognizers that analyze() dispatches for that entity
+set, following the public ``microsoft/presidio`` source:
+
+* **EmailRecognizer** — the "Email (Medium)" pattern verbatim plus the
+  tldextract suffix validation (``predefined_recognizers/email_recognizer.py``:
+  a match is kept iff ``tldextract.extract(m).fqdn != ""``, i.e. the domain
+  ends in a known public suffix).
+* **IpRecognizer** — the IPv4 and IPv6 patterns verbatim
+  (``predefined_recognizers/ip_recognizer.py``).  The IPv6 pattern keeps
+  presidio's quirks, including the leading/trailing ``\\s*`` that folds
+  adjacent whitespace into the reported span.
+* **PhoneRecognizer** — presidio delegates to Google libphonenumber's
+  ``PhoneNumberMatcher(text, region, Leniency.VALID)`` once per region in
+  ``("US", "UK", "DE", "FE", "IL", "IN", "CA", "BR")``
+  (``predefined_recognizers/phone_recognizer.py``).  Note the presidio
+  quirk replicated here: ``"UK"`` and ``"FE"`` are not valid ISO regions,
+  so libphonenumber matches **no national-format numbers** for them —
+  effective national coverage is US/CA (NANP), DE, IL, IN, BR; numbers in
+  international ``+CC`` format are matched for a wider table of country
+  codes, as libphonenumber does regardless of region.
+
+Scope notes (documented deviations):
+
+* Phone matching is a libphonenumber-lite: candidate extraction follows the
+  matcher's digit/punctuation grammar and validation checks national-number
+  shape per region (NANP area/exchange rules; length + leading-digit rules
+  for DE/IL/IN/BR; NSN length ranges for ``+CC`` numbers).  libphonenumber's
+  full per-prefix metadata tree is not replicated, so rare invalid numbers
+  with a plausible shape may pass.
+* Confidence scores and the lemma-context enhancer are not replicated: the
+  reference tagger discards ``res.score``, so scores cannot affect its
+  output.  spacy NER never emits these three entity types, so skipping the
+  NLP pipeline is also output-equivalent.
+* TLD validation embeds a snapshot of common gTLDs and treats any 2-letter
+  alpha suffix as a ccTLD (all delegated 2-letter codes are ccTLDs).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple
+
+EMAIL_ENTITY = "EMAIL_ADDRESS"
+PHONE_ENTITY = "PHONE_NUMBER"
+IP_ENTITY = "IP_ADDRESS"
+
+
+class PiiMatch(NamedTuple):
+    start: int
+    end: int
+    entity_type: str
+    score: float
+
+
+# --- EmailRecognizer -------------------------------------------------------
+# presidio predefined_recognizers/email_recognizer.py: "Email (Medium)",
+# score 0.5; validate via tldextract suffix lookup -> 1.0 / invalidated.
+EMAIL_RE = re.compile(
+    r"\b((([!#$%&'*+\-/=?^_`{|}~\w])|([!#$%&'*+\-/=?^_`{|}~\w]"
+    r"[!#$%&'*+\-/=?^_`{|}~\.\w]{0,}[!#$%&'*+\-/=?^_`{|}~\w]))[@]"
+    r"\w+([-.]\w+)*\.\w+([-.]\w+)*)\b"
+)
+
+# Common gTLD snapshot for the tldextract stand-in (any 2-letter alpha
+# suffix is additionally accepted as a ccTLD).
+_GTLDS = frozenset(
+    """com net org edu gov mil int info biz name pro aero coop museum jobs
+    mobi travel asia cat tel post arpa xxx app dev xyz online site tech
+    store blog cloud email live news shop club fun space website digital
+    today world agency zone plus media group life design studio network
+    solutions systems services software academy center city company
+    directory enterprises estate events exchange expert exposed finance
+    financial foundation gallery gifts guide guru house institute
+    international land management marketing partners photography
+    productions properties recipes support technology tips tools town toys
+    training university ventures vision watch works zone""".split()
+)
+
+
+def _has_known_suffix(email: str) -> bool:
+    """tldextract-style check: the domain's last label is a known suffix."""
+    domain = email.rsplit("@", 1)[-1].lower().rstrip(".")
+    labels = domain.split(".")
+    if len(labels) < 2 or not labels[-1]:
+        return False
+    tld = labels[-1]
+    return tld in _GTLDS or (len(tld) == 2 and tld.isalpha())
+
+
+# --- IpRecognizer ----------------------------------------------------------
+# presidio predefined_recognizers/ip_recognizer.py, patterns verbatim
+# ("IPv4" score 0.6, "IPv6" score 0.6).
+IPV4_RE = re.compile(
+    r"\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\b"
+)
+IPV6_RE = re.compile(
+    r"\s*(?!.*::.*::)(?:(?!:)|:(?=:))(?:[0-9a-f]{0,4}(?:(?<=::)|(?<!::):))"
+    r"{6}(?:[0-9a-f]{0,4}(?:(?<=::)|(?<!::):)[0-9a-f]{0,4}"
+    r"(?:(?<=::)|(?<!:)|(?<=:)(?<!::):)|(?:25[0-4]|2[0-4]\d|1\d\d|[1-9]?\d)"
+    r"(?:\.(?:25[0-4]|2[0-4]\d|1\d\d|[1-9]?\d)){3})\s*",
+    re.IGNORECASE,
+)
+
+
+# --- PhoneRecognizer (libphonenumber-lite) ---------------------------------
+# Candidate grammar: a digit-led run of digits and phone punctuation, as
+# libphonenumber's PhoneNumberMatcher PATTERN accepts (parens, +, -, .,
+# space, /), bounded to plausible lengths.
+_PHONE_CANDIDATE_RE = re.compile(r"[(+]{0,2}\d[\d\-. ()/‐-―]{5,28}\d")
+_TRAILING_PUNCT_RE = re.compile(r"[\-. ()/‐-―]+$")
+
+# NSN (national significant number) validation per effective default region.
+# NANP (US/CA): area code and exchange both [2-9]xx.
+_NANP_RE = re.compile(r"[2-9]\d{2}[2-9]\d{6}$")
+_NATIONAL_RULES = {
+    # region: (pattern over the national number WITHOUT trunk prefix)
+    "NANP": _NANP_RE,
+    # DE: variable-length, trunk 0 + 7-11 digit NSN starting 1-9
+    "DE": re.compile(r"[1-9]\d{6,10}$"),
+    # IL: 8-9 digit NSN starting 2-9 (02-xxxxxxx, 05x-xxxxxxx)
+    "IL": re.compile(r"[2-9]\d{7,8}$"),
+    # IN: 10-digit NSN starting 6-9 (mobile) or 11-80 landline shapes
+    "IN": re.compile(r"(?:[6-9]\d{9}|[1-5]\d{8,9})$"),
+    # BR: 10-11 digit NSN, area [1-9][0-9], subscriber 8-9 digits
+    "BR": re.compile(r"[1-9]\d{9,10}$"),
+}
+# Trunk prefixes: DE/IL/IN/BR use 0; NANP national numbers may carry a
+# leading 1 (country code dialed domestically).
+_TRUNK = {"DE": "0", "IL": "0", "IN": "0", "BR": "0"}
+
+# +CC validation: country code -> (min NSN len, max NSN len).  Covers the
+# codes libphonenumber validates most often in web text; unknown codes are
+# rejected (documented deviation).
+def _build_cc_table() -> dict[str, tuple[int, int]]:
+    t: dict[str, tuple[int, int]] = {
+        "1": (10, 10), "7": (10, 10), "20": (8, 10), "27": (9, 9),
+        "30": (10, 10), "31": (9, 9), "32": (8, 9), "33": (9, 9),
+        "34": (9, 9), "36": (8, 9), "39": (6, 11), "40": (9, 9),
+        "41": (9, 9), "43": (4, 13), "44": (7, 10), "45": (8, 8),
+        "46": (7, 10), "47": (5, 8), "48": (9, 9), "49": (6, 11),
+        "51": (8, 9), "52": (10, 10), "54": (10, 10), "55": (10, 11),
+        "56": (9, 9), "57": (10, 10), "58": (10, 10), "60": (7, 10),
+        "61": (9, 9), "62": (8, 12), "63": (10, 10), "64": (8, 10),
+        "65": (8, 8), "66": (8, 9), "81": (9, 10), "82": (8, 11),
+        "84": (9, 10), "86": (11, 11), "90": (10, 10), "91": (10, 10),
+        "92": (9, 10), "971": (8, 9), "972": (8, 9), "966": (9, 9),
+        "234": (7, 10), "254": (9, 9), "351": (9, 9), "353": (7, 9),
+        "358": (5, 12), "380": (9, 9), "420": (9, 9), "421": (9, 9),
+        "852": (8, 8), "880": (10, 10), "886": (8, 9), "961": (7, 8),
+        "962": (8, 9), "963": (8, 9), "964": (10, 10), "965": (8, 8),
+        "968": (8, 8), "998": (9, 9),
+    }
+    return t
+
+
+_CC_NSN_LEN = _build_cc_table()
+
+
+def _valid_phone(candidate: str) -> bool:
+    """Leniency.VALID stand-in: does the candidate parse to a valid number
+    for one of presidio's effective default regions (or as +CC E.164)?"""
+    has_plus = candidate.lstrip("( ").startswith("+")
+    digits = re.sub(r"\D", "", candidate)
+    if not 7 <= len(digits) <= 16:
+        return False
+    if has_plus:
+        # international format: longest-prefix match on the CC table
+        for cc_len in (3, 2, 1):
+            cc, nsn = digits[:cc_len], digits[cc_len:]
+            rng = _CC_NSN_LEN.get(cc)
+            if rng and rng[0] <= len(nsn) <= rng[1]:
+                if cc == "1":
+                    return bool(_NANP_RE.match(nsn))
+                return True
+        return False
+    # national formats, tried per effective region
+    if len(digits) == 10 and _NANP_RE.match(digits):
+        return True  # US / CA
+    if len(digits) == 11 and digits[0] == "1" and _NANP_RE.match(digits[1:]):
+        return True  # NANP with domestic country-code prefix
+    for region, rule in _NATIONAL_RULES.items():
+        if region == "NANP":
+            continue
+        trunk = _TRUNK[region]
+        if digits.startswith(trunk) and rule.match(digits[len(trunk):]):
+            return True
+    return False
+
+
+def _phone_matches(text: str) -> list[PiiMatch]:
+    out = []
+    for m in _PHONE_CANDIDATE_RE.finditer(text):
+        raw = _TRAILING_PUNCT_RE.sub("", m.group(0))
+        # libphonenumber's matcher rejects candidates whose parentheses
+        # are unbalanced (checkNumberGroupingIsValid preconditions)
+        if raw.count("(") != raw.count(")"):
+            continue
+        if _valid_phone(raw):
+            out.append(PiiMatch(m.start(), m.start() + len(raw), PHONE_ENTITY, 0.4))
+    return out
+
+
+def analyze(text: str, entities: tuple[str, ...] = (EMAIL_ENTITY, PHONE_ENTITY, IP_ENTITY)) -> list[PiiMatch]:
+    """Mini ``AnalyzerEngine.analyze``: run the requested recognizers, drop
+    invalidated (score-0) results, remove same-entity contained duplicates,
+    return matches sorted by start offset."""
+    results: list[PiiMatch] = []
+    if EMAIL_ENTITY in entities and "@" in text:
+        for m in EMAIL_RE.finditer(text):
+            # validate_result: known suffix -> MAX_SCORE, else invalidated
+            if _has_known_suffix(m.group(0)):
+                results.append(PiiMatch(m.start(), m.end(), EMAIL_ENTITY, 1.0))
+    if IP_ENTITY in entities:
+        if "." in text:
+            for m in IPV4_RE.finditer(text):
+                results.append(PiiMatch(m.start(), m.end(), IP_ENTITY, 0.6))
+        if ":" in text:
+            for m in IPV6_RE.finditer(text):
+                results.append(PiiMatch(m.start(), m.end(), IP_ENTITY, 0.6))
+    if PHONE_ENTITY in entities and any(c.isdigit() for c in text):
+        results.extend(_phone_matches(text))
+    return remove_duplicates(results)
+
+
+def remove_duplicates(results: list[PiiMatch]) -> list[PiiMatch]:
+    """presidio ``EntityRecognizer.remove_duplicates``: drop exact dupes and
+    results contained in a same-entity result with >= score."""
+    ordered = sorted(
+        set(results), key=lambda r: (-r.score, r.start, -(r.end - r.start))
+    )
+    kept: list[PiiMatch] = []
+    for r in ordered:
+        contained = any(
+            r.entity_type == f.entity_type
+            and r.start >= f.start
+            and r.end <= f.end
+            and not (r.start == f.start and r.end == f.end and r is f)
+            for f in kept
+        )
+        if not contained:
+            kept.append(r)
+    return sorted(kept, key=lambda r: r.start)

@@ -1,0 +1,151 @@
+"""Tests for the presidio-parity PII engine and the pii_presidio_v1 tagger.
+
+Expected detections follow presidio-analyzer's predefined recognizers
+(EmailRecognizer / IpRecognizer / PhoneRecognizer); the tagger-level tests
+pin the reference's postprocess rules (``python/dolma/taggers/pii.py``) on
+top of presidio detections.
+"""
+
+from dolma_ray.taggers import presidio as P
+from dolma_ray.taggers.pii import PiiPresidioV1
+
+
+def _found(text, entity=None):
+    return [
+        (text[m.start : m.end], m.entity_type)
+        for m in P.analyze(text)
+        if entity is None or m.entity_type == entity
+    ]
+
+
+# --- EmailRecognizer: pattern + TLD validation -----------------------------
+
+
+def test_email_valid_tld():
+    assert _found("reach john.doe@example.com today") == [
+        ("john.doe@example.com", "EMAIL_ADDRESS")
+    ]
+
+
+def test_email_unknown_tld_invalidated():
+    # tldextract finds no suffix -> validate_result False -> dropped
+    assert _found("foo@server.nosuchtldxyz here") == []
+
+
+def test_email_cctld_and_multi_label_domain():
+    assert _found("aa@mail.uni-berlin.de ok", "EMAIL_ADDRESS") == [
+        ("aa@mail.uni-berlin.de", "EMAIL_ADDRESS")
+    ]
+
+
+def test_email_requires_dot_in_domain():
+    assert _found("not an email user@localhost end") == []
+
+
+# --- IpRecognizer ----------------------------------------------------------
+
+
+def test_ipv4_detected_and_octet_range_enforced():
+    assert _found("at 10.0.255.254 up", "IP_ADDRESS") == [
+        ("10.0.255.254", "IP_ADDRESS")
+    ]
+    assert _found("at 999.0.1.2 up", "IP_ADDRESS") == []
+    assert _found("at 256.1.1.1 up", "IP_ADDRESS") == []
+
+
+def test_ipv6_detected():
+    hits = _found("gw fe80::1ff:fe23:4567:890a end", "IP_ADDRESS")
+    # presidio's IPv6 pattern folds adjacent whitespace into the span
+    assert len(hits) == 1 and hits[0][0].strip() == "fe80::1ff:fe23:4567:890a"
+
+
+def test_ipv6_full_form():
+    hits = _found("x 2001:0db8:85a3:0000:0000:8a2e:0370:7334 y", "IP_ADDRESS")
+    assert len(hits) == 1
+    assert hits[0][0].strip() == "2001:0db8:85a3:0000:0000:8a2e:0370:7334"
+
+
+# --- PhoneRecognizer (libphonenumber-lite) ---------------------------------
+
+
+def test_phone_nanp_formats():
+    for t in ("(415) 555-2671", "415-555-2671", "415.555.2671", "4155552671",
+              "1-415-555-2671", "+1 415 555 2671"):
+        assert _found(f"call {t} now", "PHONE_NUMBER"), t
+
+
+def test_phone_nanp_invalid_area_or_exchange():
+    # NANP area code and exchange must start 2-9
+    assert _found("call 111-555-2671 now", "PHONE_NUMBER") == []
+    assert _found("call 415-155-2671 now", "PHONE_NUMBER") == []
+
+
+def test_phone_international():
+    assert _found("uk +44 20 7946 0958 ok", "PHONE_NUMBER")
+    assert _found("in +91 98765 43210 ok", "PHONE_NUMBER")
+    assert _found("de +49 30 901820 ok", "PHONE_NUMBER")
+
+
+def test_phone_unknown_cc_rejected():
+    assert _found("num +999 12 345 678 end", "PHONE_NUMBER") == []
+
+
+def test_phone_not_a_number():
+    assert _found("years 2021-2022 and 1999 end", "PHONE_NUMBER") == []
+    assert _found("isbn 978-0-13-468599-1 end", "PHONE_NUMBER") == []
+
+
+def test_phone_unbalanced_parens_rejected():
+    assert _found("call (415 555-2671 now", "PHONE_NUMBER") == []
+
+
+# --- remove_duplicates -----------------------------------------------------
+
+
+def test_remove_duplicates_contained_same_entity():
+    a = P.PiiMatch(0, 10, "IP_ADDRESS", 0.6)
+    b = P.PiiMatch(2, 8, "IP_ADDRESS", 0.6)
+    c = P.PiiMatch(2, 8, "PHONE_NUMBER", 0.4)
+    kept = P.remove_duplicates([a, b, c])
+    assert a in kept and b not in kept and c in kept
+
+
+# --- pii_presidio_v1 tagger: presidio detection + dolma postprocess --------
+
+
+def test_tagger_shape_and_doc_score():
+    text = "mail bob@example.com or call 415-555-2671 soon"
+    out = PiiPresidioV1().predict(text, {})
+    assert len(out["EMAIL_ADDRESS"]) == 1
+    assert len(out["PHONE_NUMBER"]) == 1
+    assert out["IP_ADDRESS"] == []
+    # doc score = n_spans / n_words (reference BasePiiFilter._score)
+    assert out["doc"] == 2 / len(text.split())
+
+
+def test_tagger_context_suppression():
+    # '#' within +/-100 chars kills phone and IP spans (reference
+    # _postprocess), but not emails
+    text = "# call 415-555-2671 or ping 10.1.2.3 or mail a@b.com now"
+    out = PiiPresidioV1().predict(text, {})
+    assert out["PHONE_NUMBER"] == [] and out["IP_ADDRESS"] == []
+    assert len(out["EMAIL_ADDRESS"]) == 1
+
+
+def test_tagger_isbn_doi_suppression():
+    out = PiiPresidioV1().predict("isbn nearby, server 10.1.2.3 end", {})
+    assert out["IP_ADDRESS"] == []
+    out = PiiPresidioV1().predict("doi nearby, call 415-555-2671 end", {})
+    assert out["PHONE_NUMBER"] == []
+
+
+def test_tagger_empty_text():
+    out = PiiPresidioV1().predict("", {})
+    assert out["doc"] == 0.0
+
+
+def test_tagger_registry_name():
+    from dolma_ray.registry import TaggerRegistry
+
+    cls = TaggerRegistry.get("pii_presidio_v1")
+    assert cls is PiiPresidioV1
