@@ -243,12 +243,14 @@ class FastTextModel:
             feats.extend(self._word_features(tok))
             hashes.append(int(_fnv1a(tok.encode("utf-8"))))
         if self.word_ngrams > 1:
-            # Dictionary::addWordNgrams
-            for i in range(len(hashes)):
-                h = np.uint64(hashes[i])
-                for j in range(i + 1, min(i + self.word_ngrams, len(hashes))):
-                    h = np.uint64(h * np.uint64(116049371) + np.uint64(hashes[j]))
-                    feats.append(self.nwords + int(h % np.uint64(self.bucket)))
+            # Dictionary::addWordNgrams — uint64 wraparound is intended
+            # (C++ unsigned overflow semantics)
+            with np.errstate(over="ignore"):
+                for i in range(len(hashes)):
+                    h = np.uint64(hashes[i])
+                    for j in range(i + 1, min(i + self.word_ngrams, len(hashes))):
+                        h = np.uint64(h * np.uint64(116049371) + np.uint64(hashes[j]))
+                        feats.append(self.nwords + int(h % np.uint64(self.bucket)))
         return feats
 
     # --- scoring ---
