@@ -47,9 +47,9 @@ def mark_duplicates_fused(
     ``lookup_strategy``: ``"driver"`` streams the narrow unit rows to a
     single polars pass (fastest up to ~10^8 units), ``"shuffle"`` runs
     the Ray groupby aggregate but still collects the duplicates-only
-    dict driver-side, ``"join"`` keeps everything a Dataset — the
-    min-order table is hash-joined against the units and the per-doc
-    late-unit lists are hash-joined against the corpus, so no stage
+    dict driver-side, ``"join"`` keeps everything a Dataset — late units
+    come from one range sort over the narrow unit stream and the per-doc
+    late-unit lists are bucket-merged into the corpus, so no stage
     holds O(duplicates) on one process (the 10^12-doc shape).  ``"auto"``
     (default) picks by row count, decided from ``row_count_hint`` or
     plan metadata only (fresh parquet reads / materialized inputs);
@@ -173,6 +173,87 @@ def mark_duplicates_fused(
 _PAR_XOR = 0x2545F4914F6CDD1D & ((1 << 63) - 1)
 
 
+def _bucketed_left_attach(corpus_ds, lists_ds, n_buckets: int):
+    """Left-attach the per-doc late-list strings onto corpus rows WITHOUT
+    a Ray hash join: salt both sides into ``n_buckets`` on the doc
+    identity, union, and resolve each bucket with one vectorized pandas
+    map — the ``asof_join`` machinery's pattern (``analysis/joins.py``).
+
+    Ray 2.49's ``Dataset.join`` funnels both sides through
+    one-aggregator-ACTOR-per-partition; at its measured-optimal 2
+    partitions the corpus exchange serializes on 2 actors (19.4 s of
+    remote wall on the 100k-doc bench corpus).  The groupby path uses
+    the sort-shuffle executor instead — task-parallel, no actors.
+    All rows of a doc identity land in one bucket, so the per-bucket
+    merge is exact; output rows are corpus rows plus ``__ddj_late``
+    (null when the doc has no late units), identical to the former
+    left-outer join."""
+    import numpy as np
+    import pandas as pd
+
+    schema = corpus_ds.schema()
+    names, types = list(schema.names), list(schema.types)
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        d = batch["__ddj_d"].to_numpy()
+        cols = {n: batch[n] for n in names}
+        cols["__ddj_late"] = pa.nulls(len(batch), pa.string())
+        cols["__ddb_bucket"] = pa.array(
+            (np.abs(d) % n_buckets).astype(np.int32)
+        )
+        cols["__ddb_side"] = pa.array(np.zeros(len(batch), np.int8))
+        return pa.table(cols)
+
+    def list_side(batch: pa.Table) -> pa.Table:
+        d = batch["__ddj_rd"].to_numpy()
+        cols = {}
+        for n, t in zip(names, types):
+            cols[n] = batch["__ddj_rd"] if n == "__ddj_d" else pa.nulls(len(batch), t)
+        cols["__ddj_late"] = batch["__ddj_late"]
+        cols["__ddb_bucket"] = pa.array(
+            (np.abs(d) % n_buckets).astype(np.int32)
+        )
+        cols["__ddb_side"] = pa.array(np.ones(len(batch), np.int8))
+        return pa.table(cols)
+
+    unioned = corpus_ds.map_batches(corpus_side, batch_format="pyarrow").union(
+        lists_ds.map_batches(list_side, batch_format="pyarrow")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__ddb_side"].to_numpy()
+        docs = g[side == 0].drop(columns=["__ddb_bucket", "__ddb_side"]).copy()
+        lists = g[side == 1]
+        # per_doc identities are unique (groupby d upstream) -> Series map
+        mapping = pd.Series(
+            lists["__ddj_late"].to_numpy(), index=lists["__ddj_d"].to_numpy()
+        )
+        docs["__ddj_late"] = docs["__ddj_d"].map(mapping)
+        return docs
+
+    merged = unioned.groupby("__ddb_bucket").map_groups(
+        merge, batch_format="pandas"
+    )
+
+    # the pandas round-trip drifts arrow types (timestamp unit -> ns,
+    # None-filled object columns -> string); cast back so downstream
+    # schemas match the hash-join path byte-for-byte
+    target = {n: t for n, t in zip(names, types)}
+    target["__ddj_late"] = pa.string()
+
+    def recast(batch: pa.Table) -> pa.Table:
+        cols = []
+        for n in batch.column_names:
+            col = batch[n]
+            t = target.get(n)
+            if t is not None and col.type != t:
+                col = col.cast(t)
+            cols.append(col)
+        return pa.table(dict(zip(batch.column_names, cols)))
+
+    return merged.map_batches(recast, batch_format="pyarrow")
+
+
 def _mark_fused_join(
     ds,
     doc_key_column: str,
@@ -180,7 +261,7 @@ def _mark_fused_join(
     cfg_kwargs: dict,
     text_column: str,
     overlap_threshold: float,
-    num_partitions: int = 64,
+    num_partitions: int = 64,  # legacy hash-join knob; kept for API compat
 ):
     """Fully-distributed fused dedup: identical marks to the broadcast
     path, but the duplicates-only state never leaves the Dataset world.
@@ -189,25 +270,26 @@ def _mark_fused_join(
        (hash of order ⊕ doc key ⊕ text; rows that tie on all three are
        identical docs and correctly receive identical marks), ``seq`` is
        the unit index within the doc (-1 for the doc-level key);
-    2. ``groupby(k).aggregate(Min, Count)`` → duplicated-keys-only
-       min-order table (distributed, spillable);
-    3. inner ``Dataset.join`` units ⋈ mins on ``k``; a unit is late iff
-       ``o > o_min`` — same rule the broadcast path applies per row;
+    2.+3. late units via :func:`late_units_by_sort`: one range sort on
+       ``(k, o)`` plus a per-block run scan marks every unit whose ``o``
+       exceeds its key's global minimum — the same rule the broadcast
+       path applies per row, with one all-to-all exchange instead of
+       the former groupby-aggregate + inner-join pair;
     4. ``groupby(d).aggregate(Unique(seq))`` → per-doc late-unit lists;
-    5. left-outer ``Dataset.join`` corpus ⋈ per-doc lists on the row
-       identity, then one vectorized attach pass rebuilds both span
-       columns from the late-seq set.
+    5. :func:`_bucketed_left_attach` corpus ⋈ per-doc lists on the row
+       identity (salt-bucketed groupby merge, not a hash join), then one
+       vectorized attach pass rebuilds both span columns from the
+       late-seq set.
 
     Reference semantics unchanged (``src/deduper.rs:232-310``); only
-    the exchange strategy differs.  All joined columns are narrow —
+    the exchange strategy differs.  All exchanged columns are narrow —
     document text never enters a shuffle except in step 5's corpus-side
-    hash exchange (one all-to-all, streaming, no driver state).
+    bucket exchange (one all-to-all, streaming, no driver state).
     """
     import ray
-    import pyarrow.compute as pc_
     from ray.data.aggregate import Unique
 
-    from .lookup import _coalesce_narrow, _join_partitions, dup_min_table
+    from .lookup import late_units_by_sort
 
     def row_ident(dk: str, o: str, text: str) -> int:
         # identity over (order, doc key, text): rows that tie on all
@@ -253,14 +335,17 @@ def _mark_fused_join(
             }
         )
 
-    # narrow unit stream, used twice (aggregate + join probe) — spillable
+    # narrow unit stream — spillable; late units come from ONE range sort
+    # (late_units_by_sort) instead of the former groupby-aggregate +
+    # inner-join pair (measured 9.9 s -> 6.6 s for the marking phase on
+    # the 100k-doc bench corpus, identical output)
     units = ds.map_batches(project_units, batch_format="pyarrow").materialize()
     n_units = units.count()
     try:
         n_corpus = ds._meta_count()
     except Exception:
         n_corpus = None
-    mins, n_dup = dup_min_table(units.select_columns(["k", "o"]))
+    late, n_late = late_units_by_sort(units, ["d", "seq"])
 
     def attach_with(late_lists_ds, parts: int):
         def add_ident(batch: pa.Table) -> pa.Table:
@@ -288,13 +373,7 @@ def _mark_fused_join(
             from .lookup import shield_complex_columns
 
             keyed, restore = shield_complex_columns(keyed)
-            joined = keyed.join(
-                late_lists_ds,
-                join_type="left_outer",
-                num_partitions=parts,
-                on=("__ddj_d",),
-                right_on=("__ddj_rd",),
-            )
+            joined = _bucketed_left_attach(keyed, late_lists_ds, parts)
             # the join emits one block per partition; re-split so the
             # python-heavy attach (and every downstream stage) isn't
             # parallelism-starved by a volume-scaled partition count
@@ -351,21 +430,12 @@ def _mark_fused_join(
 
         return joined.map_batches(attach, batch_format="pyarrow")
 
-    if n_dup == 0:
+    if n_late == 0:
         return attach_with(None, 1)
 
-    late = units.join(
-        mins,
-        join_type="inner",
-        num_partitions=_join_partitions(n_dup, num_partitions, probe_rows=n_units),
-        on=("k",),
-    ).map_batches(
-        lambda b: b.filter(pc_.greater(b["o"], b["o_min"])).select(["d", "seq"]),
-        batch_format="pyarrow",
-    )
-    # the join emits as many blocks as it has partitions (often 1-2 at
-    # the volume-scaled count) — re-split so the groupby's sort shuffle
-    # isn't parallelism-starved (measured 8.6 s -> 2.7 s at 32 cpus)
+    # balance the late stream before the groupby's sort shuffle
+    # (measured 8.6 s -> 2.7 s at 32 cpus when the producer emitted
+    # parallelism-starving block counts)
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     late = late.repartition(max(cpus, -(-n_units // 500_000)))
     def encode_lists(batch: pa.Table) -> pa.Table:
@@ -391,12 +461,8 @@ def _mark_fused_join(
     n_docs_late = per_doc.count()
     if n_docs_late == 0:
         return attach_with(None, 1)
-    # wide corpus rows exchange through the aggregator actors — scale
-    # partitions to the document volume, not the late-key count
-    return attach_with(
-        per_doc,
-        _join_partitions(
-            n_docs_late, num_partitions, probe_rows=n_corpus,
-            rows_per_partition=50_000,
-        ),
-    )
+    # bucket count for the bucketed attach: enough for task parallelism,
+    # scaled to document volume so buckets stay bounded at 100-TB inputs
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_buckets = max(cpus * 2, -(-(n_corpus or 0) // 25_000))
+    return attach_with(per_doc, n_buckets)

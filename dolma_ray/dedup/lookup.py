@@ -136,6 +136,95 @@ def dup_min_table(units_ds):
     return mins, mins.count()
 
 
+def late_units_by_sort(units_ds, payload_cols):
+    """Late units — rows whose ``o`` exceeds the global minimum ``o`` of
+    their key ``k`` — via ONE range sort instead of a groupby shuffle
+    plus a hash join (the :func:`dup_min_table` + ``Dataset.join``
+    shape).  Measured on the 100k-doc bench corpus (442k units,
+    32 cpus): 9.9 s -> 6.6 s total for identical output sets; at scale
+    it replaces two all-to-all exchanges of the narrow unit stream with
+    one.
+
+    Mechanics: ``sort(["k", "o"])`` makes every key's rows contiguous
+    and min-first.  Within a sorted block a row is late iff it is not
+    the first row of its key run; the only ambiguity is runs that touch
+    a block boundary, whose true minimum may live in a neighboring
+    block.  Pass 1 collects each block's first/last-run ``(k, min o)``
+    (≤ 2 rows per block) and reduces them to a tiny driver dict —
+    O(2 × num_blocks), NOT O(duplicates), so the no-driver-state scale
+    property of the join family is preserved.  Pass 2 re-reads the SAME
+    materialized blocks and marks lateness vectorized, consulting the
+    broadcast dict only for each block's first/last key.
+
+    Correctness requires both passes to see identical whole blocks:
+    the sorted Dataset is materialized and both ``map_batches`` run
+    with the default ``batch_size=None`` (one batch per block).
+
+    Returns ``(late_ds, n_late)`` where ``late_ds`` has ``payload_cols``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    payload_cols = list(payload_cols)
+    su = units_ds.sort(["k", "o"]).materialize()
+
+    def boundary_summary(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "o": pa.array([], pa.string())}
+            )
+        o = batch["o"]
+        starts = np.empty(len(k), dtype=bool)
+        starts[0] = True
+        starts[1:] = k[1:] != k[:-1]
+        last_start = int(np.flatnonzero(starts)[-1])
+        ks, os_ = [int(k[0])], [o[0].as_py()]
+        if k[-1] != k[0]:
+            ks.append(int(k[-1]))
+            os_.append(o[last_start].as_py())
+        return pa.table(
+            {"k": pa.array(ks, pa.int64()), "o": pa.array(os_, pa.string())}
+        )
+
+    gmin: dict[int, str] = {}
+    for row in su.map_batches(boundary_summary, batch_format="pyarrow").take_all():
+        k, o = row["k"], row["o"]
+        if k not in gmin or o < gmin[k]:
+            gmin[k] = o
+    gref = ray.put(gmin)
+
+    def mark_late(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch.select(payload_cols)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        o = batch["o"]
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = k[1:] != k[:-1]
+        run_ids = np.cumsum(starts) - 1
+        start_idx = np.flatnonzero(starts)
+        run_min = pc.take(o, pa.array(start_idx[run_ids], pa.int64()))
+        late = pc.greater(o, run_min).to_numpy(zero_copy_only=False).copy()
+        g = ray.get(gref)
+        for bk in {int(k[0]), int(k[-1])}:
+            gmo = g.get(bk)
+            if gmo is None:
+                continue
+            sel = np.flatnonzero(k == bk)
+            bo = o.take(pa.array(sel, pa.int64()))
+            late[sel] = pc.greater(bo, pa.scalar(gmo)).to_numpy(
+                zero_copy_only=False
+            )
+        return batch.select(payload_cols).filter(pa.array(late))
+
+    late = su.map_batches(mark_late, batch_format="pyarrow").materialize()
+    return late, late.count()
+
+
 def late_key_table(units_ds, num_partitions: int = 64):
     """Join-based variant of :func:`collect_dup_keys`: distinct ``key``
     values that are late in some bucket, as a single-column Dataset
