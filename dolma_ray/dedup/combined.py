@@ -174,84 +174,17 @@ _PAR_XOR = 0x2545F4914F6CDD1D & ((1 << 63) - 1)
 
 
 def _bucketed_left_attach(corpus_ds, lists_ds, n_buckets: int):
-    """Left-attach the per-doc late-list strings onto corpus rows WITHOUT
-    a Ray hash join: salt both sides into ``n_buckets`` on the doc
-    identity, union, and resolve each bucket with one vectorized pandas
-    map — the ``asof_join`` machinery's pattern (``analysis/joins.py``).
+    """Left-attach the per-doc late-list strings onto corpus rows via the
+    generic :func:`dolma_ray.dedup.lookup.bucketed_left_attach` (salted
+    union + per-bucket vectorized merge — no Ray hash-join actors).
+    Output rows are corpus rows plus ``__ddj_late`` (null when the doc
+    has no late units), identical to a left-outer join."""
+    from .lookup import bucketed_left_attach
 
-    Ray 2.49's ``Dataset.join`` funnels both sides through
-    one-aggregator-ACTOR-per-partition; at its measured-optimal 2
-    partitions the corpus exchange serializes on 2 actors (19.4 s of
-    remote wall on the 100k-doc bench corpus).  The groupby path uses
-    the sort-shuffle executor instead — task-parallel, no actors.
-    All rows of a doc identity land in one bucket, so the per-bucket
-    merge is exact; output rows are corpus rows plus ``__ddj_late``
-    (null when the doc has no late units), identical to the former
-    left-outer join."""
-    import numpy as np
-    import pandas as pd
-
-    schema = corpus_ds.schema()
-    names, types = list(schema.names), list(schema.types)
-
-    def corpus_side(batch: pa.Table) -> pa.Table:
-        d = batch["__ddj_d"].to_numpy()
-        cols = {n: batch[n] for n in names}
-        cols["__ddj_late"] = pa.nulls(len(batch), pa.string())
-        cols["__ddb_bucket"] = pa.array(
-            (np.abs(d) % n_buckets).astype(np.int32)
-        )
-        cols["__ddb_side"] = pa.array(np.zeros(len(batch), np.int8))
-        return pa.table(cols)
-
-    def list_side(batch: pa.Table) -> pa.Table:
-        d = batch["__ddj_rd"].to_numpy()
-        cols = {}
-        for n, t in zip(names, types):
-            cols[n] = batch["__ddj_rd"] if n == "__ddj_d" else pa.nulls(len(batch), t)
-        cols["__ddj_late"] = batch["__ddj_late"]
-        cols["__ddb_bucket"] = pa.array(
-            (np.abs(d) % n_buckets).astype(np.int32)
-        )
-        cols["__ddb_side"] = pa.array(np.ones(len(batch), np.int8))
-        return pa.table(cols)
-
-    unioned = corpus_ds.map_batches(corpus_side, batch_format="pyarrow").union(
-        lists_ds.map_batches(list_side, batch_format="pyarrow")
+    return bucketed_left_attach(
+        corpus_ds, lists_ds, "__ddj_d", "__ddj_rd", "__ddj_late",
+        "__ddj_late", n_buckets,
     )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        side = g["__ddb_side"].to_numpy()
-        docs = g[side == 0].drop(columns=["__ddb_bucket", "__ddb_side"]).copy()
-        lists = g[side == 1]
-        # per_doc identities are unique (groupby d upstream) -> Series map
-        mapping = pd.Series(
-            lists["__ddj_late"].to_numpy(), index=lists["__ddj_d"].to_numpy()
-        )
-        docs["__ddj_late"] = docs["__ddj_d"].map(mapping)
-        return docs
-
-    merged = unioned.groupby("__ddb_bucket").map_groups(
-        merge, batch_format="pandas"
-    )
-
-    # the pandas round-trip drifts arrow types (timestamp unit -> ns,
-    # None-filled object columns -> string); cast back so downstream
-    # schemas match the hash-join path byte-for-byte
-    target = {n: t for n, t in zip(names, types)}
-    target["__ddj_late"] = pa.string()
-
-    def recast(batch: pa.Table) -> pa.Table:
-        cols = []
-        for n in batch.column_names:
-            col = batch[n]
-            t = target.get(n)
-            if t is not None and col.type != t:
-                col = col.cast(t)
-            cols.append(col)
-        return pa.table(dict(zip(batch.column_names, cols)))
-
-    return merged.map_batches(recast, batch_format="pyarrow")
 
 
 def _mark_fused_join(
@@ -461,8 +394,6 @@ def _mark_fused_join(
     n_docs_late = per_doc.count()
     if n_docs_late == 0:
         return attach_with(None, 1)
-    # bucket count for the bucketed attach: enough for task parallelism,
-    # scaled to document volume so buckets stay bounded at 100-TB inputs
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    n_buckets = max(cpus * 2, -(-(n_corpus or 0) // 25_000))
-    return attach_with(per_doc, n_buckets)
+    from .lookup import bucket_count
+
+    return attach_with(per_doc, bucket_count(n_corpus))

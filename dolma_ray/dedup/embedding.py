@@ -70,11 +70,12 @@ def mark_near_duplicates_embedding(
     ``lookup_strategy``: ``"driver"``/``"shuffle"`` broadcast the
     colliding-signature set (vectors of non-colliding rows never move)
     and collect the dup-key set on the driver; ``"join"`` keeps all
-    duplicate state in Datasets — the candidate selection becomes one
-    inner hash join of the ``(k, o, key, vec)`` stream against the
-    colliding-signature table (one all-to-all of the normalized
-    vectors, streaming, no driver state), and the attach a left-outer
-    join.  ``"auto"`` flips to join above ~2.5M input rows."""
+    duplicate state in Datasets — the candidate selection becomes a
+    bucketed semi-join of the ``(k, o, key, vec)`` stream against the
+    colliding-signature table (one salted-union exchange of the
+    normalized vectors, streaming, no hash-join actors, no driver
+    state), and the attach a bucketed left-merge.  ``"auto"`` flips to
+    join above ~2.5M input rows."""
     import ray
 
     from .lookup import (
@@ -83,7 +84,8 @@ def mark_near_duplicates_embedding(
         collect_dup_buckets,
         distinct_key_table,
         dup_bucket_table,
-        _join_partitions,
+        bucket_count,
+        bucketed_semi_join,
         resolve_auto_strategy,
     )
 
@@ -129,11 +131,9 @@ def mark_near_duplicates_embedding(
                 }
             )
 
-        cand = ds.map_batches(with_vec, batch_format="pyarrow").join(
-            buckets_ds,
-            join_type="inner",
-            num_partitions=_join_partitions(n_b, num_partitions),
-            on=("k",),
+        cand = bucketed_semi_join(
+            ds.map_batches(with_vec, batch_format="pyarrow"),
+            buckets_ds, "k", "k", bucket_count(units.count()),
         )
     else:
         dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)

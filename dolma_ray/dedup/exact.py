@@ -130,14 +130,20 @@ def mark_duplicate_docs_join(
 ):
     """Fully-distributed variant of :func:`mark_duplicate_docs` for
     corpora whose duplicates-only lookup exceeds broadcast memory: the
-    per-key min-order table stays a Dataset and is hash-joined
-    (``Dataset.join``) against the corpus on the key hash.  Two shuffles
-    (aggregate + join of the narrow key columns); the document text still
-    never moves — only ``(k, o)`` plus the join key on the big side.
+    per-key min-order table stays a Dataset and is bucket-merged
+    (:func:`~dolma_ray.dedup.lookup.bucketed_left_attach`) against the
+    corpus on the key hash.  Two narrow exchanges (aggregate + bucketed
+    attach); the document text still never moves — only ``(k, o)`` plus
+    the key on the big side, and no hash-join aggregator actors.
     """
     import pyarrow.compute as pc_
 
-    from .lookup import _join_partitions, dup_min_table, shield_complex_columns
+    from .lookup import (
+        bucket_count,
+        bucketed_left_attach,
+        dup_min_table,
+        shield_complex_columns,
+    )
 
     order = list(order_columns)
 
@@ -167,18 +173,13 @@ def mark_duplicate_docs_join(
 
         return keyed.map_batches(no_dups, batch_format="pyarrow")
 
-    mins = mins.map_batches(
-        lambda b: pa.table({"_k": b["k"], "_o_min": b["o_min"]}),
-        batch_format="pyarrow",
-    )
+    try:
+        n_corpus = ds._meta_count()
+    except Exception:
+        n_corpus = None
     keyed, restore = shield_complex_columns(keyed)
-    # partitions capped by dup-key count (Ray rejects empty right-side
-    # partitions) and cluster CPUs (aggregators are actors) — lookup.py
-    joined = keyed.join(
-        mins,
-        join_type="left_outer",
-        num_partitions=_join_partitions(n_dup, num_partitions),
-        on=("_k",),
+    joined = bucketed_left_attach(
+        keyed, mins, "_k", "k", "o_min", "_o_min", bucket_count(n_corpus)
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

@@ -43,41 +43,6 @@ def resolve_auto_strategy(ds, row_count_hint=None, threshold: int = 2_500_000) -
     return "join" if (n is not None and n > threshold) else "driver"
 
 
-def _join_partitions(
-    right_count: int,
-    requested: int,
-    probe_rows: int | None = None,
-    rows_per_partition: int = 250_000,
-) -> int:
-    """Partition count for a hash join whose RIGHT side has
-    ``right_count`` rows.  Three caps:
-
-    * Ray 2.49's hash join errors when a right-side hash partition is
-      empty — stay well below the row count (>= ~8 expected rows per
-      partition makes an empty one negligible);
-    * each partition is a ``HashShuffleAggregator`` ACTOR: a partition
-      count far above the cluster's CPU slots starves the producing
-      task stages (observed full stall at 64 partitions / 8 CPUs), so
-      cap at half the cluster CPUs.  On a multi-node cluster the CPU
-      cap is large and ``requested`` governs;
-    * aggregator-actor startup is ~constant per partition, so scale the
-      count with the DATA VOLUME (the larger of the two sides,
-      ``probe_rows`` when the probe side is bigger): measured on the
-      100k-doc bench corpus the corpus-side join is 3.5x faster at 2
-      partitions than 16.  Callers pass a smaller
-      ``rows_per_partition`` for wide rows (full documents) than for
-      narrow unit rows."""
-    import ray
-
-    cpus = (
-        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    )
-    cap = max(1, cpus // 2)
-    vol = max(right_count, probe_rows or 0)
-    by_volume = max(1, -(-vol // rows_per_partition))
-    return max(1, min(requested, cap, right_count // 8 or 1, by_volume))
-
-
 def _coalesce_narrow(units_ds, rows: int | None = None):
     """Coalesce a narrow unit Dataset's tiny blocks before a groupby.
 
@@ -225,13 +190,172 @@ def late_units_by_sort(units_ds, payload_cols):
     return late, late.count()
 
 
+def bucket_count(n_corpus: int | None = None, rows_per_bucket: int = 25_000) -> int:
+    """Bucket count for :func:`bucketed_left_attach`: enough buckets for
+    task parallelism on the current cluster, scaled with document volume
+    so each bucket stays bounded at 100-TB inputs."""
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
+    return max(cpus * 2, -(-(n_corpus or 0) // rows_per_bucket))
+
+
+def bucketed_left_attach(
+    corpus_ds, lookup_ds, key_col: str, lookup_key: str, lookup_val,
+    out_col, n_buckets: int,
+):
+    """Left-attach lookup values per key onto corpus rows WITHOUT a
+    Ray hash join: salt both sides into ``n_buckets`` on the key, union,
+    and resolve each bucket with one vectorized pandas map (the
+    ``asof_join`` machinery's pattern, ``analysis/joins.py``).
+    ``lookup_val``/``out_col`` may be single column names or equal-length
+    lists (several columns attached in one exchange).
+
+    Ray 2.49's ``Dataset.join`` funnels both sides through
+    one-aggregator-ACTOR-per-partition; at its measured-optimal 2
+    partitions the corpus exchange serializes on 2 actors (19.4 s of
+    remote wall on the 100k-doc bench corpus).  The groupby path uses
+    the sort-shuffle executor instead — task-parallel, no actors.
+    All rows of a key land in one bucket, so the per-bucket merge is
+    exact; output rows are corpus rows plus ``out_col`` (null where the
+    key has no lookup row) — identical to a left-outer join.
+
+    ``lookup_ds`` keys MUST be unique (one row per key); nested corpus
+    columns must be shielded (:func:`shield_complex_columns`) first —
+    the bucket exchange and pandas group container reject them the same
+    way the hash join does."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    lookup_vals = [lookup_val] if isinstance(lookup_val, str) else list(lookup_val)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(lookup_vals) == len(out_cols)
+
+    schema = corpus_ds.schema()
+    names, types = list(schema.names), list(schema.types)
+    lschema = lookup_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    val_types = [ltypes[v] for v in lookup_vals]
+
+    def _buckets(col) -> "np.ndarray":
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(arr.dtype, np.number):
+            return (np.abs(arr) % n_buckets).astype(np.int32)
+        # string/binary keys: deterministic cross-process polars hash
+        import polars as pl
+
+        return (pl.from_arrow(col).hash(seed=0).to_numpy() % n_buckets).astype(
+            np.int32
+        )
+
+    def corpus_side(batch: pa.Table) -> pa.Table:
+        cols = {n: batch[n] for n in names}
+        for oc, vt in zip(out_cols, val_types):
+            cols[oc] = pa.nulls(len(batch), vt)
+        cols["__ddb_bucket"] = pa.array(_buckets(batch[key_col]))
+        cols["__ddb_side"] = pa.array(np.zeros(len(batch), np.int8))
+        return pa.table(cols)
+
+    def list_side(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for n, t in zip(names, types):
+            cols[n] = batch[lookup_key] if n == key_col else pa.nulls(len(batch), t)
+        for oc, lv in zip(out_cols, lookup_vals):
+            cols[oc] = batch[lv]
+        cols["__ddb_bucket"] = pa.array(_buckets(batch[lookup_key]))
+        cols["__ddb_side"] = pa.array(np.ones(len(batch), np.int8))
+        return pa.table(cols)
+
+    unioned = corpus_ds.map_batches(corpus_side, batch_format="pyarrow").union(
+        lookup_ds.map_batches(list_side, batch_format="pyarrow")
+    )
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        side = g["__ddb_side"].to_numpy()
+        docs = g[side == 0].drop(columns=["__ddb_bucket", "__ddb_side"]).copy()
+        lookup = g[side == 1]
+        # one positional lookup per bucket; every out column rides it
+        pos = pd.Series(
+            np.arange(len(lookup)), index=lookup[key_col].to_numpy()
+        )
+        rows = docs[key_col].map(pos)
+        hit = rows.notna().to_numpy()
+        taken = rows[hit].to_numpy().astype(np.int64)
+        for oc in out_cols:
+            vals = lookup[oc].to_numpy()
+            col = np.full(len(docs), None, dtype=object)
+            col[hit] = vals[taken]
+            docs[oc] = col
+        return docs
+
+    merged = unioned.groupby("__ddb_bucket").map_groups(
+        merge, batch_format="pandas"
+    )
+
+    # the pandas round-trip drifts arrow types (timestamp unit -> ns,
+    # None-filled object columns -> string); cast back so downstream
+    # schemas match the hash-join path byte-for-byte
+    target = {n: t for n, t in zip(names, types)}
+    for oc, vt in zip(out_cols, val_types):
+        target[oc] = vt
+
+    def recast(batch: pa.Table) -> pa.Table:
+        cols = []
+        for n in batch.column_names:
+            col = batch[n]
+            t = target.get(n)
+            if t is not None and col.type != t:
+                col = col.cast(t)
+            cols.append(col)
+        return pa.table(dict(zip(batch.column_names, cols)))
+
+    return merged.map_batches(recast, batch_format="pyarrow")
+
+
+def bucketed_semi_join(ds, keys_ds, key_col: str, lookup_key: str,
+                       n_buckets: int):
+    """Inner semi-join WITHOUT a Ray hash join: rows of ``ds`` whose
+    ``key_col`` appears in ``keys_ds[lookup_key]`` (which must hold
+    distinct keys).  Implemented as :func:`bucketed_left_attach` of a
+    constant-1 flag followed by a drop-nulls filter — same salted-union
+    exchange, no aggregator actors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flagged = keys_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "__dsj_key": b[lookup_key],
+                "__dsj_hit": pa.array([1] * len(b), pa.int8()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    attached = bucketed_left_attach(
+        ds, flagged, key_col, "__dsj_key", "__dsj_hit", "__dsj_hit", n_buckets
+    )
+    return attached.map_batches(
+        lambda b: b.filter(pc.is_valid(b["__dsj_hit"])).drop_columns(
+            ["__dsj_hit"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def late_key_table(units_ds, num_partitions: int = 64):
-    """Join-based variant of :func:`collect_dup_keys`: distinct ``key``
+    """Join-free variant of :func:`collect_dup_keys`: distinct ``key``
     values that are late in some bucket, as a single-column Dataset
     ``(key,)`` — never collected on the driver.
 
     Input: narrow ``(k, o, key)`` units.  The combined ``(o, key)``
-    tie-break is folded into ``o`` exactly as in the driver path."""
+    tie-break is folded into ``o`` exactly as in the driver path.  Late
+    units come from :func:`late_units_by_sort` (one range sort) instead
+    of the former groupby-aggregate + inner-join pair."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -241,22 +365,10 @@ def late_key_table(units_ds, num_partitions: int = 64):
         )
         return pa.table({"k": batch["k"], "o": ok, "key": batch["key"]})
 
-    units = units_ds.map_batches(with_ok, batch_format="pyarrow").materialize()
-    n_units = units.count()
-    mins, n_dup = dup_min_table(units.select_columns(["k", "o"]))
-    if n_dup == 0:
+    units = units_ds.map_batches(with_ok, batch_format="pyarrow")
+    late, n_late = late_units_by_sort(units, ["key"])
+    if n_late == 0:
         return None
-    joined = units.join(
-        mins,
-        join_type="inner",
-        num_partitions=_join_partitions(n_dup, num_partitions, probe_rows=n_units),
-        on=("k",),
-    )
-
-    def late_only(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["o"], batch["o_min"])).select(["key"])
-
-    late = joined.map_batches(late_only, batch_format="pyarrow")
     return distinct_key_table(late)
 
 
@@ -333,7 +445,11 @@ def shield_complex_columns(ds):
             if c not in batch.column_names:
                 continue
             idx = batch.column_names.index(c)
-            vals = [pickle.loads(v) for v in batch[c].to_pylist()]
+            # null-tolerant: a left-attach leaves unmatched rows null
+            vals = [
+                pickle.loads(v) if v is not None else None
+                for v in batch[c].to_pylist()
+            ]
             batch = batch.set_column(idx, c, pa.array(vals, t))
         return batch
 
@@ -342,10 +458,11 @@ def shield_complex_columns(ds):
 
 def attach_dup_flag_join(ds, key_column: str, dup_keys_ds, attr_column: str,
                          num_partitions: int = 64):
-    """Join-based variant of :func:`attach_dup_flag`: left-outer
-    ``Dataset.join`` of the corpus against the distinct duplicates-only
-    key table (column ``key``); matched rows get 1.0.  Two narrow hash
-    exchanges instead of a driver broadcast — the 10^12-doc shape.
+    """Distributed variant of :func:`attach_dup_flag`: the corpus is
+    bucket-merged (:func:`bucketed_left_attach`) against the distinct
+    duplicates-only key table (column ``key``); matched rows get 1.0.
+    Narrow bucket exchanges instead of a driver broadcast — the
+    10^12-doc shape.
 
     ``dup_keys_ds`` may be ``None`` (no duplicates) — flags are all 0."""
     import pyarrow as pa
@@ -367,22 +484,14 @@ def attach_dup_flag_join(ds, key_column: str, dup_keys_ds, attr_column: str,
         ),
         batch_format="pyarrow",
     )
-    n_keys = dup_keys_ds.count()
     try:
         n_corpus = ds._meta_count()
     except Exception:
         n_corpus = None
     ds, restore = shield_complex_columns(ds)
-    joined = ds.join(
-        flagged,
-        join_type="left_outer",
-        # wide rows (full documents) exchange through the aggregator
-        # actors: far fewer rows per partition than the narrow joins
-        num_partitions=_join_partitions(
-            n_keys, num_partitions, probe_rows=n_corpus, rows_per_partition=50_000
-        ),
-        on=(key_column,),
-        right_on=("__ddj_key",),
+    joined = bucketed_left_attach(
+        ds, flagged, key_column, "__ddj_key", "__ddj_dup", "__ddj_dup",
+        bucket_count(n_corpus),
     )
     # the join emits one block per partition — re-split so downstream
     # stages aren't parallelism-starved by a volume-scaled partition count

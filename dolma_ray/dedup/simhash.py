@@ -98,10 +98,12 @@ def mark_near_duplicates_simhash(
 
     ``lookup_strategy``: ``"driver"``/``"shuffle"`` broadcast the
     colliding-bucket set and collect the dup-key set on the driver;
-    ``"join"`` keeps both as Datasets (units ⋈ colliding-buckets inner
-    join, corpus ⋈ dup-keys left-outer join) — no driver state.
-    ``"auto"`` flips to join above ~2.5M input rows, decided from
-    ``row_count_hint`` or metadata only — never by executing the plan."""
+    ``"join"`` keeps both as Datasets (units semi-joined against the
+    colliding-bucket table, corpus bucket-merged against the dup-key
+    table — salted-union exchanges, no hash-join actors, no driver
+    state).  ``"auto"`` flips to join above ~2.5M input rows, decided
+    from ``row_count_hint`` or metadata only — never by executing the
+    plan."""
     import ray
 
     from .lookup import (
@@ -110,7 +112,8 @@ def mark_near_duplicates_simhash(
         collect_dup_buckets,
         distinct_key_table,
         dup_bucket_table,
-        _join_partitions,
+        bucket_count,
+        bucketed_semi_join,
         resolve_auto_strategy,
     )
 
@@ -152,11 +155,8 @@ def mark_near_duplicates_simhash(
         buckets_ds, n_b = dup_bucket_table(units)
         if n_b == 0:
             return attach_dup_flag(ds, key_column, [], DUP_SIMHASH_ATTR)
-        candidates = units.join(
-            buckets_ds,
-            join_type="inner",
-            num_partitions=_join_partitions(n_b, num_partitions),
-            on=("k",),
+        candidates = bucketed_semi_join(
+            units, buckets_ds, "k", "k", bucket_count(units.count())
         )
     else:
         dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)

@@ -11,9 +11,12 @@ once, mix many times later, share attribute sets between teams):
   Parquet attribute table;
 * :func:`join_attributes` — attach an attribute table onto a document
   Dataset by key.  ``strategy="broadcast"`` ships the attribute table
-  via ``ray.put`` (small side); ``strategy="join"`` uses the
-  distributed hash join.  Key equality replaces the reference's
-  line-position alignment (which it asserts anyway via id checks,
+  via ``ray.put`` (small side); ``strategy="join"`` keeps it a Dataset
+  and bucket-merges it onto the corpus
+  (:func:`~dolma_ray.dedup.lookup.bucketed_left_attach` — salted-union
+  exchange, no hash-join aggregator actors, span columns supported via
+  shielding).  Key equality replaces the reference's line-position
+  alignment (which it asserts anyway via id checks,
   ``src/shard.rs:298-309``).
 """
 
@@ -48,11 +51,30 @@ def join_attributes(
         attrs = rd.read_parquet(attrs)
 
     if strategy == "join":
-        return ds.join(
-            attrs,
-            join_type="left_outer",
-            num_partitions=num_partitions,
-            on=(id_column,),
+        from ..dedup.lookup import (
+            bucket_count,
+            bucketed_left_attach,
+            shield_complex_columns,
+        )
+
+        attr_cols = [c for c in attrs.schema().names if c != id_column]
+        # replace semantics match the broadcast path: attr columns
+        # already on the corpus are overwritten by the table's values
+        overlap = [c for c in attr_cols if c in ds.schema().names]
+        if overlap:
+            ds = ds.drop_columns(overlap)
+        try:
+            n_corpus = ds._meta_count()
+        except Exception:
+            n_corpus = None
+        ds, restore_docs = shield_complex_columns(ds)
+        attrs, restore_attrs = shield_complex_columns(attrs)
+        joined = bucketed_left_attach(
+            ds, attrs, id_column, id_column, attr_cols, attr_cols,
+            bucket_count(n_corpus),
+        )
+        return joined.map_batches(
+            lambda b: restore_attrs(restore_docs(b)), batch_format="pyarrow"
         )
 
     # broadcast: collect the attribute table once, ship via object store

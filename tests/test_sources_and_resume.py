@@ -213,6 +213,54 @@ def test_attribute_table_roundtrip(ray_session, tmp_path):
     assert 0 < len(kept) < 60
 
 
+def test_join_attributes_strategy_parity(ray_session, tmp_path):
+    """strategy="join" (bucketed attach, no driver state) matches
+    strategy="broadcast" byte-for-byte, including nested span columns
+    and docs absent from the attribute table (null attrs)."""
+    import ray.data as rd
+
+    from dolma_ray.sources import join_attributes, write_attribute_table
+    from dolma_ray.synth import generate_web_pages
+    from dolma_ray.taggers.base import tag_dataset
+
+    table, _ = generate_web_pages(50, seed=11)
+    docs = rd.from_arrow(table.select(["url", "text"]))
+    # span-producing tagger -> list<struct> attr columns exercise the
+    # complex-column shielding on the attrs side
+    tagged = tag_dataset(docs, ["pii_regex_with_counts_fast_v2", "gopher_v1"])
+    attr_dir = tmp_path / "attrs_join"
+    # drop some docs from the attribute table -> unmatched corpus rows
+    write_attribute_table(tagged.limit(40), str(attr_dir), id_column="url")
+
+    import numpy as np
+
+    def norm(v):
+        if isinstance(v, np.ndarray):
+            return [norm(x) for x in v]
+        if isinstance(v, (list, tuple)):
+            return [norm(x) for x in v]
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in sorted(v.items())}
+        if isinstance(v, float) and v != v:  # NaN == null
+            return None
+        return v
+
+    plain = rd.from_arrow(table.select(["url", "text"]))
+    out = {}
+    for strategy in ("broadcast", "join"):
+        rows = join_attributes(
+            plain, str(attr_dir), id_column="url", strategy=strategy
+        ).take_all()
+        out[strategy] = sorted(
+            ({k: norm(v) for k, v in r.items()} for r in rows),
+            key=lambda r: r["url"],
+        )
+    b, j = out["broadcast"], out["join"]
+    assert len(b) == 50 and len(j) == 50
+    assert sorted(b[0]) == sorted(j[0])  # same columns
+    assert b == j
+
+
 def test_zstd_jsonl_round_trip(ray_session, tmp_path):
     """Dolma-format .zst shards: written via Arrow's built-in zstd codec,
     read back through ray.data.read_json auto-detection (reference
