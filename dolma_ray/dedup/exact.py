@@ -19,8 +19,8 @@ Execution shape (no full-row shuffle, no per-group python):
    order_str != the minimum.  Vectorized numpy compare.
 
 At extreme duplicate fractions where the lookup itself is too large to
-broadcast, fall back to ``Dataset.join`` on ``key_hash``
-(``strategy="join"``).
+broadcast, fall back to the bucketed attach on ``key_hash``
+(``strategy="join"``, :func:`mark_duplicate_docs_join`).
 """
 
 from __future__ import annotations
@@ -35,6 +35,27 @@ from ..schema import attr_name, spans_array
 from .hashing import hash_strings_i63
 
 DUP_DOCS_ATTR = attr_name("dedupe_docs", "duplicate")  # attr__dedupe_docs__duplicate
+
+# per-worker: broadcast {key_hash: min_order} dict as sorted parallel
+# arrays, converted once per worker (not per batch) for the vectorized
+# searchsorted membership test in the mark pass
+_SORTED_LOOKUP_CACHE: dict[str, tuple] = {}
+
+
+def _sorted_lookup(lookup_ref):
+    import ray
+
+    key = lookup_ref.hex()
+    hit = _SORTED_LOOKUP_CACHE.get(key)
+    if hit is None:
+        lookup = ray.get(lookup_ref)
+        ks = np.fromiter(lookup.keys(), np.int64, len(lookup))
+        vs = np.array(list(lookup.values()), dtype=object)
+        srt = np.argsort(ks, kind="stable")
+        hit = (ks[srt], vs[srt])
+        _SORTED_LOOKUP_CACHE.clear()  # one active dedup lookup per worker
+        _SORTED_LOOKUP_CACHE[key] = hit
+    return hit
 
 
 def _order_strings(batch: pa.Table, order_columns: Sequence[str]) -> list[str]:
@@ -103,20 +124,22 @@ def mark_duplicate_docs(
     )
 
     def mark(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
+        import numpy as np
+
+        from ..schema import whole_doc_spans
+
+        ks, os_ = _sorted_lookup(lookup_ref)
         keys = hash_strings_i63(batch[key_column])
-        orders = _order_strings(batch, order)
+        orders = np.array(_order_strings(batch, order), dtype=object)
         lens = pc.utf8_length(batch[text_column]).to_numpy(zero_copy_only=False)
-        spans = []
-        for k, o, ln in zip(keys.tolist(), orders, lens):
-            first = lookup.get(k)
-            if first is not None and o != first:
-                spans.append([(0, int(ln), 1.0)])
-            else:
-                spans.append([])
+        if len(ks):
+            idx = np.searchsorted(ks, keys).clip(0, len(ks) - 1)
+            dup = (ks[idx] == keys) & (os_[idx] != orders)
+        else:
+            dup = np.zeros(len(keys), dtype=bool)
         if DUP_DOCS_ATTR in batch.column_names:
             batch = batch.drop_columns([DUP_DOCS_ATTR])
-        return batch.append_column(DUP_DOCS_ATTR, spans_array(spans))
+        return batch.append_column(DUP_DOCS_ATTR, whole_doc_spans(dup, lens))
 
     return ds.map_batches(mark, batch_format="pyarrow")
 
@@ -183,17 +206,17 @@ def mark_duplicate_docs_join(
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        from ..schema import whole_doc_spans
+
         batch = restore(batch)
-        o = batch["_o"].to_pylist()
-        o_min = batch["_o_min"].to_pylist()
+        # null _o_min (no duplicate-key match) -> not a dup
+        dup = pc_.fill_null(
+            pc_.not_equal(batch["_o"], batch["_o_min"]), False
+        ).to_numpy(zero_copy_only=False)
         lens = pc_.utf8_length(batch[text_column]).to_numpy(zero_copy_only=False)
-        spans = [
-            [(0, int(ln), 1.0)] if (m is not None and a != m) else []
-            for a, m, ln in zip(o, o_min, lens)
-        ]
         batch = batch.drop_columns(["_k", "_o", "_o_min"])
         if DUP_DOCS_ATTR in batch.column_names:
             batch = batch.drop_columns([DUP_DOCS_ATTR])
-        return batch.append_column(DUP_DOCS_ATTR, spans_array(spans))
+        return batch.append_column(DUP_DOCS_ATTR, whole_doc_spans(dup, lens))
 
     return joined.map_batches(finalize, batch_format="pyarrow")

@@ -114,6 +114,27 @@ def spans_array(per_row_spans: list[list[tuple[int, int, float]]]) -> pa.Array:
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
 
 
+def whole_doc_spans(dup, lens) -> pa.Array:
+    """``list<struct<start,end,score>>`` column for the whole-document
+    span shape: ``[(0, len, 1.0)]`` where ``dup`` is true, ``[]``
+    elsewhere.  Fully vectorized (no per-row python lists)."""
+    import numpy as np
+
+    dup = np.asarray(dup, dtype=bool)
+    offsets = np.zeros(len(dup) + 1, dtype=np.int32)
+    np.cumsum(dup.astype(np.int32), out=offsets[1:])
+    d_lens = np.asarray(lens, dtype=np.int64)[dup]
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(np.zeros(len(d_lens), np.int64), pa.int64()),
+            pa.array(d_lens, pa.int64()),
+            pa.array(np.ones(len(d_lens), np.float64), pa.float64()),
+        ],
+        names=["start", "end", "score"],
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+
+
 def doc_score_array(scores: list[float]) -> pa.Array:
     """Build a scalar ``float64`` attribute column with 5-digit rounding."""
     return pa.array([round_score(s) for s in scores], type=pa.float64())
