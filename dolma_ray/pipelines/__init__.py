@@ -1,1 +1,7 @@
+from .code_prep import (  # noqa: F401
+    concat_code_files,
+    fill_in_middle,
+    fim_rewrite_text,
+    sanitize_tokens,
+)
 from .flagship import CANONICAL_MIX_CONFIG, flagship, tag_all  # noqa: F401

@@ -1,0 +1,187 @@
+"""Code-pretraining data preparation: the reference's three contrib
+tools re-expressed as Ray Data batch transforms.
+
+* :func:`sanitize_tokens` — ``contrib/tokens-sanitizer/src/main.rs:127-133``:
+  ordered literal substitutions over ``text`` (escape special tokens by
+  injecting a private-use code point before tokenization).
+* :func:`fill_in_middle` — ``contrib/fill-in-middle/src/fim.rs:15-80``:
+  split each doc on the file-separator token; per file, with probability
+  ``fim_rate`` pick two distinct char-level breakpoints and reorder the
+  (prefix, middle, suffix) triple into PSM (probability
+  ``psm_spm_split``) or SPM order with sentinel tokens.
+* :func:`concat_code_files` — ``contrib/code-file-concat/src/concat.rs:24-82``:
+  concatenate per-(repo, language) file groups into one document with a
+  separator token; the group head carries the result plus a
+  ``files_concatenated`` count.
+
+Determinism deviation (same policy as ``random_number_v1``,
+``taggers/sampling.py``): the reference draws from a thread RNG —
+irreproducible by design.  Here every decision derives from
+``md5(key | file-index | purpose | seed)`` so runs are reproducible,
+order-independent, and replayable in SQL (md5 + char-based substr are
+identical in DuckDB).  Rates still converge to ``fim_rate`` /
+``psm_spm_split`` across documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_FILE_SEP = "<|file_sep|>"
+DEFAULT_FIM_PREFIX = "<|fim_prefix|>"
+DEFAULT_FIM_MIDDLE = "<|fim_middle|>"
+DEFAULT_FIM_SUFFIX = "<|fim_suffix|>"
+
+
+def sanitize_tokens(
+    ds,
+    substitutions: Sequence[tuple[str, str]],
+    text_column: str = "text",
+):
+    """Apply ordered literal ``(old, new)`` substitutions to
+    ``text_column`` (reference ``apply_substitutions``: plain
+    ``str.replace`` per pair, in argument order).  Vectorized Arrow
+    ``replace_substring`` — no regex, no python loop."""
+    subs = [(str(a), str(b)) for a, b in substitutions]
+
+    def sanitize(batch: pa.Table) -> pa.Table:
+        col = batch[text_column]
+        for old, new in subs:
+            col = pc.replace_substring(col, pattern=old, replacement=new)
+        idx = batch.column_names.index(text_column)
+        return batch.set_column(idx, text_column, col)
+
+    return ds.map_batches(sanitize, batch_format="pyarrow")
+
+
+def _u32(s: str) -> int:
+    """First 8 hex digits of md5 as uint32 — the deterministic RNG unit
+    (DuckDB replay: ``('0x' || substr(md5(s),1,8))::BIGINT``)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def fim_rewrite_text(
+    text: str,
+    key: str,
+    fim_rate: float,
+    psm_spm_split: float,
+    seed: int = 0,
+    file_separator_token: str = DEFAULT_FILE_SEP,
+    fim_prefix_token: str = DEFAULT_FIM_PREFIX,
+    fim_middle_token: str = DEFAULT_FIM_MIDDLE,
+    fim_suffix_token: str = DEFAULT_FIM_SUFFIX,
+) -> str:
+    """FIM-reorder one document (pure function; reference
+    ``fim.rs::perform_on_document_text``).
+
+    Per file segment: skip when shorter than 5 chars (reference
+    boundary: ``range_clip=3`` and ``len - range_clip < 2``); else two
+    distinct breakpoints from ``[1, len-3]`` (char indices, multi-byte
+    safe), sorted; emit PSM
+    ``prefix_tok P suffix_tok S middle_tok M`` or SPM
+    ``suffix_tok S prefix_tok P middle_tok M``."""
+    out = []
+    for i, file_text in enumerate(text.split(file_separator_token)):
+        n = len(file_text)
+        if n < 5 or _u32(f"{key}|{i}|fim|{seed}") / 2**32 >= fim_rate:
+            out.append(file_text)
+            continue
+        m = n - 3  # valid breakpoint slots (before the +1 front offset)
+        a = _u32(f"{key}|{i}|b1|{seed}") % m
+        b = _u32(f"{key}|{i}|b2|{seed}") % (m - 1) if m > 1 else 0
+        if b >= a:
+            b += 1  # distinct, uniform over the remaining slots
+        lo, hi = (a, b) if a < b else (b, a)
+        lo, hi = lo + 1, hi + 1
+        prefix, middle, suffix = file_text[:lo], file_text[lo:hi], file_text[hi:]
+        if _u32(f"{key}|{i}|psm|{seed}") / 2**32 < psm_spm_split:
+            out.append(
+                f"{fim_prefix_token}{prefix}{fim_suffix_token}{suffix}"
+                f"{fim_middle_token}{middle}"
+            )
+        else:
+            out.append(
+                f"{fim_suffix_token}{suffix}{fim_prefix_token}{prefix}"
+                f"{fim_middle_token}{middle}"
+            )
+    return file_separator_token.join(out)
+
+
+def fill_in_middle(
+    ds,
+    fim_rate: float = 0.5,
+    psm_spm_split: float = 0.25,
+    seed: int = 0,
+    key_column: str = "url",
+    text_column: str = "text",
+    file_separator_token: str = DEFAULT_FILE_SEP,
+    fim_prefix_token: str = DEFAULT_FIM_PREFIX,
+    fim_middle_token: str = DEFAULT_FIM_MIDDLE,
+    fim_suffix_token: str = DEFAULT_FIM_SUFFIX,
+):
+    """FIM-reorder ``text_column`` in place (per-row rewrite keyed by
+    ``key_column`` — embarrassingly parallel, no shuffle)."""
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        keys = batch[key_column].to_pylist()
+        new = [
+            fim_rewrite_text(
+                t or "", str(k), fim_rate, psm_spm_split, seed,
+                file_separator_token, fim_prefix_token, fim_middle_token,
+                fim_suffix_token,
+            )
+            for t, k in zip(texts, keys)
+        ]
+        idx = batch.column_names.index(text_column)
+        return batch.set_column(idx, text_column, pa.array(new, pa.string()))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def concat_code_files(
+    ds,
+    repo_column: str,
+    pl_column: str,
+    order_column: str,
+    text_column: str = "text",
+    file_separator_token: str = DEFAULT_FILE_SEP,
+    randomize_order: bool = False,
+    seed: int = 0,
+):
+    """Concatenate each ``(repo, language)`` group's file texts (in
+    ``order_column`` order, or a seeded deterministic shuffle) into one
+    row — the group's first file by ``order_column`` — adding
+    ``files_concatenated``.
+
+    The reference streams *runs* of consecutive equal-keyed rows and
+    assumes input pre-sorted by repo+language
+    (``contrib/code-file-concat/README.md``); under that stated
+    precondition run-grouping equals exact grouping, so this uses a
+    ``groupby(repo, pl)`` — the Ray-native shape that also co-locates
+    files arriving from different shards of a large corpus.  Group
+    sizes are bounded by files-per-repo; pandas is the group container.
+    """
+    import pandas as pd
+
+    def concat(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(order_column, kind="mergesort")
+        texts = [t if t is not None else "" for t in g[text_column]]
+        if randomize_order:
+            import numpy as np
+
+            key = f"{g[repo_column].iloc[0]}|{g[pl_column].iloc[0]}|{seed}"
+            order = np.random.default_rng(_u32(key)).permutation(len(texts))
+            texts = [texts[i] for i in order]
+        head = g.iloc[[0]].copy()
+        head[text_column] = file_separator_token.join(texts)
+        head["files_concatenated"] = len(texts)
+        return head
+
+    return ds.groupby([repo_column, pl_column]).map_groups(
+        concat, batch_format="pandas"
+    )

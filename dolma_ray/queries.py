@@ -1847,3 +1847,179 @@ SQL_KMEANS_CLUSTERS = _kmeans_clusters_sql()
 
 QUERIES["kmeans_clusters"] = q_kmeans_clusters
 ORACLES["kmeans_clusters"] = SQL_KMEANS_CLUSTERS
+
+
+# ---------------------------------------------------------------------------
+# code-prep contrib tools (pipelines/code_prep.py): tokens-sanitizer,
+# fill-in-middle, code-file-concat — planted inputs so the transforms
+# have real work at every scale factor, fully replayed in SQL.
+
+_SAN_SUBS = [
+    ("<|endoftext|>", "<|\U0010f0f0endoftext|>"),
+    ("<|pad|>", "<|\U0010f0f0pad|>"),
+]
+
+
+def _plant_special_tokens(batch: pa.Table) -> pa.Table:
+    """doc_id%3==0 -> prepend endoftext; doc_id%2==0 -> append pad."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    text = batch["text"]
+    pre = pa.array(np.where(ids % 3 == 0, "<|endoftext|>", ""))
+    suf = pa.array(np.where(ids % 2 == 0, " <|pad|>", ""))
+    planted = pc.binary_join_element_wise(pre, text, suf, "")
+    return pa.table({"doc_id": batch["doc_id"], "text": planted})
+
+
+def q_sanitize_tokens(sf_dir: str):
+    """tokens-sanitizer over planted special tokens
+    (``pipelines/code_prep.sanitize_tokens``; reference
+    ``contrib/tokens-sanitizer/src/main.rs:127-133``)."""
+    from .pipelines.code_prep import sanitize_tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _plant_special_tokens, batch_format="pyarrow"
+    )
+    return sanitize_tokens(ds, _SAN_SUBS)
+
+
+SQL_SANITIZE_TOKENS = """
+SELECT doc_id,
+       replace(replace(
+           CASE WHEN doc_id % 3 = 0 THEN '<|endoftext|>' || text ELSE text END
+           || CASE WHEN doc_id % 2 = 0 THEN ' <|pad|>' ELSE '' END,
+           '<|endoftext|>', '<|\U0010f0f0endoftext|>'),
+           '<|pad|>', '<|\U0010f0f0pad|>') AS text
+FROM documents
+"""
+
+
+def q_concat_code(sf_dir: str):
+    """code-file-concat over (source, lang) groups ordered by doc_id
+    (``pipelines/code_prep.concat_code_files``; reference
+    ``contrib/code-file-concat/src/concat.rs:24-82``)."""
+    from .pipelines.code_prep import concat_code_files
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    out = concat_code_files(ds, "source", "lang", "doc_id")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["source", "lang", "doc_id", "files_concatenated", "text"]
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CONCAT_CODE = """
+SELECT source, lang, min(doc_id) AS doc_id,
+       count(*) AS files_concatenated,
+       string_agg(text, '<|file_sep|>' ORDER BY doc_id) AS text
+FROM documents
+GROUP BY source, lang
+"""
+
+
+def q_fim(sf_dir: str):
+    """fill-in-middle at fim_rate=0.5 / psm_spm_split=0.25 over docs
+    with a planted second file on doc_id%4==0
+    (``pipelines/code_prep.fill_in_middle``; reference
+    ``contrib/fill-in-middle/src/fim.rs:15-80``).  The md5-derived
+    decisions and char-level breakpoints are replayed exactly in SQL."""
+    from .pipelines.code_prep import fill_in_middle
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        extra = pa.array(
+            np.where(
+                ids % 4 == 0,
+                "<|file_sep|>second planted file body for doc ",
+                "",
+            )
+        )
+        tail = pa.array(np.where(ids % 4 == 0, ids.astype(str), ""))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "key": pc.cast(batch["doc_id"], pa.string()),
+                "text": pc.binary_join_element_wise(
+                    batch["text"], extra, tail, ""
+                ),
+            }
+        )
+
+    out = fill_in_middle(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        fim_rate=0.5,
+        psm_spm_split=0.25,
+        seed=0,
+        key_column="key",
+    )
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "text"]), batch_format="pyarrow"
+    )
+
+
+# the SQL mirror of pipelines/code_prep._u32 + fim_rewrite_text: one row
+# per (doc, file segment), rewrite decided/placed by md5 bits, then
+# string_agg back in segment order.
+SQL_FIM = """
+WITH planted AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 4 = 0
+                        THEN '<|file_sep|>second planted file body for doc '
+                             || doc_id::VARCHAR
+                        ELSE '' END AS text
+    FROM documents
+), segs AS (
+    SELECT doc_id,
+           unnest(string_split(text, '<|file_sep|>')) AS seg,
+           generate_subscripts(string_split(text, '<|file_sep|>'), 1) - 1 AS i
+    FROM planted
+), derived AS (
+    SELECT doc_id, seg, i,
+           length(seg) AS n,
+           ('0x' || substr(md5(doc_id::VARCHAR || '|' || i::VARCHAR || '|fim|0'), 1, 8))::BIGINT / 4294967296.0 AS r_fim,
+           ('0x' || substr(md5(doc_id::VARCHAR || '|' || i::VARCHAR || '|psm|0'), 1, 8))::BIGINT / 4294967296.0 AS r_psm,
+           ('0x' || substr(md5(doc_id::VARCHAR || '|' || i::VARCHAR || '|b1|0'), 1, 8))::BIGINT AS h1,
+           ('0x' || substr(md5(doc_id::VARCHAR || '|' || i::VARCHAR || '|b2|0'), 1, 8))::BIGINT AS h2
+    FROM segs
+), breaks AS (
+    SELECT doc_id, seg, i, n, r_fim, r_psm,
+           CASE WHEN n >= 5 THEN h1 % (n - 3) ELSE 0 END AS a,
+           CASE WHEN n >= 5 THEN h2 % (n - 4) ELSE 0 END AS b_raw
+    FROM derived
+), points AS (
+    SELECT doc_id, seg, i, n, r_fim, r_psm, a,
+           CASE WHEN b_raw >= a THEN b_raw + 1 ELSE b_raw END AS b
+    FROM breaks
+), rewritten AS (
+    SELECT doc_id, i,
+           CASE
+             WHEN n < 5 OR r_fim >= 0.5 THEN seg
+             WHEN r_psm < 0.25 THEN
+               '<|fim_prefix|>' || substr(seg, 1, least(a, b) + 1)
+               || '<|fim_suffix|>' || substr(seg, greatest(a, b) + 2)
+               || '<|fim_middle|>'
+               || substr(seg, least(a, b) + 2, greatest(a, b) - least(a, b))
+             ELSE
+               '<|fim_suffix|>' || substr(seg, greatest(a, b) + 2)
+               || '<|fim_prefix|>' || substr(seg, 1, least(a, b) + 1)
+               || '<|fim_middle|>'
+               || substr(seg, least(a, b) + 2, greatest(a, b) - least(a, b))
+           END AS new_seg
+    FROM points
+)
+SELECT doc_id,
+       string_agg(new_seg, '<|file_sep|>' ORDER BY i) AS text
+FROM rewritten
+GROUP BY doc_id
+"""
+
+QUERIES["sanitize_tokens"] = q_sanitize_tokens
+ORACLES["sanitize_tokens"] = SQL_SANITIZE_TOKENS
+QUERIES["concat_code"] = q_concat_code
+ORACLES["concat_code"] = SQL_CONCAT_CODE
+QUERIES["fim"] = q_fim
+ORACLES["fim"] = SQL_FIM

@@ -1,0 +1,198 @@
+"""Code-prep contrib parity: fill-in-middle, code-file-concat,
+tokens-sanitizer (reference ``contrib/*/tests``)."""
+
+import re
+
+import pyarrow as pa
+import pytest
+
+from dolma_ray.pipelines.code_prep import (
+    DEFAULT_FILE_SEP,
+    DEFAULT_FIM_MIDDLE,
+    DEFAULT_FIM_PREFIX,
+    DEFAULT_FIM_SUFFIX,
+    fim_rewrite_text,
+)
+
+SEP = DEFAULT_FILE_SEP
+
+
+def _round_trip(final_text: str) -> str:
+    """Invert one FIM-rewritten file back to the original text
+    (reference ``test__fim_reordering_works``)."""
+    if final_text.startswith(DEFAULT_FIM_PREFIX):
+        head, rest = final_text.split(DEFAULT_FIM_SUFFIX, 1)
+        prefix = head[len(DEFAULT_FIM_PREFIX):]
+        suffix, middle = rest.split(DEFAULT_FIM_MIDDLE, 1)
+    else:
+        head, rest = final_text.split(DEFAULT_FIM_PREFIX, 1)
+        suffix = head[len(DEFAULT_FIM_SUFFIX):]
+        prefix, middle = rest.split(DEFAULT_FIM_MIDDLE, 1)
+    return prefix + middle + suffix
+
+
+def test_fim_psm_and_spm_reordering_round_trips():
+    text = "def add(a, b):\n    total = a + b\n    return total\n"
+    psm = fim_rewrite_text(text, "k1", fim_rate=1.0, psm_spm_split=1.0)
+    assert psm.startswith(DEFAULT_FIM_PREFIX)
+    assert _round_trip(psm) == text
+    spm = fim_rewrite_text(text, "k1", fim_rate=1.0, psm_spm_split=0.0)
+    assert spm.startswith(DEFAULT_FIM_SUFFIX)
+    assert _round_trip(spm) == text
+    # prefix >= 1 char, middle >= 1 char (distinct breakpoints)
+    m = re.match(
+        re.escape(DEFAULT_FIM_PREFIX) + r"(.+?)" + re.escape(DEFAULT_FIM_SUFFIX),
+        psm, re.DOTALL,
+    )
+    assert m and len(m.group(1)) >= 1
+
+
+def test_fim_needs_at_least_five_characters():
+    # reference test__fim_needs_at_least_five_characters_to_rearrange
+    for i in range(7):
+        s = "a" * i
+        out = fim_rewrite_text(s, "k", fim_rate=1.0, psm_spm_split=1.0)
+        if i < 5:
+            assert out == s
+        else:
+            assert DEFAULT_FIM_PREFIX in out
+
+
+def test_fim_multi_file_and_unicode():
+    files = ["print('héllo😀 wörld')", "ab", "x = 1  # done"]
+    text = SEP.join(files)
+    out = fim_rewrite_text(text, "doc9", fim_rate=1.0, psm_spm_split=1.0)
+    out_files = out.split(SEP)
+    assert len(out_files) == 3
+    assert out_files[1] == "ab"  # too short, untouched
+    for orig, new in ((files[0], out_files[0]), (files[2], out_files[2])):
+        assert _round_trip(new) == orig
+
+
+def test_fim_rates_converge_and_are_deterministic():
+    texts = [f"file body number {i} with enough characters" for i in range(2000)]
+    n_fim = n_psm = 0
+    for i, t in enumerate(texts):
+        out = fim_rewrite_text(t, f"k{i}", fim_rate=0.5, psm_spm_split=0.5)
+        if DEFAULT_FIM_PREFIX in out:
+            n_fim += 1
+            if out.startswith(DEFAULT_FIM_PREFIX):
+                n_psm += 1
+    assert abs(n_fim / 2000 - 0.5) < 0.05
+    assert abs(n_psm / n_fim - 0.5) < 0.07
+    # same key -> identical output (order-independent determinism)
+    assert fim_rewrite_text(texts[0], "k0", 0.5, 0.5) == fim_rewrite_text(
+        texts[0], "k0", 0.5, 0.5
+    )
+
+
+def test_fill_in_middle_dataset(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.pipelines import fill_in_middle
+
+    rows = [
+        {"url": f"u{i}", "text": SEP.join([f"file a number {i}", f"file b number {i}"])}
+        for i in range(40)
+    ]
+    out = (
+        fill_in_middle(rd.from_items(rows), fim_rate=1.0, psm_spm_split=1.0)
+        .to_pandas()
+        .sort_values("url")
+    )
+    assert len(out) == 40
+    for url, text in zip(out["url"], out["text"]):
+        i = int(url[1:])
+        parts = text.split(SEP)
+        assert [_round_trip(p) for p in parts] == [
+            f"file a number {i}", f"file b number {i}",
+        ]
+
+
+def test_concat_code_files(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.pipelines import concat_code_files
+
+    rows = []
+    for r in range(6):
+        for pl, files in (("py", 3), ("js", 2)):
+            for f in range(files):
+                rows.append(
+                    {
+                        "repo": f"repo-{r}",
+                        "pl": pl,
+                        "path_idx": f,
+                        "text": f"{pl} file {f} of repo-{r}",
+                    }
+                )
+    out = (
+        concat_code_files(
+            rd.from_items(rows), "repo", "pl", "path_idx",
+        )
+        .to_pandas()
+        .sort_values(["repo", "pl"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 12
+    py0 = out[(out["repo"] == "repo-0") & (out["pl"] == "py")].iloc[0]
+    assert py0["text"] == SEP.join(f"py file {f} of repo-0" for f in range(3))
+    assert py0["files_concatenated"] == 3
+    assert py0["path_idx"] == 0  # group head row carries the result
+
+
+def test_concat_randomized_order_deterministic(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.pipelines import concat_code_files
+
+    rows = [
+        {"repo": f"r{i}", "pl": "py", "path_idx": j, "text": f"f{j}"}
+        for i in range(200)
+        for j in range(4)
+    ]
+
+    def run():
+        return (
+            concat_code_files(
+                rd.from_items(rows), "repo", "pl", "path_idx",
+                randomize_order=True, seed=3,
+            )
+            .to_pandas()
+            .sort_values("repo")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(), run()
+    assert list(a["text"]) == list(b["text"])  # seeded -> reproducible
+    # shuffle actually happens: not every group keeps sorted order
+    assert any(t != SEP.join(f"f{j}" for j in range(4)) for t in a["text"])
+    # ... but roughly 1/4 start with f0 (uniform permutation)
+    frac_f0 = sum(t.startswith("f0") for t in a["text"]) / len(a)
+    assert abs(frac_f0 - 0.25) < 0.1
+
+
+def test_sanitize_tokens(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.pipelines import sanitize_tokens
+
+    subs = [
+        ("<|endoftext|>", "<|\U0010f0f0endoftext|>"),
+        ("<|pad|>", "<|\U0010f0f0pad|>"),
+    ]
+    rows = [
+        {"id": "a", "text": "what is <|endoftext|>? and <|pad|> too <|endoftext|>"},
+        {"id": "b", "text": "no specials here"},
+    ]
+    out = (
+        sanitize_tokens(rd.from_items(rows), subs)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert out["text"][0] == (
+        "what is <|\U0010f0f0endoftext|>? and <|\U0010f0f0pad|> too "
+        "<|\U0010f0f0endoftext|>"
+    )
+    assert out["text"][1] == "no specials here"
