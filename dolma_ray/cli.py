@@ -12,6 +12,9 @@ reference lists as not-yet-implemented.
     python -m dolma_ray tokens   --input DIR --output DIR [--tokenizer t.json]
     python -m dolma_ray warc     --input a.warc.gz --output DIR
     python -m dolma_ray ft-data/ft-train/ft-test ...
+    python -m dolma_ray fim      --input DIR --output DIR [--fim-rate R]
+    python -m dolma_ray concat-code --input DIR --output DIR
+    python -m dolma_ray sanitize --input DIR --output DIR --substitutions OLD=NEW
     python -m dolma_ray list
 
 Inputs/outputs are Parquet directories (this engine's native format; use
@@ -285,6 +288,62 @@ def cmd_tokens(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fim(args: argparse.Namespace) -> int:
+    """Fill-in-middle rewrite (reference ``contrib/fill-in-middle``)."""
+    from .pipelines.code_prep import fill_in_middle
+
+    ds = _read(args.input)
+    out = fill_in_middle(
+        ds,
+        fim_rate=args.fim_rate,
+        psm_spm_split=args.psm_spm_split,
+        seed=args.seed,
+        key_column=args.key_column,
+        file_separator_token=args.file_separator_token,
+    )
+    out.write_parquet(args.output)
+    print(f"fim -> {args.output}")
+    return 0
+
+
+def cmd_concat_code(args: argparse.Namespace) -> int:
+    """Per-(repo, language) file concatenation (reference
+    ``contrib/code-file-concat``)."""
+    from .pipelines.code_prep import concat_code_files
+
+    ds = _read(args.input)
+    out = concat_code_files(
+        ds,
+        repo_column=args.repo_column,
+        pl_column=args.pl_column,
+        order_column=args.order_column,
+        file_separator_token=args.file_separator_token,
+        randomize_order=args.randomize_order,
+        seed=args.seed,
+    )
+    out.write_parquet(args.output)
+    print(f"concat-code -> {args.output}")
+    return 0
+
+
+def cmd_sanitize(args: argparse.Namespace) -> int:
+    """Special-token sanitization (reference ``contrib/tokens-sanitizer``);
+    ``--substitutions OLD=NEW`` repeatable, applied in order."""
+    from .pipelines.code_prep import sanitize_tokens
+
+    subs = []
+    for s in args.substitutions:
+        old, _, new = s.partition("=")
+        if not _:
+            print(f"bad substitution (need OLD=NEW): {s}", file=sys.stderr)
+            return 2
+        subs.append((old, new))
+    ds = _read(args.input)
+    sanitize_tokens(ds, subs).write_parquet(args.output)
+    print(f"sanitize -> {args.output}")
+    return 0
+
+
 def cmd_reshard(args: argparse.Namespace) -> int:
     """Merge token memmap shards (reference ``dolma.tokenizer.reshard``)."""
     import json as _json
@@ -447,6 +506,36 @@ def build_parser() -> argparse.ArgumentParser:
     fte.add_argument("--model", required=True)
     fte.add_argument("--test-file", required=True)
     fte.set_defaults(fn=cmd_ft_test)
+
+    fim = sub.add_parser("fim", help="fill-in-middle rewrite for code pretraining")
+    fim.add_argument("--input", required=True)
+    fim.add_argument("--output", required=True)
+    fim.add_argument("--fim-rate", type=float, default=0.5)
+    fim.add_argument("--psm-spm-split", type=float, default=0.25)
+    fim.add_argument("--seed", type=int, default=0)
+    fim.add_argument("--key-column", default="url")
+    fim.add_argument("--file-separator-token", default="<|file_sep|>")
+    fim.set_defaults(fn=cmd_fim)
+
+    cc = sub.add_parser("concat-code", help="concatenate files per (repo, language)")
+    cc.add_argument("--input", required=True)
+    cc.add_argument("--output", required=True)
+    cc.add_argument("--repo-column", default="repo_name")
+    cc.add_argument("--pl-column", default="language")
+    cc.add_argument("--order-column", default="url")
+    cc.add_argument("--file-separator-token", default="<|file_sep|>")
+    cc.add_argument("--randomize-order", action="store_true")
+    cc.add_argument("--seed", type=int, default=0)
+    cc.set_defaults(fn=cmd_concat_code)
+
+    sn = sub.add_parser("sanitize", help="escape special tokens in text")
+    sn.add_argument("--input", required=True)
+    sn.add_argument("--output", required=True)
+    sn.add_argument(
+        "--substitutions", action="append", required=True,
+        help="OLD=NEW literal substitution; repeatable, applied in order",
+    )
+    sn.set_defaults(fn=cmd_sanitize)
 
     ls = sub.add_parser("list", help="list registered taggers")
     ls.set_defaults(fn=cmd_list)

@@ -202,3 +202,76 @@ def test_cli_round3_commands(tmp_path):
         "--taggers", "char_length_v1")
     r = cli("stat", "--input", str(tagged), "--viz")
     assert "█" in r.stdout and "count" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_code_prep_commands(tmp_path):
+    """fim / concat-code / sanitize subprocess runs over a tiny corpus."""
+    src = tmp_path / "in"
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            f"from dolma_ray.synth import write_web_pages_parquet;"
+            f"write_web_pages_parquet({str(src)!r}, n=40, seed=4, shards=2)",
+        ],
+        check=True,
+    )
+
+    def cli(*args, expect=0):
+        r = subprocess.run(
+            [sys.executable, "-m", "dolma_ray", "--num-cpus", "2", *args],
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+        assert r.returncode == expect, (args, r.stderr[-1500:])
+        return r
+
+    fim_out = tmp_path / "fim"
+    cli("fim", "--input", str(src), "--output", str(fim_out),
+        "--fim-rate", "1.0", "--psm-spm-split", "1.0")
+    con = duckdb.connect()
+    n = con.sql(
+        f"select count(*) from read_parquet('{fim_out}/*.parquet')"
+        " where text like '%<|fim_prefix|>%'"
+    ).fetchone()[0]
+    assert n == 40  # every doc rewritten at rate 1.0
+
+    code_src = tmp_path / "code_in"
+    code_src.mkdir()
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import pyarrow as pa, pyarrow.parquet as pq\n"
+            "rows = [(f'r{i % 5}', ('py', 'js')[i % 2], f'u{i:03d}',"
+            " f'file body {i}') for i in range(40)]\n"
+            "t = pa.table({'repo_name': [r[0] for r in rows],"
+            " 'language': [r[1] for r in rows],"
+            " 'url': [r[2] for r in rows], 'text': [r[3] for r in rows]})\n"
+            f"pq.write_table(t, {str(code_src / 'p.parquet')!r})",
+        ],
+        check=True,
+    )
+    cc_out = tmp_path / "cc"
+    cli("concat-code", "--input", str(code_src), "--output", str(cc_out))
+    groups, total = con.sql(
+        f"select count(*), sum(files_concatenated)"
+        f" from read_parquet('{cc_out}/*.parquet')"
+    ).fetchone()
+    assert total == 40 and groups == 10  # 5 repos x 2 languages
+
+    sn_out = tmp_path / "sn"
+    cli("sanitize", "--input", str(fim_out), "--output", str(sn_out),
+        "--substitutions", "<|fim_prefix|>=<|X|>")
+    n = con.sql(
+        f"select count(*) from read_parquet('{sn_out}/*.parquet')"
+        " where text like '%<|fim_prefix|>%'"
+    ).fetchone()[0]
+    assert n == 0
+    n = con.sql(
+        f"select count(*) from read_parquet('{sn_out}/*.parquet')"
+        " where text like '%<|X|>%'"
+    ).fetchone()[0]
+    assert n == 40
