@@ -1,8 +1,10 @@
 from .media import (  # noqa: F401
     MEDIA_SCHEMA,
     AudioFeatureStage,
+    AudioMetadataStage,
     ImageDecodeStage,
     ImageResizeStage,
     VideoFrameSampleStage,
+    VideoMetadataStage,
     media_from_binary_files,
 )

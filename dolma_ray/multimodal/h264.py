@@ -1,0 +1,262 @@
+"""Pure-spec H.264 (ISO/IEC 14496-10) Annex-B bitstream parser — NAL
+unit walk + Exp-Golomb SPS decode.  No slice/macroblock decode.
+
+What a 100-TB video pipeline computes per clip for filtering and frame
+sampling is NAL-level: resolution and profile (from the SPS), keyframe
+(IDR) positions for sample selection, unit counts.  All of that is
+spec-arithmetic — only pixel reconstruction needs a codec library.
+
+Annex-B framing: units delimited by 0x000001 / 0x00000001 start codes;
+in-unit 0x000003 is an emulation-prevention byte.  SPS fields are
+unsigned/signed Exp-Golomb ("ue(v)"/"se(v)") per the published syntax
+table (7.3.2.1.1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+NAL_NAMES = {
+    1: "slice_non_idr",
+    5: "slice_idr",
+    6: "sei",
+    7: "sps",
+    8: "pps",
+    9: "aud",
+}
+
+_PROFILES = {66: "baseline", 77: "main", 88: "extended", 100: "high",
+              110: "high10", 122: "high422", 244: "high444"}
+
+
+class _BitReader:
+    def __init__(self, b: bytes) -> None:
+        self.b = b
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.b[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("invalid Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _unescape(b: bytes) -> bytes:
+    """Strip emulation-prevention bytes (00 00 03 xx -> 00 00 xx)."""
+    return b.replace(b"\x00\x00\x03", b"\x00\x00")
+
+
+@dataclass
+class NalUnit:
+    offset: int
+    length: int
+    type: int
+    ref_idc: int
+
+
+def split_nal_units(b: bytes) -> list[NalUnit]:
+    """Annex-B start-code scan.  Raises ``ValueError`` when the payload
+    has no start code (not an H.264 elementary stream)."""
+    units: list[NalUnit] = []
+    i = b.find(b"\x00\x00\x01")
+    if i < 0:
+        raise ValueError("no Annex-B start code found")
+    while i >= 0:
+        start = i + 3
+        nxt = b.find(b"\x00\x00\x01", start)
+        end = len(b) if nxt < 0 else (nxt - 1 if nxt > 0 and b[nxt - 1] == 0 else nxt)
+        if start < len(b):
+            hdr = b[start]
+            if hdr & 0x80 == 0:  # forbidden_zero_bit must be 0
+                units.append(
+                    NalUnit(
+                        offset=start,
+                        length=max(0, end - start),
+                        type=hdr & 0x1F,
+                        ref_idc=(hdr >> 5) & 0x3,
+                    )
+                )
+        i = nxt
+    if not units:
+        raise ValueError("no NAL units found")
+    return units
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    """Decode the fields a filter pipeline needs from one SPS RBSP
+    (after the 1-byte NAL header, emulation bytes stripped):
+    profile/level and coded width/height incl. cropping (7.3.2.1.1)."""
+    r = _BitReader(rbsp)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            for i in range(8 if chroma_format_idc != 3 else 12):
+                if r.u(1):  # seq_scaling_list_present_flag[i]
+                    size = 16 if i < 6 else 64
+                    last, nxt = 8, 8
+                    for _ in range(size):
+                        if nxt != 0:
+                            nxt = (last + r.se() + 256) % 256
+                        last = nxt if nxt != 0 else last
+    r.ue()  # log2_max_frame_num_minus4
+    pic_order_cnt_type = r.ue()
+    if pic_order_cnt_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif pic_order_cnt_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):  # num_ref_frames_in_pic_order_cnt_cycle
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pic_width_in_mbs_minus1 = r.ue()
+    pic_height_in_map_units_minus1 = r.ue()
+    frame_mbs_only_flag = r.u(1)
+    if not frame_mbs_only_flag:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    width = (pic_width_in_mbs_minus1 + 1) * 16
+    height = (pic_height_in_map_units_minus1 + 1) * 16 * (
+        1 if frame_mbs_only_flag else 2
+    )
+    # crop units: 2 px horizontal / (2 * (2 - frame_mbs_only)) vertical
+    # for the common 4:2:0 chroma; 1/our factor for monochrome+4:4:4
+    sub_w = 2 if chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if chroma_format_idc == 1 else 1
+    width -= (crop_l + crop_r) * sub_w
+    height -= (crop_t + crop_b) * sub_h * (2 - frame_mbs_only_flag)
+    return {
+        "profile": _PROFILES.get(profile_idc, str(profile_idc)),
+        "profile_idc": profile_idc,
+        "level": level_idc / 10,
+        "width": width,
+        "height": height,
+        "interlaced": not frame_mbs_only_flag,
+    }
+
+
+def h264_info(b: bytes) -> dict:
+    """Clip-level metadata: NAL census, keyframe count/positions, and
+    the first SPS's resolution/profile."""
+    units = split_nal_units(b)
+    if not any(u.type in NAL_NAMES for u in units):
+        raise ValueError("no recognizable NAL unit types")
+    idr = [i for i, u in enumerate(units) if u.type == 5]
+    out = {
+        "container": "h264_annexb",
+        "n_nal_units": len(units),
+        "n_keyframes": len(idr),
+        "n_slices": sum(1 for u in units if u.type in (1, 5)),
+        "keyframe_indices": idr[:64],
+    }
+    for u in units:
+        if u.type == 7:
+            rbsp = _unescape(b[u.offset + 1 : u.offset + u.length])
+            out.update(parse_sps(rbsp))
+            break
+    return out
+
+
+# --- test-fixture serializer (bit-writer mirror of parse_sps) ---------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [1] + [0] * 7  # rbsp_stop_one_bit + pad
+        out = bytearray()
+        for i in range(0, len(bits) - 7, 8):
+            out.append(int("".join(map(str, bits[i : i + 8])), 2))
+        return bytes(out)
+
+
+def build_sps(width: int, height: int, profile_idc: int = 66,
+              level_idc: int = 30) -> bytes:
+    """Serialize a minimal baseline SPS RBSP for ``width x height``
+    (multiples of 16, progressive, no cropping)."""
+    assert width % 16 == 0 and height % 16 == 0
+    w = _BitWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)
+    w.u(level_idc, 8)
+    w.ue(0)  # sps id
+    if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        w.ue(1)  # chroma_format_idc = 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass
+        w.u(0, 1)  # seq_scaling_matrix_present
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type = 2
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps allowed
+    w.ue(width // 16 - 1)
+    w.ue(height // 16 - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(0, 1)  # direct_8x8_inference
+    w.u(0, 1)  # frame_cropping
+    w.u(0, 1)  # vui_parameters_present
+    return w.bytes()
+
+
+def build_annexb(width: int = 64, height: int = 48,
+                 n_keyframes: int = 2, n_frames: int = 6) -> bytes:
+    """A minimal syntactically-valid Annex-B stream: SPS + PPS + slices
+    with IDRs evenly spaced (slice payloads are filler — enough for the
+    NAL walk, not decodable pixels)."""
+    out = bytearray()
+
+    def nal(ref_idc: int, typ: int, payload: bytes) -> None:
+        out.extend(b"\x00\x00\x00\x01")
+        out.append((ref_idc << 5) | typ)
+        out.extend(payload.replace(b"\x00\x00", b"\x00\x00\x03"))
+
+    nal(3, 7, build_sps(width, height))
+    nal(3, 8, b"\xc8\x42")  # filler PPS
+    every = max(1, n_frames // max(1, n_keyframes))
+    for i in range(n_frames):
+        is_idr = (i % every == 0) and sum(
+            1 for j in range(i + 1) if j % every == 0
+        ) <= n_keyframes
+        nal(3 if is_idr else 2, 5 if is_idr else 1, bytes([0xB0 | i, 0xFF, i]))
+    return bytes(out)

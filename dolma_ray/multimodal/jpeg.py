@@ -161,6 +161,29 @@ def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
 # ---- decoder ------------------------------------------------------------
 
 
+def jpeg_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF marker — header walk only, no
+    entropy decode (T.81 B.2.2)."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(data[pos + 5 : pos + 7], "big")
+            w = int.from_bytes(data[pos + 7 : pos + 9], "big")
+            return w, h
+        pos += 2 + seg_len
+    raise UnsupportedMediaError("no SOF marker")
+
+
 @_to_unsupported
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG -> (h, w, c) float32 in [0, 1] (c = 1 or 3)."""

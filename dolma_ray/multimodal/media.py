@@ -2,13 +2,14 @@
 metadata, processed by actor-pool ``map_batches`` stages.
 
 The Ray-side plumbing here is real and tested — schema, batch sizing,
-actor signatures, output layout.  Codecs (``codecs.py``): PNG, PPM/PGM,
-BMP and PCM WAV decode are REAL (pure stdlib+numpy from the public
-specs).  Formats that genuinely need codec libraries (JPEG, MP3, video
-containers — not in this container) fall through each stage's hook:
-``strict=True`` raises ``NotImplementedError``; default produces a
-deterministic fake derived from the payload bytes so pipelines are
-runnable end-to-end.
+actor signatures, output layout.  REAL pure-spec decoders: PNG, PPM/PGM,
+BMP, baseline JPEG (``jpeg.py``), PCM WAV, MJPEG-AVI (``avi.py``), MP3
+frame metadata (``mp3.py``) and H.264 NAL/SPS metadata (``h264.py``).
+Only compressed-audio SAMPLE decode and non-MJPEG pixel reconstruction
+genuinely need codec libraries (not in this container) and fall through
+each stage's hook: ``strict=True`` raises ``NotImplementedError``;
+default produces a deterministic fake derived from the payload bytes so
+pipelines are runnable end-to-end.
 
 Scale notes (the reason these are their own stages):
 * binary payloads are large — use SMALL ``batch_size`` (default 16) so
@@ -146,14 +147,76 @@ class AudioFeatureStage:
         except UnsupportedMediaError:
             if self.strict:
                 raise NotImplementedError(
-                    "payload is not PCM WAV; compressed audio (MP3/OGG) needs "
-                    "an audio library not available in this environment"
+                    "payload is not PCM WAV; compressed-audio SAMPLE decode "
+                    "(MP3/OGG) needs an audio library not available in this "
+                    "environment (MP3 frame METADATA is real — "
+                    "AudioMetadataStage / mp3.py)"
                 )
             return _fake_floats(payload, self.n_features, -1.0, 1.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._decode_audio(p).tolist() for p in batch["payload"].to_pylist()]
         return batch.append_column("features", pa.array(feats, pa.list_(pa.float32())))
+
+
+class AudioMetadataStage:
+    """payload -> duration/rate/bitrate metadata — REAL for PCM WAV
+    (``codecs.decode_wav``) and MP3 (pure-spec frame walk, ``mp3.py``);
+    other codecs raise under ``strict=True`` or emit nulls.
+
+    The quality-filter half of an audio pipeline (duration/bitrate
+    cuts, CBR/VBR, sample-rate buckets) runs on this stage alone —
+    no sample decode."""
+
+    def __init__(self, strict: bool = False) -> None:
+        self.strict = strict
+
+    def _meta(self, payload: bytes) -> dict:
+        import io
+        import wave
+
+        from .mp3 import mp3_info
+
+        try:
+            return mp3_info(payload or b"")
+        except ValueError:
+            pass
+        try:
+            with wave.open(io.BytesIO(payload or b""), "rb") as f:
+                n, rate, ch = f.getnframes(), f.getframerate(), f.getnchannels()
+                width = f.getsampwidth()
+            return {
+                "container": "wav",
+                "n_frames": n,
+                "duration_sec": round(n / rate, 6),
+                "sample_rate": rate,
+                "channel_mode": "mono" if ch == 1 else "stereo",
+                "bitrate_kbps": rate * ch * width * 8 / 1000,
+                "vbr": False,
+            }
+        except (wave.Error, EOFError):
+            if self.strict:
+                raise NotImplementedError(
+                    "payload is neither MP3 nor PCM WAV"
+                )
+            return {"container": None}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [self._meta(p) for p in batch["payload"].to_pylist()]
+        cols = {
+            "container": (pa.string(), None),
+            "duration_sec": (pa.float64(), None),
+            "sample_rate": (pa.int32(), None),
+            "bitrate_kbps": (pa.float64(), None),
+            "n_frames": (pa.int64(), None),
+            "vbr": (pa.bool_(), None),
+            "channel_mode": (pa.string(), None),
+        }
+        for name, (typ, default) in cols.items():
+            batch = batch.append_column(
+                name, pa.array([m.get(name, default) for m in metas], typ)
+            )
+        return batch
 
 
 class VideoFrameSampleStage:
@@ -203,4 +266,70 @@ class VideoFrameSampleStage:
         frames = [self._sample_frames(p).tolist() for p in batch["payload"].to_pylist()]
         return batch.append_column(
             "frames", pa.array(frames, pa.list_(pa.list_(pa.float32())))
+        )
+
+
+class VideoMetadataStage:
+    """payload -> container/resolution/keyframe metadata — REAL for
+    MJPEG-AVI (RIFF walk + first-frame JPEG header) and H.264 Annex-B
+    (pure-spec NAL walk + Exp-Golomb SPS decode, ``h264.py``); other
+    codecs raise under ``strict=True`` or emit nulls.
+
+    Keyframe indices drive frame-sample selection without any pixel
+    decode — the filter/sampling half of a video pipeline runs on this
+    stage alone."""
+
+    def __init__(self, strict: bool = False) -> None:
+        self.strict = strict
+
+    def _meta(self, payload: bytes) -> dict:
+        from .avi import iter_mjpeg_frames
+        from .codecs import UnsupportedMediaError
+        from .h264 import h264_info
+        from .jpeg import jpeg_dimensions
+
+        # AVI first: its RIFF magic is a strong signature, while an
+        # Annex-B start code could occur by chance inside other binaries
+        try:
+            jpegs = iter_mjpeg_frames(payload or b"")
+            w, h = jpeg_dimensions(jpegs[0]) if jpegs else (None, None)
+            return {
+                "container": "mjpeg_avi",
+                "n_keyframes": len(jpegs),  # every MJPEG frame is a keyframe
+                "n_slices": len(jpegs),
+                "width": w,
+                "height": h,
+                "keyframe_indices": list(range(min(len(jpegs), 64))),
+            }
+        except UnsupportedMediaError:
+            pass
+        try:
+            return h264_info(payload or b"")
+        except ValueError:
+            if self.strict:
+                raise NotImplementedError(
+                    "payload is neither MJPEG-AVI nor H.264 Annex-B"
+                )
+            return {"container": None}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = [self._meta(p) for p in batch["payload"].to_pylist()]
+        cols = {
+            "container": pa.string(),
+            "width": pa.int32(),
+            "height": pa.int32(),
+            "n_keyframes": pa.int64(),
+            "n_slices": pa.int64(),
+            "profile": pa.string(),
+        }
+        for name, typ in cols.items():
+            batch = batch.append_column(
+                name, pa.array([m.get(name) for m in metas], typ)
+            )
+        return batch.append_column(
+            "keyframe_indices",
+            pa.array(
+                [m.get("keyframe_indices") for m in metas],
+                pa.list_(pa.int32()),
+            ),
         )

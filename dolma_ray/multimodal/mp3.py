@@ -1,0 +1,194 @@
+"""Pure-spec MP3 (MPEG audio) frame-level parser — ISO/IEC 11172-3 /
+13818-3 frame headers, no entropy decode.
+
+A 100-TB audio pipeline's filter stages run on frame METADATA (duration,
+bitrate, sample rate, channel mode, CBR/VBR) — full PCM decode needs a
+codec library and is only required for feature extraction.  This module
+makes the metadata half REAL for MP3: ID3v2 skip, frame-sync scan,
+header field decode via the public bitrate/samplerate tables, and
+per-frame length arithmetic to walk the whole stream.
+
+Layout (frame header, 32 bits big-endian):
+  11 sync | 2 version | 2 layer | 1 crc | 4 bitrate | 2 samplerate |
+  1 padding | 1 private | 2 channel mode | ...
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# bitrate table [kbps], indexed [version_group][layer][bitrate_index]
+# version_group: 0 = MPEG1, 1 = MPEG2/2.5; layer: 0 = I, 1 = II, 2 = III
+_BITRATES = {
+    (0, 0): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (0, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (0, 2): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (1, 0): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (1, 1): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+# sample-rate table [Hz], indexed [version][samplerate_index]
+_SAMPLE_RATES = {
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),  # MPEG2.5
+}
+
+# samples per frame, [version_group][layer]
+_SAMPLES_PER_FRAME = {
+    (0, 0): 384, (0, 1): 1152, (0, 2): 1152,
+    (1, 0): 384, (1, 1): 1152, (1, 2): 576,
+}
+
+_CHANNEL_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+
+@dataclass
+class Mp3Frame:
+    offset: int
+    length: int  # bytes, including header
+    version: str  # "1" | "2" | "2.5"
+    layer: int  # 1 | 2 | 3
+    bitrate_kbps: int
+    sample_rate: int
+    channel_mode: str
+    samples: int  # PCM samples this frame decodes to
+
+
+def _parse_header(b: bytes, off: int) -> Mp3Frame | None:
+    """Decode one 4-byte frame header at ``off``; None if not a valid
+    frame sync / reserved field combination."""
+    if off + 4 > len(b):
+        return None
+    h = int.from_bytes(b[off : off + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:  # 11-bit sync
+        return None
+    version_bits = (h >> 19) & 0x3
+    layer_bits = (h >> 17) & 0x3
+    bitrate_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 0x3
+    padding = (h >> 9) & 0x1
+    mode = (h >> 6) & 0x3
+    if version_bits == 1 or layer_bits == 0:  # reserved
+        return None
+    if bitrate_idx in (0, 0xF) or sr_idx == 3:  # free-form/bad
+        return None
+    layer = 4 - layer_bits  # bits 3/2/1 -> layer I/II/III
+    vgroup = 0 if version_bits == 3 else 1
+    kbps = _BITRATES[(vgroup, layer - 1)][bitrate_idx]
+    rate = _SAMPLE_RATES[version_bits][sr_idx]
+    samples = _SAMPLES_PER_FRAME[(vgroup, layer - 1)]
+    if layer == 1:
+        length = (12 * kbps * 1000 // rate + padding) * 4
+    else:
+        # MPEG2/2.5 layer III frames carry half the samples
+        factor = 144 if vgroup == 0 or layer == 2 else 72
+        length = factor * kbps * 1000 // rate + padding
+    version = {3: "1", 2: "2", 0: "2.5"}[version_bits]
+    return Mp3Frame(
+        offset=off, length=length, version=version, layer=layer,
+        bitrate_kbps=kbps, sample_rate=rate,
+        channel_mode=_CHANNEL_MODES[mode], samples=samples,
+    )
+
+
+def _skip_id3v2(b: bytes) -> int:
+    """Offset past an ID3v2 tag ('ID3' + version + flags + syncsafe
+    size), or 0."""
+    if len(b) >= 10 and b[:3] == b"ID3":
+        size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        return 10 + size
+    return 0
+
+
+def parse_mp3(b: bytes, max_resync: int = 1 << 16) -> list[Mp3Frame]:
+    """Walk the frame chain.  Requires two consecutive valid headers at
+    the first sync (the standard false-sync guard); after that each
+    frame's length pointer is followed, with a bounded resync scan on
+    corruption.  Raises ``ValueError`` if no frame chain exists."""
+    frames: list[Mp3Frame] = []
+    off = _skip_id3v2(b)
+    # find first sync with a confirming second header
+    start = None
+    scan_end = min(len(b), off + max_resync)
+    for i in range(off, scan_end):
+        f = _parse_header(b, i)
+        if f is None or f.length <= 4:
+            continue
+        nxt = _parse_header(b, i + f.length)
+        if nxt is not None or i + f.length >= len(b) - 4:
+            start = i
+            break
+    if start is None:
+        raise ValueError("no MP3 frame sync found")
+    off = start
+    while off + 4 <= len(b):
+        f = _parse_header(b, off)
+        if f is None or f.length <= 4:
+            # bounded resync after corruption
+            nxt = b.find(b"\xff", off + 1, off + max_resync)
+            if nxt < 0:
+                break
+            off = nxt
+            continue
+        if off + f.length > len(b):
+            break  # truncated final frame
+        frames.append(f)
+        off += f.length
+    if not frames:
+        raise ValueError("no complete MP3 frames")
+    return frames
+
+
+def mp3_info(b: bytes) -> dict:
+    """Stream-level metadata from the frame chain: duration, mean
+    bitrate, CBR/VBR, rate/mode of the first frame."""
+    frames = parse_mp3(b)
+    total_samples = sum(f.samples for f in frames)
+    duration = total_samples / frames[0].sample_rate
+    bitrates = {f.bitrate_kbps for f in frames}
+    return {
+        "container": "mp3",
+        "n_frames": len(frames),
+        "duration_sec": round(duration, 6),
+        "sample_rate": frames[0].sample_rate,
+        "channel_mode": frames[0].channel_mode,
+        "bitrate_kbps": round(
+            sum(f.bitrate_kbps for f in frames) / len(frames), 3
+        ),
+        "vbr": len(bitrates) > 1,
+        "mpeg_version": frames[0].version,
+        "layer": frames[0].layer,
+    }
+
+
+def build_mp3_frame(
+    version: str = "1",
+    layer: int = 3,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channel_mode: str = "stereo",
+    padding: int = 0,
+    fill: int = 0xAA,
+) -> bytes:
+    """Serialize one valid frame (header + filler body) — the test
+    fixture generator (independent of the parser's tables only in so
+    far as the header fields are re-derived from the spec layout; the
+    parity test round-trips against known byte vectors too)."""
+    version_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    layer_bits = 4 - layer
+    vgroup = 0 if version_bits == 3 else 1
+    bitrate_idx = _BITRATES[(vgroup, layer - 1)].index(bitrate_kbps)
+    sr_idx = _SAMPLE_RATES[version_bits].index(sample_rate)
+    mode = _CHANNEL_MODES.index(channel_mode)
+    h = (
+        (0x7FF << 21) | (version_bits << 19) | (layer_bits << 17) | (1 << 16)
+        | (bitrate_idx << 12) | (sr_idx << 10) | (padding << 9) | (mode << 6)
+    )
+    if layer == 1:
+        length = (12 * bitrate_kbps * 1000 // sample_rate + padding) * 4
+    else:
+        factor = 144 if vgroup == 0 or layer == 2 else 72
+        length = factor * bitrate_kbps * 1000 // sample_rate + padding
+    return h.to_bytes(4, "big") + bytes([fill]) * (length - 4)

@@ -433,3 +433,171 @@ def test_jpeg_decode_speed_fixture():
     t0 = time.perf_counter()
     decode_jpeg(data)
     assert time.perf_counter() - t0 < 0.5
+
+
+# ---- round-4: MP3 frame metadata + H.264 NAL/SPS metadata ------------
+
+
+def test_mp3_frame_parse_round_trip():
+    from dolma_ray.multimodal.mp3 import build_mp3_frame, mp3_info, parse_mp3
+
+    data = b"".join(build_mp3_frame() for _ in range(10))
+    info = mp3_info(data)
+    assert info["n_frames"] == 10
+    assert info["sample_rate"] == 44100
+    assert info["bitrate_kbps"] == 128.0
+    assert not info["vbr"]
+    # duration = frames * 1152 samples / 44100 Hz
+    assert abs(info["duration_sec"] - 10 * 1152 / 44100) < 1e-6
+    # frame lengths follow the spec arithmetic: 144*kbps*1000/rate
+    assert parse_mp3(data)[0].length == 144 * 128 * 1000 // 44100
+
+
+def test_mp3_vbr_id3_and_variants():
+    from dolma_ray.multimodal.mp3 import build_mp3_frame, mp3_info
+
+    vbr = b"".join(
+        build_mp3_frame(bitrate_kbps=kb) for kb in (96, 128, 160, 128)
+    )
+    assert mp3_info(vbr)["vbr"] is True
+
+    # ID3v2 tag skipped (syncsafe size)
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"X" * 10
+    assert mp3_info(id3 + vbr)["n_frames"] == 4
+
+    # MPEG2 layer III: 576 samples per frame, mono
+    d = b"".join(
+        build_mp3_frame(
+            version="2", sample_rate=22050, bitrate_kbps=64,
+            channel_mode="mono",
+        )
+        for _ in range(4)
+    )
+    info = mp3_info(d)
+    assert info["mpeg_version"] == "2"
+    assert info["channel_mode"] == "mono"
+    assert abs(info["duration_sec"] - 4 * 576 / 22050) < 1e-6
+
+    # padding bit adds one byte to the frame
+    from dolma_ray.multimodal.mp3 import parse_mp3
+
+    padded = build_mp3_frame(padding=1) + build_mp3_frame()
+    assert parse_mp3(padded)[0].length == 144 * 128 * 1000 // 44100 + 1
+
+
+def test_mp3_garbage_and_truncation():
+    import pytest
+
+    from dolma_ray.multimodal.mp3 import build_mp3_frame, mp3_info, parse_mp3
+
+    with pytest.raises(ValueError):
+        mp3_info(b"not audio at all " * 10)
+    with pytest.raises(ValueError):
+        mp3_info(b"")
+    # truncated final frame is dropped, chain before it kept
+    data = b"".join(build_mp3_frame() for _ in range(3))
+    assert len(parse_mp3(data[:-50])) == 2
+
+
+def test_h264_sps_round_trip():
+    from dolma_ray.multimodal.h264 import _BitWriter, build_sps, parse_sps
+
+    for w, h, prof in ((64, 48, 66), (320, 240, 77), (1920, 1088, 100)):
+        info = parse_sps(build_sps(w, h, profile_idc=prof))
+        assert (info["width"], info["height"]) == (w, h)
+        assert info["profile_idc"] == prof
+        assert not info["interlaced"]
+
+    # cropping: 1920x1088 coded with 4px bottom crop -> 1080 (4:2:0
+    # vertical crop unit = 2)
+    bw = _BitWriter()
+    bw.u(66, 8); bw.u(0, 8); bw.u(30, 8)
+    bw.ue(0); bw.ue(0); bw.ue(2); bw.ue(1); bw.u(0, 1)
+    bw.ue(1920 // 16 - 1); bw.ue(1088 // 16 - 1)
+    bw.u(1, 1); bw.u(0, 1)
+    bw.u(1, 1)  # frame_cropping_flag
+    bw.ue(0); bw.ue(0); bw.ue(0); bw.ue(4)
+    bw.u(0, 1)
+    info = parse_sps(bw.bytes())
+    assert (info["width"], info["height"]) == (1920, 1080)
+
+
+def test_h264_nal_walk_and_emulation():
+    import pytest
+
+    from dolma_ray.multimodal.h264 import build_annexb, h264_info, split_nal_units
+
+    stream = build_annexb(width=320, height=240, n_keyframes=2, n_frames=6)
+    info = h264_info(stream)
+    assert info["container"] == "h264_annexb"
+    assert (info["width"], info["height"]) == (320, 240)
+    assert info["n_keyframes"] == 2
+    assert info["n_slices"] == 6
+    assert info["keyframe_indices"] == [2, 5]  # after SPS + PPS
+    types = [u.type for u in split_nal_units(stream)]
+    assert types[:2] == [7, 8]
+
+    with pytest.raises(ValueError):
+        h264_info(b"RIFF not a nal stream")
+
+
+def test_audio_metadata_stage(ray_session):
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from dolma_ray.multimodal.media import AudioMetadataStage
+    from dolma_ray.multimodal.mp3 import build_mp3_frame
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(b"\x00\x01" * 2 * 4000)  # 0.5 s stereo
+    rows = [
+        {"media_id": "wav1", "payload": buf.getvalue()},
+        {"media_id": "mp31", "payload": b"".join(build_mp3_frame() for _ in range(5))},
+        {"media_id": "junk", "payload": b"\x00\x01\x02"},
+    ]
+    out = (
+        rd.from_items(rows)
+        .map_batches(AudioMetadataStage(), batch_size=8, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert out.loc["wav1", "container"] == "wav"
+    assert out.loc["wav1", "duration_sec"] == 0.5
+    assert out.loc["wav1", "channel_mode"] == "stereo"
+    assert out.loc["wav1", "bitrate_kbps"] == 8000 * 2 * 16 / 1000
+    assert out.loc["mp31", "container"] == "mp3"
+    assert out.loc["mp31", "sample_rate"] == 44100
+    assert out.loc["junk", "container"] is None
+
+
+def test_video_metadata_stage(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from dolma_ray.multimodal.avi import encode_mjpeg_avi
+    from dolma_ray.multimodal.h264 import build_annexb
+    from dolma_ray.multimodal.media import VideoMetadataStage
+
+    frames = [np.full((16, 24, 3), 0.4) for _ in range(5)]
+    rows = [
+        {"media_id": "avi1", "payload": encode_mjpeg_avi(frames, quality=90)},
+        {"media_id": "h264", "payload": build_annexb(width=64, height=48, n_keyframes=1, n_frames=3)},
+    ]
+    out = (
+        rd.from_items(rows)
+        .map_batches(VideoMetadataStage(strict=True), batch_size=8, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert out.loc["avi1", "container"] == "mjpeg_avi"
+    assert out.loc["avi1", "n_keyframes"] == 5
+    assert (out.loc["avi1", "width"], out.loc["avi1", "height"]) == (24, 16)
+    assert out.loc["h264", "container"] == "h264_annexb"
+    assert (out.loc["h264", "width"], out.loc["h264", "height"]) == (64, 48)
+    assert out.loc["h264", "profile"] == "baseline"
