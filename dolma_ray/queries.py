@@ -2023,3 +2023,72 @@ QUERIES["concat_code"] = q_concat_code
 ORACLES["concat_code"] = SQL_CONCAT_CODE
 QUERIES["fim"] = q_fim
 ORACLES["fim"] = SQL_FIM
+
+
+def q_sample_split(sf_dir: str):
+    """Deterministic 90/10 train/val split via the ``random_number_v1``
+    sampling tagger (url-keyed FNV-1a hash -> [0,1) score,
+    ``taggers/sampling.py`` — the engine's reproducible replacement for
+    the reference's pid-seeded RNG, ``python/dolma/taggers/sampling.py``).
+    The oracle replays the 64-bit FNV-1a chain exactly in SQL
+    (HUGEINT ``list_reduce``)."""
+    from .taggers.base import tag_dataset
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant_url(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": pc.binary_join_element_wise(
+                    pa.array(["doc-"] * n),
+                    pc.cast(batch["doc_id"], pa.string()),
+                    "",
+                ),
+                "text": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    tagged = tag_dataset(
+        ds.map_batches(plant_url, batch_format="pyarrow"), ["random_number_v1"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        rand = batch["attr__random_number_v1__random"]
+        split = pc.if_else(
+            pc.less(rand, 0.9),
+            pa.array(["train"] * len(batch)),
+            pa.array(["val"] * len(batch)),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "rand": rand, "split": split})
+
+    return tagged.map_batches(project, batch_format="pyarrow")
+
+
+# FNV-1a 64 replay: offset 0xCBF29CE484222325, prime 0x100000001B3,
+# seed fold h0 = offset XOR (seed * prime mod 2^64); score = (h >> 11) / 2^53
+SQL_SAMPLE_SPLIT = """
+WITH hashed AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(
+                   xor(14695981039346656037::HUGEINT,
+                       (1::HUGEINT * 1099511628211) % 18446744073709551616),
+                   list_transform(
+                       range(1, length('doc-' || doc_id::VARCHAR) + 1),
+                       i -> ord(substr('doc-' || doc_id::VARCHAR, i, 1))::HUGEINT)
+               ),
+               (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
+           ) AS hv
+    FROM documents
+)
+SELECT doc_id,
+       round(floor(hv / 2048) / 9007199254740992.0, 5) AS rand,
+       CASE WHEN round(floor(hv / 2048) / 9007199254740992.0, 5) < 0.9
+            THEN 'train' ELSE 'val' END AS split
+FROM hashed
+"""
+
+QUERIES["sample_split"] = q_sample_split
+ORACLES["sample_split"] = SQL_SAMPLE_SPLIT
