@@ -229,6 +229,7 @@ def bucketed_left_attach(
     import numpy as np
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     lookup_vals = [lookup_val] if isinstance(lookup_val, str) else list(lookup_val)
     out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
@@ -253,13 +254,31 @@ def bucketed_left_attach(
             np.int32
         )
 
+    # Integer columns must not reach the pandas group container with
+    # nulls in them: arrow int64-with-null -> pandas float64, which
+    # silently corrupts values > 2^53 (e.g. simhash's 64-bit `fp`
+    # payload) and overflows the recast for values near 2^63.  Carry
+    # every integer column through the exchange as its exact decimal
+    # string; the final recast restores the original type losslessly.
+    _int_guard = {
+        n: t
+        for n, t in list(zip(names, types)) + list(zip(out_cols, val_types))
+        if pa.types.is_integer(t)
+    }
+
+    def _stringify_ints(cols: dict) -> dict:
+        for n in _int_guard:
+            if n in cols and cols[n].type != pa.string():
+                cols[n] = pc.cast(cols[n], pa.string())
+        return cols
+
     def corpus_side(batch: pa.Table) -> pa.Table:
         cols = {n: batch[n] for n in names}
         for oc, vt in zip(out_cols, val_types):
             cols[oc] = pa.nulls(len(batch), vt)
         cols["__ddb_bucket"] = pa.array(_buckets(batch[key_col]))
         cols["__ddb_side"] = pa.array(np.zeros(len(batch), np.int8))
-        return pa.table(cols)
+        return pa.table(_stringify_ints(cols))
 
     def list_side(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -269,7 +288,7 @@ def bucketed_left_attach(
             cols[oc] = batch[lv]
         cols["__ddb_bucket"] = pa.array(_buckets(batch[lookup_key]))
         cols["__ddb_side"] = pa.array(np.ones(len(batch), np.int8))
-        return pa.table(cols)
+        return pa.table(_stringify_ints(cols))
 
     unioned = corpus_ds.map_batches(corpus_side, batch_format="pyarrow").union(
         lookup_ds.map_batches(list_side, batch_format="pyarrow")
@@ -283,6 +302,11 @@ def bucketed_left_attach(
         pos = pd.Series(
             np.arange(len(lookup)), index=lookup[key_col].to_numpy()
         )
+        if not pos.index.is_unique:
+            raise ValueError(
+                "bucketed_left_attach requires unique lookup keys (one "
+                f"row per '{key_col}'); the lookup side has duplicates"
+            )
         rows = docs[key_col].map(pos)
         hit = rows.notna().to_numpy()
         taken = rows[hit].to_numpy().astype(np.int64)

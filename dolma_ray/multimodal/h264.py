@@ -180,7 +180,12 @@ def h264_info(b: bytes) -> dict:
     for u in units:
         if u.type == 7:
             rbsp = _unescape(b[u.offset + 1 : u.offset + u.length])
-            out.update(parse_sps(rbsp))
+            try:
+                out.update(parse_sps(rbsp))
+            except (IndexError, ValueError) as e:
+                # a real stream's SPS parses; a truncated/garbage one
+                # means this is not an H.264 elementary stream at all
+                raise ValueError(f"malformed SPS: {e}") from e
             break
     return out
 

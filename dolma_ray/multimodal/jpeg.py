@@ -171,6 +171,9 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int]:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        # 0xFF fill bytes before a marker are legal (T.81 B.1.1.2)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2

@@ -177,10 +177,8 @@ class AudioMetadataStage:
 
         from .mp3 import mp3_info
 
-        try:
-            return mp3_info(payload or b"")
-        except ValueError:
-            pass
+        # WAV first: RIFF is a strong magic, while an MP3 frame sync is
+        # 11 bits and can occur by chance inside PCM sample bytes
         try:
             with wave.open(io.BytesIO(payload or b""), "rb") as f:
                 n, rate, ch = f.getnframes(), f.getframerate(), f.getnchannels()
@@ -195,9 +193,13 @@ class AudioMetadataStage:
                 "vbr": False,
             }
         except (wave.Error, EOFError):
+            pass
+        try:
+            return mp3_info(payload or b"")
+        except ValueError:
             if self.strict:
                 raise NotImplementedError(
-                    "payload is neither MP3 nor PCM WAV"
+                    "payload is neither PCM WAV nor MP3"
                 )
             return {"container": None}
 
@@ -305,7 +307,7 @@ class VideoMetadataStage:
             pass
         try:
             return h264_info(payload or b"")
-        except ValueError:
+        except (ValueError, IndexError):
             if self.strict:
                 raise NotImplementedError(
                     "payload is neither MJPEG-AVI nor H.264 Annex-B"

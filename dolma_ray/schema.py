@@ -123,7 +123,12 @@ def whole_doc_spans(dup, lens) -> pa.Array:
     dup = np.asarray(dup, dtype=bool)
     offsets = np.zeros(len(dup) + 1, dtype=np.int32)
     np.cumsum(dup.astype(np.int32), out=offsets[1:])
-    d_lens = np.asarray(lens, dtype=np.int64)[dup]
+    lens_arr = np.asarray(lens)
+    if lens_arr.dtype.kind == "f":
+        # null text -> null utf8_length -> NaN here; an int64 cast of
+        # NaN would silently write INT64_MIN span ends
+        lens_arr = np.nan_to_num(lens_arr, nan=0.0)
+    d_lens = lens_arr.astype(np.int64)[dup]
     struct = pa.StructArray.from_arrays(
         [
             pa.array(np.zeros(len(d_lens), np.int64), pa.int64()),

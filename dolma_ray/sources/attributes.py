@@ -43,7 +43,13 @@ def join_attributes(
     strategy: str = "broadcast",
     num_partitions: int = 32,
 ):
-    """Attach an attribute table (Dataset or path) onto ``ds`` by key."""
+    """Attach an attribute table (Dataset or path) onto ``ds`` by key.
+
+    The attribute table must hold ONE row per ``id_column`` value (the
+    natural shape :func:`write_attribute_table` produces).  With
+    ``strategy="join"`` a duplicate id raises a ``ValueError`` naming
+    the precondition; the broadcast strategy keeps the last row per id
+    (dict index)."""
     import ray
     import ray.data as rd
 

@@ -1,0 +1,137 @@
+"""Round-4 review regressions: int64 payload integrity through the
+bucketed exchange, codec-sniffing robustness, span NaN guard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_bucketed_attach_preserves_large_int64(ray_session):
+    """Review regression: the pandas group container turns
+    int64-with-null into float64, corrupting values > 2^53 (simhash's
+    64-bit fp payload).  Integer columns now ride the exchange as
+    decimal strings and recast losslessly."""
+    import ray.data as rd
+
+    from dolma_ray.dedup.lookup import bucketed_left_attach, bucketed_semi_join
+
+    big = [(1 << 62) + 12345, (1 << 63) - 1, -((1 << 62) + 7), 42]
+    units = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "fp": pa.array(big, pa.int64()),
+            }
+        )
+    )
+    keys = rd.from_arrow(pa.table({"key": pa.array([1, 2, 4], pa.int64())}))
+
+    out = (
+        bucketed_semi_join(units, keys, "k", "key", 4)
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert list(out["fp"]) == [big[0], big[1], big[3]]  # exact, no 2^53 loss
+
+    # multi-column left attach: int64 value column with misses stays exact
+    lookup = rd.from_arrow(
+        pa.table(
+            {
+                "lk": pa.array([1, 3], pa.int64()),
+                "v": pa.array([(1 << 62) + 999, 7], pa.int64()),
+            }
+        )
+    )
+    # compare at the Arrow level: the engine output is int64-with-null
+    # (a pandas conversion here would itself re-introduce the float cast)
+    rows = sorted(
+        bucketed_left_attach(units, lookup, "k", "lk", "v", "v", 4).take_all(),
+        key=lambda r: r["k"],
+    )
+    assert [r["v"] for r in rows] == [(1 << 62) + 999, None, 7, None]
+    batch = next(
+        iter(
+            bucketed_left_attach(units, lookup, "k", "lk", "v", "v", 4)
+            .iter_batches(batch_size=10, batch_format="pyarrow")
+        )
+    )
+    assert batch.schema.field("v").type == pa.int64()
+
+
+def test_bucketed_attach_duplicate_lookup_keys_clear_error(ray_session):
+    """Review regression: duplicate lookup ids raise a clear ValueError
+    naming the precondition, not pandas InvalidIndexError."""
+    import ray.data as rd
+
+    from dolma_ray.dedup.lookup import bucketed_left_attach
+
+    corpus = rd.from_items([{"k": 1, "x": "a"}, {"k": 2, "x": "b"}])
+    dup_lookup = rd.from_items(
+        [{"lk": 1, "v": 1.0}, {"lk": 1, "v": 2.0}]
+    )
+    with pytest.raises(Exception) as ei:
+        bucketed_left_attach(corpus, dup_lookup, "k", "lk", "v", "v", 1).materialize()
+    assert "unique lookup keys" in str(ei.value)
+
+
+def test_audio_metadata_wav_wins_over_false_mp3_sync():
+    """Review regression: a PCM WAV whose sample bytes contain an
+    MP3-looking frame chain must classify as WAV (RIFF magic first)."""
+    import io
+    import wave
+
+    from dolma_ray.multimodal.media import AudioMetadataStage
+    from dolma_ray.multimodal.mp3 import build_mp3_frame
+
+    fake_frames = b"".join(build_mp3_frame() for _ in range(3))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(fake_frames + b"\x00" * (len(fake_frames) % 2))
+    meta = AudioMetadataStage()._meta(buf.getvalue())
+    assert meta["container"] == "wav"
+    assert meta["sample_rate"] == 8000
+
+
+def test_video_metadata_truncated_sps_is_null_not_crash():
+    """Review regression: garbage containing an SPS start code must
+    yield null metadata (non-strict), not IndexError."""
+    from dolma_ray.multimodal.h264 import h264_info
+    from dolma_ray.multimodal.media import VideoMetadataStage
+
+    junk = b"\x00\x00\x00\x01\x67\x64"
+    assert VideoMetadataStage(strict=False)._meta(junk) == {"container": None}
+    with pytest.raises(ValueError):
+        h264_info(junk)
+
+
+def test_jpeg_dimensions_fill_bytes_before_sof():
+    """Review regression: 0xFF fill bytes before a marker are legal
+    (T.81 B.1.1.2) — jpeg_dimensions must skip them like decode_jpeg."""
+    import numpy as np
+
+    from dolma_ray.multimodal.jpeg import encode_jpeg, jpeg_dimensions
+
+    img = np.full((24, 40, 3), 0.5, dtype=np.float32)
+    data = encode_jpeg(img)
+    assert jpeg_dimensions(data) == (40, 24)
+    # inject a fill byte right after SOI, before the first marker
+    padded = data[:2] + b"\xff" + data[2:]
+    assert jpeg_dimensions(padded) == (40, 24)
+
+
+def test_whole_doc_spans_null_length_is_zero():
+    """Review regression: NaN length (null text) must become a [0,0,1]
+    span, not INT64_MIN garbage."""
+    from dolma_ray.schema import whole_doc_spans
+
+    spans = whole_doc_spans(
+        np.array([True, True, False]), np.array([12.0, np.nan, 5.0])
+    )
+    assert spans.to_pylist() == [
+        [{"start": 0, "end": 12, "score": 1.0}],
+        [{"start": 0, "end": 0, "score": 1.0}],
+        [],
+    ]
