@@ -173,7 +173,8 @@ def mark_duplicates_fused(
 _PAR_XOR = 0x2545F4914F6CDD1D & ((1 << 63) - 1)
 
 
-def _bucketed_left_attach(corpus_ds, lists_ds, n_buckets: int):
+def _bucketed_left_attach(corpus_ds, lists_ds, n_buckets: int,
+                          rows_hint: int | None = None):
     """Left-attach the per-doc late-list strings onto corpus rows via the
     generic :func:`dolma_ray.dedup.lookup.bucketed_left_attach` (salted
     union + per-bucket vectorized merge — no Ray hash-join actors).
@@ -183,7 +184,7 @@ def _bucketed_left_attach(corpus_ds, lists_ds, n_buckets: int):
 
     return bucketed_left_attach(
         corpus_ds, lists_ds, "__ddj_d", "__ddj_rd", "__ddj_late",
-        "__ddj_late", n_buckets,
+        "__ddj_late", n_buckets, rows_hint=rows_hint,
     )
 
 
@@ -306,7 +307,9 @@ def _mark_fused_join(
             from .lookup import shield_complex_columns
 
             keyed, restore = shield_complex_columns(keyed)
-            joined = _bucketed_left_attach(keyed, late_lists_ds, parts)
+            joined = _bucketed_left_attach(
+                keyed, late_lists_ds, parts, rows_hint=n_corpus
+            )
             # the join emits one block per partition; re-split so the
             # python-heavy attach (and every downstream stage) isn't
             # parallelism-starved by a volume-scaled partition count

@@ -131,9 +131,11 @@ def mark_near_duplicates_embedding(
                 }
             )
 
+        n_units = units.count()
         cand = bucketed_semi_join(
             ds.map_batches(with_vec, batch_format="pyarrow"),
-            buckets_ds, "k", "k", bucket_count(units.count()),
+            buckets_ds, "k", "k", bucket_count(n_units),
+            rows_hint=n_units,
         )
     else:
         dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)

@@ -202,7 +202,8 @@ def mark_duplicate_docs_join(
         n_corpus = None
     keyed, restore = shield_complex_columns(keyed)
     joined = bucketed_left_attach(
-        keyed, mins, "_k", "k", "o_min", "_o_min", bucket_count(n_corpus)
+        keyed, mins, "_k", "k", "o_min", "_o_min", bucket_count(n_corpus),
+        rows_hint=n_corpus,
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

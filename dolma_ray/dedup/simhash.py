@@ -155,8 +155,10 @@ def mark_near_duplicates_simhash(
         buckets_ds, n_b = dup_bucket_table(units)
         if n_b == 0:
             return attach_dup_flag(ds, key_column, [], DUP_SIMHASH_ATTR)
+        n_units = units.count()
         candidates = bucketed_semi_join(
-            units, buckets_ds, "k", "k", bucket_count(units.count())
+            units, buckets_ds, "k", "k", bucket_count(n_units),
+            rows_hint=n_units,
         )
     else:
         dup_buckets = collect_dup_buckets(units, strategy=lookup_strategy)

@@ -77,7 +77,7 @@ def join_attributes(
         attrs, restore_attrs = shield_complex_columns(attrs)
         joined = bucketed_left_attach(
             ds, attrs, id_column, id_column, attr_cols, attr_cols,
-            bucket_count(n_corpus),
+            bucket_count(n_corpus), rows_hint=n_corpus,
         )
         return joined.map_batches(
             lambda b: restore_attrs(restore_docs(b)), batch_format="pyarrow"
