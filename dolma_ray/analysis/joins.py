@@ -78,15 +78,34 @@ def asof_join(
         (f"_c_{c}", r_types[c]) for c in right_columns
     ]
 
-    # one concrete tie type across both sides: numeric ties keep native
-    # order (max-id semantics), everything else string-casts
+    # Integer value columns ride the pandas group container as exact
+    # decimal strings: arrow int64-with-null (one side's padding) turns
+    # into pandas float64, silently corrupting values > 2^53.  A final
+    # recast restores the original types losslessly.
+    _int_fields = {n: t for n, t in value_fields if pa.types.is_integer(t)}
+
+    # one concrete tie type across both sides: integer ties become
+    # ORDER-PRESERVING bias-padded strings (sign bit flip + zero-pad, the
+    # `_order_strings` encoding) so max-id semantics survive the pandas
+    # round-trip exactly; floats keep native order, the rest string-casts
     tie_typ = pa.string()
+    tie_int = False
     if tie_column is not None:
         src_typ = r_types.get(tie_column) or l_types.get(tie_column)
         if src_typ is not None and pa.types.is_integer(src_typ):
-            tie_typ = pa.int64()
+            tie_int = True
         elif src_typ is not None and pa.types.is_floating(src_typ):
             tie_typ = pa.float64()
+
+    def _bias_strings(col) -> pa.Array:
+        """int64 -> 20-digit zero-padded unsigned string, order-preserving
+        (flip the sign bit: two's-complement order == unsigned order)."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = _pc.fill_null(col.cast(pa.int64()), -(1 << 63))
+        arr = filled.to_numpy(zero_copy_only=False)
+        u = arr.view(np.uint64) ^ np.uint64(1 << 63)
+        return pa.array(np.char.zfill(u.astype("U20"), 20))
 
     def norm(side: int, keep: Sequence[str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -121,14 +140,30 @@ def asof_join(
             }
             for name, typ in value_fields:
                 src = name[len("_c_") :]
+                if name in _int_fields:
+                    typ = pa.string()
                 if src in keep:
-                    cols[name] = batch[src]
+                    col = batch[src]
+                    cols[name] = (
+                        _pc.cast(col, pa.string()) if name in _int_fields else col
+                    )
                 else:
                     cols[name] = pa.nulls(len(batch), typ)
-            if tie_column is not None and tie_column in batch.column_names:
-                cols["_tie"] = _pc.cast(batch[tie_column], tie_typ)
-            elif pa.types.is_string(tie_typ):
-                cols["_tie"] = pa.array([""] * len(batch), tie_typ)
+            # ties break among RIGHT rows only (which row a left row
+            # matches); a left-side column of the same name is just a
+            # sort stabilizer, so it never needs (or risks) the cast
+            if (
+                tie_column is not None
+                and side == 0
+                and tie_column in batch.column_names
+            ):
+                cols["_tie"] = (
+                    _bias_strings(batch[tie_column])
+                    if tie_int
+                    else _pc.cast(batch[tie_column], tie_typ)
+                )
+            elif tie_int or pa.types.is_string(tie_typ):
+                cols["_tie"] = pa.array([""] * len(batch), pa.string())
             else:
                 cols["_tie"] = pa.nulls(len(batch), tie_typ)
             return pa.table(cols)
@@ -177,4 +212,18 @@ def asof_join(
         out["_asof_ts"] = ats
         return pd.DataFrame(out)
 
-    return unioned.groupby("bucket").map_groups(merge, batch_format="pandas")
+    merged = unioned.groupby("bucket").map_groups(merge, batch_format="pandas")
+    if not _int_fields:
+        return merged
+
+    # restore integer value columns from their exact decimal strings
+    int_targets = {n[len("_c_") :]: t for n, t in _int_fields.items()}
+
+    def recast(batch: pa.Table) -> pa.Table:
+        for c, t in int_targets.items():
+            if c in batch.column_names and batch[c].type != t:
+                idx = batch.column_names.index(c)
+                batch = batch.set_column(idx, c, _pc.cast(batch[c], t))
+        return batch
+
+    return merged.map_batches(recast, batch_format="pyarrow")

@@ -313,7 +313,9 @@ def _mark_fused_join(
             # the join emits one block per partition; re-split so the
             # python-heavy attach (and every downstream stage) isn't
             # parallelism-starved by a volume-scaled partition count
-            blocks = max(cpus * 2, -(-(n_corpus or 0) // 10_000))
+            from .lookup import cluster_cpus
+
+            blocks = max(cluster_cpus() * 2, -(-(n_corpus or 0) // 10_000))
             joined = joined.repartition(blocks)
 
         def attach(batch: pa.Table) -> pa.Table:
@@ -372,8 +374,9 @@ def _mark_fused_join(
     # balance the late stream before the groupby's sort shuffle
     # (measured 8.6 s -> 2.7 s at 32 cpus when the producer emitted
     # parallelism-starving block counts)
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    late = late.repartition(max(cpus, -(-n_units // 500_000)))
+    from .lookup import cluster_cpus
+
+    late = late.repartition(max(cluster_cpus(), -(-n_units // 500_000)))
     def encode_lists(batch: pa.Table) -> pa.Table:
         # hash joins reject list-typed payload columns -> comma-string.
         # Ray auto-names the Unique aggregate column ("unique(seq)" in

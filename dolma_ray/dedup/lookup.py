@@ -15,10 +15,11 @@ Two strategies:
 
 Both return a plain dict for ``ray.put`` broadcast.  When even the
 duplicates-only structure outgrows one process, the ``join`` family
-below keeps everything a Dataset end-to-end: the per-key min-order
-table is hash-joined (``Dataset.join``) against the unit stream, and
-the resulting duplicates-only key table is hash-joined against the
-corpus — no stage ever holds O(duplicates) on the driver.
+below keeps everything a Dataset end-to-end: late units come from one
+range sort (:func:`late_units_by_sort`) and the duplicates-only key
+table is bucket-merged onto the corpus (:func:`bucketed_left_attach` /
+:func:`bucketed_semi_join` — salted-union exchanges, no hash-join
+actors) — no stage ever holds O(duplicates) on the driver.
 """
 
 from __future__ import annotations
@@ -43,6 +44,18 @@ def resolve_auto_strategy(ds, row_count_hint=None, threshold: int = 2_500_000) -
     return "join" if (n is not None and n > threshold) else "driver"
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Cluster CPU count when Ray is up, else ``default`` — the shared
+    sizing probe for coalesce widths and bucket counts."""
+    import ray
+
+    return (
+        int(ray.cluster_resources().get("CPU", default))
+        if ray.is_initialized()
+        else default
+    )
+
+
 def _coalesce_narrow(units_ds, rows: int | None = None):
     """Coalesce a narrow unit Dataset's tiny blocks before a groupby.
 
@@ -63,10 +76,7 @@ def _coalesce_narrow(units_ds, rows: int | None = None):
             rows = None
     if rows is None or rows == 0 or rows > 50_000_000:
         return units_ds
-    cpus = (
-        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    )
-    blocks = max(cpus, -(-rows // 100_000))
+    blocks = max(cluster_cpus(), -(-rows // 100_000))
     return units_ds.repartition(blocks)
 
 
@@ -194,12 +204,7 @@ def bucket_count(n_corpus: int | None = None, rows_per_bucket: int = 25_000) -> 
     """Bucket count for :func:`bucketed_left_attach`: enough buckets for
     task parallelism on the current cluster, scaled with document volume
     so each bucket stays bounded at 100-TB inputs."""
-    import ray
-
-    cpus = (
-        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    )
-    return max(cpus * 2, -(-(n_corpus or 0) // rows_per_bucket))
+    return max(cluster_cpus() * 2, -(-(n_corpus or 0) // rows_per_bucket))
 
 
 def bucketed_left_attach(
@@ -237,16 +242,9 @@ def bucketed_left_attach(
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray
-
     if rows_hint is not None and rows_hint <= 5_000_000:
-        cpus = (
-            int(ray.cluster_resources().get("CPU", 8))
-            if ray.is_initialized()
-            else 8
-        )
         corpus_ds = corpus_ds.repartition(
-            max(cpus * 2, -(-rows_hint // 25_000))
+            max(cluster_cpus() * 2, -(-rows_hint // 25_000))
         )
 
     lookup_vals = [lookup_val] if isinstance(lookup_val, str) else list(lookup_val)
@@ -538,12 +536,9 @@ def attach_dup_flag_join(ds, key_column: str, dup_keys_ds, attr_column: str,
     )
     # the join emits one block per partition — re-split so downstream
     # stages aren't parallelism-starved by a volume-scaled partition count
-    import ray as _ray
-
-    cpus = (
-        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    joined = joined.repartition(
+        max(cluster_cpus() * 2, -(-(n_corpus or 0) // 10_000))
     )
-    joined = joined.repartition(max(cpus * 2, -(-(n_corpus or 0) // 10_000)))
 
     def finalize(batch: pa.Table) -> pa.Table:
         batch = restore(batch)

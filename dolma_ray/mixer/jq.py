@@ -409,9 +409,18 @@ class _Parser:
                 self.i -= 1
                 ops.append(("expr", self.parse_reduce()))
             elif k == "path" or k == "var" or (k == "str" and "\\(" in v):
-                # "| .foo", "| $x", "| \"...\(interp)\"" — expression ops
+                # "| .foo", "| $x", "| \"...\(interp)\"" — expression ops;
+                # a later stage may itself be an update assignment
+                # (".a = 1 | .b = 2")
                 self.i -= 1
-                ops.append(("expr", self.parse_alt()))
+                stage = self.parse_alt()
+                k2, v2 = self.peek()
+                if k2 == "op" and v2 in ("=", "|=", "//=", "+=", "-="):
+                    if not isinstance(stage, Path):
+                        raise JqError(f"left side of {v2} must be a path")
+                    self.next()
+                    stage = Assign(v2, stage, self.parse_alt())
+                ops.append(("expr", stage))
             else:
                 raise JqError(f"unsupported pipe op {v!r}")
         expr = Pipe(source, ops) if ops else source

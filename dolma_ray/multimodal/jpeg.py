@@ -348,6 +348,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                             )
                         bp += e >> 8
                         t = e & 0xFF
+                        if t > 16:
+                            # corrupt DHT symbol: valid DC magnitude
+                            # categories are 0-11 (T.81 F.1.2.1); a
+                            # larger t would make the shift negative
+                            raise UnsupportedMediaError(
+                                "corrupt DC Huffman symbol"
+                            )
                         if t:
                             byte = bp >> 3
                             raw = (

@@ -966,7 +966,8 @@ def _lsh_ann_sql(dim: int = _LSH_ANN_DIM, n_planes: int = 6, seed: int = 42) -> 
 
     planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
     rows = ",".join(
-        f"({d},{j},{planes[d, j]!r})" for d in range(dim) for j in range(n_planes)
+        # float() first: numpy>=2 scalar repr is 'np.float64(...)' — invalid SQL
+        f"({d},{j},{float(planes[d, j])!r})" for d in range(dim) for j in range(n_planes)
     )
     return f"""
 WITH planes(d, j, p) AS (VALUES {rows}),
@@ -1810,7 +1811,7 @@ cent0 AS (
     for i in range(1, n_iters + 1):
         parts.append(
             """dist{i} AS (
-    SELECT e.vec_id, c.cluster, sum((e.v - c.cv) * (e.v - c.cv)) AS dd
+    SELECT e.vec_id, c.cluster, sum(-2 * e.v * c.cv + c.cv * c.cv) AS dd  -- engine's expanded form (kmeans.py::_assign): ||x||^2 dropped, same argmin, same float rounding on ties
     FROM emb e JOIN cent{prev} c USING (d)
     GROUP BY 1, 2
 ),
@@ -1831,7 +1832,7 @@ cent{i} AS (
 )""".format(i=i, prev=i - 1)
         )
     final = """fdist AS (
-    SELECT e.vec_id, c.cluster, sum((e.v - c.cv) * (e.v - c.cv)) AS dd
+    SELECT e.vec_id, c.cluster, sum(-2 * e.v * c.cv + c.cv * c.cv) AS dd  -- engine's expanded form (kmeans.py::_assign): ||x||^2 dropped, same argmin, same float rounding on ties
     FROM emb e JOIN cent{n} c USING (d)
     GROUP BY 1, 2
 )

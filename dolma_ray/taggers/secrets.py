@@ -58,6 +58,17 @@ _REGEX_PLUGINS: list[tuple[str, list[re.Pattern]]] = [
         [re.compile(r"://[^\s:@]+:([^\s:@]+)@")],
     ),
     (
+        "Cloudant Credentials",
+        [
+            # account:64-hex-password@account.cloudant.com
+            re.compile(r"[\w-]+:([0-9a-f]{64})@[\w-]+\.cloudant\.com"),
+            re.compile(
+                r"(?i)cloudant[\w-]*(?:password|pwd|pw|key)[\w-]*"
+                r"\s*(?::=|=>|[:=])\s*['\"`]?([0-9a-f]{64})"
+            ),
+        ],
+    ),
+    (
         "Discord Bot Token",
         [re.compile(r"([MNO][a-zA-Z\d_-]{23,25}\.[a-zA-Z\d_-]{6}\.[a-zA-Z\d_-]{27})")],
     ),
@@ -100,6 +111,35 @@ _REGEX_PLUGINS: list[tuple[str, list[re.Pattern]]] = [
             re.compile(
                 r"(https://hooks\.slack\.com/services/T[a-zA-Z0-9_]+/B[a-zA-Z0-9_]+/"
                 r"[a-zA-Z0-9_]+)"
+            ),
+        ],
+    ),
+    (
+        "SoftLayer Credentials",
+        [
+            re.compile(
+                r"(?i)(?:softlayer|sl)[\w-]*(?:api)?[\w-]*key[\w-]*"
+                r"\s*(?::=|=>|[:=])\s*['\"`]?([a-z0-9]{64})"
+            ),
+            re.compile(r"https?://api\.softlayer\.com/soap/v3/([a-z0-9]{64})"),
+        ],
+    ),
+    (
+        "IBM Cloud IAM Key",
+        [
+            re.compile(
+                r"(?i)(?:ibm[_-]?cloud[_-]?iam|cloud[_-]?iam|ibm[_-]?cloud"
+                r"|ibm[_-]?iam|ibm|iam)[\w-]*(?:api[_-]?key|apikey)[\w-]*"
+                r"\s*(?::=|=>|[:=])\s*['\"`]?([a-zA-Z0-9_-]{44})"
+            ),
+        ],
+    ),
+    (
+        "IBM COS HMAC Credentials",
+        [
+            re.compile(
+                r"(?i)(?:secret[_-]?access[_-]?key|secret[_-]?key|sak)[\w-]*"
+                r"\s*(?::=|=>|[:=])\s*['\"`]?([a-f0-9]{48})"
             ),
         ],
     ),

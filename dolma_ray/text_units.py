@@ -43,27 +43,8 @@ class TextSlice(NamedTuple):
 
 
 _PARAGRAPH_RE = re.compile(r"[^\n]*\n|[^\n]+$")
-# word-ish runs approximating UAX-29 (uniseg / unicode-segmentation):
-# * Katakana runs stay one segment (WordBreak=Katakana joins);
-# * Han ideographs and Hiragana break per character (UAX-29 WB999 —
-#   each is its own word, matching the reference's uniseg counts on
-#   CJK text, src/wimbd/tokens.rs:11-20);
-# * other letter/digit runs (minus those CJK ranges, via double-negated
-#   class subtraction) with in-word ' and ’ kept;
-# * any remaining non-space symbol is a single segment.
-_KATAKANA = r"[゠-ヿㇰ-ㇿｦ-ﾟ]+"
-_CJK_ONE = (
-    r"[぀-ゟ㐀-䶿一-鿿豈-﫿"
-    r"\U00020000-\U0002EBEF]"
-)
-_WORDCH = (
-    r"[^\W぀-ヿㇰ-ㇿ㐀-䶿一-鿿"
-    r"豈-﫿ｦ-ﾟ\U00020000-\U0002EBEF]"
-)
-_UWORD_RE = re.compile(
-    rf"{_KATAKANA}|{_CJK_ONE}|{_WORDCH}+(?:['’]{_WORDCH}+)*|[^\w\s]",
-    re.UNICODE,
-)
+# word segmentation lives in uax29.py (true UAX-29 rules) -- the former
+# regex approximation was removed when all callers switched over
 _SENT_BOUND_RE = re.compile(r"[.!?]+[\"'’”)\]]*(?:\s+|$)")
 
 

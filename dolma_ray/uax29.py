@@ -80,13 +80,31 @@ def _in_ranges(cp: int, ranges) -> bool:
     return False
 
 
+# Extended_Pictographic ranges in the U+2000-U+2BFF region, transcribed
+# from Unicode emoji-data.txt (includes the unassigned future-proof
+# entries the spec lists, e.g. 2388, 2605).  A blanket 2190..2BFF would
+# wrongly ZWJ-join plain arrows/math symbols (U+2192 is NOT EP).
+_EP_BMP_RANGES = (
+    (0x2194, 0x2199), (0x21A9, 0x21AA), (0x231A, 0x231B), (0x2328, 0x2328),
+    (0x2388, 0x2388), (0x23CF, 0x23CF), (0x23E9, 0x23F3), (0x23F8, 0x23FA),
+    (0x24C2, 0x24C2), (0x25AA, 0x25AB), (0x25B6, 0x25B6), (0x25C0, 0x25C0),
+    (0x25FB, 0x25FE), (0x2600, 0x2605), (0x2607, 0x2612), (0x2614, 0x2685),
+    (0x2690, 0x2705), (0x2708, 0x2712), (0x2714, 0x2714), (0x2716, 0x2716),
+    (0x271D, 0x271D), (0x2721, 0x2721), (0x2728, 0x2728), (0x2733, 0x2734),
+    (0x2744, 0x2744), (0x2747, 0x2747), (0x274C, 0x274C), (0x274E, 0x274E),
+    (0x2753, 0x2755), (0x2757, 0x2757), (0x2763, 0x2767), (0x2795, 0x2797),
+    (0x27A1, 0x27A1), (0x27B0, 0x27B0), (0x27BF, 0x27BF), (0x2934, 0x2935),
+    (0x2B05, 0x2B07), (0x2B1B, 0x2B1C), (0x2B50, 0x2B50), (0x2B55, 0x2B55),
+)
+
+
 def _is_ext_pict(ch: str) -> bool:
-    """Extended_Pictographic approximation (emoji-data.txt blocks)."""
+    """Extended_Pictographic (emoji-data.txt ranges)."""
     cp = ord(ch)
     return (
         cp in (0xA9, 0xAE, 0x203C, 0x2049, 0x2122, 0x2139, 0x3030, 0x303D,
                0x3297, 0x3299)
-        or 0x2190 <= cp <= 0x2BFF
+        or _in_ranges(cp, _EP_BMP_RANGES)
         or 0x1F000 <= cp <= 0x1FAFF
         or 0x1FC00 <= cp <= 0x1FFFD
     )

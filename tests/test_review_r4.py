@@ -135,3 +135,100 @@ def test_whole_doc_spans_null_length_is_zero():
         [{"start": 0, "end": 0, "score": 1.0}],
         [],
     ]
+
+
+# ---- second review batch (pre-session round-4 commits) ---------------
+
+
+def test_corrupt_dc_huffman_raises_unsupported():
+    """A malformed DHT symbol must raise UnsupportedMediaError (caught
+    by the media stages), not ValueError from a negative shift."""
+    import numpy as np
+
+    from dolma_ray.multimodal.codecs import UnsupportedMediaError
+    from dolma_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    data = bytearray(encode_jpeg(np.full((16, 16, 3), 0.5, dtype=np.float32)))
+    # find the DC luma DHT segment (FFC4, class 0) and poison the FIRST
+    # HUFFVAL (the most common symbol — guaranteed exercised by MCU 0):
+    # layout FFC4 len(2) class/id(1) bits(16) values...
+    i = bytes(data).find(b"\xff\xc4")
+    assert i > 0
+    data[i + 21] = 0xFF  # absurd magnitude category
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(bytes(data))
+
+
+def test_secrets_ibm_softlayer_cloudant_plugins():
+    from dolma_ray.taggers.secrets import scan_text
+
+    hits = scan_text(
+        "ibm_cloud_iam_api_key = '"
+        + "A" * 44
+        + "'\nsoftlayer_api_key: "
+        + "a1" * 32
+        + "\nsecret_access_key = \""
+        + "ab01" * 12
+        + '"\nuser:'
+        + "0123456789abcdef" * 4
+        + "@myacct.cloudant.com"
+    )
+    types = {t for t, _, _ in hits}
+    assert "IBM Cloud IAM Key" in types
+    assert "SoftLayer Credentials" in types
+    assert "IBM COS HMAC Credentials" in types
+    assert "Cloudant Credentials" in types
+
+
+def test_asof_join_int64_tie_and_values_exact(ray_session):
+    """Big int64 ids must survive the asof exchange exactly, and ties at
+    the same (key, ts) must resolve to max(id) deterministically."""
+    import ray.data as rd
+
+    from dolma_ray.analysis.joins import asof_join
+
+    big1, big2 = (1 << 53) + 1, (1 << 53) + 2  # adjacent beyond float53
+    left = rd.from_items([{"user": 1, "ts": 100, "order_id": big1 + 7}])
+    right = rd.from_items(
+        [
+            {"user": 1, "ts": 50, "view_id": big1},
+            {"user": 1, "ts": 50, "view_id": big2},
+        ]
+    )
+    out = asof_join(
+        left, right, key_column="user", ts_column="ts",
+        right_columns=["view_id"], tie_column="view_id", n_buckets=2,
+    ).take_all()
+    assert len(out) == 1
+    assert out[0]["view_id"] == big2  # max(id), exact
+    assert out[0]["order_id"] == big1 + 7  # left int column exact too
+
+
+def test_jq_chained_update_assignments():
+    from dolma_ray.mixer.jq import evaluate_jq, parse_jq
+
+    assert evaluate_jq(parse_jq(".a = 1 | .b = 2"), {"x": 9}) == {
+        "x": 9, "a": 1, "b": 2,
+    }
+    assert evaluate_jq(parse_jq(".x | .y = 2"), {"x": {"z": 1}}) == {
+        "z": 1, "y": 2,
+    }
+    assert evaluate_jq(parse_jq(".a += 1 | .a += 2"), {"a": 1}) == {"a": 4}
+
+
+def test_uax29_plain_arrow_not_pictographic():
+    """U+2192 (rightwards arrow) is not Extended_Pictographic: ZWJ must
+    not glue it to a preceding letter; a real emoji ZWJ sequence still
+    joins."""
+    from dolma_ray.uax29 import word_bounds
+
+    segs = list(word_bounds("a‍→"))
+    assert "a‍→" not in segs and "→" in segs  # arrow broken off
+    woman_rocket = "\U0001F469‍\U0001F680"
+    assert list(word_bounds(woman_rocket)) == [woman_rocket]  # EP ZWJ joins
+
+
+def test_numpy_scalar_not_in_lsh_sql():
+    from dolma_ray.queries import ORACLES
+
+    assert "np.float64" not in ORACLES["lsh_ann"]
