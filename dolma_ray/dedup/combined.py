@@ -209,7 +209,8 @@ def _mark_fused_join(
        exceeds its key's global minimum — the same rule the broadcast
        path applies per row, with one all-to-all exchange instead of
        the former groupby-aggregate + inner-join pair;
-    4. ``groupby(d).aggregate(Unique(seq))`` → per-doc late-unit lists;
+    4. per-doc late-unit csv lists via :func:`csv_lists_by_sort` (one
+       range sort + per-block run collect — no per-group aggregate);
     5. :func:`_bucketed_left_attach` corpus ⋈ per-doc lists on the row
        identity (salt-bucketed groupby merge, not a hash join), then one
        vectorized attach pass rebuilds both span columns from the
@@ -221,7 +222,6 @@ def _mark_fused_join(
     bucket exchange (one all-to-all, streaming, no driver state).
     """
     import ray
-    from ray.data.aggregate import Unique
 
     from .lookup import late_units_by_sort
 
@@ -269,17 +269,35 @@ def _mark_fused_join(
             }
         )
 
+    import os as _os
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _debug = bool(_os.environ.get("DOLMA_RAY_DEBUG_TIMING"))
+
+    def _tick(label: str):
+        nonlocal _t0
+        if _debug:
+            now = _time.perf_counter()
+            print(f"[fused_join] {label}: {now - _t0:.2f}s", flush=True)
+            _t0 = now
+
     # narrow unit stream — spillable; late units come from ONE range sort
     # (late_units_by_sort) instead of the former groupby-aggregate +
     # inner-join pair (measured 9.9 s -> 6.6 s for the marking phase on
     # the 100k-doc bench corpus, identical output)
     units = ds.map_batches(project_units, batch_format="pyarrow").materialize()
     n_units = units.count()
+    _tick("project_units")
     try:
         n_corpus = ds._meta_count()
     except Exception:
         n_corpus = None
+    from .lookup import _coalesce_narrow
+
+    units = _coalesce_narrow(units, n_units)
     late, n_late = late_units_by_sort(units, ["d", "seq"])
+    _tick("late_units_by_sort")
 
     def attach_with(late_lists_ds, parts: int):
         def add_ident(batch: pa.Table) -> pa.Table:
@@ -310,13 +328,15 @@ def _mark_fused_join(
             joined = _bucketed_left_attach(
                 keyed, late_lists_ds, parts, rows_hint=n_corpus
             )
-            # the join emits one block per partition; re-split so the
-            # python-heavy attach (and every downstream stage) isn't
-            # parallelism-starved by a volume-scaled partition count
+            # the bucket merge emits one block per bucket; re-split ONLY
+            # when that leaves the python-heavy attach (and downstream
+            # stages) parallelism-starved — an unconditional repartition
+            # here is a second full-text exchange
             from .lookup import cluster_cpus
 
             blocks = max(cluster_cpus() * 2, -(-(n_corpus or 0) // 10_000))
-            joined = joined.repartition(blocks)
+            if parts < blocks:
+                joined = joined.repartition(blocks)
 
         def attach(batch: pa.Table) -> pa.Table:
             batch = restore(batch)
@@ -377,27 +397,18 @@ def _mark_fused_join(
     from .lookup import cluster_cpus
 
     late = late.repartition(max(cluster_cpus(), -(-n_units // 500_000)))
-    def encode_lists(batch: pa.Table) -> pa.Table:
-        # hash joins reject list-typed payload columns -> comma-string.
-        # Ray auto-names the Unique aggregate column ("unique(seq)" in
-        # 2.49); resolve it as the one non-key column so a rename in a
-        # future Ray release can't KeyError here.
-        uniq_col = next(c for c in batch.column_names if c != "d")
-        lates = [
-            ",".join(str(int(x)) for x in lst)
-            for lst in batch[uniq_col].to_pylist()
-        ]
-        return pa.table(
-            {"__ddj_rd": batch["d"], "__ddj_late": pa.array(lates, pa.string())}
-        )
 
-    per_doc = (
-        late.groupby("d")
-        .aggregate(Unique("seq"))
-        .map_batches(encode_lists, batch_format="pyarrow")
-        .materialize()
-    )
+    # per-doc late-seq csv lists via one range sort + vectorized run
+    # collect (csv_lists_by_sort) instead of groupby(d).aggregate(Unique)
+    # — Ray's Unique pays python-level accumulation per tiny group
+    # (measured 20.7 s -> see BASELINE.md for the join-leg delta)
+    from .lookup import csv_lists_by_sort
+
+    per_doc = csv_lists_by_sort(
+        late, "d", "seq", "__ddj_rd", "__ddj_late"
+    ).materialize()
     n_docs_late = per_doc.count()
+    _tick("csv_lists_by_sort")
     if n_docs_late == 0:
         return attach_with(None, 1)
     from .lookup import bucket_count
