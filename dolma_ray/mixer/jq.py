@@ -13,7 +13,17 @@ implements exactly that subset with the reference's semantics:
 * ``reduce SRC[] as $v (INIT; UPDATE)`` folds (``.`` = accumulator,
   ``$v`` = element inside UPDATE; ``$v[i]``/``$v.field`` suffixes work);
 * string interpolation ``"\\(EXPR)"`` (non-strings JSON-encoded like
-  jq), ``tostring`` / ``tonumber``;
+  jq), ``tostring`` / ``tonumber`` / ``tojson`` / ``fromjson``;
+* array/object construction ``[e1, e2]`` / ``{k: v, "k": v, short}``;
+* ``try EXPR [catch HANDLER]`` (error → empty, or handler with ``.`` =
+  the message);
+* the common builtin set: ``keys[_unsorted] values has contains inside
+  test split join ltrimstr rtrimstr ascii_down/upcase sub gsub index
+  sort[_by] unique[_by] group_by min[_by] max[_by] first last reverse
+  flatten floor ceil round sqrt fabs abs from_entries empty`` — jq-1.7
+  semantics incl. the cross-type total order (null < bool < number <
+  string < array < object); ``sub``/``gsub`` replacements are literal
+  (no capture interpolation);
 * update assignment ``= |= //= += -=`` on paths (jq setpath: returns
   the updated document copy, creating missing objects, padding arrays);
 * **error propagation**: indexing into null/missing raises
@@ -50,13 +60,40 @@ _TOKEN_RE = re.compile(
     r"|(?P<var>\$[A-Za-z_]\w*)"
     r"|(?P<path>\.[A-Za-z_][\w.]*|\.)"
     r"|(?P<lbrack>\[)|(?P<rbrack>\])|(?P<lparen>\()|(?P<rparen>\))"
+    r"|(?P<lbrace>\{)|(?P<rbrace>\})|(?P<comma>,)|(?P<colon>:)"
     r"|(?P<semi>;)"
     r"|(?P<pipe>\|(?!=))|(?P<opt>\?)"
     r"|(?P<op><=|>=|==|!=|//=|\|=|\+=|-=|<|>|\+|-|\*|//|/|=)"
     r"|(?P<word>and|or|length|add|map|select|any|all|null|true|false|not"
-    r"|if|then|elif|else|end|type|to_entries|startswith|endswith"
-    r"|reduce|as|tostring|tonumber)\b)"
+    r"|if|then|elif|else|end|type|to_entries|from_entries"
+    r"|startswith|endswith|reduce|as|tostring|tonumber|tojson|fromjson"
+    r"|keys_unsorted|keys|values|has|contains|inside|test|split|join"
+    r"|ltrimstr|rtrimstr|ascii_downcase|ascii_upcase|sub|gsub|index"
+    r"|sort_by|sort|unique_by|unique|group_by|min_by|max_by|min|max"
+    r"|floor|ceil|round|sqrt|fabs|abs|first|last|reverse|flatten"
+    r"|empty|try|catch)\b"
+    r"|(?P<ident>[A-Za-z_]\w*))"
 )
+
+# builtins taking no arguments (apply to the piped input "."); length/
+# add/... keep their historical dedicated op tags, everything newer
+# routes through the shared ("fn", name, []) op
+_ZERO_ARG_WORDS = frozenset(
+    "length add not any all type to_entries from_entries tostring "
+    "tonumber tojson fromjson keys keys_unsorted values sort unique "
+    "reverse min max floor ceil round sqrt fabs abs first last flatten "
+    "empty ascii_downcase ascii_upcase".split()
+)
+# builtins taking parenthesized ;-separated argument expressions
+_FN_ARG_RANGE = {
+    "map": (1, 1), "select": (1, 1), "startswith": (1, 1),
+    "endswith": (1, 1), "has": (1, 1), "contains": (1, 1),
+    "inside": (1, 1), "test": (1, 2), "split": (1, 1), "join": (1, 1),
+    "ltrimstr": (1, 1), "rtrimstr": (1, 1), "index": (1, 1),
+    "sub": (2, 3), "gsub": (2, 3), "sort_by": (1, 1),
+    "unique_by": (1, 1), "group_by": (1, 1), "min_by": (1, 1),
+    "max_by": (1, 1), "flatten": (0, 1),
+}
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
@@ -69,7 +106,8 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
             raise JqError(f"jq parse error at {src[pos:pos+20]!r}")
         pos = m.end()
         for kind in ("num", "str", "var", "path", "lbrack", "rbrack", "lparen",
-                     "rparen", "semi", "pipe", "opt", "op", "word"):
+                     "rparen", "lbrace", "rbrace", "comma", "colon",
+                     "semi", "pipe", "opt", "op", "word", "ident"):
             v = m.group(kind)
             if v is not None:
                 out.append((kind, v))
@@ -152,6 +190,26 @@ class Interp:
     # string interpolation "a \(expr) b": parts are ("lit", str) or
     # ("expr", ast); non-string values are JSON-encoded like jq
     parts: list[tuple[str, Any]]
+
+
+@dataclass
+class ArrayLit:
+    # [e1, e2, ...]; an element evaluating to empty is dropped (jq
+    # collects the stream)
+    items: list[Any]
+
+
+@dataclass
+class ObjectLit:
+    # {k: v, ...}: keys are str literals or Interp ASTs
+    pairs: list[tuple[Any, Any]]
+
+
+@dataclass
+class Try:
+    # try EXPR [catch HANDLER]: error -> empty, or HANDLER("." = message)
+    expr: Any
+    handler: Any = None
 
 
 class _Parser:
@@ -279,23 +337,114 @@ class _Parser:
             inner = self.parse_pipe()
             self.expect("rparen")
             return inner
-        if k == "word" and v == "select":
-            # standalone select(f) applies to "."
+        if k == "word" and v == "try":
             self.next()
-            self.expect("lparen")
-            inner = self.parse_pipe()
-            self.expect("rparen")
-            return Pipe(Path([]), [("select", inner)])
-        if k == "word" and v in ("length", "add", "type", "to_entries", "any",
-                                 "all", "tostring", "tonumber"):
+            expr = self.parse_unary()
+            if self.peek() == ("word", "catch"):
+                self.next()
+                return Try(expr, self.parse_unary())
+            return Try(expr)
+        if k == "word" and v in _FN_ARG_RANGE:
+            # standalone fn(args) applies to "." (select(f), has("k"), ...)
+            self.next()
+            return Pipe(Path([]), [self.parse_fn_op(v)])
+        if k == "word" and v in _ZERO_ARG_WORDS:
             # zero-arg filters standalone apply to "." (e.g. select(length == 3))
             self.next()
-            return Pipe(Path([]), [(v,)])
+            return Pipe(Path([]), [self.word_op(v)])
         if k == "word" and v == "if":
             return self.parse_if()
         if k == "path":
             return self.parse_path()
+        if k == "lbrack":
+            return self.parse_array()
+        if k == "lbrace":
+            return self.parse_object()
         raise JqError(f"unexpected token {k}:{v}")
+
+    @staticmethod
+    def word_op(v: str) -> tuple:
+        """Historical zero-arg ops keep their dedicated tag; newer
+        builtins share the ("fn", name, []) shape."""
+        if v in ("length", "add", "not", "any", "all", "type",
+                 "to_entries", "tostring", "tonumber"):
+            return (v,)
+        return ("fn", v, [])
+
+    def parse_fn_op(self, name: str) -> tuple:
+        """``name(arg1; arg2; ...)`` — argument count checked against
+        :data:`_FN_ARG_RANGE`."""
+        lo, hi = _FN_ARG_RANGE[name]
+        args: list[Any] = []
+        if self.peek()[0] == "lparen":
+            self.next()
+            if self.peek()[0] != "rparen":
+                args.append(self.parse_pipe())
+                while self.peek()[0] == "semi":
+                    self.next()
+                    args.append(self.parse_pipe())
+            self.expect("rparen")
+        if not (lo <= len(args) <= hi):
+            raise JqError(
+                f"{name} takes {lo}"
+                + (f"-{hi}" if hi != lo else "")
+                + f" argument(s), got {len(args)}"
+            )
+        if name == "map":
+            return ("map", args[0])
+        if name == "select":
+            return ("select", args[0])
+        if name in ("startswith", "endswith"):
+            return (name, args[0])
+        return ("fn", name, args)
+
+    def parse_array(self):
+        """``[e1, e2, ...]`` array construction."""
+        self.next()  # "["
+        items: list[Any] = []
+        if self.peek()[0] != "rbrack":
+            items.append(self.parse_pipe())
+            while self.peek()[0] == "comma":
+                self.next()
+                items.append(self.parse_pipe())
+        self.expect("rbrack")
+        return ArrayLit(items)
+
+    def parse_object(self):
+        """``{k: v, "k": v, shorthand, $var}`` object construction."""
+        import json as _json
+
+        self.next()  # "{"
+        pairs: list[tuple[Any, Any]] = []
+        while self.peek()[0] != "rbrace":
+            k, v = self.next()
+            if k in ("ident", "word"):
+                key: Any = v
+            elif k == "str":
+                key = _parse_interp(v) if "\\(" in v else _json.loads(v)
+            elif k == "var":
+                # {$x} shorthand: key x, value $x
+                pairs.append((v[1:], Var(v[1:])))
+                if self.peek()[0] == "comma":
+                    self.next()
+                    continue
+                break
+            else:
+                raise JqError(f"bad object key token {k}:{v}")
+            if self.peek()[0] == "colon":
+                self.next()
+                pairs.append((key, self.parse_alt()))
+            else:
+                # {a} shorthand: key a, value .a
+                if not isinstance(key, str):
+                    raise JqError("interpolated key needs an explicit value")
+                pairs.append((key, Path([("seg", key)])))
+            if self.peek()[0] == "comma":
+                self.next()
+            else:
+                break
+        self.expect("rbrace")
+        return ObjectLit(pairs)
 
     def parse_reduce(self):
         """``reduce SRC[] as $v (INIT; UPDATE)`` — jq's fold."""
@@ -393,15 +542,21 @@ class _Parser:
         while self.peek()[0] == "pipe":
             self.next()
             k, v = self.next()
-            if k == "word" and v in ("length", "add", "not", "any", "all",
-                                     "type", "to_entries", "tostring",
-                                     "tonumber"):
-                ops.append((v,))
-            elif k == "word" and v in ("map", "select", "startswith", "endswith"):
-                self.expect("lparen")
-                inner = self.parse_pipe()
-                self.expect("rparen")
-                ops.append((v, inner))
+            if k == "word" and v in _FN_ARG_RANGE:
+                # before the zero-arg check: flatten is in both sets
+                # (optional depth argument)
+                ops.append(self.parse_fn_op(v))
+            elif k == "word" and v in _ZERO_ARG_WORDS:
+                ops.append(self.word_op(v))
+            elif k == "word" and v == "try":
+                self.i -= 1
+                ops.append(("expr", self.parse_unary()))
+            elif k == "lbrack":
+                self.i -= 1
+                ops.append(("expr", self.parse_array()))
+            elif k == "lbrace":
+                self.i -= 1
+                ops.append(("expr", self.parse_object()))
             elif k == "word" and v == "if":
                 self.i -= 1
                 ops.append(("expr", self.parse_if()))
@@ -604,6 +759,24 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             else:
                 out.append(_jq_tostring(_eval(part, doc, elem, env)))
         return "".join(out)
+    if isinstance(node, ArrayLit):
+        vals = [_eval(it, doc, elem, env) for it in node.items]
+        return [v for v in vals if v is not _EMPTY]
+    if isinstance(node, ObjectLit):
+        out_obj = {}
+        for key, vexpr in node.pairs:
+            k_ = key if isinstance(key, str) else _eval(key, doc, elem, env)
+            if not isinstance(k_, str):
+                raise JqError("object key must be a string")
+            out_obj[k_] = _eval(vexpr, doc, elem, env)
+        return out_obj
+    if isinstance(node, Try):
+        try:
+            return _eval(node.expr, doc, elem, env)
+        except JqError as e:
+            if node.handler is None:
+                return _EMPTY
+            return _eval(node.handler, doc, str(e), env)
     if isinstance(node, Reduce):
         src = node.source
         if not (isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter"):
@@ -732,6 +905,11 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 if not isinstance(cur, str) or not isinstance(arg, str):
                     raise JqError(f"{op[0]} requires strings")
                 cur = cur.startswith(arg) if op[0] == "startswith" else cur.endswith(arg)
+            elif op[0] == "fn":
+                cur = _apply_fn(
+                    op[1], op[2], cur,
+                    lambda a, e: _eval(a, doc, e, env),
+                )
             elif op[0] == "expr":
                 cur = _eval(op[1], doc, cur, env)
             elif op[0] == "map":
@@ -801,6 +979,275 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 raise JqError("division by zero")
             return l / r
     raise JqError(f"cannot evaluate {node!r}")
+
+
+# jq's total order across types: null < false < true < numbers <
+# strings < arrays < objects (objects by sorted key list, then values)
+_TYPE_RANK = {
+    "null": 0, "boolean": 1, "number": 2,
+    "string": 3, "array": 4, "object": 5,
+}
+
+
+def _jq_sort_key(v: Any):
+    t = _jq_type(v)
+    r = _TYPE_RANK[t]
+    if t == "null":
+        return (r,)
+    if t == "boolean":
+        return (r, v is True)
+    if t == "number":
+        return (r, float(v))
+    if t == "string":
+        return (r, v)
+    if t == "array":
+        return (r, [_jq_sort_key(x) for x in v])
+    ks = sorted(v.keys())
+    return (r, ks, [_jq_sort_key(v[k]) for k in ks])
+
+
+def _jq_contains(a: Any, b: Any) -> bool:
+    """jq ``contains``: objects contain matching keys recursively,
+    arrays contain every element of b somewhere, strings substring."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        return all(k in a and _jq_contains(a[k], bv) for k, bv in b.items())
+    if isinstance(a, list) and isinstance(b, list):
+        return all(any(_jq_contains(x, y) for x in a) for y in b)
+    if isinstance(a, str) and isinstance(b, str):
+        return b in a
+    return a == b
+
+
+def _re_flags(flags: str) -> int:
+    out = 0
+    for c in flags:
+        if c == "i":
+            out |= re.IGNORECASE
+        elif c == "x":
+            out |= re.VERBOSE
+        elif c == "s":
+            out |= re.DOTALL
+        elif c == "m":
+            out |= re.MULTILINE
+        elif c != "g":  # g is a sub/gsub matter, ignore here
+            raise JqError(f"unsupported regex flag {c!r}")
+    return out
+
+
+def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
+    """Shared builtin dispatcher for the ("fn", name, args) pipe op.
+    ``ev(ast, elem)`` evaluates an argument AST with ``.`` = elem —
+    value arguments evaluate against the piped input, the *_by family
+    re-evaluates its argument per element."""
+    import json as _json
+    import math
+
+    def val(i: int) -> Any:
+        return ev(arg_asts[i], cur)
+
+    if name == "empty":
+        return _EMPTY
+    if name == "keys" or name == "keys_unsorted":
+        if isinstance(cur, dict):
+            return sorted(cur.keys()) if name == "keys" else list(cur.keys())
+        if isinstance(cur, list):
+            return list(range(len(cur)))
+        raise JqError(f"{_jq_type(cur)} has no keys")
+    if name == "values":
+        # jq: def values: select(. != null)
+        return _EMPTY if cur is None else cur
+    if name == "from_entries":
+        if not isinstance(cur, list):
+            raise JqError("from_entries requires an array")
+        out = {}
+        for e in cur:
+            if not isinstance(e, dict):
+                raise JqError("from_entries elements must be objects")
+            k = e.get("key", e.get("k", e.get("name")))
+            out[_jq_tostring(k)] = e.get("value", e.get("v"))
+        return out
+    if name == "tojson":
+        return _json.dumps(cur, separators=(",", ":"))
+    if name == "fromjson":
+        if not isinstance(cur, str):
+            raise JqError("fromjson requires a string")
+        try:
+            return _json.loads(cur)
+        except ValueError as e:
+            raise JqError(f"fromjson: {e}") from e
+    if name in ("ascii_downcase", "ascii_upcase"):
+        if not isinstance(cur, str):
+            raise JqError(f"{name} requires a string")
+        return cur.lower() if name == "ascii_downcase" else cur.upper()
+    if name in ("floor", "ceil", "round", "sqrt", "fabs", "abs"):
+        if isinstance(cur, bool) or not isinstance(cur, (int, float)):
+            raise JqError(f"{name} requires a number")
+        if name == "floor":
+            return math.floor(cur)
+        if name == "ceil":
+            return math.ceil(cur)
+        if name == "round":
+            # jq rounds half away from zero (C round())
+            return (
+                math.floor(cur + 0.5) if cur >= 0 else math.ceil(cur - 0.5)
+            )
+        if name == "sqrt":
+            if cur < 0:
+                raise JqError("sqrt of negative number")
+            return math.sqrt(cur)
+        return abs(cur)
+    if name in ("first", "last"):
+        if not isinstance(cur, list):
+            raise JqError(f"{name} requires an array")
+        if not cur:
+            return None
+        return cur[0] if name == "first" else cur[-1]
+    if name == "reverse":
+        if isinstance(cur, str):
+            return cur[::-1]
+        if not isinstance(cur, list):
+            raise JqError("reverse requires an array")
+        return cur[::-1]
+    if name == "sort":
+        if not isinstance(cur, list):
+            raise JqError("sort requires an array")
+        return sorted(cur, key=_jq_sort_key)
+    if name == "unique":
+        if not isinstance(cur, list):
+            raise JqError("unique requires an array")
+        out = []
+        for v in sorted(cur, key=_jq_sort_key):
+            if not out or out[-1] != v:
+                out.append(v)
+        return out
+    if name in ("min", "max"):
+        if not isinstance(cur, list):
+            raise JqError(f"{name} requires an array")
+        if not cur:
+            return None
+        f = min if name == "min" else max
+        return f(cur, key=_jq_sort_key)
+    if name == "flatten":
+        if not isinstance(cur, list):
+            raise JqError("flatten requires an array")
+        depth = val(0) if arg_asts else float("inf")
+        if isinstance(depth, bool) or not isinstance(depth, (int, float)):
+            raise JqError("flatten depth must be a number")
+
+        def flat(xs, d):
+            out = []
+            for x in xs:
+                if isinstance(x, list) and d > 0:
+                    out.extend(flat(x, d - 1))
+                else:
+                    out.append(x)
+            return out
+
+        return flat(cur, depth)
+    if name == "has":
+        k = val(0)
+        if isinstance(cur, dict):
+            if not isinstance(k, str):
+                raise JqError("has on an object takes a string key")
+            return k in cur
+        if isinstance(cur, list):
+            if isinstance(k, bool) or not isinstance(k, (int, float)):
+                raise JqError("has on an array takes a number")
+            return 0 <= k < len(cur)
+        raise JqError(f"cannot check has() on {_jq_type(cur)}")
+    if name == "contains":
+        return _jq_contains(cur, val(0))
+    if name == "inside":
+        return _jq_contains(val(0), cur)
+    if name == "test":
+        pat = val(0)
+        flags = val(1) if len(arg_asts) > 1 else ""
+        if not isinstance(cur, str) or not isinstance(pat, str):
+            raise JqError("test requires strings")
+        try:
+            return re.search(pat, cur, _re_flags(flags)) is not None
+        except re.error as e:
+            raise JqError(f"bad regex: {e}") from e
+    if name in ("sub", "gsub"):
+        pat, repl = val(0), val(1)
+        flags = val(2) if len(arg_asts) > 2 else ""
+        if not all(isinstance(x, str) for x in (cur, pat, repl)):
+            raise JqError(f"{name} requires strings")
+        count = 0 if (name == "gsub" or "g" in flags) else 1
+        try:
+            return re.sub(pat, repl.replace("\\", "\\\\"), cur,
+                          count=count, flags=_re_flags(flags))
+        except re.error as e:
+            raise JqError(f"bad regex: {e}") from e
+    if name == "split":
+        sep = val(0)
+        if not isinstance(cur, str) or not isinstance(sep, str):
+            raise JqError("split requires strings")
+        if sep == "":
+            raise JqError("split separator must be non-empty")
+        return cur.split(sep)
+    if name == "join":
+        sep = val(0)
+        if not isinstance(cur, list) or not isinstance(sep, str):
+            raise JqError("join requires an array and a string")
+        # jq join: null -> "", other scalars stringified; arrays/objects error
+        parts = []
+        for v in cur:
+            if v is None:
+                parts.append("")
+            elif isinstance(v, (list, dict)):
+                raise JqError(f"cannot join {_jq_type(v)}")
+            elif isinstance(v, bool):
+                parts.append("true" if v else "false")
+            else:
+                parts.append(_jq_tostring(v))
+        return sep.join(parts)
+    if name in ("ltrimstr", "rtrimstr"):
+        s = val(0)
+        if not isinstance(cur, str) or not isinstance(s, str):
+            return cur  # jq passes non-strings through unchanged
+        if name == "ltrimstr":
+            return cur[len(s):] if s and cur.startswith(s) else cur
+        return cur[: -len(s)] if s and cur.endswith(s) else cur
+    if name == "index":
+        x = val(0)
+        if isinstance(cur, str):
+            if not isinstance(x, str):
+                raise JqError("index on a string takes a string")
+            i = cur.find(x)
+            return None if i < 0 else i
+        if isinstance(cur, list):
+            try:
+                return cur.index(x)
+            except ValueError:
+                return None
+        raise JqError(f"cannot index {_jq_type(cur)}")
+    if name in ("sort_by", "min_by", "max_by", "unique_by", "group_by"):
+        if not isinstance(cur, list):
+            raise JqError(f"{name} requires an array")
+        keyed = [(_jq_sort_key(ev(arg_asts[0], e)), e) for e in cur]
+        if name == "min_by":
+            return min(keyed, key=lambda p: p[0])[1] if keyed else None
+        if name == "max_by":
+            return max(keyed, key=lambda p: p[0])[1] if keyed else None
+        keyed.sort(key=lambda p: p[0])
+        if name == "sort_by":
+            return [e for _, e in keyed]
+        if name == "unique_by":
+            out, last = [], object()
+            for k, e in keyed:
+                if k != last:
+                    out.append(e)
+                    last = k
+            return out
+        groups, last = [], object()
+        for k, e in keyed:
+            if k != last:
+                groups.append([])
+                last = k
+            groups[-1].append(e)
+        return groups
+    raise JqError(f"unknown builtin {name!r}")
 
 
 def parse_jq(expr: str):

@@ -1,0 +1,127 @@
+"""Round-4 jq builtin expansion: the common user-program surface beyond
+the reference's shipped configs (keys/has/test/split/sort_by/construction
+/try...).  Expected values follow the jq 1.7 manual semantics (the
+reference embeds full jaq, ``src/filters.rs:250-385``)."""
+
+import pytest
+
+from dolma_ray.mixer.jq import _EMPTY, JqError, evaluate_jq, parse_jq
+
+
+def run(prog, doc):
+    got = evaluate_jq(parse_jq(prog), doc)
+    return None if got is _EMPTY else got
+
+
+CASES = [
+    (".a | keys", {"a": {"z": 1, "b": 2}}, ["b", "z"]),
+    (".a | keys_unsorted", {"a": {"z": 1, "b": 2}}, ["z", "b"]),
+    (".a | keys", {"a": [10, 20]}, [0, 1]),
+    ('has("x")', {"x": 1}, True),
+    (".a | has(1)", {"a": [10, 20]}, True),
+    (".a | has(2)", {"a": [10, 20]}, False),
+    ('.s | test("^ab.*d$")', {"s": "abcd"}, True),
+    ('.s | test("AB"; "i")', {"s": "xaby"}, True),
+    ('.s | test("zz")', {"s": "abcd"}, False),
+    ('.s | split(",")', {"s": "a,b,c"}, ["a", "b", "c"]),
+    ('.a | join("-")', {"a": ["x", None, 2]}, "x--2"),
+    ('.a | join(",")', {"a": [True, False]}, "true,false"),
+    ('.s | ltrimstr("ab")', {"s": "abcd"}, "cd"),
+    ('.s | ltrimstr("zz")', {"s": "abcd"}, "abcd"),
+    ('.n | ltrimstr("a")', {"n": 5}, 5),  # non-string passes through
+    ('.s | rtrimstr("cd")', {"s": "abcd"}, "ab"),
+    (".s | ascii_downcase", {"s": "AbC"}, "abc"),
+    (".s | ascii_upcase", {"s": "AbC"}, "ABC"),
+    # jq total order: null < booleans < numbers < strings
+    (".a | sort", {"a": [3, None, "x", 1, True]}, [None, True, 1, 3, "x"]),
+    (".a | unique", {"a": [2, 1, 2, 1]}, [1, 2]),
+    (".a | min", {"a": [3, 1, 2]}, 1),
+    (".a | max", {"a": [3, 1, 2]}, 3),
+    (".a | min", {"a": []}, None),
+    (".a | reverse", {"a": [1, 2, 3]}, [3, 2, 1]),
+    (".s | reverse", {"s": "abc"}, "cba"),
+    (".a | first", {"a": [7, 8]}, 7),
+    (".a | last", {"a": [7, 8]}, 8),
+    (".a | flatten", {"a": [1, [2, [3]]]}, [1, 2, 3]),
+    (".a | flatten(1)", {"a": [1, [2, [3]]]}, [1, 2, [3]]),
+    (".n | floor", {"n": 3.7}, 3),
+    (".n | ceil", {"n": 3.2}, 4),
+    (".n | round", {"n": 2.5}, 3),
+    (".n | round", {"n": -1.5}, -2),  # half away from zero, like C round()
+    (".n | sqrt", {"n": 9}, 3.0),
+    (".n | fabs", {"n": -2.5}, 2.5),
+    (".n | abs", {"n": -2}, 2),
+    ('.a | contains(["b"])', {"a": ["abc", "d"]}, True),
+    ('.s | contains("bc")', {"s": "abcd"}, True),
+    ('.o | contains({"a": 1})', {"o": {"a": 1, "b": 2}}, True),
+    ('.s | inside("xabcdy")', {"s": "bcd"}, True),
+    # construction
+    ("[.a, .b, 3]", {"a": 1, "b": 2}, [1, 2, 3]),
+    ("[]", {}, []),
+    ("[.a, .b] | max", {"a": 1, "b": 5}, 5),
+    ('{x: .a, "y": 2, b}', {"a": 1, "b": 9}, {"x": 1, "y": 2, "b": 9}),
+    ("{a: .x} | .a", {"x": 42}, 42),
+    # *_by family re-evaluates the argument per element
+    (".a | sort_by(.k)", {"a": [{"k": 2}, {"k": 1}]}, [{"k": 1}, {"k": 2}]),
+    (".a | min_by(.k) | .k", {"a": [{"k": 2}, {"k": 1}]}, 1),
+    (".a | max_by(.k) | .k", {"a": [{"k": 2}, {"k": 5}]}, 5),
+    (".a | group_by(.k) | length", {"a": [{"k": 1}, {"k": 1}, {"k": 2}]}, 2),
+    (".a | unique_by(.k) | length", {"a": [{"k": 1}, {"k": 1}, {"k": 2}]}, 2),
+    # regex substitution (replacement is literal — no capture interpolation)
+    ('.s | sub("a"; "X")', {"s": "banana"}, "bXnana"),
+    ('.s | gsub("a"; "X")', {"s": "banana"}, "bXnXnX"),
+    ('.s | gsub("[aeiou]"; "")', {"s": "banana"}, "bnn"),
+    ('.s | index("cd")', {"s": "abcd"}, 2),
+    ('.s | index("zz")', {"s": "abcd"}, None),
+    (".a | index(20)", {"a": [10, 20]}, 1),
+    # try/catch
+    ("try .a.b.c", {"a": 1}, None),  # error -> empty
+    ('try .a.b catch "oops"', {"a": 1}, "oops"),
+    ("try .a", {"a": 7}, 7),
+    # json round-trips
+    (".o | tojson", {"o": {"a": 1}}, '{"a":1}'),
+    ('.s | fromjson | .a', {"s": '{"a": 5}'}, 5),
+    (".o | to_entries | from_entries", {"o": {"a": 1}}, {"a": 1}),
+    # values = select(. != null)
+    (".a | values", {"a": 1}, 1),
+    (".a | values", {"a": None}, None),
+]
+
+
+@pytest.mark.parametrize("prog,doc,want", CASES, ids=[c[0] for c in CASES])
+def test_builtin(prog, doc, want):
+    assert run(prog, doc) == want
+
+
+def test_errors_raise_jqerror():
+    for prog, doc in [
+        ('.a | has("x")', {"a": 5}),
+        (".a | sort", {"a": "notarray"}),
+        ('.s | test("[")', {"s": "x"}),  # bad regex
+        (".s | fromjson", {"s": "{nope"}),
+        ('.a | join(",")', {"a": [[1]]}),  # nested join element
+        (".n | sqrt", {"n": -1}),
+    ]:
+        with pytest.raises(JqError):
+            run(prog, doc)
+
+
+def test_fn_words_still_usable_as_object_keys():
+    # builtin names aren't reserved in key position
+    assert run("{min: .a, keys: 2}", {"a": 1}) == {"min": 1, "keys": 2}
+
+
+def test_standalone_fn_applies_to_dot():
+    assert run("sort", [3, 1, 2]) == [1, 2, 3]
+    assert run('contains("bc")', "abcd") is True
+
+
+def test_composition_with_existing_forms():
+    # new builtins compose with map/select/reduce/interpolation
+    doc = {"attributes": {"sc": [[0, 5, 0.9], [5, 9, 0.2]]}}
+    assert run(".attributes.sc | map(.[2]) | max", doc) == 0.9
+    assert run(".attributes.sc | sort_by(.[2]) | first | .[2]", doc) == 0.2
+    assert (
+        run('reduce .a[] as $v (0; . + $v) | tostring', {"a": [1, 2, 3]})
+        == "6"
+    )
