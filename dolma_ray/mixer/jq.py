@@ -429,6 +429,10 @@ class _Parser:
                     self.next()
                     continue
                 break
+            elif k == "lparen":
+                # {(EXPR): v} computed key
+                key = self.parse_pipe()
+                self.expect("rparen")
             else:
                 raise JqError(f"bad object key token {k}:{v}")
             if self.peek()[0] == "colon":
@@ -766,9 +770,14 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         out_obj = {}
         for key, vexpr in node.pairs:
             k_ = key if isinstance(key, str) else _eval(key, doc, elem, env)
+            if k_ is _EMPTY:
+                return _EMPTY  # jq: empty key -> no object produced
             if not isinstance(k_, str):
                 raise JqError("object key must be a string")
-            out_obj[k_] = _eval(vexpr, doc, elem, env)
+            v_ = _eval(vexpr, doc, elem, env)
+            if v_ is _EMPTY:
+                return _EMPTY  # jq: empty value -> no object produced
+            out_obj[k_] = v_
         return out_obj
     if isinstance(node, Try):
         try:
@@ -951,33 +960,21 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         if l is _EMPTY or r is _EMPTY:
             return _EMPTY  # jq: any op on empty yields empty
         if node.op == "==":
-            return l == r
+            return _jq_eq(l, r)
         if node.op == "!=":
-            return l != r
-        if l is None or r is None:
-            if node.op in ("<", "<=", ">", ">="):
-                # jq orders null below everything
-                ln = l is None
-                return {"<": ln and r is not None, "<=": ln, ">": not ln and r is None, ">=": r is None}[node.op]
-            raise JqError(f"cannot {node.op} null")
-        if node.op == "<":
-            return l < r
-        if node.op == "<=":
-            return l <= r
-        if node.op == ">":
-            return l > r
-        if node.op == ">=":
-            return l >= r
-        if node.op == "+":
-            return l + r
-        if node.op == "-":
-            return l - r
-        if node.op == "*":
-            return l * r
-        if node.op == "/":
-            if r == 0:
-                raise JqError("division by zero")
-            return l / r
+            return not _jq_eq(l, r)
+        if node.op in ("<", "<=", ">", ">="):
+            # jq compares ANY two values via the cross-type total order
+            # (null < false < true < numbers < strings < arrays < objects)
+            lk, rk = _jq_sort_key(l), _jq_sort_key(r)
+            if node.op == "<":
+                return lk < rk
+            if node.op == "<=":
+                return lk <= rk
+            if node.op == ">":
+                return lk > rk
+            return lk >= rk
+        return _jq_arith(node.op, l, r)
     raise JqError(f"cannot evaluate {node!r}")
 
 
@@ -1006,6 +1003,68 @@ def _jq_sort_key(v: Any):
     return (r, ks, [_jq_sort_key(v[k]) for k in ks])
 
 
+def _jq_eq(a: Any, b: Any) -> bool:
+    """jq deep equality: distinguishes true/1 and false/0 (Python's
+    ``==`` conflates bool and int, also inside nested containers)."""
+    return _jq_sort_key(a) == _jq_sort_key(b)
+
+
+def _jq_arith(op: str, l: Any, r: Any) -> Any:
+    """jq arithmetic semantics for + - * / ; raises JqError (never a
+    raw Python TypeError) on unsupported operand types."""
+    num = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)
+    if op == "+":
+        # null is the identity for + on either side
+        if l is None:
+            return r
+        if r is None:
+            return l
+        if num(l) and num(r):
+            return l + r
+        if isinstance(l, str) and isinstance(r, str):
+            return l + r
+        if isinstance(l, list) and isinstance(r, list):
+            return l + r
+        if isinstance(l, dict) and isinstance(r, dict):
+            return {**l, **r}  # shallow merge, right side wins
+    elif op == "-":
+        if num(l) and num(r):
+            return l - r
+        if isinstance(l, list) and isinstance(r, list):
+            rk = [_jq_sort_key(x) for x in r]
+            return [x for x in l if _jq_sort_key(x) not in rk]
+    elif op == "*":
+        if num(l) and num(r):
+            return l * r
+        if isinstance(l, dict) and isinstance(r, dict):
+            def deep(a, b):
+                out = dict(a)
+                for k, v in b.items():
+                    if isinstance(out.get(k), dict) and isinstance(v, dict):
+                        out[k] = deep(out[k], v)
+                    else:
+                        out[k] = v
+                return out
+            return deep(l, r)
+        if isinstance(l, str) and num(r):
+            # jq: "ab" * n repeats; n <= 0 yields null
+            if r <= 0:
+                return None
+            if float(r) != int(r):
+                raise JqError("string * non-integer is unsupported")
+            return l * int(r)
+    elif op == "/":
+        if num(l) and num(r):
+            if r == 0:
+                raise JqError("division by zero")
+            return l / r
+        if isinstance(l, str) and isinstance(r, str):
+            return l.split(r) if r else list(l)
+    raise JqError(
+        f"{_jq_type(l)} and {_jq_type(r)} cannot be {op!r}-combined"
+    )
+
+
 def _jq_contains(a: Any, b: Any) -> bool:
     """jq ``contains``: objects contain matching keys recursively,
     arrays contain every element of b somewhere, strings substring."""
@@ -1015,10 +1074,12 @@ def _jq_contains(a: Any, b: Any) -> bool:
         return all(any(_jq_contains(x, y) for x in a) for y in b)
     if isinstance(a, str) and isinstance(b, str):
         return b in a
-    return a == b
+    return _jq_eq(a, b)
 
 
 def _re_flags(flags: str) -> int:
+    if not isinstance(flags, str):
+        raise JqError(f"regex flags must be a string, got {_jq_type(flags)}")
     out = 0
     for c in flags:
         if c == "i":
@@ -1063,8 +1124,20 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         for e in cur:
             if not isinstance(e, dict):
                 raise JqError("from_entries elements must be objects")
-            k = e.get("key", e.get("k", e.get("name")))
-            out[_jq_tostring(k)] = e.get("value", e.get("v"))
+            # jq: key is .key // .k // .name // .Name (falsy values fall
+            # through, per //); value is presence-based (.value else .v)
+            k = None
+            for kf in ("key", "k", "name", "Name"):
+                k = e.get(kf)
+                if k is not None and k is not False:
+                    break
+            if "value" in e:
+                val_ = e["value"]
+            elif "v" in e:
+                val_ = e["v"]
+            else:
+                val_ = None
+            out[k if isinstance(k, str) else _jq_tostring(k)] = val_
         return out
     if name == "tojson":
         return _json.dumps(cur, separators=(",", ":"))
@@ -1115,10 +1188,12 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
     if name == "unique":
         if not isinstance(cur, list):
             raise JqError("unique requires an array")
-        out = []
+        out, last_key = [], None
         for v in sorted(cur, key=_jq_sort_key):
-            if not out or out[-1] != v:
+            k = _jq_sort_key(v)
+            if not out or last_key != k:
                 out.append(v)
+                last_key = k
         return out
     if name in ("min", "max"):
         if not isinstance(cur, list):
@@ -1171,7 +1246,7 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
     if name in ("sub", "gsub"):
         pat, repl = val(0), val(1)
         flags = val(2) if len(arg_asts) > 2 else ""
-        if not all(isinstance(x, str) for x in (cur, pat, repl)):
+        if not all(isinstance(x, str) for x in (cur, pat, repl, flags)):
             raise JqError(f"{name} requires strings")
         count = 0 if (name == "gsub" or "g" in flags) else 1
         try:
@@ -1217,10 +1292,11 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             i = cur.find(x)
             return None if i < 0 else i
         if isinstance(cur, list):
-            try:
-                return cur.index(x)
-            except ValueError:
-                return None
+            xk = _jq_sort_key(x)
+            for i, v in enumerate(cur):
+                if _jq_sort_key(v) == xk:
+                    return i
+            return None
         raise JqError(f"cannot index {_jq_type(cur)}")
     if name in ("sort_by", "min_by", "max_by", "unique_by", "group_by"):
         if not isinstance(cur, list):

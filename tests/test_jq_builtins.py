@@ -125,3 +125,80 @@ def test_composition_with_existing_forms():
         run('reduce .a[] as $v (0; . + $v) | tostring', {"a": [1, 2, 3]})
         == "6"
     )
+
+
+# ---- round-4 review-finding regressions ------------------------------------
+
+REVIEW_CASES = [
+    # _EMPTY must not leak out of object construction (jq: empty value
+    # or key -> no object is produced at all)
+    ("{a: (.x | select(. > 5))}", {"x": 1}, None),
+    ("{a: empty}", {"x": 1}, None),
+    ("{(.k | select(. == \"no\")): 1}", {"k": "yes"}, None),
+    # bool/int must not conflate (Python True == 1)
+    (".a | unique", {"a": [1, True]}, [True, 1]),
+    (".a | unique", {"a": [0, False]}, [False, 0]),
+    (".a | index(1)", {"a": [True, 1]}, 1),
+    (".a | index(true)", {"a": [1, True]}, 1),
+    (".a == .b", {"a": 1, "b": True}, False),
+    (".a == .b", {"a": [1], "b": [True]}, False),
+    (".a != .b", {"a": 0, "b": False}, True),
+    (".a | contains([1])", {"a": [True]}, False),
+    # cross-type comparisons use the jq total order (no TypeError)
+    (".a < .b", {"a": "s", "b": [1]}, True),
+    (".a < .b", {"a": None, "b": False}, True),
+    (".a > .b", {"a": {}, "b": "z"}, True),
+    (".a <= .b", {"a": True, "b": 1}, True),
+    # from_entries key fallthrough is // (null key falls to name),
+    # value lookup is presence-based (explicit false value kept)
+    (".a | from_entries", {"a": [{"key": None, "name": "a", "value": 1}]},
+     {"a": 1}),
+    (".a | from_entries", {"a": [{"k": "x", "value": False}]}, {"x": False}),
+    (".a | from_entries", {"a": [{"name": "n", "v": 2}]}, {"n": 2}),
+    (".a | from_entries", {"a": [{"key": 7, "value": 1}]}, {"7": 1}),
+    # jq arithmetic: object merge, null identity, array subtraction
+    (".a + .b", {"a": {"x": 1}, "b": {"y": 2}}, {"x": 1, "y": 2}),
+    (".a + .b", {"a": None, "b": [1]}, [1]),
+    (".a + .b", {"a": "x", "b": None}, "x"),
+    (".a - .b", {"a": [1, 2, 3, 2], "b": [2]}, [1, 3]),
+    (".a * .b", {"a": {"x": {"y": 1, "z": 0}}, "b": {"x": {"y": 9}}},
+     {"x": {"y": 9, "z": 0}}),
+    (".s * 3", {"s": "ab"}, "ababab"),
+    (".s * 0", {"s": "ab"}, None),
+    ('.s / ","', {"s": "a,b"}, ["a", "b"]),
+]
+
+
+@pytest.mark.parametrize("prog,doc,want", REVIEW_CASES)
+def test_review_finding_semantics(prog, doc, want):
+    assert run(prog, doc) == want
+
+
+REVIEW_ERROR_CASES = [
+    # non-string regex flags / unsupported operand types must raise
+    # JqError (the module contract), never a raw Python TypeError
+    '.s | test("a"; 1)',
+    '.s | sub("a"; "X"; 1)',
+    '.s | gsub("a"; "X"; 1)',
+    ".s + 1",
+    ".s - .s",
+    "{a: 1} | tojson | fromjson | . + 1",
+]
+
+
+@pytest.mark.parametrize("prog", REVIEW_ERROR_CASES)
+def test_review_finding_errors_are_jq_errors(prog):
+    with pytest.raises(JqError):
+        run(prog, {"s": "abc"})
+
+
+def test_try_catches_flag_type_error():
+    # one bad rule must not escape try/catch and kill the whole task
+    assert run('try (.s | test("a"; 1)) catch "caught"', {"s": "x"}) == "caught"
+
+
+def test_bool_int_strict_equality_and_object_empty_is_dropped():
+    # a filter rule of shape {a: select(...)} must stay falsy when the
+    # select yields empty (it used to return {'a': <sentinel>} = truthy)
+    got = evaluate_jq(parse_jq("{a: (.x | select(. > 5))}"), {"x": 1})
+    assert got is _EMPTY
