@@ -20,10 +20,14 @@ implements exactly that subset with the reference's semantics:
 * the common builtin set: ``keys[_unsorted] values has contains inside
   test split join ltrimstr rtrimstr ascii_down/upcase sub gsub index
   sort[_by] unique[_by] group_by min[_by] max[_by] first last reverse
-  flatten floor ceil round sqrt fabs abs from_entries empty`` — jq-1.7
-  semantics incl. the cross-type total order (null < bool < number <
-  string < array < object); ``sub``/``gsub`` replacements are literal
-  (no capture interpolation);
+  flatten floor ceil round sqrt fabs abs from_entries empty map_values
+  with_entries del getpath setpath delpaths capture any(f) all(f)
+  explode implode split(re; flags)`` — jq-1.7 semantics incl. the
+  cross-type total order (null < bool < number < string < array <
+  object); ``sub``/``gsub`` replacements are literal (no capture
+  interpolation);
+* general bindings ``EXPR as $x | BODY`` (single value, no
+  destructuring patterns);
 * update assignment ``= |= //= += -=`` on paths (jq setpath: returns
   the updated document copy, creating missing objects, padding arrays);
 * **error propagation**: indexing into null/missing raises
@@ -82,17 +86,21 @@ _ZERO_ARG_WORDS = frozenset(
     "length add not any all type to_entries from_entries tostring "
     "tonumber tojson fromjson keys keys_unsorted values sort unique "
     "reverse min max floor ceil round sqrt fabs abs first last flatten "
-    "empty ascii_downcase ascii_upcase".split()
+    "empty ascii_downcase ascii_upcase explode implode".split()
 )
 # builtins taking parenthesized ;-separated argument expressions
 _FN_ARG_RANGE = {
     "map": (1, 1), "select": (1, 1), "startswith": (1, 1),
     "endswith": (1, 1), "has": (1, 1), "contains": (1, 1),
-    "inside": (1, 1), "test": (1, 2), "split": (1, 1), "join": (1, 1),
+    "inside": (1, 1), "test": (1, 2), "split": (1, 2), "join": (1, 1),
     "ltrimstr": (1, 1), "rtrimstr": (1, 1), "index": (1, 1),
     "sub": (2, 3), "gsub": (2, 3), "sort_by": (1, 1),
     "unique_by": (1, 1), "group_by": (1, 1), "min_by": (1, 1),
     "max_by": (1, 1), "flatten": (0, 1),
+    # round-4 additions (tokenized as idents, dispatched by name)
+    "map_values": (1, 1), "with_entries": (1, 1), "del": (1, 1),
+    "getpath": (1, 1), "setpath": (2, 2), "delpaths": (1, 1),
+    "capture": (1, 2), "any": (0, 1), "all": (0, 1),
 }
 
 
@@ -210,6 +218,16 @@ class Try:
     # try EXPR [catch HANDLER]: error -> empty, or HANDLER("." = message)
     expr: Any
     handler: Any = None
+
+
+@dataclass
+class AsBind:
+    # EXPR as $x | BODY: bind the value of EXPR to $x for BODY ("." is
+    # unchanged inside BODY). Single-value binding only (no
+    # destructuring patterns, no multi-value streams).
+    source: Any
+    var: str
+    body: Any
 
 
 class _Parser:
@@ -344,11 +362,11 @@ class _Parser:
                 self.next()
                 return Try(expr, self.parse_unary())
             return Try(expr)
-        if k == "word" and v in _FN_ARG_RANGE:
+        if k in ("word", "ident") and v in _FN_ARG_RANGE:
             # standalone fn(args) applies to "." (select(f), has("k"), ...)
             self.next()
             return Pipe(Path([]), [self.parse_fn_op(v)])
-        if k == "word" and v in _ZERO_ARG_WORDS:
+        if k in ("word", "ident") and v in _ZERO_ARG_WORDS:
             # zero-arg filters standalone apply to "." (e.g. select(length == 3))
             self.next()
             return Pipe(Path([]), [self.word_op(v)])
@@ -396,6 +414,8 @@ class _Parser:
             return ("select", args[0])
         if name in ("startswith", "endswith"):
             return (name, args[0])
+        if name in ("any", "all") and not args:
+            return (name,)  # legacy zero-arg tag
         return ("fn", name, args)
 
     def parse_array(self):
@@ -537,6 +557,14 @@ class _Parser:
     def parse_pipe(self):
         source = self.parse_alt()
         k, v = self.peek()
+        if (k, v) == ("word", "as"):
+            # EXPR as $x | BODY — general variable binding
+            self.next()
+            k2, v2 = self.next()
+            if k2 != "var":
+                raise JqError(f"expected $variable after 'as', got {k2}:{v2}")
+            self.expect("pipe")
+            return AsBind(source, v2[1:], self.parse_pipe())
         if k == "op" and v in ("=", "|=", "//=", "+=", "-="):
             if not isinstance(source, Path):
                 raise JqError(f"left side of {v} must be a path")
@@ -546,11 +574,11 @@ class _Parser:
         while self.peek()[0] == "pipe":
             self.next()
             k, v = self.next()
-            if k == "word" and v in _FN_ARG_RANGE:
+            if k in ("word", "ident") and v in _FN_ARG_RANGE:
                 # before the zero-arg check: flatten is in both sets
                 # (optional depth argument)
                 ops.append(self.parse_fn_op(v))
-            elif k == "word" and v in _ZERO_ARG_WORDS:
+            elif k in ("word", "ident") and v in _ZERO_ARG_WORDS:
                 ops.append(self.word_op(v))
             elif k == "word" and v == "try":
                 self.i -= 1
@@ -786,6 +814,13 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             if node.handler is None:
                 return _EMPTY
             return _eval(node.handler, doc, str(e), env)
+    if isinstance(node, AsBind):
+        bound = _eval(node.source, doc, elem, env)
+        if bound is _EMPTY:
+            return _EMPTY
+        env2 = dict(env) if env else {}
+        env2[node.var] = bound
+        return _eval(node.body, doc, elem, env2)
     if isinstance(node, Reduce):
         src = node.source
         if not (isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter"):
@@ -1095,6 +1130,92 @@ def _re_flags(flags: str) -> int:
     return out
 
 
+def _from_entries(entries: Any) -> dict:
+    if not isinstance(entries, list):
+        raise JqError("from_entries requires an array")
+    out: dict = {}
+    for e in entries:
+        if not isinstance(e, dict):
+            raise JqError("from_entries elements must be objects")
+        # jq: key is .key // .k // .name // .Name (falsy values fall
+        # through, per //); value is presence-based (.value else .v)
+        k = None
+        for kf in ("key", "k", "name", "Name"):
+            k = e.get(kf)
+            if k is not None and k is not False:
+                break
+        if "value" in e:
+            val_ = e["value"]
+        elif "v" in e:
+            val_ = e["v"]
+        else:
+            val_ = None
+        out[k if isinstance(k, str) else _jq_tostring(k)] = val_
+    return out
+
+
+def _steps_from_list(p: Any) -> list:
+    """Convert a jq path array (["a", 0, "b"]) to internal steps."""
+    if not isinstance(p, list):
+        raise JqError(f"path must be an array, got {_jq_type(p)}")
+    steps = []
+    for el in p:
+        if isinstance(el, str):
+            steps.append(("seg", el))
+        elif isinstance(el, (int, float)) and not isinstance(el, bool) \
+                and float(el) == int(el):
+            steps.append(("idx", int(el)))
+        else:
+            raise JqError(f"bad path element {el!r}")
+    return steps
+
+
+def _del_path(container: Any, steps: list) -> Any:
+    """jq delpaths for one path: returns a copy with the path removed;
+    deleting a missing path is a no-op, deleting through a wrong type
+    errors. A trailing ``[]`` step empties the container."""
+    if not steps:
+        raise JqError("cannot delete the root")
+    kind, key = steps[0]
+    if kind == "iter":
+        if len(steps) > 1:
+            raise JqError("cannot delete through []")
+        if container is None:
+            return None
+        if isinstance(container, list):
+            return []
+        if isinstance(container, dict):
+            return {}
+        raise JqError(f"cannot iterate {_jq_type(container)}")
+    if kind == "seg":
+        if container is None:
+            return None
+        if not isinstance(container, dict):
+            raise JqError(f"cannot delete field of {_jq_type(container)}")
+        if key not in container:
+            return container
+        obj = dict(container)
+        if len(steps) == 1:
+            del obj[key]
+        else:
+            obj[key] = _del_path(obj[key], steps[1:])
+        return obj
+    # index step
+    if container is None:
+        return None
+    if not isinstance(container, list):
+        raise JqError(f"cannot delete index of {_jq_type(container)}")
+    idx = key if key >= 0 else len(container) + key
+    if idx < 0 or idx >= len(container):
+        return container
+    arr = list(container)
+    if len(steps) == 1:
+        del arr[idx]
+    else:
+        arr[idx] = _del_path(arr[idx], steps[1:])
+    return arr
+
+
 def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
     """Shared builtin dispatcher for the ("fn", name, args) pipe op.
     ``ev(ast, elem)`` evaluates an argument AST with ``.`` = elem —
@@ -1118,27 +1239,81 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         # jq: def values: select(. != null)
         return _EMPTY if cur is None else cur
     if name == "from_entries":
+        return _from_entries(cur)
+    if name == "map_values":
+        # jq: .[] |= f — empties delete the entry/element
+        if isinstance(cur, dict):
+            out = {}
+            for k, v in cur.items():
+                r = ev(arg_asts[0], v)
+                if r is not _EMPTY:
+                    out[k] = r
+            return out
+        if isinstance(cur, list):
+            vals = [ev(arg_asts[0], v) for v in cur]
+            return [v for v in vals if v is not _EMPTY]
+        raise JqError(f"map_values requires an array or object")
+    if name == "with_entries":
+        if not isinstance(cur, dict):
+            raise JqError("with_entries requires an object")
+        entries = [{"key": k, "value": v} for k, v in cur.items()]
+        mapped = [ev(arg_asts[0], e) for e in entries]
+        return _from_entries([m for m in mapped if m is not _EMPTY])
+    if name == "del":
+        p = arg_asts[0]
+        if not isinstance(p, Path):
+            raise JqError("del requires a path argument")
+        try:
+            return _del_path(cur, p.steps)
+        except JqError:
+            if p.optional:
+                return cur
+            raise
+    if name == "getpath":
+        # null-tolerant like jq: missing -> null
+        return _get_path(cur, _steps_from_list(val(0)))
+    if name == "setpath":
+        return _set_path(cur, _steps_from_list(val(0)), val(1))
+    if name == "delpaths":
+        ps = val(0)
+        if not isinstance(ps, list):
+            raise JqError("delpaths requires an array of paths")
+        # jq deletes larger paths first so earlier deletions don't
+        # shift later ones
+        for p in sorted(ps, key=_jq_sort_key, reverse=True):
+            cur = _del_path(cur, _steps_from_list(p))
+        return cur
+    if name == "capture":
+        pat = val(0)
+        flags = val(1) if len(arg_asts) > 1 else ""
+        if not isinstance(cur, str) or not isinstance(pat, str):
+            raise JqError("capture requires strings")
+        try:
+            m = re.search(pat, cur, _re_flags(flags))
+        except re.error as e:
+            raise JqError(f"bad regex: {e}") from e
+        if m is None:
+            return _EMPTY  # jq: no match -> empty stream
+        return dict(m.groupdict())
+    if name in ("any", "all"):
+        # 1-arg form: any(f) / all(f) over the array elements
         if not isinstance(cur, list):
-            raise JqError("from_entries requires an array")
-        out = {}
-        for e in cur:
-            if not isinstance(e, dict):
-                raise JqError("from_entries elements must be objects")
-            # jq: key is .key // .k // .name // .Name (falsy values fall
-            # through, per //); value is presence-based (.value else .v)
-            k = None
-            for kf in ("key", "k", "name", "Name"):
-                k = e.get(kf)
-                if k is not None and k is not False:
-                    break
-            if "value" in e:
-                val_ = e["value"]
-            elif "v" in e:
-                val_ = e["v"]
-            else:
-                val_ = None
-            out[k if isinstance(k, str) else _jq_tostring(k)] = val_
-        return out
+            raise JqError(f"{name} requires an array")
+        agg = any if name == "any" else all
+        return agg(_truthy(ev(arg_asts[0], v)) for v in cur)
+    if name == "explode":
+        if not isinstance(cur, str):
+            raise JqError("explode requires a string")
+        return [ord(c) for c in cur]
+    if name == "implode":
+        if not isinstance(cur, list) or not all(
+            isinstance(c, int) and not isinstance(c, bool) for c in cur
+        ):
+            raise JqError("implode requires an array of codepoints")
+        try:
+            return "".join(chr(c) for c in cur)
+        except (ValueError, OverflowError) as e:
+            raise JqError(f"implode: {e}") from e
     if name == "tojson":
         return _json.dumps(cur, separators=(",", ":"))
     if name == "fromjson":
@@ -1258,6 +1433,12 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         sep = val(0)
         if not isinstance(cur, str) or not isinstance(sep, str):
             raise JqError("split requires strings")
+        if len(arg_asts) > 1:
+            # split(re; flags) — regex split, like jq's 2-arg form
+            try:
+                return re.split(sep, cur, flags=_re_flags(val(1)))
+            except re.error as e:
+                raise JqError(f"bad regex: {e}") from e
         if sep == "":
             raise JqError("split separator must be non-empty")
         return cur.split(sep)

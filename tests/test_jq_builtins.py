@@ -202,3 +202,74 @@ def test_bool_int_strict_equality_and_object_empty_is_dropped():
     # select yields empty (it used to return {'a': <sentinel>} = truthy)
     got = evaluate_jq(parse_jq("{a: (.x | select(. > 5))}"), {"x": 1})
     assert got is _EMPTY
+
+
+# ---- round-4 second batch: as-bindings, paths, entries helpers -------------
+
+BATCH2_CASES = [
+    # general as-binding: "." unchanged inside the body
+    (".a as $x | .b + $x", {"a": 1, "b": 2}, 3),
+    ("(.a + 1) as $x | [$x, .a]", {"a": 1}, [2, 1]),
+    (".a as $x | .b as $y | $x * $y", {"a": 3, "b": 4}, 12),
+    (".a as $x | .items | map(. + $x)", {"a": 10, "items": [1, 2]}, [11, 12]),
+    # del / delpaths / getpath / setpath
+    ("del(.a)", {"a": 1, "b": 2}, {"b": 2}),
+    ("del(.a.b)", {"a": {"b": 1, "c": 2}}, {"a": {"c": 2}}),
+    ("del(.a[1])", {"a": [10, 20, 30]}, {"a": [10, 30]}),
+    ("del(.missing)", {"a": 1}, {"a": 1}),
+    ("del(.a[])", {"a": [1, 2]}, {"a": []}),
+    ('getpath(["a", "b"])', {"a": {"b": 7}}, 7),
+    ('getpath(["a", "z"])', {"a": {"b": 7}}, None),
+    ('setpath(["a", 1]; 9)', {"a": [1, 2]}, {"a": [1, 9]}),
+    ('delpaths([["a"], ["b", 0]])', {"a": 1, "b": [5, 6]},
+     {"b": [6]}),
+    # delpaths deletes deeper/later paths first (indexes don't shift)
+    ('delpaths([["a", 0], ["a", 1]])', {"a": [1, 2, 3]}, {"a": [3]}),
+    # map_values / with_entries
+    (".a | map_values(. + 1)", {"a": {"x": 1, "y": 2}},
+     {"x": 2, "y": 3}),
+    (".a | map_values(select(. > 1))", {"a": {"x": 1, "y": 2}},
+     {"y": 2}),
+    (".a | map_values(. * 2)", {"a": [1, 2]}, [2, 4]),
+    ('.a | with_entries(.value += 1)', {"a": {"x": 1}}, {"x": 2}),
+    ('.a | with_entries({key: .value, value: .key})',
+     {"a": {"x": "y"}}, {"y": "x"}),
+    # any(f)/all(f), capture, regex split, explode/implode
+    (".a | any(. > 2)", {"a": [1, 3]}, True),
+    (".a | all(. > 2)", {"a": [1, 3]}, False),
+    (".a | any", {"a": [False, True]}, True),
+    ('.s | capture("(?P<x>\\\\d+)-(?P<y>\\\\d+)")', {"s": "ab 12-34"},
+     {"x": "12", "y": "34"}),
+    ('.s | capture("zz")', {"s": "ab"}, None),
+    ('.s | split("\\\\s+"; "")', {"s": "a b  c"}, ["a", "b", "c"]),
+    ('.s | split("A"; "i")', {"s": "xay"}, ["x", "y"]),
+    (".s | explode", {"s": "ab"}, [97, 98]),
+    (".a | implode", {"a": [97, 98]}, "ab"),
+    (".s | explode | implode", {"s": "héllo"}, "héllo"),
+]
+
+
+@pytest.mark.parametrize("prog,doc,want", BATCH2_CASES)
+def test_batch2_semantics(prog, doc, want):
+    assert run(prog, doc) == want
+
+
+BATCH2_ERRORS = [
+    "del(.a + 1)",          # not a path
+    ".a | del(.b)",         # delete field of a number
+    'getpath("a")',         # path must be an array
+    '.a | implode',         # bool in codepoint list
+    '.s | with_entries(.x)',  # requires an object
+]
+
+
+@pytest.mark.parametrize("prog", BATCH2_ERRORS)
+def test_batch2_errors(prog):
+    with pytest.raises(JqError):
+        run(prog, {"a": 7, "s": "x"})
+
+
+def test_as_binding_scope_does_not_leak():
+    # $x bound in one branch is not visible outside its body
+    with pytest.raises(JqError):
+        run("(.a as $x | $x) + $x", {"a": 1})
