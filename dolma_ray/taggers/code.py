@@ -175,42 +175,18 @@ class CodeSecretsTagger(BaseTagger):
         return out
 
 
-_LINE_COMMENT = {"python": "#", "java": "//", "javascript": "//"}
-_TAG_RE = re.compile(r"<[^>]+>")
-_SCRIPT_STYLE_RE = re.compile(
-    r"<(script|style)\b[^>]*>.*?</\1>", re.IGNORECASE | re.DOTALL
+from .code_text import (  # noqa: E402  (real parsers live in code_text)
+    comment_char_fraction,
+    filter_html,
+    nl_ratio,
+    python_nl_text,
 )
 
 
-def comment_char_fraction(text: str, lang: str) -> float:
-    """Fraction of chars inside comments/docstrings — pygments stand-in:
-    line-comment scanning + triple-quote blocks (python) + /* */ blocks
-    (java/javascript)."""
-    if not text:
-        return 0.0
-    total = 0
-    marker = _LINE_COMMENT.get(lang)
-    if marker:
-        for ln in text.split("\n"):
-            stripped = ln.lstrip()
-            if stripped.startswith(marker):
-                total += len(stripped)
-    if lang == "python":
-        for m in re.finditer(r'("""|\'\'\')(?:.|\n)*?\1', text):
-            total += len(m.group(0))
-    else:
-        for m in _BLOCK_COMMENT_RE.finditer(text):
-            total += len(m.group(0))
-    return min(total / len(text), 1.0)
-
-
 def html_text_ratio(html: str) -> float:
-    """Visible-text / html chars, gated at > 100 text chars
-    (reference ``filter_html``, BeautifulSoup stand-in)."""
-    stripped = _SCRIPT_STYLE_RE.sub("", html)
-    text = _TAG_RE.sub("", stripped)
-    ratio = len(text) / len(html) if html else 0.0
-    return ratio * (len(text) > 100)
+    """Back-compat wrapper over :func:`filter_html` that maps empty
+    input to 0.0 instead of raising."""
+    return filter_html(html) if html else 0.0
 
 
 @TaggerRegistry.add("code_starcoder_taggers_v1")
@@ -218,10 +194,12 @@ class CodeStarCoderTaggers(BaseTagger):
     """Reference ``code_starcoder_taggers_v1``
     (``taggers/code/code_taggers.py:190-227``): emits
     ``has_xml_template_doc``, ``num_github_stars_doc``, ``nl_ratio_doc``
-    and ``code_to_text_ratio_html_doc``.  The reference computes
-    ``nl_ratio`` (comment/doc fraction) via pygments for any mapped
-    language; here the stdlib stand-in covers python/java/javascript and
-    emits the reference's exception value (-1.0) for other languages."""
+    and ``code_to_text_ratio_html_doc``.  ``nl_ratio`` is EXACT for
+    python (stdlib ast+tokenize, same as the reference) and a
+    comment-scanner stand-in for ~100 other languages (reference lexes
+    with pygments); languages outside the table emit the reference's
+    exception value (-1.0), like pygments ``ClassNotFound`` does there.
+    HTML ratio is a real ``html.parser`` walk (``code_text.py``)."""
 
     needs_columns = ("ext", "max_stars_count")
 
@@ -236,24 +214,21 @@ class CodeStarCoderTaggers(BaseTagger):
     def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
         has_xml = 1.0 if "<?xml version=" in text[:100] else 0.0
         stars = float(row.get("max_stars_count") or 0)
-        lang = EXT_TO_LANG.get(str(row.get("ext") or "-no-lang"), None)
-        if lang in ("python", "java", "javascript"):
-            nl_ratio = comment_char_fraction(text, lang)
-            ratio = 1.0
-        elif lang == "html":
-            nl_ratio = -1.0
-            ratio = html_text_ratio(text)
-        elif lang is None:
-            nl_ratio = -1.0
-            ratio = -1.0
-        else:
-            nl_ratio = -1.0
-            ratio = 1.0
+        # reference control flow (code_taggers.py:201-219): any failure —
+        # unmapped ext, unknown-language lexing, empty text — lands in a
+        # bare except that sets BOTH scores to -1.0
+        try:
+            lang = EXT_TO_LANG[str(row.get("ext") or "-no-lang")]
+            ratio_nl = nl_ratio(text, lang)
+            ratio_html = filter_html(text) if lang == "html" else 1.0
+        except Exception:
+            ratio_nl = -1.0
+            ratio_html = -1.0
         return {
             "has_xml_template_doc": has_xml,
             "num_github_stars_doc": stars,
-            "nl_ratio_doc": nl_ratio,
-            "code_to_text_ratio_html_doc": ratio,
+            "nl_ratio_doc": ratio_nl,
+            "code_to_text_ratio_html_doc": ratio_html,
         }
 
 
@@ -274,10 +249,19 @@ class CodeStarCoderTaggers2(BaseTagger):
         stars = float(row.get("max_stars_count") or 0)
         lang = EXT_TO_LANG.get(str(row.get("ext") or "-no-lang"), "-no-lang")
         if lang in ("python", "java", "javascript"):
-            ratio = comment_char_fraction(text, lang)
+            # reference (code_taggers.py:253-256) calls get_nl_ratio with
+            # no try: only empty text can raise there; we map that case
+            # to 0.0 instead of crashing the distributed task (deviation)
+            ratio = nl_ratio(text, lang) if text else 0.0
         else:
             ratio = 0.5  # reference default for unfiltered languages
-        html_ratio = html_text_ratio(text) if lang == "html" else 1.0
+        if lang == "html":
+            try:
+                html_ratio = filter_html(text)
+            except Exception:
+                html_ratio = -1.0  # reference's bare except (line 258-261)
+        else:
+            html_ratio = 1.0
         return {
             "has_xml_template_doc": has_xml,
             "num_github_stars_doc": stars,

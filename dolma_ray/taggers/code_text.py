@@ -1,0 +1,270 @@
+"""Natural-text extraction from source code for the StarCoder taggers.
+
+Parity targets (reference ``python/dolma/taggers/code/starcoder.py`` and
+``utils.py``, themselves vendored from bigcode-project/bigcode-dataset
+``preprocessing/utils/text_extraction.py``):
+
+* **Python is exact**: the reference extracts docstrings with stdlib
+  ``ast`` and comments with stdlib ``tokenize`` (``starcoder.py:29-103``)
+  — no third-party dependency — so :func:`python_nl_text` reproduces it
+  byte-for-byte, including the quirks: ``clean_comments`` strips every
+  ``#`` character from comment text, async-function docstrings are NOT
+  collected (``NODE_TYPES`` lists only ClassDef/FunctionDef/Module), and
+  docstrings are ordered Class < Function/Method < Module by the sort in
+  ``get_docstrings``.
+* **HTML is a real parse**: :func:`extract_html_text` walks the document
+  with stdlib ``html.parser`` (the same parser backend BeautifulSoup is
+  asked for in ``utils.py:60`` — ``features="html.parser"``), dropping
+  ``<script>``/``<style>`` subtrees and decoding entities, like
+  ``soup.get_text()`` after ``script.extract()``.
+* **Other languages are a documented stand-in**: the reference lexes
+  with pygments and sums ``Comment.Single``/``Comment.Multiline`` token
+  lengths (``starcoder.py:107-121``); :func:`comment_char_fraction`
+  scans per-language line/block comment delimiters instead.  Languages
+  without a table entry raise ``KeyError`` so callers hit the same
+  bare-``except -> -1.0`` path the reference hits on pygments
+  ``ClassNotFound``.
+"""
+
+from __future__ import annotations
+
+import ast
+import io
+import re
+import tokenize
+from html.parser import HTMLParser
+
+__all__ = [
+    "python_nl_text",
+    "python_nl_ratio",
+    "nl_ratio",
+    "extract_html_text",
+    "filter_html",
+    "comment_char_fraction",
+]
+
+
+_NODE_LABEL = {
+    ast.ClassDef: "Class",
+    ast.FunctionDef: "Function/Method",
+    ast.Module: "Module",
+}
+
+
+def _python_docstrings(source: str) -> list[str]:
+    """Docstrings of classes/functions/module, ordered like the
+    reference's ``get_docstrings`` (sorted by node-type label then
+    name; async defs intentionally excluded)."""
+    tree = ast.parse(source)
+    found = []
+    for node in ast.walk(tree):
+        label = _NODE_LABEL.get(type(node))
+        if label is not None:
+            found.append(
+                (label, getattr(node, "name", "") or "", ast.get_docstring(node))
+            )
+    found.sort(key=lambda x: (x[0], x[1]))
+    return [doc for _, _, doc in found if doc]
+
+
+def _python_comments(source: str, clean: bool = True) -> str:
+    """All ``#`` comments, rendered through ``tokenize.untokenize`` on
+    the comment tokens only — the reference's ``get_comments``; with
+    ``clean`` every ``#`` character is removed from the result."""
+    comment_toks = []
+    for toknum, tokval, _, _, _ in tokenize.generate_tokens(
+        io.StringIO(source).readline
+    ):
+        if toknum == tokenize.COMMENT:
+            comment_toks.append((toknum, tokval))
+    result = tokenize.untokenize(comment_toks)
+    if clean:
+        result = result.replace("#", "")
+    return result
+
+
+def python_nl_text(source: str, comments: bool = True,
+                   clean_comments: bool = True) -> str:
+    """Reference ``get_text_python``: docstrings + comments, each half
+    independently falling back to "" on parse/tokenize failure."""
+    try:
+        docstrings = "\n".join(_python_docstrings(source))
+    except Exception:
+        docstrings = ""
+    comment_text = ""
+    if comments:
+        try:
+            comment_text = _python_comments(source, clean=clean_comments)
+        except Exception:
+            comment_text = ""
+    return (docstrings + "\n" + comment_text).strip()
+
+
+def python_nl_ratio(text: str) -> float:
+    """len(natural text) / len(text); raises ZeroDivisionError on empty
+    input exactly like the reference's ``get_nl_ratio`` (callers rely on
+    the bare-except -> -1.0 behavior)."""
+    return len(python_nl_text(text)) / len(text)
+
+
+# ---- per-language comment syntax (pygments stand-in) ---------------------
+
+_C_LINE = ("//",)
+_C_BLOCK = (("/*", "*/"),)
+_HASH = (("#",), ())
+_DASH = (("--",), ())
+_SEMI = ((";",), ())
+_PCT = (("%",), ())
+
+#: language -> (line-comment markers, (block open, block close) pairs).
+#: Values are pygments lexer names as they appear in the reference's
+#: ext_to_lang mapping; only languages with well-known comment syntax
+#: are listed — anything else raises KeyError (-> -1.0 upstream).
+_COMMENT_SYNTAX: dict[str, tuple[tuple[str, ...], tuple[tuple[str, str], ...]]] = {
+    # C family
+    **{lang: (_C_LINE, _C_BLOCK) for lang in (
+        "c", "c++", "c-sharp", "java", "javascript", "typescript", "jsx",
+        "go", "rust", "scala", "kotlin", "swift", "dart", "groovy",
+        "objective-c++", "glsl", "hlsl", "cuda", "d", "solidity",
+        "verilog", "systemverilog", "processing", "vala", "ceylon",
+        "chapel", "less", "scss", "stylus", "json5", "qml", "arduino",
+    )},
+    "php": (("//", "#"), _C_BLOCK),
+    "css": ((), _C_BLOCK),
+    "sass": (_C_LINE, _C_BLOCK),
+    # hash-comment family
+    **{lang: _HASH for lang in (
+        "shell", "python", "cython", "ruby", "perl", "r", "awk", "tcl",
+        "yaml", "toml", "makefile", "cmake", "dockerfile", "elixir",
+        "nimrod", "crystal", "fish", "nix", "gdscript", "gnuplot",
+        "apacheconf", "nginx", "qmake", "sage",
+    )},
+    "julia": (("#",), (("#=", "=#"),)),
+    "powershell": (("#",), (("<#", "#>"),)),
+    "coffeescript": (("#",), ()),
+    "ini": ((";", "#"), ()),
+    # dash-comment family
+    **{lang: _DASH for lang in ("ada", "vhdl", "agda", "eiffel")},
+    "sql": (("--",), _C_BLOCK),
+    "haskell": (("--",), (("{-", "-}"),)),
+    "elm": (("--",), (("{-", "-}"),)),
+    "idris": (("--",), (("{-", "-}"),)),
+    "purescript": (("--",), (("{-", "-}"),)),
+    "lua": (("--",), (("--[[", "]]"),)),
+    # lisp family
+    **{lang: _SEMI for lang in (
+        "clojure", "scheme", "racket", "common-lisp", "emacs-lisp",
+        "hy", "lfe",
+    )},
+    # percent family
+    **{lang: _PCT for lang in ("erlang", "tex", "postscript")},
+    "prolog": (("%",), _C_BLOCK),
+    "matlab": (("%",), (("%{", "%}"),)),
+    "octave": (("%", "#"), (("%{", "%}"),)),
+    # markup
+    "html": ((), (("<!--", "-->"),)),
+    "xml": ((), (("<!--", "-->"),)),
+    "svg": ((), (("<!--", "-->"),)),
+    "xslt": ((), (("<!--", "-->"),)),
+    # ML family
+    "ocaml": ((), (("(*", "*)"),)),
+    "standard-ml": ((), (("(*", "*)"),)),
+    "f-sharp": (_C_LINE, (("(*", "*)"),)),
+    "coq": ((), (("(*", "*)"),)),
+    "pascal": ((), (("{", "}"), ("(*", "*)"))),
+    # misc
+    "fortran": (("!",), ()),
+    "visual-basic": (("'",), ()),
+    "realbasic": (("'",), ()),
+    "batchfile": (("::", "rem ", "REM "), ()),
+    "viml": (('"',), ()),
+    "forth": (("\\",), ()),
+    "smalltalk": ((), (('"', '"'),)),
+}
+
+_BLOCK_RE_CACHE: dict[tuple[str, str], re.Pattern] = {}
+
+
+def comment_char_fraction(text: str, lang: str) -> float:
+    """Fraction of characters inside comments — stand-in for the
+    reference's pygments ``comment_size`` (``starcoder.py:107-115``).
+    Line comments are counted when a line starts with a marker (after
+    indent); block comments anywhere (non-greedy).  Unknown languages
+    raise KeyError, mirroring pygments ``ClassNotFound``."""
+    line_markers, blocks = _COMMENT_SYNTAX[lang]
+    if not text:
+        return 0.0
+    total = 0
+    if line_markers:
+        for ln in text.split("\n"):
+            stripped = ln.lstrip()
+            if stripped.startswith(line_markers):
+                total += len(stripped)
+    for pair in blocks:
+        pat = _BLOCK_RE_CACHE.get(pair)
+        if pat is None:
+            o, c = pair
+            pat = re.compile(re.escape(o) + r"(?:.|\n)*?" + re.escape(c))
+            _BLOCK_RE_CACHE[pair] = pat
+        for m in pat.finditer(text):
+            total += len(m.group(0))
+    return min(total / len(text), 1.0)
+
+
+def nl_ratio(text: str, lang: str) -> float:
+    """Reference ``get_nl_ratio``: python routes through the exact
+    ast+tokenize extraction, everything else through the comment
+    scanner.  Raises on empty text / unknown language (callers catch)."""
+    if lang == "python":
+        return python_nl_ratio(text)
+    frac = comment_char_fraction(text, lang)  # KeyError on unknown lang
+    if not text:
+        raise ZeroDivisionError("empty text")  # reference divides by len
+    return frac
+
+
+# ---- HTML ----------------------------------------------------------------
+
+
+class _TextExtractor(HTMLParser):
+    """Visible-text collector: every data node outside <script>/<style>
+    subtrees, entities decoded (``convert_charrefs`` default) — the
+    ``soup.get_text()``-after-``extract()`` behavior of the reference."""
+
+    _SKIP = ("script", "style")
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._skip_depth = 0
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in self._SKIP:
+            self._skip_depth += 1
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in self._SKIP and self._skip_depth:
+            self._skip_depth -= 1
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip_depth:
+            self.parts.append(data)
+
+
+def extract_html_text(html: str) -> str:
+    parser = _TextExtractor()
+    parser.feed(html)
+    parser.close()
+    return "".join(parser.parts)
+
+
+def filter_html(html: str) -> float:
+    """Reference ``filter_html`` (``utils.py:56-71``): visible-text /
+    raw-html char ratio, zeroed unless more than 100 text chars.
+    Empty input raises ZeroDivisionError (the reference does too; the
+    taggers' bare except maps it to their error value)."""
+    try:
+        text = extract_html_text(html)
+    except (TypeError, UnboundLocalError):
+        return 0.0  # reference returns False when soup construction fails
+    return len(text) / len(html) * (len(text) > 100)

@@ -1,0 +1,142 @@
+"""Natural-text extraction parity tests (reference starcoder.py/utils.py,
+vendored from bigcode-dataset text_extraction.py — python path is exact
+stdlib ast+tokenize, HTML is a real html.parser walk)."""
+
+import pytest
+
+from dolma_ray.taggers.code import CodeStarCoderTaggers, CodeStarCoderTaggers2
+from dolma_ray.taggers.code_text import (
+    comment_char_fraction,
+    extract_html_text,
+    filter_html,
+    nl_ratio,
+    python_nl_text,
+)
+
+PY_SRC = '''\
+"""Module docstring."""
+
+# top comment
+def f():
+    """Func doc."""
+    return 1  # trailing
+
+
+class C:
+    """Class doc."""
+
+    def g(self):
+        # inner
+        pass
+'''
+
+
+def test_python_docstring_order_and_comments():
+    out = python_nl_text(PY_SRC)
+    # reference order: Class < Function/Method < Module (sorted labels)
+    assert out.index("Class doc.") < out.index("Func doc.")
+    assert out.index("Func doc.") < out.index("Module docstring.")
+    # clean_comments strips every '#'; comment text remains
+    assert "top comment" in out and "#" not in out
+    assert "inner" in out and "trailing" in out
+
+
+def test_python_nl_text_async_def_quirk():
+    # reference NODE_TYPES lists only ClassDef/FunctionDef/Module —
+    # async-function docstrings are NOT collected (bug-for-bug)
+    src = 'async def a():\n    """Async doc."""\n'
+    assert "Async doc." not in python_nl_text(src)
+
+
+def test_python_syntax_error_halves_fall_back():
+    # ast fails but tokenize still sees the comment (reference: each
+    # half has its own bare except)
+    src = "x ===== y\n# a comment\n"
+    out = python_nl_text(src)
+    assert "a comment" in out and "Doc" not in out
+    # an open paren makes tokenize itself raise at EOF -> both halves
+    # empty (the reference's get_comments raises TokenError identically)
+    assert python_nl_text("def broken(:\n# a comment\n") == ""
+
+
+def test_nl_ratio_python_counts_docstrings_not_strings():
+    src = '"""doc"""\nx = "not a comment"\n'
+    r = nl_ratio(src, "python")
+    assert 0 < r < 0.5  # only the docstring text counts
+
+
+def test_nl_ratio_unknown_language_raises_keyerror():
+    with pytest.raises(KeyError):
+        nl_ratio("some text", "brainfuck")
+
+
+def test_nl_ratio_empty_raises_zerodivision():
+    with pytest.raises(ZeroDivisionError):
+        nl_ratio("", "java")
+
+
+def test_comment_scanner_language_table():
+    assert comment_char_fraction("-- c\nSELECT 1;\n", "sql") > 0
+    assert comment_char_fraction("{- block -}\nmain = 1\n", "haskell") > 0
+    assert comment_char_fraction("--[[ b ]]\nx=1\n", "lua") > 0
+    assert comment_char_fraction("(* ml *)\nlet x = 1\n", "ocaml") > 0
+    assert comment_char_fraction("<!-- c -->\n<b>x</b>\n", "html") > 0
+    assert comment_char_fraction("% erl\nmain() -> ok.\n", "erlang") > 0
+    assert comment_char_fraction("' vb\nDim x\n", "visual-basic") > 0
+    assert comment_char_fraction("x = 1\n", "rust") == 0.0
+
+
+def test_extract_html_text_real_parse():
+    html = (
+        "<html><head><style>.a{color:red}</style>"
+        "<script>var x = 'hidden';</script></head>"
+        "<body><p>Hello &amp; welcome</p><div>again<b>!</b></div></body></html>"
+    )
+    text = extract_html_text(html)
+    assert "Hello & welcome" in text  # entity decoded
+    assert "again!" in text.replace("\n", "")
+    assert "hidden" not in text and "color:red" not in text
+
+
+def test_extract_html_nested_script_and_attrs():
+    # tag attributes never leak into text; script content is CDATA
+    html = '<a href="http://x/?q=1">link</a><script>if (a<b) {}</script>'
+    assert extract_html_text(html) == "link"
+
+
+def test_filter_html_gate_and_ratio():
+    visible = "visible text " * 20
+    html = "<html><body>" + visible + "</body><script>x()</script></html>"
+    r = filter_html(html)
+    assert abs(r - len(extract_html_text(html)) / len(html)) < 1e-12
+    assert 0 < r < 1
+    # <=100 text chars -> zeroed
+    assert filter_html("<b>short</b>") == 0.0
+
+
+def test_starcoder_v1_reference_control_flow():
+    t = CodeStarCoderTaggers()
+    # unmapped extension -> bare except -> both -1.0
+    out = t.predict("x = 1\n", {"ext": "definitely-not-an-ext"})
+    assert out["nl_ratio_doc"] == -1.0
+    assert out["code_to_text_ratio_html_doc"] == -1.0
+    # empty text -> ZeroDivision inside get_nl_ratio -> both -1.0
+    out = t.predict("", {"ext": "py"})
+    assert out["nl_ratio_doc"] == -1.0
+    assert out["code_to_text_ratio_html_doc"] == -1.0
+    # mapped non-html language: nl_ratio real, html ratio 1.0
+    out = t.predict("// c\nint x;\n", {"ext": "go"})
+    assert 0 < out["nl_ratio_doc"] < 1
+    assert out["code_to_text_ratio_html_doc"] == 1.0
+    # html: nl_ratio via <!-- --> comments AND a real text ratio
+    html = "<!-- note -->" + "<p>" + "words " * 30 + "</p>"
+    out = t.predict(html, {"ext": "html"})
+    assert 0 < out["nl_ratio_doc"] < 1
+    assert 0 < out["code_to_text_ratio_html_doc"] < 1
+
+
+def test_starcoder_v2_python_exact_path():
+    src = '"""Doc."""\n# note\nx = 1\n'
+    out = CodeStarCoderTaggers2().predict(src, {"ext": "py"})
+    expected = len(python_nl_text(src)) / len(src)
+    assert out["code_to_comment_ratio_doc"] == pytest.approx(expected)
