@@ -7,9 +7,12 @@ This loader covers the subset the common LLM tokenizers use:
 
 * ``model.type == "WordLevel"``: vocab map + ``unk_token``; whitespace
   or byte-level pre-tokenization.
-* ``model.type == "BPE"``: vocab + ranked merges, GPT-2-style
-  byte-level pre-tokenization (the published byte-to-unicode table) and
-  the standard lowest-rank-first merge loop.
+* ``model.type == "BPE"``: vocab + ranked merges with the standard
+  lowest-rank-first merge loop; GPT-2-style byte mapping when the
+  pre-tokenizer is ByteLevel (the published byte-to-unicode table),
+  raw-character merges otherwise (Whitespace words or sentencepiece
+  style U+2581-prefixed Metaspace chunks, the Llama layout);
+  ``end_of_word_suffix``/``continuing_subword_prefix`` refuse.
 * ``model.type == "WordPiece"``: greedy longest-match with the
   continuing-subword prefix.
 * ``model.type == "Unigram"``: Viterbi segmentation over token
@@ -17,10 +20,10 @@ This loader covers the subset the common LLM tokenizers use:
 
 Outside the subset the loader RAISES ``NotImplementedError`` instead of
 silently mis-encoding: unknown model types, pre-tokenizers beyond
-Whitespace/WhitespaceSplit/ByteLevel/Metaspace (e.g. BertPreTokenizer
-groups punctuation differently), and normalizers beyond NFC/Lowercase
-(e.g. BertNormalizer).  Encodings are exact for tokenizers within the
-subset — pinned by tests on hand-written tokenizer.json artifacts.
+Whitespace/WhitespaceSplit/ByteLevel/Metaspace/BertPreTokenizer, and
+normalizers beyond NFC/Lowercase/BertNormalizer.  Encodings are exact
+for tokenizers within the subset — pinned by tests on hand-written
+tokenizer.json artifacts.
 """
 
 from __future__ import annotations
@@ -54,6 +57,15 @@ def _byte_to_unicode() -> dict[int, str]:
 # deviation), numbers `\p{N}` -> `\d`, other `[^\s\p{L}\p{N}]` ->
 # `[^\s\w]|_` (underscore is "other" in GPT-2, and every non-space
 # byte must be covered — a byte-level BPE may not drop input).
+def _metaspace_chunks(text: str) -> list[str]:
+    """Metaspace pre-tokenization (add_prefix_space, replacement U+2581,
+    the marker merged with the following piece): "a b" -> ["▁a", "▁b"]."""
+    if not text:
+        return []
+    s = "▁" + text.replace(" ", "▁")
+    return re.findall(r"▁[^▁]*", s)
+
+
 _GPT2_PRE = re.compile(
     r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
 )
@@ -140,7 +152,19 @@ class HFTokenizer:
                 "subset (Whitespace, WhitespaceSplit, ByteLevel, Metaspace, "
                 "BertPreTokenizer) — refusing to silently mis-encode"
             )
-        self.byte_level = self.pre == "ByteLevel" or self.model_type == "BPE"
+        # the byte<->unicode mapping belongs to the ByteLevel
+        # PRE-TOKENIZER in HF tokenizers, not the BPE model: BPE with
+        # any other pre-tokenizer merges raw characters
+        self.byte_level = self.pre == "ByteLevel"
+        if self.model_type == "BPE" and not self.byte_level:
+            if model.get("end_of_word_suffix") or model.get(
+                "continuing_subword_prefix"
+            ):
+                raise NotImplementedError(
+                    "BPE end_of_word_suffix / continuing_subword_prefix "
+                    "are outside the implemented subset — refusing to "
+                    "silently mis-encode"
+                )
         norm_spec = spec.get("normalizer") or {}
         norm = norm_spec.get("type")
         self.bert_clean = self.bert_cjk = False
@@ -334,9 +358,18 @@ class HFTokenizer:
                 for p in self._unigram(chunk):
                     emit(self.vocab.get(p) if p is not None else None)
             return ids
-        b2u = _byte_to_unicode()
-        for chunk in _GPT2_PRE.findall(text):
-            mapped = "".join(b2u[b] for b in chunk.encode("utf-8"))
-            for piece in self._bpe(mapped):
+        # BPE
+        if self.byte_level:
+            b2u = _byte_to_unicode()
+            for chunk in _GPT2_PRE.findall(text):
+                mapped = "".join(b2u[b] for b in chunk.encode("utf-8"))
+                for piece in self._bpe(mapped):
+                    emit(self.vocab.get(piece))
+            return ids
+        # raw-character BPE over the pre-tokenized words (sentencepiece
+        # style when pre == Metaspace: U+2581-prefixed chunks)
+        chunks = _metaspace_chunks(text) if self.pre == "Metaspace" else words
+        for w in chunks:
+            for piece in self._bpe(w):
                 emit(self.vocab.get(piece))
         return ids

@@ -320,3 +320,52 @@ def test_bert_pretokenizer_underscore_and_symbols(tmp_path):
     tok = HFTokenizer(str(p))
     assert tok.encode("foo_bar") == [1, 2, 3]
     assert tok.encode("€€") == [4]  # symbol run stays grouped
+
+
+def test_bpe_raw_char_whitespace(tmp_path):
+    # BPE WITHOUT ByteLevel pre-tokenization merges raw characters (the
+    # byte mapping belongs to the ByteLevel pre-tokenizer; this used to
+    # silently route through the GPT-2 byte path)
+    vocab = {"h": 0, "i": 1, "hi": 2, "!": 3, "<unk>": 4}
+    spec = {
+        "model": {"type": "BPE", "vocab": vocab, "merges": ["h i"],
+                  "unk_token": "<unk>"},
+        "pre_tokenizer": {"type": "Whitespace"},
+    }
+    p = tmp_path / "raw.json"
+    p.write_text(json.dumps(spec))
+    tok = HFTokenizer(str(p))
+    assert tok.encode("hi hi!") == [2, 2, 3]
+    assert tok.encode("ho") == [0, 4]  # o unknown -> unk
+
+
+def test_bpe_metaspace_sentencepiece_style(tmp_path):
+    # Llama-style: Metaspace pre-tokenization, U+2581-prefixed chunks
+    vocab = {"▁": 0, "▁h": 1, "i": 2, "▁hi": 3, "x": 4,
+             "<unk>": 5}
+    merges = ["▁ h", "▁h i"]
+    spec = {
+        "model": {"type": "BPE", "vocab": vocab, "merges": merges,
+                  "unk_token": "<unk>"},
+        "pre_tokenizer": {"type": "Metaspace"},
+    }
+    p = tmp_path / "ms.json"
+    p.write_text(json.dumps(spec))
+    tok = HFTokenizer(str(p))
+    # "hi hi" -> ["▁hi", "▁hi"] -> merges ▁+h then ▁h+i
+    assert tok.encode("hi hi") == [3, 3]
+    # "x x" -> ["▁x", "▁x"]: no merge, ▁ and x emitted separately
+    assert tok.encode("x x") == [0, 4, 0, 4]
+
+
+def test_bpe_suffix_options_refuse(tmp_path):
+    spec = {
+        "model": {"type": "BPE", "vocab": {"a": 0}, "merges": [],
+                  "end_of_word_suffix": "</w>"},
+        "pre_tokenizer": {"type": "Whitespace"},
+    }
+    p = tmp_path / "sfx.json"
+    p.write_text(json.dumps(spec))
+    import pytest
+    with pytest.raises(NotImplementedError):
+        HFTokenizer(str(p))
