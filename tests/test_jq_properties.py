@@ -1,0 +1,144 @@
+"""Property tests for the mini-jq engine's value model: the cross-type
+total order, deep equality, arithmetic laws, path builtins, and
+json round-trips.  (jq-1.7 semantics; the reference embeds jaq.)"""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dolma_ray.mixer.jq import (
+    JqError,
+    _EMPTY,
+    _jq_arith,
+    _jq_eq,
+    _jq_sort_key,
+    evaluate_jq,
+    parse_jq,
+)
+
+# JSON-shaped values (bounded depth/size to keep runs quick)
+json_vals = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(-1000, 1000)
+    | st.floats(allow_nan=False, allow_infinity=False, width=32)
+    | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=6), children, max_size=4),
+    max_leaves=12,
+)
+
+
+def run(prog, doc):
+    return evaluate_jq(parse_jq(prog), doc)
+
+
+@given(json_vals, json_vals, json_vals)
+@settings(max_examples=300, deadline=None)
+def test_total_order_is_total_and_transitive(a, b, c):
+    ka, kb, kc = _jq_sort_key(a), _jq_sort_key(b), _jq_sort_key(c)
+    # totality: exactly one of <, ==, > holds
+    assert (ka < kb) + (ka == kb) + (ka > kb) == 1
+    # transitivity
+    if ka <= kb and kb <= kc:
+        assert ka <= kc
+
+
+@given(json_vals, json_vals)
+@settings(max_examples=300, deadline=None)
+def test_eq_consistent_with_order(a, b):
+    assert _jq_eq(a, b) == (_jq_sort_key(a) == _jq_sort_key(b))
+    assert _jq_eq(a, a)
+    assert _jq_eq(a, b) == _jq_eq(b, a)
+
+
+@given(st.lists(json_vals, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_sort_unique_laws(xs):
+    doc = {"a": xs}
+    sorted_ = run(".a | sort", doc)
+    # sort is idempotent and a permutation
+    assert run(".a | sort | sort", doc) == sorted_
+    assert len(sorted_) == len(xs)
+    uniq = run(".a | unique", doc)
+    # unique is sorted, duplicate-free under jq equality, and subset
+    assert uniq == sorted(uniq, key=_jq_sort_key)
+    keys = [json.dumps(_jq_sort_key(v)) for v in uniq]
+    assert len(set(keys)) == len(keys)
+    assert {json.dumps(k) for k in map(_jq_sort_key, uniq)} <= {
+        json.dumps(k) for k in map(_jq_sort_key, xs)
+    }
+    # every element of xs equals some element of unique
+    for v in xs:
+        assert any(_jq_eq(v, u) for u in uniq)
+
+
+@given(json_vals)
+@settings(max_examples=200, deadline=None)
+def test_tojson_fromjson_round_trip(v):
+    doc = {"v": v}
+    back = run(".v | tojson | fromjson", doc)
+    assert _jq_eq(back, v)
+
+
+@given(json_vals, json_vals)
+@settings(max_examples=300, deadline=None)
+def test_arith_never_raises_python_errors(a, b):
+    for op in ("+", "-", "*", "/"):
+        try:
+            _jq_arith(op, a, b)
+        except JqError:
+            pass  # the only allowed failure mode
+
+
+@given(json_vals, json_vals)
+@settings(max_examples=200, deadline=None)
+def test_plus_null_identity_and_object_merge(a, b):
+    assert _jq_eq(_jq_arith("+", None, a), a)
+    assert _jq_eq(_jq_arith("+", a, None), a)
+    if isinstance(a, dict) and isinstance(b, dict):
+        merged = _jq_arith("+", a, b)
+        for k in b:
+            assert _jq_eq(merged[k], b[k])  # right side wins
+        for k in a:
+            assert k in merged
+
+
+@given(
+    st.lists(st.text(min_size=1, max_size=5), min_size=1, max_size=3),
+    json_vals,
+    json_vals,
+)
+@settings(max_examples=200, deadline=None)
+def test_setpath_getpath_delpaths_laws(path, v, base):
+    doc = {"base": base}
+    # getpath after setpath returns the set value (path/value inlined
+    # as JSON literals to keep the program static for the parser)
+    prog_set = f".base | setpath({json.dumps(path)}; {json.dumps(v)})"
+    prog_get = f"| getpath({json.dumps(path)})"
+    try:
+        after = run(prog_set + " " + prog_get, doc)
+    except JqError:
+        return  # setting through a non-object (e.g. base is a number) errors
+    assert _jq_eq(after, v)
+    # delpaths removes it again (value becomes null on lookup)
+    prog_del = f"{prog_set} | delpaths([{json.dumps(path)}]) {prog_get}"
+    assert run(prog_del, doc) is None
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_explode_implode_round_trip(s):
+    doc = {"s": s}
+    assert run(".s | explode | implode", doc) == s
+
+
+@given(st.lists(json_vals, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_map_values_empty_drop_matches_map_select(xs):
+    doc = {"a": xs}
+    # for arrays map_values(f) == map(f) with empties dropped
+    left = run(".a | map_values(select(. != null))", doc)
+    right = run(".a | map(select(. != null))", doc)
+    assert _jq_eq(left, right)
