@@ -16,6 +16,8 @@ Modules:
                   alternative, reference-parity FP behaviour)
 * ``minhash``   — MinHash-LSH near-dup (beyond the reference)
 * ``simhash``   — SimHash near-dup (beyond the reference)
+* ``ngram_jaccard`` — exact n-gram-Jaccard near-dup: LSH candidates +
+                  bottom-k shingle-sketch verification (beyond)
 * ``embedding`` — embedding-cosine near-dup via hyperplane LSH (beyond)
 """
 
@@ -30,5 +32,6 @@ from .bloom import (  # noqa: F401
 from .embedding import mark_near_duplicates_embedding  # noqa: F401
 from .exact import mark_duplicate_docs  # noqa: F401
 from .minhash import mark_near_duplicates_minhash  # noqa: F401
+from .ngram_jaccard import mark_near_duplicates_ngram_jaccard  # noqa: F401
 from .paragraphs import mark_duplicate_paragraphs  # noqa: F401
 from .simhash import mark_near_duplicates_simhash  # noqa: F401

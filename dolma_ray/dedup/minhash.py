@@ -68,26 +68,27 @@ def minhash_signature(
 _WMIX = np.uint64(0xFF51AFD7ED558CCD)
 
 
-def batch_signatures(
-    texts: list[str], a: np.ndarray, b: np.ndarray, shingle_size: int
-) -> tuple[np.ndarray, list[int]]:
-    """(n_kept, num_perm) MinHash signatures for a whole batch, plus the
-    kept doc indexes (docs with zero words are dropped).  Fully
-    vectorized: one polars hash call for every word in the batch, one
-    xorshift chain for the shingle windows, and per-doc mins via
-    ``np.minimum.reduceat`` — no per-shingle Python.
+def batch_gram_hashes(
+    texts: list[str], shingle_size: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[int]]:
+    """Vectorized word-shingle hashing for a whole batch: one polars
+    hash call for every word in the batch, one xorshift chain for the
+    shingle windows — no per-shingle Python.
 
-    Hash values differ from the per-doc :func:`shingle_hashes` path
-    (polars wyhash vs blake2b) — irrelevant to LSH semantics: equal token
-    sequences still produce equal shingle hashes (verified deterministic
-    across processes), which is the only property marking relies on."""
+    Returns ``(grams, offsets, gram_counts, kept)``: a flat uint64 array
+    of shingle hashes for all kept docs, the start offset of each kept
+    doc's slice in it, the per-doc shingle counts, and the kept doc
+    indexes (docs with zero words are dropped).  Shared by the MinHash
+    signature path and the exact n-gram-Jaccard sketch path
+    (``ngram_jaccard.py``) so both see identical shingle universes."""
     import polars as pl
 
     words_per_doc = [(t or "").lower().split() for t in texts]
     counts = np.array([len(w) for w in words_per_doc], dtype=np.int64)
     kept = [i for i, c in enumerate(counts) if c > 0]
     if not kept:
-        return np.empty((0, len(a)), dtype=np.uint64), []
+        e = np.zeros(0, dtype=np.uint64)
+        return e, np.zeros(0, np.int64), np.zeros(0, np.int64), []
     flat = [w for ws in words_per_doc for w in ws]
     wh = pl.Series(flat).hash(seed=0).to_numpy().astype(np.uint64)
     n = len(wh)
@@ -123,7 +124,27 @@ def batch_signatures(
             gram_chunks.append(np.array([h], dtype=np.uint64))
             gram_counts.append(1)
     grams = np.concatenate(gram_chunks)
-    offsets = np.concatenate(([0], np.cumsum(gram_counts)[:-1]))
+    gram_counts_arr = np.array(gram_counts, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(gram_counts_arr)[:-1]))
+    return grams, offsets, gram_counts_arr, kept
+
+
+def batch_signatures(
+    texts: list[str], a: np.ndarray, b: np.ndarray, shingle_size: int
+) -> tuple[np.ndarray, list[int]]:
+    """(n_kept, num_perm) MinHash signatures for a whole batch, plus the
+    kept doc indexes (docs with zero words are dropped).  Fully
+    vectorized: one polars hash call for every word in the batch, one
+    xorshift chain for the shingle windows, and per-doc mins via
+    ``np.minimum.reduceat`` — no per-shingle Python.
+
+    Hash values differ from the per-doc :func:`shingle_hashes` path
+    (polars wyhash vs blake2b) — irrelevant to LSH semantics: equal token
+    sequences still produce equal shingle hashes (verified deterministic
+    across processes), which is the only property marking relies on."""
+    grams, offsets, _counts, kept = batch_gram_hashes(texts, shingle_size)
+    if not kept:
+        return np.empty((0, len(a)), dtype=np.uint64), []
 
     num_perm = len(a)
     sigs = np.empty((len(kept), num_perm), dtype=np.uint64)

@@ -880,6 +880,26 @@ def q_simhash_near_dup(sf_dir: str):
     return _planted_only(out, DUP_SIMHASH_ATTR)
 
 
+# exact copy -> shingle-set Jaccard 1.0 >= threshold with its earlier
+# original (verified against the actual bottom-k sketches, not just LSH
+# banding); disjoint unique-token docs have Jaccard 0 with everything,
+# and — unlike pure banding — a band-digest collision cannot mark them,
+# so the planted oracle is exact.  Same shingle guard as minhash: a
+# whitespace-only doc emits no shingles and can't be bucketed.
+SQL_PLANTED_NGRAM_JACCARD = SQL_PLANTED_MINHASH
+
+
+def q_ngram_jaccard_dedup(sf_dir: str):
+    from .dedup import mark_near_duplicates_ngram_jaccard
+    from .dedup.ngram_jaccard import DUP_NGRAM_JACCARD_ATTR
+
+    out = mark_near_duplicates_ngram_jaccard(
+        _plant_docs(sf_dir), key_column="key", order_columns=("doc_id",),
+        shingle_size=3, threshold=0.8, lookup_strategy="driver",
+    )
+    return _planted_only(out, DUP_NGRAM_JACCARD_ATTR)
+
+
 def q_embedding_near_dup(sf_dir: str):
     from .dedup import mark_near_duplicates_embedding
     from .dedup.embedding import DUP_EMBEDDING_ATTR
@@ -1256,6 +1276,7 @@ QUERIES.update(
         "top_bigrams": q_top_bigrams,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "lsh_ann": q_lsh_ann,
         "lsh_ann_recall": q_lsh_ann_recall,
@@ -1270,6 +1291,7 @@ ORACLES.update(
         "top_bigrams": SQL_TOP_BIGRAMS,
         "minhash_near_dup": SQL_PLANTED_MINHASH,
         "simhash_near_dup": SQL_PLANTED_SIMHASH,
+        "ngram_jaccard_dedup": SQL_PLANTED_NGRAM_JACCARD,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "lsh_ann": SQL_LSH_ANN,
         "lsh_ann_recall": SQL_LSH_ANN_RECALL,

@@ -1,0 +1,170 @@
+"""n-gram-Jaccard near-dup: bottom-k estimator unit tests, marking
+semantics (exact precision — banding collisions alone can't mark), and
+forced join-strategy parity with the broadcast path."""
+
+import numpy as np
+import pandas as pd
+
+from dolma_ray.dedup.ngram_jaccard import (
+    DUP_NGRAM_JACCARD_ATTR,
+    bottomk_sketch,
+    jaccard_bottomk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while children watch from "
+    "the garden near the old mill by the river bank under a clear sky"
+)
+NEAR = BASE.replace("clear sky", "cloudy sky")
+OTHER = "completely different content about database systems and query planning engines"
+
+
+def _true_jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def test_bottomk_exact_when_sets_fit():
+    a = np.array([3, 1, 7, 7, 9], dtype=np.uint64)
+    b = np.array([1, 9, 11], dtype=np.uint64)
+    sa = np.frombuffer(bottomk_sketch(a, 16), dtype="<u8")
+    sb = np.frombuffer(bottomk_sketch(b, 16), dtype="<u8")
+    # sets fit entirely in the sketch -> exact Jaccard
+    assert jaccard_bottomk(sa, sb, 16) == _true_jaccard({1, 3, 7, 9}, {1, 9, 11})
+
+
+def test_bottomk_identical_and_disjoint():
+    a = np.arange(100, dtype=np.uint64)
+    sa = np.frombuffer(bottomk_sketch(a, 32), dtype="<u8")
+    assert jaccard_bottomk(sa, sa, 32) == 1.0
+    b = np.arange(1000, 1100, dtype=np.uint64)
+    sb = np.frombuffer(bottomk_sketch(b, 32), dtype="<u8")
+    assert jaccard_bottomk(sa, sb, 32) == 0.0
+    assert jaccard_bottomk(sa, np.zeros(0, dtype="<u8"), 32) == 0.0
+
+
+def test_bottomk_estimator_accuracy_truncated():
+    # sets larger than sketch_k: estimator must stay close to the truth
+    rng = np.random.default_rng(7)
+    k = 64
+    errs = []
+    for _ in range(30):
+        universe = rng.integers(0, 2**62, size=8000, dtype=np.int64)
+        universe = np.unique(universe.astype(np.uint64))[:4000]
+        rng.shuffle(universe)
+        na, nb = rng.integers(500, 2000, size=2)
+        overlap = int(min(na, nb) * rng.uniform(0.0, 1.0))
+        shared = universe[:overlap]
+        a = np.concatenate([shared, universe[2000 : 2000 + na - overlap]])
+        b = np.concatenate([shared, universe[3000 : 3000 + nb - overlap]])
+        sa = np.frombuffer(bottomk_sketch(a, k), dtype="<u8")
+        sb = np.frombuffer(bottomk_sketch(b, k), dtype="<u8")
+        est = jaccard_bottomk(sa, sb, k)
+        true = _true_jaccard(set(a.tolist()), set(b.tolist()))
+        errs.append(abs(est - true))
+    assert np.mean(errs) < 0.08 and max(errs) < 0.3
+
+
+def _corpus():
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": BASE},
+        {"url": "b", "warc_ts": 2, "text": NEAR},       # J >= 0.8 vs a
+        {"url": "c", "warc_ts": 3, "text": OTHER},      # disjoint
+        {"url": "d", "warc_ts": 4, "text": BASE},       # exact copy of a
+        {"url": "e", "warc_ts": 5, "text": ""},         # no shingles
+    ]
+    for i in range(20):
+        rows.append(
+            {"url": f"x{i}", "warc_ts": 10 + i,
+             "text": f"filler document number {i} with entirely distinct words "
+                     f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"}
+        )
+    return rows
+
+
+def test_marking_semantics_driver(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_ngram_jaccard
+
+    out = (
+        mark_near_duplicates_ngram_jaccard(
+            rd.from_items(_corpus()), threshold=0.8, lookup_strategy="driver"
+        )
+        .to_pandas()
+        .set_index("url")[DUP_NGRAM_JACCARD_ATTR]
+    )
+    assert out["a"] == 0.0          # earliest -> original
+    assert out["b"] == 1.0          # near copy above threshold
+    assert out["c"] == 0.0
+    assert out["d"] == 1.0          # exact copy
+    assert out["e"] == 0.0          # empty doc can't be bucketed
+    assert all(out[f"x{i}"] == 0.0 for i in range(20))
+
+
+def test_threshold_is_verified_not_banded(ray_session):
+    """A pair that collides in LSH bands but whose true Jaccard is below
+    the threshold must NOT be marked — this is what distinguishes the
+    exact flavor from minhash banding."""
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_ngram_jaccard
+
+    half = BASE.split()
+    mid = " ".join(half[: len(half) // 2]) + " " + OTHER  # J ~ 0.3 vs BASE
+    rows = [
+        {"url": "a", "warc_ts": 1, "text": BASE},
+        {"url": "m", "warc_ts": 2, "text": mid},
+    ]
+    # 1 band of 4 perms -> aggressive candidate generation (P(collide)
+    # high even at modest J), so any marking must come from verification
+    out = (
+        mark_near_duplicates_ngram_jaccard(
+            rd.from_items(rows), threshold=0.9, num_perm=4, num_bands=4,
+            lookup_strategy="driver",
+        )
+        .to_pandas()
+        .set_index("url")[DUP_NGRAM_JACCARD_ATTR]
+    )
+    assert out["m"] == 0.0
+
+
+def test_join_matches_driver(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_ngram_jaccard
+
+    rows = _corpus()
+    drv = (
+        mark_near_duplicates_ngram_jaccard(
+            rd.from_items(rows), lookup_strategy="driver"
+        )
+        .to_pandas()
+        .set_index("url")[DUP_NGRAM_JACCARD_ATTR]
+        .sort_index()
+    )
+    jn = (
+        mark_near_duplicates_ngram_jaccard(
+            rd.from_items(rows), lookup_strategy="join", num_partitions=2
+        )
+        .to_pandas()
+        .set_index("url")[DUP_NGRAM_JACCARD_ATTR]
+        .sort_index()
+    )
+    pd.testing.assert_series_equal(drv, jn)
+    assert drv["b"] == 1.0 and drv["d"] == 1.0 and drv["c"] == 0.0
+
+
+def test_no_duplicates_corpus(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.dedup import mark_near_duplicates_ngram_jaccard
+
+    rows = [
+        {"url": f"u{i}", "warc_ts": i,
+         "text": f"unique body {i} " + " ".join(f"w{i}_{j}" for j in range(10))}
+        for i in range(6)
+    ]
+    out = mark_near_duplicates_ngram_jaccard(
+        rd.from_items(rows), lookup_strategy="driver"
+    ).to_pandas()
+    assert (out[DUP_NGRAM_JACCARD_ATTR] == 0.0).all()
