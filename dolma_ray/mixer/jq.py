@@ -1112,6 +1112,17 @@ def _jq_contains(a: Any, b: Any) -> bool:
     return _jq_eq(a, b)
 
 
+# jq regexes are Oniguruma: named groups are written (?<name>...),
+# which Python spells (?P<name>...).  Translate (leaving lookbehinds
+# (?<= / (?<! alone) so standard jq patterns work in every regex
+# builtin (test / capture / sub / gsub / split).
+_ONIG_GROUP_RE = re.compile(r"\(\?<(?![=!])")
+
+
+def _onig_pat(pat: str) -> str:
+    return _ONIG_GROUP_RE.sub("(?P<", pat)
+
+
 def _re_flags(flags: str) -> int:
     if not isinstance(flags, str):
         raise JqError(f"regex flags must be a string, got {_jq_type(flags)}")
@@ -1289,7 +1300,7 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         if not isinstance(cur, str) or not isinstance(pat, str):
             raise JqError("capture requires strings")
         try:
-            m = re.search(pat, cur, _re_flags(flags))
+            m = re.search(_onig_pat(pat), cur, _re_flags(flags))
         except re.error as e:
             raise JqError(f"bad regex: {e}") from e
         if m is None:
@@ -1415,7 +1426,7 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         if not isinstance(cur, str) or not isinstance(pat, str):
             raise JqError("test requires strings")
         try:
-            return re.search(pat, cur, _re_flags(flags)) is not None
+            return re.search(_onig_pat(pat), cur, _re_flags(flags)) is not None
         except re.error as e:
             raise JqError(f"bad regex: {e}") from e
     if name in ("sub", "gsub"):
@@ -1425,7 +1436,7 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             raise JqError(f"{name} requires strings")
         count = 0 if (name == "gsub" or "g" in flags) else 1
         try:
-            return re.sub(pat, repl.replace("\\", "\\\\"), cur,
+            return re.sub(_onig_pat(pat), repl.replace("\\", "\\\\"), cur,
                           count=count, flags=_re_flags(flags))
         except re.error as e:
             raise JqError(f"bad regex: {e}") from e
@@ -1434,9 +1445,16 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         if not isinstance(cur, str) or not isinstance(sep, str):
             raise JqError("split requires strings")
         if len(arg_asts) > 1:
-            # split(re; flags) — regex split, like jq's 2-arg form
+            # split(re; flags) — regex split, like jq's 2-arg form.
+            # NOT re.split: jq never includes capture groups in the
+            # result, only the text between matches.
             try:
-                return re.split(sep, cur, flags=_re_flags(val(1)))
+                parts, last = [], 0
+                for m in re.finditer(_onig_pat(sep), cur, _re_flags(val(1))):
+                    parts.append(cur[last : m.start()])
+                    last = m.end()
+                parts.append(cur[last:])
+                return parts
             except re.error as e:
                 raise JqError(f"bad regex: {e}") from e
         if sep == "":

@@ -273,3 +273,21 @@ def test_as_binding_scope_does_not_leak():
     # $x bound in one branch is not visible outside its body
     with pytest.raises(JqError):
         run("(.a as $x | $x) + $x", {"a": 1})
+
+
+def test_oniguruma_named_groups_translate():
+    # jq regexes are Oniguruma: (?<name>...) — Python spells it
+    # (?P<name>...).  All regex builtins must accept the jq form,
+    # without breaking lookbehinds.
+    assert run(r'capture("(?<a>\\d+)")', "x42") == {"a": "42"}
+    assert run(r'test("(?<=x)4")', "x42") is True
+    assert run(r'sub("(?<d>\\d)"; "N")', "a1b2") == "aNb2"
+    assert run(r'test("(?<!x)9")', "x42") is False
+
+
+def test_regex_split_excludes_capture_groups():
+    # jq's split(re; flags) returns only the between-match text — a
+    # pattern with groups must not leak them into the result (re.split
+    # would)
+    assert run(r'split("(,)"; "")', "a,b") == ["a", "b"]
+    assert run(r'split(", *"; "")', "a,  b, c") == ["a", "b", "c"]
