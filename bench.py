@@ -41,7 +41,8 @@ _DEFAULT_QUERIES = (
     "doc_stats,token_count,scrub_text,top_words,events_hourly,"
     "events_sliding,orders_by_segment,exact_dedup,paragraph_dedup,"
     "user_sessions,purchase_attribution,event_pairs_60s,nation_revenue,"
-    "minhash_near_dup,analyzer,url_block,ann_topk,flagship_keep"
+    "minhash_near_dup,ngram_jaccard_dedup,analyzer,url_block,ann_topk,"
+    "flagship_keep"
 )
 BENCH_QUERIES = [
     q for q in os.environ.get("GRAFT_BENCH_QUERIES", _DEFAULT_QUERIES).split(",") if q

@@ -31,10 +31,18 @@ Execution shape (duplicates-only, two passes over the corpus):
    and emit one ``(key, sh = bottom-k sketch bytes)`` row per candidate
    doc.  The full corpus never materializes sketches — only the
    duplicates-only candidate set does.
-4. attach ``sh`` onto the candidate units (broadcast dict on the
-   driver path; :func:`lookup.bucketed_left_attach` on the join path)
-   -> ``groupby(k).map_groups`` verify: doc i is marked iff its exact
-   bottom-k Jaccard vs ANY earlier bucket member is ``>= threshold``.
+4. candidate units -> a flat PAIR set ``(earlier key, later key)``
+   (:func:`_bucket_pairs`): doc i pairs with the first ``min(i, cap)``
+   members of each of its buckets — the same comparisons a bucket-local
+   verify loop would make, but deduplicated so a pair colliding in many
+   bands verifies ONCE.  On the driver path pairs are built on the
+   driver (candidates are the duplicate tail) and verified distributed
+   against the broadcast sketch dict; on the join path pairs are built
+   per salted partition (bounded exchange of the narrow units) and both
+   sketches are attached via :func:`lookup.bucketed_left_attach`.
+   Never the ``groupby(k).map_groups``-per-tiny-bucket shape (measured
+   7x slower at 76k colliding buckets), and sketch bytes are never
+   replicated per band unit.
 5. dup keys -> ``pc.is_in`` flag attach (``lookup.py``), both
    strategies.
 """
@@ -135,36 +143,62 @@ class _SketchStage:
         )
 
 
-def _make_verify(threshold: float, sketch_k: int, earlier_cap: int = 256):
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        """Mark doc i iff exact bottom-k Jaccard vs ANY earlier bucket
-        member >= threshold.  Buckets are duplicates-only (singletons
-        were filtered before the shuffle) so the pair loop is tiny; in a
-        degenerate megabucket only the earliest ``earlier_cap`` members
-        serve as references (same bound as simhash's verify)."""
-        g = g.sort_values(["o", "key"], kind="mergesort")
-        raw = g["sh"].tolist()
-        sk = [
-            np.frombuffer(s, dtype="<u8") if s is not None else None
-            for s in raw
-        ]
-        n = len(sk)
-        marked = []
-        keys = g["key"].to_numpy()
-        for i in range(1, n):
-            a = sk[i]
-            if a is None:
-                continue
-            for j in range(min(i, earlier_cap)):
-                b = sk[j]
-                if b is None:
-                    continue
-                if jaccard_bottomk(a, b, sketch_k) >= threshold:
-                    marked.append(keys[i])
-                    break
-        return pd.DataFrame({"key": marked})
+def _bucket_pairs(
+    k: np.ndarray, o: np.ndarray, key: np.ndarray, earlier_cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate pairs ``(earlier key, later key)`` from band-unit
+    arrays: within every bucket ``k`` (ordered by ``(o, key)``), doc i
+    pairs with each of the first ``min(i, earlier_cap)`` members —
+    exactly the comparisons the bucket-local verify loop would make,
+    reformulated as a flat pair set so each pair is verified ONCE even
+    when the docs collide in many bands.  Python touches runs, not
+    pairs (array ops per run)."""
+    if len(k) == 0:
+        e = np.zeros(0, dtype=object)
+        return e, e
+    order = np.lexsort((key, o, k))
+    ks, keys = k[order], key[order]
+    starts = np.empty(len(ks), dtype=bool)
+    starts[0] = True
+    starts[1:] = ks[1:] != ks[:-1]
+    start_idx = np.flatnonzero(starts)
+    end_idx = np.append(start_idx[1:], len(ks))
+    e_parts: list[np.ndarray] = []
+    l_parts: list[np.ndarray] = []
+    for a, b in zip(start_idx, end_idx):
+        m = int(b - a)
+        if m < 2:
+            continue
+        run = keys[a:b]
+        for i in range(1, m):
+            lim = min(i, earlier_cap)
+            e_parts.append(run[:lim])
+            l_parts.append(np.repeat(run[i], lim))
+    if not e_parts:
+        e = np.zeros(0, dtype=object)
+        return e, e
+    return np.concatenate(e_parts), np.concatenate(l_parts)
 
-    return verify
+
+def _unique_pairs(e: np.ndarray, l: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    df = pd.DataFrame({"e": e, "l": l}).drop_duplicates()
+    return df["e"].to_numpy(), df["l"].to_numpy()
+
+
+def _verify_pair_arrays(
+    e_sh: list, l_sh: list, l_keys: list, threshold: float, sketch_k: int
+) -> list:
+    """Later-doc keys of pairs whose exact bottom-k Jaccard >= threshold
+    (pairs with a missing sketch — shingle-less doc — never match)."""
+    out = []
+    for a_raw, b_raw, lk in zip(e_sh, l_sh, l_keys):
+        if a_raw is None or b_raw is None:
+            continue
+        a = np.frombuffer(a_raw, dtype="<u8")
+        b = np.frombuffer(b_raw, dtype="<u8")
+        if jaccard_bottomk(a, b, sketch_k) >= threshold:
+            out.append(lk)
+    return out
 
 
 def mark_near_duplicates_ngram_jaccard(
@@ -198,6 +232,7 @@ def mark_near_duplicates_ngram_jaccard(
     exchanges).  ``"auto"`` flips to join above ~2.5M rows using
     ``row_count_hint`` / metadata only — never by executing the plan."""
     import ray
+    import ray.data  # noqa: F401  (from_arrow on the pair blocks)
 
     from ..util import cached_stage
     from .lookup import (
@@ -206,6 +241,7 @@ def mark_near_duplicates_ngram_jaccard(
         bucket_count,
         bucketed_left_attach,
         bucketed_semi_join,
+        cluster_cpus as _cluster_cpus,
         collect_dup_buckets,
         distinct_key_table,
         dup_bucket_table,
@@ -233,6 +269,8 @@ def mark_near_duplicates_ngram_jaccard(
         return pa.table(
             {key_column: batch[key_column], text_column: batch[text_column]}
         )
+
+    earlier_cap = 256
 
     if lookup_strategy == "join":
         buckets_ds, n_b = dup_bucket_table(units)
@@ -263,14 +301,62 @@ def mark_near_duplicates_ngram_jaccard(
                 sketch_k=sketch_k,
             ),
             batch_format="pyarrow",
+        ).materialize()
+        # pair generation: co-locate each bucket's units via ONE bounded
+        # salted exchange (n_pb groups of ~rows/n_pb, not one group per
+        # bucket), then emit-and-dedup pairs per partition.  Pairs
+        # repeated across bands in DIFFERENT partitions verify at most
+        # num_bands times; `distinct_key_table` collapses the marks.
+        n_pb = bucket_count(n_cand)
+
+        def add_pb(batch: pa.Table) -> pa.Table:
+            kv = batch["k"].to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "__pb", pa.array((np.abs(kv) % n_pb).astype(np.int32))
+            )
+
+        def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            e, l = _bucket_pairs(
+                g["k"].to_numpy(), g["o"].to_numpy(), g["key"].to_numpy(),
+                earlier_cap,
+            )
+            e, l = _unique_pairs(e, l)
+            return pd.DataFrame({"e": e, "l": l})
+
+        usch = units.schema()
+        key_type = dict(zip(usch.names, usch.types))["key"]
+
+        def pairs_to_arrow(batch: pa.Table) -> pa.Table:
+            # the pandas group container reports dtype `object`; pin the
+            # Arrow key type so the bucketed attach sees a real schema
+            return pa.table(
+                {"e": batch["e"].cast(key_type), "l": batch["l"].cast(key_type)}
+            )
+
+        pairs = (
+            candidates.map_batches(add_pb, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(emit_pairs, batch_format="pandas")
+            .map_batches(pairs_to_arrow, batch_format="pyarrow")
         )
-        with_sh = bucketed_left_attach(
-            candidates, sketches, "key", "key", "sh", "sh",
-            bucket_count(n_cand), rows_hint=n_cand,
+        n_sk = sketches.count()
+        with_e = bucketed_left_attach(
+            pairs, sketches, "e", "key", "sh", "e_sh",
+            bucket_count(n_sk), rows_hint=None,
         )
-        marked = with_sh.groupby("k").map_groups(
-            _make_verify(threshold, sketch_k), batch_format="pandas"
+        with_el = bucketed_left_attach(
+            with_e, sketches, "l", "key", "sh", "l_sh",
+            bucket_count(n_sk), rows_hint=None,
         )
+
+        def verify_pairs(batch: pa.Table) -> pa.Table:
+            out = _verify_pair_arrays(
+                batch["e_sh"].to_pylist(), batch["l_sh"].to_pylist(),
+                batch["l"].to_pylist(), threshold, sketch_k,
+            )
+            return pa.table({"key": pa.array(out, batch["l"].type)})
+
+        marked = with_el.map_batches(verify_pairs, batch_format="pyarrow")
         dup_keys_ds = distinct_key_table(marked)
         return attach_dup_flag_join(
             ds, key_column, dup_keys_ds, DUP_NGRAM_JACCARD_ATTR,
@@ -289,16 +375,25 @@ def mark_near_duplicates_ngram_jaccard(
 
     candidates = units.map_batches(only_colliding, batch_format="pyarrow")
 
-    # duplicates-only candidate key set -> one filtered corpus pass for
-    # sketches; both fit the driver by the same argument as the dup-key
-    # lists in the other flavors (candidates are the duplicate tail, not
-    # the corpus)
-    cand_keys: set = set()
+    # duplicates-only candidate units -> driver pair set (globally
+    # unique: a pair colliding in many bands is verified ONCE); fits the
+    # driver by the same argument as the dup-key lists in the other
+    # flavors (candidates are the duplicate tail, not the corpus)
+    k_parts, o_parts, key_parts = [], [], []
     for b in candidates.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        cand_keys.update(b["key"].to_pylist())
+        k_parts.append(b["k"].to_numpy(zero_copy_only=False))
+        o_parts.append(b["o"].to_numpy(zero_copy_only=False))
+        key_parts.append(b["key"].to_numpy(zero_copy_only=False))
+    k_all = np.concatenate(k_parts) if k_parts else np.zeros(0, np.int64)
+    o_all = np.concatenate(o_parts) if o_parts else np.zeros(0, object)
+    key_all = np.concatenate(key_parts) if key_parts else np.zeros(0, object)
+    pe, pl = _unique_pairs(*_bucket_pairs(k_all, o_all, key_all, earlier_cap))
+    if len(pe) == 0:
+        return attach_dup_flag(ds, key_column, [], DUP_NGRAM_JACCARD_ATTR)
+
     usch = units.schema()
     key_type = dict(zip(usch.names, usch.types))["key"]
-    key_ref = ray.put(pa.array(sorted(cand_keys), key_type))
+    key_ref = ray.put(pa.array(np.unique(key_all), key_type))
 
     sketch_ds = ds.map_batches(corpus_projection, batch_format="pyarrow").map_batches(
         cached_stage(
@@ -316,16 +411,27 @@ def mark_near_duplicates_ngram_jaccard(
         sketch_lookup.update(zip(b["key"].to_pylist(), b["sh"].to_pylist()))
     sketch_lookup_ref = ray.put(sketch_lookup)
 
-    def attach_sh(batch: pa.Table) -> pa.Table:
-        lut = ray.get(sketch_lookup_ref)
-        sh = [lut.get(k) for k in batch["key"].to_pylist()]
-        return batch.append_column("sh", pa.array(sh, pa.binary()))
-
-    with_sh = candidates.map_batches(attach_sh, batch_format="pyarrow")
-    marked = with_sh.groupby("k").map_groups(
-        _make_verify(threshold, sketch_k), batch_format="pandas"
+    # verify pairs DISTRIBUTED: pair table blocks + broadcast sketches
+    pair_tbl = pa.table(
+        {"e": pa.array(pe, key_type), "l": pa.array(pl, key_type)}
     )
+    step = max(2048, -(-len(pair_tbl) // max(1, 4 * _cluster_cpus())))
+    blocks = [
+        pair_tbl.slice(i, step) for i in range(0, len(pair_tbl), step)
+    ]
+    pairs_ds = ray.data.from_arrow(blocks)
 
+    def verify_pairs(batch: pa.Table) -> pa.Table:
+        lut = ray.get(sketch_lookup_ref)
+        e_keys = batch["e"].to_pylist()
+        l_keys = batch["l"].to_pylist()
+        out = _verify_pair_arrays(
+            [lut.get(x) for x in e_keys], [lut.get(x) for x in l_keys],
+            l_keys, threshold, sketch_k,
+        )
+        return pa.table({"key": pa.array(out, key_type)})
+
+    marked = pairs_ds.map_batches(verify_pairs, batch_format="pyarrow")
     dup_keys: set = set()
     for b in marked.iter_batches(batch_size=65536, batch_format="pyarrow"):
         dup_keys.update(b["key"].to_pylist())
