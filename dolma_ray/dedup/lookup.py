@@ -393,31 +393,13 @@ def bucketed_left_attach(
             np.int32
         )
 
-    # Integer columns must not reach the pandas group container with
-    # nulls in them: arrow int64-with-null -> pandas float64, which
-    # silently corrupts values > 2^53 (e.g. simhash's 64-bit `fp`
-    # payload) and overflows the recast for values near 2^63.  Carry
-    # every integer column through the exchange as its exact decimal
-    # string; the final recast restores the original type losslessly.
-    _int_guard = {
-        n: t
-        for n, t in list(zip(names, types)) + list(zip(out_cols, val_types))
-        if pa.types.is_integer(t)
-    }
-
-    def _stringify_ints(cols: dict) -> dict:
-        for n in _int_guard:
-            if n in cols and cols[n].type != pa.string():
-                cols[n] = pc.cast(cols[n], pa.string())
-        return cols
-
     def corpus_side(batch: pa.Table) -> pa.Table:
         cols = {n: batch[n] for n in names}
         for oc, vt in zip(out_cols, val_types):
             cols[oc] = pa.nulls(len(batch), vt)
         cols["__ddb_bucket"] = pa.array(_buckets(batch[key_col]))
         cols["__ddb_side"] = pa.array(np.zeros(len(batch), np.int8))
-        return pa.table(_stringify_ints(cols))
+        return pa.table(cols)
 
     def list_side(batch: pa.Table) -> pa.Table:
         cols = {}
@@ -427,42 +409,56 @@ def bucketed_left_attach(
             cols[oc] = batch[lv]
         cols["__ddb_bucket"] = pa.array(_buckets(batch[lookup_key]))
         cols["__ddb_side"] = pa.array(np.ones(len(batch), np.int8))
-        return pa.table(_stringify_ints(cols))
+        return pa.table(cols)
 
     unioned = corpus_ds.map_batches(corpus_side, batch_format="pyarrow").union(
         lookup_ds.map_batches(list_side, batch_format="pyarrow")
     )
 
-    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
-        side = g["__ddb_side"].to_numpy()
-        docs = g[side == 0].drop(columns=["__ddb_bucket", "__ddb_side"]).copy()
-        lookup = g[side == 1]
-        # one positional lookup per bucket; every out column rides it
+    def merge(g: pa.Table) -> pa.Table:
+        """Per-bucket left attach in PURE ARROW: the group container
+        stays a zero-copy pa.Table, so wide payload columns (document
+        text) never convert to python objects and integer/nested/binary
+        columns keep their exact types (the former pandas container
+        needed an int-stringify guard against int64-with-null ->
+        float64 corruption; nothing here leaves Arrow except the narrow
+        key columns)."""
+        side = g["__ddb_side"].to_numpy(zero_copy_only=False)
+        mask0 = pa.array(side == 0)
+        # filter only the columns each side actually needs: the wide
+        # corpus payload is filtered once, the lookup side only its
+        # narrow (key, values) projection
+        docs = g.drop_columns(
+            ["__ddb_bucket", "__ddb_side"] + out_cols
+        ).filter(mask0)
+        lookup = g.select([key_col] + out_cols).filter(
+            pc.invert(mask0)
+        )
+        # hash positions on the narrow key columns only
         pos = pd.Series(
-            np.arange(len(lookup)), index=lookup[key_col].to_numpy()
+            np.arange(len(lookup)),
+            index=lookup[key_col].to_numpy(zero_copy_only=False),
         )
         if not pos.index.is_unique:
             raise ValueError(
                 "bucketed_left_attach requires unique lookup keys (one "
                 f"row per '{key_col}'); the lookup side has duplicates"
             )
-        rows = docs[key_col].map(pos)
-        hit = rows.notna().to_numpy()
-        taken = rows[hit].to_numpy().astype(np.int64)
+        rows = pd.Series(docs[key_col].to_numpy(zero_copy_only=False)).map(pos)
+        # null indices -> null output values (pc.take semantics)
+        idx = pa.array(rows.to_numpy(), pa.int64(), from_pandas=True)
+        out = {n: docs[n] for n in docs.column_names}
         for oc in out_cols:
-            vals = lookup[oc].to_numpy()
-            col = np.full(len(docs), None, dtype=object)
-            col[hit] = vals[taken]
-            docs[oc] = col
-        return docs
+            out[oc] = pc.take(lookup[oc], idx)
+        return pa.table(out)
 
     merged = unioned.groupby("__ddb_bucket").map_groups(
-        merge, batch_format="pandas"
+        merge, batch_format="pyarrow"
     )
 
-    # the pandas round-trip drifts arrow types (timestamp unit -> ns,
-    # None-filled object columns -> string); cast back so downstream
-    # schemas match the hash-join path byte-for-byte
+    # safety recast: the Arrow group container preserves types, but an
+    # all-null column produced from an empty lookup side can surface as
+    # pa.null(); pin the target schema either way
     target = {n: t for n, t in zip(names, types)}
     for oc, vt in zip(out_cols, val_types):
         target[oc] = vt
