@@ -63,26 +63,39 @@ DUP_NGRAM_JACCARD_ATTR = attr_name("dedupe_ngram_jaccard", "near_duplicate")
 
 
 def bottomk_sketch(grams: np.ndarray, sketch_k: int) -> bytes:
-    """Bottom-k sketch of a shingle multiset: the ``sketch_k`` smallest
-    *distinct* uint64 hashes, sorted ascending, as little-endian bytes."""
+    """Bottom-k sketch of a shingle multiset, little-endian uint64 bytes:
+    word 0 is the TRUE distinct-shingle count (so a sketch holding
+    exactly ``sketch_k`` hashes is distinguishable from a truncated
+    one), then the ``min(n, sketch_k)`` smallest distinct hashes sorted
+    ascending."""
     u = np.unique(grams.astype(np.uint64))
-    return u[:sketch_k].astype("<u8").tobytes()
+    return (
+        np.uint64(len(u)).tobytes()
+        + u[:sketch_k].astype("<u8").tobytes()
+    )
 
 
 def jaccard_bottomk(a: np.ndarray, b: np.ndarray, sketch_k: int) -> float:
-    """Jaccard estimate from two bottom-k sketches (sorted unique uint64).
+    """Jaccard estimate from two bottom-k sketches (count header +
+    sorted unique uint64, as produced by :func:`bottomk_sketch`).
 
-    Exact when both source sets have < ``sketch_k`` elements (the sketch
-    is then the whole set).  Otherwise the standard bottom-k estimator:
-    restrict to ``S`` = bottom-``sketch_k`` of the sketch union; every
-    element of ``S`` is below both sketches' cutoffs, so membership in
-    A and B is decided correctly and ``|S ∩ A ∩ B| / |S|`` is unbiased.
+    Exact when both source sets have <= ``sketch_k`` elements (the
+    sketch is then the whole set — the count header decides the
+    ``n == sketch_k`` boundary).  Otherwise the standard bottom-k
+    estimator: restrict to ``S`` = bottom-``sketch_k`` of the sketch
+    union below every truncated sketch's cutoff; every element of ``S``
+    is below both cutoffs, so membership in A and B is decided correctly
+    and ``|S ∩ A ∩ B| / |S|`` is unbiased.
     """
     if len(a) == 0 or len(b) == 0:
         return 0.0
+    n_a, a = int(a[0]), a[1:]
+    n_b, b = int(b[0]), b[1:]
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
     inter = np.intersect1d(a, b, assume_unique=True)
-    a_full = len(a) < sketch_k  # sketch == whole set
-    b_full = len(b) < sketch_k
+    a_full = n_a <= sketch_k  # sketch == whole set
+    b_full = n_b <= sketch_k
     if a_full and b_full:
         union = len(a) + len(b) - len(inter)
         return len(inter) / union if union else 0.0
@@ -215,6 +228,7 @@ def mark_near_duplicates_ngram_jaccard(
     lookup_strategy: str = "auto",
     num_partitions: int = 64,
     row_count_hint: int | None = None,
+    earlier_cap: int = 256,
 ):
     """Append ``attr__dedupe_ngram_jaccard__near_duplicate`` (scalar
     0/1): 1.0 when the doc's shingle-set Jaccard with some *earlier* doc
@@ -225,6 +239,13 @@ def mark_near_duplicates_ngram_jaccard(
     ``num_perm``/``num_bands`` control candidate *recall* only (the
     default 64/16 s-curve catches J >= 0.8 pairs w.p. ~0.9998 per doc
     pair); precision is exact up to the bottom-k estimator.
+    ``earlier_cap`` bounds recall too: within one band bucket a doc is
+    paired with at most the ``earlier_cap`` EARLIEST members (by order
+    key), so pair count stays O(bucket x cap) in degenerate megabuckets
+    where one shared band digest joins thousands of template docs.  The
+    earliest members are the dup anchors later copies match, so the cap
+    biases toward keeping real matches; raise it (or pass a large value)
+    for exhaustive within-bucket verification.
 
     ``lookup_strategy`` as in the other dedup flavors: ``"driver"`` /
     ``"shuffle"`` broadcast the (duplicates-only) candidate sets;
@@ -269,8 +290,6 @@ def mark_near_duplicates_ngram_jaccard(
         return pa.table(
             {key_column: batch[key_column], text_column: batch[text_column]}
         )
-
-    earlier_cap = 256
 
     if lookup_strategy == "join":
         buckets_ds, n_b = dup_bucket_table(units)

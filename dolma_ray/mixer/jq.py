@@ -234,6 +234,9 @@ class _Parser:
     def __init__(self, tokens: list[tuple[str, str]]) -> None:
         self.toks = tokens
         self.i = 0
+        # >0 while parsing a reduce/foreach SOURCE, whose own ``as`` must
+        # not be swallowed by the term-level binding hook in parse_unary
+        self._no_as = 0
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -300,6 +303,21 @@ class _Parser:
         return left
 
     def parse_unary(self):
+        # jq binds ``as`` at TERM level: ``.a + 1 as $x | BODY`` parses as
+        # ``.a + (1 as $x | BODY)`` (the binding swallows the rest of the
+        # pipeline).  Handling it here — after a full postfix term — also
+        # makes mid-pipe bindings (``.a | . as $x | ...``) work for free.
+        term = self._parse_unary_inner()
+        if not self._no_as and self.peek() == ("word", "as"):
+            self.next()
+            k2, v2 = self.next()
+            if k2 != "var":
+                raise JqError(f"expected $variable after 'as', got {k2}:{v2}")
+            self.expect("pipe")
+            return AsBind(term, v2[1:], self.parse_pipe())
+        return term
+
+    def _parse_unary_inner(self):
         k, v = self.peek()
         if k == "num":
             self.next()
@@ -473,7 +491,14 @@ class _Parser:
     def parse_reduce(self):
         """``reduce SRC[] as $v (INIT; UPDATE)`` — jq's fold."""
         self.next()  # "reduce"
-        src = self.parse_path() if self.peek()[0] == "path" else self.parse_unary()
+        if self.peek()[0] == "path":
+            src = self.parse_path()
+        else:
+            self._no_as += 1
+            try:
+                src = self.parse_unary()
+            finally:
+                self._no_as -= 1
         k, v = self.next()
         if (k, v) != ("word", "as"):
             raise JqError(f"expected 'as' in reduce, got {k}:{v}")
@@ -557,14 +582,6 @@ class _Parser:
     def parse_pipe(self):
         source = self.parse_alt()
         k, v = self.peek()
-        if (k, v) == ("word", "as"):
-            # EXPR as $x | BODY — general variable binding
-            self.next()
-            k2, v2 = self.next()
-            if k2 != "var":
-                raise JqError(f"expected $variable after 'as', got {k2}:{v2}")
-            self.expect("pipe")
-            return AsBind(source, v2[1:], self.parse_pipe())
         if k == "op" and v in ("=", "|=", "//=", "+=", "-="):
             if not isinstance(source, Path):
                 raise JqError(f"left side of {v} must be a path")

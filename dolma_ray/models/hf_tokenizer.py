@@ -51,21 +51,25 @@ def _byte_to_unicode() -> dict[int, str]:
     return dict(zip(bs, (chr(c) for c in cs)))
 
 
+def _metaspace_chunks(text: str, replacement: str = "▁", prepend: bool = True) -> list[str]:
+    """Metaspace pre-tokenization: spaces -> ``replacement`` (single
+    char), optional leading marker, marker merged with the following
+    piece: "a b" -> ["▁a", "▁b"]; prepend=False -> ["a", "▁b"]."""
+    if not text:
+        return []
+    s = text.replace(" ", replacement)
+    if prepend and not s.startswith(replacement):
+        s = replacement + s
+    r = re.escape(replacement)
+    return re.findall(rf"{r}[^{r}]*|^[^{r}]+", s)
+
+
 # GPT-2 pre-tokenization pattern (public).  stdlib-re mapping of the
 # original's unicode classes: letters `\p{L}` -> `[^\W\d_]` (folds the
 # rare Nl/No number-letters into the letter run — boundary-only
 # deviation), numbers `\p{N}` -> `\d`, other `[^\s\p{L}\p{N}]` ->
 # `[^\s\w]|_` (underscore is "other" in GPT-2, and every non-space
 # byte must be covered — a byte-level BPE may not drop input).
-def _metaspace_chunks(text: str) -> list[str]:
-    """Metaspace pre-tokenization (add_prefix_space, replacement U+2581,
-    the marker merged with the following piece): "a b" -> ["▁a", "▁b"]."""
-    if not text:
-        return []
-    s = "▁" + text.replace(" ", "▁")
-    return re.findall(r"▁[^▁]*", s)
-
-
 _GPT2_PRE = re.compile(
     r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
 )
@@ -139,8 +143,12 @@ class HFTokenizer:
         for rank, m in enumerate(model.get("merges", [])):
             pair = tuple(m.split(" ")) if isinstance(m, str) else tuple(m)
             self.merges[pair] = rank
-        self.pre = (spec.get("pre_tokenizer") or {}).get("type", "Whitespace")
+        # no pre_tokenizer block -> self.pre is None: HF applies the model
+        # to the whole normalized text as ONE chunk (no split, no byte map)
+        pre_spec = spec.get("pre_tokenizer") or None
+        self.pre = pre_spec.get("type") if pre_spec else None
         if self.pre not in (
+            None,
             "Whitespace",
             "WhitespaceSplit",
             "ByteLevel",
@@ -152,6 +160,35 @@ class HFTokenizer:
                 "subset (Whitespace, WhitespaceSplit, ByteLevel, Metaspace, "
                 "BertPreTokenizer) — refusing to silently mis-encode"
             )
+        self.meta_replacement = "▁"
+        self.meta_prepend = True
+        if self.pre == "Metaspace":
+            if self.model_type in ("WordLevel", "WordPiece"):
+                raise NotImplementedError(
+                    "Metaspace with WordLevel/WordPiece models is outside "
+                    "the implemented subset — refusing to silently mis-encode"
+                )
+            self.meta_replacement = pre_spec.get("replacement", "▁")
+            if len(self.meta_replacement) != 1:
+                raise NotImplementedError(
+                    "Metaspace replacement must be a single character"
+                )
+            scheme = pre_spec.get("prepend_scheme")
+            if scheme is None:
+                # legacy spelling: add_prefix_space bool (default true)
+                scheme = (
+                    "always"
+                    if pre_spec.get("add_prefix_space", True)
+                    else "never"
+                )
+            if scheme not in ("always", "first", "never"):
+                raise NotImplementedError(
+                    f"Metaspace prepend_scheme {scheme!r} outside the "
+                    "implemented subset"
+                )
+            # "first" == "always" here: we encode one string, so the only
+            # split IS the first split of the sequence
+            self.meta_prepend = scheme in ("always", "first")
         # the byte<->unicode mapping belongs to the ByteLevel
         # PRE-TOKENIZER in HF tokenizers, not the BPE model: BPE with
         # any other pre-tokenizer merges raw characters
@@ -333,6 +370,9 @@ class HFTokenizer:
             words = _WS_SPLIT.findall(text)
         elif self.pre == "BertPreTokenizer":
             words = _bert_pretokenize(text)
+        elif self.pre is None:
+            # no pre-tokenizer: the whole text is one chunk (HF semantics)
+            words = [text] if text else []
         else:
             words = _HF_WHITESPACE.findall(text)
         if self.model_type == "WordLevel":
@@ -349,9 +389,15 @@ class HFTokenizer:
                         emit(self.vocab.get(p))
             return ids
         if self.model_type == "Unigram":
-            if self.pre == "Metaspace" or self.pre is None:
-                # sentencepiece-style: the whole sequence, spaces -> U+2581
-                chunks = ["▁" + text.replace(" ", "▁")] if text else []
+            if self.pre == "Metaspace":
+                # sentencepiece-style: the whole sequence, spaces -> marker
+                rep = self.meta_replacement
+                s = text.replace(" ", rep)
+                if self.meta_prepend and s and not s.startswith(rep):
+                    s = rep + s
+                chunks = [s] if s else []
+            elif self.pre is None:
+                chunks = [text] if text else []
             else:
                 chunks = _WS_SPLIT.findall(text)
             for chunk in chunks:
@@ -367,8 +413,13 @@ class HFTokenizer:
                     emit(self.vocab.get(piece))
             return ids
         # raw-character BPE over the pre-tokenized words (sentencepiece
-        # style when pre == Metaspace: U+2581-prefixed chunks)
-        chunks = _metaspace_chunks(text) if self.pre == "Metaspace" else words
+        # style when pre == Metaspace: marker-prefixed chunks)
+        if self.pre == "Metaspace":
+            chunks = _metaspace_chunks(
+                text, self.meta_replacement, self.meta_prepend
+            )
+        else:
+            chunks = words
         for w in chunks:
             for piece in self._bpe(w):
                 emit(self.vocab.get(piece))

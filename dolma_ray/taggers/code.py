@@ -48,23 +48,13 @@ _WS_TOKEN_RE = re.compile(r"\w+|[^\w\s]+")
 _COPYRIGHT_RE = re.compile("copyright", re.IGNORECASE)
 _BLOCK_COMMENT_RE = re.compile(r"/\*[^*]*\*+(?:[^/*][^*]*\*+)*/")
 
-EXT_TO_LANG = {
-    "py": "python",
-    "java": "java",
-    "js": "javascript",
-    "jsx": "javascript",
-    "ts": "javascript",
-    "html": "html",
-    "htm": "html",
-    "c": "c",
-    "h": "c",
-    "cpp": "cpp",
-    "go": "go",
-    "rs": "rust",
-    "rb": "ruby",
-    "sh": "shell",
-    "md": "markdown",
-}
+# Full 853-entry extension->language table, byte-identical to the
+# reference's data file (see ext_lang_data.py docstring).  Values are
+# pygments lexer aliases ("c++", "typescript", "jsx", ...) — languages
+# without a _COMMENT_SYNTAX entry raise KeyError in nl_ratio, which the
+# v1 tagger maps to -1.0 exactly like the reference's bare except does
+# for pygments ClassNotFound.
+from .ext_lang_data import EXT_TO_LANG
 
 
 @TaggerRegistry.add("code_redpajama_taggers_v1")

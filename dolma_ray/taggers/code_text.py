@@ -162,6 +162,9 @@ _COMMENT_SYNTAX: dict[str, tuple[tuple[str, ...], tuple[tuple[str, str], ...]]] 
     "matlab": (("%",), (("%{", "%}"),)),
     "octave": (("%", "#"), (("%{", "%}"),)),
     # markup
+    # markdown: pygments' MarkdownLexer has no Comment token rules, so
+    # the reference's comment_size is always 0 for .md files
+    "markdown": ((), ()),
     "html": ((), (("<!--", "-->"),)),
     "xml": ((), (("<!--", "-->"),)),
     "svg": ((), (("<!--", "-->"),)),

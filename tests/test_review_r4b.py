@@ -1,0 +1,136 @@
+"""Regression tests for the second round-4 review batch (findings on
+c0fb174..HEAD: ext->lang data parity, jq `as` precedence, Metaspace
+options, no-pre-tokenizer BPE, bottom-k boundary exactness)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dolma_ray.dedup.ngram_jaccard import bottomk_sketch, jaccard_bottomk
+from dolma_ray.mixer.jq import JqError, evaluate_jq, parse_jq
+from dolma_ray.models.hf_tokenizer import HFTokenizer
+from dolma_ray.registry import TaggerRegistry
+from dolma_ray.taggers.code import EXT_TO_LANG
+
+
+# ---- ext->lang data parity -------------------------------------------------
+
+
+def test_ext_to_lang_matches_reference_values():
+    # the values are pygments lexer aliases, byte-identical to the
+    # reference data table — cpp is "c++" (NOT "cpp"), ts is typescript
+    assert EXT_TO_LANG["cpp"] == "c++"
+    assert EXT_TO_LANG["ts"] == "typescript"
+    assert EXT_TO_LANG["jsx"] == "jsx"
+    assert EXT_TO_LANG["md"] == "markdown"
+    assert len(EXT_TO_LANG) == 853
+
+
+def test_starcoder_v1_cpp_and_markdown_score():
+    t1 = TaggerRegistry.get("code_starcoder_taggers_v1")()
+    r = t1.predict("// a comment\nint main() { return 0; }", {"ext": "cpp"})
+    assert r["nl_ratio_doc"] > 0.0  # was -1.0 (KeyError on "cpp")
+    assert r["code_to_text_ratio_html_doc"] == 1.0
+    r = t1.predict("# Title\nSome body text.", {"ext": "md"})
+    assert r["nl_ratio_doc"] == 0.0  # markdown has no Comment tokens
+    assert r["code_to_text_ratio_html_doc"] == 1.0
+
+
+def test_starcoder_v2_typescript_not_javascript():
+    # reference maps ts->typescript, which is NOT in the nl-ratio branch
+    # (python/java/javascript) -> middle default 0.5
+    t2 = TaggerRegistry.get("code_starcoder_taggers_v2")()
+    r = t2.predict("// c\nlet x = 1;", {"ext": "ts"})
+    assert r["code_to_comment_ratio_doc"] == 0.5
+
+
+# ---- jq `as` precedence ----------------------------------------------------
+
+
+def test_jq_as_binds_at_term_level():
+    # jq parses `.a + 1 as $x | [$x]` as `.a + (1 as $x | [$x])`:
+    # $x = 1, and number + array is a type error
+    with pytest.raises(JqError):
+        evaluate_jq(parse_jq(".a + 1 as $x | [$x]"), {"a": 2})
+
+
+def test_jq_mid_pipe_as_binding():
+    assert evaluate_jq(parse_jq(".a | . as $x | $x + 1"), {"a": 2}) == 3
+    assert evaluate_jq(parse_jq(". as $x | $x.a"), {"a": 7}) == 7
+    assert (
+        evaluate_jq(parse_jq(".items | map(. as $x | $x * 2)"), {"items": [1, 2]})
+        == [2, 4]
+    )
+
+
+def test_jq_reduce_as_not_swallowed():
+    assert evaluate_jq(parse_jq("reduce .[] as $v (0; . + $v)"), [1, 2, 3]) == 6
+
+
+# ---- HF tokenizer: Metaspace options, no-pre BPE ---------------------------
+
+
+def _write_spec(tmp_path, spec):
+    p = tmp_path / "tok.json"
+    p.write_text(json.dumps(spec))
+    return str(p)
+
+
+def test_metaspace_replacement_and_prepend_scheme(tmp_path):
+    vocab = {"a": 0, "b": 1, "_": 2, "_a": 3, "_b": 4, "ab": 5}
+    spec = {
+        "model": {"type": "BPE", "vocab": vocab,
+                  "merges": ["_ a", "_ b", "a b"], "unk_token": None},
+        "pre_tokenizer": {"type": "Metaspace", "replacement": "_",
+                          "prepend_scheme": "never"},
+    }
+    t = HFTokenizer(_write_spec(tmp_path, spec))
+    assert t.encode("ab a") == [5, 3]  # no leading marker on "ab"
+    spec["pre_tokenizer"] = {"type": "Metaspace", "replacement": "_"}
+    t = HFTokenizer(_write_spec(tmp_path, spec))
+    assert t.encode("ab a") == [3, 1, 3]  # "_a","b","_a"
+
+
+def test_metaspace_unsupported_options_raise(tmp_path):
+    base = {"model": {"type": "BPE", "vocab": {}, "merges": []}}
+    with pytest.raises(NotImplementedError):
+        HFTokenizer(_write_spec(tmp_path, {
+            **base, "pre_tokenizer": {"type": "Metaspace", "replacement": "__"}
+        }))
+    with pytest.raises(NotImplementedError):
+        HFTokenizer(_write_spec(tmp_path, {
+            **base,
+            "pre_tokenizer": {"type": "Metaspace", "prepend_scheme": "weird"},
+        }))
+
+
+def test_bpe_without_pre_tokenizer_is_whole_text(tmp_path):
+    # HF applies the model to the whole normalized text as one chunk
+    spec = {"model": {"type": "BPE",
+                      "vocab": {"a": 0, "b": 1, " ": 2, "ab": 3},
+                      "merges": ["a b"], "unk_token": None}}
+    t = HFTokenizer(_write_spec(tmp_path, spec))
+    assert t.encode("ab a") == [3, 2, 0]  # space is a real token
+
+
+# ---- bottom-k sketch: n == sketch_k boundary -------------------------------
+
+
+def test_bottomk_exact_at_sketch_size_boundary():
+    a = np.array([0, 1, 2, 3], dtype=np.uint64)
+    b = np.array([2, 3, 4, 5], dtype=np.uint64)
+    sa = np.frombuffer(bottomk_sketch(a, 4), dtype="<u8")
+    sb = np.frombuffer(bottomk_sketch(b, 4), dtype="<u8")
+    # both sets have exactly sketch_k distinct elements: the count
+    # header proves the sketch is complete, so the estimate is exact
+    assert jaccard_bottomk(sa, sb, 4) == pytest.approx(2 / 6)
+
+
+def test_earlier_cap_is_a_parameter():
+    import inspect
+
+    from dolma_ray.dedup import mark_near_duplicates_ngram_jaccard
+
+    sig = inspect.signature(mark_near_duplicates_ngram_jaccard)
+    assert sig.parameters["earlier_cap"].default == 256
