@@ -1,19 +1,26 @@
-"""Pure-python baseline JPEG codec (ITU-T T.81 / JFIF, public spec).
+"""Pure-python JPEG codec (ITU-T T.81 / JFIF, public spec).
 
-No codec library exists in this environment, but baseline sequential
-JPEG is fully decodable from the spec with stdlib + numpy:
+No codec library exists in this environment, but Huffman-coded JPEG is
+fully decodable from the spec with stdlib + numpy:
 
-* **Decoder**: SOI/APPn/DQT/SOF0/DHT/DRI/SOS marker parse; canonical
+* **Decoder**: SOI/APPn/DQT/SOF/DHT/DRI/SOS marker parse; canonical
   Huffman tables built from the file's own DHT segments; entropy decode
   with byte-unstuffing and restart markers; dequantize + dezigzag;
   8x8 IDCT as two matrix multiplies; chroma upsampling for 4:2:0/4:2:2;
-  YCbCr -> RGB.  Handles 8-bit baseline (SOF0) with 1 or 3 components —
-  the overwhelming web case.  Progressive (SOF2), arithmetic coding and
-  12-bit raise :class:`UnsupportedMediaError`.
-* **Encoder** (for round-trips and test fixtures): 4:4:4 or 4:2:0,
-  quality-scaled Annex-K-style quantization, and fixed-length canonical
-  Huffman tables written into the file's DHT segments — valid JPEG
-  (tables travel with the file), deliberately simple over optimal.
+  YCbCr -> RGB.  Handles 8-bit baseline (SOF0/SOF1, fast single-scan
+  path), **progressive (SOF2)** — spectral selection + successive
+  approximation with EOB runs and AC refinement per T.81 Annex G — and
+  multi-scan / non-interleaved sequential files, with 1 or 3
+  components: together the overwhelming web case.  Arithmetic coding,
+  hierarchical and 12-bit raise :class:`UnsupportedMediaError`.
+* **Encoder** (for round-trips and test fixtures): baseline
+  (:func:`encode_jpeg`) and progressive (:func:`encode_jpeg_progressive`)
+  over the same quantized coefficients — decoding both encodings of one
+  image yields identical pixels, which is the decoder's differential
+  test.  4:4:4 or 4:2:0, quality-scaled Annex-K-style quantization,
+  fixed-length canonical Huffman tables written into the file's DHT
+  segments — valid JPEG (tables travel with the file), deliberately
+  simple over optimal.
 
 Scale note: the entropy pass is a python loop per Huffman SYMBOL (one
 16-bit-peek LUT lookup per symbol, ~10 ops per nonzero coefficient —
@@ -126,13 +133,15 @@ def _flat_encode_table(symbols: list[int]) -> tuple[list[int], list[int], dict]:
     return bits, list(symbols), enc
 
 
-def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Unstuff and split the entropy-coded scan data, vectorized.
 
-    Returns one bytes object per restart interval (the whole scan when
-    no RST markers are present), FF00 stuffing removed and 4 zero pad
-    bytes appended so a 32-bit peek never runs off the end (T.81 allows
-    arbitrary pad bits past the last MCU)."""
+    Returns ``(segments, end)``: one bytes object per restart interval
+    (the whole scan when no RST markers are present), FF00 stuffing
+    removed and 4 zero pad bytes appended so a 32-bit peek never runs
+    off the end (T.81 allows arbitrary pad bits past the last MCU), and
+    the offset of the first marker after the scan (for multi-scan
+    files)."""
     arr = np.frombuffer(data, np.uint8)
     view = arr[pos : len(arr) - 1]
     ffpos = np.flatnonzero(view == 0xFF) + pos
@@ -155,7 +164,7 @@ def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
         dele = stuffed[(stuffed >= s) & (stuffed < e)] - s
         seg = np.delete(arr[s:e], dele) if len(dele) else arr[s:e]
         segs.append(seg.tobytes() + b"\x00\x00\x00\x00")
-    return segs
+    return segs, end
 
 
 # ---- decoder ------------------------------------------------------------
@@ -189,7 +198,15 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int]:
 
 @_to_unsupported
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w, c) float32 in [0, 1] (c = 1 or 3)."""
+    """JPEG -> (h, w, c) float32 in [0, 1] (c = 1 or 3).
+
+    Baseline sequential (SOF0/SOF1, single interleaved scan) takes the
+    fast path in :func:`_decode_scan`; progressive (SOF2 — spectral
+    selection + successive approximation, T.81 Annex G) and multi-scan /
+    non-interleaved sequential files accumulate quantized coefficients
+    per scan in :func:`_decode_scan_generic` and reconstruct once at
+    EOI.  Arithmetic coding, hierarchical and 12-bit remain
+    unsupported."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise UnsupportedMediaError("not a JPEG (missing SOI)")
     pos = 2
@@ -198,6 +215,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
+    coefs = None  # per-component (nblocks, 64) zigzag stores (slow path)
 
     try:
         while pos < len(data):
@@ -208,6 +226,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 pos += 1
             marker = data[pos + 1]
             pos += 2
+            if marker == 0xD9:  # EOI
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue
             (seglen,) = struct.unpack_from(">H", data, pos)
@@ -237,7 +257,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     vals = list(seg[p + 17 : p + 17 + n])
                     p += 17 + n
                     (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8:
                     raise UnsupportedMediaError(f"{prec}-bit JPEG unsupported")
@@ -247,11 +267,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     comps.append(
                         {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                     )
-                frame = {"h": h, "w": w, "comps": comps}
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                frame = {"h": h, "w": w, "comps": comps,
+                         "prog": marker == 0xC2}
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise UnsupportedMediaError(
-                    f"non-baseline JPEG (SOF marker {marker:#x})"
+                    f"unsupported JPEG coding process (SOF marker {marker:#x})"
                 )
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -262,20 +283,66 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan = []
                 for i in range(ns):
                     cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                    comp = next(c for c in frame["comps"] if c["id"] == cs)
-                    scan.append((comp, tdta >> 4, tdta & 0xF))
-                if len(scan) != len(frame["comps"]):
-                    raise UnsupportedMediaError(
-                        "non-interleaved (multi-scan) baseline JPEG unsupported"
+                    ci, comp = next(
+                        (j, c)
+                        for j, c in enumerate(frame["comps"])
+                        if c["id"] == cs
                     )
-                return _decode_scan(
-                    data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
-                    restart_interval,
+                    scan.append((ci, comp, tdta >> 4, tdta & 0xF))
+                ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = a >> 4, a & 0xF
+                if (
+                    not frame["prog"]
+                    and coefs is None
+                    and len(scan) == len(frame["comps"])
+                ):
+                    # baseline single interleaved scan: fast path
+                    return _decode_scan(
+                        data, pos + seglen, frame,
+                        [(c, td, ta) for _, c, td, ta in scan],
+                        qt, huff_dc, huff_ac, restart_interval,
+                    )
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                pos = _decode_scan_generic(
+                    data, pos + seglen, frame, scan, huff_dc, huff_ac,
+                    restart_interval, coefs, ss, se, ah, al,
                 )
+                continue
             pos += seglen
     except (struct.error, IndexError, StopIteration) as e:
         raise UnsupportedMediaError(f"corrupt JPEG: {e}") from e
-    raise UnsupportedMediaError("no SOS segment")
+    if coefs is None:
+        raise UnsupportedMediaError("no SOS segment")
+    # reconstruct from the accumulated coefficient stores
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    zz_list, qs, geo = [], [], []
+    for c, store in zip(comps, coefs):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise UnsupportedMediaError("missing quant table")
+        qs.append(q)
+        zz_list.append(store.astype(np.float64))
+        geo.append((c["h"], c["v"], mcux * c["h"], mcuy * c["v"]))
+    return _reconstruct(zz_list, qs, geo, comps, frame, hmax, vmax)
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """One (nblocks, 64) int32 zigzag-order coefficient store per frame
+    component, sized to the interleaved MCU grid (the superset of every
+    scan's geometry)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcux * c["h"] * mcuy * c["v"], 64), np.int32) for c in comps
+    ]
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
@@ -299,7 +366,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
         qs.append(q)
         geo.append((comp["h"], comp["v"], mcux * comp["h"], mcuy * comp["v"]))
 
-    segs = _entropy_segments(data, pos)
+    segs, _ = _entropy_segments(data, pos)
     seg_i = 0
     buf = segs[0]
     bp = 0  # bit position within buf
@@ -409,10 +476,9 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                             kk += 1
             mcu_count += 1
 
-    # vectorized tail: scatter coefficients, dequantize (quant tables are
-    # stored zigzag-ordered, matching the scan order), dezigzag, batched
-    # IDCT over every block, assemble each plane from its block grid
-    planes = []
+    # vectorized tail: scatter the sparse coefficient triplets into
+    # per-component zigzag arrays and hand off to the shared reconstructor
+    zz_list = []
     for ci in range(nc):
         _, _, ncols, nrows = geo[ci]
         nblocks = ncols * nrows
@@ -420,9 +486,21 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
         if ac_vv[ci]:
             zz[ac_bi[ci], ac_kk[ci]] = ac_vv[ci]
         zz[dc_bi[ci], 0] = dc_vals[ci]
-        zz *= qs[ci][None, :]
+        zz_list.append(zz)
+    return _reconstruct(zz_list, qs, geo, comps, frame, hmax, vmax)
+
+
+def _reconstruct(zz_list, qs, geo, comps, frame, hmax, vmax):
+    """Quantized zigzag coefficient arrays -> (h, w, c) float32 image:
+    dequantize (quant tables are stored zigzag-ordered), dezigzag,
+    batched IDCT over every block, assemble each plane from its block
+    grid, upsample subsampled chroma, YCbCr -> RGB."""
+    h, w = frame["h"], frame["w"]
+    planes = []
+    for zz, q, (_, _, ncols, nrows) in zip(zz_list, qs, geo):
+        nblocks = ncols * nrows
         blocks = np.zeros((nblocks, 64), np.float64)
-        blocks[:, _ZZ] = zz
+        blocks[:, _ZZ] = zz * q[None, :]
         px = (
             np.einsum(
                 "ij,njk,kl->nil", _C.T, blocks.reshape(nblocks, 8, 8), _C,
@@ -453,6 +531,220 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
         b = y + 1.772 * cb
         out = np.stack([r, g, b], axis=-1)
     return (np.clip(out, 0, 255) / 255.0).astype(np.float32)
+
+
+# ---- progressive / multi-scan decoder ------------------------------------
+
+
+class _BitReader:
+    """Sequential bit reads over one unstuffed entropy segment."""
+
+    __slots__ = ("buf", "bp")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.bp = 0
+
+    def huff(self, lut) -> int:
+        bp = self.bp
+        byte = bp >> 3
+        pk = (
+            int.from_bytes(self.buf[byte : byte + 4], "big")
+            >> (16 - (bp & 7))
+        ) & 0xFFFF
+        e = lut[pk]
+        if e == 0:
+            raise UnsupportedMediaError("invalid Huffman code in entropy stream")
+        self.bp = bp + (e >> 8)
+        return e & 0xFF
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        bp = self.bp
+        byte = bp >> 3
+        raw = (
+            int.from_bytes(self.buf[byte : byte + 4], "big")
+            >> (32 - (bp & 7) - n)
+        ) & ((1 << n) - 1)
+        self.bp = bp + n
+        return raw
+
+    def receive_extend(self, t: int) -> int:
+        """T.81 RECEIVE+EXTEND: t magnitude bits -> signed value."""
+        if t == 0:
+            return 0
+        raw = self.bits(t)
+        return raw if raw >= (1 << (t - 1)) else raw - (1 << t) + 1
+
+
+def _decode_scan_generic(
+    data, pos, frame, scan, huff_dc, huff_ac, dri, coefs, ss, se, ah, al
+):
+    """Decode one scan of a progressive (T.81 Annex G) or multi-scan
+    sequential JPEG into the per-component zigzag coefficient stores.
+    Returns the offset of the marker following the scan.
+
+    Progressive scan kinds: DC first (Ss=0, Ah=0 — Huffman-coded diffs,
+    values << Al), DC refinement (Ah>0 — one raw bit per block ORed at
+    Al), AC first (Ss>0, Ah=0 — band coefficients with EOB-run coding),
+    AC refinement (Ss>0, Ah>0 — correction bits per T.81 G.1.2.3).
+    Sequential scans (SOF0/1 with multiple SOS) decode DC+AC in one pass
+    with baseline semantics (Ss=0, Se=63, Ah=Al=0)."""
+    prog = frame["prog"]
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    if prog:
+        if ss == 0 and se != 0:
+            raise UnsupportedMediaError("progressive DC scan with Se != 0")
+        if ss > 0 and len(scan) != 1:
+            raise UnsupportedMediaError("interleaved progressive AC scan")
+        if ss > se or se > 63:
+            raise UnsupportedMediaError("bad spectral selection")
+    interleaved = len(scan) > 1
+
+    # per-scan-component decode context
+    ctx = []
+    for ci, comp, td, ta in scan:
+        if (ss == 0 and ah == 0 and td not in huff_dc) or (
+            se > 0 and ta not in huff_ac
+        ):
+            raise UnsupportedMediaError("missing Huffman table")
+        dct = _huff_lut(*huff_dc[td]) if ss == 0 and ah == 0 else None
+        act = _huff_lut(*huff_ac[ta]) if se > 0 else None
+        ncols = mcux * comp["h"]
+        ctx.append((ci, comp, dct, act, ncols))
+
+    # (block index, component) visit order for this scan
+    if interleaved:
+        total_units = mcux * mcuy
+    else:
+        _, comp, _, _, _ = ctx[0]
+        cw = -(-(w * comp["h"]) // (hmax * 8))
+        rh = -(-(h * comp["v"]) // (vmax * 8))
+        total_units = cw * rh
+
+    segs, end = _entropy_segments(data, pos)
+    seg_i = 0
+    br = _BitReader(segs[0])
+    pred = [0] * len(scan)
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+
+    def block_indices(unit):
+        if interleaved:
+            my, mx = divmod(unit, mcux)
+            for si, (ci, comp, dct, act, ncols) in enumerate(ctx):
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        yield si, (my * comp["v"] + by) * ncols + (
+                            mx * comp["h"] + bx
+                        )
+        else:
+            row, col = divmod(unit, cw)
+            yield 0, row * ctx[0][4] + col
+
+    for unit in range(total_units):
+        if dri and unit and unit % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise UnsupportedMediaError("missing restart marker")
+            br = _BitReader(segs[seg_i])
+            pred = [0] * len(scan)
+            eobrun = 0
+        for si, bidx in block_indices(unit):
+            ci = ctx[si][0]
+            store = coefs[ci]
+            if ss == 0:
+                if ah == 0:
+                    # DC first scan (or the DC half of a sequential scan)
+                    t = br.huff(ctx[si][2])
+                    if t > 16:
+                        raise UnsupportedMediaError("corrupt DC Huffman symbol")
+                    pred[si] += br.receive_extend(t)
+                    store[bidx, 0] = pred[si] << al
+                else:
+                    # DC refinement: one raw bit at position al
+                    if br.bits(1):
+                        store[bidx, 0] |= p1
+                if se == 0:
+                    continue
+            act = ctx[si][3]
+            if ah == 0 or not prog:
+                # AC first scan / sequential AC: EOB-run band coding
+                # (baseline EOB is the r=0 special case of the EOB run)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = max(ss, 1)
+                while k <= se:
+                    rs = br.huff(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise UnsupportedMediaError("AC index overflow")
+                    store[bidx, k] = br.receive_extend(s) << al
+                    k += 1
+            else:
+                # AC refinement scan (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.huff(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s:
+                            if s != 1:
+                                raise UnsupportedMediaError(
+                                    "corrupt AC refinement symbol"
+                                )
+                            val = p1 if br.bits(1) else m1
+                        else:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coeffs
+                        while k <= se:
+                            c = int(store[bidx, k])
+                            if c != 0:
+                                if br.bits(1) and not (c & p1):
+                                    store[bidx, k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise UnsupportedMediaError("AC index overflow")
+                            store[bidx, k] = val
+                        k += 1
+                if eobrun > 0:
+                    # blocks inside an EOB run still carry correction
+                    # bits for their already-nonzero coefficients
+                    while k <= se:
+                        c = int(store[bidx, k])
+                        if c != 0:
+                            if br.bits(1) and not (c & p1):
+                                store[bidx, k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return end
 
 
 # ---- encoder ------------------------------------------------------------
@@ -645,4 +937,278 @@ def encode_jpeg(
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---- progressive encoder --------------------------------------------------
+
+
+def _prepare_components(img, quality, subsample):
+    """Shared front half of both encoders: color convert, pad to the
+    interleaved MCU grid, batch forward-DCT + quantize.  Returns
+    ``(h, w, comps, zzs, qtabs, mcux, mcuy)`` where ``comps`` is
+    ``[(ch, cv, ncols, nrows)]``, ``zzs`` the per-component
+    ``(nblocks, 64)`` int64 zigzag coefficient arrays and ``qtabs`` the
+    zigzag-ordered quant tables per component."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(np.asarray(a, np.float64) * 255.0, 0, 255)
+    a = a.astype(np.float64)
+    if a.ndim == 2:
+        a = a[..., None]
+    h, w, nc = a.shape
+    if nc == 1:
+        ycc = [a[..., 0]]
+    else:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        ycc = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    ql, qc = _quality_tables(quality)
+    ql, qc = ql[_ZZ], qc[_ZZ]
+    sub = subsample and nc == 3
+    hv0 = (2, 2) if sub else (1, 1)
+    mcux = (w + 8 * hv0[0] - 1) // (8 * hv0[0])
+    mcuy = (h + 8 * hv0[1] - 1) // (8 * hv0[1])
+
+    def padded(plane, ph, pw):
+        out = np.empty((ph, pw), np.float64)
+        ih, iw = plane.shape
+        out[:ih, :iw] = plane
+        out[ih:, :iw] = plane[ih - 1 : ih, :]
+        out[:, iw:] = out[:, iw - 1 : iw]
+        return out
+
+    comps, zzs, qtabs = [], [], []
+    for i, plane in enumerate(ycc):
+        ch, cv = hv0 if i == 0 else (1, 1)
+        q = ql if i == 0 else qc
+        nrows, ncols = mcuy * cv, mcux * ch
+        if i > 0 and sub:
+            p = padded(plane, mcuy * 8 * hv0[1], mcux * 8 * hv0[0])[::2, ::2]
+        else:
+            p = padded(plane, nrows * 8, ncols * 8)
+        blocks = (
+            p.reshape(nrows, 8, ncols, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coeffs = np.einsum(
+            "ij,njk,kl->nil", _C, blocks - 128.0, _C.T, optimize=True
+        )
+        zzs.append(
+            np.round(coeffs.reshape(-1, 64)[:, _ZZ] / q).astype(np.int64)
+        )
+        comps.append((ch, cv, ncols, nrows))
+        qtabs.append(q)
+    return h, w, comps, zzs, qtabs, mcux, mcuy
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    ac_bands: tuple = ((1, 5), (6, 63)),
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """(h, w, 1|3) float in [0,1] (or uint8) -> progressive (SOF2) JFIF
+    bytes, T.81 Annex G: spectral selection per ``ac_bands`` plus
+    successive approximation (DC first at Al=``dc_al`` then one
+    refinement scan per bit; AC first at Al=``ac_al`` then refinement
+    scans per T.81 G.1.2.3 with EOB-run correction-bit buffering).
+    Quantizes the SAME coefficients as :func:`encode_jpeg`, so decoding
+    both encodings of one image yields identical pixels — the
+    differential test the decoder is pinned by."""
+    h, w, comps, zzs, qtabs, mcux, mcuy = _prepare_components(
+        img, quality, subsample
+    )
+    ns = len(comps)
+    dc_bits, dc_vals, dc_enc = _flat_encode_table(list(range(12)))
+    ac_syms = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_bits, ac_vals, ac_enc = _flat_encode_table(ac_syms)
+
+    # interleaved (si, bidx) visit order per MCU — identical traversal to
+    # the decoder's block_indices (grayscale ns=1 grids coincide)
+    def mcu_blocks(unit):
+        my, mx = divmod(unit, mcux)
+        for si, (ch, cv, ncols, _) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    yield si, (my * cv + by) * ncols + (mx * ch + bx)
+
+    def maybe_restart(bw, unit, on_restart):
+        if restart_interval and unit and unit % restart_interval == 0:
+            on_restart()
+            bw.flush()
+            bw.out += bytes(
+                [0xFF, 0xD0 + ((unit // restart_interval - 1) & 7)]
+            )
+
+    def dc_scan(al, refine):
+        bw = _BitWriter()
+        pred = [0] * ns
+
+        def reset():
+            pred[:] = [0] * ns
+
+        for unit in range(mcux * mcuy):
+            maybe_restart(bw, unit, reset)
+            for si, bidx in mcu_blocks(unit):
+                dc = int(zzs[si][bidx, 0])
+                if refine:
+                    bw.write((dc >> al) & 1, 1)
+                    continue
+                v = dc >> al  # arithmetic shift (T.81 DC point transform)
+                diff = v - pred[si]
+                pred[si] = v
+                t = _category(diff)
+                length, code = dc_enc[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        bw.flush()
+        return bw.out
+
+    def ac_scan(si, ss, se, al, refine):
+        ch, cv, ncols, _ = comps[si]
+        cw = -(-(w * ch) // (8 * max(c[0] for c in comps)))
+        rh = -(-(h * cv) // (8 * max(c[1] for c in comps)))
+        zz = zzs[si]
+        bw = _BitWriter()
+        eobrun = 0
+        be: list[int] = []  # correction bits buffered across EOB-run blocks
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                length, code = ac_enc[nbits << 4]
+                bw.write(code, length)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+                for bit in be:
+                    bw.write(bit, 1)
+                be = []
+
+        def emit_sym(sym):
+            length, code = ac_enc[sym]
+            bw.write(code, length)
+
+        for unit in range(cw * rh):
+            maybe_restart(bw, unit, flush_eob)
+            row, col = divmod(unit, cw)
+            bidx = row * ncols + col
+            vals = [int(v) for v in zz[bidx, ss : se + 1]]
+            if not refine:
+                r = 0
+                for v in vals:
+                    t = abs(v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        emit_sym(0xF0)
+                        r -= 16
+                    s = t.bit_length()
+                    emit_sym((r << 4) | s)
+                    tv = t if v > 0 else -t
+                    bw.write(tv if tv > 0 else tv + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                continue
+            # refinement scan (T.81 G.1.2.3 encode)
+            absv = [abs(v) >> al for v in vals]
+            eob = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            r = 0
+            br: list[int] = []  # this block's pending correction bits
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush_eob()
+                    emit_sym(0xF0)
+                    r -= 16
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br = []
+                if t > 1:  # already significant: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                emit_sym((r << 4) | 1)
+                bw.write(1 if vals[i] > 0 else 0, 1)
+                for bit in br:
+                    bw.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF or len(be) > 900:
+                    flush_eob()
+        flush_eob()
+        bw.flush()
+        return bw.out
+
+    # ---- assemble the file ----
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1)
+        + b"\x00\x00"
+    )
+    for tq, q in enumerate(qtabs[:2] if ns == 3 else qtabs[:1]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            q.astype(np.uint8)
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ns)
+    for i, (ch, cv, _, _) in enumerate(comps):
+        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, 0 if i == 0 else 1)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        seg = bytes([tc << 4]) + bytes(bits) + bytes(vals)  # table id 0
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos(comp_ids, ss, se, ah, al, payload):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])  # dc table 0 / ac table 0
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return (
+            b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + payload
+        )
+
+    all_ids = list(range(1, ns + 1))
+    out += sos(all_ids, 0, 0, 0, dc_al, dc_scan(dc_al, refine=False))
+    for al in range(dc_al - 1, -1, -1):
+        out += sos(all_ids, 0, 0, al + 1, al, dc_scan(al, refine=True))
+    for si in range(ns):
+        for ss, se in ac_bands:
+            out += sos(
+                [si + 1], ss, se, 0, ac_al, ac_scan(si, ss, se, ac_al, False)
+            )
+    for al in range(ac_al - 1, -1, -1):
+        for si in range(ns):
+            for ss, se in ac_bands:
+                out += sos(
+                    [si + 1], ss, se, al + 1, al,
+                    ac_scan(si, ss, se, al, True),
+                )
+    out += b"\xff\xd9"
     return bytes(out)

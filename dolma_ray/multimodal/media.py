@@ -85,9 +85,9 @@ class ImageDecodeStage:
         except UnsupportedMediaError:
             if self.strict:
                 raise NotImplementedError(
-                    "payload is not PNG/PPM/BMP/baseline-JPEG; other formats "
-                    "(WebP, AVIF, progressive JPEG) need an imaging library "
-                    "not available in this environment"
+                    "payload is not PNG/PPM/BMP/JPEG (baseline or "
+                    "progressive); other formats (WebP, AVIF) need an "
+                    "imaging library not available in this environment"
                 )
             return _fake_floats(payload, self.h * self.w * 3).reshape(self.h, self.w, 3)
 

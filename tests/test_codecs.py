@@ -284,7 +284,7 @@ def test_jpeg_rejects_non_baseline_and_garbage():
 
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(b"not a jpeg")
-    # progressive SOF2 marker
+    # truncated progressive file: SOF2 parses but there is no scan data
     import struct
 
     prog = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08" + struct.pack(
@@ -292,6 +292,10 @@ def test_jpeg_rejects_non_baseline_and_garbage():
     ) + b"\x01\x11\x00"
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(prog)
+    # arithmetic-coded (SOF9) still refuses
+    arith = prog.replace(b"\xff\xc2", b"\xff\xc9")
+    with pytest.raises(UnsupportedMediaError):
+        decode_jpeg(arith)
     with pytest.raises(UnsupportedMediaError):
         decode_jpeg(b"\xff\xd8\xff\xdb\x00\x05trunc")
 
@@ -601,3 +605,59 @@ def test_video_metadata_stage(ray_session):
     assert out.loc["h264", "container"] == "h264_annexb"
     assert (out.loc["h264", "width"], out.loc["h264", "height"]) == (64, 48)
     assert out.loc["h264", "profile"] == "baseline"
+
+
+def test_progressive_jpeg_matches_baseline_decode():
+    """Progressive and baseline encodings quantize the SAME coefficients,
+    so decoding both must give byte-identical pixels — pins every
+    progressive decode path (DC/AC first + refinement, EOB runs,
+    spectral bands, subsampling, restarts) against the baseline decoder."""
+    import numpy as np
+
+    from dolma_ray.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        jpeg_dimensions,
+    )
+
+    rng = np.random.default_rng(7)
+    y, x = np.mgrid[0:40, 0:56]
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(x / 9.0) * np.cos(y / 7.0),
+            0.5 + 0.3 * np.cos(x / 5.0),
+            0.5 + 0.35 * np.sin((x + y) / 11.0),
+        ],
+        axis=-1,
+    )
+    img = np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1)
+
+    for kwargs in (
+        {},
+        {"subsample": True},               # 4:2:0 + non-MCU-multiple dims
+        {"dc_al": 0, "ac_al": 0},          # spectral selection only
+        {"ac_bands": ((1, 63),)},          # single AC band
+        {"dc_al": 2, "ac_al": 2},          # deeper successive approximation
+        {"restart_interval": 3},           # RST markers in every scan
+    ):
+        base = encode_jpeg(img, quality=85,
+                           subsample=kwargs.get("subsample", False))
+        prog = encode_jpeg_progressive(img, quality=85, **kwargs)
+        assert b"\xff\xc2" in prog and b"\xff\xc2" not in base  # SOF2 vs SOF0
+        assert jpeg_dimensions(prog) == (56, 40)
+        assert np.array_equal(decode_jpeg(base), decode_jpeg(prog)), kwargs
+
+
+def test_progressive_jpeg_grayscale_and_psnr():
+    import numpy as np
+
+    from dolma_ray.multimodal.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    y, x = np.mgrid[0:24, 0:32]
+    g = (0.5 + 0.4 * np.sin(x / 6.0) * np.cos(y / 5.0))[..., None]
+    out = decode_jpeg(encode_jpeg_progressive(g, quality=92))
+    assert out.shape == (24, 32, 1)
+    mse = float(np.mean((out - g) ** 2))
+    psnr = 10 * np.log10(1.0 / mse)
+    assert psnr > 30.0
