@@ -661,3 +661,89 @@ def test_progressive_jpeg_grayscale_and_psnr():
     mse = float(np.mean((out - g) ** 2))
     psnr = 10 * np.log10(1.0 / mse)
     assert psnr > 30.0
+
+
+def test_sequential_multiscan_jpeg():
+    """Non-interleaved sequential JPEG (SOF0 + one SOS per component)
+    must decode identically to the interleaved single-scan encoding of
+    the same image — pins the generic path's sequential branch."""
+    import struct as _struct
+
+    import numpy as np
+
+    from dolma_ray.multimodal import jpeg as J
+
+    y, x = np.mgrid[0:24, 0:24]
+    img = np.clip(
+        np.stack(
+            [
+                0.5 + 0.4 * np.sin(x / 7.0),
+                0.5 + 0.3 * np.cos(y / 5.0),
+                0.5 + 0.2 * np.sin((x + y) / 9.0),
+            ],
+            axis=-1,
+        ),
+        0,
+        1,
+    )
+    base = J.encode_jpeg(img, quality=85)
+
+    # hand-assemble the multi-scan variant: same quant/Huffman tables,
+    # same 4:4:4 coefficients, but each component in its own scan
+    h, w, comps, zzs, qtabs, mcux, mcuy = J._prepare_components(img, 85, False)
+    dc_bits, dc_vals, dc_enc = J._flat_encode_table(list(range(12)))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ac_bits, ac_vals, ac_enc = J._flat_encode_table(ac_syms)
+
+    def scan_payload(zz):
+        bw = J._BitWriter()
+        pred = 0
+        for bidx in range(zz.shape[0]):
+            vals = zz[bidx]
+            diff = int(vals[0]) - pred
+            pred = int(vals[0])
+            t = J._category(diff)
+            length, code = dc_enc[t]
+            bw.write(code, length)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            run = 0
+            nz = np.nonzero(vals[1:])[0]
+            last = int(nz[-1]) + 1 if len(nz) else 0
+            for kk in range(1, last + 1):
+                v = int(vals[kk])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_enc[0xF0]
+                    bw.write(code, length)
+                    run -= 16
+                s = J._category(v)
+                length, code = ac_enc[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                length, code = ac_enc[0x00]
+                bw.write(code, length)
+        bw.flush()
+        return bw.out
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qtabs[:2]):
+        out += b"\xff\xdb" + _struct.pack(">HB", 67, tq) + bytes(q.astype(np.uint8))
+    sof = _struct.pack(">BHHB", 8, h, w, 3)
+    for i in range(3):
+        sof += _struct.pack(">BBB", i + 1, 0x11, 0 if i == 0 else 1)
+    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, vals in ((0, dc_bits, dc_vals), (1, ac_bits, ac_vals)):
+        seg = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + _struct.pack(">H", 2 + len(seg)) + seg
+    for i in range(3):
+        hdr = bytes([1, i + 1, 0x00, 0, 63, 0])
+        out += b"\xff\xda" + _struct.pack(">H", 2 + len(hdr)) + hdr
+        out += scan_payload(zzs[i])
+    out += b"\xff\xd9"
+
+    assert np.array_equal(J.decode_jpeg(base), J.decode_jpeg(bytes(out)))
