@@ -27,7 +27,11 @@ implements exactly that subset with the reference's semantics:
   object); ``sub``/``gsub`` replacements are literal (no capture
   interpolation);
 * general bindings ``EXPR as $x | BODY`` (single value, no
-  destructuring patterns);
+  destructuring patterns), bound at term level like jq 1.7
+  (``.a + 1 as $x`` binds ``1``);
+* bounded streams from ``range``/``limit``, consumable by ``reduce``
+  and spliced inside ``[...]`` collection (a stream escaping those
+  contexts is a JqError — the engine is otherwise single-value);
 * update assignment ``= |= //= += -=`` on paths (jq setpath: returns
   the updated document copy, creating missing objects, padding arrays);
 * **error propagation**: indexing into null/missing raises
@@ -101,6 +105,7 @@ _FN_ARG_RANGE = {
     "map_values": (1, 1), "with_entries": (1, 1), "del": (1, 1),
     "getpath": (1, 1), "setpath": (2, 2), "delpaths": (1, 1),
     "capture": (1, 2), "any": (0, 1), "all": (0, 1),
+    "range": (1, 3), "limit": (2, 2),
 }
 
 
@@ -218,6 +223,18 @@ class Try:
     # try EXPR [catch HANDLER]: error -> empty, or HANDLER("." = message)
     expr: Any
     handler: Any = None
+
+
+class _JqStream:
+    """Bounded multi-value stream (``range``/``limit`` output).  The
+    engine is single-value, so streams exist only between a producing
+    builtin and a consuming context: a ``reduce`` source or ``[...]``
+    collection (where items splice).  Anywhere else raises JqError."""
+
+    __slots__ = ("items",)
+
+    def __init__(self, items: list) -> None:
+        self.items = items
 
 
 @dataclass
@@ -809,8 +826,16 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 out.append(_jq_tostring(_eval(part, doc, elem, env)))
         return "".join(out)
     if isinstance(node, ArrayLit):
-        vals = [_eval(it, doc, elem, env) for it in node.items]
-        return [v for v in vals if v is not _EMPTY]
+        out_arr: list = []
+        for it in node.items:
+            v = _eval(it, doc, elem, env)
+            if v is _EMPTY:
+                continue
+            if isinstance(v, _JqStream):  # [range(3)] splices the stream
+                out_arr.extend(v.items)
+            else:
+                out_arr.append(v)
+        return out_arr
     if isinstance(node, ObjectLit):
         out_obj = {}
         for key, vexpr in node.pairs:
@@ -840,15 +865,23 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         return _eval(node.body, doc, elem, env2)
     if isinstance(node, Reduce):
         src = node.source
-        if not (isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter"):
-            raise JqError("reduce source must be a path ending in []")
-        seq = _eval(Path(src.steps[:-1], src.optional), doc, elem, env)
-        if seq is None and src.optional:
-            seq = []
-        if isinstance(seq, dict):
-            seq = list(seq.values())
-        if not isinstance(seq, list):
-            raise JqError(f"cannot iterate over {_jq_type(seq)}")
+        if isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter":
+            seq = _eval(Path(src.steps[:-1], src.optional), doc, elem, env)
+            if seq is None and src.optional:
+                seq = []
+            if isinstance(seq, dict):
+                seq = list(seq.values())
+            if not isinstance(seq, list):
+                raise JqError(f"cannot iterate over {_jq_type(seq)}")
+        else:
+            v = _eval(src, doc, elem, env)
+            if isinstance(v, _JqStream):  # reduce range(...) as $i (...)
+                seq = v.items
+            else:
+                raise JqError(
+                    "reduce source must be a path ending in [] or a "
+                    "stream (range/limit)"
+                )
         acc = _eval(node.init, doc, elem, env)
         for item in seq:
             env2 = dict(env) if env else {}
@@ -910,6 +943,11 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         for op in node.ops:
             if cur is _EMPTY:
                 break  # empty propagates through every op
+            if isinstance(cur, _JqStream):
+                raise JqError(
+                    "multi-value streams (range/limit) are only supported "
+                    "as a reduce source or inside [...] collection"
+                )
             if op[0] == "length":
                 if cur is None:
                     cur = 0
@@ -1257,6 +1295,43 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
 
     if name == "empty":
         return _EMPTY
+    if name == "range":
+        nums = [val(i) for i in range(len(arg_asts))]
+        for n in nums:
+            if not isinstance(n, (int, float)) or isinstance(n, bool):
+                raise JqError("range argument must be a number")
+        if len(nums) == 1:
+            lo, hi, st = 0, nums[0], 1
+        elif len(nums) == 2:
+            lo, hi, st = nums[0], nums[1], 1
+        else:
+            lo, hi, st = nums
+        if st == 0:
+            # jq loops forever here; a data pipeline wants an error
+            raise JqError("range step must be nonzero")
+        items: list = []
+        x = lo
+        if st > 0:
+            while x < hi:
+                items.append(x)
+                x += st
+        else:
+            while x > hi:
+                items.append(x)
+                x += st
+        return _JqStream(items)
+    if name == "limit":
+        n = val(0)
+        if not isinstance(n, (int, float)) or isinstance(n, bool):
+            raise JqError("limit count must be a number")
+        out = ev(arg_asts[1], cur)
+        if isinstance(out, _JqStream):
+            items = out.items
+        elif out is _EMPTY:
+            items = []
+        else:
+            items = [out]
+        return _JqStream(items[: max(0, int(n))])
     if name == "keys" or name == "keys_unsorted":
         if isinstance(cur, dict):
             return sorted(cur.keys()) if name == "keys" else list(cur.keys())
@@ -1560,7 +1635,13 @@ _Parser.parse_pipe_root = _parse_pipe_root
 
 
 def evaluate_jq(ast: Any, doc: dict) -> Any:
-    return _eval(ast, doc)
+    out = _eval(ast, doc)
+    if isinstance(out, _JqStream):
+        raise JqError(
+            "program produces a multi-value stream; collect it with "
+            "[...] or fold it with reduce"
+        )
+    return out
 
 
 def doc_views(batch: pa.Table, text_column: str = "text") -> list[dict]:

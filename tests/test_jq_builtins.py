@@ -291,3 +291,46 @@ def test_regex_split_excludes_capture_groups():
     # would)
     assert run(r'split("(,)"; "")', "a,b") == ["a", "b"]
     assert run(r'split(", *"; "")', "a,  b, c") == ["a", "b", "c"]
+
+
+class TestRangeLimitStreams:
+    """range/limit produce bounded streams consumable by reduce and
+    [...] collection — the two jq idioms the single-value engine can
+    express; anywhere else a stream is a clear JqError."""
+
+    def test_range_collect(self):
+        assert run("[range(5)]", None) == [0, 1, 2, 3, 4]
+        assert run("[range(2;6)]", None) == [2, 3, 4, 5]
+        assert run("[range(10;0;-3)]", None) == [10, 7, 4, 1]
+        assert run("[range(0)]", None) == []
+        assert run("[range(2), 9, range(2)]", None) == [0, 1, 9, 0, 1]
+
+    def test_range_reduce(self):
+        assert run("reduce range(0;5) as $i (0; . + $i)", None) == 10
+        assert (
+            run("reduce range(1; .n + 1) as $i (1; . * $i)", {"n": 5}) == 120
+        )
+
+    def test_limit(self):
+        assert run("[limit(3; range(100))]", None) == [0, 1, 2]
+        assert run("[limit(2; .a)]", {"a": 7}) == [7]
+        assert run("[limit(0; range(5))]", None) == []
+
+    def test_stream_escape_is_an_error(self):
+        import pytest
+
+        from dolma_ray.mixer.jq import JqError
+
+        for prog in ("range(3)", "range(3) | tostring", ".a + range(2)"):
+            with pytest.raises(JqError):
+                run(prog, {"a": 1})
+
+    def test_range_errors(self):
+        import pytest
+
+        from dolma_ray.mixer.jq import JqError
+
+        with pytest.raises(JqError):
+            run("[range(1;5;0)]", None)  # zero step: jq hangs, we refuse
+        with pytest.raises(JqError):
+            run('[range("x")]', None)
