@@ -5,11 +5,14 @@ fully decodable with the stdlib + numpy from their public specs:
 
 * PNG (RFC 2083 / W3C spec): zlib IDAT inflate + per-scanline unfilter
   (None/Sub/Up/Average/Paeth) vectorized per row; bit depth 8, color
-  types gray / gray+alpha / RGB / RGBA / palette; no interlace.
+  types gray / gray+alpha / RGB / RGBA / palette; Adam7 interlace.
 * PPM / PGM (netpbm P5/P6 binary).
 * BMP (BITMAPINFOHEADER, uncompressed 24/32 bpp, bottom-up or top-down).
 * WAV via the stdlib ``wave`` module (PCM 8/16/32-bit, mono-mixed).
-* Baseline JPEG (ITU-T T.81) in ``jpeg.py`` — decoder + encoder.
+* JPEG (ITU-T T.81, baseline + progressive) in ``jpeg.py`` — decoder +
+  encoders.
+* GIF (87a/89a: LZW, interlace, transparency/disposal compositing) in
+  ``gif.py`` — decoder + encoder.
 
 Baseline JPEG is decoded (and encoded) by the pure-spec codec in
 ``jpeg.py``; MP3 / video containers genuinely need codec libraries and
@@ -116,16 +119,41 @@ def decode_png(data: bytes) -> np.ndarray:
         raise UnsupportedMediaError("PNG missing IHDR")
     if depth != 8:
         raise UnsupportedMediaError(f"PNG bit depth {depth} unsupported (8 only)")
-    if interlace:
-        raise UnsupportedMediaError("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise UnsupportedMediaError(f"PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise UnsupportedMediaError(f"PNG color type {ctype} unsupported")
-    stride = w * channels
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    if len(raw) != h * (1 + stride):
-        raise UnsupportedMediaError("PNG data length mismatch")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if interlace:
+        # Adam7: seven independently-filtered sub-images, scattered onto
+        # the output grid (PNG spec 8.2)
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for xs, xstep, ys, ystep in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            nbytes = ph * (1 + pstride)
+            if off + nbytes > len(raw):
+                raise UnsupportedMediaError("PNG data length mismatch")
+            sub = _png_unfilter(
+                raw[off : off + nbytes], ph, pstride, channels
+            ).reshape(ph, pw, channels)
+            px[ys::ystep, xs::xstep] = sub
+            off += nbytes
+        if off != len(raw):
+            raise UnsupportedMediaError("PNG data length mismatch")
+    else:
+        stride = w * channels
+        if len(raw) != h * (1 + stride):
+            raise UnsupportedMediaError("PNG data length mismatch")
+        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if ctype == 3:
         if plte is None:
             raise UnsupportedMediaError("palette PNG missing PLTE")
@@ -200,11 +228,15 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg  # pure-spec baseline decoder
+        from .jpeg import decode_jpeg  # pure-spec decoder (baseline + prog)
 
         return decode_jpeg(data)
+    if data[:3] == b"GIF":
+        from .gif import decode_gif  # first composited frame
+
+        return decode_gif(data)
     raise UnsupportedMediaError(
-        "unrecognized image format (png/ppm/bmp/jpeg supported)"
+        "unrecognized image format (png/ppm/bmp/jpeg/gif supported)"
     )
 
 

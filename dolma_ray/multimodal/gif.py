@@ -1,0 +1,326 @@
+"""Pure-python GIF codec (GIF87a/GIF89a, public spec).
+
+* **Decoder**: logical screen descriptor + global/local color tables,
+  graphic-control extensions (transparency, disposal, frame delay),
+  interlaced row reorder, variable-width LZW decompression, and frame
+  compositing onto the logical screen (disposal methods 0-3).
+  :func:`decode_gif` returns the first composited frame as ``(h, w, 3|4)``
+  float32 in [0, 1] (alpha only when any frame pixel is transparent);
+  :func:`gif_frames` yields every composited frame plus its delay for
+  video-style frame sampling.
+* **Encoder** (round-trips and fixtures): palette-building single- or
+  multi-frame writer with real LZW compression, optional interlace and
+  per-frame transparency — enough to pin every decoder path.
+
+Scale note: LZW is one python loop iteration per CODE (not per pixel);
+fine for web-sized GIFs.  The stage seam (``media.py``) is codec-
+agnostic, as with JPEG.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import UnsupportedMediaError, _to_unsupported
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace_rows(h: int) -> np.ndarray:
+    """Row permutation: output[i] = source row index for display row i."""
+    order = []
+    for start, step in _INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    inv = np.empty(h, np.int64)
+    inv[np.asarray(order, np.int64)] = np.arange(h)
+    return inv
+
+
+def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> np.ndarray:
+    """GIF variable-width LZW -> palette indices (uint8), exactly
+    ``npix`` pixels (extra codes past the image area are ignored, as
+    every real decoder does)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    # bit reader over the concatenated sub-block payload, LSB-first
+    bits = np.unpackbits(
+        np.frombuffer(data, np.uint8)[:, None], axis=1, bitorder="little"
+    ).ravel()
+    out = np.empty(npix, np.uint8)
+    n_out = 0
+    pos = 0
+    nbits = len(bits)
+
+    def reset_table():
+        return {i: (i,) for i in range(clear)}, clear + 2, min_code_size + 1
+
+    table, next_code, width = reset_table()
+    prev: tuple | None = None
+    while n_out < npix:
+        if pos + width > nbits:
+            break  # truncated stream: keep what we have
+        code = int(bits[pos : pos + width] @ (1 << np.arange(width)))
+        pos += width
+        if code == clear:
+            table, next_code, width = reset_table()
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise UnsupportedMediaError("corrupt GIF LZW stream")
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise UnsupportedMediaError("corrupt GIF LZW stream")
+        take = min(len(entry), npix - n_out)
+        out[n_out : n_out + take] = entry[:take]
+        n_out += take
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if n_out < npix:
+        out[n_out:] = 0  # truncated image: pad with palette entry 0
+    return out
+
+
+def _sub_blocks(data: bytes, off: int) -> tuple[bytes, int]:
+    """Concatenate a GIF sub-block chain starting at ``off``; returns
+    (payload, offset past the terminator)."""
+    parts = []
+    while True:
+        if off >= len(data):
+            raise UnsupportedMediaError("truncated GIF sub-block chain")
+        n = data[off]
+        off += 1
+        if n == 0:
+            break
+        parts.append(data[off : off + n])
+        off += n
+    return b"".join(parts), off
+
+
+@_to_unsupported
+def _parse_gif(data: bytes):
+    """-> (w, h, frames) with frames = list of dicts
+    {left, top, w, h, idx (h,w) uint8, palette (n,3), transparent
+    int|None, disposal int, delay_cs int}."""
+    if len(data) < 13 or data[:3] != b"GIF" or data[3:6] not in (b"87a", b"89a"):
+        raise UnsupportedMediaError("not a GIF")
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    off = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data[off : off + 3 * n], np.uint8).reshape(-1, 3)
+        off += 3 * n
+    frames = []
+    transparent = None
+    disposal = 0
+    delay_cs = 0
+    while off < len(data):
+        b0 = data[off]
+        off += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[off]
+            off += 1
+            payload, off = _sub_blocks(data, off)
+            if label == 0xF9 and len(payload) >= 4:  # graphic control
+                gflags, delay_cs, tidx = struct.unpack_from("<BHB", payload, 0)
+                disposal = (gflags >> 2) & 0x7
+                transparent = tidx if gflags & 0x01 else None
+            continue
+        if b0 == 0x2C:  # image descriptor
+            il, it, iw, ih, iflags = struct.unpack_from("<HHHHB", data, off)
+            off += 9
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    data[off : off + 3 * n], np.uint8
+                ).reshape(-1, 3)
+                off += 3 * n
+            if pal is None:
+                raise UnsupportedMediaError("GIF image without color table")
+            min_code = data[off]
+            off += 1
+            lzw, off = _sub_blocks(data, off)
+            idx = _lzw_decode(min_code, lzw, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced
+                idx = idx[_deinterlace_rows(ih)]
+            frames.append(
+                {
+                    "left": il, "top": it, "w": iw, "h": ih, "idx": idx,
+                    "palette": pal, "transparent": transparent,
+                    "disposal": disposal, "delay_cs": delay_cs,
+                }
+            )
+            transparent = None
+            disposal = 0
+            delay_cs = 0
+            continue
+        raise UnsupportedMediaError(f"unknown GIF block {b0:#x}")
+    if not frames:
+        raise UnsupportedMediaError("GIF contains no image")
+    return w, h, frames
+
+
+def gif_frames(data: bytes) -> list[tuple[np.ndarray, int]]:
+    """Every composited frame as ``((h, w, 4) float32 RGBA in [0,1],
+    delay in centiseconds)`` — GIF's frame model is paint-onto-canvas,
+    so frame i includes the surviving pixels of frames < i."""
+    w, h, frames = _parse_gif(data)
+    canvas = np.zeros((h, w, 4), np.float32)  # transparent background
+    out = []
+    for f in frames:
+        if f["disposal"] == 3:
+            saved = canvas.copy()
+        t, l_ = f["top"], f["left"]
+        bh = min(f["h"], h - t)
+        bw = min(f["w"], w - l_)
+        idx = f["idx"][:bh, :bw]
+        pal = f["palette"]
+        rgb = pal[np.minimum(idx, len(pal) - 1)].astype(np.float32) / 255.0
+        region = canvas[t : t + bh, l_ : l_ + bw]
+        if f["transparent"] is not None:
+            opaque = (idx != f["transparent"])[..., None]
+            region[..., :3] = np.where(opaque, rgb, region[..., :3])
+            region[..., 3:] = np.where(opaque, 1.0, region[..., 3:])
+        else:
+            region[..., :3] = rgb
+            region[..., 3] = 1.0
+        out.append((canvas.copy(), f["delay_cs"]))
+        if f["disposal"] == 2:  # restore to background (= transparent)
+            canvas[t : t + bh, l_ : l_ + bw] = 0.0
+        elif f["disposal"] == 3:  # restore to previous
+            canvas = saved
+    return out
+
+
+@_to_unsupported
+def decode_gif(data: bytes) -> np.ndarray:
+    """First composited frame; ``(h, w, 3)`` when fully opaque, else
+    ``(h, w, 4)`` RGBA — matching the other still-image decoders."""
+    frame = gif_frames(data)[0][0]
+    if bool((frame[..., 3] == 1.0).all()):
+        return np.ascontiguousarray(frame[..., :3])
+    return frame
+
+
+def gif_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the logical screen descriptor only."""
+    if len(data) < 10 or data[:3] != b"GIF":
+        raise UnsupportedMediaError("not a GIF")
+    w, h = struct.unpack_from("<HH", data, 6)
+    return w, h
+
+
+# ---- encoder (tests/fixtures) ---------------------------------------------
+
+
+def _lzw_encode(min_code_size: int, idx: np.ndarray) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = clear + 2
+    width = min_code_size + 1
+    acc = 0
+    nacc = 0
+    out = bytearray()
+
+    def emit(code, w):
+        nonlocal acc, nacc
+        acc |= code << nacc  # LSB-first packing
+        nacc += w
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear, width)
+    seq: tuple = ()
+    for p in idx.ravel().tolist():
+        cand = seq + (p,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:  # table full: reset (keeps decoder honest)
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = clear + 2
+            width = min_code_size + 1
+        seq = (p,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    frames,
+    palette: np.ndarray,
+    transparent: int | None = None,
+    interlace: bool = False,
+    delays_cs=None,
+    disposals=None,
+) -> bytes:
+    """Palette-index frames ``[(h, w) uint8]`` (+ shared (n,3) uint8
+    palette) -> GIF89a bytes.  Multi-frame inputs write one image block
+    per frame with graphic-control extensions."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape
+    n = len(palette)
+    size_field = max(1, int(np.ceil(np.log2(max(n, 2)))) )
+    table_n = 1 << size_field
+    pal = np.zeros((table_n, 3), np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_field - 1), 0, 0)
+    out += pal.tobytes()
+    min_code = max(2, size_field)
+    delays_cs = delays_cs or [0] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    for f, delay, disp in zip(frames, delays_cs, disposals):
+        if transparent is not None or delay or disp:
+            gflags = (disp & 0x7) << 2 | (1 if transparent is not None else 0)
+            out += b"\x21\xf9\x04" + struct.pack(
+                "<BHB", gflags, delay, transparent or 0
+            ) + b"\x00"
+        fh, fw = f.shape
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, fw, fh, 0x40 if interlace else 0
+        )
+        src = f
+        if interlace:
+            order = []
+            for start, step in _INTERLACE_PASSES:
+                order.extend(range(start, fh, step))
+            src = f[np.asarray(order)]
+        out.append(min_code)
+        payload = _lzw_encode(min_code, src)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

@@ -273,9 +273,11 @@ class VideoFrameSampleStage:
 
 class VideoMetadataStage:
     """payload -> container/resolution/keyframe metadata — REAL for
-    MJPEG-AVI (RIFF walk + first-frame JPEG header) and H.264 Annex-B
-    (pure-spec NAL walk + Exp-Golomb SPS decode, ``h264.py``); other
-    codecs raise under ``strict=True`` or emit nulls.
+    MJPEG-AVI (RIFF walk + first-frame JPEG header), animated GIF
+    (``gif.py`` block walk; full-screen opaque frames are keyframes) and
+    H.264 Annex-B (pure-spec NAL walk + Exp-Golomb SPS decode,
+    ``h264.py``); other codecs raise under ``strict=True`` or emit
+    nulls.
 
     Keyframe indices drive frame-sample selection without any pixel
     decode — the filter/sampling half of a video pipeline runs on this
@@ -305,12 +307,34 @@ class VideoMetadataStage:
             }
         except UnsupportedMediaError:
             pass
+        if (payload or b"")[:3] == b"GIF":  # animated GIF as a container
+            from .gif import _parse_gif
+
+            w, h, frames = _parse_gif(payload)
+            # a GIF frame is a keyframe when it repaints the full screen
+            # with no transparency (later frames depend on earlier ones)
+            keys = [
+                i
+                for i, f in enumerate(frames)
+                if f["left"] == 0 and f["top"] == 0
+                and f["w"] == w and f["h"] == h
+                and f["transparent"] is None
+            ]
+            return {
+                "container": "gif",
+                "n_keyframes": len(keys),
+                "n_slices": len(frames),
+                "width": w,
+                "height": h,
+                "keyframe_indices": keys[:64],
+            }
         try:
             return h264_info(payload or b"")
         except (ValueError, IndexError):
             if self.strict:
                 raise NotImplementedError(
-                    "payload is neither MJPEG-AVI nor H.264 Annex-B"
+                    "payload is neither MJPEG-AVI, animated GIF, nor "
+                    "H.264 Annex-B"
                 )
             return {"container": None}
 

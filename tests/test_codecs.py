@@ -747,3 +747,48 @@ def test_sequential_multiscan_jpeg():
     out += b"\xff\xd9"
 
     assert np.array_equal(J.decode_jpeg(base), J.decode_jpeg(bytes(out)))
+
+
+def test_png_adam7_interlace():
+    """Adam7: encode each of the 7 passes as an independently-filtered
+    sub-image (mixed filter types to prove per-pass unfilter isolation)
+    and check the scattered reassembly round-trips exactly."""
+    import struct as _struct
+
+    rng = np.random.default_rng(13)
+    for h, w, c, ctype in ((10, 13, 3, 2), (9, 8, 1, 0), (5, 3, 4, 6)):
+        px = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        raw = bytearray()
+        for pi, (xs, xstep, ys, ystep) in enumerate((
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        )):
+            sub = px[ys::ystep, xs::xstep]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            prev = np.zeros(pw * c, dtype=np.int64)
+            for y in range(ph):
+                line = sub[y].ravel().astype(np.int64)
+                ft = (pi + y) % 3  # None/Sub/Up mixed per row
+                if ft == 0:
+                    enc = line
+                elif ft == 1:
+                    enc = line.copy()
+                    enc[c:] = (line[c:] - line[:-c]) % 256
+                else:
+                    enc = (line - prev) % 256
+                raw.append(ft)
+                raw.extend(enc.astype(np.uint8).tobytes())
+                prev = line
+
+        def chunk(tag, payload):
+            return (_struct.pack(">I", len(payload)) + tag + payload
+                    + _struct.pack(">I", zlib.crc32(tag + payload)))
+
+        ihdr = _struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)  # interlaced
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+        out = decode_png(png)
+        np.testing.assert_array_equal(out, px.astype(np.float32) / 255.0)

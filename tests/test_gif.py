@@ -1,0 +1,122 @@
+"""GIF codec: LZW round trips (incl. width growth and table reset),
+interlace, transparency/disposal compositing, dispatch, and the
+video-metadata container view."""
+
+import numpy as np
+import pytest
+
+from dolma_ray.multimodal.codecs import UnsupportedMediaError, decode_image
+from dolma_ray.multimodal.gif import (
+    decode_gif,
+    encode_gif,
+    gif_dimensions,
+    gif_frames,
+)
+
+PAL4 = np.array(
+    [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+)
+
+
+def test_round_trip_large_random_palette():
+    # 256-entry palette + random pixels crosses several LZW code widths
+    # and the 4096-entry table reset
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (64, 96), dtype=np.uint8)
+    g = encode_gif([idx], pal)
+    assert gif_dimensions(g) == (96, 64)
+    out = decode_gif(g)
+    assert out.shape == (64, 96, 3)
+    np.testing.assert_array_equal(out, pal[idx].astype(np.float32) / 255.0)
+
+
+def test_small_palette_and_interlace():
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 4, (33, 47), dtype=np.uint8)
+    exp = PAL4[idx].astype(np.float32) / 255.0
+    np.testing.assert_array_equal(decode_gif(encode_gif([idx], PAL4)), exp)
+    np.testing.assert_array_equal(
+        decode_gif(encode_gif([idx], PAL4, interlace=True)), exp
+    )
+
+
+def test_repetitive_content():
+    rng = np.random.default_rng(7)
+    rep = np.tile(np.arange(16, dtype=np.uint8), (100, 50))[:100, :700]
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_gif(encode_gif([rep], pal)),
+        pal[rep].astype(np.float32) / 255.0,
+    )
+
+
+def test_transparency_composites_over_previous_frame():
+    f0 = np.zeros((8, 8), np.uint8)
+    f1 = np.full((8, 8), 3, np.uint8)
+    f1[:4] = 1  # transparent index
+    frames = gif_frames(
+        encode_gif([f0, f1], PAL4, transparent=1, delays_cs=[5, 10])
+    )
+    assert [d for _, d in frames] == [5, 10]
+    c1 = frames[1][0]
+    assert np.allclose(c1[:4, :, :3], 0.0)  # frame0 shows through
+    assert np.allclose(c1[4:, :, :3], [0, 0, 1])
+    assert np.allclose(c1[..., 3], 1.0)
+
+
+def test_disposal_restore_background():
+    f0 = np.full((4, 4), 2, np.uint8)
+    f1 = np.full((4, 4), 3, np.uint8)
+    frames = gif_frames(encode_gif([f0, f1], PAL4, disposals=[2, 0]))
+    # disposal 2 on frame 0 clears the canvas BEFORE frame 1 paints;
+    # frame 1 is opaque full-screen so the visible result is all blue
+    assert np.allclose(frames[1][0][..., :3], [0, 0, 1])
+
+
+def test_decode_image_dispatches_gif():
+    idx = np.full((3, 5), 2, np.uint8)
+    out = decode_image(encode_gif([idx], PAL4))
+    assert out.shape == (3, 5, 3)
+    assert np.allclose(out, [0, 1, 0])
+
+
+def test_first_frame_with_transparency_is_rgba():
+    f0 = np.full((4, 4), 1, np.uint8)
+    f0[0, 0] = 2  # transparent pixel -> RGBA output
+    out = decode_gif(encode_gif([f0], PAL4, transparent=2))
+    assert out.shape == (4, 4, 4)
+    assert out[0, 0, 3] == 0.0 and out[1, 1, 3] == 1.0
+
+
+def test_corrupt_and_foreign_payloads():
+    with pytest.raises(UnsupportedMediaError):
+        decode_gif(b"GIF89a\x00")  # truncated screen descriptor
+    with pytest.raises(UnsupportedMediaError):
+        decode_gif(b"not a gif at all")
+    g = bytearray(encode_gif([np.zeros((4, 4), np.uint8)], PAL4))
+    with pytest.raises(UnsupportedMediaError):
+        decode_gif(bytes(g[: len(g) // 2]))  # truncated mid-stream
+
+
+def test_video_metadata_stage_gif(ray_session):
+    import pyarrow as pa
+
+    from dolma_ray.multimodal.media import VideoMetadataStage
+
+    f0 = np.full((6, 7), 2, np.uint8)
+    f1 = np.full((6, 7), 3, np.uint8)
+    f1[0] = 1
+    g_trans = encode_gif([f0, f1], PAL4, transparent=1, delays_cs=[4, 4])
+    g_opaque = encode_gif([f0, f1], PAL4)
+    out = VideoMetadataStage(strict=True)(
+        pa.table({"payload": pa.array([g_trans, g_opaque], pa.binary())})
+    )
+    assert out["container"].to_pylist() == ["gif", "gif"]
+    assert out["n_slices"].to_pylist() == [2, 2]
+    # a declared transparency index makes a frame dependent on its
+    # predecessors, so only the opaque encoding has keyframes
+    assert out["n_keyframes"].to_pylist() == [0, 2]
+    assert out["width"].to_pylist() == [7, 7]
+    assert out["height"].to_pylist() == [6, 6]
+    assert out["keyframe_indices"].to_pylist() == [[], [0, 1]]
