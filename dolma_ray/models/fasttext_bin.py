@@ -10,15 +10,24 @@ saveModel/loadModel``, ``args.cc save``, ``dictionary.cc save``,
     dict: int32 size, nwords, nlabels; int64 ntokens, pruneidx_size;
           size x { cstring word, int64 count, int8 type(0=word,1=label) };
           max(pruneidx_size,0) x (int32, int32)
-    int8 quant flag; input matrix (int64 m, int64 n, m*n float32)
+    int8 quant flag; input matrix — dense (int64 m, int64 n, m*n
+          float32) or, when quantized, QuantMatrix (int8 qnorm, int64
+          m, int64 n, int32 codesize, codesize uint8 codes,
+          ProductQuantizer {4x int32 dim nsubq dsub lastdsub,
+          dim*256 float32 centroids}, and when qnorm: m uint8 norm
+          codes + a dim-1 norm quantizer)
     int8 qout flag;  output matrix (same layout)
 
-Only UNQUANTIZED models are supported (lid.176.bin is unquantized; the
-``.ftz`` product-quantized variant raises).  All four supervised loss
-modes score: softmax, negative-sampling / one-vs-all (sigmoids), and
-hierarchical softmax (the Huffman tree is rebuilt from the dictionary's
-label counts exactly as fastText's buildTree, and P(label) is the
-product of sigmoids along the root path).
+Both ``.bin`` (dense) and ``.ftz`` (product-quantized, e.g.
+lid.176.ftz) load: quantized matrices are reconstructed dense at load
+(row = norm x concatenated sub-centroids, exactly QuantMatrix::dotRow's
+operand), and pruned dictionaries (quantize ``-cutoff``) remap bucket
+features through pruneidx per Dictionary::pushHash — missing buckets
+drop.  All four supervised loss modes score: softmax,
+negative-sampling / one-vs-all (sigmoids), and hierarchical softmax
+(the Huffman tree is rebuilt from the dictionary's label counts exactly
+as fastText's buildTree, and P(label) is the product of sigmoids along
+the root path).
 
 Scoring follows fastText supervised prediction: tokens are whitespace
 words; each known word contributes its word vector (plus its char-ngram
@@ -163,43 +172,89 @@ class FastTextModel:
             else:
                 labels.append(w)
                 label_counts.append(count)
-        if pruneidx_size > 0:
-            # the pruneidx remaps pruned ngram buckets; silently ignoring
-            # it would score with wrong subword features
-            raise NotImplementedError(
-                "pruned fastText dictionaries (pruneidx_size > 0) are not "
-                "supported — quantize/prune-free .bin models only"
-            )
+        # pruned dictionaries (quantize -cutoff) remap surviving bucket
+        # features through pruneidx; missing buckets are DROPPED
+        # (Dictionary::pushHash)
+        self._pruneidx: dict[int, int] = {}
+        for _ in range(max(pruneidx_size, 0)):
+            k_, v_ = read("2i")
+            self._pruneidx[k_] = v_
+        self.pruned = pruneidx_size > 0
         self._raw_labels = labels
         self.labels = [
             lb[len("__label__") :] if lb.startswith("__label__") else lb
             for lb in labels
         ]
 
+        def read_bytes(n: int, dtype: str):
+            nonlocal off
+            arr = np.frombuffer(data, dtype=dtype, count=n, offset=off)
+            off += arr.nbytes
+            return arr
+
+        def read_quant_matrix() -> np.ndarray:
+            """QuantMatrix::load (quantmatrix.cc) + ProductQuantizer::load
+            (productquantizer.cc, ksub = 256), reconstructed DENSE at
+            load: row i = norm_i * concat_j(centroids_j[code_ij]).  The
+            dense form keeps every scoring path identical to .bin."""
+            qnorm = read("b")
+            m, n = read("2q")
+            codesize = read("i")
+            codes = read_bytes(codesize, "<u1").reshape(m, -1)
+            nsubq = codes.shape[1]
+            dim, nsubq_f, dsub, lastdsub = read("4i")
+            if dim != n or nsubq_f != nsubq:
+                raise ValueError("inconsistent product-quantizer geometry")
+            cents = read_bytes(dim * 256, "<f4")
+            out = np.empty((m, n), np.float32)
+            for j in range(nsubq):
+                if j == nsubq - 1:
+                    start = j * 256 * dsub
+                    block = cents[start : start + 256 * lastdsub].reshape(
+                        256, lastdsub
+                    )
+                    out[:, j * dsub :] = block[codes[:, j]]
+                else:
+                    block = cents[
+                        j * 256 * dsub : (j * 256 + 256) * dsub
+                    ].reshape(256, dsub)
+                    out[:, j * dsub : (j + 1) * dsub] = block[codes[:, j]]
+            if qnorm:
+                norm_codes = read_bytes(m, "<u1")
+                ndim, nnsubq, ndsub, _nlast = read("4i")
+                norm_cents = read_bytes(ndim * 256, "<f4")
+                if (ndim, nnsubq, ndsub) != (1, 1, 1):
+                    raise ValueError("unexpected norm quantizer geometry")
+                out *= norm_cents[norm_codes][:, None]
+            return out
+
+        def read_matrix(quantized: bool) -> np.ndarray:
+            nonlocal off
+            if quantized:
+                return read_quant_matrix()
+            m, n = read("2q")
+            return read_bytes(m * n, "<f4").reshape(m, n)
+
         quant = read("b")
-        if quant:
-            raise NotImplementedError(
-                "product-quantized (.ftz) fastText models are not supported; "
-                "use the unquantized .bin"
-            )
-        m, n = read("2q")
-        self.input = np.frombuffer(data, dtype="<f4", count=m * n, offset=off).reshape(
-            m, n
-        )
-        off += m * n * 4
+        self.quantized = bool(quant)
+        self.input = read_matrix(bool(quant))
         qout = read("b")
-        if qout:
-            raise NotImplementedError("quantized output matrix not supported")
-        m2, n2 = read("2q")
-        self.output = np.frombuffer(
-            data, dtype="<f4", count=m2 * n2, offset=off
-        ).reshape(m2, n2)
-        off += m2 * n2 * 4
+        self.output = read_matrix(bool(qout))
         self._subword_cache: dict[str, list[int]] = {}
         if self.loss == 1:  # hierarchical softmax: Huffman tree over labels
             self._hs_paths = _build_hs_paths(label_counts)
 
     # --- feature extraction (Dictionary::getLine for supervised) ---
+
+    def _push_bucket(self, out: list[int], h: int) -> None:
+        """Dictionary::pushHash: pruned dictionaries remap surviving
+        bucket ids through pruneidx and DROP the rest."""
+        if self.pruned:
+            v = self._pruneidx.get(h)
+            if v is None:
+                return
+            h = v
+        out.append(self.nwords + h)
 
     def _compute_subwords(self, word: str) -> list[int]:
         """char-ngram bucket ids of <word> (Dictionary::computeSubwords)."""
@@ -213,7 +268,7 @@ class FastTextModel:
                     break
                 ng = b[starts[i] : starts[i + n]]
                 if n >= self.minn and not (n == 1 and (i == 0 or i + n == nchars)):
-                    out.append(self.nwords + int(_fnv1a(ng)) % self.bucket)
+                    self._push_bucket(out, int(_fnv1a(ng)) % self.bucket)
         return out
 
     def _word_features(self, word: str) -> list[int]:
@@ -250,7 +305,7 @@ class FastTextModel:
                     h = np.uint64(hashes[i])
                     for j in range(i + 1, min(i + self.word_ngrams, len(hashes))):
                         h = np.uint64(h * np.uint64(116049371) + np.uint64(hashes[j]))
-                        feats.append(self.nwords + int(h % np.uint64(self.bucket)))
+                        self._push_bucket(feats, int(h % np.uint64(self.bucket)))
         return feats
 
     # --- scoring ---

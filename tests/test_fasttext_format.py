@@ -111,8 +111,48 @@ _DEFAULT_ARGS = dict(  # args.cc Args::Args() defaults for supervised
 )
 
 
+def _write_quant_matrix(f, mat, dsub, qnorm):
+    """QuantMatrix::save layout with EXACT quantization: m <= 256 rows
+    let every row be its own centroid per sub-quantizer, so the loader's
+    reconstruction must equal the source matrix bit-for-bit (modulo the
+    float32 normalize/rescale when qnorm)."""
+    mat = np.ascontiguousarray(mat, dtype=np.float32)
+    m, n = mat.shape
+    assert m <= 256
+    if qnorm:
+        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        normalized = mat / np.where(norms == 0, 1, norms)[:, None]
+    else:
+        normalized = mat
+    nsubq = (n + dsub - 1) // dsub
+    lastdsub = n - (nsubq - 1) * dsub
+    f.write(struct.pack("<?", qnorm))
+    f.write(struct.pack("<qq", m, n))
+    codes = np.tile(np.arange(m, dtype=np.uint8)[:, None], (1, nsubq))
+    f.write(struct.pack("<i", codes.size))
+    f.write(codes.tobytes())
+    # ProductQuantizer::save: dim nsubq dsub lastdsub + dim*256 centroids
+    f.write(struct.pack("<4i", n, nsubq, dsub, lastdsub))
+    cents = np.zeros(n * 256, np.float32)
+    for j in range(nsubq):
+        d = lastdsub if j == nsubq - 1 else dsub
+        base = j * 256 * dsub
+        for i in range(m):
+            cents[base + i * d : base + i * d + d] = normalized[
+                i, j * dsub : j * dsub + d
+            ]
+    f.write(cents.tobytes())
+    if qnorm:
+        f.write(np.arange(m, dtype=np.uint8).tobytes())  # norm codes
+        f.write(struct.pack("<4i", 1, 1, 1, 1))
+        ncents = np.zeros(256, np.float32)
+        ncents[:m] = norms
+        f.write(ncents.tobytes())
+
+
 def save_model(path, entries, input_mat, output_mat, version=12,
-               pruneidx=(), quant=False, qout=False, ntokens=12345, **args):
+               pruneidx=(), quant=False, qout=False, qnorm=False,
+               quant_dsub=2, ntokens=12345, **args):
     """entries: list of (word, count, type) in dictionary order."""
     a = {**_DEFAULT_ARGS, **args}
     with open(path, "wb") as f:
@@ -137,14 +177,20 @@ def save_model(path, entries, input_mat, output_mat, version=12,
             f.write(struct.pack("<ii", first, second))
         # input matrix behind quant_ flag (bool, 1 byte)
         f.write(struct.pack("<?", quant))
-        m, n = input_mat.shape
-        f.write(struct.pack("<qq", m, n))
-        f.write(np.ascontiguousarray(input_mat, dtype="<f4").tobytes())
+        if quant:
+            _write_quant_matrix(f, input_mat, quant_dsub, qnorm)
+        else:
+            m, n = input_mat.shape
+            f.write(struct.pack("<qq", m, n))
+            f.write(np.ascontiguousarray(input_mat, dtype="<f4").tobytes())
         # output matrix behind qout_ flag
         f.write(struct.pack("<?", qout))
-        m, n = output_mat.shape
-        f.write(struct.pack("<qq", m, n))
-        f.write(np.ascontiguousarray(output_mat, dtype="<f4").tobytes())
+        if qout:
+            _write_quant_matrix(f, output_mat, quant_dsub, qnorm)
+        else:
+            m, n = output_mat.shape
+            f.write(struct.pack("<qq", m, n))
+            f.write(np.ascontiguousarray(output_mat, dtype="<f4").tobytes())
 
 
 def _make_entries(words, labels, counts=None):
@@ -251,15 +297,73 @@ def test_v11_supervised_forces_maxn_zero(tmp_path):
     assert m11._line_features(text) != m12._line_features(text)
 
 
-def test_pruned_dictionary_rejected(tmp_path):
+def test_pruned_dictionary_remaps_and_drops_buckets(tmp_path):
+    """Dictionary::pushHash semantics: with a pruneidx, a bucket feature
+    maps to nwords + pruneidx[h] when present and is DROPPED otherwise.
+    Built by pruning an unpruned twin: predictions must match exactly
+    when every feature the text generates survives the prune."""
     rng = np.random.default_rng(1)
-    entries = _make_entries(["w"], ["__label__x"])
-    p = tmp_path / "pruned.bin"
-    save_model(str(p), entries, rng.normal(size=(11, 4)).astype("f4"),
-               rng.normal(size=(1, 4)).astype("f4"), dim=4, bucket=10,
-               pruneidx=[(3, 0), (7, 1)])
-    with pytest.raises(NotImplementedError, match="prune"):
-        FastTextModel(str(p))
+    words = ["cat", "dog"]
+    entries = _make_entries(words, ["__label__x", "__label__y"])
+    bucket, dim = 1000, 4
+    full_inp = rng.normal(size=(len(words) + bucket, dim)).astype("f4")
+    outm = rng.normal(size=(2, dim)).astype("f4")
+    p_full = tmp_path / "full.bin"
+    save_model(str(p_full), entries, full_inp, outm, dim=dim,
+               bucket=bucket, minn=2, maxn=3)
+    m_full = FastTextModel(str(p_full))
+
+    text = "cat dog"
+    feats = m_full._line_features(text)
+    kept = sorted({f - len(words) for f in feats if f >= len(words)})
+    pruneidx = [(h, i) for i, h in enumerate(kept)]
+    pruned_inp = np.vstack(
+        [full_inp[: len(words)], full_inp[[len(words) + h for h in kept]]]
+    )
+    p_pruned = tmp_path / "pruned.bin"
+    save_model(str(p_pruned), entries, pruned_inp, outm, dim=dim,
+               bucket=bucket, minn=2, maxn=3, pruneidx=pruneidx)
+    m_pruned = FastTextModel(str(p_pruned))
+    assert m_pruned.pruned
+    np.testing.assert_allclose(
+        m_pruned.predict_batch([text]), m_full.predict_batch([text])
+    )
+    # a word whose subword buckets were pruned away contributes only
+    # features that survived — never an out-of-range row
+    probs = m_pruned.predict_batch(["zebra crossing"])
+    assert np.isfinite(probs).all()
+
+
+def test_ftz_quantized_matrices_reconstruct(tmp_path):
+    """Product-quantized (.ftz) input/output matrices: with one centroid
+    per row the reconstruction must equal the dense twin, so the whole
+    prediction path must match the unquantized model."""
+    rng = np.random.default_rng(9)
+    words = ["the", "cat", "naïve"]
+    entries = _make_entries(words, ["__label__a", "__label__b"])
+    bucket, dim = 50, 6
+    inp = rng.normal(size=(len(words) + bucket, dim)).astype("f4")
+    outm = rng.normal(size=(2, dim)).astype("f4")
+    dense = tmp_path / "m.bin"
+    save_model(str(dense), entries, inp[:200], outm, dim=dim, bucket=bucket)
+    m_dense = FastTextModel(str(dense))
+
+    for qnorm in (False, True):
+        for dsub in (2, 4):  # dim 6: lastdsub 2 and 2-of-3 uneven split
+            ftz = tmp_path / f"m_{qnorm}_{dsub}.ftz"
+            save_model(str(ftz), entries, inp[:200], outm, dim=dim,
+                       bucket=bucket, quant=True, qout=True, qnorm=qnorm,
+                       quant_dsub=dsub)
+            m_q = FastTextModel(str(ftz))
+            assert m_q.quantized
+            tol = dict(rtol=1e-5, atol=1e-6) if qnorm else dict(rtol=0, atol=0)
+            np.testing.assert_allclose(m_q.input, m_dense.input, **tol)
+            np.testing.assert_allclose(m_q.output, m_dense.output, **tol)
+            texts = ["the cat", "naïve zebra", ""]
+            np.testing.assert_allclose(
+                m_q.predict_batch(texts), m_dense.predict_batch(texts),
+                rtol=1e-4, atol=1e-6,
+            )
 
 
 def test_pruneidx_minus_one_accepted(tmp_path):

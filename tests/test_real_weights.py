@@ -96,17 +96,20 @@ def test_fasttext_bin_subwords_oov(tmp_path):
     assert feats2 == [0]
 
 
-def test_fasttext_quantized_rejected(tmp_path):
+def test_fasttext_truncated_quantized_errors(tmp_path):
+    """A quant flag followed by nothing is a corrupt file: the loader
+    must raise (struct.error on the missing QuantMatrix header), never
+    return a half-initialized model."""
     p = tmp_path / "q.bin"
     out = bytearray()
     out += struct.pack("<ii", 793712314, 12)
     out += struct.pack("<12i", 2, 5, 1, 1, 5, 1, 3, 3, 0, 0, 0, 100)
     out += struct.pack("<d", 0.0001)
     out += struct.pack("<3i", 0, 0, 0) + struct.pack("<2q", 0, 0)
-    out += struct.pack("<b", 1)  # quant!
+    out += struct.pack("<b", 1)  # quant flag, then EOF
     with open(p, "wb") as f:
         f.write(out)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(struct.error):
         FastTextModel(str(p))
 
 
