@@ -2115,3 +2115,110 @@ FROM hashed
 
 QUERIES["sample_split"] = q_sample_split
 ORACLES["sample_split"] = SQL_SAMPLE_SPLIT
+
+
+# ---------------------------------------------------------------------------
+# Bloom decontamination (read-only filter; reference deduper read_only +
+# ngram mode, src/deduper.rs:39-49 / bloom_filter config semantics)
+
+
+def q_bloom_decontam(sf_dir: str, n: int = 8, contam_source: str = "src0"):
+    """Read-only Bloom decontamination over word ``n``-grams.
+
+    Build pass: every word 8-gram of the contaminant split (documents
+    with ``source = 'src0'``, standing in for an eval corpus) is
+    inserted into a sharded-actor Bloom filter
+    (:func:`dolma_ray.dedup.bloom.build_bloom_filter`).  Mark pass: the
+    merged filter is broadcast once via ``ray.put`` and a single
+    map-only pass counts, per document, how many of its 8-grams hit the
+    filter — the filter is never mutated, so the result is independent
+    of processing order (unlike insert-while-marking dedup).
+
+    ``fp_rate=1e-9`` sizes the filter so no false positive fires at
+    test scale, making the SQL oracle (a distinct-gram semi-join) an
+    exact replay; at real scale the filter stays O(eval corpus), not
+    O(100 TB), which is why this broadcast never becomes a shuffle."""
+    import ray
+
+    from .dedup.bloom import build_bloom_filter
+    from .dedup.hashing import hash_strings
+
+    def _grams(text: str) -> list[str]:
+        w = (text or "").split(" ")
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    def contam_grams(batch: pa.Table) -> pa.Table:
+        texts = batch.filter(pc.equal(batch["source"], contam_source))[
+            "text"
+        ].to_pylist()
+        out: list[str] = []
+        for t in texts:
+            out.extend(_grams(t))
+        return pa.table({"gram": pa.array(out, pa.string())})
+
+    contam = _read(sf_dir, "documents", columns=["text", "source"]).map_batches(
+        contam_grams, batch_format="pyarrow"
+    )
+    bloom_ref = ray.put(
+        build_bloom_filter(contam, key_column="gram", fp_rate=1e-9, seed=0)
+    )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        grams: list[str] = []
+        offsets = [0]
+        for t in batch["text"].to_pylist():
+            grams.extend(_grams(t))
+            offsets.append(len(grams))
+        off = np.asarray(offsets, np.int64)
+        if grams:
+            hits = bf.contains(hash_strings(pa.array(grams, pa.string())))
+            cs = np.concatenate([[0], np.cumsum(hits.astype(np.int64))])
+            counts = cs[off[1:]] - cs[off[:-1]]
+        else:
+            counts = np.zeros(len(batch), np.int64)
+        n_grams = off[1:] - off[:-1]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_contaminated": pa.array(counts, pa.int64()),
+                "contaminated": pa.array(counts > 0),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        mark, batch_format="pyarrow"
+    )
+
+
+SQL_BLOOM_DECONTAM = """
+WITH w AS (
+    SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+    SELECT doc_id, source, w,
+           unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
+    FROM w
+),
+g AS (
+    SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS gram FROM pos
+),
+contam AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+hits AS (
+    SELECT g.doc_id, count(*) AS n_contaminated
+    FROM g JOIN contam USING (gram)
+    GROUP BY g.doc_id
+),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(ng.n_grams, 0) AS n_grams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       coalesce(h.n_contaminated, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN ng USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+QUERIES["bloom_decontam"] = q_bloom_decontam
+ORACLES["bloom_decontam"] = SQL_BLOOM_DECONTAM

@@ -61,3 +61,42 @@ def test_top_bigrams_null_text(ray_session):
     out = q.q_top_bigrams(d, k=10).to_pandas()
     got = dict(zip(out["bigram"], out["n"]))
     assert got == {"a b": 1, "b c": 2}
+
+
+def test_bloom_decontam_matches_exact_semijoin(ray_session):
+    """The read-only Bloom mark must agree with an exact (set-based)
+    8-gram semi-join at test scale (fp_rate 1e-9 -> no false positive),
+    and the contaminant split itself must be fully self-contaminated."""
+    import pandas as pd
+
+    from dolma_ray.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    df = QUERIES["bloom_decontam"](sf).to_pandas()
+    assert len(df) == df["doc_id"].nunique()
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exact = con.sql(
+        """
+        WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        pos AS (SELECT doc_id, source, w,
+                       unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i FROM w),
+        g AS (SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS gram FROM pos),
+        contam AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        SELECT g.doc_id, count(*) AS n FROM g JOIN contam USING (gram) GROUP BY g.doc_id
+        """
+    ).df()
+    got = df.set_index("doc_id")["n_contaminated"]
+    want = exact.set_index("doc_id")["n"]
+    merged = pd.concat([got, want], axis=1).fillna(0)
+    assert (merged["n_contaminated"] == merged["n"]).all()
+    # every src0 doc with >= 8 words hits its own grams
+    src0 = con.sql(
+        "SELECT doc_id FROM documents WHERE source='src0' AND len(string_split(text,' ')) >= 8"
+    ).df()["doc_id"]
+    assert df.set_index("doc_id").loc[src0, "contaminated"].all()
