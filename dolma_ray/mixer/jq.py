@@ -810,6 +810,19 @@ def _apply_arith(op: str, l: Any, r: Any) -> Any:
     return l - r
 
 
+def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -> Any:
+    """_eval for SINGLE-VALUE contexts: a multi-value stream here is a
+    JqError (catchable by try/catch), never a raw _JqStream embedded in
+    the output document or a TypeError from json.dumps."""
+    v = _eval(node, doc, elem, env)
+    if isinstance(v, _JqStream):
+        raise JqError(
+            "multi-value streams (range/limit) are only supported as a "
+            "reduce source or inside [...] collection"
+        )
+    return v
+
+
 def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -> Any:
     if isinstance(node, Lit):
         return node.value
@@ -823,7 +836,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             if kind == "lit":
                 out.append(part)
             else:
-                out.append(_jq_tostring(_eval(part, doc, elem, env)))
+                out.append(_jq_tostring(_value(part, doc, elem, env)))
         return "".join(out)
     if isinstance(node, ArrayLit):
         out_arr: list = []
@@ -839,12 +852,12 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
     if isinstance(node, ObjectLit):
         out_obj = {}
         for key, vexpr in node.pairs:
-            k_ = key if isinstance(key, str) else _eval(key, doc, elem, env)
+            k_ = key if isinstance(key, str) else _value(key, doc, elem, env)
             if k_ is _EMPTY:
                 return _EMPTY  # jq: empty key -> no object produced
             if not isinstance(k_, str):
                 raise JqError("object key must be a string")
-            v_ = _eval(vexpr, doc, elem, env)
+            v_ = _value(vexpr, doc, elem, env)
             if v_ is _EMPTY:
                 return _EMPTY  # jq: empty value -> no object produced
             out_obj[k_] = v_
@@ -857,7 +870,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 return _EMPTY
             return _eval(node.handler, doc, str(e), env)
     if isinstance(node, AsBind):
-        bound = _eval(node.source, doc, elem, env)
+        bound = _value(node.source, doc, elem, env)
         if bound is _EMPTY:
             return _EMPTY
         env2 = dict(env) if env else {}
@@ -882,30 +895,30 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     "reduce source must be a path ending in [] or a "
                     "stream (range/limit)"
                 )
-        acc = _eval(node.init, doc, elem, env)
+        acc = _value(node.init, doc, elem, env)
         for item in seq:
             env2 = dict(env) if env else {}
             env2[node.var] = item
             # inside UPDATE "." is the accumulator, $var the item
-            acc = _eval(node.update, doc, acc, env2)
+            acc = _value(node.update, doc, acc, env2)
         return acc
     if isinstance(node, Assign):
         cur_in = doc if elem is _NO_ELEM else elem
         old = _get_path(cur_in, node.path.steps)
         if node.op == "=":
-            new = _eval(node.expr, doc, elem, env)
+            new = _value(node.expr, doc, elem, env)
         elif node.op == "|=":
-            new = _eval(node.expr, doc, old, env)
+            new = _value(node.expr, doc, old, env)
         elif node.op == "//=":
             new = (
                 old
                 if old is not None and old is not False
-                else _eval(node.expr, doc, elem, env)
+                else _value(node.expr, doc, elem, env)
             )
         elif node.op == "+=":
-            new = _apply_arith("+", old, _eval(node.expr, doc, elem, env))
+            new = _apply_arith("+", old, _value(node.expr, doc, elem, env))
         else:  # "-="
-            new = _apply_arith("-", old, _eval(node.expr, doc, elem, env))
+            new = _apply_arith("-", old, _value(node.expr, doc, elem, env))
         return _set_path(cur_in, node.path.steps, new)
     if isinstance(node, Path):
         # inside map/select the element is the current input for ALL
@@ -979,7 +992,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     raise JqError("all requires an array")
                 cur = all(_truthy(v) for v in cur)
             elif op[0] == "select":
-                if not _truthy(_eval(op[1], doc, cur, env)):
+                if not _truthy(_value(op[1], doc, cur, env)):
                     cur = _EMPTY
             elif op[0] == "type":
                 cur = _jq_type(cur)
@@ -1000,7 +1013,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     raise JqError("to_entries requires an object")
                 cur = [{"key": k_, "value": v_} for k_, v_ in cur.items()]
             elif op[0] in ("startswith", "endswith"):
-                arg = _eval(op[1], doc, cur, env)
+                arg = _value(op[1], doc, cur, env)
                 if not isinstance(cur, str) or not isinstance(arg, str):
                     raise JqError(f"{op[0]} requires strings")
                 cur = cur.startswith(arg) if op[0] == "startswith" else cur.endswith(arg)
@@ -1014,12 +1027,19 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             elif op[0] == "map":
                 if not isinstance(cur, list):
                     raise JqError("map requires an array")
-                vals = [_eval(op[1], doc, e, env) for e in cur]
-                # map(select(f)) drops the empties, like jq
-                cur = [v for v in vals if v is not _EMPTY]
+                vals = []
+                for e in cur:
+                    v = _eval(op[1], doc, e, env)
+                    if v is _EMPTY:  # map(select(f)) drops empties
+                        continue
+                    if isinstance(v, _JqStream):  # map(range(n)) splices
+                        vals.extend(v.items)
+                    else:
+                        vals.append(v)
+                cur = vals
         return cur
     if isinstance(node, If):
-        cond = _eval(node.cond, doc, elem, env)
+        cond = _value(node.cond, doc, elem, env)
         if _truthy(cond):
             return _eval(node.then, doc, elem, env)
         if node.orelse is None:
@@ -1031,22 +1051,22 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             # jq alternative: left unless it is null/false/empty; errors
             # on the left also fall through to the right (jaq semantics)
             try:
-                l = _eval(node.left, doc, elem, env)
+                l = _value(node.left, doc, elem, env)
             except JqError:
                 l = None
             if l is not None and l is not False and l is not _EMPTY:
                 return l
             return _eval(node.right, doc, elem, env)
         if node.op == "and":
-            return _truthy(_eval(node.left, doc, elem, env)) and _truthy(
-                _eval(node.right, doc, elem, env)
+            return _truthy(_value(node.left, doc, elem, env)) and _truthy(
+                _value(node.right, doc, elem, env)
             )
         if node.op == "or":
-            return _truthy(_eval(node.left, doc, elem, env)) or _truthy(
-                _eval(node.right, doc, elem, env)
+            return _truthy(_value(node.left, doc, elem, env)) or _truthy(
+                _value(node.right, doc, elem, env)
             )
-        l = _eval(node.left, doc, elem, env)
-        r = _eval(node.right, doc, elem, env)
+        l = _value(node.left, doc, elem, env)
+        r = _value(node.right, doc, elem, env)
         if l is _EMPTY or r is _EMPTY:
             return _EMPTY  # jq: any op on empty yields empty
         if node.op == "==":
@@ -1291,7 +1311,15 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
     import math
 
     def val(i: int) -> Any:
-        return ev(arg_asts[i], cur)
+        v = ev(arg_asts[i], cur)
+        if isinstance(v, _JqStream):
+            # only limit's second argument consumes a stream (it uses
+            # ``ev`` directly); every val() argument is single-value
+            raise JqError(
+                "multi-value streams (range/limit) are only supported "
+                "as a reduce source or inside [...] collection"
+            )
+        return v
 
     if name == "empty":
         return _EMPTY

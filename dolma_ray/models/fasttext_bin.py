@@ -179,7 +179,10 @@ class FastTextModel:
         for _ in range(max(pruneidx_size, 0)):
             k_, v_ = read("2i")
             self._pruneidx[k_] = v_
-        self.pruned = pruneidx_size > 0
+        # fastText writes -1 for "not pruned"; 0 means "pruned and NO
+        # bucket survived" (Dictionary::pushHash drops every bucket
+        # feature when pruneidx_size_ == 0), so the check is >= 0
+        self.pruned = pruneidx_size >= 0
         self._raw_labels = labels
         self.labels = [
             lb[len("__label__") :] if lb.startswith("__label__") else lb

@@ -45,9 +45,9 @@ def _to_unsupported(fn):
     import functools
 
     @functools.wraps(fn)
-    def wrapped(data):
+    def wrapped(data, *args, **kwargs):
         try:
-            return fn(data)
+            return fn(data, *args, **kwargs)
         except UnsupportedMediaError:
             raise
         except (struct.error, zlib.error, ValueError, IndexError, EOFError) as e:

@@ -28,13 +28,19 @@ from .codecs import UnsupportedMediaError, _to_unsupported
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _deinterlace_rows(h: int) -> np.ndarray:
-    """Row permutation: output[i] = source row index for display row i."""
-    order = []
+def _interlace_order(h: int) -> list[int]:
+    """Source row written at each interlace-stream position (shared by
+    the decoder's inverse permutation and the encoder's row emit)."""
+    order: list[int] = []
     for start, step in _INTERLACE_PASSES:
         order.extend(range(start, h, step))
+    return order
+
+
+def _deinterlace_rows(h: int) -> np.ndarray:
+    """Row permutation: output[i] = source row index for display row i."""
     inv = np.empty(h, np.int64)
-    inv[np.asarray(order, np.int64)] = np.arange(h)
+    inv[np.asarray(_interlace_order(h), np.int64)] = np.arange(h)
     return inv
 
 
@@ -110,11 +116,28 @@ def _sub_blocks(data: bytes, off: int) -> tuple[bytes, int]:
     return b"".join(parts), off
 
 
+def _skip_sub_blocks(data: bytes, off: int) -> int:
+    """Advance past a sub-block chain without materializing its payload
+    (the header-only metadata walk)."""
+    while True:
+        if off >= len(data):
+            raise UnsupportedMediaError("truncated GIF sub-block chain")
+        n = data[off]
+        off += 1
+        if n == 0:
+            return off
+        off += n
+
+
 @_to_unsupported
-def _parse_gif(data: bytes):
+def _parse_gif(data: bytes, decode_pixels: bool = True):
     """-> (w, h, frames) with frames = list of dicts
     {left, top, w, h, idx (h,w) uint8, palette (n,3), transparent
-    int|None, disposal int, delay_cs int}."""
+    int|None, disposal int, delay_cs int}.
+
+    ``decode_pixels=False`` walks only the block structure — LZW data is
+    skipped, ``idx`` is ``None`` — so metadata extraction over large
+    animated GIFs never pays the per-code python decode loop."""
     if len(data) < 13 or data[:3] != b"GIF" or data[3:6] not in (b"87a", b"89a"):
         raise UnsupportedMediaError("not a GIF")
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -156,10 +179,14 @@ def _parse_gif(data: bytes):
                 raise UnsupportedMediaError("GIF image without color table")
             min_code = data[off]
             off += 1
-            lzw, off = _sub_blocks(data, off)
-            idx = _lzw_decode(min_code, lzw, iw * ih).reshape(ih, iw)
-            if iflags & 0x40:  # interlaced
-                idx = idx[_deinterlace_rows(ih)]
+            if decode_pixels:
+                lzw, off = _sub_blocks(data, off)
+                idx = _lzw_decode(min_code, lzw, iw * ih).reshape(ih, iw)
+                if iflags & 0x40:  # interlaced
+                    idx = idx[_deinterlace_rows(ih)]
+            else:
+                off = _skip_sub_blocks(data, off)
+                idx = None
             frames.append(
                 {
                     "left": il, "top": it, "w": iw, "h": ih, "idx": idx,
@@ -311,10 +338,7 @@ def encode_gif(
         )
         src = f
         if interlace:
-            order = []
-            for start, step in _INTERLACE_PASSES:
-                order.extend(range(start, fh, step))
-            src = f[np.asarray(order)]
+            src = f[np.asarray(_interlace_order(fh))]
         out.append(min_code)
         payload = _lzw_encode(min_code, src)
         for i in range(0, len(payload), 255):

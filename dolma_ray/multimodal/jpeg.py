@@ -316,10 +316,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise UnsupportedMediaError("no SOS segment")
     # reconstruct from the accumulated coefficient stores
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mcux, mcuy = _mcu_grid(frame)
     zz_list, qs, geo = [], [], []
     for c, store in zip(comps, coefs):
         q = qt.get(c["tq"])
@@ -331,15 +328,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     return _reconstruct(zz_list, qs, geo, comps, frame, hmax, vmax)
 
 
-def _alloc_coefs(frame) -> list[np.ndarray]:
-    """One (nblocks, 64) int32 zigzag-order coefficient store per frame
-    component, sized to the interleaved MCU grid (the superset of every
-    scan's geometry)."""
+def _mcu_grid(frame) -> tuple[int, int, int, int]:
+    """(hmax, vmax, mcux, mcuy) for the frame's interleaved MCU grid —
+    the ONE place the ceil-divide geometry lives (coefficient-store
+    shape, scan traversal and reconstruction must agree exactly)."""
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """One (nblocks, 64) int32 zigzag-order coefficient store per frame
+    component, sized to the interleaved MCU grid (the superset of every
+    scan's geometry)."""
+    comps = frame["comps"]
+    _hmax, _vmax, mcux, mcuy = _mcu_grid(frame)
     return [
         np.zeros((mcux * c["h"] * mcuy * c["v"], 64), np.int32) for c in comps
     ]
@@ -348,10 +354,7 @@ def _alloc_coefs(frame) -> list[np.ndarray]:
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     h, w = frame["h"], frame["w"]
     comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mcux, mcuy = _mcu_grid(frame)
 
     nc = len(scan)
     dc_luts, ac_luts, qs, geo = [], [], [], []
@@ -594,10 +597,7 @@ def _decode_scan_generic(
     prog = frame["prog"]
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mcux, mcuy = _mcu_grid(frame)
 
     if prog:
         if ss == 0 and se != 0:

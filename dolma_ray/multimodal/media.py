@@ -310,7 +310,14 @@ class VideoMetadataStage:
         if (payload or b"")[:3] == b"GIF":  # animated GIF as a container
             from .gif import _parse_gif
 
-            w, h, frames = _parse_gif(payload)
+            try:
+                # header-only walk: keyframe detection needs descriptor
+                # geometry + GCE transparency, never pixels
+                w, h, frames = _parse_gif(payload, decode_pixels=False)
+            except UnsupportedMediaError:
+                if self.strict:
+                    raise NotImplementedError("corrupt GIF payload")
+                return {"container": None}
             # a GIF frame is a keyframe when it repaints the full screen
             # with no transparency (later frames depend on earlier ones)
             keys = [

@@ -2122,7 +2122,7 @@ ORACLES["sample_split"] = SQL_SAMPLE_SPLIT
 # ngram mode, src/deduper.rs:39-49 / bloom_filter config semantics)
 
 
-def q_bloom_decontam(sf_dir: str, n: int = 8, contam_source: str = "src0"):
+def q_bloom_decontam(sf_dir: str):
     """Read-only Bloom decontamination over word ``n``-grams.
 
     Build pass: every word 8-gram of the contaminant split (documents
@@ -2138,6 +2138,11 @@ def q_bloom_decontam(sf_dir: str, n: int = 8, contam_source: str = "src0"):
     test scale, making the SQL oracle (a distinct-gram semi-join) an
     exact replay; at real scale the filter stays O(eval corpus), not
     O(100 TB), which is why this broadcast never becomes a shuffle."""
+    # gram size / contaminant split are fixed: the paired SQL oracle
+    # hardcodes 8-grams and source 'src0', so exposing them as
+    # parameters would silently diverge from the oracle
+    n = 8
+    contam_source = "src0"
     import ray
 
     from .dedup.bloom import build_bloom_filter

@@ -151,7 +151,7 @@ def _write_quant_matrix(f, mat, dsub, qnorm):
 
 
 def save_model(path, entries, input_mat, output_mat, version=12,
-               pruneidx=(), quant=False, qout=False, qnorm=False,
+               pruneidx=None, quant=False, qout=False, qnorm=False,
                quant_dsub=2, ntokens=12345, **args):
     """entries: list of (word, count, type) in dictionary order."""
     a = {**_DEFAULT_ARGS, **args}
@@ -168,12 +168,14 @@ def save_model(path, entries, input_mat, output_mat, version=12,
         nwords = sum(1 for _, _, t in entries if t == 0)
         nlabels = sum(1 for _, _, t in entries if t == 1)
         f.write(struct.pack("<iii", len(entries), nwords, nlabels))
-        f.write(struct.pack("<qq", ntokens, len(pruneidx) if pruneidx else -1))
+        # fastText: -1 = never pruned; 0 = pruned, zero buckets kept
+        f.write(struct.pack("<qq", ntokens,
+                            -1 if pruneidx is None else len(pruneidx)))
         for word, count, etype in entries:
             f.write(word.encode("utf-8") + b"\x00")
             f.write(struct.pack("<q", count))
             f.write(struct.pack("<b", etype))
-        for first, second in pruneidx:
+        for first, second in (pruneidx or ()):
             f.write(struct.pack("<ii", first, second))
         # input matrix behind quant_ flag (bool, 1 byte)
         f.write(struct.pack("<?", quant))
@@ -400,3 +402,24 @@ def test_lid176_shaped_model(tmp_path):
     all_labels, all_probs = m.predict("le la", k=-1)
     assert len(all_labels) == 176
     assert abs(sum(all_probs) - 1.0) < 1e-5
+
+
+def test_pruneidx_zero_drops_all_buckets(tmp_path):
+    """pruneidx_size_ == 0 means "pruned, zero buckets survived"
+    (Dictionary::pushHash returns immediately) — NOT "unpruned".  The
+    input matrix then has only nwords rows; treating 0 as unpruned
+    indexes bucket features past the matrix."""
+    rng = np.random.default_rng(3)
+    words = ["cat", "dog"]
+    entries = _make_entries(words, ["__label__x", "__label__y"])
+    dim = 4
+    inp = rng.normal(size=(len(words), dim)).astype("f4")  # word rows only
+    outm = rng.normal(size=(2, dim)).astype("f4")
+    p = tmp_path / "prunedall.bin"
+    save_model(str(p), entries, inp, outm, dim=dim, bucket=1000,
+               minn=2, maxn=3, pruneidx=[])
+    m = FastTextModel(str(p))
+    assert m.pruned
+    probs = m.predict_batch(["cat dog zebra"])  # must not IndexError
+    assert probs.shape == (1, 2)
+    assert np.isfinite(probs).all()

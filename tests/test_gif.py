@@ -120,3 +120,47 @@ def test_video_metadata_stage_gif(ray_session):
     assert out["width"].to_pylist() == [7, 7]
     assert out["height"].to_pylist() == [6, 6]
     assert out["keyframe_indices"].to_pylist() == [[], [0, 1]]
+
+
+def test_corrupt_gif_payload_yields_nulls_not_crash():
+    """strict=False must absorb a corrupt GIF (truncated, no image) as a
+    null-metadata row instead of raising out of the map_batches task;
+    strict=True raises the documented NotImplementedError."""
+    import pyarrow as pa
+    import pytest
+
+    from dolma_ray.multimodal.media import VideoMetadataStage
+
+    bad = b"GIF89a" + b"\x00" * 4  # truncated logical screen descriptor
+    batch = pa.table({"payload": pa.array([bad], pa.binary())})
+    out = VideoMetadataStage(strict=False)(batch)
+    assert out["container"].to_pylist() == [None]
+    with pytest.raises(NotImplementedError):
+        VideoMetadataStage(strict=True)(batch)
+
+
+def test_metadata_walk_skips_pixel_decode():
+    """The metadata stage must not run LZW: a GIF whose image data is
+    garbage (undecodable codes) still yields correct geometry metadata."""
+    import struct
+
+    import pyarrow as pa
+
+    from dolma_ray.multimodal.media import VideoMetadataStage
+
+    # hand-built 4x2 GIF with a syntactically intact but nonsense LZW
+    # sub-block chain (would raise inside _lzw_decode if decoded)
+    data = (
+        b"GIF89a" + struct.pack("<HHBBB", 4, 2, 0x80, 0, 0)
+        + bytes(6)  # 2-entry global color table
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 2, 0)
+        + b"\x02"            # LZW min code size
+        + b"\x03\xff\xff\xff"  # 3-byte garbage sub-block
+        + b"\x00"            # terminator
+        + b"\x3b"
+    )
+    batch = pa.table({"payload": pa.array([data], pa.binary())})
+    out = VideoMetadataStage(strict=True)(batch)
+    assert out["container"].to_pylist() == ["gif"]
+    assert out["width"].to_pylist() == [4]
+    assert out["n_slices"].to_pylist() == [1]

@@ -334,3 +334,40 @@ class TestRangeLimitStreams:
             run("[range(1;5;0)]", None)  # zero step: jq hangs, we refuse
         with pytest.raises(JqError):
             run('[range("x")]', None)
+
+
+class TestStreamContainment:
+    """A _JqStream must never escape as a value: every single-value
+    context raises JqError (catchable) instead of embedding the raw
+    stream object or raising TypeError from json.dumps."""
+
+    @pytest.mark.parametrize(
+        "prog",
+        [
+            "{a: range(3)}",             # object literal value
+            '"x\\(range(2))y"',          # string interpolation
+            "range(2) as $x | $x",       # as-binding source
+            "if range(2) then 1 else 2 end",  # if condition
+            "range(2) + 1",              # arithmetic operand
+            "range(2) == 1",             # comparison operand
+            "range(2) and true",         # boolean operand
+            ".a | join(range(2))",       # single-value builtin argument
+            "reduce range(2) as $i (range(2); . + $i)",  # reduce init
+        ],
+    )
+    def test_stream_escape_raises_jq_error(self, prog):
+        with pytest.raises(JqError):
+            run(prog, {"a": ["x", "y"]})
+
+    def test_escape_is_catchable_by_try(self):
+        assert run("try ({a: range(3)}) catch \"caught\"", {}) == "caught"
+
+    def test_map_splices_streams(self):
+        # jq: [1,2] | map(range(2)) -> [0,1,0,1] (per-element splice)
+        assert run(".a | map(range(2))", {"a": [1, 2]}) == [0, 1, 0, 1]
+        assert run(".a | map(range(.))", {"a": [2, 3]}) == [0, 1, 0, 1, 2]
+
+    def test_supported_stream_contexts_still_work(self):
+        assert run("[range(3)]", {}) == [0, 1, 2]
+        assert run("reduce range(4) as $i (0; . + $i)", {}) == 6
+        assert run("[limit(2; range(10))]", {}) == [0, 1]

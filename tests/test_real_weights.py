@@ -34,7 +34,9 @@ def write_tiny_bin(
     out += struct.pack("<d", 0.0001)  # t
     size = len(words) + len(labels)
     out += struct.pack("<3i", size, len(words), len(labels))
-    out += struct.pack("<2q", 1000, 0)  # ntokens, pruneidx_size
+    # ntokens, pruneidx_size (-1 = unpruned; 0 would mean "pruned, zero
+    # buckets kept", which drops every subword feature)
+    out += struct.pack("<2q", 1000, -1)
     for w in words:
         out += w.encode() + b"\x00" + struct.pack("<qb", 10, 0)
     for lb in labels:
