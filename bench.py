@@ -42,7 +42,7 @@ _DEFAULT_QUERIES = (
     "events_sliding,orders_by_segment,exact_dedup,paragraph_dedup,"
     "user_sessions,purchase_attribution,event_pairs_60s,nation_revenue,"
     "minhash_near_dup,ngram_jaccard_dedup,analyzer,url_block,ann_topk,"
-    "flagship_keep"
+    "bloom_decontam,flagship_keep"
 )
 BENCH_QUERIES = [
     q for q in os.environ.get("GRAFT_BENCH_QUERIES", _DEFAULT_QUERIES).split(",") if q
