@@ -114,6 +114,29 @@ def spans_array(per_row_spans: list[list[tuple[int, int, float]]]) -> pa.Array:
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
 
 
+def spans_array_flat(offsets, starts, ends, scores) -> pa.Array:
+    """``list<struct<start,end,score>>`` from PRE-FLATTENED numpy
+    buffers (per-row offsets + flat span fields) — the zero-tuple fast
+    path for taggers that emit millions of spans per batch; applies the
+    same 5-digit rounding contract as :func:`spans_array`."""
+    import numpy as np
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(np.asarray(starts, np.int64), pa.int64()),
+            pa.array(np.asarray(ends, np.int64), pa.int64()),
+            pa.array(
+                np.round(np.asarray(scores, np.float64), TAGGER_SCORE_PRECISION),
+                pa.float64(),
+            ),
+        ],
+        names=["start", "end", "score"],
+    )
+    return pa.ListArray.from_arrays(
+        pa.array(np.asarray(offsets, np.int32), pa.int32()), struct
+    )
+
+
 def whole_doc_spans(dup, lens) -> pa.Array:
     """``list<struct<start,end,score>>`` column for the whole-document
     span shape: ``[(0, len, 1.0)]`` where ``dup`` is true, ``[]``

@@ -102,7 +102,11 @@ class TagStage:
             for type_, values in result.items():
                 col = attr_name(tagger.name, type_, self.experiment)
                 kind = kinds[type_]
-                if kind == DOC:
+                if isinstance(values, pa.Array):
+                    # vectorized taggers may emit a prebuilt column
+                    # (e.g. spans_array_flat) — zero per-span python
+                    arr = values
+                elif kind == DOC:
                     arr = doc_score_array(values)
                 elif kind == STR:
                     arr = pa.array([v if v is not None else "" for v in values], type=pa.string())

@@ -26,7 +26,7 @@ Semantics pinned to the reference
 from __future__ import annotations
 
 import re
-from typing import Any, Iterable, Mapping, NamedTuple
+from typing import Any, Iterable, Mapping, NamedTuple, Sequence
 
 import numpy as np
 
@@ -192,6 +192,83 @@ class TokenizerRepetitionsTagger(BaseTagger):
             out.update(_doc_stats(spans, len(text)))
         return out
 
+    def tag_batch(
+        self, texts: Sequence[str], extras: Mapping[str, Sequence[Any]]
+    ) -> Mapping[str, list[Any]]:
+        """Batched path, identical output to looping :meth:`predict`:
+        the regex pre-tokenization still runs per chunk (stdlib ``re``),
+        but token-id assignment and character lengths are computed ONCE
+        for the whole batch — ``pa.Array.dictionary_encode`` (hash-based,
+        no sort) replaces one ``np.unique`` per doc and
+        ``pc.utf8_length`` replaces per-token python ``len``; ids only
+        need equality consistency, which a batch-global dictionary
+        provides."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..models.tokenizer import _GPT2ISH
+
+        findall = _GPT2ISH.findall
+        chunks: list[tuple[int, int, str, list[str]]] = []  # doc, off, chunk, toks
+        all_toks: list[str] = []
+        for d, text in enumerate(texts):
+            text = text or ""
+            step = self.max_length or max(len(text), 1)
+            for i in range(0, len(text), step):
+                chunk = text[i : i + step]
+                toks = findall(chunk)
+                chunks.append((d, i, chunk, toks))
+                all_toks.extend(toks)
+
+        if all_toks:
+            flat = pa.array(all_toks, pa.string())
+            ids_all = (
+                flat.dictionary_encode()
+                .indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            lens_all = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        else:
+            ids_all = lens_all = np.empty(0, np.int64)
+
+        per_doc_spans: list[list[tuple[int, int, float]]] = [[] for _ in texts]
+        base = 0
+        for d, off, chunk, toks in chunks:
+            n = len(toks)
+            ids = ids_all[base : base + n]
+            lens = lens_all[base : base + n]
+            base += n
+            if n < 3:
+                continue
+            if int(lens.sum()) != len(chunk):  # non-contiguous match (rare)
+                spans = self._extract(chunk)
+            else:
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                spans = [
+                    (int(starts[q.start]), int(ends[q.end - 1]), float(q.times))
+                    for q in find_periodic_sequences(
+                        ids, max_period=self.MAX_PERIOD, min_period=self.MIN_PERIOD
+                    )
+                ]
+            if self.max_length is not None:
+                spans = self._dedup(spans)
+            per_doc_spans[d].extend((s + off, e + off, sc) for s, e, sc in spans)
+
+        kinds = self.output_types()
+        out: dict[str, list[Any]] = {t: [] for t in kinds}
+        for text, spans in zip(texts, per_doc_spans):
+            row: dict[str, Any] = {"repetition": spans}
+            if self.keep_stats_when_empty or spans:
+                row.update(_doc_stats(spans, len(text or "")))
+            for t, kind in kinds.items():
+                if t in row:
+                    out[t].append(row[t])
+                else:
+                    out[t].append(0.0 if kind == DOC else [])
+        return out
+
     @staticmethod
     def _dedup(spans: list[tuple[int, int, float]]) -> list[tuple[int, int, float]]:
         """Drop spans fully contained in the previously kept span
@@ -213,6 +290,10 @@ class ParagraphTokenizerRepetitionsTagger(TokenizerRepetitionsTagger):
     a leading space (so its first symbol doesn't merge into a different
     token) and span offsets are shifted back by ``offset - 1``; cheaper
     than the doc-level tagger but misses cross-paragraph repetitions."""
+
+    # the parent's batched tokenization assumes chunk-of-doc semantics;
+    # this tagger re-tokenizes per paragraph, so it keeps the per-doc loop
+    tag_batch = BaseTagger.tag_batch
 
     def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
         from ..text_units import split_paragraphs

@@ -89,33 +89,62 @@ class _JigsawSentence(_JigsawBase):
         # times), so deduplicating before the model cuts most of the
         # work.  Token-less sentences short-circuit to the exact value
         # the model would produce (zero scores -> softmax -> 0.5).
-        from ..models.fasttext_like import _TOKEN_RE
+        # Spans are accumulated as FLAT buffers and returned as prebuilt
+        # Arrow columns (spans_array_flat) — at ~160 sentences/doc the
+        # per-span python tuples were most of this tagger's wall.
+        import numpy as np
 
-        per_doc = []
-        score_map: dict[str, float] = {}
-        for t in texts:
+        from ..models.fasttext_like import _TOKEN_RE
+        from ..schema import spans_array_flat
+
+        n = len(texts)
+        sent_index: dict[str, int] = {}
+        uniq_sents: list[str] = []
+        starts: list[int] = []
+        ends: list[int] = []
+        occ_idx: list[int] = []
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        for d, t in enumerate(texts):
             trips = sentence_trips(t)
-            per_doc.append(trips)
-            for _, _, st in trips:
-                score_map.setdefault(st, 0.5)
-        to_score = [t for t in score_map if _TOKEN_RE.search(t)]
-        if to_score:
-            for t, p in zip(to_score, self._scores(to_score)):
-                score_map[t] = float(p)
-        pos_out, neg_out = [], []
-        for trips in per_doc:
-            pos, neg = [], []
+            offsets[d + 1] = offsets[d] + len(trips)
             for start, end, st in trips:
-                p = score_map[st]
-                pos.append((start, end, p))
-                neg.append((start, end, 1.0 - p))
-            pos_out.append(pos)
-            neg_out.append(neg)
-        return {self._pos_type: pos_out, self._neg_type: neg_out}
+                i = sent_index.get(st)
+                if i is None:
+                    i = len(uniq_sents)
+                    sent_index[st] = i
+                    uniq_sents.append(st)
+                starts.append(start)
+                ends.append(end)
+                occ_idx.append(i)
+
+        score_vec = np.full(len(uniq_sents), 0.5)
+        to_score = [
+            (i, s) for i, s in enumerate(uniq_sents) if _TOKEN_RE.search(s)
+        ]
+        if to_score:
+            probs = self._scores([s for _, s in to_score])
+            score_vec[[i for i, _ in to_score]] = np.asarray(probs, np.float64)
+
+        starts_a = np.asarray(starts, np.int64)
+        ends_a = np.asarray(ends, np.int64)
+        pos = score_vec[np.asarray(occ_idx, np.int64)] if occ_idx else np.empty(0)
+        return {
+            self._pos_type: spans_array_flat(offsets, starts_a, ends_a, pos),
+            self._neg_type: spans_array_flat(offsets, starts_a, ends_a, 1.0 - pos),
+        }
 
     def predict(self, text: str, row: Mapping[str, Any]) -> Mapping[str, Any]:
         out = self.tag_batch([text], {})
-        return {self._pos_type: out[self._pos_type][0], self._neg_type: out[self._neg_type][0]}
+
+        def tolist(arr) -> list[tuple[int, int, float]]:
+            return [
+                (s["start"], s["end"], s["score"]) for s in arr.to_pylist()[0]
+            ]
+
+        return {
+            self._pos_type: tolist(out[self._pos_type]),
+            self._neg_type: tolist(out[self._neg_type]),
+        }
 
 
 @TaggerRegistry.add("jigsaw_hatespeech_document_v2")

@@ -86,3 +86,30 @@ def test_v2r2_omits_stats_when_empty():
     out = TokenizerRepetitionsSkipEmptyTagger().predict("completely unique words", {})
     assert out["repetition"] == []
     assert "doc_max_score_repetition" not in out
+
+
+def test_tokenizer_tag_batch_matches_predict_loop():
+    """The batched dictionary-encode path must emit exactly what the
+    per-doc predict loop emits (spans, stats, empty handling, chunk
+    dedup), for both v1 (no chunking) and v2r2 (chunked, skip-empty)."""
+    from dolma_ray.registry import TaggerRegistry
+    from dolma_ray.taggers.base import BaseTagger
+
+    texts = [
+        "",
+        "no repeats here at all",
+        "spam spam spam spam spam",
+        "a b a b a b a b a b",
+        "x" * 50,
+        "one two three " * 10 + "tail",
+        "ab! ab! ab! ab! " * 3 + "\n\nnext para go go go go go",
+        "word " * 4000,  # crosses the v2r2 100k chunk? no, but long
+        "éé café café café café end",  # non-ascii offsets
+    ]
+    for name in ("tokenizer_repetitions_v1", "tokenizer_repetitions_v2r2"):
+        tagger = TaggerRegistry.get(name)()
+        if name == "tokenizer_repetitions_v2r2":
+            tagger.max_length = 37  # force multi-chunk on short texts
+        got = tagger.tag_batch(texts, {})
+        want = BaseTagger.tag_batch(tagger, texts, {})
+        assert got == want, name
