@@ -1372,16 +1372,22 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
     if name == "from_entries":
         return _from_entries(cur)
     if name == "map_values":
-        # jq: .[] |= f — empties delete the entry/element
+        # jq: .[] |= f — update-assign takes FIRST(f); empties (and
+        # empty streams) delete the entry/element
+        def _first(v):
+            if isinstance(v, _JqStream):
+                return v.items[0] if v.items else _EMPTY
+            return v
+
         if isinstance(cur, dict):
             out = {}
             for k, v in cur.items():
-                r = ev(arg_asts[0], v)
+                r = _first(ev(arg_asts[0], v))
                 if r is not _EMPTY:
                     out[k] = r
             return out
         if isinstance(cur, list):
-            vals = [ev(arg_asts[0], v) for v in cur]
+            vals = [_first(ev(arg_asts[0], v)) for v in cur]
             return [v for v in vals if v is not _EMPTY]
         raise JqError(f"map_values requires an array or object")
     if name == "with_entries":
@@ -1427,11 +1433,21 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             return _EMPTY  # jq: no match -> empty stream
         return dict(m.groupdict())
     if name in ("any", "all"):
-        # 1-arg form: any(f) / all(f) over the array elements
+        # 1-arg form: any(f) / all(f) folds over EVERY output of the
+        # generator — a stream contributes each item, empty contributes
+        # nothing (jq: any(range(0)) over a list is false)
         if not isinstance(cur, list):
             raise JqError(f"{name} requires an array")
+
+        def _outputs(v):
+            if isinstance(v, _JqStream):
+                return v.items
+            return [] if v is _EMPTY else [v]
+
         agg = any if name == "any" else all
-        return agg(_truthy(ev(arg_asts[0], v)) for v in cur)
+        return agg(
+            _truthy(o) for v in cur for o in _outputs(ev(arg_asts[0], v))
+        )
     if name == "explode":
         if not isinstance(cur, str):
             raise JqError("explode requires a string")

@@ -103,15 +103,7 @@ def spans_array(per_row_spans: list[list[tuple[int, int, float]]]) -> pa.Array:
             ends[j] = e
             scores[j] = sc
             j += 1
-    struct = pa.StructArray.from_arrays(
-        [
-            pa.array(starts, pa.int64()),
-            pa.array(ends, pa.int64()),
-            pa.array(np.round(scores, TAGGER_SCORE_PRECISION), pa.float64()),
-        ],
-        names=["start", "end", "score"],
-    )
-    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
+    return spans_array_flat(offsets, starts, ends, scores)
 
 
 def spans_array_flat(offsets, starts, ends, scores) -> pa.Array:

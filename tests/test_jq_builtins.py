@@ -371,3 +371,17 @@ class TestStreamContainment:
         assert run("[range(3)]", {}) == [0, 1, 2]
         assert run("reduce range(4) as $i (0; . + $i)", {}) == 6
         assert run("[limit(2; range(10))]", {}) == [0, 1]
+
+    def test_map_values_takes_first_of_stream(self):
+        # jq: map_values is .[] |= f, which takes first(f); an empty
+        # stream deletes the entry/element
+        assert run(".a | map_values(range(2))", {"a": [5, 6]}) == [0, 0]
+        assert run(".o | map_values(range(0))", {"o": {"x": 1}}) == {}
+        assert run(".o | map_values(range(2))", {"o": {"x": 9}}) == {"x": 0}
+
+    def test_any_all_fold_stream_outputs(self):
+        # any/all fold over EVERY generator output; empty contributes none
+        assert run(".a | any(range(0))", {"a": [1, 2]}) is False
+        assert run(".a | all(range(0))", {"a": [1, 2]}) is True
+        assert run(".a | any(range(.))", {"a": [0, 1]}) is False  # outputs all 0
+        assert run(".a | any(range(2))", {"a": [1]}) is True      # 0 then 1
