@@ -54,14 +54,28 @@ class StupidBackoffLM:
         return _BACKOFF * _BACKOFF * _BACKOFF / self.total
 
     def log10_perplexity(self, text: str) -> float:
-        """Per-word log10 perplexity; 0.0 for empty text."""
+        """Per-word log10 perplexity; 0.0 for empty text.
+
+        Per-trigram ``log10(score)`` values are memoized across calls —
+        web text repeats trigrams heavily, and the cached value is the
+        identical float the uncached path computes, so results are
+        bit-equal.  The cache is bounded per worker process."""
         toks = _tokens(text)
         if not toks:
             return 0.0
+        cache = self.__dict__.setdefault("_tri_log_cache", {})
+        score = self._score
+        log10 = math.log10
         seq = ["<s>", "<s>"] + toks
         logp = 0.0
         for i in range(2, len(seq)):
-            logp += math.log10(self._score(seq[i - 2], seq[i - 1], seq[i]))
+            key = (seq[i - 2], seq[i - 1], seq[i])
+            v = cache.get(key)
+            if v is None:
+                v = log10(score(*key))
+                if len(cache) < 2_000_000:  # bound worker memory
+                    cache[key] = v
+            logp += v
         return (-logp / len(toks)) + 0.0  # normalize -0.0
 
 
