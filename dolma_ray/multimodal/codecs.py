@@ -8,7 +8,9 @@ fully decodable with the stdlib + numpy from their public specs:
   types gray / gray+alpha / RGB / RGBA / palette; Adam7 interlace.
 * PPM / PGM (netpbm P5/P6 binary).
 * BMP (BITMAPINFOHEADER, uncompressed 24/32 bpp, bottom-up or top-down).
-* WAV via the stdlib ``wave`` module (PCM 8/16/32-bit, mono-mixed).
+* WAV: PCM 8/16/32-bit via the stdlib ``wave`` module, plus IEEE
+  float32 and G.711 µ-law/A-law (closed-form expansion, no lookup
+  tables) via a manual RIFF walk — all mono-mixed.
 * JPEG (ITU-T T.81, baseline + progressive) in ``jpeg.py`` — decoder +
   encoders.
 * GIF (87a/89a: LZW, interlace, transparency/disposal compositing) in
@@ -240,9 +242,63 @@ def decode_image(data: bytes) -> np.ndarray:
     )
 
 
+def mulaw_decode_bytes(b: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes -> int16 linear, by the closed-form expansion
+    (CCITT G.711 / the public-domain Sun ``g711.c`` ulaw2linear): no
+    lookup table to transcribe, so nothing to mistranscribe."""
+    b = (~b.astype(np.uint8)) & 0xFF
+    sign = (b & 0x80) != 0
+    exponent = (b >> 4) & 0x07
+    mantissa = (b & 0x0F).astype(np.int32)
+    magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -magnitude, magnitude).astype(np.int16)
+
+
+def alaw_decode_bytes(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes -> int16 linear (``g711.c`` alaw2linear's
+    arithmetic, scaled x8 to 16-bit as WAV decoders do)."""
+    b = b.astype(np.uint8) ^ 0x55
+    sign = (b & 0x80) == 0  # MSB 1 = positive in A-law
+    exponent = (b >> 4) & 0x07
+    mantissa = (b & 0x0F).astype(np.int32)
+    magnitude = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    return np.where(sign, -magnitude, magnitude).astype(np.int16)
+
+
+def _parse_riff_wave(data: bytes):
+    """Minimal RIFF/WAVE chunk walk -> (format_tag, channels, rate,
+    bits, data_bytes) for formats the stdlib ``wave`` module rejects."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE file")
+    off = 12
+    fmt = None
+    payload = None
+    while off + 8 <= len(data):
+        cid = data[off : off + 4]
+        (size,) = struct.unpack_from("<I", data, off + 4)
+        body = data[off + 8 : off + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            payload = body
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise UnsupportedMediaError("WAV missing fmt/data chunk")
+    tag, channels, rate, _bps, _align, bits = fmt
+    return tag, channels, rate, bits, payload
+
+
 @_to_unsupported
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """WAV PCM -> (mono float32 samples in [-1, 1], sample_rate)."""
+    """WAV -> (mono float32 samples in [-1, 1], sample_rate).
+
+    PCM 8/16/32 via the stdlib ``wave`` module; IEEE float32 (format 3)
+    and G.711 µ-law / A-law (formats 7 / 6) via a manual RIFF walk plus
+    the closed-form G.711 expansions."""
     import wave
 
     try:
@@ -253,7 +309,23 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             rate = f.getframerate()
             frames = f.readframes(n)
     except (wave.Error, EOFError) as e:
-        raise UnsupportedMediaError(f"not a PCM WAV: {e}") from e
+        # stdlib wave only accepts PCM; handle float/G.711 ourselves
+        tag, channels, rate, bits, payload = _parse_riff_wave(data)
+        if tag == 3 and bits == 32:  # IEEE float
+            x = np.frombuffer(payload, dtype="<f4").astype(np.float32)
+        elif tag == 7 and bits == 8:  # µ-law
+            b = np.frombuffer(payload, dtype=np.uint8)
+            x = mulaw_decode_bytes(b).astype(np.float32) / 32768.0
+        elif tag == 6 and bits == 8:  # A-law
+            b = np.frombuffer(payload, dtype=np.uint8)
+            x = alaw_decode_bytes(b).astype(np.float32) / 32768.0
+        else:
+            raise UnsupportedMediaError(
+                f"unsupported WAV format tag {tag} / {bits} bits: {e}"
+            ) from e
+        if channels > 1:
+            x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+        return x, rate
     if width == 1:  # unsigned 8-bit
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     elif width == 2:
@@ -265,6 +337,52 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if channels > 1:
         x = x.reshape(-1, channels).mean(axis=1)
     return x, rate
+
+
+def _g711_encode(x: np.ndarray, decode_fn) -> np.ndarray:
+    """Encode int16 -> G.711 bytes as the exact inverse of the given
+    closed-form decoder: nearest representable magnitude wins.  Used for
+    fixtures/round-trips; decoding real-world files only needs the
+    decode direction."""
+    all_bytes = np.arange(256, dtype=np.uint8)
+    decoded = decode_fn(all_bytes).astype(np.int32)
+    pos = decoded >= 0
+    pos_bytes, pos_vals = all_bytes[pos], decoded[pos]
+    order = np.argsort(pos_vals, kind="stable")
+    pos_bytes, pos_vals = pos_bytes[order], pos_vals[order]
+    mids = (pos_vals[:-1] + pos_vals[1:]) / 2.0
+    x = x.astype(np.int32)
+    idx = np.searchsorted(mids, np.abs(x))
+    out = pos_bytes[idx]
+    neg = x < 0
+    if neg.any():
+        # include the zero byte so tiny negatives can quantize to 0
+        nmask = decoded <= 0
+        neg_bytes, neg_vals = all_bytes[nmask], -decoded[nmask]
+        order = np.argsort(neg_vals, kind="stable")
+        neg_bytes, neg_vals = neg_bytes[order], neg_vals[order]
+        nmids = (neg_vals[:-1] + neg_vals[1:]) / 2.0
+        out = np.where(neg, neg_bytes[np.searchsorted(nmids, np.abs(x))], out)
+    return out.astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "mulaw") -> bytes:
+    """Mono float32 [-1,1] -> µ-law/A-law WAV bytes (format tag 7/6)."""
+    x16 = np.clip(np.round(samples * 32767.0), -32768, 32767).astype(np.int16)
+    if law == "mulaw":
+        tag, payload = 7, _g711_encode(x16, mulaw_decode_bytes)
+    elif law == "alaw":
+        tag, payload = 6, _g711_encode(x16, alaw_decode_bytes)
+    else:
+        raise ValueError(f"unknown law {law!r}")
+    body = payload.tobytes()
+    fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def wav_energy_features(samples: np.ndarray, n_features: int) -> np.ndarray:

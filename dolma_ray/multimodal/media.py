@@ -132,7 +132,8 @@ class ImageResizeStage:
 
 
 class AudioFeatureStage:
-    """payload -> fixed-size windowed-RMS feature vector (real for PCM WAV; stubbed for compressed audio)."""
+    """payload -> fixed-size windowed-RMS feature vector (real for
+    PCM / float / G.711 WAV; stubbed for MP3-compressed audio)."""
 
     def __init__(self, n_features: int = 64, strict: bool = False) -> None:
         self.n_features = n_features

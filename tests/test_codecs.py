@@ -792,3 +792,90 @@ def test_png_adam7_interlace():
                + chunk(b"IEND", b""))
         out = decode_png(png)
         np.testing.assert_array_equal(out, px.astype(np.float32) / 255.0)
+
+
+class TestG711Wav:
+    """G.711 µ-law / A-law WAV decode (closed-form expansion) + the
+    table-inverse fixture encoder."""
+
+    def _sine(self, n=8000, rate=8000):
+        import numpy as np
+
+        t = np.arange(n) / rate
+        return (0.6 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32), rate
+
+    def test_mulaw_known_points(self):
+        import numpy as np
+
+        from dolma_ray.multimodal.codecs import mulaw_decode_bytes
+
+        d = mulaw_decode_bytes(np.arange(256, dtype=np.uint8))
+        # canonical anchors of the G.711 µ-law expansion (Sun g711.c
+        # ulaw2linear): 0xFF -> +0, 0x7F -> -0, 0x00 -> -32124 (byte
+        # complements to 0xFF: sign set), 0x80 -> +32124
+        assert d[0xFF] == 0
+        assert d[0x7F] == 0
+        assert d[0x00] == -32124
+        assert d[0x80] == 32124
+        assert d.max() == 32124 and d.min() == -32124
+
+    def test_mulaw_roundtrip_snr(self):
+        import numpy as np
+
+        from dolma_ray.multimodal.codecs import decode_wav, encode_wav_g711
+
+        x, rate = self._sine()
+        wav = encode_wav_g711(x, rate, "mulaw")
+        y, r = decode_wav(wav)
+        assert r == rate and len(y) == len(x)
+        snr = 10 * np.log10(np.sum(x**2) / np.sum((x - y) ** 2))
+        assert snr > 30, snr  # µ-law on a sine ~ 35-40 dB
+
+    def test_alaw_roundtrip_snr(self):
+        import numpy as np
+
+        from dolma_ray.multimodal.codecs import decode_wav, encode_wav_g711
+
+        x, rate = self._sine()
+        wav = encode_wav_g711(x, rate, "alaw")
+        y, r = decode_wav(wav)
+        snr = 10 * np.log10(np.sum(x**2) / np.sum((x - y) ** 2))
+        assert snr > 30, snr
+
+    def test_encode_is_nearest_inverse(self):
+        import numpy as np
+
+        from dolma_ray.multimodal.codecs import (
+            _g711_encode,
+            mulaw_decode_bytes,
+        )
+
+        rng = np.random.default_rng(0)
+        x = rng.integers(-32768, 32768, 4000).astype(np.int16)
+        b = _g711_encode(x, mulaw_decode_bytes)
+        y = mulaw_decode_bytes(b).astype(np.int64)
+        # every representable magnitude at distance >= |err| from x
+        vals = mulaw_decode_bytes(np.arange(256, dtype=np.uint8)).astype(np.int64)
+        err = np.abs(y - x)
+        best = np.min(np.abs(vals[None, :] - x[:, None].astype(np.int64)), axis=1)
+        assert (err == best).all()
+
+    def test_float32_wav(self):
+        import io
+        import struct
+
+        import numpy as np
+
+        from dolma_ray.multimodal.codecs import decode_wav
+
+        x = np.linspace(-1, 1, 100, dtype=np.float32)
+        body = x.tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+        wav = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        y, rate = decode_wav(wav)
+        assert rate == 16000
+        np.testing.assert_allclose(y, x)
