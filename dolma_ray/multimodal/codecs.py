@@ -17,8 +17,10 @@ fully decodable with the stdlib + numpy from their public specs:
   ``gif.py`` — decoder + encoder.
 
 Baseline JPEG is decoded (and encoded) by the pure-spec codec in
-``jpeg.py``; MP3 / video containers genuinely need codec libraries and
-stay behind the deterministic-fake/strict hooks in ``media.py``.
+``jpeg.py``; FLAC (lossless) by ``flac.py``.  MP3 sample decode / video
+pixel reconstruction genuinely need codec libraries (their entropy
+tables can't be re-derived, only copied) and stay behind the
+deterministic-fake/strict hooks in ``media.py``.
 
 All image decoders return ``(h, w, c) float32`` in [0, 1].
 """

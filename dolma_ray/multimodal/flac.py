@@ -1,0 +1,475 @@
+"""Pure-python FLAC codec (decoder + fixture encoder).
+
+Everything here is derivable from the public FLAC format spec (now RFC
+9639) with NO lookup tables to transcribe — Rice/unary entropy codes,
+binomial fixed predictors, in-stream LPC coefficients, CRC-8 poly 0x07
+and CRC-16 poly 0x8005, and the libFLAC mid/side reconstruction — so a
+decode bug cannot hide behind a mistranscribed constant (the reason MP3
+Layer III sample decode stays a labeled stub: its 30+ Huffman tables
+can't be re-derived, only copied).
+
+* **Decoder** (:func:`decode_flac`): STREAMINFO + frame walk; subframe
+  types CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32); partitioned Rice
+  residuals (4- and 5-bit parameters, escape-to-raw); wasted bits;
+  channel assignments independent / left-side / right-side / mid-side;
+  CRC-8 header and CRC-16 frame verification.
+* **Encoder** (:func:`encode_flac`): fixture writer — fixed predictors
+  (best of order 0-2 by residual magnitude), one Rice partition,
+  independent channels, exact STREAMINFO + CRCs.  Lossless: round-trip
+  equality is asserted bit-exactly in tests.
+
+Scale note: Rice decode is one python loop iteration per SAMPLE — the
+moderate-scale path, same framing as the JPEG entropy decoder.  The
+stage seam (``media.py``) is codec-agnostic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import UnsupportedMediaError, _to_unsupported
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader over a bytes object."""
+
+    __slots__ = ("bits", "pos", "ones")
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+        # positions of set bits, for O(log) unary scans (Rice quotients)
+        self.ones = np.flatnonzero(self.bits)
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        sl = self.bits[self.pos : self.pos + n]
+        if len(sl) < n:
+            raise UnsupportedMediaError("FLAC bitstream truncated")
+        self.pos += n
+        out = 0
+        for b in sl.tolist():
+            out = (out << 1) | b
+        return out
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def unary(self) -> int:
+        """Count 0-bits up to the next 1-bit (consuming it)."""
+        i = np.searchsorted(self.ones, self.pos)
+        if i >= len(self.ones):
+            raise UnsupportedMediaError("FLAC bitstream truncated (unary)")
+        p = int(self.ones[i])
+        q = p - self.pos
+        self.pos = p + 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+def _read_utf8_number(br: _Bits) -> int:
+    """FLAC's UTF-8-style extended coded number (frame/sample index)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x80
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 2 or n > 7:
+        raise UnsupportedMediaError("bad FLAC utf8-coded number")
+    val = b0 & (0xFF >> (n + 1))
+    for _ in range(n - 1):
+        c = br.read(8)
+        if (c & 0xC0) != 0x80:
+            raise UnsupportedMediaError("bad FLAC utf8 continuation")
+        val = (val << 6) | (c & 0x3F)
+    return val
+
+
+_FIXED_COEFS = {  # binomial fixed predictors, orders 0-4
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _decode_residual(br: _Bits, block_size: int, pred_order: int) -> np.ndarray:
+    method = br.read(2)
+    if method not in (0, 1):
+        raise UnsupportedMediaError(f"reserved FLAC residual method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    part_order = br.read(4)
+    n_parts = 1 << part_order
+    if block_size % n_parts:
+        raise UnsupportedMediaError("FLAC partition size mismatch")
+    out = np.empty(block_size - pred_order, dtype=np.int64)
+    w = 0
+    for p in range(n_parts):
+        count = (block_size >> part_order) - (pred_order if p == 0 else 0)
+        if count < 0:
+            raise UnsupportedMediaError("FLAC partition smaller than order")
+        k = br.read(plen)
+        if k == escape:
+            nbits = br.read(5)
+            for _ in range(count):
+                out[w] = br.read_signed(nbits) if nbits else 0
+                w += 1
+        else:
+            for _ in range(count):
+                q = br.unary()
+                v = (q << k) | br.read(k)
+                # zigzag: even -> v/2, odd -> -(v+1)/2
+                out[w] = (v >> 1) ^ -(v & 1)
+                w += 1
+    return out
+
+
+def _decode_subframe(br: _Bits, block_size: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise UnsupportedMediaError("FLAC subframe sync padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted-bits flag: unary count - 1
+        wasted = br.unary() + 1
+        bps -= wasted
+    if stype == 0:  # CONSTANT
+        v = br.read_signed(bps)
+        out = np.full(block_size, v, dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.fromiter(
+            (br.read_signed(bps) for _ in range(block_size)), np.int64, block_size
+        )
+    elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+        order = stype - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        resid = _decode_residual(br, block_size, order)
+        out = np.empty(block_size, dtype=np.int64)
+        out[:order] = warm
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, block_size):
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * out[i - 1 - j]
+            out[i] = resid[i - order] + pred
+    elif stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 0x1F) + 1
+        warm = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0xF:
+            raise UnsupportedMediaError("invalid FLAC LPC precision")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise UnsupportedMediaError("negative FLAC LPC shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        resid = _decode_residual(br, block_size, order)
+        out = np.empty(block_size, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, block_size):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * out[i - 1 - j]
+            out[i] = resid[i - order] + (acc >> shift)
+    else:
+        raise UnsupportedMediaError(f"reserved FLAC subframe type {stype}")
+    return out << wasted if wasted else out
+
+
+_BLOCKSIZE_BASE = {1: 192}
+_BLOCKSIZE_BASE.update({n: 576 << (n - 2) for n in range(2, 6)})  # 576..4608
+_BLOCKSIZE_BASE.update({n: 256 << (n - 8) for n in range(8, 16)})  # 256..32768
+
+
+@_to_unsupported
+def parse_flac_streaminfo(data: bytes) -> dict:
+    """STREAMINFO metadata only (header-level walk, no sample decode)."""
+    if data[:4] != b"fLaC":
+        raise UnsupportedMediaError("not a FLAC stream")
+    off = 4
+    info = None
+    while off + 4 <= len(data):
+        hdr = data[off]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        (size,) = struct.unpack(">I", b"\x00" + data[off + 1 : off + 4])
+        body = data[off + 4 : off + 4 + size]
+        if btype == 0:  # STREAMINFO
+            if len(body) < 34:
+                raise UnsupportedMediaError("truncated STREAMINFO")
+            bits = int.from_bytes(body[:18], "big")
+            # layout after min/max blocksize (16+16) + min/max framesize
+            # (24+24): rate 20, channels-1 3, bps-1 5, total samples 36
+            tail = bits & ((1 << 64) - 1)
+            info = {
+                "min_block": body[0] << 8 | body[1],
+                "max_block": body[2] << 8 | body[3],
+                "sample_rate": (tail >> 44) & 0xFFFFF,
+                "channels": ((tail >> 41) & 0x7) + 1,
+                "bits_per_sample": ((tail >> 36) & 0x1F) + 1,
+                "total_samples": tail & ((1 << 36) - 1),
+                "audio_offset": None,
+            }
+        off += 4 + size
+        if last:
+            info = info or None
+            if info is not None:
+                info["audio_offset"] = off
+            break
+    if info is None:
+        raise UnsupportedMediaError("FLAC missing STREAMINFO")
+    return info
+
+
+@_to_unsupported
+def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """FLAC -> (mono float32 samples in [-1, 1], sample_rate).
+
+    Multi-channel audio is mean-mixed to mono after exact integer
+    reconstruction (the same contract as :func:`codecs.decode_wav`)."""
+    info = parse_flac_streaminfo(data)
+    rate = info["sample_rate"]
+    bps_default = info["bits_per_sample"]
+    pos = info["audio_offset"]
+    channels_out: list[np.ndarray] = []
+    while pos < len(data) - 2:
+        frame_start = pos
+        if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+            raise UnsupportedMediaError("lost FLAC frame sync")
+        br = _Bits(data[pos:])
+        br.read(14)  # sync
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)  # reserved
+        _read_utf8_number(br)
+        if bs_code == 0:
+            raise UnsupportedMediaError("reserved FLAC block size code")
+        block_size = _BLOCKSIZE_BASE.get(bs_code)
+        if bs_code == 6:
+            block_size = br.read(8) + 1
+        elif bs_code == 7:
+            block_size = br.read(16) + 1
+        if sr_code == 0:
+            pass  # from STREAMINFO
+        elif sr_code == 12:
+            rate = br.read(8) * 1000
+        elif sr_code == 13:
+            rate = br.read(16)
+        elif sr_code == 14:
+            rate = br.read(16) * 10
+        elif sr_code == 15:
+            raise UnsupportedMediaError("invalid FLAC sample rate code")
+        # 1-11: fixed table rates — STREAMINFO already carries the rate,
+        # which every real encoder fills in; keep that value
+        bps = {0: bps_default, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
+        if bps is None:
+            raise UnsupportedMediaError(f"reserved FLAC sample size code {ss_code}")
+        # header CRC-8 covers sync..crc byte exclusive
+        hdr_len = br.byte_pos() if br.pos % 8 == 0 else br.byte_pos() + 1
+        br.align()
+        crc8_read = br.read(8)
+        if _crc8(data[frame_start : frame_start + hdr_len]) != crc8_read:
+            raise UnsupportedMediaError("FLAC frame header CRC mismatch")
+        if ch_code < 8:
+            n_ch = ch_code + 1
+            subs = [_decode_subframe(br, block_size, bps) for _ in range(n_ch)]
+        elif ch_code in (8, 9, 10):
+            # stereo decorrelation: the difference channel carries one
+            # extra bit of precision
+            if ch_code == 8:  # left/side
+                left = _decode_subframe(br, block_size, bps)
+                side = _decode_subframe(br, block_size, bps + 1)
+                subs = [left, left - side]
+            elif ch_code == 9:  # right/side
+                side = _decode_subframe(br, block_size, bps + 1)
+                right = _decode_subframe(br, block_size, bps)
+                subs = [right + side, right]
+            else:  # mid/side (libFLAC reconstruction)
+                mid = _decode_subframe(br, block_size, bps)
+                side = _decode_subframe(br, block_size, bps + 1)
+                m2 = (mid << 1) | (side & 1)
+                subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise UnsupportedMediaError(f"reserved FLAC channel code {ch_code}")
+        br.align()
+        frame_len = br.byte_pos()
+        crc16_read = br.read(16)
+        if _crc16(data[frame_start : frame_start + frame_len]) != crc16_read:
+            raise UnsupportedMediaError("FLAC frame CRC-16 mismatch")
+        pos = frame_start + frame_len + 2
+        channels_out.append(np.stack(subs))
+    if not channels_out:
+        raise UnsupportedMediaError("FLAC stream has no frames")
+    pcm = np.concatenate(channels_out, axis=1)  # (channels, total)
+    mono = pcm.mean(axis=0)
+    return (mono / float(1 << (bps_default - 1))).astype(np.float32), rate
+
+
+# ---- encoder (fixtures / round-trips) --------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+def _best_rice_k(resid: np.ndarray) -> int:
+    zz = (np.abs(resid) * 2).astype(np.int64)
+    best_k, best_cost = 0, None
+    for k in range(15):
+        cost = int(np.sum(zz >> k)) + (k + 1) * len(resid)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def _write_residual(bw: _BitWriter, resid: np.ndarray) -> None:
+    bw.write(0, 2)  # 4-bit Rice method
+    bw.write(0, 4)  # partition order 0
+    k = _best_rice_k(resid)
+    bw.write(k, 4)
+    for r in resid.tolist():
+        # zigzag: non-negative -> 2r, negative -> 2|r| - 1
+        v = (abs(r) << 1) - (1 if r < 0 else 0)
+        for _ in range(v >> k):
+            bw.write(0, 1)
+        bw.write(1, 1)
+        bw.write(v & ((1 << k) - 1), k)
+
+
+def encode_flac(
+    samples: np.ndarray, rate: int, bps: int = 16, block_size: int = 4096
+) -> bytes:
+    """Mono int PCM -> FLAC bytes (fixed predictors, independent
+    channel, Rice partition order 0).  Lossless by construction."""
+    x = np.asarray(samples, dtype=np.int64)
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if x.min() < lo or x.max() > hi:
+        raise ValueError(f"samples exceed {bps}-bit range")
+    total = len(x)
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    si.align()
+    si_bytes = si.bytes() + b"\x00" * 16  # md5 unset (all zero = unknown)
+    out += bytes([0x80]) + len(si_bytes).to_bytes(3, "big") + si_bytes
+
+    frame_no = 0
+    for start in range(0, total, block_size):
+        blk = x[start : start + block_size]
+        n = len(blk)
+        bw = _BitWriter()
+        bw.write(0x3FFE, 14)  # sync
+        bw.write(0, 1)
+        bw.write(0, 1)  # fixed block size strategy
+        bw.write(7, 4)  # block size: 16-bit at end of header
+        bw.write(0, 4)  # sample rate: from STREAMINFO
+        bw.write(0, 4)  # 1 channel
+        bw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+        bw.write(0, 1)
+        # utf8 frame number (fits 7 bits for fixtures up to 127 frames,
+        # else 2-byte form)
+        if frame_no < 0x80:
+            bw.write(frame_no, 8)
+        else:
+            bw.write(0xC0 | (frame_no >> 6), 8)
+            bw.write(0x80 | (frame_no & 0x3F), 8)
+        bw.write(n - 1, 16)
+        bw.align()
+        hdr = bw.bytes()
+        bw = _BitWriter()
+        crc8 = _crc8(hdr)
+
+        # choose the fixed order 0-2 with the smallest residual mass
+        cands = {}
+        for order, coefs in list(_FIXED_COEFS.items())[:3]:
+            if n <= order:
+                continue
+            resid = blk[order:].copy()
+            for j, c in enumerate(coefs):
+                resid = resid - c * blk[order - 1 - j : n - 1 - j]
+            cands[order] = resid
+        order = min(cands, key=lambda o: int(np.abs(cands[o]).sum()))
+        resid = cands[order]
+
+        sf = _BitWriter()
+        sf.write(0, 1)
+        sf.write(8 + order, 6)  # FIXED subframe
+        sf.write(0, 1)  # no wasted bits
+        for w in blk[:order].tolist():
+            sf.write(int(w), bps)
+        _write_residual(sf, resid)
+        sf.align()
+
+        frame = hdr + bytes([crc8]) + sf.bytes()
+        crc16 = _crc16(frame)
+        out += frame + crc16.to_bytes(2, "big")
+        frame_no += 1
+    return bytes(out)

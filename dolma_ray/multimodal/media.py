@@ -3,8 +3,9 @@ metadata, processed by actor-pool ``map_batches`` stages.
 
 The Ray-side plumbing here is real and tested — schema, batch sizing,
 actor signatures, output layout.  REAL pure-spec decoders: PNG, PPM/PGM,
-BMP, baseline JPEG (``jpeg.py``), PCM WAV, MJPEG-AVI (``avi.py``), MP3
-frame metadata (``mp3.py``) and H.264 NAL/SPS metadata (``h264.py``).
+BMP, GIF, baseline+progressive JPEG (``jpeg.py``), WAV (PCM / float /
+G.711), FLAC (``flac.py``), MJPEG-AVI (``avi.py``), MP3 frame metadata
+(``mp3.py``) and H.264 NAL/SPS metadata (``h264.py``).
 Only compressed-audio SAMPLE decode and non-MJPEG pixel reconstruction
 genuinely need codec libraries (not in this container) and fall through
 each stage's hook: ``strict=True`` raises ``NotImplementedError``;
@@ -142,16 +143,22 @@ class AudioFeatureStage:
     def _decode_audio(self, payload: bytes) -> np.ndarray:
         from .codecs import UnsupportedMediaError, decode_wav, wav_energy_features
 
+        payload = payload or b""
         try:
-            samples, _rate = decode_wav(payload or b"")
+            if payload[:4] == b"fLaC":
+                from .flac import decode_flac
+
+                samples, _rate = decode_flac(payload)
+            else:
+                samples, _rate = decode_wav(payload)
             return wav_energy_features(samples, self.n_features)
         except UnsupportedMediaError:
             if self.strict:
                 raise NotImplementedError(
-                    "payload is not PCM WAV; compressed-audio SAMPLE decode "
-                    "(MP3/OGG) needs an audio library not available in this "
-                    "environment (MP3 frame METADATA is real — "
-                    "AudioMetadataStage / mp3.py)"
+                    "payload is not WAV (PCM/float/G.711) or FLAC; "
+                    "MP3/OGG SAMPLE decode needs an audio library not "
+                    "available in this environment (MP3 frame METADATA "
+                    "is real — AudioMetadataStage / mp3.py)"
                 )
             return _fake_floats(payload, self.n_features, -1.0, 1.0)
 
@@ -161,8 +168,9 @@ class AudioFeatureStage:
 
 
 class AudioMetadataStage:
-    """payload -> duration/rate/bitrate metadata — REAL for PCM WAV
-    (``codecs.decode_wav``) and MP3 (pure-spec frame walk, ``mp3.py``);
+    """payload -> duration/rate/bitrate metadata — REAL for WAV
+    (``codecs.decode_wav``), FLAC (``flac.py`` STREAMINFO) and MP3
+    (pure-spec frame walk, ``mp3.py``);
     other codecs raise under ``strict=True`` or emit nulls.
 
     The quality-filter half of an audio pipeline (duration/bitrate
@@ -195,6 +203,28 @@ class AudioMetadataStage:
             }
         except (wave.Error, EOFError):
             pass
+        if (payload or b"")[:4] == b"fLaC":
+            from .codecs import UnsupportedMediaError
+            from .flac import parse_flac_streaminfo
+
+            try:
+                info = parse_flac_streaminfo(payload)
+            except UnsupportedMediaError:
+                if self.strict:
+                    raise NotImplementedError("corrupt FLAC payload")
+                return {"container": None}
+            n, rate = info["total_samples"], info["sample_rate"]
+            return {
+                "container": "flac",
+                "n_frames": n,
+                "duration_sec": round(n / rate, 6) if rate else None,
+                "sample_rate": rate,
+                "channel_mode": "mono" if info["channels"] == 1 else "stereo",
+                "bitrate_kbps": (
+                    round(len(payload) * 8 * rate / n / 1000, 3) if n else None
+                ),
+                "vbr": True,  # FLAC frames are inherently variable-size
+            }
         try:
             return mp3_info(payload or b"")
         except ValueError:

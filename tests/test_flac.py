@@ -1,0 +1,255 @@
+"""FLAC codec: lossless round-trips through the fixture encoder, plus
+hand-built frames pinning every decoder path the encoder doesn't emit
+(CONSTANT / VERBATIM / LPC / stereo decorrelation / Rice escape / CRC
+rejection)."""
+
+import numpy as np
+import pytest
+
+from dolma_ray.multimodal.codecs import UnsupportedMediaError
+from dolma_ray.multimodal.flac import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    decode_flac,
+    encode_flac,
+    parse_flac_streaminfo,
+)
+
+
+def roundtrip(x, rate=16000, bps=16, **kw):
+    data = encode_flac(x, rate, bps=bps, **kw)
+    y, r = decode_flac(data)
+    assert r == rate
+    return np.round(y * (1 << (bps - 1))).astype(np.int64)
+
+
+class TestRoundTrip:
+    def test_random_int16_exact(self):
+        rng = np.random.default_rng(1)
+        x = rng.integers(-32768, 32768, 12345).astype(np.int64)
+        assert (roundtrip(x) == x).all()
+
+    def test_sine_exact_and_smaller_than_verbatim(self):
+        t = np.arange(20000)
+        x = np.round(20000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int64)
+        data = encode_flac(x, 16000)
+        y = roundtrip(x)
+        assert (y == x).all()
+        assert len(data) < 2 * len(x)  # actually compresses vs 16-bit PCM
+
+    def test_odd_block_sizes_and_short_tail(self):
+        rng = np.random.default_rng(2)
+        for n in (1, 7, 192, 4097):
+            x = rng.integers(-1000, 1000, n).astype(np.int64)
+            assert (roundtrip(x, block_size=192) == x).all()
+
+    def test_8bit(self):
+        rng = np.random.default_rng(3)
+        x = rng.integers(-128, 128, 1000).astype(np.int64)
+        assert (roundtrip(x, bps=8) == x).all()
+
+    def test_streaminfo(self):
+        x = np.zeros(500, np.int64)
+        info = parse_flac_streaminfo(encode_flac(x, 44100))
+        assert info["sample_rate"] == 44100
+        assert info["total_samples"] == 500
+        assert info["channels"] == 1
+        assert info["bits_per_sample"] == 16
+
+
+def _frame_shell(subframe_bits, n, bps=16, channels=1, ch_code=None, rate=8000):
+    """Hand-build a single-frame FLAC stream around pre-encoded
+    subframe payload bits (a callable that writes into a _BitWriter)."""
+    si = _BitWriter()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    si.align()
+    stream = bytearray(b"fLaC")
+    body = si.bytes() + b"\x00" * 16
+    stream += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    hw = _BitWriter()
+    hw.write(0x3FFE, 14)
+    hw.write(0, 1)
+    hw.write(0, 1)
+    hw.write(7, 4)  # 16-bit block size follows
+    hw.write(0, 4)  # rate from STREAMINFO
+    hw.write(ch_code if ch_code is not None else channels - 1, 4)
+    hw.write({8: 1, 16: 4}[bps], 3)
+    hw.write(0, 1)
+    hw.write(0, 8)  # frame number 0
+    hw.write(n - 1, 16)
+    hw.align()
+    hdr = hw.bytes()
+
+    bw = _BitWriter()
+    subframe_bits(bw)
+    bw.align()
+    frame = hdr + bytes([_crc8(hdr)]) + bw.bytes()
+    stream += frame + _crc16(frame).to_bytes(2, "big")
+    return bytes(stream)
+
+
+def _expect(stream, expected, bps=16):
+    y, _ = decode_flac(stream)
+    got = np.round(y * (1 << (bps - 1))).astype(np.int64)
+    np.testing.assert_array_equal(got, np.asarray(expected))
+
+
+class TestDecoderPaths:
+    def test_constant_subframe(self):
+        def sub(bw):
+            bw.write(0, 1)
+            bw.write(0, 6)  # CONSTANT
+            bw.write(0, 1)
+            bw.write(-321 & 0xFFFF, 16)
+
+        _expect(_frame_shell(sub, 10), [-321] * 10)
+
+    def test_verbatim_subframe(self):
+        vals = [5, -6, 7, 32767, -32768]
+
+        def sub(bw):
+            bw.write(0, 1)
+            bw.write(1, 6)  # VERBATIM
+            bw.write(0, 1)
+            for v in vals:
+                bw.write(v & 0xFFFF, 16)
+
+        _expect(_frame_shell(sub, len(vals)), vals)
+
+    def test_lpc_subframe(self):
+        # order-2 LPC: coefs [3, -1], shift 1 -> pred = (3a - b) >> 1
+        warm = [100, 104]
+        resid = [2, -1, 0, 5]
+        coefs = [3, -1]
+        shift = 1
+        expected = list(warm)
+        for r in resid:
+            acc = coefs[0] * expected[-1] + coefs[1] * expected[-2]
+            expected.append(r + (acc >> shift))
+
+        def sub(bw):
+            bw.write(0, 1)
+            bw.write(32 | (2 - 1), 6)  # LPC, order 2
+            bw.write(0, 1)
+            for w in warm:
+                bw.write(w & 0xFFFF, 16)
+            bw.write(5 - 1, 4)  # precision 5 bits
+            bw.write(shift, 5)
+            for c in coefs:
+                bw.write(c & 0x1F, 5)
+            # residual: 4-bit Rice, partition order 0, k = 2
+            bw.write(0, 2)
+            bw.write(0, 4)
+            bw.write(2, 4)
+            for r in resid:
+                v = (abs(r) << 1) - (1 if r < 0 else 0)
+                for _ in range(v >> 2):
+                    bw.write(0, 1)
+                bw.write(1, 1)
+                bw.write(v & 3, 2)
+
+        _expect(_frame_shell(sub, len(warm) + len(resid)), expected)
+
+    def test_rice_escape_partition(self):
+        vals = [1000, -2000, 3000, -4000]
+
+        def sub(bw):
+            bw.write(0, 1)
+            bw.write(8, 6)  # FIXED order 0
+            bw.write(0, 1)
+            bw.write(0, 2)  # 4-bit Rice method
+            bw.write(0, 4)  # partition order 0
+            bw.write(0xF, 4)  # escape
+            bw.write(14, 5)  # 14-bit raw residuals
+            for v in vals:
+                bw.write(v & 0x3FFF, 14)
+
+        _expect(_frame_shell(sub, len(vals)), vals)
+
+    def test_mid_side_stereo(self):
+        left = np.array([100, -50, 3, 32000], np.int64)
+        right = np.array([90, -60, -3, -32000], np.int64)
+        mid = (left + right) >> 1
+        side = left - right
+
+        def sub(bw):
+            for vals, bits in ((mid, 16), (side, 17)):
+                bw.write(0, 1)
+                bw.write(1, 6)  # VERBATIM
+                bw.write(0, 1)
+                for v in vals.tolist():
+                    bw.write(int(v) & ((1 << bits) - 1), bits)
+
+        stream = _frame_shell(sub, len(left), channels=2, ch_code=10)
+        y, _ = decode_flac(stream)
+        expected = (left + right) / 2.0 / 32768.0
+        np.testing.assert_allclose(y, expected.astype(np.float32), atol=1e-7)
+
+    def test_left_side_stereo(self):
+        left = np.array([5, 6, 7], np.int64)
+        side = np.array([1, -2, 3], np.int64)  # side = L - R
+
+        def sub(bw):
+            for vals, bits in ((left, 16), (side, 17)):
+                bw.write(0, 1)
+                bw.write(1, 6)
+                bw.write(0, 1)
+                for v in vals.tolist():
+                    bw.write(int(v) & ((1 << bits) - 1), bits)
+
+        stream = _frame_shell(sub, len(left), channels=2, ch_code=8)
+        y, _ = decode_flac(stream)
+        right = left - side
+        np.testing.assert_allclose(
+            y, ((left + right) / 2.0 / 32768.0).astype(np.float32), atol=1e-7
+        )
+
+    def test_wasted_bits(self):
+        # all samples share 2 trailing zero bits; subframe stores them
+        # shifted down with wasted = 2 (unary "01" -> count 1+1)
+        vals = [4, -8, 12]
+
+        def sub(bw):
+            bw.write(0, 1)
+            bw.write(1, 6)  # VERBATIM
+            bw.write(1, 1)  # wasted-bits flag
+            bw.write(1, 2)  # unary 01 -> wasted = 2
+            for v in vals:
+                bw.write((v >> 2) & 0x3FFF, 14)
+
+        _expect(_frame_shell(sub, len(vals)), vals)
+
+    def test_crc_corruption_detected(self):
+        x = np.arange(-500, 500, dtype=np.int64)
+        data = bytearray(encode_flac(x, 8000))
+        data[-40] ^= 0x01  # flip a bit inside the last frame
+        with pytest.raises(UnsupportedMediaError):
+            decode_flac(bytes(data))
+
+
+class TestAudioStages:
+    def test_feature_and_metadata_stages_flac(self):
+        import pyarrow as pa
+
+        from dolma_ray.multimodal.media import AudioFeatureStage, AudioMetadataStage
+
+        t = np.arange(8000)
+        x = np.round(10000 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int64)
+        payload = encode_flac(x, 8000)
+        batch = pa.table({"payload": pa.array([payload], pa.binary())})
+        feats = AudioFeatureStage(n_features=8, strict=True)(batch)
+        f = np.array(feats["features"].to_pylist()[0])
+        assert len(f) == 8 and (f > 0.1).all()  # constant-RMS sine
+        meta = AudioMetadataStage(strict=True)(batch)
+        assert meta["container"].to_pylist() == ["flac"]
+        assert meta["sample_rate"].to_pylist() == [8000]
+        assert abs(meta["duration_sec"].to_pylist()[0] - 1.0) < 1e-6
