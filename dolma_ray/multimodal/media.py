@@ -225,12 +225,34 @@ class AudioMetadataStage:
                 ),
                 "vbr": True,  # FLAC frames are inherently variable-size
             }
+        if (payload or b"")[:4] == b"OggS":
+            from .codecs import UnsupportedMediaError
+            from .ogg import ogg_info
+
+            try:
+                o = ogg_info(payload)
+            except UnsupportedMediaError:
+                if self.strict:
+                    raise NotImplementedError("corrupt Ogg payload")
+                return {"container": None}
+            dur, rate = o["duration_sec"], o["sample_rate"]
+            return {
+                "container": f"ogg-{o['codec']}",
+                "n_frames": o["n_pages"],
+                "duration_sec": dur,
+                "sample_rate": rate,
+                "channel_mode": "mono" if o["channels"] == 1 else "stereo",
+                "bitrate_kbps": (
+                    round(len(payload) * 8 / dur / 1000, 3) if dur else None
+                ),
+                "vbr": True,
+            }
         try:
             return mp3_info(payload or b"")
         except ValueError:
             if self.strict:
                 raise NotImplementedError(
-                    "payload is neither PCM WAV nor MP3"
+                    "payload is not WAV/FLAC/Ogg/MP3"
                 )
             return {"container": None}
 

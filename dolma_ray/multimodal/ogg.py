@@ -1,0 +1,77 @@
+"""Ogg container metadata walk (RFC 3533) + Vorbis/Opus ID headers.
+
+Header-level only — no sample decode (Vorbis/Opus entropy codebooks are
+stream-embedded tables, the same can't-re-derive class as MP3 Huffman).
+What IS derivable from the public specs: the OggS page structure
+(version, header-type flags, granule position, serial, sequence, lacing
+table), the Vorbis identification header (``\\x01vorbis``: channels,
+sample rate) and the OpusHead header (channels, pre-skip, input rate;
+granule positions are always 48 kHz for Opus).  Duration comes from the
+last page's granule position — the standard container-level method.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .codecs import UnsupportedMediaError, _to_unsupported
+
+
+@_to_unsupported
+def ogg_info(data: bytes) -> dict:
+    """-> {container, codec, channels, sample_rate, duration_sec,
+    n_pages, serial} for the FIRST logical stream in the file."""
+    if data[:4] != b"OggS":
+        raise UnsupportedMediaError("not an Ogg stream")
+    off = 0
+    codec = None
+    channels = None
+    rate = None
+    pre_skip = 0
+    serial = None
+    last_granule = 0
+    n_pages = 0
+    while off + 27 <= len(data):
+        if data[off : off + 4] != b"OggS":
+            break  # trailing garbage / truncation: stop at last sync
+        version, _htype, granule, ser, _seq, _crc, nsegs = struct.unpack_from(
+            "<xxxxBBqIIIB", data, off
+        )
+        if version != 0:
+            raise UnsupportedMediaError(f"Ogg version {version}")
+        lacing = data[off + 27 : off + 27 + nsegs]
+        if len(lacing) < nsegs:
+            raise UnsupportedMediaError("truncated Ogg lacing table")
+        body_len = sum(lacing)
+        body = data[off + 27 + nsegs : off + 27 + nsegs + body_len]
+        if serial is None:
+            serial = ser
+        if ser == serial:
+            n_pages += 1
+            if granule > 0:
+                last_granule = granule
+            if codec is None:
+                if body[:7] == b"\x01vorbis" and len(body) >= 30:
+                    codec = "vorbis"
+                    channels = body[11]
+                    (rate,) = struct.unpack_from("<I", body, 12)
+                elif body[:8] == b"OpusHead" and len(body) >= 19:
+                    codec = "opus"
+                    channels = body[9]
+                    (pre_skip,) = struct.unpack_from("<H", body, 10)
+                    rate = 48000  # granule clock; OpusHead carries the
+                    # original input rate at offset 12, but playback and
+                    # granule positions are defined at 48 kHz
+        off += 27 + nsegs + body_len
+    if codec is None:
+        raise UnsupportedMediaError("Ogg stream with no Vorbis/Opus ID header")
+    samples = max(last_granule - (pre_skip if codec == "opus" else 0), 0)
+    return {
+        "container": "ogg",
+        "codec": codec,
+        "channels": int(channels),
+        "sample_rate": int(rate),
+        "duration_sec": round(samples / rate, 6) if rate else None,
+        "n_pages": n_pages,
+        "serial": serial,
+    }

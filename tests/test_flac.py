@@ -253,3 +253,76 @@ class TestAudioStages:
         assert meta["container"].to_pylist() == ["flac"]
         assert meta["sample_rate"].to_pylist() == [8000]
         assert abs(meta["duration_sec"].to_pylist()[0] - 1.0) < 1e-6
+
+
+class TestOggMetadata:
+    @staticmethod
+    def _page(serial, seq, granule, body, htype=0):
+        import struct
+
+        nsegs_body = []
+        rest = body
+        while True:
+            nsegs_body.append(min(len(rest), 255))
+            rest = rest[255:]
+            if nsegs_body[-1] < 255:
+                break
+        hdr = b"OggS" + struct.pack(
+            "<BBqIIIB", 0, htype, granule, serial, seq, 0, len(nsegs_body)
+        ) + bytes(nsegs_body)
+        return hdr + body
+
+    def test_vorbis_info(self):
+        import struct
+
+        from dolma_ray.multimodal.ogg import ogg_info
+
+        # real ID header layout: magic7 version4 ch1 rate4 + 3 bitrate
+        # fields + blocksizes byte + framing bit = 30 bytes
+        ident = (
+            b"\x01vorbis" + struct.pack("<IBIiii", 0, 2, 44100, 0, 0, 0)
+            + b"\xb8\x01"
+        )
+        data = (
+            self._page(7, 0, 0, ident, htype=2)
+            + self._page(7, 1, 22050, b"\x05audio")
+            + self._page(7, 2, 88200, b"\x05more", htype=4)
+        )
+        o = ogg_info(data)
+        assert o["codec"] == "vorbis" and o["channels"] == 2
+        assert o["sample_rate"] == 44100
+        assert abs(o["duration_sec"] - 2.0) < 1e-6
+        assert o["n_pages"] == 3
+
+    def test_opus_info(self):
+        import struct
+
+        from dolma_ray.multimodal.ogg import ogg_info
+
+        head = b"OpusHead" + struct.pack("<BBHIhB", 1, 1, 312, 16000, 0, 0)
+        data = (
+            self._page(9, 0, 0, head, htype=2)
+            + self._page(9, 1, 48000 + 312, b"opusdata", htype=4)
+        )
+        o = ogg_info(data)
+        assert o["codec"] == "opus" and o["sample_rate"] == 48000
+        assert abs(o["duration_sec"] - 1.0) < 1e-6
+
+    def test_metadata_stage_ogg(self):
+        import struct
+
+        import pyarrow as pa
+
+        from dolma_ray.multimodal.media import AudioMetadataStage
+
+        ident = (
+            b"\x01vorbis" + struct.pack("<IBIiii", 0, 1, 8000, 0, 0, 0)
+            + b"\xb8\x01"
+        )
+        payload = self._page(3, 0, 0, ident, htype=2) + self._page(
+            3, 1, 4000, b"x", htype=4
+        )
+        batch = pa.table({"payload": pa.array([payload], pa.binary())})
+        meta = AudioMetadataStage(strict=True)(batch)
+        assert meta["container"].to_pylist() == ["ogg-vorbis"]
+        assert meta["duration_sec"].to_pylist() == [0.5]
