@@ -287,31 +287,41 @@ class VideoFrameSampleStage:
         self.h, self.w = frame_size
         self.strict = strict
 
+    def _resize(self, arr: np.ndarray) -> np.ndarray:
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        arr = arr[:, :, :3]  # drop alpha (GIF compositing emits RGBA)
+        ih, iw = arr.shape[:2]
+        yi = (np.arange(self.h) * ih // self.h).clip(0, ih - 1)
+        xi = (np.arange(self.w) * iw // self.w).clip(0, iw - 1)
+        return arr[yi][:, xi].ravel()
+
     def _sample_frames(self, payload: bytes) -> np.ndarray:
         from .avi import iter_mjpeg_frames
         from .codecs import UnsupportedMediaError
         from .jpeg import decode_jpeg
 
         try:
+            if (payload or b"")[:3] == b"GIF":  # animated GIF clip
+                from .gif import gif_frames
+
+                frames = [f for f, _delay in gif_frames(payload)]
+                idx = (
+                    np.linspace(0, len(frames) - 1, self.n_frames)
+                    .round()
+                    .astype(int)
+                )
+                return np.stack([self._resize(frames[i]) for i in idx])
             jpegs = iter_mjpeg_frames(payload or b"")
             # evenly spaced frame sample across the clip
             idx = np.linspace(0, len(jpegs) - 1, self.n_frames).round().astype(int)
-            out = []
-            for i in idx:
-                arr = decode_jpeg(jpegs[i])
-                if arr.shape[2] == 1:
-                    arr = np.repeat(arr, 3, axis=2)
-                ih, iw = arr.shape[:2]
-                yi = (np.arange(self.h) * ih // self.h).clip(0, ih - 1)
-                xi = (np.arange(self.w) * iw // self.w).clip(0, iw - 1)
-                out.append(arr[yi][:, xi].ravel())
-            return np.stack(out)
+            return np.stack([self._resize(decode_jpeg(jpegs[i])) for i in idx])
         except UnsupportedMediaError:
             if self.strict:
                 raise NotImplementedError(
-                    "payload is not MJPEG-AVI; other video codecs (H.264, "
-                    "VP9, ...) need ffmpeg/av, not available in this "
-                    "environment"
+                    "payload is not MJPEG-AVI or GIF; other video codecs "
+                    "(H.264, VP9, ...) need ffmpeg/av, not available in "
+                    "this environment"
                 )
             return _fake_floats(payload, self.n_frames * self.h * self.w * 3).reshape(
                 self.n_frames, -1

@@ -164,3 +164,26 @@ def test_metadata_walk_skips_pixel_decode():
     assert out["container"].to_pylist() == ["gif"]
     assert out["width"].to_pylist() == [4]
     assert out["n_slices"].to_pylist() == [1]
+
+
+def test_video_frame_sample_stage_gif():
+    """VideoFrameSampleStage samples real composited frames from an
+    animated GIF (resize + alpha drop), same output shape as MJPEG."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dolma_ray.multimodal.gif import encode_gif
+    from dolma_ray.multimodal.media import VideoFrameSampleStage
+
+    frames = [
+        np.full((8, 8), fill, np.uint8) for fill in (0, 1, 2)
+    ]
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    payload = encode_gif(frames, palette)
+    batch = pa.table({"payload": pa.array([payload], pa.binary())})
+    out = VideoFrameSampleStage(n_frames=3, frame_size=(4, 4), strict=True)(batch)
+    arrs = np.array(out["frames"].to_pylist()[0], np.float32).reshape(3, 4, 4, 3)
+    # frame 0 red, frame 1 green, frame 2 blue (full-screen repaints)
+    assert arrs[0, ..., 0].min() > 0.9 and arrs[0, ..., 1].max() < 0.1
+    assert arrs[1, ..., 1].min() > 0.9
+    assert arrs[2, ..., 2].min() > 0.9
