@@ -15,6 +15,9 @@ fully decodable with the stdlib + numpy from their public specs:
   encoders.
 * GIF (87a/89a: LZW, interlace, transparency/disposal compositing) in
   ``gif.py`` — decoder + encoder.
+* TIFF 6.0 (``tiff.py``): strip-organized 8-bit gray/RGB/RGBA, both
+  byte orders; compressions none / LZW (early-change) / PackBits;
+  horizontal predictor — decoder + fixture encoder.
 
 Baseline JPEG is decoded (and encoded) by the pure-spec codec in
 ``jpeg.py``; FLAC (lossless) by ``flac.py``.  MP3 sample decode / video
@@ -239,8 +242,12 @@ def decode_image(data: bytes) -> np.ndarray:
         from .gif import decode_gif  # first composited frame
 
         return decode_gif(data)
+    if data[:2] in (b"II", b"MM"):
+        from .tiff import decode_tiff  # baseline TIFF 6.0
+
+        return decode_tiff(data)
     raise UnsupportedMediaError(
-        "unrecognized image format (png/ppm/bmp/jpeg/gif supported)"
+        "unrecognized image format (png/ppm/bmp/jpeg/gif/tiff supported)"
     )
 
 

@@ -1,0 +1,280 @@
+"""Pure-python baseline TIFF codec (TIFF 6.0 spec).
+
+Decoder: both byte orders, strip-organized 8-bit grayscale / RGB /
+RGBA; compressions 1 (none), 5 (LZW — MSB-first with the spec's
+early-change quirk) and 32773 (PackBits); horizontal-differencing
+predictor (tag 317 = 2); WhiteIsZero inversion.  Encoder writes
+fixture files for all three compressions.  Everything derives from the
+public spec — the LZW table is built from the stream, not transcribed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import UnsupportedMediaError, _to_unsupported
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # copy n+1 literals
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: noop
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple literal-run / repeat-run PackBits writer."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find a repeat run
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 126:
+            j += 1
+        if j > i + 1:  # run of length >= 3
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run until the next 3-byte repeat
+        j = i
+        while (
+            j < n
+            and j - i < 127
+            and not (j + 2 < n and data[j] == data[j + 1] == data[j + 2])
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW: MSB-first codes, initial width 9, Clear=256,
+    EOI=257, and the 'early change' — the width bumps when the NEXT
+    code would not fit (i.e. at table size 511/1023/2047)."""
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    pos = 0
+    nbits = len(bits)
+    out = bytearray()
+
+    def fresh():
+        return {i: bytes([i]) for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    prev: bytes | None = None
+    while pos + width <= nbits and len(out) < expected:
+        code = 0
+        for b in bits[pos : pos + width].tolist():
+            code = (code << 1) | b
+        pos += width
+        if code == 256:  # Clear
+            table, next_code, width = fresh()
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise UnsupportedMediaError("bad initial TIFF LZW code")
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise UnsupportedMediaError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry (it learns entry k only from code
+        # k+1), so it must bump the width one entry earlier —
+        # next_code + 1 against the encoder's 2^w - 1 threshold
+        if next_code + 1 >= (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    codes: list[tuple[int, int]] = [(256, 9)]  # leading Clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        codes.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # reset before the table is full
+            codes.append((256, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    bw: list[int] = []
+    for code, cw in codes:
+        bw.extend((code >> (cw - 1 - i)) & 1 for i in range(cw))
+    arr = np.array(bw + [0] * (-len(bw) % 8), np.uint8)
+    return np.packbits(arr).tobytes()
+
+
+@_to_unsupported
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF -> (h, w, c) float32 in [0, 1] (first IFD only)."""
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        raise UnsupportedMediaError("not a TIFF")
+    (magic,) = struct.unpack_from(endian + "H", data, 2)
+    if magic != 42:
+        raise UnsupportedMediaError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(endian + "HHI", data, e)
+        size = _TYPE_SIZE.get(typ, 0) * count
+        if size == 0:
+            continue
+        voff = e + 8 if size <= 4 else struct.unpack_from(endian + "I", data, e + 8)[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B"}.get(typ)
+        if fmt is None:
+            continue
+        tags[tag] = list(struct.unpack_from(endian + fmt * count, data, voff))
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise UnsupportedMediaError("TIFF missing dimensions")
+    spp = one(277, 1)
+    bps_list = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bps_list):
+        raise UnsupportedMediaError(f"TIFF bits-per-sample {bps_list} (8 only)")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    predictor = one(317, 1)
+    rows_per_strip = one(278, h)
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise UnsupportedMediaError("TIFF missing strip layout")
+
+    raw = bytearray()
+    row = 0
+    for off, cnt in zip(offsets, counts):
+        nrows = min(rows_per_strip, h - row)
+        expected = nrows * w * spp
+        chunk = data[off : off + cnt]
+        if comp == 1:
+            piece = chunk[:expected]
+        elif comp == 5:
+            piece = _tiff_lzw_decode(chunk, expected)
+        elif comp == 32773:
+            piece = _packbits_decode(chunk, expected)
+        else:
+            raise UnsupportedMediaError(f"TIFF compression {comp} unsupported")
+        if len(piece) < expected:
+            raise UnsupportedMediaError("TIFF strip shorter than expected")
+        raw += piece
+        row += nrows
+    px = np.frombuffer(bytes(raw), np.uint8, count=h * w * spp).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing, per sample channel
+        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise UnsupportedMediaError(f"TIFF predictor {predictor} unsupported")
+    if photo == 0:  # WhiteIsZero
+        px = 255 - px
+    return px.astype(np.float32) / 255.0
+
+
+def encode_tiff(
+    px: np.ndarray, compression: int = 1, predictor: int = 1, big_endian: bool = False
+) -> bytes:
+    """(h, w, c) uint8 -> single-strip TIFF (fixture writer)."""
+    endian = ">" if big_endian else "<"
+    h, w, c = px.shape
+    body = px
+    if predictor == 2:
+        # first column raw, then horizontal deltas (mod 256)
+        body = np.diff(px.astype(np.int64), axis=1, prepend=0)
+        body = (body % 256).astype(np.uint8)
+    flat = body.tobytes()
+    if compression == 5:
+        flat = _tiff_lzw_encode(flat)
+    elif compression == 32773:
+        flat = _packbits_encode(flat)
+    elif compression != 1:
+        raise ValueError(f"compression {compression}")
+
+    entries = []  # (tag, type, count, value_or_bytes)
+    hdr_size = 8
+    # layout: header, pixel data, [bps array], IFD
+    data_off = hdr_size
+    bps_extra = b""
+    bps_off = data_off + len(flat)
+    if c > 2:
+        bps_extra = struct.pack(endian + "H" * c, *([8] * c))
+    ifd_off = bps_off + len(bps_extra)
+
+    def val(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    val(256, 3, 1, w)
+    val(257, 3, 1, h)
+    if c > 2:
+        val(258, 3, c, bps_off)
+    else:
+        val(258, 3, 1, 8)
+    val(259, 3, 1, compression)
+    val(262, 3, 1, 2 if c >= 3 else 1)
+    val(273, 4, 1, data_off)
+    val(277, 3, 1, c)
+    val(278, 3, 1, h)
+    val(279, 4, 1, len(flat))
+    val(317, 3, 1, predictor)
+    entries.sort()
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(endian + "HI", 42, ifd_off)
+    out += flat
+    out += bps_extra
+    out += struct.pack(endian + "H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack(endian + "HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            out += struct.pack(endian + "HH", value, 0)
+        else:
+            out += struct.pack(endian + "I", value)
+    out += struct.pack(endian + "I", 0)  # no next IFD
+    return bytes(out)

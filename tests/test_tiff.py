@@ -1,0 +1,65 @@
+"""Baseline TIFF: exact round-trips over the full option matrix plus
+the LZW early-change width growth and table reset."""
+
+import numpy as np
+import pytest
+
+from dolma_ray.multimodal.codecs import UnsupportedMediaError, decode_image
+from dolma_ray.multimodal.tiff import (
+    _tiff_lzw_decode,
+    _tiff_lzw_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("compression", [1, 5, 32773])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_roundtrip_matrix(channels, compression, predictor, big_endian):
+    rng = np.random.default_rng(channels * 100 + compression)
+    px = rng.integers(0, 256, (13, 17, channels), dtype=np.uint8)
+    data = encode_tiff(
+        px, compression=compression, predictor=predictor, big_endian=big_endian
+    )
+    out = decode_tiff(data)
+    np.testing.assert_allclose(out, px.astype(np.float32) / 255.0)
+
+
+def test_lzw_width_growth_and_reset():
+    rng = np.random.default_rng(7)
+    for n in (5000, 300000):  # crosses 9->10->11->12 bits and a reset
+        data = bytes(rng.integers(0, 5, n, dtype=np.uint8) * 40)
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), n) == data
+
+
+def test_decode_image_dispatch():
+    px = np.zeros((4, 4, 3), np.uint8)
+    out = decode_image(encode_tiff(px))
+    assert out.shape == (4, 4, 3)
+
+
+def test_white_is_zero():
+    # hand-flip photometric to 0: decoder must invert
+    px = np.full((2, 2, 1), 200, np.uint8)
+    data = bytearray(encode_tiff(px))
+    # photometric tag (262) value: find it in the IFD and set to 0
+    import struct
+
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag = struct.unpack_from("<H", data, e)[0]
+        if tag == 262:
+            struct.pack_into("<H", data, e + 8, 0)
+    out = decode_tiff(bytes(data))
+    np.testing.assert_allclose(out, (255 - 200) / 255.0)
+
+
+def test_truncated_rejected():
+    px = np.zeros((8, 8, 3), np.uint8)
+    data = encode_tiff(px, compression=5)
+    with pytest.raises(UnsupportedMediaError):
+        decode_tiff(data[:30])
