@@ -321,7 +321,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         # stdlib wave only accepts PCM; handle float/G.711 ourselves
         tag, channels, rate, bits, payload = _parse_riff_wave(data)
         if tag == 3 and bits == 32:  # IEEE float
-            x = np.frombuffer(payload, dtype="<f4").astype(np.float32)
+            # clip: float WAVs legitimately carry un-normalized samples,
+            # but decode_wav's contract is [-1, 1]
+            x = np.clip(
+                np.frombuffer(payload, dtype="<f4").astype(np.float32), -1.0, 1.0
+            )
         elif tag == 7 and bits == 8:  # µ-law
             b = np.frombuffer(payload, dtype=np.uint8)
             x = mulaw_decode_bytes(b).astype(np.float32) / 32768.0

@@ -245,12 +245,14 @@ def parse_flac_streaminfo(data: bytes) -> dict:
             }
         off += 4 + size
         if last:
-            info = info or None
             if info is not None:
                 info["audio_offset"] = off
             break
     if info is None:
         raise UnsupportedMediaError("FLAC missing STREAMINFO")
+    if info["audio_offset"] is None:
+        # metadata chain never reached a last-block flag: truncated file
+        raise UnsupportedMediaError("truncated FLAC metadata chain")
     return info
 
 
@@ -265,11 +267,14 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     bps_default = info["bits_per_sample"]
     pos = info["audio_offset"]
     channels_out: list[np.ndarray] = []
+    # ONE bit view over the whole stream (unpackbits per frame would be
+    # O(frames x file size)); frame offsets are tracked in br.pos
+    br = _Bits(data)
     while pos < len(data) - 2:
         frame_start = pos
         if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
             raise UnsupportedMediaError("lost FLAC frame sync")
-        br = _Bits(data[pos:])
+        br.pos = pos * 8
         br.read(14)  # sync
         br.read(1)  # reserved
         br.read(1)  # blocking strategy
@@ -302,10 +307,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         if bps is None:
             raise UnsupportedMediaError(f"reserved FLAC sample size code {ss_code}")
         # header CRC-8 covers sync..crc byte exclusive
-        hdr_len = br.byte_pos() if br.pos % 8 == 0 else br.byte_pos() + 1
         br.align()
+        hdr_end = br.byte_pos()
         crc8_read = br.read(8)
-        if _crc8(data[frame_start : frame_start + hdr_len]) != crc8_read:
+        if _crc8(data[frame_start:hdr_end]) != crc8_read:
             raise UnsupportedMediaError("FLAC frame header CRC mismatch")
         if ch_code < 8:
             n_ch = ch_code + 1
@@ -329,11 +334,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         else:
             raise UnsupportedMediaError(f"reserved FLAC channel code {ch_code}")
         br.align()
-        frame_len = br.byte_pos()
+        frame_end = br.byte_pos()
         crc16_read = br.read(16)
-        if _crc16(data[frame_start : frame_start + frame_len]) != crc16_read:
+        if _crc16(data[frame_start:frame_end]) != crc16_read:
             raise UnsupportedMediaError("FLAC frame CRC-16 mismatch")
-        pos = frame_start + frame_len + 2
+        pos = frame_end + 2
         channels_out.append(np.stack(subs))
     if not channels_out:
         raise UnsupportedMediaError("FLAC stream has no frames")
@@ -444,7 +449,6 @@ def encode_flac(
         bw.write(n - 1, 16)
         bw.align()
         hdr = bw.bytes()
-        bw = _BitWriter()
         crc8 = _crc8(hdr)
 
         # choose the fixed order 0-2 with the smallest residual mass

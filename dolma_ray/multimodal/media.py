@@ -202,7 +202,26 @@ class AudioMetadataStage:
                 "vbr": False,
             }
         except (wave.Error, EOFError):
-            pass
+            # stdlib wave only accepts PCM; IEEE-float / G.711 WAVs go
+            # through the same manual RIFF walk decode_wav uses
+            if (payload or b"")[:4] == b"RIFF":
+                from .codecs import UnsupportedMediaError, _parse_riff_wave
+
+                try:
+                    tag, ch, rate, bits, body = _parse_riff_wave(payload)
+                except UnsupportedMediaError:
+                    tag = None
+                if tag in (1, 3, 6, 7):
+                    n = len(body) * 8 // max(bits * ch, 1)
+                    return {
+                        "container": "wav",
+                        "n_frames": n,
+                        "duration_sec": round(n / rate, 6) if rate else None,
+                        "sample_rate": rate,
+                        "channel_mode": "mono" if ch == 1 else "stereo",
+                        "bitrate_kbps": rate * ch * bits / 1000,
+                        "vbr": False,
+                    }
         if (payload or b"")[:4] == b"fLaC":
             from .codecs import UnsupportedMediaError
             from .flac import parse_flac_streaminfo

@@ -44,24 +44,27 @@ def ogg_info(data: bytes) -> dict:
             raise UnsupportedMediaError("truncated Ogg lacing table")
         body_len = sum(lacing)
         body = data[off + 27 + nsegs : off + 27 + nsegs + body_len]
-        if serial is None:
-            serial = ser
+        # lock onto the FIRST stream whose BOS page is Vorbis/Opus —
+        # multiplexed files (Theora+Vorbis, Skeleton) put other streams'
+        # BOS pages first, so "first serial in the file" is wrong
+        if codec is None:
+            if body[:7] == b"\x01vorbis" and len(body) >= 30:
+                codec = "vorbis"
+                serial = ser
+                channels = body[11]
+                (rate,) = struct.unpack_from("<I", body, 12)
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                serial = ser
+                channels = body[9]
+                (pre_skip,) = struct.unpack_from("<H", body, 10)
+                rate = 48000  # granule clock; OpusHead carries the
+                # original input rate at offset 12, but playback and
+                # granule positions are defined at 48 kHz
         if ser == serial:
             n_pages += 1
             if granule > 0:
                 last_granule = granule
-            if codec is None:
-                if body[:7] == b"\x01vorbis" and len(body) >= 30:
-                    codec = "vorbis"
-                    channels = body[11]
-                    (rate,) = struct.unpack_from("<I", body, 12)
-                elif body[:8] == b"OpusHead" and len(body) >= 19:
-                    codec = "opus"
-                    channels = body[9]
-                    (pre_skip,) = struct.unpack_from("<H", body, 10)
-                    rate = 48000  # granule clock; OpusHead carries the
-                    # original input rate at offset 12, but playback and
-                    # granule positions are defined at 48 kHz
         off += 27 + nsegs + body_len
     if codec is None:
         raise UnsupportedMediaError("Ogg stream with no Vorbis/Opus ID header")

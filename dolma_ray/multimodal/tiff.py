@@ -185,6 +185,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
     comp = one(259, 1)
     photo = one(262, 1)
     predictor = one(317, 1)
+    if one(284, 1) != 1:
+        raise UnsupportedMediaError("planar TIFF (tag 284 != 1) unsupported")
     rows_per_strip = one(278, h)
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -216,6 +218,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"TIFF predictor {predictor} unsupported")
     if photo == 0:  # WhiteIsZero
         px = 255 - px
+    elif photo == 3:  # palette color: ColorMap is 16-bit R*,G*,B*
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256 or spp != 1:
+            raise UnsupportedMediaError("palette TIFF missing/short ColorMap")
+        lut = np.asarray(cmap[: 3 * 256], np.float32).reshape(3, 256).T
+        return lut[px[:, :, 0]] / 65535.0
+    elif photo not in (1, 2):
+        raise UnsupportedMediaError(f"TIFF photometric {photo} unsupported")
     return px.astype(np.float32) / 255.0
 
 

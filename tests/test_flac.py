@@ -326,3 +326,83 @@ class TestOggMetadata:
         meta = AudioMetadataStage(strict=True)(batch)
         assert meta["container"].to_pylist() == ["ogg-vorbis"]
         assert meta["duration_sec"].to_pylist() == [0.5]
+
+
+class TestReviewRegressions:
+    def test_truncated_flac_metadata_yields_fake_not_crash(self):
+        """A FLAC cut off mid-metadata (no last-block flag reached) must
+        surface as UnsupportedMediaError, so the non-strict stage emits
+        the labeled fake instead of dying on TypeError."""
+        import numpy as np
+
+        from dolma_ray.multimodal.media import AudioFeatureStage
+
+        x = np.zeros(100, np.int64)
+        good = encode_flac(x, 8000)
+        truncated = bytes(bytearray(good[:20]))  # inside STREAMINFO
+        # also: last-flag cleared then stream ends
+        import struct
+
+        noflag = bytearray(good)
+        noflag[4] &= 0x7F  # clear the last-metadata-block flag
+        for payload in (truncated, bytes(noflag[: len(noflag) - 50])):
+            feats = AudioFeatureStage(n_features=4, strict=False)._decode_audio(
+                payload
+            )
+            assert len(feats) == 4  # deterministic fake, no crash
+
+    def test_g711_wav_metadata(self):
+        """AudioMetadataStage must report G.711 WAVs (stdlib wave
+        rejects them) via the manual RIFF walk."""
+        import numpy as np
+        import pyarrow as pa
+
+        from dolma_ray.multimodal.codecs import encode_wav_g711
+        from dolma_ray.multimodal.media import AudioMetadataStage
+
+        x = np.zeros(8000, np.float32)
+        payload = encode_wav_g711(x, 8000, "mulaw")
+        batch = pa.table({"payload": pa.array([payload], pa.binary())})
+        meta = AudioMetadataStage(strict=True)(batch)
+        assert meta["container"].to_pylist() == ["wav"]
+        assert meta["sample_rate"].to_pylist() == [8000]
+        assert abs(meta["duration_sec"].to_pylist()[0] - 1.0) < 1e-6
+
+    def test_float_wav_clipped(self):
+        import struct
+
+        import numpy as np
+
+        from dolma_ray.multimodal.codecs import decode_wav
+
+        x = np.array([2.5, -3.0, 0.5], np.float32)
+        body = x.tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        wav = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        y, _ = decode_wav(wav)
+        assert y.max() <= 1.0 and y.min() >= -1.0
+
+    def test_multiplexed_ogg_finds_audio_stream(self):
+        import struct
+
+        from dolma_ray.multimodal.ogg import ogg_info
+
+        page = TestOggMetadata._page
+        ident = (
+            b"\x01vorbis" + struct.pack("<IBIiii", 0, 1, 8000, 0, 0, 0)
+            + b"\xb8\x01"
+        )
+        video_bos = page(11, 0, 0, b"\x80theora-ish", htype=2)
+        data = (
+            video_bos
+            + page(22, 0, 0, ident, htype=2)
+            + page(11, 1, 999999, b"vframe")      # video granule: ignored
+            + page(22, 1, 16000, b"aframe", htype=4)
+        )
+        o = ogg_info(data)
+        assert o["codec"] == "vorbis" and o["serial"] == 22
+        assert abs(o["duration_sec"] - 2.0) < 1e-6

@@ -63,3 +63,68 @@ def test_truncated_rejected():
     data = encode_tiff(px, compression=5)
     with pytest.raises(UnsupportedMediaError):
         decode_tiff(data[:30])
+
+
+def test_palette_tiff():
+    """Photometric 3: indices map through the 16-bit ColorMap."""
+    import struct
+
+    import numpy as np
+
+    from dolma_ray.multimodal.tiff import decode_tiff
+
+    h = w = 2
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    flat = idx.tobytes()
+    # colormap: 3*256 SHORTs (all R, all G, all B); entries 0..2 distinct
+    cmap = [0] * (3 * 256)
+    cmap[0], cmap[1], cmap[2] = 65535, 32768, 0          # R of idx 0,1,2
+    cmap[256], cmap[257], cmap[258] = 0, 65535, 32768    # G
+    cmap[512], cmap[513], cmap[514] = 32768, 0, 65535    # B
+    cmap_bytes = struct.pack("<" + "H" * len(cmap), *cmap)
+    data_off = 8
+    cmap_off = data_off + len(flat)
+    ifd_off = cmap_off + len(cmap_bytes)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 3), (273, 4, 1, data_off), (277, 3, 1, 1),
+        (278, 3, 1, h), (279, 4, 1, len(flat)),
+        (320, 3, len(cmap), cmap_off),
+    ]
+    out = bytearray(b"II" + struct.pack("<HI", 42, ifd_off))
+    out += flat + cmap_bytes
+    out += struct.pack("<H", len(entries))
+    for tag, typ, count, value in entries:
+        out += struct.pack("<HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            out += struct.pack("<HH", value, 0)
+        else:
+            out += struct.pack("<I", value)
+    out += struct.pack("<I", 0)
+    px = decode_tiff(bytes(out))
+    np.testing.assert_allclose(px[0, 0], [1.0, 0.0, 0.5], atol=1e-4)
+    np.testing.assert_allclose(px[0, 1], [0.5, 1.0, 0.0], atol=1e-4)
+    np.testing.assert_allclose(px[1, 0], [0.0, 0.5, 1.0], atol=1e-4)
+
+
+def test_planar_rejected():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dolma_ray.multimodal.codecs import UnsupportedMediaError
+    from dolma_ray.multimodal.tiff import decode_tiff, encode_tiff
+
+    data = bytearray(encode_tiff(np.zeros((2, 2, 3), np.uint8)))
+    # append a PlanarConfiguration=2 tag is intrusive; instead patch an
+    # existing tag id (317 predictor) into 284 planar=2
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", data, e)[0] == 317:
+            struct.pack_into("<H", data, e, 284)
+            struct.pack_into("<H", data, e + 8, 2)
+    with pytest.raises(UnsupportedMediaError):
+        decode_tiff(bytes(data))
