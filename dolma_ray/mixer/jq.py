@@ -29,9 +29,17 @@ implements exactly that subset with the reference's semantics:
 * general bindings ``EXPR as $x | BODY`` (single value, no
   destructuring patterns), bound at term level like jq 1.7
   (``.a + 1 as $x`` binds ``1``);
-* bounded streams from ``range``/``limit``, consumable by ``reduce``
-  and spliced inside ``[...]`` collection (a stream escaping those
-  contexts is a JqError — the engine is otherwise single-value);
+* bounded streams from ``range``/``limit``/``..``/``recurse``/
+  ``while``/``repeat``/``splits``/terminal ``.[]``/``paths``/
+  ``leaf_paths``, consumable by ``reduce``, spliced inside ``[...]``
+  collection, and MAPPED through pipe stages (``.. | numbers`` applies
+  the tail per value); a stream escaping those contexts is a JqError —
+  the engine is otherwise single-value.  Loops are bounded (``until``/
+  ``while`` raise past 100k iterations; ``repeat`` truncates at 4096 —
+  documented deviation from jq's run-forever semantics);
+* type filters ``numbers strings booleans nulls arrays objects
+  iterables scalars``, ``isnan/isinfinite/infinite/nan``, scientific
+  number literals (``1e-4``);
 * update assignment ``= |= //= += -=`` on paths (jq setpath: returns
   the updated document copy, creating missing objects, padding arrays);
 * **error propagation**: indexing into null/missing raises
@@ -64,8 +72,10 @@ class JqError(ValueError):
 
 
 _TOKEN_RE = re.compile(
-    r"\s*(?:(?P<num>-?\d+\.\d+|-?\d+)|(?P<str>\"(?:[^\"\\]|\\.)*\")"
+    r"\s*(?:(?P<num>-?\d+\.\d+(?:[eE][-+]?\d+)?|-?\d+(?:[eE][-+]?\d+)?)"
+    r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
     r"|(?P<var>\$[A-Za-z_]\w*)"
+    r"|(?P<dotdot>\.\.(?![\w.]))"
     r"|(?P<path>\.[A-Za-z_][\w.]*|\.)"
     r"|(?P<lbrack>\[)|(?P<rbrack>\])|(?P<lparen>\()|(?P<rparen>\))"
     r"|(?P<lbrace>\{)|(?P<rbrace>\})|(?P<comma>,)|(?P<colon>:)"
@@ -90,7 +100,10 @@ _ZERO_ARG_WORDS = frozenset(
     "length add not any all type to_entries from_entries tostring "
     "tonumber tojson fromjson keys keys_unsorted values sort unique "
     "reverse min max floor ceil round sqrt fabs abs first last flatten "
-    "empty ascii_downcase ascii_upcase explode implode".split()
+    "empty ascii_downcase ascii_upcase explode implode "
+    # type filters (select-by-type), path streams, numeric predicates
+    "numbers strings booleans nulls arrays objects iterables scalars "
+    "paths leaf_paths isnan isinfinite infinite nan".split()
 )
 # builtins taking parenthesized ;-separated argument expressions
 _FN_ARG_RANGE = {
@@ -106,6 +119,8 @@ _FN_ARG_RANGE = {
     "getpath": (1, 1), "setpath": (2, 2), "delpaths": (1, 1),
     "capture": (1, 2), "any": (0, 1), "all": (0, 1),
     "range": (1, 3), "limit": (2, 2),
+    "recurse": (0, 2), "until": (2, 2), "while": (2, 2),
+    "repeat": (1, 1), "splits": (1, 2),
 }
 
 
@@ -118,7 +133,7 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 break
             raise JqError(f"jq parse error at {src[pos:pos+20]!r}")
         pos = m.end()
-        for kind in ("num", "str", "var", "path", "lbrack", "rbrack", "lparen",
+        for kind in ("num", "str", "var", "dotdot", "path", "lbrack", "rbrack", "lparen",
                      "rparen", "lbrace", "rbrace", "comma", "colon",
                      "semi", "pipe", "opt", "op", "word", "ident"):
             v = m.group(kind)
@@ -196,6 +211,12 @@ class Assign:
     op: str
     path: Any
     expr: Any
+
+
+@dataclass
+class _Raw:
+    # a pre-evaluated value injected as a pipe source (stream mapping)
+    value: Any
 
 
 @dataclass
@@ -338,7 +359,7 @@ class _Parser:
         k, v = self.peek()
         if k == "num":
             self.next()
-            return Lit(float(v) if "." in v else int(v))
+            return Lit(float(v) if ("." in v or "e" in v or "E" in v) else int(v))
         if k == "str":
             self.next()
             if "\\(" in v:
@@ -407,6 +428,9 @@ class _Parser:
             return Pipe(Path([]), [self.word_op(v)])
         if k == "word" and v == "if":
             return self.parse_if()
+        if k == "dotdot":
+            self.next()
+            return Pipe(Path([]), [("fn", "recurse", [])])
         if k == "path":
             return self.parse_path()
         if k == "lbrack":
@@ -629,6 +653,8 @@ class _Parser:
             elif k == "word" and v == "reduce":
                 self.i -= 1
                 ops.append(("expr", self.parse_reduce()))
+            elif k == "dotdot":
+                ops.append(("fn", "recurse", []))
             elif k == "path" or k == "var" or (k == "str" and "\\(" in v):
                 # "| .foo", "| $x", "| \"...\(interp)\"" — expression ops;
                 # a later stage may itself be an update assignment
@@ -826,6 +852,8 @@ def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -
 def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -> Any:
     if isinstance(node, Lit):
         return node.value
+    if isinstance(node, _Raw):
+        return node.value
     if isinstance(node, Var):
         if env is not None and node.name in env:
             return env[node.name]
@@ -924,9 +952,22 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         # inside map/select the element is the current input for ALL
         # paths (jq: map(.foo) reads each element's foo)
         cur = doc if elem is _NO_ELEM else elem
-        for kind, key in node.steps:
+        for step_i, (kind, key) in enumerate(node.steps):
             if kind == "iter":
-                raise JqError("[] stream iteration only supported in reduce")
+                # a TERMINAL [] yields a bounded stream (spliced by
+                # [...], mapped by "| f", folded by reduce); mid-path
+                # iteration (".a[].b") still needs full stream paths
+                if step_i != len(node.steps) - 1:
+                    raise JqError(
+                        "[] mid-path iteration unsupported (terminal [] only)"
+                    )
+                if isinstance(cur, dict):
+                    return _JqStream(list(cur.values()))
+                if isinstance(cur, list):
+                    return _JqStream(list(cur))
+                if node.optional:
+                    return _EMPTY
+                raise JqError(f"cannot iterate over {_jq_type(cur)}")
             if kind == "seg":
                 if cur is None:
                     if node.optional:
@@ -953,14 +994,24 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         return cur
     if isinstance(node, Pipe):
         cur = _eval(node.source, doc, elem, env)
-        for op in node.ops:
+        for op_idx, op in enumerate(node.ops):
             if cur is _EMPTY:
                 break  # empty propagates through every op
             if isinstance(cur, _JqStream):
-                raise JqError(
-                    "multi-value streams (range/limit) are only supported "
-                    "as a reduce source or inside [...] collection"
-                )
+                # map the REMAINING pipe stages over each stream item
+                # (jq: "stream | f" applies f per value) — empties drop,
+                # nested streams splice; the result is itself a stream
+                rest = node.ops[op_idx:]
+                items: list = []
+                for it in cur.items:
+                    r = _eval(Pipe(_Raw(it), list(rest)), doc, elem, env)
+                    if r is _EMPTY:
+                        continue
+                    if isinstance(r, _JqStream):
+                        items.extend(r.items)
+                    else:
+                        items.append(r)
+                return _JqStream(items)
             if op[0] == "length":
                 if cur is None:
                     cur = 0
@@ -1360,6 +1411,153 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         else:
             items = [out]
         return _JqStream(items[: max(0, int(n))])
+    if name in ("numbers", "strings", "booleans", "nulls", "arrays",
+                "objects", "iterables", "scalars"):
+        # jq type filters: pass matching values through, else empty
+        match = {
+            "numbers": lambda v: isinstance(v, (int, float))
+            and not isinstance(v, bool),
+            "strings": lambda v: isinstance(v, str),
+            "booleans": lambda v: isinstance(v, bool),
+            "nulls": lambda v: v is None,
+            "arrays": lambda v: isinstance(v, list),
+            "objects": lambda v: isinstance(v, dict),
+            "iterables": lambda v: isinstance(v, (list, dict)),
+            "scalars": lambda v: not isinstance(v, (list, dict)),
+        }[name]
+        return cur if match(cur) else _EMPTY
+    if name in ("isnan", "isinfinite"):
+        if not isinstance(cur, (int, float)) or isinstance(cur, bool):
+            raise JqError(f"{name} requires a number")
+        f = float(cur)
+        return math.isnan(f) if name == "isnan" else math.isinf(f)
+    if name == "infinite":
+        return math.inf
+    if name == "nan":
+        return math.nan
+    if name in ("paths", "leaf_paths"):
+        # streams of index paths (root excluded), depth-first pre-order;
+        # leaf_paths = paths(scalars)
+        leaf_only = name == "leaf_paths"
+        out_paths: list = []
+
+        def walk_paths(v, prefix):
+            it = (
+                v.items()
+                if isinstance(v, dict)
+                else enumerate(v)
+                if isinstance(v, list)
+                else ()
+            )
+            for k_, child in it:
+                p_ = prefix + [k_]
+                if not leaf_only or not isinstance(child, (list, dict)):
+                    out_paths.append(p_)
+                walk_paths(child, p_)
+
+        walk_paths(cur, [])
+        return _JqStream(out_paths)
+    if name == "recurse":
+        # jq: def recurse(f; cond): def r: ., (f | select(cond) | r); r;
+        # zero-arg = recurse(.[]?) == `..` — a structural walk needs no
+        # expression evaluation at all
+        out_rec: list = []
+        if not arg_asts:
+            def walk_all(v):
+                out_rec.append(v)
+                children = (
+                    v.values()
+                    if isinstance(v, dict)
+                    else v
+                    if isinstance(v, list)
+                    else ()
+                )
+                for c in children:
+                    walk_all(c)
+
+            walk_all(cur)
+            return _JqStream(out_rec)
+        cond_ast = arg_asts[1] if len(arg_asts) == 2 else None
+        src = arg_asts[0]
+
+        def f_outputs(x) -> list:
+            # a path ending in [] iterates like a reduce source
+            if isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter":
+                seq = ev(Path(src.steps[:-1], src.optional), x)
+                if isinstance(seq, dict):
+                    return list(seq.values())
+                if isinstance(seq, list):
+                    return list(seq)
+                if src.optional:
+                    return []
+                raise JqError(f"cannot iterate over {_jq_type(seq)}")
+            r = ev(src, x)
+            if r is _EMPTY:
+                return []
+            return r.items if isinstance(r, _JqStream) else [r]
+
+        def go(x):
+            out_rec.append(x)
+            if len(out_rec) > 1_000_000:
+                raise JqError("recurse expansion exceeds 1e6 values")
+            for c in f_outputs(x):
+                if cond_ast is None or _truthy(ev(cond_ast, c)):
+                    go(c)
+
+        go(cur)
+        return _JqStream(out_rec)
+    if name == "until":
+        x = cur
+        for _ in range(100_000):
+            if _truthy(ev(arg_asts[0], x)):
+                return x
+            x = ev(arg_asts[1], x)
+            if isinstance(x, _JqStream):
+                raise JqError("until update must be single-valued")
+        raise JqError("until exceeded 100000 iterations")
+    if name == "while":
+        out_w: list = []
+        x = cur
+        for _ in range(100_000):
+            if not _truthy(ev(arg_asts[0], x)):
+                return _JqStream(out_w)
+            out_w.append(x)
+            x = ev(arg_asts[1], x)
+            if isinstance(x, _JqStream):
+                raise JqError("while update must be single-valued")
+        raise JqError("while exceeded 100000 iterations")
+    if name == "repeat":
+        # jq repeats forever unless f errors/empties; a data pipeline
+        # wants termination — bounded at 4096 values (documented
+        # deviation; limit(n; repeat(f)) works for n <= 4096)
+        out_r: list = []
+        x = cur
+        for _ in range(4096):
+            out_r.append(x)
+            try:
+                x = ev(arg_asts[0], x)
+            except JqError:
+                break
+            if x is _EMPTY:
+                break
+            if isinstance(x, _JqStream):
+                raise JqError("repeat body must be single-valued")
+        return _JqStream(out_r)
+    if name == "splits":
+        sep = val(0)
+        if not isinstance(cur, str) or not isinstance(sep, str):
+            raise JqError("splits requires strings")
+        try:
+            parts, last = [], 0
+            for m in re.finditer(
+                _onig_pat(sep), cur, _re_flags(val(1)) if len(arg_asts) > 1 else 0
+            ):
+                parts.append(cur[last : m.start()])
+                last = m.end()
+            parts.append(cur[last:])
+            return _JqStream(parts)
+        except re.error as e:
+            raise JqError(f"bad regex: {e}") from e
     if name == "keys" or name == "keys_unsorted":
         if isinstance(cur, dict):
             return sorted(cur.keys()) if name == "keys" else list(cur.keys())

@@ -385,3 +385,54 @@ class TestStreamContainment:
         assert run(".a | all(range(0))", {"a": [1, 2]}) is True
         assert run(".a | any(range(.))", {"a": [0, 1]}) is False  # outputs all 0
         assert run(".a | any(range(2))", {"a": [1]}) is True      # 0 then 1
+
+
+class TestRecursionAndStreams:
+    """Round-4 late additions: recursive descent, path streams, type
+    filters, bounded loops, stream-through-pipe mapping."""
+
+    @pytest.mark.parametrize(
+        "prog,doc,want",
+        [
+            ("[..]", {"a": {"b": 1}}, [{"a": {"b": 1}}, {"b": 1}, 1]),
+            ("[.. | numbers]", {"a": {"b": 1, "c": [2, 3]}}, [1, 2, 3]),
+            ("[.a | ..]", {"a": [1, 2]}, [[1, 2], 1, 2]),
+            ("[paths]", {"a": {"b": 1}}, [["a"], ["a", "b"]]),
+            ("[paths]", [10, {"x": 1}], [[0], [1], [1, "x"]]),
+            ("[leaf_paths]", {"a": {"b": 1, "c": []}}, [["a", "b"]]),
+            ("[recurse(.[]?)]", [1, [2, 3]], [[1, [2, 3]], 1, [2, 3], 2, 3]),
+            ("[recurse(.[]?; . != 2)]", [1, [2, 3]], [[1, [2, 3]], 1, [2, 3], 3]),
+            (
+                "[recurse(if . < 3 then . + 1 else empty end)]",
+                0,
+                [0, 1, 2, 3],
+            ),
+            ("until(. > 10; . * 2)", 1, 16),
+            ("[while(. < 10; . * 2)]", 1, [1, 2, 4, 8]),
+            ("[limit(3; repeat(. * 2))]", 1, [1, 2, 4]),
+            ('[splits("a")]', "xayaz", ["x", "y", "z"]),
+            ('[splits("A"; "i")]', "xAyaz", ["x", "y", "z"]),
+            ("[.. | strings]", {"a": ["x", 1, {"b": "y"}]}, ["x", "y"]),
+            ("[.[] | booleans]", [1, True, "x", False], [True, False]),
+            ("[.[] | nulls]", [1, None], [None]),
+            ("[.[] | scalars]", [1, [2], {"a": 3}, "s"], [1, "s"]),
+            ("[.[] | iterables]", [1, [2], {"a": 3}], [[2], {"a": 3}]),
+            ("isnan", 1.5, False),
+            ("(nan | isnan)", None, True),
+            ("(infinite | isinfinite)", None, True),
+            ("1e3 + 1", None, 1001.0),
+            ("[range(3) | . * 2]", {}, [0, 2, 4]),  # stream through pipe
+            ("reduce (.. | numbers) as $n (0; . + $n)", {"a": [1, 2]}, 3),
+        ],
+    )
+    def test_semantics(self, prog, doc, want):
+        assert run(prog, doc) == want
+
+    def test_until_divergence_raises(self):
+        with pytest.raises(JqError):
+            run("until(. < 0; . + 1)", 1)
+
+    def test_recurse_still_contained(self):
+        # `..` escaping into a single-value context stays a JqError
+        with pytest.raises(JqError):
+            run("{a: ..}", {"x": 1})
