@@ -81,7 +81,8 @@ _TOKEN_RE = re.compile(
     r"|(?P<lbrace>\{)|(?P<rbrace>\})|(?P<comma>,)|(?P<colon>:)"
     r"|(?P<semi>;)"
     r"|(?P<pipe>\|(?!=))|(?P<opt>\?)"
-    r"|(?P<op><=|>=|==|!=|//=|\|=|\+=|-=|<|>|\+|-|\*|//|/|=)"
+    r"|(?P<op><=|>=|==|!=|//=|\|=|\+=|-=|<|>|\+|-|\*|//|/|%|=)"
+    r"|(?P<fmt>@[a-z0-9]+)"
     r"|(?P<word>and|or|length|add|map|select|any|all|null|true|false|not"
     r"|if|then|elif|else|end|type|to_entries|from_entries"
     r"|startswith|endswith|reduce|as|tostring|tonumber|tojson|fromjson"
@@ -103,7 +104,8 @@ _ZERO_ARG_WORDS = frozenset(
     "empty ascii_downcase ascii_upcase explode implode "
     # type filters (select-by-type), path streams, numeric predicates
     "numbers strings booleans nulls arrays objects iterables scalars "
-    "paths leaf_paths isnan isinfinite infinite nan".split()
+    "paths leaf_paths isnan isinfinite infinite nan "
+    "log log2 log10 exp exp2 todate fromdate".split()
 )
 # builtins taking parenthesized ;-separated argument expressions
 _FN_ARG_RANGE = {
@@ -120,7 +122,7 @@ _FN_ARG_RANGE = {
     "capture": (1, 2), "any": (0, 1), "all": (0, 1),
     "range": (1, 3), "limit": (2, 2),
     "recurse": (0, 2), "until": (2, 2), "while": (2, 2),
-    "repeat": (1, 1), "splits": (1, 2),
+    "repeat": (1, 1), "splits": (1, 2), "pow": (2, 2),
 }
 
 
@@ -133,7 +135,7 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 break
             raise JqError(f"jq parse error at {src[pos:pos+20]!r}")
         pos = m.end()
-        for kind in ("num", "str", "var", "dotdot", "path", "lbrack", "rbrack", "lparen",
+        for kind in ("num", "str", "var", "dotdot", "fmt", "path", "lbrack", "rbrack", "lparen",
                      "rparen", "lbrace", "rbrace", "comma", "colon",
                      "semi", "pipe", "opt", "op", "word", "ident"):
             v = m.group(kind)
@@ -335,7 +337,7 @@ class _Parser:
 
     def parse_mul(self):
         left = self.parse_unary()
-        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             left = Bin(op, left, self.parse_unary())
         return left
@@ -346,6 +348,11 @@ class _Parser:
         # pipeline).  Handling it here — after a full postfix term — also
         # makes mid-pipe bindings (``.a | . as $x | ...``) work for free.
         term = self._parse_unary_inner()
+        # postfix "?" on a general term is try-sugar ((expr)? == try expr);
+        # paths consume their own "?" inside parse_path
+        while self.peek()[0] == "opt":
+            self.next()
+            term = Try(term)
         if not self._no_as and self.peek() == ("word", "as"):
             self.next()
             k2, v2 = self.next()
@@ -379,14 +386,7 @@ class _Parser:
                 k2, v2 = self.peek()
                 if k2 == "lbrack":
                     self.next()
-                    k3, v3 = self.next()
-                    if k3 == "rbrack":
-                        steps.append(("iter", None))
-                        continue
-                    if k3 != "num":
-                        raise JqError("only integer indexes supported")
-                    steps.append(("idx", int(v3)))
-                    self.expect("rbrack")
+                    self.parse_bracket_step(steps)
                 elif k2 == "path":
                     self.next()
                     steps.extend(("seg", s) for s in v2[1:].split(".") if s)
@@ -431,6 +431,9 @@ class _Parser:
         if k == "dotdot":
             self.next()
             return Pipe(Path([]), [("fn", "recurse", [])])
+        if k == "fmt":
+            self.next()
+            return Pipe(Path([]), [("fn", v, [])])
         if k == "path":
             return self.parse_path()
         if k == "lbrack":
@@ -579,6 +582,41 @@ class _Parser:
             return If(cond, then, None)
         raise JqError(f"expected 'elif'/'else'/'end', got {k}:{v}")
 
+    def parse_bracket_step(self, steps: list) -> None:
+        """After consuming '[': appends iter / idx / seg(string) /
+        slice steps (jq .[2], .["key"], .[1:3], .[:n], .[n:], .[])."""
+        import json as _json
+
+        k3, v3 = self.next()
+        if k3 == "rbrack":
+            steps.append(("iter", None))  # ".[]" iterate-all
+            return
+        if k3 == "str":
+            steps.append(("seg", _json.loads(v3)))
+            self.expect("rbrack")
+            return
+        lo = None
+        if k3 == "num":
+            lo = int(v3)
+            if self.peek()[0] == "rbrack":
+                self.next()
+                steps.append(("idx", lo))
+                return
+            if self.peek()[0] != "colon":
+                raise JqError("expected ] or : in bracket index")
+            self.next()
+        elif k3 == "colon":
+            pass
+        else:
+            raise JqError("only integer/string/slice indexes supported")
+        hi = None
+        k4, v4 = self.peek()
+        if k4 == "num":
+            self.next()
+            hi = int(v4)
+        self.expect("rbrack")
+        steps.append(("slice", (lo, hi)))
+
     def parse_path(self):
         _, v = self.next()
         # a trailing dot (".attributes." before a quoted segment) yields
@@ -608,14 +646,7 @@ class _Parser:
                 steps.append(("seg", _json.loads(v2)))
             elif k2 == "lbrack":
                 self.next()
-                k3, v3 = self.next()
-                if k3 == "rbrack":
-                    steps.append(("iter", None))  # ".[]" iterate-all
-                    continue
-                if k3 != "num":
-                    raise JqError("only integer indexes supported")
-                steps.append(("idx", int(v3)))
-                self.expect("rbrack")
+                self.parse_bracket_step(steps)
             else:
                 break
         return Path(steps, optional)
@@ -655,6 +686,8 @@ class _Parser:
                 ops.append(("expr", self.parse_reduce()))
             elif k == "dotdot":
                 ops.append(("fn", "recurse", []))
+            elif k == "fmt":
+                ops.append(("fn", v, []))
             elif k == "path" or k == "var" or (k == "str" and "\\(" in v):
                 # "| .foo", "| $x", "| \"...\(interp)\"" — expression ops;
                 # a later stage may itself be an update assignment
@@ -780,6 +813,8 @@ def _set_path(container: Any, steps: list, value: Any) -> Any:
     kind, key = steps[0]
     if kind == "iter":
         raise JqError("cannot assign through []")
+    if kind == "slice":
+        raise JqError("cannot assign through a slice")
     if kind == "seg":
         obj = dict(container) if isinstance(container, dict) else {}
         if container is not None and not isinstance(container, dict):
@@ -819,6 +854,10 @@ def _get_path(container: Any, steps: list) -> Any:
                 cur = cur[key]
             except IndexError:
                 cur = None
+        elif kind == "slice":
+            if not isinstance(cur, (list, str)):
+                raise JqError(f"cannot slice {_jq_type(cur)}")
+            cur = cur[slice(*key)]
         else:
             raise JqError("cannot read through []")
     return cur
@@ -968,6 +1007,17 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 if node.optional:
                     return _EMPTY
                 raise JqError(f"cannot iterate over {_jq_type(cur)}")
+            if kind == "slice":
+                lo, hi = key
+                if cur is None:
+                    cur = None  # jq: null[1:3] -> null
+                elif isinstance(cur, (list, str)):
+                    cur = cur[slice(lo, hi)]
+                elif node.optional:
+                    return None
+                else:
+                    raise JqError(f"cannot slice {_jq_type(cur)}")
+                continue
             if kind == "seg":
                 if cur is None:
                     if node.optional:
@@ -1221,6 +1271,13 @@ def _jq_arith(op: str, l: Any, r: Any) -> Any:
             return l / r
         if isinstance(l, str) and isinstance(r, str):
             return l.split(r) if r else list(l)
+    elif op == "%":
+        if num(l) and num(r):
+            a, b = int(l), int(r)
+            if b == 0:
+                raise JqError("cannot mod by zero")
+            # jq/C semantics: truncated division, sign follows dividend
+            return a - b * int(a / b)
     raise JqError(
         f"{_jq_type(l)} and {_jq_type(r)} cannot be {op!r}-combined"
     )
@@ -1426,6 +1483,84 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             "scalars": lambda v: not isinstance(v, (list, dict)),
         }[name]
         return cur if match(cur) else _EMPTY
+    if name.startswith("@"):
+        import base64 as _b64
+        import json as _json
+
+        if name == "@text":
+            return _jq_tostring(cur)
+        if name == "@json":
+            return _json.dumps(cur, ensure_ascii=False, separators=(",", ":"))
+        if name == "@base64":
+            return _b64.b64encode(_jq_tostring(cur).encode()).decode()
+        if name == "@base64d":
+            if not isinstance(cur, str):
+                raise JqError("@base64d requires a string")
+            try:
+                return _b64.b64decode(cur.encode()).decode("utf-8", "replace")
+            except Exception as e:
+                raise JqError(f"invalid base64: {e}") from e
+        if name in ("@csv", "@tsv"):
+            if not isinstance(cur, list):
+                raise JqError(f"{name} requires an array")
+            cells = []
+            for v in cur:
+                if v is None:
+                    cells.append("")
+                elif isinstance(v, bool):
+                    cells.append("true" if v else "false")
+                elif isinstance(v, (int, float)):
+                    cells.append(_jq_tostring(v))
+                elif isinstance(v, str):
+                    if name == "@csv":
+                        cells.append('"' + v.replace('"', '""') + '"')
+                    else:
+                        cells.append(
+                            v.replace("\\", "\\\\")
+                            .replace("\t", "\\t")
+                            .replace("\n", "\\n")
+                            .replace("\r", "\\r")
+                        )
+                else:
+                    raise JqError(f"{name} cells must be scalars")
+            return (",", "\t")[name == "@tsv"].join(cells)
+        raise JqError(f"unsupported format string {name}")
+    if name in ("log", "log2", "log10", "exp", "exp2"):
+        if not isinstance(cur, (int, float)) or isinstance(cur, bool):
+            raise JqError(f"{name} requires a number")
+        try:
+            fn = {
+                "log": math.log, "log2": math.log2, "log10": math.log10,
+                "exp": math.exp, "exp2": lambda v: 2.0 ** v,
+            }[name]
+            return float(fn(float(cur)))
+        except (ValueError, OverflowError) as e:
+            raise JqError(f"{name} domain error: {e}") from e
+    if name == "pow":
+        x, y = val(0), val(1)
+        for v in (x, y):
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise JqError("pow requires numbers")
+        try:
+            return float(x) ** float(y)
+        except (OverflowError, ZeroDivisionError) as e:
+            raise JqError(f"pow domain error: {e}") from e
+    if name in ("todate", "fromdate"):
+        from datetime import datetime, timezone
+
+        if name == "todate":
+            if not isinstance(cur, (int, float)) or isinstance(cur, bool):
+                raise JqError("todate requires a number")
+            return datetime.fromtimestamp(cur, tz=timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            )
+        if not isinstance(cur, str):
+            raise JqError("fromdate requires a string")
+        try:
+            dt = datetime.strptime(cur, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError as e:
+            raise JqError(f"invalid ISO8601 date: {e}") from e
+        return int(dt.replace(tzinfo=timezone.utc).timestamp())
     if name in ("isnan", "isinfinite"):
         if not isinstance(cur, (int, float)) or isinstance(cur, bool):
             raise JqError(f"{name} requires a number")
