@@ -59,6 +59,7 @@ rules (``rules.py``) for hot paths.
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass
 from typing import Any
@@ -595,9 +596,14 @@ class _Parser:
             steps.append(("seg", _json.loads(v3)))
             self.expect("rbrack")
             return
+        def _int_index(raw: str) -> int:
+            if not raw.lstrip("-").isdigit():
+                raise JqError(f"array index must be an integer, got {raw}")
+            return int(raw)
+
         lo = None
         if k3 == "num":
-            lo = int(v3)
+            lo = _int_index(v3)
             if self.peek()[0] == "rbrack":
                 self.next()
                 steps.append(("idx", lo))
@@ -613,7 +619,7 @@ class _Parser:
         k4, v4 = self.peek()
         if k4 == "num":
             self.next()
-            hi = int(v4)
+            hi = _int_index(v4)
         self.expect("rbrack")
         steps.append(("slice", (lo, hi)))
 
@@ -703,6 +709,13 @@ class _Parser:
                 ops.append(("expr", stage))
             else:
                 raise JqError(f"unsupported pipe op {v!r}")
+            # per-stage postfix "?" (jq: ".a | tonumber?" == try tonumber
+            # scoped to that stage alone)
+            while self.peek()[0] == "opt":
+                self.next()
+                last = ops[-1]
+                inner = last[1] if last[0] == "expr" else Pipe(Path([]), [last])
+                ops[-1] = ("expr", Try(inner))
         expr = Pipe(source, ops) if ops else source
         # jq parses "a | length == 0" as "a | (length == 0)": allow a
         # trailing comparison/arithmetic applied to the piped value
@@ -1273,11 +1286,18 @@ def _jq_arith(op: str, l: Any, r: Any) -> Any:
             return l.split(r) if r else list(l)
     elif op == "%":
         if num(l) and num(r):
+            if not (math.isfinite(l) and math.isfinite(r)):
+                raise JqError("cannot mod nan/infinite")
             a, b = int(l), int(r)
             if b == 0:
                 raise JqError("cannot mod by zero")
-            # jq/C semantics: truncated division, sign follows dividend
-            return a - b * int(a / b)
+            # jq/C semantics: truncated division, sign follows the
+            # dividend — computed in exact integer arithmetic (a float
+            # quotient corrupts operands beyond 2^53)
+            q = abs(a) // abs(b)
+            if (a < 0) != (b < 0):
+                q = -q
+            return a - b * q
     raise JqError(
         f"{_jq_type(l)} and {_jq_type(r)} cannot be {op!r}-combined"
     )
@@ -1381,6 +1401,16 @@ def _del_path(container: Any, steps: list) -> Any:
         if isinstance(container, dict):
             return {}
         raise JqError(f"cannot iterate {_jq_type(container)}")
+    if kind == "slice":
+        if len(steps) > 1:
+            raise JqError("cannot delete through a slice")
+        if container is None:
+            return None
+        if not isinstance(container, list):
+            raise JqError(f"cannot delete a slice of {_jq_type(container)}")
+        arr = list(container)
+        del arr[slice(*key)]
+        return arr
     if kind == "seg":
         if container is None:
             return None
@@ -1542,18 +1572,24 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             if not isinstance(v, (int, float)) or isinstance(v, bool):
                 raise JqError("pow requires numbers")
         try:
-            return float(x) ** float(y)
+            r = float(x) ** float(y)
         except (OverflowError, ZeroDivisionError) as e:
             raise JqError(f"pow domain error: {e}") from e
+        # negative base ** fractional exponent: python yields complex,
+        # jq yields nan — never leak a complex into the document
+        return math.nan if isinstance(r, complex) else r
     if name in ("todate", "fromdate"):
         from datetime import datetime, timezone
 
         if name == "todate":
             if not isinstance(cur, (int, float)) or isinstance(cur, bool):
                 raise JqError("todate requires a number")
-            return datetime.fromtimestamp(cur, tz=timezone.utc).strftime(
-                "%Y-%m-%dT%H:%M:%SZ"
-            )
+            try:
+                return datetime.fromtimestamp(cur, tz=timezone.utc).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                )
+            except (ValueError, OverflowError, OSError) as e:
+                raise JqError(f"todate out of range: {e}") from e
         if not isinstance(cur, str):
             raise JqError("fromdate requires a string")
         try:
@@ -1575,22 +1611,22 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         # leaf_paths = paths(scalars)
         leaf_only = name == "leaf_paths"
         out_paths: list = []
-
-        def walk_paths(v, prefix):
+        # pre-order DFS on an explicit stack (deep nesting must not hit
+        # the recursion limit): emit a node's path when popping it
+        stack = [(cur, [])]
+        while stack:
+            v, prefix = stack.pop()
+            if prefix and (not leaf_only or not isinstance(v, (list, dict))):
+                out_paths.append(prefix)
             it = (
-                v.items()
+                list(v.items())
                 if isinstance(v, dict)
-                else enumerate(v)
+                else list(enumerate(v))
                 if isinstance(v, list)
-                else ()
+                else []
             )
-            for k_, child in it:
-                p_ = prefix + [k_]
-                if not leaf_only or not isinstance(child, (list, dict)):
-                    out_paths.append(p_)
-                walk_paths(child, p_)
-
-        walk_paths(cur, [])
+            for k_, child in reversed(it):
+                stack.append((child, prefix + [k_]))
         return _JqStream(out_paths)
     if name == "recurse":
         # jq: def recurse(f; cond): def r: ., (f | select(cond) | r); r;
@@ -1598,48 +1634,46 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         # expression evaluation at all
         out_rec: list = []
         if not arg_asts:
-            def walk_all(v):
+            # structural walk (`..` / recurse()), explicit stack so deep
+            # documents never hit python's recursion limit
+            stack = [cur]
+            while stack:
+                v = stack.pop()
                 out_rec.append(v)
                 children = (
-                    v.values()
+                    list(v.values())
                     if isinstance(v, dict)
                     else v
                     if isinstance(v, list)
                     else ()
                 )
-                for c in children:
-                    walk_all(c)
-
-            walk_all(cur)
+                stack.extend(reversed(children))
             return _JqStream(out_rec)
         cond_ast = arg_asts[1] if len(arg_asts) == 2 else None
         src = arg_asts[0]
 
         def f_outputs(x) -> list:
-            # a path ending in [] iterates like a reduce source
-            if isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter":
-                seq = ev(Path(src.steps[:-1], src.optional), x)
-                if isinstance(seq, dict):
-                    return list(seq.values())
-                if isinstance(seq, list):
-                    return list(seq)
-                if src.optional:
-                    return []
-                raise JqError(f"cannot iterate over {_jq_type(seq)}")
+            # terminal-[] paths natively yield a stream; _EMPTY (e.g.
+            # `.[]?` on a scalar) yields nothing
             r = ev(src, x)
             if r is _EMPTY:
                 return []
             return r.items if isinstance(r, _JqStream) else [r]
 
-        def go(x):
+        # pre-order DFS on an explicit worklist (a 5000-long chain of
+        # f applications must raise the value cap, not RecursionError)
+        stack = [cur]
+        while stack:
+            x = stack.pop()
             out_rec.append(x)
             if len(out_rec) > 1_000_000:
                 raise JqError("recurse expansion exceeds 1e6 values")
-            for c in f_outputs(x):
-                if cond_ast is None or _truthy(ev(cond_ast, c)):
-                    go(c)
-
-        go(cur)
+            kids = [
+                c
+                for c in f_outputs(x)
+                if cond_ast is None or _truthy(ev(cond_ast, c))
+            ]
+            stack.extend(reversed(kids))
         return _JqStream(out_rec)
     if name == "until":
         x = cur
@@ -1667,8 +1701,15 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         # deviation; limit(n; repeat(f)) works for n <= 4096)
         out_r: list = []
         x = cur
+        total_sz = 0
         for _ in range(4096):
             out_r.append(x)
+            # growing-value guard: limit() consumes this stream eagerly,
+            # so a doubling body would OOM long before 4096 iterations —
+            # truncate once the accumulated container size is large
+            total_sz += len(x) if isinstance(x, (str, list, dict)) else 1
+            if total_sz > 10_000_000:
+                break
             try:
                 x = ev(arg_asts[0], x)
             except JqError:

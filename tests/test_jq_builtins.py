@@ -490,3 +490,53 @@ class TestBracketsSlicesMath:
     def test_slice_assignment_rejected(self):
         with pytest.raises(JqError):
             run(".a[1:2] = [9]", {"a": [1, 2, 3]})
+
+
+class TestJqReviewRegressions:
+    """Late-round-4 review findings, pinned."""
+
+    def test_bigint_modulo_exact(self):
+        assert run("10000000000000000001 % 7", None) == 4
+
+    def test_pow_complex_is_nan(self):
+        import math
+
+        assert math.isnan(run("pow(-8; 0.333)", None))
+
+    def test_del_slice(self):
+        assert run("del(.a[1:2])", {"a": [1, 2, 3]}) == {"a": [1, 3]}
+
+    def test_domain_errors_catchable(self):
+        assert run('try (nan | todate) catch "c"', None) == "c"
+        assert run('(nan % 2)? // "c"', None) == "c"
+        assert run('try (1e300 | todate) catch "c"', None) == "c"
+
+    def test_deep_recursion_no_stack_overflow(self):
+        # a 5000-long chain must walk iteratively, not recurse
+        got = run("[recurse(if . < 5000 then . + 1 else empty end)] | length", 0)
+        assert got == 5001
+        deep = v = {}
+        for _ in range(5000):
+            v["c"] = {}
+            v = v["c"]
+        assert run("[..] | length", deep) == 5001
+        assert run("[paths] | length", deep) == 5000
+
+    def test_paths_document_order(self):
+        assert run("[paths]", {"a": {"b": 1}, "c": 2}) == [
+            ["a"],
+            ["a", "b"],
+            ["c"],
+        ]
+
+    def test_repeat_growth_truncates_not_oom(self):
+        assert run("[limit(2; repeat(. + .))]", "ab") == ["ab", "abab"]
+
+    def test_float_index_is_jq_error(self):
+        with pytest.raises(JqError):
+            run(".a[1.5:]", {"a": [1]})
+
+    def test_pipe_stage_postfix_try(self):
+        assert run(".a | tonumber?", {"a": "5"}) == 5
+        assert run('.a | tonumber? // "d"', {"a": "zz"}) == "d"
+        assert run("[.[] | tonumber?]", ["1", "x", "3"]) == [1, 3]
