@@ -209,6 +209,17 @@ class Reduce:
 
 
 @dataclass
+class Foreach:
+    # foreach SOURCE as $var (INIT; UPDATE[; EXTRACT]): streaming fold —
+    # yields EXTRACT (default ".") after each UPDATE step
+    source: Any
+    var: str
+    init: Any
+    update: Any
+    extract: Any = None
+
+
+@dataclass
 class Assign:
     # PATH op= EXPR (op in =, |=, //=, +=, -=): returns the updated doc
     op: str
@@ -401,6 +412,8 @@ class _Parser:
             return var
         if k == "word" and v == "reduce":
             return self.parse_reduce()
+        if k == "ident" and v == "foreach":
+            return self.parse_foreach()
         if k == "word" and v == "null":
             self.next()
             return Lit(None)
@@ -533,9 +546,17 @@ class _Parser:
         self.expect("rbrace")
         return ObjectLit(pairs)
 
-    def parse_reduce(self):
-        """``reduce SRC[] as $v (INIT; UPDATE)`` — jq's fold."""
-        self.next()  # "reduce"
+    def parse_foreach(self):
+        """``foreach SRC as $v (INIT; UPDATE[; EXTRACT])`` — streaming
+        fold yielding each intermediate (a bounded stream here)."""
+        red = self.parse_reduce(word="foreach")
+        return red
+
+    def parse_reduce(self, word: str = "reduce"):
+        """``reduce SRC[] as $v (INIT; UPDATE)`` — jq's fold (also the
+        shared parser for ``foreach``, which allows a third EXTRACT
+        expression)."""
+        self.next()  # "reduce" / "foreach"
         if self.peek()[0] == "path":
             src = self.parse_path()
         else:
@@ -555,7 +576,15 @@ class _Parser:
         init = self.parse_pipe()
         self.expect("semi")
         update = self.parse_pipe()
+        extract = None
+        if self.peek()[0] == "semi":
+            if word != "foreach":
+                raise JqError("reduce takes (INIT; UPDATE)")
+            self.next()
+            extract = self.parse_pipe()
         self.expect("rparen")
+        if word == "foreach":
+            return Foreach(src, var, init, update, extract)
         return Reduce(src, var, init, update)
 
     def parse_if(self):
@@ -690,6 +719,9 @@ class _Parser:
             elif k == "word" and v == "reduce":
                 self.i -= 1
                 ops.append(("expr", self.parse_reduce()))
+            elif k == "ident" and v == "foreach":
+                self.i -= 1
+                ops.append(("expr", self.parse_foreach()))
             elif k == "dotdot":
                 ops.append(("fn", "recurse", []))
             elif k == "fmt":
@@ -982,6 +1014,47 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             # inside UPDATE "." is the accumulator, $var the item
             acc = _value(node.update, doc, acc, env2)
         return acc
+    if isinstance(node, Foreach):
+        # same source semantics as Reduce, but yield each intermediate
+        # (through EXTRACT when given) as a bounded stream
+        src = node.source
+        if isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter":
+            seq = _eval(Path(src.steps[:-1], src.optional), doc, elem, env)
+            if seq is None and src.optional:
+                seq = []
+            if isinstance(seq, dict):
+                seq = list(seq.values())
+            if not isinstance(seq, list):
+                raise JqError(f"cannot iterate over {_jq_type(seq)}")
+        else:
+            v = _eval(src, doc, elem, env)
+            if isinstance(v, _JqStream):
+                seq = v.items
+            elif isinstance(v, list):
+                seq = v
+            else:
+                raise JqError(
+                    "foreach source must be a path ending in [], a "
+                    "stream, or an array"
+                )
+        acc = _value(node.init, doc, elem, env)
+        outs: list = []
+        for item in seq:
+            env2 = dict(env) if env else {}
+            env2[node.var] = item
+            acc = _value(node.update, doc, acc, env2)
+            ex = (
+                acc
+                if node.extract is None
+                else _eval(node.extract, doc, acc, env2)
+            )
+            if ex is _EMPTY:
+                continue
+            if isinstance(ex, _JqStream):
+                outs.extend(ex.items)
+            else:
+                outs.append(ex)
+        return _JqStream(outs)
     if isinstance(node, Assign):
         cur_in = doc if elem is _NO_ELEM else elem
         old = _get_path(cur_in, node.path.steps)

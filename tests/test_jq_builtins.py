@@ -540,3 +540,22 @@ class TestJqReviewRegressions:
         assert run(".a | tonumber?", {"a": "5"}) == 5
         assert run('.a | tonumber? // "d"', {"a": "zz"}) == "d"
         assert run("[.[] | tonumber?]", ["1", "x", "3"]) == [1, 3]
+
+
+class TestForeach:
+    def test_running_sum(self):
+        assert run("[foreach .[] as $x (0; . + $x)]", [1, 2, 3]) == [1, 3, 6]
+
+    def test_extract_clause(self):
+        assert run("[foreach .[] as $x (0; . + $x; . * 10)]", [1, 2, 3]) == [
+            10,
+            30,
+            60,
+        ]
+
+    def test_stream_source(self):
+        assert run("[foreach range(4) as $i (1; . * 2)]", None) == [2, 4, 8, 16]
+
+    def test_reduce_rejects_third_arg(self):
+        with pytest.raises(JqError):
+            run("reduce .[] as $x (0; . + $x; .)", [1])
