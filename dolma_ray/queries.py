@@ -2227,3 +2227,82 @@ LEFT JOIN hits h USING (doc_id)
 
 QUERIES["bloom_decontam"] = q_bloom_decontam
 ORACLES["bloom_decontam"] = SQL_BLOOM_DECONTAM
+
+
+# ---------------------------------------------------------------------------
+# running-window aggregate (cumulative sum over an ordered partition)
+
+
+def q_cumulative_spend(sf_dir: str, n_buckets: int = 64):
+    """Per-customer running spend: for each order, the cumulative total
+    of that customer's orders up to and including it (ordered by
+    orderdate, orderkey) — the classic ordered-partition window
+    aggregate (``SUM() OVER (PARTITION BY ... ORDER BY ...)``).
+
+    Scale shape: same as :func:`q_user_sessions` — customers are salted
+    into ``n_buckets`` hash buckets and every customer in a bucket is
+    processed by ONE vectorized sort + segmented cumsum, so the shuffle
+    moves ``n_buckets`` well-sized groups, never per-customer frames.
+    Money is integer cents end-to-end: the running sum is exact and the
+    oracle comparison is dtype-strict."""
+    ds = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "cents": pa.array(cents),
+                "bucket": pa.array((np.abs(cust) % n_buckets).astype(np.int32)),
+            }
+        )
+
+    def cumsum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        cust = g["o_custkey"].to_numpy()
+        cents = g["cents"].to_numpy()
+        cs = np.cumsum(cents)
+        n = len(g)
+        new_cust = np.empty(n, dtype=bool)
+        new_cust[0] = True
+        new_cust[1:] = cust[1:] != cust[:-1]
+        # running total within each contiguous customer segment: global
+        # cumsum minus the cumsum just before the segment start
+        seg_start = np.maximum.accumulate(np.where(new_cust, np.arange(n), 0))
+        base = np.where(seg_start > 0, cs[seg_start - 1], 0)
+        base[seg_start == 0] = 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "cum_spend_cents": (cs - base).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cumsum_bucket, batch_format="pandas")
+    )
+
+
+SQL_CUMULATIVE_SPEND = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_cents
+FROM orders
+"""
+
+QUERIES["cumulative_spend"] = q_cumulative_spend
+ORACLES["cumulative_spend"] = SQL_CUMULATIVE_SPEND

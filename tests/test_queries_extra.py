@@ -100,3 +100,31 @@ def test_bloom_decontam_matches_exact_semijoin(ray_session):
         "SELECT doc_id FROM documents WHERE source='src0' AND len(string_split(text,' ')) >= 8"
     ).df()["doc_id"]
     assert df.set_index("doc_id").loc[src0, "contaminated"].all()
+
+
+def test_cumulative_spend_semantics(ray_session):
+    """Running sum resets per customer and is ordered by (date, key)."""
+    import numpy as np
+
+    from dolma_ray.queries import QUERIES
+
+    df = QUERIES["cumulative_spend"]("/root/testdata/sf0.001").to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    # final cumulative value per customer == the customer's total
+    last = con.sql(
+        """
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total,
+               max_by(o_orderkey, [epoch_us(o_orderdate), o_orderkey]) AS last_key
+        FROM orders GROUP BY o_custkey
+        """
+    ).df()
+    got = df.set_index("o_orderkey")["cum_spend_cents"]
+    assert (got.loc[last["last_key"]].to_numpy() == last["total"].to_numpy()).all()
+    assert df["cum_spend_cents"].dtype == np.int64
