@@ -119,10 +119,16 @@ def test_cumulative_spend_semantics(ray_session):
     # final cumulative value per customer == the customer's total
     last = con.sql(
         """
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        )
         SELECT o_custkey,
                CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total,
-               max_by(o_orderkey, [epoch_us(o_orderdate), o_orderkey]) AS last_key
-        FROM orders GROUP BY o_custkey
+               max(CASE WHEN rn = 1 THEN o_orderkey END) AS last_key
+        FROM ranked GROUP BY o_custkey
         """
     ).df()
     got = df.set_index("o_orderkey")["cum_spend_cents"]
