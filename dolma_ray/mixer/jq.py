@@ -920,6 +920,19 @@ def _apply_arith(op: str, l: Any, r: Any) -> Any:
     return l - r
 
 
+def _fold_source(src: Any, doc: Any, elem: Any, env: dict | None) -> list:
+    """Outputs of a reduce/foreach SOURCE generator: stream items,
+    nothing for empty, else the single value bound once (jq 1.7).
+    Terminal-[] paths already evaluate to streams (and `.[]?` on a
+    wrong type to empty), so no path special-casing is needed."""
+    v = _eval(src, doc, elem, env)
+    if v is _EMPTY:
+        return []
+    if isinstance(v, _JqStream):
+        return v.items
+    return [v]
+
+
 def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -> Any:
     """_eval for SINGLE-VALUE contexts: a multi-value stream here is a
     JqError (catchable by try/catch), never a raw _JqStream embedded in
@@ -989,24 +1002,11 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         env2[node.var] = bound
         return _eval(node.body, doc, elem, env2)
     if isinstance(node, Reduce):
-        src = node.source
-        if isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter":
-            seq = _eval(Path(src.steps[:-1], src.optional), doc, elem, env)
-            if seq is None and src.optional:
-                seq = []
-            if isinstance(seq, dict):
-                seq = list(seq.values())
-            if not isinstance(seq, list):
-                raise JqError(f"cannot iterate over {_jq_type(seq)}")
-        else:
-            v = _eval(src, doc, elem, env)
-            if isinstance(v, _JqStream):  # reduce range(...) as $i (...)
-                seq = v.items
-            else:
-                raise JqError(
-                    "reduce source must be a path ending in [] or a "
-                    "stream (range/limit)"
-                )
+        # jq source semantics: terminal-[] paths natively yield a
+        # stream (`.a[]?` on a wrong type yields empty), empty yields
+        # nothing, and any single value binds ONCE (jq folds over the
+        # generator's outputs, whatever their count)
+        seq = _fold_source(node.source, doc, elem, env)
         acc = _value(node.init, doc, elem, env)
         for item in seq:
             env2 = dict(env) if env else {}
@@ -1017,26 +1017,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
     if isinstance(node, Foreach):
         # same source semantics as Reduce, but yield each intermediate
         # (through EXTRACT when given) as a bounded stream
-        src = node.source
-        if isinstance(src, Path) and src.steps and src.steps[-1][0] == "iter":
-            seq = _eval(Path(src.steps[:-1], src.optional), doc, elem, env)
-            if seq is None and src.optional:
-                seq = []
-            if isinstance(seq, dict):
-                seq = list(seq.values())
-            if not isinstance(seq, list):
-                raise JqError(f"cannot iterate over {_jq_type(seq)}")
-        else:
-            v = _eval(src, doc, elem, env)
-            if isinstance(v, _JqStream):
-                seq = v.items
-            elif isinstance(v, list):
-                seq = v
-            else:
-                raise JqError(
-                    "foreach source must be a path ending in [], a "
-                    "stream, or an array"
-                )
+        seq = _fold_source(node.source, doc, elem, env)
         acc = _value(node.init, doc, elem, env)
         outs: list = []
         for item in seq:
@@ -1775,12 +1756,17 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         out_r: list = []
         x = cur
         total_sz = 0
+        seen_ids: set = set()
         for _ in range(4096):
             out_r.append(x)
             # growing-value guard: limit() consumes this stream eagerly,
             # so a doubling body would OOM long before 4096 iterations —
-            # truncate once the accumulated container size is large
-            total_sz += len(x) if isinstance(x, (str, list, dict)) else 1
+            # truncate once the RETAINED size is large.  Retained cost
+            # counts each object once (out_r keeps them alive, so ids
+            # are stable): repeat(.) shares one object and never trips
+            if id(x) not in seen_ids:
+                seen_ids.add(id(x))
+                total_sz += len(x) if isinstance(x, (str, list, dict)) else 1
             if total_sz > 10_000_000:
                 break
             try:

@@ -559,3 +559,23 @@ class TestForeach:
     def test_reduce_rejects_third_arg(self):
         with pytest.raises(JqError):
             run("reduce .[] as $x (0; . + $x; .)", [1])
+
+
+class TestFoldSourceSemantics:
+    """Review pass 5: jq's fold-source rules — a single value binds
+    ONCE, `?` suppresses wrong-type iteration, repeat(.) never trips
+    the growth guard."""
+
+    def test_array_source_binds_once(self):
+        assert run("[foreach .a as $x (0; . + 1)]", {"a": [5, 6]}) == [1]
+        assert run(
+            "reduce .a as $x (0; . + ($x | length))", {"a": [5, 6]}
+        ) == 2
+
+    def test_optional_iter_wrong_type_is_empty(self):
+        assert run("[foreach .a[]? as $x (0; . + 1)]", {"a": 3}) == []
+        assert run("reduce .a[]? as $x (0; . + 1)", {"a": 3}) == 0
+
+    def test_repeat_shared_value_not_truncated(self):
+        doc = "x" * 3000
+        assert run("[limit(4096; repeat(.))] | length", doc) == 4096
