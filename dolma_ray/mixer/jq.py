@@ -29,6 +29,10 @@ implements exactly that subset with the reference's semantics:
 * general bindings ``EXPR as $x | BODY`` (single value, no
   destructuring patterns), bound at term level like jq 1.7
   (``.a + 1 as $x`` binds ``1``);
+* top-level user functions ``def f: BODY;`` / ``def f($a; $b): BODY;``
+  — $-value parameters only (filter parameters need call-by-name
+  closures and are rejected loudly); recursion allowed up to a
+  catchable 150-call depth;
 * bounded streams from ``range``/``limit``/``..``/``recurse``/
   ``while``/``repeat``/``splits``/terminal ``.[]``/``paths``/
   ``leaf_paths``, consumable by ``reduce``, spliced inside ``[...]``
@@ -206,6 +210,20 @@ class Reduce:
     var: str
     init: Any
     update: Any
+
+
+@dataclass
+class Program:
+    # top-level function definitions + the main expression
+    defs: dict  # name -> (param names WITHOUT $, body AST)
+    body: Any
+
+
+@dataclass
+class Call:
+    # user-defined function call: NAME or NAME(arg1; arg2)
+    name: str
+    args: list
 
 
 @dataclass
@@ -454,7 +472,24 @@ class _Parser:
             return self.parse_array()
         if k == "lbrace":
             return self.parse_object()
+        if k == "ident":
+            # unknown name: user-defined function call (resolved at
+            # eval time against the program's defs, like jq)
+            return self.parse_call(v)
         raise JqError(f"unexpected token {k}:{v}")
+
+    def parse_call(self, name: str):
+        self.next()
+        args: list[Any] = []
+        if self.peek()[0] == "lparen":
+            self.next()
+            if self.peek()[0] != "rparen":
+                args.append(self.parse_pipe())
+                while self.peek()[0] == "semi":
+                    self.next()
+                    args.append(self.parse_pipe())
+            self.expect("rparen")
+        return Call(name, args)
 
     @staticmethod
     def word_op(v: str) -> tuple:
@@ -739,6 +774,9 @@ class _Parser:
                     self.next()
                     stage = Assign(v2, stage, self.parse_alt())
                 ops.append(("expr", stage))
+            elif k == "ident":
+                self.i -= 1  # parse_call consumes the name itself
+                ops.append(("expr", self.parse_call(v)))
             else:
                 raise JqError(f"unsupported pipe op {v!r}")
             # per-stage postfix "?" (jq: ".a | tonumber?" == try tonumber
@@ -951,6 +989,31 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         return node.value
     if isinstance(node, _Raw):
         return node.value
+    if isinstance(node, Program):
+        env2 = dict(env) if env else {}
+        env2["__defs__"] = node.defs
+        return _eval(node.body, doc, elem, env2)
+    if isinstance(node, Call):
+        defs = (env or {}).get("__defs__") or {}
+        if node.name not in defs:
+            raise JqError(f"{node.name}/{len(node.args)} is not defined")
+        params, body = defs[node.name]
+        if len(node.args) != len(params):
+            raise JqError(
+                f"{node.name} takes {len(params)} argument(s), "
+                f"got {len(node.args)}"
+            )
+        env2 = dict(env) if env else {}
+        depth = env2.get("__depth__", 0) + 1
+        # the evaluator recurses on the python stack (~6 frames per jq
+        # call), so the cap must stay well under python's 1000-frame
+        # limit to raise a catchable JqError, not RecursionError
+        if depth > 150:
+            raise JqError(f"recursion limit reached calling {node.name}")
+        env2["__depth__"] = depth
+        for pname, arg in zip(params, node.args):
+            env2[pname] = _value(arg, doc, elem, env)
+        return _eval(body, doc, elem, env2)
     if isinstance(node, Var):
         if env is not None and node.name in env:
             return env[node.name]
@@ -2100,12 +2163,41 @@ def parse_jq(expr: str):
     return _Parser(_tokenize(expr)).parse_pipe_root()
 
 
-# allow a top-level pipe too (e.g. ".attributes.x | length")
+# allow a top-level pipe too (e.g. ".attributes.x | length"), with
+# leading user function definitions: def f: ...; def g($a): ...; MAIN
 def _parse_pipe_root(self):
+    defs: dict = {}
+    while self.peek() == ("ident", "def"):
+        self.next()
+        k, name = self.next()
+        if k != "ident" or name in _ZERO_ARG_WORDS or name in _FN_ARG_RANGE:
+            raise JqError(f"invalid function name {name!r}")
+        params: list[str] = []
+        if self.peek()[0] == "lparen":
+            self.next()
+            while True:
+                k2, v2 = self.next()
+                if k2 != "var":
+                    raise JqError(
+                        "only $value parameters are supported in def "
+                        f"(filter parameters need full closures), got {v2!r}"
+                    )
+                params.append(v2[1:])
+                k3, _ = self.next()
+                if k3 == "rparen":
+                    break
+                if k3 != "semi":
+                    raise JqError("expected ; or ) in def parameters")
+        self.expect("colon")
+        body = self.parse_pipe()
+        k4, v4 = self.next()
+        if (k4, v4) != ("semi", ";"):
+            raise JqError(f"expected ';' after def body, got {v4!r}")
+        defs[name] = (params, body)
     e = self.parse_pipe()
     if self.peek()[0] is not None:
         raise JqError(f"trailing tokens at {self.toks[self.i:]}")
-    return e
+    return Program(defs, e) if defs else e
 
 
 _Parser.parse_pipe_root = _parse_pipe_root

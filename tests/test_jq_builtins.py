@@ -579,3 +579,39 @@ class TestFoldSourceSemantics:
     def test_repeat_shared_value_not_truncated(self):
         doc = "x" * 3000
         assert run("[limit(4096; repeat(.))] | length", doc) == 4096
+
+
+class TestUserDefs:
+    """Top-level def NAME[($a; $b)]: BODY; user functions."""
+
+    @pytest.mark.parametrize(
+        "prog,doc,want",
+        [
+            ("def inc: . + 1; [.[] | inc]", [1, 2], [2, 3]),
+            ("def add2($a; $b): $a + $b; add2(.x; 10)", {"x": 5}, 15),
+            (
+                "def fact: if . <= 1 then 1 else . * (. - 1 | fact) end;"
+                " 5 | fact",
+                None,
+                120,
+            ),
+            ("def twice: . * 2; def quad: twice | twice; 3 | quad", None, 12),
+            ("def half($x): $x / 2; [half(4), half(8)]", None, [2.0, 4.0]),
+            ("def keep: select(. > 1); [.[] | keep]", [1, 2, 3], [2, 3]),
+        ],
+    )
+    def test_semantics(self, prog, doc, want):
+        assert run(prog, doc) == want
+
+    def test_undefined_function(self):
+        with pytest.raises(JqError, match="not defined"):
+            run("nosuchfn", None)
+
+    def test_divergent_recursion_is_catchable(self):
+        with pytest.raises(JqError, match="recursion limit"):
+            run("def loop: loop; loop", None)
+        assert run('try (def2_missing) catch "c"', None) == "c"
+
+    def test_filter_params_rejected_loudly(self):
+        with pytest.raises(JqError, match="value parameters"):
+            run("def apply(f): f; apply(. + 1)", 1)
