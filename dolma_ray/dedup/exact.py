@@ -58,18 +58,46 @@ def _sorted_lookup(lookup_ref):
     return hit
 
 
+def _order_col(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """One order column -> its string encoding, vectorized per type.
+    Byte-identical to the historical per-row ``str()``/f-string path for
+    string, int<=64/bool and timestamp[us] columns; anything else falls
+    back to that per-row path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pc.fill_null(pc.cast(col, pa.string()), "None")
+    if (pa.types.is_integer(t) and not pa.types.is_uint64(t)) or pa.types.is_boolean(t):
+        base = pc.fill_null(pc.cast(col, pa.int64()), 0)
+        biased = base.to_numpy().astype(np.uint64) + np.uint64(1 << 63)
+        padded = pc.utf8_lpad(pc.cast(pa.array(biased), pa.string()), 20, "0")
+        return pc.if_else(pc.is_valid(col), padded, pa.scalar("None"))
+    if pa.types.is_timestamp(t) and t.unit == "us" and t.tz is None:
+        # str(datetime) drops an all-zero microsecond suffix
+        s = pc.replace_substring_regex(
+            pc.cast(col, pa.string()), r"\.000000$", ""
+        )
+        return pc.fill_null(s, "None")
+    return pa.array(
+        [
+            f"{v + 9223372036854775808:020d}" if isinstance(v, int) else str(v)
+            for v in col.to_pylist()
+        ],
+        pa.string(),
+    )
+
+
 def _order_strings(batch: pa.Table, order_columns: Sequence[str]) -> list[str]:
     """Lexicographically sortable encoding of the order tuple. Integers
     are bias-encoded (+2^63, zero-padded) so string order == numeric
-    order including negatives; everything else uses str()."""
-    cols = [batch[c].to_pylist() for c in order_columns]
-    return [
-        "\x1f".join(
-            f"{v + 9223372036854775808:020d}" if isinstance(v, int) else str(v)
-            for v in row
-        )
-        for row in zip(*cols)
-    ]
+    order including negatives; everything else uses str().  Vectorized
+    per column (arrow cast/lpad + one join kernel), matching the
+    per-row encoding byte for byte."""
+    cols = [_order_col(batch[c]) for c in order_columns]
+    if len(cols) == 1:
+        return cols[0].to_pylist()
+    return pc.binary_join_element_wise(*cols, "\x1f").to_pylist()
 
 
 def duplicate_min_lookup(

@@ -288,3 +288,46 @@ def test_minhash_tie_on_order_still_marks(ray_session):
     )
     assert sorted(out[["a", "b"]].tolist()) == [0.0, 1.0]  # exactly one marked
     assert out["c"] == 0.0
+
+
+def test_order_strings_vectorized_matches_per_row():
+    """The arrow-vectorized order encoding is byte-identical to the
+    historical per-row str()/f-string path for every fast-path type
+    (string, int64, bool, timestamp[us] incl. the zero-microsecond
+    str() trim) and for nulls in each."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from dolma_ray.dedup.exact import _order_strings
+
+    def legacy(batch, order_columns):
+        cols = [batch[c].to_pylist() for c in order_columns]
+        return [
+            "\x1f".join(
+                f"{v + 9223372036854775808:020d}" if isinstance(v, int) else str(v)
+                for v in row
+            )
+            for row in zip(*cols)
+        ]
+
+    batch = pa.table(
+        {
+            "s": pa.array(["x", None, "y\x1fz", ""]),
+            "i": pa.array([-(2**62), None, 0, 2**62], pa.int64()),
+            "b": pa.array([True, False, None, True]),
+            "t": pa.array(
+                [
+                    dt.datetime(2013, 5, 1),  # zero micros: str() trims
+                    dt.datetime(2013, 5, 1, 1, 2, 3, 500000),
+                    None,
+                    dt.datetime(1999, 12, 31, 23, 59, 59, 1),
+                ],
+                pa.timestamp("us"),
+            ),
+            # uint64 has no fast path -> exercises the fallback branch
+            "u": pa.array([0, 1, 2**63 + 5, None], pa.uint64()),
+        }
+    )
+    for cols in (["s"], ["i"], ["t"], ["u"], ["t", "s"], ["s", "i", "b", "t", "u"]):
+        assert _order_strings(batch, cols) == legacy(batch, cols), cols
