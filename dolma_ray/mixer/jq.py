@@ -72,8 +72,15 @@ import numpy as np
 import pyarrow as pa
 
 
+_NO_ERR_VALUE = object()  # sentinel: error carries no jq value payload
+
+
 class JqError(ValueError):
-    """Evaluation error (propagates, like jaq errors in the reference)."""
+    """Evaluation error (propagates, like jaq errors in the reference).
+    ``error(v)`` attaches the raised jq value as ``.value`` so ``catch``
+    receives the VALUE (jq semantics), not its string rendering."""
+
+    value: object = _NO_ERR_VALUE
 
 
 _TOKEN_RE = re.compile(
@@ -110,7 +117,8 @@ _ZERO_ARG_WORDS = frozenset(
     # type filters (select-by-type), path streams, numeric predicates
     "numbers strings booleans nulls arrays objects iterables scalars "
     "paths leaf_paths isnan isinfinite infinite nan "
-    "log log2 log10 exp exp2 todate fromdate".split()
+    "log log2 log10 exp exp2 todate fromdate "
+    "transpose env input_filename trim ltrim rtrim tostream".split()
 )
 # builtins taking parenthesized ;-separated argument expressions
 _FN_ARG_RANGE = {
@@ -128,6 +136,10 @@ _FN_ARG_RANGE = {
     "range": (1, 3), "limit": (2, 2),
     "recurse": (0, 2), "until": (2, 2), "while": (2, 2),
     "repeat": (1, 1), "splits": (1, 2), "pow": (2, 2),
+    "match": (1, 2), "scan": (1, 2), "walk": (1, 1),
+    "nth": (1, 2), "indices": (1, 1), "rindex": (1, 1),
+    "error": (0, 1), "combinations": (0, 1), "debug": (0, 1),
+    "paths": (0, 1), "fromstream": (1, 1),
 }
 
 
@@ -1017,6 +1029,10 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
     if isinstance(node, Var):
         if env is not None and node.name in env:
             return env[node.name]
+        if node.name == "ENV":
+            import os
+
+            return dict(os.environ)
         raise JqError(f"undefined variable ${node.name}")
     if isinstance(node, Interp):
         out = []
@@ -1056,7 +1072,8 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         except JqError as e:
             if node.handler is None:
                 return _EMPTY
-            return _eval(node.handler, doc, str(e), env)
+            payload = str(e) if e.value is _NO_ERR_VALUE else e.value
+            return _eval(node.handler, doc, payload, env)
     if isinstance(node, AsBind):
         bound = _value(node.source, doc, elem, env)
         if bound is _EMPTY:
@@ -1461,6 +1478,39 @@ def _re_flags(flags: str) -> int:
     return out
 
 
+def _jq_indices(cur: Any, x: Any) -> list | None:
+    """jq ``indices(i)``: all match positions of ``i`` in the input —
+    substring starts for string input, element positions for a scalar
+    needle in an array, subarray starts for an array needle (jq manual;
+    overlapping matches included, like jq's _strindices)."""
+    if cur is None or x is None:
+        return None
+    if isinstance(cur, str):
+        if not isinstance(x, str):
+            raise JqError("indices on a string takes a string")
+        if x == "":
+            return None
+        out = []
+        i = cur.find(x)
+        while i != -1:
+            out.append(i)
+            i = cur.find(x, i + 1)
+        return out
+    if isinstance(cur, list):
+        if isinstance(x, list):
+            if not x:
+                return []
+            keys = [_jq_sort_key(v) for v in cur]
+            xk = [_jq_sort_key(v) for v in x]
+            m = len(xk)
+            return [
+                i for i in range(len(keys) - m + 1) if keys[i : i + m] == xk
+            ]
+        xk1 = _jq_sort_key(x)
+        return [i for i, v in enumerate(cur) if _jq_sort_key(v) == xk1]
+    raise JqError(f"cannot get indices of {_jq_type(cur)}")
+
+
 def _from_entries(entries: Any) -> dict:
     if not isinstance(entries, list):
         raise JqError("from_entries requires an array")
@@ -1671,6 +1721,53 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
                 else:
                     raise JqError(f"{name} cells must be scalars")
             return (",", "\t")[name == "@tsv"].join(cells)
+        if name == "@uri":
+            s = _jq_tostring(cur)
+            # jq percent-encodes everything outside alphanumerics and
+            # -_.~!*'() (RFC 2396 unreserved, matching jq's escape set)
+            safe = frozenset(
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+                "0123456789-_.~!*'()"
+            )
+            return "".join(
+                c
+                if c in safe
+                else "".join(f"%{b:02X}" for b in c.encode("utf-8"))
+                for c in s
+            )
+        if name == "@html":
+            s = _jq_tostring(cur)
+            return (
+                s.replace("&", "&amp;")
+                .replace("<", "&lt;")
+                .replace(">", "&gt;")
+                .replace("'", "&#39;")
+                .replace('"', "&quot;")
+            )
+        if name == "@sh":
+            def _shquote(v):
+                if isinstance(v, (list, dict)):
+                    raise JqError("@sh cells must be scalars")
+                if v is None:
+                    return "null"
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                if isinstance(v, (int, float)):
+                    return _jq_tostring(v)
+                return "'" + v.replace("'", "'\\''") + "'"
+
+            if isinstance(cur, list):
+                return " ".join(_shquote(v) for v in cur)
+            return _shquote(cur)
+        if name == "@base32":
+            return _b64.b32encode(_jq_tostring(cur).encode()).decode()
+        if name == "@base32d":
+            if not isinstance(cur, str):
+                raise JqError("@base32d requires a string")
+            try:
+                return _b64.b32decode(cur.encode()).decode("utf-8", "replace")
+            except Exception as e:
+                raise JqError(f"invalid base32: {e}") from e
         raise JqError(f"unsupported format string {name}")
     if name in ("log", "log2", "log10", "exp", "exp2"):
         if not isinstance(cur, (int, float)) or isinstance(cur, bool):
@@ -1727,6 +1824,10 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         # streams of index paths (root excluded), depth-first pre-order;
         # leaf_paths = paths(scalars)
         leaf_only = name == "leaf_paths"
+        # paths(f): keep only paths whose value satisfies the node
+        # filter (jq: paths(f) = path(..|select(f)) minus the root) —
+        # empty output or false/null drops the path, anything else keeps
+        node_filter = arg_asts[0] if (name == "paths" and arg_asts) else None
         out_paths: list = []
         # pre-order DFS on an explicit stack (deep nesting must not hit
         # the recursion limit): emit a node's path when popping it
@@ -1734,7 +1835,14 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         while stack:
             v, prefix = stack.pop()
             if prefix and (not leaf_only or not isinstance(v, (list, dict))):
-                out_paths.append(prefix)
+                if node_filter is None:
+                    out_paths.append(prefix)
+                else:
+                    r = ev(node_filter, v)
+                    if isinstance(r, _JqStream):
+                        r = r.items[0] if r.items else _EMPTY
+                    if r is not _EMPTY and r is not None and r is not False:
+                        out_paths.append(prefix)
             it = (
                 list(v.items())
                 if isinstance(v, dict)
@@ -2115,20 +2223,14 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         if name == "ltrimstr":
             return cur[len(s):] if s and cur.startswith(s) else cur
         return cur[: -len(s)] if s and cur.endswith(s) else cur
-    if name == "index":
-        x = val(0)
-        if isinstance(cur, str):
-            if not isinstance(x, str):
-                raise JqError("index on a string takes a string")
-            i = cur.find(x)
-            return None if i < 0 else i
-        if isinstance(cur, list):
-            xk = _jq_sort_key(x)
-            for i, v in enumerate(cur):
-                if _jq_sort_key(v) == xk:
-                    return i
+    if name in ("index", "rindex", "indices"):
+        # shared jq indices semantics: substring / element / subarray
+        idx = _jq_indices(cur, val(0))
+        if name == "indices":
+            return idx
+        if not idx:
             return None
-        raise JqError(f"cannot index {_jq_type(cur)}")
+        return idx[0] if name == "index" else idx[-1]
     if name in ("sort_by", "min_by", "max_by", "unique_by", "group_by"):
         if not isinstance(cur, list):
             raise JqError(f"{name} requires an array")
@@ -2154,6 +2256,203 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
                 last = k
             groups[-1].append(e)
         return groups
+    if name in ("match", "scan"):
+        pat = val(0)
+        flags = val(1) if len(arg_asts) > 1 else ""
+        if not isinstance(cur, str) or not isinstance(pat, str):
+            raise JqError(f"{name} requires strings")
+        try:
+            rx = re.compile(_onig_pat(pat), _re_flags(flags))
+        except re.error as e:
+            raise JqError(f"bad regex: {e}") from e
+        if name == "scan":
+            # jq: stream of whole matches, or arrays of captures when
+            # the regex has groups (non-participating group -> null)
+            return _JqStream(
+                [
+                    list(m.groups()) if rx.groups else m.group(0)
+                    for m in rx.finditer(cur)
+                ]
+            )
+        idx2name = {gi: nm for nm, gi in rx.groupindex.items()}
+
+        def _mobj(m) -> dict:
+            caps = []
+            for gi in range(1, rx.groups + 1):
+                s = m.group(gi)
+                caps.append(
+                    {
+                        "offset": m.start(gi) if s is not None else -1,
+                        "length": (m.end(gi) - m.start(gi)) if s is not None else 0,
+                        "string": s,
+                        "name": idx2name.get(gi),
+                    }
+                )
+            return {
+                "offset": m.start(),
+                "length": m.end() - m.start(),
+                "string": m.group(0),
+                "captures": caps,
+            }
+
+        if "g" in flags:
+            return _JqStream([_mobj(m) for m in rx.finditer(cur)])
+        m = rx.search(cur)
+        return _mobj(m) if m else _EMPTY
+    if name == "walk":
+        # bottom-up rewrite; jq's def walk(f): multi-valued bodies are
+        # rejected here (same containment rule as repeat/map_values)
+        def _walkv(v):
+            if isinstance(v, dict):
+                v = {k2: _walkv(x) for k2, x in v.items()}
+            elif isinstance(v, list):
+                v = [_walkv(x) for x in v]
+            r = ev(arg_asts[0], v)
+            if isinstance(r, _JqStream):
+                raise JqError("walk body must be single-valued")
+            if r is _EMPTY:
+                raise JqError("walk body produced no value")
+            return r
+
+        try:
+            return _walkv(cur)
+        except RecursionError:
+            raise JqError("walk: document too deeply nested") from None
+    if name == "transpose":
+        if not isinstance(cur, list) or any(
+            not isinstance(r, list) for r in cur
+        ):
+            raise JqError("transpose requires an array of arrays")
+        width = max((len(r) for r in cur), default=0)
+        return [
+            [r[i] if i < len(r) else None for r in cur] for i in range(width)
+        ]
+    if name == "nth":
+        n = val(0)
+        if not isinstance(n, (int, float)) or isinstance(n, bool):
+            raise JqError("nth index must be a number")
+        n = int(n)
+        if len(arg_asts) == 1:
+            # jq: def nth(n): .[n]
+            if cur is None:
+                return None
+            if not isinstance(cur, list):
+                raise JqError(f"cannot index {_jq_type(cur)} with number")
+            if -len(cur) <= n < len(cur):
+                return cur[n]
+            return None
+        if n < 0:
+            raise JqError("nth doesn't support negative indices")
+        out = ev(arg_asts[1], cur)
+        items = (
+            out.items
+            if isinstance(out, _JqStream)
+            else ([] if out is _EMPTY else [out])
+        )
+        return items[n] if n < len(items) else _EMPTY
+    if name == "error":
+        v = val(0) if arg_asts else cur
+        err = JqError(v if isinstance(v, str) else _jq_tostring(v))
+        err.value = v
+        raise err
+    if name == "combinations":
+        if arg_asts:
+            n = val(0)
+            if not isinstance(n, (int, float)) or isinstance(n, bool) or n < 0:
+                raise JqError("combinations count must be a non-negative number")
+            n = int(n)
+            # bound BEFORE building the copies list: n copies of the
+            # input is itself O(n) memory regardless of output size
+            if n > 1_000_000:
+                raise JqError("combinations: output too large")
+            rows = [cur] * n
+        else:
+            rows = cur
+        if not isinstance(rows, list) or any(
+            not isinstance(r, list) for r in rows
+        ):
+            raise JqError("combinations requires an array of arrays")
+        total = 1
+        for r in rows:
+            total *= len(r)
+            if total > 1_000_000:
+                raise JqError("combinations: output too large")
+        import itertools
+
+        return _JqStream([list(t) for t in itertools.product(*rows)])
+    if name == "debug":
+        import json as _json
+        import sys
+
+        msg = val(0) if arg_asts else cur
+        print(
+            _json.dumps(["DEBUG:", msg], ensure_ascii=False, default=str),
+            file=sys.stderr,
+        )
+        return cur
+    if name == "env":
+        import os
+
+        return dict(os.environ)
+    if name == "input_filename":
+        return None  # no file behind a string program, like jq on stdin
+    if name in ("trim", "ltrim", "rtrim"):
+        if not isinstance(cur, str):
+            raise JqError(f"{name} input must be a string")
+        ws = " \t\n\r\f\v"  # jq 1.7 trims C isspace, not all of unicode
+        if name == "trim":
+            return cur.strip(ws)
+        return cur.lstrip(ws) if name == "ltrim" else cur.rstrip(ws)
+    if name == "tostream":
+        # jq tostream: [path, leaf] per leaf (empty containers are their
+        # own leaves), then one [path-of-last-child] closer per
+        # non-empty container, depth-first
+        out_ev: list = []
+
+        def _emit(v, path):
+            if isinstance(v, (list, dict)) and len(v) > 0:
+                items = (
+                    list(v.items())
+                    if isinstance(v, dict)
+                    else list(enumerate(v))
+                )
+                for k2, child in items:
+                    _emit(child, path + [k2])
+                out_ev.append([path + [items[-1][0]]])
+            else:
+                out_ev.append([path, v])
+
+        try:
+            _emit(cur, [])
+        except RecursionError:
+            raise JqError("tostream: document too deeply nested") from None
+        return _JqStream(out_ev)
+    if name == "fromstream":
+        src = ev(arg_asts[0], cur)
+        events = (
+            src.items
+            if isinstance(src, _JqStream)
+            else ([] if src is _EMPTY else [src])
+        )
+        outs: list = []
+        acc: Any = None
+        have = False
+        for ev_ in events:
+            if not isinstance(ev_, list) or not (1 <= len(ev_) <= 2) or not isinstance(ev_[0], list):
+                raise JqError("fromstream requires a stream of [path, leaf] / [path] events")
+            if len(ev_) == 2:
+                path, leaf = ev_
+                if not path:
+                    outs.append(leaf)  # top-level scalar / empty container
+                    acc, have = None, False
+                    continue
+                acc = _set_path(acc, _steps_from_list(path), leaf)
+                have = True
+            elif len(ev_[0]) == 1:  # top-level closer ends a document
+                if have:
+                    outs.append(acc)
+                acc, have = None, False
+        return _JqStream(outs)
     raise JqError(f"unknown builtin {name!r}")
 
 

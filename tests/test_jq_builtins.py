@@ -615,3 +615,115 @@ class TestUserDefs:
     def test_filter_params_rejected_loudly(self):
         with pytest.raises(JqError, match="value parameters"):
             run("def apply(f): f; apply(. + 1)", 1)
+
+
+# ---- round-4 tranche 2: regex match objects, streams-of-structure, ----
+# ---- trim/transpose/indices families, error values, formats        ----
+
+TRANCHE2_CASES = [
+    # match: jq-manual match objects, g flag streams all matches
+    ('[match("a(b)"; "g") | .offset]', "abxab", [0, 3]),
+    ('[match("a"; "g") | .string]', "aba", ["a", "a"]),
+    ('match("(?<x>a)b") | .captures[0].name', "zab", "x"),
+    ('match("(?<x>a)b") | .captures[0].string', "zab", "a"),
+    ('[match("nope")]', "abc", []),
+    ('match("b") | [.offset, .length]', "äb", [1, 1]),  # codepoint offsets
+    # non-participating capture group: offset -1, string null
+    ('match("(a)|(z)") | .captures[1]',
+     "a", {"offset": -1, "length": 0, "string": None, "name": None}),
+    # scan
+    ('[scan("\\\\d+")]', "a12b345", ["12", "345"]),
+    ('[scan("(a)(b)?")]', "ab a", [["a", "b"], ["a", None]]),
+    ('[scan("x")]', "no", []),
+    # walk (bottom-up)
+    ('walk(if type == "number" then . + 1 else . end)',
+     {"a": [1, {"b": 2}]}, {"a": [2, {"b": 3}]}),
+    ('walk(if type == "array" then sort else . end)',
+     [[3, 1], [2]], [[1, 3], [2]]),
+    # transpose
+    ("transpose", [[1, 2], [3]], [[1, 3], [2, None]]),
+    ("transpose", [], []),
+    # nth
+    ("nth(1)", [5, 6, 7], 6),
+    ("nth(-1)", [5, 6, 7], 7),
+    ("nth(9)", [5, 6], None),
+    ("nth(1; range(5;9))", None, 6),
+    # indices / index / rindex (substring, element, subarray)
+    ('indices("aba")', "ababa", [0, 2]),
+    ("indices([1,3])", [0, 1, 2, 1, 3, 1, 4], [3]),
+    ("indices(1)", [0, 1, 2, 1], [1, 3]),
+    ('indices("x")', None, None),
+    ("index(1)", [0, 1, 2, 1], 1),
+    ("index([2,3])", [1, 2, 3, 2, 3], 1),
+    ("rindex(1)", [0, 1, 2, 1], 3),
+    ('index("")', "abc", None),
+    # error carries the VALUE to catch (jq semantics)
+    ('try error({"a":1}) catch .a', None, 1),
+    ('try error("boom") catch .', None, "boom"),
+    ("try error catch .", "payload", "payload"),
+    ("try error(null) catch type", None, "null"),
+    # combinations
+    ("[combinations]", [[1, 2], [3, 4]], [[1, 3], [1, 4], [2, 3], [2, 4]]),
+    ("[combinations(2)] | length", [1, 2], 4),
+    ("[combinations]", [[1], []], []),
+    # trim family (jq 1.7, C-isspace set)
+    ("trim", "  hi \t", "hi"),
+    ("ltrim", " hi ", "hi "),
+    ("rtrim", " hi ", " hi"),
+    # tostream / fromstream
+    ("[tostream]", [1, [2]], [[[0], 1], [[1, 0], 2], [[1, 0]], [[1]]]),
+    ("[tostream]", {"a": {}}, [[["a"], {}], [["a"]]]),
+    ("[fromstream(tostream)]", {"a": [1, 2], "b": {"c": 3}},
+     [{"a": [1, 2], "b": {"c": 3}}]),
+    ("[fromstream(tostream)]", 42, [42]),
+    ("[fromstream(tostream)]", [], [[]]),
+    # paths(node_filter)
+    ('[paths(type == "number")]', {"a": 1, "b": [2, "x"]}, [["a"], ["b", 0]]),
+    ("[paths(numbers)]", {"a": 1, "b": "x"}, [["a"]]),
+    # formats
+    ("@uri", "a b/ü", "a%20b%2F%C3%BC"),
+    ("@uri", "safe-_.~!*'()", "safe-_.~!*'()"),
+    ("@html", "<a href='x'>&", "&lt;a href=&#39;x&#39;&gt;&amp;"),
+    ("@sh", ["a b", "c'd"], "'a b' 'c'\\''d'"),
+    ("@sh", 5, "5"),
+    ("@base32", "hi", "NBUQ===="),
+    ("@base32d", "NBUQ====", "hi"),
+    # env surfaces
+    ("env | type", None, "object"),
+    ("$ENV | type", None, "object"),
+    ("input_filename", None, None),
+]
+
+
+@pytest.mark.parametrize(
+    "prog,doc,want", TRANCHE2_CASES, ids=[c[0] for c in TRANCHE2_CASES]
+)
+def test_tranche2_builtins(prog, doc, want):
+    assert run(prog, doc) == want
+
+
+TRANCHE2_ERRORS = [
+    'nth(-1; .[])',                     # negative stream index
+    '"x" | transpose',                  # not an array of arrays
+    '[[1,2]] | combinations(1e9)',      # output-size guard
+    '5 | trim',                         # non-string trim
+    'walk(.[])',                        # multi-valued walk body
+    '[["bad"]] | fromstream(.[])',      # malformed event (path not array)
+    '"s" | match(5)',                   # non-string regex
+]
+
+
+@pytest.mark.parametrize("prog", TRANCHE2_ERRORS)
+def test_tranche2_errors(prog):
+    with pytest.raises(JqError):
+        run(prog, [1, 2])
+
+
+def test_debug_is_identity_with_stderr(capsys):
+    assert run("debug", {"a": 1}) == {"a": 1}
+    assert '"DEBUG:"' in capsys.readouterr().err
+
+
+def test_error_message_rendering():
+    with pytest.raises(JqError, match="boom"):
+        run('error("boom")', None)
