@@ -2306,3 +2306,149 @@ FROM orders
 
 QUERIES["cumulative_spend"] = q_cumulative_spend
 ORACLES["cumulative_spend"] = SQL_CUMULATIVE_SPEND
+
+
+def q_grouped_topk(sf_dir: str, k: int = 3):
+    """Per-group top-k (the ``ROW_NUMBER() OVER (PARTITION BY ...) <= k``
+    window class): the k highest-value orders per customer market
+    segment, ranked, ties broken by lowest orderkey.
+
+    Scale shape: the customer dim broadcasts once (``ray.put``); each
+    batch keeps only its LOCAL top-k per segment (vectorized lexsort +
+    run-position mask — a combiner, so at most ``k x n_segments`` rows
+    per batch survive), and one single-partition finalize applies the
+    identical selection to the tiny union of partials.  No full-data
+    sort, no per-group shuffle; the exchanged volume is O(batches x
+    segments x k), independent of order count."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(
+        _broadcast_lookup(
+            cust["c_custkey"].to_numpy(), cust["c_mktsegment"].tolist()
+        )
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk_rows(segs, okeys, prices, with_rank: bool):
+        # sort by (segment, price DESC, orderkey ASC); floats sort raw —
+        # the oracle orders by the same double, so ties agree exactly
+        seg_u, seg_inv = np.unique(segs, return_inverse=True)
+        order = np.lexsort((okeys, -prices, seg_inv))
+        seg_sorted = seg_inv[order]
+        n = len(order)
+        starts = np.flatnonzero(np.r_[True, seg_sorted[1:] != seg_sorted[:-1]])
+        runlen = np.diff(np.r_[starts, n])
+        runpos = np.arange(n) - np.repeat(starts, runlen)
+        keep = order[runpos < k]
+        out = {
+            "c_mktsegment": pa.array(segs[keep], pa.string()),
+            "o_orderkey": pa.array(okeys[keep], pa.int64()),
+            "price": prices[keep],
+        }
+        if with_rank:
+            out["rnk"] = pa.array((runpos[runpos < k] + 1).astype(np.int64))
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk, vals = ray.get(seg_ref)
+        custs = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        segs = _probe(sk, vals, custs).astype(str)
+        okeys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        prices = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(topk_rows(segs, okeys, prices, with_rank=False))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        segs = np.asarray(batch["c_mktsegment"].to_pylist(), dtype=object)
+        okeys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        prices = batch["price"].to_numpy(zero_copy_only=False)
+        out = topk_rows(segs, okeys, prices, with_rank=True)
+        cents = np.round(out.pop("price") * 100.0).astype(np.int64)
+        out["price_cents"] = pa.array(cents)
+        return pa.table(out)
+
+    return (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_GROUPED_TOPK = """
+SELECT c_mktsegment, o_orderkey, price_cents, rnk FROM (
+    SELECT c.c_mktsegment,
+           o.o_orderkey,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+           ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey)
+               AS rnk
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rnk <= 3
+"""
+
+QUERIES["grouped_topk"] = q_grouped_topk
+ORACLES["grouped_topk"] = SQL_GROUPED_TOPK
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact per-language quantiles (p50/p90/p99 of document length) via
+    value-domain counting: ``groupby(lang, n_chars).count()`` compresses
+    the corpus to its bounded (language x distinct-length) domain — the
+    only shuffle moves two int columns — and the percentile selection
+    runs on that tiny table.  Exact at any corpus size without a global
+    sort: the classic counting-quantile for bounded integer domains.
+    The quantile rule (shared verbatim with the oracle SQL) is
+    percentile_disc: smallest value whose cumulative count reaches
+    ``ceil(q * n)``, with thresholds in exact integer arithmetic."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    counts = (
+        ds.groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+
+    def pick(cum: np.ndarray, vals: np.ndarray, n: int, num: int, den: int):
+        thr = -(-num * n // den)  # ceil(num/den * n) in exact ints
+        return int(vals[np.searchsorted(cum, thr)])
+
+    rows = []
+    for lang, g in counts.groupby("lang"):
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy()
+        cum = g["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": n,
+                "p50_chars": pick(cum, vals, n, 1, 2),
+                "p90_chars": pick(cum, vals, n, 9, 10),
+                "p99_chars": pick(cum, vals, n, 99, 100),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+SQL_LENGTH_QUANTILES = """
+WITH c AS (
+    SELECT lang, n_chars, count(*) AS cnt
+    FROM documents GROUP BY lang, n_chars
+), cum AS (
+    SELECT lang, n_chars,
+           SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS cc,
+           SUM(cnt) OVER (PARTITION BY lang) AS n
+    FROM c
+)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(MIN(CASE WHEN cc >= CEIL(0.50 * n) THEN n_chars END) AS BIGINT) AS p50_chars,
+       CAST(MIN(CASE WHEN cc >= CEIL(0.90 * n) THEN n_chars END) AS BIGINT) AS p90_chars,
+       CAST(MIN(CASE WHEN cc >= CEIL(0.99 * n) THEN n_chars END) AS BIGINT) AS p99_chars
+FROM cum GROUP BY lang
+"""
+
+QUERIES["length_quantiles"] = q_length_quantiles
+ORACLES["length_quantiles"] = SQL_LENGTH_QUANTILES

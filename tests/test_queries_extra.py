@@ -134,3 +134,63 @@ def test_cumulative_spend_semantics(ray_session):
     got = df.set_index("o_orderkey")["cum_spend_cents"]
     assert (got.loc[last["last_key"]].to_numpy() == last["total"].to_numpy()).all()
     assert df["cum_spend_cents"].dtype == np.int64
+
+
+def test_grouped_topk_semantics(ray_session):
+    """Per segment: exactly 3 rows, ranked 1..3 by price desc with
+    orderkey tie-break, matching the window-SQL oracle."""
+    import duckdb
+
+    from dolma_ray.queries import QUERIES, ORACLES
+
+    df = (
+        QUERIES["grouped_topk"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["c_mktsegment", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert (df.groupby("c_mktsegment").size() == 3).all()
+    assert (
+        df.groupby("c_mktsegment")["rnk"]
+        .apply(lambda s: s.tolist() == [1, 2, 3])
+        .all()
+    )
+    # prices non-increasing within a segment
+    assert (
+        df.groupby("c_mktsegment")["price_cents"]
+        .apply(lambda s: (s.diff().dropna() <= 0).all())
+        .all()
+    )
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    want = (
+        con.sql(ORACLES["grouped_topk"])
+        .df()
+        .sort_values(["c_mktsegment", "rnk"])
+        .reset_index(drop=True)
+    )
+    assert df[["c_mktsegment", "o_orderkey", "price_cents"]].equals(
+        want[["c_mktsegment", "o_orderkey", "price_cents"]]
+    )
+
+
+def test_length_quantiles_semantics(ray_session):
+    """percentile_disc rule: p50 <= p90 <= p99, each an actual n_chars
+    value of its language, and n_docs sums to the corpus size."""
+    import pyarrow.parquet as pq
+
+    from dolma_ray.queries import QUERIES
+
+    df = QUERIES["length_quantiles"]("/root/testdata/sf0.001")
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["lang", "n_chars"]
+    ).to_pandas()
+    assert df["n_docs"].sum() == len(t)
+    for _, row in df.iterrows():
+        vals = set(t.loc[t["lang"] == row["lang"], "n_chars"])
+        assert row["p50_chars"] <= row["p90_chars"] <= row["p99_chars"]
+        assert {row["p50_chars"], row["p90_chars"], row["p99_chars"]} <= vals
