@@ -36,15 +36,26 @@ import sys
 
 
 def _init_ray(num_cpus: int | None) -> None:
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(
-            address="local", include_dashboard=False, logging_level="ERROR"
-        )
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+        # under `ray job submit` the job env carries the cluster address
+        # in RAY_ADDRESS — connect to it; otherwise (or when it is the
+        # literal "local") start a single-node instance.  num_cpus only
+        # applies when we own the instance.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            kwargs = dict(
+                address="local", include_dashboard=False,
+                logging_level="ERROR",
+            )
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+            ray.init(**kwargs)
+        else:
+            ray.init(logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
