@@ -2452,3 +2452,106 @@ FROM cum GROUP BY lang
 
 QUERIES["length_quantiles"] = q_length_quantiles
 ORACLES["length_quantiles"] = SQL_LENGTH_QUANTILES
+
+
+def q_priority_revenue(sf_dir: str):
+    """Big-big equi-join + aggregate (TPC-H Q3/Q10 class): lineitem
+    revenue rolled up by the owning order's priority.  Neither side is
+    broadcastable at scale, so the orderkey -> priority attach runs on
+    the salted-bucket exchange (:func:`bucketed_left_attach` — the same
+    no-aggregator-actor join the dedup join strategy uses), with
+    lineitem projected to ``(orderkey, cents)`` BEFORE the exchange so
+    only two narrow columns move.  Revenue is exact integer cents
+    (per-row half-away rounding shared with the oracle)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup.lookup import bucket_count, bucketed_left_attach
+
+    li_rows = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    items = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # same association as the SQL: (l_extendedprice * (1 - l_discount)) * 100
+        rev = pc.multiply(
+            pc.multiply(
+                batch["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+            ),
+            100.0,
+        )
+        cents = pc.cast(
+            pc.round(rev, round_mode="half_towards_infinity"), pa.int64()
+        )
+        return pa.table({"l_orderkey": batch["l_orderkey"], "cents": cents})
+
+    narrow = items.map_batches(to_cents, batch_format="pyarrow")
+    orders_kv = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    attached = bucketed_left_attach(
+        narrow, orders_kv, "l_orderkey", "o_orderkey",
+        "o_orderpriority", "o_orderpriority",
+        bucket_count(li_rows), rows_hint=li_rows,
+    )
+    return attached.groupby("o_orderpriority").aggregate(
+        Sum("cents", alias_name="revenue_cents"),
+        Count(alias_name="n_items"),
+    )
+
+
+SQL_PRIORITY_REVENUE = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+QUERIES["priority_revenue"] = q_priority_revenue
+ORACLES["priority_revenue"] = SQL_PRIORITY_REVENUE
+
+
+def q_returned_orders(sf_dir: str):
+    """Big-big SEMI join (TPC-H Q4 / EXISTS class): count orders, per
+    priority, that contain at least one returned lineitem.  The probe
+    side reduces to its distinct keys first (narrow groupby — never the
+    driver), then orders flow through the bucketed semi-join; both
+    exchanges move single-int-column rows only."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    from .dedup.lookup import bucket_count, bucketed_semi_join, distinct_key_table
+
+    o_rows = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    keys = li.map_batches(
+        lambda b: pa.table(
+            {"key": b.filter(pc.equal(b["l_returnflag"], "R"))["l_orderkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    keys_d = distinct_key_table(keys)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    if keys_d is None:
+        import ray.data as rd
+
+        return rd.from_items([])
+    sj = bucketed_semi_join(
+        orders, keys_d, "o_orderkey", "key",
+        bucket_count(o_rows), rows_hint=o_rows,
+    )
+    return sj.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
+SQL_RETURNED_ORDERS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+QUERIES["returned_orders"] = q_returned_orders
+ORACLES["returned_orders"] = SQL_RETURNED_ORDERS

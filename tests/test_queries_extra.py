@@ -30,7 +30,10 @@ def test_empty_doc_composition():
     assert out["code_pct"] == 0.0
 
 
-@pytest.mark.parametrize("name", ["top_bigrams", "lsh_ann", "analyzer"])
+@pytest.mark.parametrize(
+    "name",
+    ["top_bigrams", "lsh_ann", "analyzer", "priority_revenue", "returned_orders"],
+)
 def test_extra_queries_run(ray_session, name):
     from dolma_ray.queries import QUERIES
 
