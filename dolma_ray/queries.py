@@ -2460,21 +2460,22 @@ def q_priority_revenue(sf_dir: str):
     broadcastable at scale, so the orderkey -> priority attach runs on
     the salted-bucket exchange (:func:`bucketed_left_attach` — the same
     no-aggregator-actor join the dedup join strategy uses), with
-    lineitem projected to ``(orderkey, cents)`` BEFORE the exchange so
-    only two narrow columns move.  Revenue is exact integer cents
+    lineitem pre-combined per batch to ``(orderkey, cents, n)`` BEFORE
+    the exchange — the map-side combiner cuts shuffled rows ~4x and
+    only three narrow int columns move.  Revenue is exact integer cents
     (per-row half-away rounding shared with the oracle)."""
     import pyarrow.parquet as pq
     from ray.data.aggregate import Count, Sum
 
     from .dedup.lookup import bucket_count, bucketed_left_attach
 
-    li_rows = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    o_rows = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
     items = _read(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def to_cents(batch: pa.Table) -> pa.Table:
+    def combine_by_order(batch: pa.Table) -> pa.Table:
         # same association as the SQL: (l_extendedprice * (1 - l_discount)) * 100
         rev = pc.multiply(
             pc.multiply(
@@ -2485,19 +2486,33 @@ def q_priority_revenue(sf_dir: str):
         )
         cents = pc.cast(
             pc.round(rev, round_mode="half_towards_infinity"), pa.int64()
+        ).to_numpy()
+        # per-batch combiner: lineitem is ~4 rows per order, so summing
+        # by orderkey BEFORE the exchange cuts the shuffled volume ~4x.
+        # bincount's float64 accumulation is exact here (per-batch cent
+        # sums are far below 2^53).
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ok, return_inverse=True)
+        csum = np.bincount(inv, weights=cents).astype(np.int64)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk),
+                "cents": pa.array(csum),
+                "n": pa.array(cnt),
+            }
         )
-        return pa.table({"l_orderkey": batch["l_orderkey"], "cents": cents})
 
-    narrow = items.map_batches(to_cents, batch_format="pyarrow")
+    narrow = items.map_batches(combine_by_order, batch_format="pyarrow")
     orders_kv = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     attached = bucketed_left_attach(
         narrow, orders_kv, "l_orderkey", "o_orderkey",
         "o_orderpriority", "o_orderpriority",
-        bucket_count(li_rows), rows_hint=li_rows,
+        bucket_count(o_rows), rows_hint=o_rows,
     )
     return attached.groupby("o_orderpriority").aggregate(
         Sum("cents", alias_name="revenue_cents"),
-        Count(alias_name="n_items"),
+        Sum("n", alias_name="n_items"),
     )
 
 
@@ -2525,12 +2540,19 @@ def q_returned_orders(sf_dir: str):
 
     from .dedup.lookup import bucket_count, bucketed_semi_join, distinct_key_table
 
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
     o_rows = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    # prune at the read: only the key column of returned items leaves
+    # storage (row filter evaluated in the parquet scan)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=pads.field("l_returnflag") == "R",
+    )
     keys = li.map_batches(
-        lambda b: pa.table(
-            {"key": b.filter(pc.equal(b["l_returnflag"], "R"))["l_orderkey"]}
-        ),
+        lambda b: pa.table({"key": b["l_orderkey"]}),
         batch_format="pyarrow",
     )
     keys_d = distinct_key_table(keys)
