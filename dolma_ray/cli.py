@@ -55,6 +55,14 @@ def _init_ray(num_cpus: int | None) -> None:
                 kwargs["num_cpus"] = num_cpus
             ray.init(**kwargs)
         else:
+            if num_cpus:
+                print(
+                    f"warning: --num-cpus {num_cpus} ignored — connecting "
+                    f"to existing Ray cluster at RAY_ADDRESS={addr!r} "
+                    "(unset RAY_ADDRESS or set it to 'local' for a "
+                    "bounded local instance)",
+                    file=sys.stderr,
+                )
             ray.init(logging_level="ERROR")
     from ray.data import DataContext
 

@@ -1007,25 +1007,28 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         return _eval(node.body, doc, elem, env2)
     if isinstance(node, Call):
         defs = (env or {}).get("__defs__") or {}
-        if node.name not in defs:
+        key = (node.name, len(node.args))
+        if key not in defs:
             raise JqError(f"{node.name}/{len(node.args)} is not defined")
-        params, body = defs[node.name]
-        if len(node.args) != len(params):
-            raise JqError(
-                f"{node.name} takes {len(params)} argument(s), "
-                f"got {len(node.args)}"
-            )
-        env2 = dict(env) if env else {}
-        depth = env2.get("__depth__", 0) + 1
-        # the evaluator recurses on the python stack (~6 frames per jq
-        # call), so the cap must stay well under python's 1000-frame
-        # limit to raise a catchable JqError, not RecursionError
+        params, body = defs[key]
+        depth = (env or {}).get("__depth__", 0) + 1
+        # the evaluator recurses on the python stack (frames per jq call
+        # depend on the body's AST depth), so the cap is a fast guard —
+        # the except below is what GUARANTEES a catchable JqError even
+        # when a deeply-nested body blows python's stack under the cap
         if depth > 150:
             raise JqError(f"recursion limit reached calling {node.name}")
-        env2["__depth__"] = depth
+        # jq defs are lexically scoped: the body sees only its own
+        # $-params and the def table, never call-site bindings
+        env2: dict = {"__defs__": defs, "__depth__": depth}
         for pname, arg in zip(params, node.args):
             env2[pname] = _value(arg, doc, elem, env)
-        return _eval(body, doc, elem, env2)
+        try:
+            return _eval(body, doc, elem, env2)
+        except RecursionError:
+            raise JqError(
+                f"recursion limit reached calling {node.name}"
+            ) from None
     if isinstance(node, Var):
         if env is not None and node.name in env:
             return env[node.name]
@@ -2492,7 +2495,9 @@ def _parse_pipe_root(self):
         k4, v4 = self.next()
         if (k4, v4) != ("semi", ";"):
             raise JqError(f"expected ';' after def body, got {v4!r}")
-        defs[name] = (params, body)
+        # keyed by (name, arity): jq overloads functions by arity, so
+        # `def f: 0; def f($a): f + $a;` keeps both
+        defs[(name, len(params))] = (params, body)
     e = self.parse_pipe()
     if self.peek()[0] is not None:
         raise JqError(f"trailing tokens at {self.toks[self.i:]}")

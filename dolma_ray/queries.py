@@ -2308,10 +2308,16 @@ QUERIES["cumulative_spend"] = q_cumulative_spend
 ORACLES["cumulative_spend"] = SQL_CUMULATIVE_SPEND
 
 
-def q_grouped_topk(sf_dir: str, k: int = 3):
+_GROUPED_TOPK_K = 3
+
+
+def q_grouped_topk(sf_dir: str, k: int = _GROUPED_TOPK_K):
     """Per-group top-k (the ``ROW_NUMBER() OVER (PARTITION BY ...) <= k``
     window class): the k highest-value orders per customer market
-    segment, ranked, ties broken by lowest orderkey.
+    segment, ranked, ties broken by lowest orderkey.  The registered
+    oracle SQL is templated on the same ``_GROUPED_TOPK_K`` constant as
+    this default — pass an explicit ``k`` only when not comparing
+    against the oracle.
 
     Scale shape: the customer dim broadcasts once (``ray.put``); each
     batch keeps only its LOCAL top-k per segment (vectorized lexsort +
@@ -2364,7 +2370,10 @@ def q_grouped_topk(sf_dir: str, k: int = 3):
         okeys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
         prices = batch["price"].to_numpy(zero_copy_only=False)
         out = topk_rows(segs, okeys, prices, with_rank=True)
-        cents = np.round(out.pop("price") * 100.0).astype(np.int64)
+        # half-away-from-zero to match DuckDB ROUND (np.round is
+        # half-to-even), same convention as q_priority_revenue
+        p = out.pop("price") * 100.0
+        cents = np.copysign(np.floor(np.abs(p) + 0.5), p).astype(np.int64)
         out["price_cents"] = pa.array(cents)
         return pa.table(out)
 
@@ -2375,7 +2384,7 @@ def q_grouped_topk(sf_dir: str, k: int = 3):
     )
 
 
-SQL_GROUPED_TOPK = """
+SQL_GROUPED_TOPK = f"""
 SELECT c_mktsegment, o_orderkey, price_cents, rnk FROM (
     SELECT c.c_mktsegment,
            o.o_orderkey,
@@ -2384,7 +2393,7 @@ SELECT c_mktsegment, o_orderkey, price_cents, rnk FROM (
                               ORDER BY o.o_totalprice DESC, o.o_orderkey)
                AS rnk
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-) WHERE rnk <= 3
+) WHERE rnk <= {_GROUPED_TOPK_K}
 """
 
 QUERIES["grouped_topk"] = q_grouped_topk
@@ -2465,7 +2474,7 @@ def q_priority_revenue(sf_dir: str):
     only three narrow int columns move.  Revenue is exact integer cents
     (per-row half-away rounding shared with the oracle)."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from .dedup.lookup import bucket_count, bucketed_left_attach
 
@@ -2558,9 +2567,16 @@ def q_returned_orders(sf_dir: str):
     keys_d = distinct_key_table(keys)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     if keys_d is None:
-        import ray.data as rd
-
-        return rd.from_items([])
+        # keep the oracle's (o_orderpriority, n_orders) schema even when
+        # no lineitem is flagged returned
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        )
     sj = bucketed_semi_join(
         orders, keys_d, "o_orderkey", "key",
         bucket_count(o_rows), rows_hint=o_rows,

@@ -616,6 +616,38 @@ class TestUserDefs:
         with pytest.raises(JqError, match="value parameters"):
             run("def apply(f): f; apply(. + 1)", 1)
 
+    def test_arity_overloading(self):
+        # jq overloads defs by (name, arity): both f/0 and f/1 coexist
+        assert run("def f: 0; def f($a): f + $a; f(1)", None) == 1
+        assert run("def f: 10; def f($a): $a * 2; [f, f(3)]", None) == [10, 6]
+
+    def test_defs_are_lexically_scoped(self):
+        # a call-site binding must NOT leak into the def body (jq
+        # reports "$x is not defined" at compile time; we raise at eval)
+        with pytest.raises(JqError, match=r"undefined variable \$x"):
+            run("def f: $x; . as $x | f", 5)
+
+    def test_deep_ast_recursion_is_catchable(self):
+        # frames-per-call depends on the body's AST depth, so a nested
+        # body can blow python's stack below the 150-call cap; the Call
+        # path must still surface a catchable JqError, not RecursionError
+        prog = (
+            "def f: if . > 0 then"
+            " ([[[[[[[[[[ (. - 1 | f) ]]]]]]]]]]"
+            " | .[0][0][0][0][0][0][0][0][0][0]) else 0 end; 149 | f"
+        )
+        with pytest.raises(JqError, match="recursion limit"):
+            run(prog, None)
+        assert (
+            run(
+                "def loop: [[[[[[[[[[loop]]]]]]]]]]"
+                " | .[0][0][0][0][0][0][0][0][0][0];"
+                ' try loop catch "caught"',
+                None,
+            )
+            == "caught"
+        )
+
 
 # ---- round-4 tranche 2: regex match objects, streams-of-structure, ----
 # ---- trim/transpose/indices families, error values, formats        ----
