@@ -30,9 +30,11 @@ implements exactly that subset with the reference's semantics:
   destructuring patterns), bound at term level like jq 1.7
   (``.a + 1 as $x`` binds ``1``);
 * top-level user functions ``def f: BODY;`` / ``def f($a; $b): BODY;``
-  — $-value parameters only (filter parameters need call-by-name
-  closures and are rejected loudly); recursion allowed up to a
-  catchable 150-call depth;
+  / ``def f(g): BODY;`` — $-value parameters bind once (multi-value
+  args are a catchable error), filter parameters are call-by-name
+  closures over the call-site environment (``def mymap(f): [.[]|f];``),
+  defs overload by (name, arity), bodies are lexically scoped;
+  recursion allowed up to a catchable 150-call depth;
 * bounded streams from ``range``/``limit``/``..``/``recurse``/
   ``while``/``repeat``/``splits``/terminal ``.[]``/``paths``/
   ``leaf_paths``, consumable by ``reduce``, spliced inside ``[...]``
@@ -227,7 +229,7 @@ class Reduce:
 @dataclass
 class Program:
     # top-level function definitions + the main expression
-    defs: dict  # name -> (param names WITHOUT $, body AST)
+    defs: dict  # (name, arity) -> ([("val"|"flt", name), ...], body AST)
     body: Any
 
 
@@ -1006,12 +1008,19 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         env2["__defs__"] = node.defs
         return _eval(node.body, doc, elem, env2)
     if isinstance(node, Call):
-        defs = (env or {}).get("__defs__") or {}
+        env_ = env or {}
+        if not node.args and ("__fp__", node.name) in env_:
+            # filter-parameter closure: `def apply(f): ... f ...` — the
+            # argument AST runs against the CURRENT input with the
+            # CALLER's environment (jq closure semantics)
+            arg_ast, cap_env = env_[("__fp__", node.name)]
+            return _eval(arg_ast, doc, elem, cap_env)
+        defs = env_.get("__defs__") or {}
         key = (node.name, len(node.args))
         if key not in defs:
             raise JqError(f"{node.name}/{len(node.args)} is not defined")
         params, body = defs[key]
-        depth = (env or {}).get("__depth__", 0) + 1
+        depth = env_.get("__depth__", 0) + 1
         # the evaluator recurses on the python stack (frames per jq call
         # depend on the body's AST depth), so the cap is a fast guard —
         # the except below is what GUARANTEES a catchable JqError even
@@ -1019,10 +1028,13 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         if depth > 150:
             raise JqError(f"recursion limit reached calling {node.name}")
         # jq defs are lexically scoped: the body sees only its own
-        # $-params and the def table, never call-site bindings
+        # params and the def table, never call-site bindings
         env2: dict = {"__defs__": defs, "__depth__": depth}
-        for pname, arg in zip(params, node.args):
-            env2[pname] = _value(arg, doc, elem, env)
+        for (pkind, pname), arg in zip(params, node.args):
+            if pkind == "val":
+                env2[pname] = _value(arg, doc, elem, env)
+            else:  # filter param: bind the unevaluated AST as a closure
+                env2[("__fp__", pname)] = (arg, env)
         try:
             return _eval(body, doc, elem, env2)
         except RecursionError:
@@ -2474,17 +2486,26 @@ def _parse_pipe_root(self):
         k, name = self.next()
         if k != "ident" or name in _ZERO_ARG_WORDS or name in _FN_ARG_RANGE:
             raise JqError(f"invalid function name {name!r}")
-        params: list[str] = []
+        params: list[tuple[str, str]] = []
         if self.peek()[0] == "lparen":
             self.next()
             while True:
                 k2, v2 = self.next()
-                if k2 != "var":
+                if k2 == "var":
+                    params.append(("val", v2[1:]))
+                elif k2 == "ident":
+                    # filter parameter: bound as a closure over the
+                    # call-site environment, referenced bare in the body
+                    if v2 in _ZERO_ARG_WORDS or v2 in _FN_ARG_RANGE:
+                        raise JqError(
+                            f"filter parameter {v2!r} shadows a builtin "
+                            "(the body would parse it as the builtin)"
+                        )
+                    params.append(("flt", v2))
+                else:
                     raise JqError(
-                        "only $value parameters are supported in def "
-                        f"(filter parameters need full closures), got {v2!r}"
+                        f"expected $value or filter parameter in def, got {v2!r}"
                     )
-                params.append(v2[1:])
                 k3, _ = self.next()
                 if k3 == "rparen":
                     break

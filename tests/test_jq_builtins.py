@@ -612,9 +612,45 @@ class TestUserDefs:
             run("def loop: loop; loop", None)
         assert run('try (def2_missing) catch "c"', None) == "c"
 
-    def test_filter_params_rejected_loudly(self):
-        with pytest.raises(JqError, match="value parameters"):
-            run("def apply(f): f; apply(. + 1)", 1)
+    @pytest.mark.parametrize(
+        "prog,doc,want",
+        [
+            # filter parameters are closures over the call-site env,
+            # applied to whatever input they receive inside the body
+            ("def apply(f): f; apply(. + 1)", 1, 2),
+            ("def mymap(f): [.[] | f]; mymap(. * 2)", [1, 2, 3], [2, 4, 6]),
+            ("def addx(f): f; 10 as $y | addx(. + $y)", 5, 15),
+            ("def tw(f): (1 | f) + (2 | f); tw(. * 10)", None, 30),
+            ("def g(f; $v): (f) + $v; g(. * 2; 3)", 4, 11),
+            (
+                "def rr(f): if . > 0 then (. - 1) | rr(f) else f end;"
+                " 3 | rr(. + 100)",
+                None,
+                100,
+            ),
+            ("def coll(f): [f]; coll(.[])", [7, 8], [7, 8]),
+            ("def srcs(f): reduce f as $x (0; . + $x); srcs(.[])", [1, 2, 3], 6),
+            (
+                "def twice(f): f | f; def quad(f): twice(f) | twice(f);"
+                " 1 | quad(. + 1)",
+                None,
+                5,
+            ),
+            ("def keepif(f): [.[] | select(f)]; keepif(. > 1)", [1, 2, 3], [2, 3]),
+            # a filter param shadows a same-name zero-arg def
+            ("def f: 99; def use(f): f; use(1)", None, 1),
+        ],
+    )
+    def test_filter_params(self, prog, doc, want):
+        assert run(prog, doc) == want
+
+    def test_filter_param_recursion_is_catchable(self):
+        with pytest.raises(JqError, match="recursion limit"):
+            run("def loop(f): loop(f); loop(.)", None)
+
+    def test_builtin_shadowing_param_rejected(self):
+        with pytest.raises(JqError, match="parameter"):
+            run("def bad(map): map; bad(1)", None)
 
     def test_arity_overloading(self):
         # jq overloads defs by (name, arity): both f/0 and f/1 coexist
