@@ -26,9 +26,11 @@ implements exactly that subset with the reference's semantics:
   cross-type total order (null < bool < number < string < array <
   object); ``sub``/``gsub`` replacements are literal (no capture
   interpolation);
-* general bindings ``EXPR as $x | BODY`` (single value, no
-  destructuring patterns), bound at term level like jq 1.7
-  (``.a + 1 as $x`` binds ``1``);
+* general bindings ``EXPR as PATTERN | BODY`` with jq destructuring
+  patterns (``[$a, $b]``, ``{a: $x, "k": $y, $name, (EXPR): $z}``,
+  nested freely; missing elements bind null); a stream source
+  (``.[] as $x``) runs BODY per value; bound at term level like jq 1.7
+  (``.a + 1 as $x`` binds ``1``); no ``?//`` alternatives;
 * top-level user functions ``def f: BODY;`` / ``def f($a; $b): BODY;``
   / ``def f(g): BODY;`` — $-value parameters bind once (multi-value
   args are a catchable error), filter parameters are call-by-name
@@ -306,11 +308,13 @@ class _JqStream:
 
 @dataclass
 class AsBind:
-    # EXPR as $x | BODY: bind the value of EXPR to $x for BODY ("." is
-    # unchanged inside BODY). Single-value binding only (no
-    # destructuring patterns, no multi-value streams).
+    # EXPR as PATTERN | BODY: bind the value of EXPR through PATTERN for
+    # BODY ("." is unchanged inside BODY).  PATTERN is ("var", name),
+    # ("arr", [patterns]) or ("obj", [(keyspec, pattern)]) — jq
+    # destructuring; missing elements/keys bind null.  Single-value
+    # binding only (no multi-value streams, no ?// alternatives).
     source: Any
-    var: str
+    pattern: tuple
     body: Any
 
 
@@ -399,12 +403,61 @@ class _Parser:
             term = Try(term)
         if not self._no_as and self.peek() == ("word", "as"):
             self.next()
-            k2, v2 = self.next()
-            if k2 != "var":
-                raise JqError(f"expected $variable after 'as', got {k2}:{v2}")
+            pat = self.parse_pattern()
             self.expect("pipe")
-            return AsBind(term, v2[1:], self.parse_pipe())
+            return AsBind(term, pat, self.parse_pipe())
         return term
+
+    def parse_pattern(self) -> tuple:
+        """jq destructuring pattern: ``$x``, ``[p, ...]`` or
+        ``{key: p, "key": p, $x, (EXPR): p, ...}`` — nested freely."""
+        k, v = self.peek()
+        if k == "var":
+            self.next()
+            return ("var", v[1:])
+        if k == "lbrack":
+            self.next()
+            items: list = []
+            if self.peek()[0] != "rbrack":
+                items.append(self.parse_pattern())
+                while self.peek()[0] == "comma":
+                    self.next()
+                    items.append(self.parse_pattern())
+            self.expect("rbrack")
+            return ("arr", items)
+        if k == "lbrace":
+            self.next()
+            pairs: list = []
+            while True:
+                k2, v2 = self.peek()
+                if k2 == "var":  # {$a} shorthand: binds .a to $a
+                    self.next()
+                    pairs.append((("lit", v2[1:]), ("var", v2[1:])))
+                elif k2 in ("ident", "word"):
+                    self.next()
+                    self.expect("colon")
+                    pairs.append((("lit", v2), self.parse_pattern()))
+                elif k2 == "str":
+                    self.next()
+                    import json as _json
+
+                    self.expect("colon")
+                    pairs.append((("lit", _json.loads(v2)), self.parse_pattern()))
+                elif k2 == "lparen":
+                    self.next()
+                    e = self.parse_pipe()
+                    self.expect("rparen")
+                    self.expect("colon")
+                    pairs.append((("expr", e), self.parse_pattern()))
+                else:
+                    raise JqError(f"invalid object pattern at {k2}:{v2}")
+                if self.peek()[0] == "comma":
+                    self.next()
+                    continue
+                break
+            self.expect("rbrace")
+            return ("obj", pairs)
+        raise JqError(f"expected pattern after 'as', got {k}:{v}")
 
     def _parse_unary_inner(self):
         k, v = self.peek()
@@ -454,7 +507,13 @@ class _Parser:
             return Lit(v == "true")
         if k == "lparen":
             self.next()
-            inner = self.parse_pipe()
+            # parens open a fresh context: a reduce/foreach source like
+            # `reduce (.[] as $x | f) as $y (...)` may bind inside them
+            saved_no_as, self._no_as = self._no_as, 0
+            try:
+                inner = self.parse_pipe()
+            finally:
+                self._no_as = saved_no_as
             self.expect("rparen")
             return inner
         if k == "word" and v == "try":
@@ -985,6 +1044,41 @@ def _fold_source(src: Any, doc: Any, elem: Any, env: dict | None) -> list:
     return [v]
 
 
+def _bind_pattern(
+    pat: tuple, val: Any, env2: dict, doc: Any, elem: Any, env: dict | None
+) -> None:
+    """Destructure ``val`` through a jq pattern into ``env2``.  Missing
+    array elements / object keys bind null; null destructures as the
+    empty array/object (jq semantics); any other type mismatch is a
+    catchable JqError.  Computed ``(EXPR)`` keys are evaluated against
+    the value being destructured."""
+    kind = pat[0]
+    if kind == "var":
+        env2[pat[1]] = val
+    elif kind == "arr":
+        if val is None:
+            val = []
+        if not isinstance(val, list):
+            raise JqError(f"cannot destructure {_jq_type(val)} with an array pattern")
+        for i, p in enumerate(pat[1]):
+            _bind_pattern(p, val[i] if i < len(val) else None, env2, doc, elem, env)
+    else:  # obj
+        if val is None:
+            val = {}
+        if not isinstance(val, dict):
+            raise JqError(f"cannot destructure {_jq_type(val)} with an object pattern")
+        for keyspec, p in pat[1]:
+            if keyspec[0] == "lit":
+                key = keyspec[1]
+            else:
+                key = _value(keyspec[1], val, _NO_ELEM, env)
+                if not isinstance(key, str):
+                    raise JqError(
+                        f"object pattern key must be a string, got {_jq_type(key)}"
+                    )
+            _bind_pattern(p, val.get(key), env2, doc, elem, env)
+
+
 def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -> Any:
     """_eval for SINGLE-VALUE contexts: a multi-value stream here is a
     JqError (catchable by try/catch), never a raw _JqStream embedded in
@@ -1090,11 +1184,26 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             payload = str(e) if e.value is _NO_ERR_VALUE else e.value
             return _eval(node.handler, doc, payload, env)
     if isinstance(node, AsBind):
-        bound = _value(node.source, doc, elem, env)
+        bound = _eval(node.source, doc, elem, env)
         if bound is _EMPTY:
             return _EMPTY
+        if isinstance(bound, _JqStream):
+            # `.[] as $x | BODY` — run BODY once per stream value and
+            # stream the results (same mapping rule as pipe tails)
+            outs: list = []
+            for it in bound.items:
+                env2 = dict(env) if env else {}
+                _bind_pattern(node.pattern, it, env2, doc, elem, env)
+                r = _eval(node.body, doc, elem, env2)
+                if r is _EMPTY:
+                    continue
+                if isinstance(r, _JqStream):
+                    outs.extend(r.items)
+                else:
+                    outs.append(r)
+            return _JqStream(outs)
         env2 = dict(env) if env else {}
-        env2[node.var] = bound
+        _bind_pattern(node.pattern, bound, env2, doc, elem, env)
         return _eval(node.body, doc, elem, env2)
     if isinstance(node, Reduce):
         # jq source semantics: terminal-[] paths natively yield a

@@ -652,6 +652,60 @@ class TestUserDefs:
         with pytest.raises(JqError, match="parameter"):
             run("def bad(map): map; bad(1)", None)
 
+
+class TestDestructuring:
+    """`EXPR as PATTERN | BODY` with array/object patterns."""
+
+    @pytest.mark.parametrize(
+        "prog,doc,want",
+        [
+            (". as [$a, $b] | $a + $b", [3, 4], 7),
+            # missing elements/keys bind null
+            (". as [$a, $b, $c] | [$a, $b, $c]", [1], [1, None, None]),
+            (". as {a: $x, b: $y} | [$x, $y]", {"a": 1}, [1, None]),
+            # {$name} shorthand binds .name
+            (
+                ". as {$name, $id} | [$name, $id]",
+                {"name": "n", "id": 5},
+                ["n", 5],
+            ),
+            ('. as {"k 1": $v} | $v', {"k 1": 9}, 9),
+            # nesting both ways
+            (". as [$a, [$b, $c]] | [$a, $b, $c]", [1, [2, 3]], [1, 2, 3]),
+            (". as {a: [$x, $y]} | [$x, $y]", {"a": [8, 9]}, [8, 9]),
+            # computed key, evaluated against the destructured value
+            ('. as {("k" + "1"): $v} | $v', {"k1": 42}, 42),
+            # null destructures as empty
+            ("null as [$a] | $a", {"z": 1}, None),
+            ("null as {a: $x} | $x", None, None),
+            # stream sources iterate the body per value
+            (
+                "[.items[] as {$id} | $id]",
+                {"items": [{"id": 3}, {"id": 7}]},
+                [3, 7],
+            ),
+            ("[.[] as [$a, $b] | $a * $b]", [[2, 3], [4, 5]], [6, 20]),
+            ("[range(3) as $i | $i * 10]", None, [0, 10, 20]),
+            ("[.missing[]? as $x | $x]", {}, []),
+            # as-binding allowed inside a parenthesized reduce source
+            ("reduce (.[] as $x | $x * 2) as $y (0; . + $y)", [1, 2, 3], 12),
+        ],
+    )
+    def test_patterns(self, prog, doc, want):
+        assert run(prog, doc) == want
+
+    @pytest.mark.parametrize(
+        "prog,doc,msg",
+        [
+            (". as [$a] | $a", 5, "array pattern"),
+            (". as {a: $x} | $x", [1], "object pattern"),
+            (". as {(1): $x} | $x", {}, "must be a string"),
+        ],
+    )
+    def test_type_mismatches_are_catchable(self, prog, doc, msg):
+        with pytest.raises(JqError, match=msg):
+            run(prog, doc)
+
     def test_arity_overloading(self):
         # jq overloads defs by (name, arity): both f/0 and f/1 coexist
         assert run("def f: 0; def f($a): f + $a; f(1)", None) == 1
