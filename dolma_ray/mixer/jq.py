@@ -31,8 +31,10 @@ implements exactly that subset with the reference's semantics:
   nested freely; missing elements bind null); a stream source
   (``.[] as $x``) runs BODY per value; bound at term level like jq 1.7
   (``.a + 1 as $x`` binds ``1``); no ``?//`` alternatives;
-* top-level user functions ``def f: BODY;`` / ``def f($a; $b): BODY;``
-  / ``def f(g): BODY;`` — $-value parameters bind once (multi-value
+* user functions ``def f: BODY;`` / ``def f($a; $b): BODY;`` /
+  ``def f(g): BODY;`` at the start of any pipe expression (top level,
+  inside parens, def bodies, if-branches — scoped to that expression,
+  inner shadows outer) — $-value parameters bind once (multi-value
   args are a catchable error), filter parameters are call-by-name
   closures over the call-site environment (``def mymap(f): [.[]|f];``),
   defs overload by (name, arity), bodies are lexically scoped;
@@ -795,6 +797,10 @@ class _Parser:
         return Path(steps, optional)
 
     def parse_pipe(self):
+        if self.peek() == ("ident", "def"):
+            # leading defs scope to the rest of this pipe expression
+            defs = self.parse_defs()
+            return Program(defs, self.parse_pipe())
         source = self.parse_alt()
         k, v = self.peek()
         if k == "op" and v in ("=", "|=", "//=", "+=", "-="):
@@ -1099,7 +1105,9 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         return node.value
     if isinstance(node, Program):
         env2 = dict(env) if env else {}
-        env2["__defs__"] = node.defs
+        parent = env2.get("__defs__")
+        # nested scopes extend the enclosing def table (inner wins)
+        env2["__defs__"] = {**parent, **node.defs} if parent else node.defs
         return _eval(node.body, doc, elem, env2)
     if isinstance(node, Call):
         env_ = env or {}
@@ -2586,9 +2594,10 @@ def parse_jq(expr: str):
     return _Parser(_tokenize(expr)).parse_pipe_root()
 
 
-# allow a top-level pipe too (e.g. ".attributes.x | length"), with
-# leading user function definitions: def f: ...; def g($a): ...; MAIN
-def _parse_pipe_root(self):
+# user function definitions: def f: ...; def g($a): ...; — allowed at
+# the start of any pipe expression (parse_pipe), so defs work nested
+# inside parens / def bodies / if-branches, scoped to that expression
+def _parse_defs(self) -> dict:
     defs: dict = {}
     while self.peek() == ("ident", "def"):
         self.next()
@@ -2628,12 +2637,17 @@ def _parse_pipe_root(self):
         # keyed by (name, arity): jq overloads functions by arity, so
         # `def f: 0; def f($a): f + $a;` keeps both
         defs[(name, len(params))] = (params, body)
+    return defs
+
+
+def _parse_pipe_root(self):
     e = self.parse_pipe()
     if self.peek()[0] is not None:
         raise JqError(f"trailing tokens at {self.toks[self.i:]}")
-    return Program(defs, e) if defs else e
+    return e
 
 
+_Parser.parse_defs = _parse_defs
 _Parser.parse_pipe_root = _parse_pipe_root
 
 

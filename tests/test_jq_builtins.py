@@ -652,6 +652,28 @@ class TestUserDefs:
         with pytest.raises(JqError, match="parameter"):
             run("def bad(map): map; bad(1)", None)
 
+    @pytest.mark.parametrize(
+        "prog,doc,want",
+        [
+            # defs open any pipe expression and scope to it
+            ('try (def g: 42; g) catch "c"', None, 42),
+            ("(def sq: . * .; 3 | sq) + 1", None, 10),
+            ("def outer: def inner: . + 1; inner * 2; 5 | outer", None, 12),
+            # inner shadows outer within its scope only
+            ("def f: 1; (def f: 2; f) + f", None, 3),
+            ("if . then (def t: 7; t) else 0 end", True, 7),
+            (
+                "def o: def fact: if . <= 1 then 1"
+                " else . * (. - 1 | fact) end; fact; 5 | o",
+                None,
+                120,
+            ),
+            ("def apply(f): def pre: . + 1; pre | f; 1 | apply(. * 10)", None, 20),
+        ],
+    )
+    def test_nested_defs(self, prog, doc, want):
+        assert run(prog, doc) == want
+
 
 class TestDestructuring:
     """`EXPR as PATTERN | BODY` with array/object patterns."""
