@@ -119,6 +119,113 @@ def _ngram_fractions(ids: np.ndarray, lens: np.ndarray, char_mass: int) -> dict[
     return out
 
 
+_MC_KEY = {n: f"fraction_of_characters_in_most_common_{n}grams" for n in (2, 3, 4)}
+_DUP_KEY = {n: f"fraction_of_characters_in_duplicate_{n}grams" for n in range(5, 11)}
+_NGRAM_CHUNK = 64  # docs per np.unique pass (6 doc bits in the key)
+
+
+def _ngram_fractions_chunk(
+    ids: np.ndarray,
+    lens: np.ndarray,
+    offsets: np.ndarray,
+    char_masses: np.ndarray,
+) -> list[dict[str, float]]:
+    """Chunked variant of :func:`_ngram_fractions`: ONE ``np.unique``
+    pass covers all 9 ngram sizes for up to 64 docs at once.  Sits
+    between the per-doc path (python-overhead-bound: ~9 small numpy
+    loops per doc) and the measured-dead-end global batch (giant
+    cache-missing sorts, SCALE.md): the chunk's combined key array is a
+    few hundred KB — cache-local — while the per-call overhead
+    amortizes 64x.  Keys pack [n:4][doc:6][hash:54]; within-(n,doc)
+    window order is preserved n-major so the first-occurrence
+    tie-break matches the per-doc path (54 vs 60 hash bits is the only
+    nominal difference — both far past the ~1e3 windows/doc birthday
+    bound)."""
+    D = len(offsets) - 1
+    out: list[dict[str, float]] = [{} for _ in range(D)]
+    total = int(offsets[-1])
+    if total == 0:
+        return out
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    wc = np.diff(offsets)
+    doc_of = np.repeat(np.arange(D, dtype=np.uint64), wc)
+    end_of = np.repeat(offsets[1:], wc)  # owning doc's end, per position
+    P = np.uint64(1099511628211)
+    HMASK = np.uint64((1 << 54) - 1)
+    pos = np.arange(total, dtype=np.int64)
+    parts_key: list[np.ndarray] = []
+    parts_mass: list[np.ndarray] = []
+    h_prev: np.ndarray | None = None
+    for n in range(2, 11):
+        n_windows = total - n + 1
+        if n_windows <= 0:
+            break
+        if h_prev is None:
+            h = ids[:n_windows] * P + ids[1 : n_windows + 1]
+        else:
+            h = h_prev[:n_windows] * P + ids[n - 1 : n_windows + n - 1]
+        h_prev = h
+        valid = pos[:n_windows] + n <= end_of[:n_windows]
+        if not valid.any():
+            break  # max word count < n, monotone in n
+        vpos = np.flatnonzero(valid)
+        d = doc_of[vpos]
+        parts_key.append(
+            (np.uint64(n) << np.uint64(60))
+            | (d << np.uint64(54))
+            | (h[vpos] & HMASK)
+        )
+        parts_mass.append(cum[vpos + n] - cum[vpos])
+    if not parts_key:
+        return out
+    all_key = np.concatenate(parts_key)
+    all_mass = np.concatenate(parts_mass)
+    # group id (n-major, doc ascending — sorted by construction),
+    # recovered from the packed key's top bits
+    all_gid = ((all_key >> np.uint64(60)).astype(np.int64) - 2) * D + (
+        (all_key >> np.uint64(54)) & np.uint64(63)
+    ).astype(np.int64)
+    uniq, first_idx, inverse, counts = np.unique(
+        all_key, return_index=True, return_inverse=True, return_counts=True
+    )
+    # duplicate-mass fractions (n = 5..10): segment sums on the combined
+    # array, which is already grouped by (n, doc)
+    dup_occ = counts[inverse] > 1
+    grp_starts = np.flatnonzero(np.r_[True, all_gid[1:] != all_gid[:-1]])
+    grp_ids = all_gid[grp_starts]
+    tot_mass = np.add.reduceat(all_mass, grp_starts)
+    dup_mass = np.add.reduceat(np.where(dup_occ, all_mass, 0), grp_starts)
+    for gid, t_, dm in zip(grp_ids.tolist(), tot_mass.tolist(), dup_mass.tolist()):
+        n = gid // D + 2
+        if n >= 5:
+            out[gid % D][_DUP_KEY[n]] = dm / max(t_, 1)
+    # most-common fractions (n = 2..4): per-(n,doc) argmax over the uniq
+    # array (also grouped), max count with first-seen tie-break encoded
+    # as one int64 score
+    gid_u = ((uniq >> np.uint64(60)).astype(np.int64) - 2) * D + (
+        (uniq >> np.uint64(54)) & np.uint64(63)
+    ).astype(np.int64)
+    mc = gid_u < 3 * D  # n in (2, 3, 4)
+    if mc.any():
+        gid_m = gid_u[mc]
+        score = (counts[mc].astype(np.int64) << np.int64(32)) - first_idx[mc].astype(
+            np.int64
+        )
+        u_starts = np.flatnonzero(np.r_[True, gid_m[1:] != gid_m[:-1]])
+        seg_len = np.diff(np.r_[u_starts, len(gid_m)])
+        gmax = np.maximum.reduceat(score, u_starts)
+        winners = np.flatnonzero(score == np.repeat(gmax, seg_len))
+        cnt_m = counts[mc]
+        fi_m = first_idx[mc]
+        for w, gid in zip(winners.tolist(), gid_m[u_starts].tolist()):
+            d = gid % D
+            value = int(cnt_m[w]) * int(all_mass[fi_m[w]]) / max(
+                int(char_masses[d]), 1
+            )
+            out[d][_MC_KEY[gid // D + 2]] = value
+    return out
+
+
 def gopher_attributes(text: str, ignore_empty_lines: bool = False) -> dict[str, float]:
     """Compute all Gopher stats for one document.
 
@@ -255,6 +362,37 @@ class GopherTagger(BaseTagger):
         n_alpha = seg_sums(alpha)
         n_req = seg_sums(req)
 
+        # all 9 ngram fractions, 64 docs per np.unique pass
+        ngram_rows: list[dict[str, float]] = []
+        for c0 in range(0, n_docs, _NGRAM_CHUNK):
+            c1 = min(c0 + _NGRAM_CHUNK, n_docs)
+            sl = slice(offsets[c0], offsets[c1])
+            ngram_rows.extend(
+                _ngram_fractions_chunk(
+                    ids_all[sl],
+                    lens[sl],
+                    offsets[c0 : c1 + 1] - offsets[c0],
+                    char_mass[c0:c1],
+                )
+            )
+
+        # per-doc median word length from ONE (doc, len) sort: each
+        # doc's lengths land contiguous and ascending, so the median is
+        # a direct pick (np.median semantics: even count -> mean of the
+        # two middles)
+        medians = np.zeros(n_docs, dtype=np.float64)
+        nz = counts > 0
+        if nz.any():
+            doc_per_word = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            slens = (np.sort((doc_per_word << np.int64(32)) | lens)
+                     & np.int64(0xFFFFFFFF))
+            mid = offsets[:-1] + counts // 2
+            lo = slens[np.maximum(mid - 1, 0)]
+            hi = slens[np.minimum(mid, len(slens) - 1)]
+            medians[nz] = np.where(
+                counts[nz] % 2 == 1, hi[nz], (lo[nz] + hi[nz]) / 2.0
+            )
+
         kinds = self.output_types()
         out: dict[str, list[float]] = {t: [] for t in kinds}
         for i, text in enumerate(texts):
@@ -262,19 +400,14 @@ class GopherTagger(BaseTagger):
             row: dict[str, float] = {"character_count": float(len(text))}
             if text:
                 wc = int(counts[i])
-                sl = slice(offsets[i], offsets[i + 1])
                 row["word_count"] = float(wc)
-                row["median_word_length"] = (
-                    float(np.median(lens[sl])) if wc else 0.0
-                )
+                row["median_word_length"] = float(medians[i]) if wc else 0.0
                 row["symbol_to_word_ratio"] = int(n_sym[i]) / max(wc, 1)
                 row["fraction_of_words_with_alpha_character"] = int(
                     n_alpha[i]
                 ) / max(wc, 1)
                 row["required_word_count"] = float(int(n_req[i]))
-                row.update(
-                    _ngram_fractions(ids_all[sl], lens[sl], int(char_mass[i]))
-                )
+                row.update(ngram_rows[i])
                 lines = split_lines(text, ignore_empty=self.ignore_empty_lines)
                 line_count = len(lines)
                 row["fraction_of_lines_starting_with_bullet_point"] = (

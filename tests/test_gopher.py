@@ -69,3 +69,35 @@ def test_v2_ignores_empty_lines():
     v2 = gopher_attributes(text, ignore_empty_lines=True)
     assert v1["fraction_of_lines_starting_with_bullet_point"] == pytest.approx(2 / 3)
     assert v2["fraction_of_lines_starting_with_bullet_point"] == 1.0
+
+
+def test_chunked_ngram_kernel_matches_per_doc():
+    """The 64-docs-per-unique-pass tag_batch kernel must equal the
+    per-doc predict path exactly — including first-seen most-common
+    tie-breaks, docs shorter than the ngram sizes, empty docs, and a
+    batch spanning a chunk boundary."""
+    import random
+
+    from dolma_ray.registry import TaggerRegistry
+
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "ccc", "d", "ee-ff", "the", "and", "have", "…x", "#y"]
+    texts = []
+    for i in range(70):  # > one 64-doc chunk
+        k = rng.choice([0, 1, 2, 3, 5, 9, 12, 40, 120])
+        words = [rng.choice(vocab) for _ in range(k)]
+        if k >= 20 and i % 3 == 0:
+            words[5:10] = words[0:5]  # force repeated ngrams / ties
+            words[12:17] = words[0:5]
+        texts.append(" ".join(words))
+    texts[7] = ""  # empty doc inside the chunk
+
+    tagger = TaggerRegistry.get("gopher_v1")()
+    batch = tagger.tag_batch(texts, None)
+    for i, text in enumerate(texts):
+        row = tagger.predict(text, {})
+        for key, col in batch.items():
+            assert col[i] == pytest.approx(row.get(key, 0.0), abs=0, rel=0), (
+                i,
+                key,
+            )
