@@ -2308,6 +2308,15 @@ QUERIES["cumulative_spend"] = q_cumulative_spend
 ORACLES["cumulative_spend"] = SQL_CUMULATIVE_SPEND
 
 
+def _exact_sums(idx: np.ndarray, values: np.ndarray, k: int) -> np.ndarray:
+    """Segment sums in exact int64 (``np.add.at``) — unlike
+    ``np.bincount(weights=...)``, which accumulates in float64 and loses
+    integer exactness past 2**53 at large scale."""
+    out = np.zeros(k, np.int64)
+    np.add.at(out, idx, values)
+    return out
+
+
 _GROUPED_TOPK_K = 3
 
 
@@ -2470,9 +2479,13 @@ def q_priority_revenue(sf_dir: str):
     the salted-bucket exchange (:func:`bucketed_left_attach` — the same
     no-aggregator-actor join the dedup join strategy uses), with
     lineitem pre-combined per batch to ``(orderkey, cents, n)`` BEFORE
-    the exchange — the map-side combiner cuts shuffled rows ~4x and
-    only three narrow int columns move.  Revenue is exact integer cents
-    (per-row half-away rounding shared with the oracle)."""
+    the exchange — the map-side combiner collapses whatever key
+    locality the batch has (~4x on orderkey-clustered layouts; near
+    no-op on fully shuffled ones) and only three narrow int columns
+    move either way.  A second per-batch partial aggregate runs after
+    the attach so the final 5-group groupby shuffles a few rows per
+    block, not the whole attached table.  Revenue is exact integer
+    cents (per-row half-away rounding shared with the oracle)."""
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
@@ -2514,14 +2527,52 @@ def q_priority_revenue(sf_dir: str):
 
     narrow = items.map_batches(combine_by_order, batch_format="pyarrow")
     orders_kv = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    # rows_hint=None: `narrow` is freshly emitted by combine_by_order in
+    # well-sized blocks, so the attach's small-corpus repartition would
+    # be a pure extra barrier here (the hint exists for reader-split
+    # tiny-block inputs)
     attached = bucketed_left_attach(
         narrow, orders_kv, "l_orderkey", "o_orderkey",
         "o_orderpriority", "o_orderpriority",
-        bucket_count(o_rows), rows_hint=o_rows,
+        bucket_count(o_rows), rows_hint=None,
     )
-    return attached.groupby("o_orderpriority").aggregate(
-        Sum("cents", alias_name="revenue_cents"),
-        Sum("n", alias_name="n_items"),
+
+    def partial_agg(batch: pa.Table) -> pa.Table:
+        # per-batch partial sums: <= 5 rows leave each block (measured
+        # 15.2s of remote wall in the naive final aggregate at sf0.1)
+        d = pc.dictionary_encode(batch["o_orderpriority"].combine_chunks())
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        k = len(d.dictionary)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": d.dictionary,
+                "cents": pa.array(_exact_sums(idx, cents, k)),
+                "n": pa.array(_exact_sums(idx, n, k)),
+            }
+        )
+
+    def final_combine(batch: pa.Table) -> pa.Table:
+        # one tiny task over <= 5 x n_blocks partial rows; a sort-based
+        # groupby here would be a third all-to-all barrier for 640 rows
+        d = pc.dictionary_encode(batch["o_orderpriority"].combine_chunks())
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        k = len(d.dictionary)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": d.dictionary,
+                "revenue_cents": pa.array(_exact_sums(idx, cents, k)),
+                "n_items": pa.array(_exact_sums(idx, n, k)),
+            }
+        )
+
+    return (
+        attached.map_batches(partial_agg, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_combine, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -2545,7 +2596,7 @@ def q_returned_orders(sf_dir: str):
     driver), then orders flow through the bucketed semi-join; both
     exchanges move single-int-column rows only."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     from .dedup.lookup import bucket_count, bucketed_semi_join, distinct_key_table
 
@@ -2581,7 +2632,37 @@ def q_returned_orders(sf_dir: str):
         orders, keys_d, "o_orderkey", "key",
         bucket_count(o_rows), rows_hint=o_rows,
     )
-    return sj.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+    def partial_count(batch: pa.Table) -> pa.Table:
+        # per-batch partial counts -> <= 5 rows leave each block
+        d = pc.dictionary_encode(batch["o_orderpriority"].combine_chunks())
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": d.dictionary,
+                "n": pa.array(
+                    np.bincount(idx, minlength=len(d.dictionary)).astype(np.int64)
+                ),
+            }
+        )
+
+    def final_combine(batch: pa.Table) -> pa.Table:
+        # one tiny task instead of a third all-to-all for ~640 rows
+        d = pc.dictionary_encode(batch["o_orderpriority"].combine_chunks())
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": d.dictionary,
+                "n_orders": pa.array(_exact_sums(idx, n, len(d.dictionary))),
+            }
+        )
+
+    return (
+        sj.map_batches(partial_count, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_combine, batch_format="pyarrow", batch_size=None)
+    )
 
 
 SQL_RETURNED_ORDERS = """
