@@ -233,7 +233,9 @@ class Reduce:
 @dataclass
 class Program:
     # top-level function definitions + the main expression
-    defs: dict  # (name, arity) -> ([("val"|"flt", name), ...], body AST)
+    # ordered [(name, [("val"|"flt", pname), ...], body AST), ...]; the
+    # evaluator builds per-def captured tables keyed by (name, arity)
+    defs: list
     body: Any
 
 
@@ -836,6 +838,13 @@ class _Parser:
             elif k == "ident" and v == "foreach":
                 self.i -= 1
                 ops.append(("expr", self.parse_foreach()))
+            elif k == "ident" and v == "def":
+                # defs after a '|': scope to the REST of the pipeline
+                # (`1 | def f: 2; f | g` — f and g inside the scope)
+                self.i -= 1
+                defs = self.parse_defs()
+                ops.append(("expr", Program(defs, self.parse_pipe())))
+                break  # the nested parse consumed the remaining stages
             elif k == "dotdot":
                 ops.append(("fn", "recurse", []))
             elif k == "fmt":
@@ -1105,9 +1114,21 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         return node.value
     if isinstance(node, Program):
         env2 = dict(env) if env else {}
-        parent = env2.get("__defs__")
-        # nested scopes extend the enclosing def table (inner wins)
-        env2["__defs__"] = {**parent, **node.defs} if parent else node.defs
+        # lexical scoping: each def captures the table visible AT ITS
+        # DEFINITION (earlier defs + itself for recursion) — a later or
+        # inner same-name def must not change an earlier def's callees
+        table = dict(env2.get("__defs__") or {})
+        for name, params, body in node.defs:
+            visible = dict(table)
+            entry = (params, body, visible)
+            visible[(name, len(params))] = entry  # self-recursion
+            table[(name, len(params))] = entry
+            if not params:
+                # an inner zero-arg def shadows a same-name filter
+                # parameter for the rest of this expression (jq:
+                # innermost binding wins)
+                env2.pop(("__fp__", name), None)
+        env2["__defs__"] = table
         return _eval(node.body, doc, elem, env2)
     if isinstance(node, Call):
         env_ = env or {}
@@ -1121,7 +1142,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         key = (node.name, len(node.args))
         if key not in defs:
             raise JqError(f"{node.name}/{len(node.args)} is not defined")
-        params, body = defs[key]
+        params, body, dtable = defs[key]
         depth = env_.get("__depth__", 0) + 1
         # the evaluator recurses on the python stack (frames per jq call
         # depend on the body's AST depth), so the cap is a fast guard —
@@ -1129,9 +1150,9 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         # when a deeply-nested body blows python's stack under the cap
         if depth > 150:
             raise JqError(f"recursion limit reached calling {node.name}")
-        # jq defs are lexically scoped: the body sees only its own
-        # params and the def table, never call-site bindings
-        env2: dict = {"__defs__": defs, "__depth__": depth}
+        # the body resolves callees against the def's CAPTURED table and
+        # sees only its own params — never call-site bindings
+        env2: dict = {"__defs__": dtable, "__depth__": depth}
         for (pkind, pname), arg in zip(params, node.args):
             if pkind == "val":
                 env2[pname] = _value(arg, doc, elem, env)
@@ -2597,8 +2618,8 @@ def parse_jq(expr: str):
 # user function definitions: def f: ...; def g($a): ...; — allowed at
 # the start of any pipe expression (parse_pipe), so defs work nested
 # inside parens / def bodies / if-branches, scoped to that expression
-def _parse_defs(self) -> dict:
-    defs: dict = {}
+def _parse_defs(self) -> list:
+    defs: list = []
     while self.peek() == ("ident", "def"):
         self.next()
         k, name = self.next()
@@ -2634,9 +2655,10 @@ def _parse_defs(self) -> dict:
         k4, v4 = self.next()
         if (k4, v4) != ("semi", ";"):
             raise JqError(f"expected ';' after def body, got {v4!r}")
-        # keyed by (name, arity): jq overloads functions by arity, so
-        # `def f: 0; def f($a): f + $a;` keeps both
-        defs[(name, len(params))] = (params, body)
+        # ordered list: the evaluator keys by (name, arity) — jq
+        # overloads by arity (`def f: 0; def f($a): f + $a;` keeps
+        # both) — and captures each def's visible table in order
+        defs.append((name, params, body))
     return defs
 
 

@@ -2317,6 +2317,32 @@ def _exact_sums(idx: np.ndarray, values: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+def _priority_rollup(
+    batch: pa.Table,
+    sums: list[tuple[str, str]],
+    count_col: str | None = None,
+) -> pa.Table:
+    """Per-batch rollup by ``o_orderpriority``: dictionary-encode the
+    key and segment-sum the given ``(in_col, out_col)`` pairs in exact
+    int64 (plus a row count as ``count_col`` if given).  Rows with a
+    null priority — an attached key with no lookup row — are dropped,
+    matching the inner-join semantics of the SQL oracles."""
+    col = batch["o_orderpriority"].combine_chunks()
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+        col = batch["o_orderpriority"].combine_chunks()
+    d = pc.dictionary_encode(col)
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    k = len(d.dictionary)
+    out: dict = {"o_orderpriority": d.dictionary}
+    for in_col, out_col in sums:
+        vals = batch[in_col].to_numpy(zero_copy_only=False)
+        out[out_col] = pa.array(_exact_sums(idx, vals, k))
+    if count_col is not None:
+        out[count_col] = pa.array(np.bincount(idx, minlength=k).astype(np.int64))
+    return pa.table(out)
+
+
 _GROUPED_TOPK_K = 3
 
 
@@ -2487,7 +2513,6 @@ def q_priority_revenue(sf_dir: str):
     block, not the whole attached table.  Revenue is exact integer
     cents (per-row half-away rounding shared with the oracle)."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     from .dedup.lookup import bucket_count, bucketed_left_attach
 
@@ -2540,33 +2565,13 @@ def q_priority_revenue(sf_dir: str):
     def partial_agg(batch: pa.Table) -> pa.Table:
         # per-batch partial sums: <= 5 rows leave each block (measured
         # 15.2s of remote wall in the naive final aggregate at sf0.1)
-        d = pc.dictionary_encode(batch["o_orderpriority"].combine_chunks())
-        idx = d.indices.to_numpy(zero_copy_only=False)
-        k = len(d.dictionary)
-        cents = batch["cents"].to_numpy(zero_copy_only=False)
-        n = batch["n"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "o_orderpriority": d.dictionary,
-                "cents": pa.array(_exact_sums(idx, cents, k)),
-                "n": pa.array(_exact_sums(idx, n, k)),
-            }
-        )
+        return _priority_rollup(batch, [("cents", "cents"), ("n", "n")])
 
     def final_combine(batch: pa.Table) -> pa.Table:
         # one tiny task over <= 5 x n_blocks partial rows; a sort-based
         # groupby here would be a third all-to-all barrier for 640 rows
-        d = pc.dictionary_encode(batch["o_orderpriority"].combine_chunks())
-        idx = d.indices.to_numpy(zero_copy_only=False)
-        k = len(d.dictionary)
-        cents = batch["cents"].to_numpy(zero_copy_only=False)
-        n = batch["n"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "o_orderpriority": d.dictionary,
-                "revenue_cents": pa.array(_exact_sums(idx, cents, k)),
-                "n_items": pa.array(_exact_sums(idx, n, k)),
-            }
+        return _priority_rollup(
+            batch, [("cents", "revenue_cents"), ("n", "n_items")]
         )
 
     return (
@@ -2596,7 +2601,6 @@ def q_returned_orders(sf_dir: str):
     driver), then orders flow through the bucketed semi-join; both
     exchanges move single-int-column rows only."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
 
     from .dedup.lookup import bucket_count, bucketed_semi_join, distinct_key_table
 
@@ -2635,28 +2639,11 @@ def q_returned_orders(sf_dir: str):
 
     def partial_count(batch: pa.Table) -> pa.Table:
         # per-batch partial counts -> <= 5 rows leave each block
-        d = pc.dictionary_encode(batch["o_orderpriority"].combine_chunks())
-        idx = d.indices.to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "o_orderpriority": d.dictionary,
-                "n": pa.array(
-                    np.bincount(idx, minlength=len(d.dictionary)).astype(np.int64)
-                ),
-            }
-        )
+        return _priority_rollup(batch, [], count_col="n")
 
     def final_combine(batch: pa.Table) -> pa.Table:
         # one tiny task instead of a third all-to-all for ~640 rows
-        d = pc.dictionary_encode(batch["o_orderpriority"].combine_chunks())
-        idx = d.indices.to_numpy(zero_copy_only=False)
-        n = batch["n"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "o_orderpriority": d.dictionary,
-                "n_orders": pa.array(_exact_sums(idx, n, len(d.dictionary))),
-            }
-        )
+        return _priority_rollup(batch, [("n", "n_orders")])
 
     return (
         sj.map_batches(partial_count, batch_format="pyarrow")

@@ -669,10 +669,25 @@ class TestUserDefs:
                 120,
             ),
             ("def apply(f): def pre: . + 1; pre | f; 1 | apply(. * 10)", None, 20),
+            # lexical callee resolution: a later/inner same-name def
+            # must NOT change an earlier def's behavior (real-jq parity)
+            ("def g: 1; def f: g; (def g: 2; f)", None, 1),
+            ("def g: 1; def f: g; def g: 2; f", None, 1),
+            ("def g: 1; def f: g; def g: 2; g", None, 2),
+            # an inner def shadows a same-name filter parameter
+            ("def use(f): def f: 99; f; use(1)", None, 99),
+            # defs after a '|' scope to the rest of the pipeline
+            ("1 | def f: 2; f", None, 2),
+            ("1 | def f: . + 1; f | f", None, 3),
         ],
     )
     def test_nested_defs(self, prog, doc, want):
         assert run(prog, doc) == want
+
+    def test_forward_reference_rejected(self):
+        # jq: a def body may only call defs defined before it (or itself)
+        with pytest.raises(JqError, match="g/0 is not defined"):
+            run("def f: g; def g: 1; f", None)
 
 
 class TestDestructuring:
