@@ -191,6 +191,14 @@ _EMPTY = _EmptyType()
 
 
 @dataclass
+class Comma:
+    # parenthesized comma stream `(A, B, C)`: each operand's outputs in
+    # order, spliced into one bounded stream (jq's `,` operator; outside
+    # parens a comma is an array/object item separator in this engine)
+    items: list
+
+
+@dataclass
 class Pipe:
     source: Any
     ops: list[Any]  # ("length",) | ("add",) | ("map", expr)
@@ -399,6 +407,11 @@ class _Parser:
         # ``.a + (1 as $x | BODY)`` (the binding swallows the rest of the
         # pipeline).  Handling it here — after a full postfix term — also
         # makes mid-pipe bindings (``.a | . as $x | ...``) work for free.
+        if self.peek() == ("op", "-"):
+            # unary minus on a general term (`-.a`, `sort_by(-.)`);
+            # negative NUMBER literals are consumed by the tokenizer
+            self.next()
+            return Bin("-", Lit(0), self.parse_unary())
         term = self._parse_unary_inner()
         # postfix "?" on a general term is try-sugar ((expr)? == try expr);
         # paths consume their own "?" inside parse_path
@@ -516,6 +529,12 @@ class _Parser:
             saved_no_as, self._no_as = self._no_as, 0
             try:
                 inner = self.parse_pipe()
+                if self.peek()[0] == "comma":
+                    items = [inner]
+                    while self.peek()[0] == "comma":
+                        self.next()
+                        items.append(self.parse_pipe())
+                    inner = Comma(items)
             finally:
                 self._no_as = saved_no_as
             self.expect("rparen")
@@ -845,6 +864,11 @@ class _Parser:
                 defs = self.parse_defs()
                 ops.append(("expr", Program(defs, self.parse_pipe())))
                 break  # the nested parse consumed the remaining stages
+            elif k == "lparen":
+                # "| ( ... )" — parenthesized stage, possibly a comma
+                # stream or the left side of a binary expression
+                self.i -= 1
+                ops.append(("expr", self.parse_alt()))
             elif k == "dotdot":
                 ops.append(("fn", "recurse", []))
             elif k == "fmt":
@@ -932,7 +956,20 @@ def _jq_tostring(v: Any) -> str:
         raise JqError("cannot stringify empty")
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
-    return _json.dumps(v)
+
+    def intify(x):
+        # jq prints double-typed integers without the trailing .0, at
+        # any nesting depth
+        if isinstance(x, float) and x.is_integer():
+            return int(x)
+        if isinstance(x, list):
+            return [intify(i) for i in x]
+        if isinstance(x, dict):
+            return {k: intify(val) for k, val in x.items()}
+        return x
+
+    # compact separators: jq emits "[1,\"x\"]", never "[1, \"x\"]"
+    return _json.dumps(intify(v), separators=(",", ":"))
 
 
 def _parse_interp(raw: str) -> Interp:
@@ -1130,6 +1167,17 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 env2.pop(("__fp__", name), None)
         env2["__defs__"] = table
         return _eval(node.body, doc, elem, env2)
+    if isinstance(node, Comma):
+        outs_c: list = []
+        for it in node.items:
+            v = _eval(it, doc, elem, env)
+            if v is _EMPTY:
+                continue
+            if isinstance(v, _JqStream):
+                outs_c.extend(v.items)
+            else:
+                outs_c.append(v)
+        return _JqStream(outs_c)
     if isinstance(node, Call):
         env_ = env or {}
         if not node.args and ("__fp__", node.name) in env_:
@@ -1293,20 +1341,32 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         cur = doc if elem is _NO_ELEM else elem
         for step_i, (kind, key) in enumerate(node.steps):
             if kind == "iter":
-                # a TERMINAL [] yields a bounded stream (spliced by
-                # [...], mapped by "| f", folded by reduce); mid-path
-                # iteration (".a[].b") still needs full stream paths
-                if step_i != len(node.steps) - 1:
-                    raise JqError(
-                        "[] mid-path iteration unsupported (terminal [] only)"
-                    )
                 if isinstance(cur, dict):
-                    return _JqStream(list(cur.values()))
-                if isinstance(cur, list):
-                    return _JqStream(list(cur))
-                if node.optional:
+                    items = list(cur.values())
+                elif isinstance(cur, list):
+                    items = list(cur)
+                elif node.optional:
                     return _EMPTY
-                raise JqError(f"cannot iterate over {_jq_type(cur)}")
+                else:
+                    raise JqError(f"cannot iterate over {_jq_type(cur)}")
+                rest = node.steps[step_i + 1 :]
+                if not rest:
+                    # TERMINAL []: a bounded stream (spliced by [...],
+                    # mapped by "| f", folded by reduce)
+                    return _JqStream(items)
+                # mid-path iteration (".a[].b"): apply the remaining
+                # steps per element and splice into one stream
+                sub = Path(rest, node.optional)
+                outs: list = []
+                for it in items:
+                    r = _eval(sub, doc, it, env)
+                    if r is _EMPTY:
+                        continue
+                    if isinstance(r, _JqStream):
+                        outs.extend(r.items)
+                    else:
+                        outs.append(r)
+                return _JqStream(outs)
             if kind == "slice":
                 lo, hi = key
                 if cur is None:
@@ -1410,9 +1470,12 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 else:
                     raise JqError(f"cannot convert {_jq_type(cur)} to number")
             elif op[0] == "to_entries":
-                if not isinstance(cur, dict):
-                    raise JqError("to_entries requires an object")
-                cur = [{"key": k_, "value": v_} for k_, v_ in cur.items()]
+                if isinstance(cur, dict):
+                    cur = [{"key": k_, "value": v_} for k_, v_ in cur.items()]
+                elif isinstance(cur, list):  # jq: array keys are indices
+                    cur = [{"key": i_, "value": v_} for i_, v_ in enumerate(cur)]
+                else:
+                    raise JqError("to_entries requires an object or array")
             elif op[0] in ("startswith", "endswith"):
                 arg = _value(op[1], doc, cur, env)
                 if not isinstance(cur, str) or not isinstance(arg, str):
@@ -1988,7 +2051,11 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         while stack:
             v, prefix = stack.pop()
             if prefix and (not leaf_only or not isinstance(v, (list, dict))):
-                if node_filter is None:
+                if leaf_only and (v is None or v is False):
+                    # jq: leaf_paths = paths(scalars) — the select's
+                    # TRUTHINESS drops null and false leaves
+                    pass
+                elif node_filter is None:
                     out_paths.append(prefix)
                 else:
                     r = ev(node_filter, v)

