@@ -123,7 +123,7 @@ _ZERO_ARG_WORDS = frozenset(
     # type filters (select-by-type), path streams, numeric predicates
     "numbers strings booleans nulls arrays objects iterables scalars "
     "paths leaf_paths isnan isinfinite infinite nan "
-    "log log2 log10 exp exp2 todate fromdate "
+    "log log2 log10 exp exp2 todate fromdate recurse_down "
     "transpose env input_filename trim ltrim rtrim tostream".split()
 )
 # builtins taking parenthesized ;-separated argument expressions
@@ -146,12 +146,54 @@ _FN_ARG_RANGE = {
     "nth": (1, 2), "indices": (1, 1), "rindex": (1, 1),
     "error": (0, 1), "combinations": (0, 1), "debug": (0, 1),
     "paths": (0, 1), "fromstream": (1, 1),
+    # first/last of a generator (jq: first(f) == limit(1; f))
+    "first": (0, 1), "last": (0, 1),
+    "in": (1, 1),
 }
+
+
+def _scan_string(src: str, i: int) -> int:
+    """Return the end index (exclusive) of the jq string starting at
+    ``src[i] == '"'``, honoring escapes AND ``\\(...)`` interpolations
+    whose expressions may contain nested string literals/parens — a
+    regex cannot balance those."""
+    j = i + 1
+    while j < len(src):
+        c = src[j]
+        if c == "\\":
+            if j + 1 < len(src) and src[j + 1] == "(":
+                depth, j = 1, j + 2
+                while j < len(src) and depth:
+                    cj = src[j]
+                    if cj == '"':
+                        j = _scan_string(src, j)
+                        continue
+                    if cj == "(":
+                        depth += 1
+                    elif cj == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    raise JqError(f"unterminated \\( in string at {src[i:i+30]!r}")
+                continue
+            j += 2
+            continue
+        if c == '"':
+            return j + 1
+        j += 1
+    raise JqError(f"unterminated string at {src[i:i+30]!r}")
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
     out, pos = [], 0
     while pos < len(src):
+        while pos < len(src) and src[pos].isspace():
+            pos += 1
+        if pos < len(src) and src[pos] == '"':
+            end = _scan_string(src, pos)
+            out.append(("str", src[pos:end]))
+            pos = end
+            continue
         m = _TOKEN_RE.match(src, pos)
         if not m:
             if src[pos:].strip() == "":
@@ -188,6 +230,16 @@ class _EmptyType:
 
 
 _EMPTY = _EmptyType()
+
+
+def _path_lhs_ok(x: Any) -> bool:
+    """An assignment LHS: one path, or a parenthesized comma of paths
+    (`(.a, .b) = 0` assigns each in order)."""
+    return isinstance(x, Path) or (
+        isinstance(x, Comma)
+        and bool(x.items)
+        and all(isinstance(i, Path) for i in x.items)
+    )
 
 
 @dataclass
@@ -282,8 +334,11 @@ class _Raw:
 @dataclass
 class Interp:
     # string interpolation "a \(expr) b": parts are ("lit", str) or
-    # ("expr", ast); non-string values are JSON-encoded like jq
+    # ("expr", ast); non-string values are JSON-encoded like jq.
+    # fmt: format-string form `@json "v=\(.b)"` — the format applies to
+    # each interpolated VALUE (literal text passes through untouched)
     parts: list[tuple[str, Any]]
+    fmt: Any = None
 
 
 @dataclass
@@ -561,6 +616,16 @@ class _Parser:
             return Pipe(Path([]), [("fn", "recurse", [])])
         if k == "fmt":
             self.next()
+            k2, v2 = self.peek()
+            if k2 == "str":  # format string: @json "v=\(.b)"
+                self.next()
+                if "\\(" in v2:
+                    fnode = _parse_interp(v2)
+                    fnode.fmt = v
+                    return fnode
+                import json as _json
+
+                return Lit(_json.loads(v2))
             return Pipe(Path([]), [("fn", v, [])])
         if k == "path":
             return self.parse_path()
@@ -756,16 +821,22 @@ class _Parser:
             steps.append(("seg", _json.loads(v3)))
             self.expect("rbrack")
             return
-        def _int_index(raw: str) -> int:
-            if not raw.lstrip("-").isdigit():
-                raise JqError(f"array index must be an integer, got {raw}")
-            return int(raw)
+        import math as _math
+
+        def _num_index(raw: str) -> int | float:
+            if raw.lstrip("-").isdigit():
+                return int(raw)
+            try:
+                return float(raw)
+            except ValueError:
+                raise JqError(f"array index must be a number, got {raw}") from None
 
         lo = None
         if k3 == "num":
-            lo = _int_index(v3)
+            lo = _num_index(v3)
             if self.peek()[0] == "rbrack":
                 self.next()
+                # jq: a fractional single index yields null, not an error
                 steps.append(("idx", lo))
                 return
             if self.peek()[0] != "colon":
@@ -779,8 +850,13 @@ class _Parser:
         k4, v4 = self.peek()
         if k4 == "num":
             self.next()
-            hi = _int_index(v4)
+            hi = _num_index(v4)
         self.expect("rbrack")
+        # jq slice bounds: fractional lo floors, fractional hi ceils
+        if isinstance(lo, float):
+            lo = _math.floor(lo)
+        if isinstance(hi, float):
+            hi = _math.ceil(hi)
         steps.append(("slice", (lo, hi)))
 
     def parse_path(self):
@@ -825,7 +901,7 @@ class _Parser:
         source = self.parse_alt()
         k, v = self.peek()
         if k == "op" and v in ("=", "|=", "//=", "+=", "-="):
-            if not isinstance(source, Path):
+            if not _path_lhs_ok(source):
                 raise JqError(f"left side of {v} must be a path")
             self.next()
             source = Assign(v, source, self.parse_alt())
@@ -866,13 +942,33 @@ class _Parser:
                 break  # the nested parse consumed the remaining stages
             elif k == "lparen":
                 # "| ( ... )" — parenthesized stage, possibly a comma
-                # stream or the left side of a binary expression
+                # stream, a binary expression, or a multi-path
+                # assignment LHS ("| (.a, .b) = 0")
                 self.i -= 1
-                ops.append(("expr", self.parse_alt()))
+                stage = self.parse_alt()
+                k2p, v2p = self.peek()
+                if k2p == "op" and v2p in ("=", "|=", "//=", "+=", "-="):
+                    if not _path_lhs_ok(stage):
+                        raise JqError(f"left side of {v2p} must be a path")
+                    self.next()
+                    stage = Assign(v2p, stage, self.parse_alt())
+                ops.append(("expr", stage))
             elif k == "dotdot":
                 ops.append(("fn", "recurse", []))
             elif k == "fmt":
-                ops.append(("fn", v, []))
+                k2f, v2f = self.peek()
+                if k2f == "str":  # "| @json \"v=\\(.b)\"" format string
+                    self.next()
+                    if "\\(" in v2f:
+                        fnode = _parse_interp(v2f)
+                        fnode.fmt = v
+                        ops.append(("expr", fnode))
+                    else:
+                        import json as _json
+
+                        ops.append(("expr", Lit(_json.loads(v2f))))
+                else:
+                    ops.append(("fn", v, []))
             elif k == "path" or k == "var" or (k == "str" and "\\(" in v):
                 # "| .foo", "| $x", "| \"...\(interp)\"" — expression ops;
                 # a later stage may itself be an update assignment
@@ -881,7 +977,7 @@ class _Parser:
                 stage = self.parse_alt()
                 k2, v2 = self.peek()
                 if k2 == "op" and v2 in ("=", "|=", "//=", "+=", "-="):
-                    if not isinstance(stage, Path):
+                    if not _path_lhs_ok(stage):
                         raise JqError(f"left side of {v2} must be a path")
                     self.next()
                     stage = Assign(v2, stage, self.parse_alt())
@@ -987,9 +1083,15 @@ def _parse_interp(raw: str) -> Interp:
             if nxt == "(":
                 depth, j = 1, i + 2
                 while j < len(body) and depth:
-                    if body[j] == "(":
+                    cj = body[j]
+                    if cj == '"':
+                        # skip a nested string literal (its parens and
+                        # quotes must not affect the depth count)
+                        j = _scan_string(body, j)
+                        continue
+                    if cj == "(":
                         depth += 1
-                    elif body[j] == ")":
+                    elif cj == ")":
                         depth -= 1
                     j += 1
                 if depth:
@@ -1226,7 +1328,14 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             if kind == "lit":
                 out.append(part)
             else:
-                out.append(_jq_tostring(_value(part, doc, elem, env)))
+                v = _value(part, doc, elem, env)
+                if node.fmt:
+                    s = _apply_fn(
+                        node.fmt, [], v, lambda a, e: _eval(a, doc, e, env)
+                    )
+                    out.append(s if isinstance(s, str) else _jq_tostring(s))
+                else:
+                    out.append(_jq_tostring(v))
         return "".join(out)
     if isinstance(node, ArrayLit):
         out_arr: list = []
@@ -1319,22 +1428,31 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         return _JqStream(outs)
     if isinstance(node, Assign):
         cur_in = doc if elem is _NO_ELEM else elem
-        old = _get_path(cur_in, node.path.steps)
-        if node.op == "=":
-            new = _value(node.expr, doc, elem, env)
-        elif node.op == "|=":
-            new = _value(node.expr, doc, old, env)
-        elif node.op == "//=":
-            new = (
-                old
-                if old is not None and old is not False
-                else _value(node.expr, doc, elem, env)
-            )
-        elif node.op == "+=":
-            new = _apply_arith("+", old, _value(node.expr, doc, elem, env))
-        else:  # "-="
-            new = _apply_arith("-", old, _value(node.expr, doc, elem, env))
-        return _set_path(cur_in, node.path.steps, new)
+        paths = (
+            node.path.items if isinstance(node.path, Comma) else [node.path]
+        )
+        result = cur_in
+        # multi-path LHS applies in order; the RHS of =/+=/-=///=
+        # evaluates against the ORIGINAL input (jq), |= against each
+        # path's old value
+        for p in paths:
+            old = _get_path(result, p.steps)
+            if node.op == "=":
+                new = _value(node.expr, doc, elem, env)
+            elif node.op == "|=":
+                new = _value(node.expr, doc, old, env)
+            elif node.op == "//=":
+                new = (
+                    old
+                    if old is not None and old is not False
+                    else _value(node.expr, doc, elem, env)
+                )
+            elif node.op == "+=":
+                new = _apply_arith("+", old, _value(node.expr, doc, elem, env))
+            else:  # "-="
+                new = _apply_arith("-", old, _value(node.expr, doc, elem, env))
+            result = _set_path(result, p.steps, new)
+        return result
     if isinstance(node, Path):
         # inside map/select the element is the current input for ALL
         # paths (jq: map(.foo) reads each element's foo)
@@ -1397,6 +1515,9 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     if node.optional:
                         return None
                     raise JqError(f"cannot index {type(cur).__name__} with [{key}]")
+                if isinstance(key, float):
+                    cur = None  # jq: fractional index yields null
+                    continue
                 try:
                     cur = cur[key]
                 except IndexError:
@@ -2073,7 +2194,7 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             for k_, child in reversed(it):
                 stack.append((child, prefix + [k_]))
         return _JqStream(out_paths)
-    if name == "recurse":
+    if name in ("recurse", "recurse_down"):  # recurse_down: jq alias
         # jq: def recurse(f; cond): def r: ., (f | select(cond) | r); r;
         # zero-arg = recurse(.[]?) == `..` — a structural walk needs no
         # expression evaluation at all
@@ -2316,11 +2437,33 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             return math.sqrt(cur)
         return abs(cur)
     if name in ("first", "last"):
+        if arg_asts:
+            # first(f) / last(f): first or last output of the generator;
+            # no outputs -> empty (jq: first(f) == limit(1; f))
+            out = ev(arg_asts[0], cur)
+            if out is _EMPTY:
+                return _EMPTY
+            items = out.items if isinstance(out, _JqStream) else [out]
+            if not items:
+                return _EMPTY
+            return items[0] if name == "first" else items[-1]
         if not isinstance(cur, list):
             raise JqError(f"{name} requires an array")
         if not cur:
             return None
         return cur[0] if name == "first" else cur[-1]
+    if name == "in":
+        # inverse of has: `.key | in(container)`
+        container = val(0)
+        if isinstance(container, dict):
+            if not isinstance(cur, str):
+                raise JqError("in() on an object requires a string key")
+            return cur in container
+        if isinstance(container, list):
+            if not isinstance(cur, int) or isinstance(cur, bool):
+                raise JqError("in() on an array requires a number index")
+            return 0 <= cur < len(container)
+        raise JqError(f"cannot check membership in {_jq_type(container)}")
     if name == "reverse":
         if isinstance(cur, str):
             return cur[::-1]

@@ -532,9 +532,12 @@ class TestJqReviewRegressions:
     def test_repeat_growth_truncates_not_oom(self):
         assert run("[limit(2; repeat(. + .))]", "ab") == ["ab", "abab"]
 
-    def test_float_index_is_jq_error(self):
-        with pytest.raises(JqError):
-            run(".a[1.5:]", {"a": [1]})
+    def test_float_slice_and_index_follow_jq(self):
+        # jq floors a fractional slice lo and ceils the hi; a fractional
+        # single index yields null (differential sweep, jq 1.6 parity)
+        assert run(".a[1.5:]", {"a": [1, 2, 3]}) == [2, 3]
+        assert run(".a[0.2:1.8]", {"a": [1, 2, 3]}) == [1, 2]
+        assert run(".a[1.5]", {"a": [1, 2, 3]}) is None
 
     def test_pipe_stage_postfix_try(self):
         assert run(".a | tonumber?", {"a": "5"}) == 5

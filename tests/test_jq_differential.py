@@ -197,6 +197,36 @@ PROGRAMS = [
     "(.a, .f)" and "[.a, .f]",
     "[.b[] | ., . + 10]" and "[.b[] | (., (. + 10))]",
     ".s | length",
+    # tranche 2: edges the first sweep missed
+    '"ab" * 3', '.s / ", "', '"aXbXc" / "X"',
+    '{"a":{"x":1}} * {"a":{"y":2}}',
+    ".n[1:3]", ".b[-2:]", ".b[:-1]", ".s[0:0]", ".b[5:2]",
+    ".b[1.7:2.9]", ".b[1.7]",
+    "first(.b[])", "last(.b[])", "[first(empty)]",
+    "(1 | until(. > 20; . * 2))",
+    "[.a | recurse(if . < 8 then . + 3 else empty end)]",
+    ".a = 5", ".a += 3", ".a |= . + 1", '.c.d = "y" | .c.d',
+    ".b[0] = 9 | .b", ".missing.deep = 1 | .missing",
+    ".a //= 9 | .a", ".n //= 9 | .n",
+    ".b |= map(. + 1) | .b", "del(.b[1]) | .b",
+    "(.a, .f) = 0 | [.a, .f]", "(.a, .f) |= . + 1 | [.a, .f]",
+    '.a? // "d"', '.n.x? // "d"', '(.b[5])? // "d"',
+    '[null, true, false, 1, "a", [1], {"a":1}] | sort',
+    "null < false", '"a" < [1]',
+    "reduce paths as $p (0; . + 1)",
+    '"\\(.b)"', '"\\(.c)"', '@text "x=\\(.a)"', '@json "v=\\(.b)"',
+    '@base64 "x=\\("hi")"', '"\\(.missing // "dflt")"',
+    "tojson", ".b | tojson | fromjson", '"[1,2]" | fromjson',
+    "def sel(f): [.[] | select(f)]; .b | sel(. != 2)",
+    "[.b[] | (. , (. * 10)) ]",
+    "[(.b[], .arr[])] | add",
+    'getpath(["missing","deep"])', "setpath([]; 5)",
+    "setpath([\"b\", 5]; 9) | .b",
+    ".b | has(0)", ".b | has(5)", '"a" | in({"a":1})', "0 | in([9])",
+    "65 | [.] | implode",
+    "1 / 3", "0.1 + 0.2 == 0.3", "7 % -2", "-7 % 2",
+    # NOTE deliberately absent: "[limit(0; .b[])]" — jq 1.6 wrongly
+    # emits one element (fixed in jq 1.7; this engine matches 1.7).
 ]
 
 # dedupe (the `and`-joined picks above collapse)
