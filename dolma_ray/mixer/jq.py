@@ -136,9 +136,9 @@ _FN_ARG_RANGE = {
     "unique_by": (1, 1), "group_by": (1, 1), "min_by": (1, 1),
     "max_by": (1, 1), "flatten": (0, 1),
     # round-4 additions (tokenized as idents, dispatched by name)
-    "map_values": (1, 1), "with_entries": (1, 1), "del": (1, 1),
+    "map_values": (1, 1), "with_entries": (1, 1), "del": (1, 64),
     "getpath": (1, 1), "setpath": (2, 2), "delpaths": (1, 1),
-    "capture": (1, 2), "any": (0, 1), "all": (0, 1),
+    "capture": (1, 2), "any": (0, 2), "all": (0, 2),
     "range": (1, 3), "limit": (2, 2),
     "recurse": (0, 2), "until": (2, 2), "while": (2, 2),
     "repeat": (1, 1), "splits": (1, 2), "pow": (2, 2),
@@ -670,7 +670,10 @@ class _Parser:
             self.next()
             if self.peek()[0] != "rparen":
                 args.append(self.parse_pipe())
-                while self.peek()[0] == "semi":
+                # jq's del takes ONE comma path-expression; splitting it
+                # into one path arg per comma is equivalent here
+                seps = ("semi", "comma") if name == "del" else ("semi",)
+                while self.peek()[0] in seps:
                     self.next()
                     args.append(self.parse_pipe())
             self.expect("rparen")
@@ -1040,6 +1043,10 @@ def _truthy(v: Any) -> bool:
 
 _NO_ELEM = object()  # distinguishes "no element context" from a null element
 
+# ASCII-only case tables (jq's ascii_downcase/upcase leave é etc. alone)
+_ASCII_LOWER = {c: c + 32 for c in range(ord("A"), ord("Z") + 1)}
+_ASCII_UPPER = {c: c - 32 for c in range(ord("a"), ord("z") + 1)}
+
 
 def _jq_tostring(v: Any) -> str:
     """jq tostring / interpolation encoding: strings pass through, other
@@ -1064,8 +1071,9 @@ def _jq_tostring(v: Any) -> str:
             return {k: intify(val) for k, val in x.items()}
         return x
 
-    # compact separators: jq emits "[1,\"x\"]", never "[1, \"x\"]"
-    return _json.dumps(intify(v), separators=(",", ":"))
+    # compact separators and raw UTF-8: jq emits "[1,\"x\"]", never
+    # "[1, \"x\"]" or \uXXXX escapes
+    return _json.dumps(intify(v), ensure_ascii=False, separators=(",", ":"))
 
 
 def _parse_interp(raw: str) -> Interp:
@@ -1174,15 +1182,17 @@ def _get_path(container: Any, steps: list) -> Any:
 
 
 def _apply_arith(op: str, l: Any, r: Any) -> Any:
+    """+= / -= / add arithmetic: null identity for +, then the full
+    jq operator table (_jq_arith) — object merge, array/string concat,
+    catchable type errors."""
     if op == "+":
         if l is None:
             return r
         if r is None:
             return l
-        return l + r
-    if l is None or r is None:
+    elif l is None or r is None:
         raise JqError(f"cannot {op} null")
-    return l - r
+    return _jq_arith(op, l, r)
 
 
 def _fold_source(src: Any, doc: Any, elem: Any, env: dict | None) -> list:
@@ -1558,10 +1568,13 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 if not cur:
                     cur = None
                 else:
-                    # jq add = reduce +: numbers sum, strings concatenate
+                    # jq add = reduce .[] as $x (null; . + $x): numbers
+                    # sum, strings/arrays concatenate, objects merge —
+                    # mismatches raise a CATCHABLE JqError, never a raw
+                    # TypeError
                     acc = cur[0]
                     for v in cur[1:]:
-                        acc = acc + v
+                        acc = _apply_arith("+", acc, v)
                     cur = acc
             elif op[0] == "not":
                 cur = not _truthy(cur)
@@ -1742,12 +1755,12 @@ def _jq_arith(op: str, l: Any, r: Any) -> Any:
                 return out
             return deep(l, r)
         if isinstance(l, str) and num(r):
-            # jq: "ab" * n repeats; n <= 0 yields null
+            # jq: "ab" * n repeats; n <= 0 yields null; a fractional
+            # positive n truncates but never below one copy (empirical
+            # jq 1.6: 0.4 -> 1 copy, 1.5 -> 1, 2.7 -> 2)
             if r <= 0:
                 return None
-            if float(r) != int(r):
-                raise JqError("string * non-integer is unsupported")
-            return l * int(r)
+            return l * max(1, int(r))
     elif op == "/":
         if num(l) and num(r):
             if r == 0:
@@ -2342,15 +2355,26 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         mapped = [ev(arg_asts[0], e) for e in entries]
         return _from_entries([m for m in mapped if m is not _EMPTY])
     if name == "del":
-        p = arg_asts[0]
-        if not isinstance(p, Path):
-            raise JqError("del requires a path argument")
-        try:
-            return _del_path(cur, p.steps)
-        except JqError:
-            if p.optional:
-                return cur
-            raise
+        for p in arg_asts:
+            if not isinstance(p, Path):
+                raise JqError("del requires path argument(s)")
+
+        def _del_order(p: Path):
+            # delete larger paths first (delpaths rule) so earlier
+            # deletions don't shift sibling indices; slice/iter steps
+            # fall outside the ordering and keep their given order
+            return _jq_sort_key(
+                [s[1] for s in p.steps if s[0] in ("seg", "idx")]
+            )
+
+        for p in sorted(arg_asts, key=_del_order, reverse=True):
+            try:
+                cur = _del_path(cur, p.steps)
+            except JqError:
+                if p.optional:
+                    continue
+                raise
+        return cur
     if name == "getpath":
         # null-tolerant like jq: missing -> null
         return _get_path(cur, _steps_from_list(val(0)))
@@ -2378,18 +2402,23 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             return _EMPTY  # jq: no match -> empty stream
         return dict(m.groupdict())
     if name in ("any", "all"):
-        # 1-arg form: any(f) / all(f) folds over EVERY output of the
-        # generator — a stream contributes each item, empty contributes
-        # nothing (jq: any(range(0)) over a list is false)
-        if not isinstance(cur, list):
-            raise JqError(f"{name} requires an array")
-
+        # 1-arg form any(f)/all(f) folds over EVERY output of the
+        # generator per element — a stream contributes each item, empty
+        # contributes nothing (jq: any(range(0)) over a list is false);
+        # 2-arg form any(gen; cond) folds cond over the gen's outputs
         def _outputs(v):
             if isinstance(v, _JqStream):
                 return v.items
             return [] if v is _EMPTY else [v]
 
         agg = any if name == "any" else all
+        if len(arg_asts) == 2:
+            gen = _outputs(ev(arg_asts[0], cur))
+            return agg(
+                _truthy(o) for g in gen for o in _outputs(ev(arg_asts[1], g))
+            )
+        if not isinstance(cur, list):
+            raise JqError(f"{name} requires an array")
         return agg(
             _truthy(o) for v in cur for o in _outputs(ev(arg_asts[0], v))
         )
@@ -2407,7 +2436,8 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         except (ValueError, OverflowError) as e:
             raise JqError(f"implode: {e}") from e
     if name == "tojson":
-        return _json.dumps(cur, separators=(",", ":"))
+        # jq emits raw UTF-8, never \uXXXX escapes
+        return _json.dumps(cur, ensure_ascii=False, separators=(",", ":"))
     if name == "fromjson":
         if not isinstance(cur, str):
             raise JqError("fromjson requires a string")
@@ -2416,9 +2446,11 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         except ValueError as e:
             raise JqError(f"fromjson: {e}") from e
     if name in ("ascii_downcase", "ascii_upcase"):
-        if not isinstance(cur, str):
-            raise JqError(f"{name} requires a string")
-        return cur.lower() if name == "ascii_downcase" else cur.upper()
+        if isinstance(cur, str):
+            # jq maps ASCII letters ONLY (é stays é)
+            tbl = _ASCII_LOWER if name == "ascii_downcase" else _ASCII_UPPER
+            return cur.translate(tbl)
+        raise JqError(f"{name} requires a string")
     if name in ("floor", "ceil", "round", "sqrt", "fabs", "abs"):
         if isinstance(cur, bool) or not isinstance(cur, (int, float)):
             raise JqError(f"{name} requires a number")

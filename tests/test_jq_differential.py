@@ -101,6 +101,8 @@ DOC = {
     "neg": -7,
     "arr": [3, 1, 2, 1],
     "mixed": [1, "a", None, true_ := True, [2], {"k": 0}],
+    "u": "h\u00e9llo w\u00f6rld",
+    "t": 1700000000,
 }
 
 PROGRAMS = [
@@ -225,6 +227,31 @@ PROGRAMS = [
     ".b | has(0)", ".b | has(5)", '"a" | in({"a":1})', "0 | in([9])",
     "65 | [.] | implode",
     "1 / 3", "0.1 + 0.2 == 0.3", "7 % -2", "-7 % 2",
+    # tranche 3
+    '.s | match("l+") | .offset', '[.s | match("l"; "g") | .offset]',
+    '.s | capture("(?<a>H\\\\w+)") | .a', '[.s | scan("[A-Z]")]',
+    '[.s | splits("o")]',
+    ".u | length", ".u | explode | length", ".u[1:3]",
+    ".u | ascii_upcase", ".u | ascii_downcase",
+    ".t | todate", '"2023-11-14T22:13:20Z" | fromdate',
+    '"<a&b>" | @html', '"a+b c" | @uri', '"SGVsbG8=" | @base64d',
+    '{(.c.d): 1, ("y"): 2}', '{"a":1} + null', "null + {\"a\":1}",
+    "del(.a, .n) | keys", "del(.b[0], .b[2]) | .b",
+    "any(.b[]; . > 2)", "all(.b[]; . > 0)",
+    "any(empty; .)", "all(empty; .)",
+    '["a","b"] | add', '[{"a":1},{"b":2}] | add', "[] | add",
+    "[null, 1] | add",
+    '[{"k":2,"i":0},{"k":1,"i":1},{"k":2,"i":2}] | sort_by(.k) | map(.i)',
+    ".arr | group_by(.)", '[{"a":1},{"a":1}] | unique', "[[1,2],[1]] | sort",
+    '[.c | tostream]', 'getpath(["n"])', 'getpath(["n","x"])',
+    "reduce .. as $x (0; . + 1)",
+    '"ab" * 2.7', '"ab" * 0.4', '"ab" * 0',
+    "10 | log10", "8 | log2", "pow(2; 10)", "256 | sqrt",
+    ".b | indices([2])", '"abcbd" | indices("b")',
+    '{"x": {"y": 5}} | .x.y // 0',
+    "(.a + 1) as $v | {v: $v, w: ($v * 2)}",
+    "if false then 1 end",
+    'if .n then "y" elif .missing then "m" else "e" end',
     # NOTE deliberately absent: "[limit(0; .b[])]" — jq 1.6 wrongly
     # emits one element (fixed in jq 1.7; this engine matches 1.7).
 ]
