@@ -1122,6 +1122,41 @@ def _parse_interp(raw: str) -> Interp:
     return Interp(parts)
 
 
+def _expand_paths(val: Any, steps: list, prefix: list) -> list:
+    """Expand a path expression containing ``[]`` steps into the
+    concrete paths it matches in ``val`` (jq path streaming for
+    assignment LHS).  Iterating a non-iterable raises like jq; an
+    empty container contributes no paths."""
+    if not steps:
+        return [prefix]
+    kind, key = steps[0]
+    if kind == "iter":
+        if isinstance(val, list):
+            return [
+                p
+                for i, v in enumerate(val)
+                for p in _expand_paths(v, steps[1:], prefix + [("idx", i)])
+            ]
+        if isinstance(val, dict):
+            return [
+                p
+                for k, v in val.items()
+                for p in _expand_paths(v, steps[1:], prefix + [("seg", k)])
+            ]
+        raise JqError(f"cannot iterate over {_jq_type(val)} in assignment")
+    if kind == "seg":
+        child = val.get(key) if isinstance(val, dict) else None
+    elif kind == "idx":
+        child = (
+            val[key]
+            if isinstance(val, list) and -len(val) <= key < len(val)
+            else None
+        )
+    else:
+        raise JqError("cannot assign through a slice")
+    return _expand_paths(child, steps[1:], prefix + [steps[0]])
+
+
 def _set_path(container: Any, steps: list, value: Any) -> Any:
     """jq setpath: returns a copy with the path set, creating missing
     objects and padding arrays with nulls (negative indexes resolve
@@ -1438,10 +1473,22 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         return _JqStream(outs)
     if isinstance(node, Assign):
         cur_in = doc if elem is _NO_ELEM else elem
-        paths = (
+        lhs = (
             node.path.items if isinstance(node.path, Comma) else [node.path]
         )
+        # expand [] steps into the concrete paths they match right now
+        # (jq: `.b[] |= f` updates every element), against the CURRENT
+        # document state for each successive LHS
         result = cur_in
+        paths: list = []
+        for p in lhs:
+            if any(k == "iter" for k, _ in p.steps):
+                paths.extend(
+                    Path(steps, p.optional)
+                    for steps in _expand_paths(result, p.steps, [])
+                )
+            else:
+                paths.append(p)
         # multi-path LHS applies in order; the RHS of =/+=/-=///=
         # evaluates against the ORIGINAL input (jq), |= against each
         # path's old value

@@ -251,6 +251,10 @@ PROGRAMS = [
     '{"x": {"y": 5}} | .x.y // 0',
     "(.a + 1) as $v | {v: $v, w: ($v * 2)}",
     "if false then 1 end",
+    # tranche 4: assignment through iteration (path expansion)
+    ".b[] += 1", ".b[] = 0", ".c.e[].f |= . * 10",
+    "(.a, .b[0]) = 7 | [.a, .b]",
+    '.c | map_values(. != null)' and '.b[0:2] | map(. + 1)',
     'if .n then "y" elif .missing then "m" else "e" end',
     # NOTE deliberately absent: "[limit(0; .b[])]" — jq 1.6 wrongly
     # emits one element (fixed in jq 1.7; this engine matches 1.7).
