@@ -24,13 +24,14 @@ implements exactly that subset with the reference's semantics:
   with_entries del getpath setpath delpaths capture any(f) all(f)
   explode implode split(re; flags)`` — jq-1.7 semantics incl. the
   cross-type total order (null < bool < number < string < array <
-  object); ``sub``/``gsub`` replacements are literal (no capture
-  interpolation);
+  object); ``sub``/``gsub`` replacements are filters evaluated per
+  match with "." = the named-captures object (``sub(re; "[\(.h)]")``);
 * general bindings ``EXPR as PATTERN | BODY`` with jq destructuring
   patterns (``[$a, $b]``, ``{a: $x, "k": $y, $name, (EXPR): $z}``,
   nested freely; missing elements bind null); a stream source
   (``.[] as $x``) runs BODY per value; bound at term level like jq 1.7
-  (``.a + 1 as $x`` binds ``1``); no ``?//`` alternatives;
+  (``.a + 1 as $x`` binds ``1``); ``?//`` alternative patterns (all
+  variables default null, patterns tried in order on bind error);
 * user functions ``def f: BODY;`` / ``def f($a; $b): BODY;`` /
   ``def f(g): BODY;`` at the start of any pipe expression (top level,
   inside parens, def bodies, if-branches — scoped to that expression,
@@ -378,11 +379,13 @@ class AsBind:
     # EXPR as PATTERN | BODY: bind the value of EXPR through PATTERN for
     # BODY ("." is unchanged inside BODY).  PATTERN is ("var", name),
     # ("arr", [patterns]) or ("obj", [(keyspec, pattern)]) — jq
-    # destructuring; missing elements/keys bind null.  Single-value
-    # binding only (no multi-value streams, no ?// alternatives).
+    # destructuring; missing elements/keys bind null.  alts holds the
+    # ``?//`` alternative patterns: tried in order on bind error, all
+    # patterns' variables default to null (jq 1.7 semantics).
     source: Any
     pattern: tuple
     body: Any
+    alts: tuple = ()
 
 
 class _Parser:
@@ -476,8 +479,18 @@ class _Parser:
         if not self._no_as and self.peek() == ("word", "as"):
             self.next()
             pat = self.parse_pattern()
+            alts: list = []
+            # "?//" tokenizes as opt + op-//
+            while (
+                self.peek() == ("opt", "?")
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == ("op", "//")
+            ):
+                self.next()
+                self.next()
+                alts.append(self.parse_pattern())
             self.expect("pipe")
-            return AsBind(term, pat, self.parse_pipe())
+            return AsBind(term, pat, self.parse_pipe(), tuple(alts))
         return term
 
     def parse_pattern(self) -> tuple:
@@ -1278,6 +1291,42 @@ def _bind_pattern(
             _bind_pattern(p, val.get(key), env2, doc, elem, env)
 
 
+def _pattern_vars(pat: tuple, out: set) -> None:
+    if pat[0] == "var":
+        out.add(pat[1])
+    elif pat[0] == "arr":
+        for p in pat[1]:
+            _pattern_vars(p, out)
+    else:
+        for _, p in pat[1]:
+            _pattern_vars(p, out)
+
+
+def _bind_with_alts(
+    node: "AsBind", bound: Any, env2: dict, doc: Any, elem: Any, env: dict | None
+) -> None:
+    """Bind through the pattern, falling back along ``?//`` alternatives
+    on bind errors; with alternatives, every variable of every pattern
+    defaults to null (jq 1.7)."""
+    if not node.alts:
+        _bind_pattern(node.pattern, bound, env2, doc, elem, env)
+        return
+    pats = (node.pattern, *node.alts)
+    names: set = set()
+    for p in pats:
+        _pattern_vars(p, names)
+    last: JqError | None = None
+    for p in pats:
+        for n in names:
+            env2[n] = None
+        try:
+            _bind_pattern(p, bound, env2, doc, elem, env)
+            return
+        except JqError as e:
+            last = e
+    raise last  # type: ignore[misc]
+
+
 def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -> Any:
     """_eval for SINGLE-VALUE contexts: a multi-value stream here is a
     JqError (catchable by try/catch), never a raw _JqStream embedded in
@@ -1424,7 +1473,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             outs: list = []
             for it in bound.items:
                 env2 = dict(env) if env else {}
-                _bind_pattern(node.pattern, it, env2, doc, elem, env)
+                _bind_with_alts(node, it, env2, doc, elem, env)
                 r = _eval(node.body, doc, elem, env2)
                 if r is _EMPTY:
                     continue
@@ -1434,7 +1483,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     outs.append(r)
             return _JqStream(outs)
         env2 = dict(env) if env else {}
-        _bind_pattern(node.pattern, bound, env2, doc, elem, env)
+        _bind_with_alts(node, bound, env2, doc, elem, env)
         return _eval(node.body, doc, elem, env2)
     if isinstance(node, Reduce):
         # jq source semantics: terminal-[] paths natively yield a
@@ -2612,16 +2661,28 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         except re.error as e:
             raise JqError(f"bad regex: {e}") from e
     if name in ("sub", "gsub"):
-        pat, repl = val(0), val(1)
+        pat = val(0)
         flags = val(2) if len(arg_asts) > 2 else ""
-        if not all(isinstance(x, str) for x in (cur, pat, repl, flags)):
+        if not all(isinstance(x, str) for x in (cur, pat, flags)):
             raise JqError(f"{name} requires strings")
         count = 0 if (name == "gsub" or "g" in flags) else 1
         try:
-            return re.sub(_onig_pat(pat), repl.replace("\\", "\\\\"), cur,
-                          count=count, flags=_re_flags(flags))
+            cpat = re.compile(_onig_pat(pat), _re_flags(flags))
         except re.error as e:
             raise JqError(f"bad regex: {e}") from e
+
+        def _repl(m: "re.Match") -> str:
+            # jq: the replacement is a FILTER evaluated per match with
+            # "." = the object of named captures ("[\(.h)]" works); a
+            # plain string literal degenerates to the literal
+            out = ev(arg_asts[1], dict(m.groupdict()))
+            if isinstance(out, _JqStream):
+                out = out.items[0] if out.items else _EMPTY
+            if not isinstance(out, str):
+                raise JqError(f"{name} replacement must be a string")
+            return out
+
+        return cpat.sub(_repl, cur, count=count)
     if name == "split":
         sep = val(0)
         if not isinstance(cur, str) or not isinstance(sep, str):

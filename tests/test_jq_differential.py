@@ -12,9 +12,8 @@ itself.  Programs are restricted to the intersection surface:
 * our engine is single-value at the top level, so stream-producing
   programs are wrapped in ``[...]`` collection;
 * documented deviations stay out of the table: bounded
-  ``repeat``/``until`` (jq runs forever), ``sub``/``gsub`` capture
-  interpolation (ours is literal), ``input``/``inputs``, ``$__loc__``,
-  SQL-ish builtins, ``label``/``break``, ``?//`` alternatives, and
+  ``repeat``/``until`` (jq runs forever), ``input``/``inputs``, ``$__loc__``,
+  SQL-ish builtins, ``label``/``break``, and
   big-int exactness (jq 1.6 is double-only, OURS is exact — jq 1.7
   agrees with us, so those cases would flag the reference not us).
 """
@@ -253,6 +252,14 @@ PROGRAMS = [
     "if false then 1 end",
     # tranche 4: assignment through iteration (path expansion)
     ".b[] += 1", ".b[] = 0", ".c.e[].f |= . * 10",
+    # sub/gsub replacement filters with capture interpolation
+    '.s | sub("(?<h>H\\\\w+)"; "[\\(.h)]")',
+    '.s | gsub("(?<c>l)"; "<\\(.c)>")',
+    '.s | sub("l"; "\\\\1")',
+    # ?// destructuring alternatives
+    '[.mixed[4], .c] | [.[] | . as [$a,$b] ?// {d:$a} | [$a,$b]]',
+    '. as {$missing} ?// [$x] | [$missing, $x]' and
+    '.b as [$x] ?// {$x} | $x',
     "(.a, .b[0]) = 7 | [.a, .b]",
     '.c | map_values(. != null)' and '.b[0:2] | map(. + 1)',
     'if .n then "y" elif .missing then "m" else "e" end',
