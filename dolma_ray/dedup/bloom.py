@@ -283,7 +283,13 @@ def build_bloom_filter(
     actors = make_bloom_shard_actors(num_shards, expected_items, fp_rate, seed=seed)
 
     def insert(batch: pa.Table) -> pa.Table:
-        keys = hash_strings(batch[key_column])
+        col = batch[key_column]
+        if pa.types.is_integer(col.type):
+            # pre-hashed keys (e.g. rolling_ngram_hashes) skip the
+            # per-string python hash loop
+            keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            keys = hash_strings(col)
         shard_of = (keys % np.uint64(len(actors))).astype(np.int64)
         futs = []
         for s in range(len(actors)):

@@ -40,6 +40,48 @@ def hash_strings_i63(arr: pa.Array | list[str]) -> np.ndarray:
     return (hash_strings(arr) >> np.uint64(1)).astype(np.int64)
 
 
+def rolling_ngram_hashes(
+    texts: list, n: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word ``n``-gram u64 hashes per document WITHOUT materializing
+    gram strings or per-gram python hashing: one vectorized polars hash
+    of the flattened words plus a numpy rolling combine.  Words are
+    ``text.split(" ")`` (single-space split, empties kept), so sequence
+    equality matches ``" ".join(gram)`` string equality — membership
+    semantics are identical to string grams modulo 64-bit collisions.
+
+    Returns ``(hashes, offsets)``: ``hashes[offsets[i]:offsets[i+1]]``
+    are document i's window hashes (empty slice when the doc has fewer
+    than ``n`` words)."""
+    import itertools
+
+    import polars as pl
+
+    words_per_doc = [(t or "").split(" ") for t in texts]
+    counts = np.fromiter(
+        (len(w) for w in words_per_doc), np.int64, len(words_per_doc)
+    )
+    offsets = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    wc = np.maximum(counts - n + 1, 0)
+    out_off = np.zeros(len(counts) + 1, np.int64)
+    np.cumsum(wc, out=out_off[1:])
+    total = int(offsets[-1])
+    n_windows = total - n + 1
+    if n_windows <= 0 or out_off[-1] == 0:
+        return np.zeros(0, np.uint64), out_off
+    flat = list(itertools.chain.from_iterable(words_per_doc))
+    ids = pl.Series(flat).hash(seed=seed).to_numpy().astype(np.uint64)
+    P = np.uint64(1099511628211)
+    h = ids[:n_windows].copy()
+    for k in range(1, n):
+        h = h * P + ids[k : k + n_windows]
+    # drop windows that cross a document boundary
+    end_of = np.repeat(offsets[1:], counts)
+    valid = np.arange(n_windows, dtype=np.int64) + n <= end_of[:n_windows]
+    return h[valid], out_off
+
+
 def hash_string(s: str) -> int:
     """63-bit content hash (int64-safe, see :func:`hash_strings_i63`)."""
     return (

@@ -2146,20 +2146,17 @@ def q_bloom_decontam(sf_dir: str):
     import ray
 
     from .dedup.bloom import build_bloom_filter
-    from .dedup.hashing import hash_strings
-
-    def _grams(text: str) -> list[str]:
-        w = (text or "").split(" ")
-        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+    from .dedup.hashing import rolling_ngram_hashes
 
     def contam_grams(batch: pa.Table) -> pa.Table:
+        # grams are u64 rolling hashes — no gram strings, no per-gram
+        # python hashing (rolling_ngram_hashes docstring has the
+        # equivalence argument)
         texts = batch.filter(pc.equal(batch["source"], contam_source))[
             "text"
         ].to_pylist()
-        out: list[str] = []
-        for t in texts:
-            out.extend(_grams(t))
-        return pa.table({"gram": pa.array(out, pa.string())})
+        h, _ = rolling_ngram_hashes(texts, n)
+        return pa.table({"gram": pa.array(h)})
 
     contam = _read(sf_dir, "documents", columns=["text", "source"]).map_batches(
         contam_grams, batch_format="pyarrow"
@@ -2170,14 +2167,9 @@ def q_bloom_decontam(sf_dir: str):
 
     def mark(batch: pa.Table) -> pa.Table:
         bf = ray.get(bloom_ref)
-        grams: list[str] = []
-        offsets = [0]
-        for t in batch["text"].to_pylist():
-            grams.extend(_grams(t))
-            offsets.append(len(grams))
-        off = np.asarray(offsets, np.int64)
-        if grams:
-            hits = bf.contains(hash_strings(pa.array(grams, pa.string())))
+        h, off = rolling_ngram_hashes(batch["text"].to_pylist(), n)
+        if len(h):
+            hits = bf.contains(h)
             cs = np.concatenate([[0], np.cumsum(hits.astype(np.int64))])
             counts = cs[off[1:]] - cs[off[:-1]]
         else:
