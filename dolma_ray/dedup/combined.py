@@ -98,7 +98,9 @@ def mark_duplicates_fused(
 
     if lookup_strategy == "auto":
         # ~40 paragraph units/doc on web text; keep the driver pass under
-        # ~10^8 units -> flip to the fully-distributed join above ~2.5M docs
+        # driver holds O(corpus) narrow unit rows: flip to the fully-
+        # distributed join at 50M docs (~half an order under the ~10^8
+        # unit memory bound; see resolve_auto_strategy calibration)
         lookup_strategy = resolve_auto_strategy(ds, row_count_hint)
 
     if lookup_strategy == "join":

@@ -75,7 +75,7 @@ def mark_near_duplicates_embedding(
     colliding-signature table (one salted-union exchange of the
     normalized vectors, streaming, no hash-join actors, no driver
     state), and the attach a bucketed left-merge.  ``"auto"`` flips to
-    join above ~2.5M input rows."""
+    join above 50M input rows."""
     import ray
 
     from .lookup import (

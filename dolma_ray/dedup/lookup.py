@@ -25,7 +25,7 @@ actors) — no stage ever holds O(duplicates) on the driver.
 from __future__ import annotations
 
 
-def resolve_auto_strategy(ds, row_count_hint=None, threshold: int = 2_500_000) -> str:
+def resolve_auto_strategy(ds, row_count_hint=None, threshold: int = 50_000_000) -> str:
     """Pick ``"driver"`` vs ``"join"`` for ``lookup_strategy="auto"``
     WITHOUT executing the plan.  Precedence: the caller's
     ``row_count_hint``, else the plan's metadata-only row count
@@ -34,7 +34,15 @@ def resolve_auto_strategy(ds, row_count_hint=None, threshold: int = 2_500_000) -
     known — the input has unexecuted transforms upstream — default to
     ``"driver"`` rather than paying a full extra execution pass just to
     pick a strategy.  Callers at true 10^12 scale pass ``"join"``
-    explicitly (or a hint)."""
+    explicitly (or a hint).
+
+    Threshold calibration (measured, BASELINE.md round-4 coda): at
+    2.6M docs the driver leg runs 5.5 s vs the join leg's 51 s on the
+    same corpus — the driver's single polars pass over narrow unit
+    rows stays the right choice until its MEMORY comfort bound
+    (~10^8 units, a few GB on the driver), so the flip sits at 50M
+    rows, an order of magnitude under that bound, not at raw-speed
+    parity (which never arrives single-node)."""
     n = row_count_hint
     if n is None:
         try:

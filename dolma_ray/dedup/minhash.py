@@ -273,7 +273,7 @@ def mark_near_duplicates_minhash(
     into a driver list (fine to ~10^8 units); ``"join"`` keeps the
     late-key table a Dataset and attaches via hash join — no driver
     state, the 10^12-doc shape.  ``"auto"`` (default) flips to join
-    above ~2.5M input rows, decided from ``row_count_hint`` or plan
+    above 50M input rows, decided from ``row_count_hint`` or plan
     metadata only — never by executing the plan."""
     from ..util import cached_stage
     from .lookup import (

@@ -250,7 +250,7 @@ def mark_near_duplicates_ngram_jaccard(
     ``lookup_strategy`` as in the other dedup flavors: ``"driver"`` /
     ``"shuffle"`` broadcast the (duplicates-only) candidate sets;
     ``"join"`` keeps every intermediate a Dataset (salted-union
-    exchanges).  ``"auto"`` flips to join above ~2.5M rows using
+    exchanges).  ``"auto"`` flips to join above 50M rows (measured calibration in resolve_auto_strategy) using
     ``row_count_hint`` / metadata only — never by executing the plan."""
     import ray
     import ray.data  # noqa: F401  (from_arrow on the pair blocks)

@@ -101,7 +101,7 @@ def mark_near_duplicates_simhash(
     ``"join"`` keeps both as Datasets (units semi-joined against the
     colliding-bucket table, corpus bucket-merged against the dup-key
     table — salted-union exchanges, no hash-join actors, no driver
-    state).  ``"auto"`` flips to join above ~2.5M input rows, decided
+    state).  ``"auto"`` flips to join above 50M input rows, decided
     from ``row_count_hint`` or metadata only — never by executing the
     plan."""
     import ray
