@@ -98,10 +98,13 @@ def mark_duplicates_fused(
 
     if lookup_strategy == "auto":
         # ~40 paragraph units/doc on web text; keep the driver pass under
-        # driver holds O(corpus) narrow unit rows: flip to the fully-
-        # distributed join at 50M docs (~half an order under the ~10^8
-        # unit memory bound; see resolve_auto_strategy calibration)
-        lookup_strategy = resolve_auto_strategy(ds, row_count_hint)
+        # the fused pass expands each doc into its paragraphs (~40
+        # units/doc on web text), and the driver leg holds O(units):
+        # flip at 50M UNITS ≈ 1.25M docs here (resolve_auto_strategy
+        # calibration)
+        lookup_strategy = resolve_auto_strategy(
+            ds, row_count_hint, units_per_row=40.0
+        )
 
     if lookup_strategy == "join":
         return _mark_fused_join(

@@ -137,9 +137,14 @@ def mark_duplicate_docs(
 
     ``lookup_strategy``: ``driver``/``shuffle`` broadcast the
     duplicates-only lookup; ``join`` delegates to
-    :func:`mark_duplicate_docs_join` (no driver state)."""
+    :func:`mark_duplicate_docs_join` (no driver state); ``auto``
+    resolves by row count (1 unit per doc here)."""
     import ray
 
+    if lookup_strategy == "auto":
+        from .lookup import resolve_auto_strategy
+
+        lookup_strategy = resolve_auto_strategy(ds)
     if lookup_strategy == "join":
         return mark_duplicate_docs_join(
             ds, key_column=key_column, order_columns=order_columns,

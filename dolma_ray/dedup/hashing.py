@@ -50,6 +50,14 @@ def rolling_ngram_hashes(
     equality matches ``" ".join(gram)`` string equality — membership
     semantics are identical to string grams modulo 64-bit collisions.
 
+    STABILITY CAVEAT: the word hash is polars ``Series.hash`` —
+    deterministic across processes within one environment, but NOT
+    guaranteed stable across polars versions (unlike this module's
+    blake2b string hashes).  Keys are safe for in-job use (build +
+    query in the same run, e.g. ``q_bloom_decontam``); do NOT persist
+    a Bloom filter built from these keys for use by a later job unless
+    the polars version is pinned.
+
     Returns ``(hashes, offsets)``: ``hashes[offsets[i]:offsets[i+1]]``
     are document i's window hashes (empty slice when the doc has fewer
     than ``n`` words)."""

@@ -25,7 +25,12 @@ actors) — no stage ever holds O(duplicates) on the driver.
 from __future__ import annotations
 
 
-def resolve_auto_strategy(ds, row_count_hint=None, threshold: int = 50_000_000) -> str:
+def resolve_auto_strategy(
+    ds,
+    row_count_hint=None,
+    threshold: int = 50_000_000,
+    units_per_row: float = 1.0,
+) -> str:
     """Pick ``"driver"`` vs ``"join"`` for ``lookup_strategy="auto"``
     WITHOUT executing the plan.  Precedence: the caller's
     ``row_count_hint``, else the plan's metadata-only row count
@@ -36,20 +41,28 @@ def resolve_auto_strategy(ds, row_count_hint=None, threshold: int = 50_000_000) 
     pick a strategy.  Callers at true 10^12 scale pass ``"join"``
     explicitly (or a hint).
 
-    Threshold calibration (measured, BASELINE.md round-4 coda): at
-    2.6M docs the driver leg runs 5.5 s vs the join leg's 51 s on the
-    same corpus — the driver's single polars pass over narrow unit
-    rows stays the right choice until its MEMORY comfort bound
-    (~10^8 units, a few GB on the driver), so the flip sits at 50M
-    rows, an order of magnitude under that bound, not at raw-speed
-    parity (which never arrives single-node)."""
+    ``units_per_row``: the caller's unit expansion — the driver pass
+    holds O(units), not O(rows), so paragraph dedup (~40 units/doc on
+    web text) or banded near-dup (one unit per band) must scale the
+    flip point down accordingly.
+
+    Threshold calibration (measured, BASELINE.md round-4 codas): at
+    2.6M docs / 1 unit per row, the driver leg runs 5.5 s vs 51 s for
+    the shuffle-collect leg and 71 s for the fully-distributed join
+    leg on the same corpus — the driver's single polars pass over
+    narrow unit rows stays the right choice until its MEMORY comfort
+    bound (~10^8 units, a few GB on the driver), so the flip sits at
+    50M UNITS, an order of magnitude under that bound, not at a
+    raw-speed crossover (which never arrives single-node)."""
     n = row_count_hint
     if n is None:
         try:
             n = ds._meta_count()
         except Exception:
             n = None
-    return "join" if (n is not None and n > threshold) else "driver"
+    return (
+        "join" if (n is not None and n * units_per_row > threshold) else "driver"
+    )
 
 
 def cluster_cpus(default: int = 8) -> int:

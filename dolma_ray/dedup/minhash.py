@@ -285,7 +285,10 @@ def mark_near_duplicates_minhash(
     )
 
     if lookup_strategy == "auto":
-        lookup_strategy = resolve_auto_strategy(ds, row_count_hint)
+        # one unit per (doc, band): the driver leg holds O(docs x bands)
+        lookup_strategy = resolve_auto_strategy(
+            ds, row_count_hint, units_per_row=float(num_bands)
+        )
 
     bands = ds.map_batches(
         cached_stage(

@@ -270,7 +270,10 @@ def mark_near_duplicates_ngram_jaccard(
     )
 
     if lookup_strategy == "auto":
-        lookup_strategy = resolve_auto_strategy(ds, row_count_hint)
+        # one unit per (doc, band): the driver leg holds O(docs x bands)
+        lookup_strategy = resolve_auto_strategy(
+            ds, row_count_hint, units_per_row=float(num_bands)
+        )
 
     units = ds.map_batches(
         cached_stage(

@@ -121,7 +121,10 @@ def mark_near_duplicates_simhash(
     assert 64 % n_bands == 0, "n_bands must divide 64"
 
     if lookup_strategy == "auto":
-        lookup_strategy = resolve_auto_strategy(ds, row_count_hint)
+        # one unit per (doc, band): the driver leg holds O(docs x bands)
+        lookup_strategy = resolve_auto_strategy(
+            ds, row_count_hint, units_per_row=float(n_bands)
+        )
 
     def explode(batch: pa.Table) -> pa.Table:
         keys = batch[key_column].to_pylist()

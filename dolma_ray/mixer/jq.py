@@ -222,6 +222,11 @@ class Path:
     optional: bool = False  # any "?" in the path: errors -> null
 
 
+class _SubEmpty(Exception):
+    """Internal: a sub/gsub replacement filter produced empty — the
+    whole sub() application yields empty (jq semantics)."""
+
+
 class _EmptyType:
     """jq's empty stream (what ``select`` yields on a false condition).
     Falsy; propagates through pipe ops and comparisons."""
@@ -1135,10 +1140,11 @@ def _parse_interp(raw: str) -> Interp:
     return Interp(parts)
 
 
-def _expand_paths(val: Any, steps: list, prefix: list) -> list:
+def _expand_paths(val: Any, steps: list, prefix: list, optional: bool = False) -> list:
     """Expand a path expression containing ``[]`` steps into the
     concrete paths it matches in ``val`` (jq path streaming for
-    assignment LHS).  Iterating a non-iterable raises like jq; an
+    assignment LHS).  Iterating a non-iterable raises like jq — unless
+    the path is optional (``.a[]?``), which contributes no paths; an
     empty container contributes no paths."""
     if not steps:
         return [prefix]
@@ -1148,14 +1154,16 @@ def _expand_paths(val: Any, steps: list, prefix: list) -> list:
             return [
                 p
                 for i, v in enumerate(val)
-                for p in _expand_paths(v, steps[1:], prefix + [("idx", i)])
+                for p in _expand_paths(v, steps[1:], prefix + [("idx", i)], optional)
             ]
         if isinstance(val, dict):
             return [
                 p
                 for k, v in val.items()
-                for p in _expand_paths(v, steps[1:], prefix + [("seg", k)])
+                for p in _expand_paths(v, steps[1:], prefix + [("seg", k)], optional)
             ]
+        if optional:
+            return []
         raise JqError(f"cannot iterate over {_jq_type(val)} in assignment")
     if kind == "seg":
         child = val.get(key) if isinstance(val, dict) else None
@@ -1167,7 +1175,7 @@ def _expand_paths(val: Any, steps: list, prefix: list) -> list:
         )
     else:
         raise JqError("cannot assign through a slice")
-    return _expand_paths(child, steps[1:], prefix + [steps[0]])
+    return _expand_paths(child, steps[1:], prefix + [steps[0]], optional)
 
 
 def _set_path(container: Any, steps: list, value: Any) -> Any:
@@ -1302,29 +1310,33 @@ def _pattern_vars(pat: tuple, out: set) -> None:
             _pattern_vars(p, out)
 
 
-def _bind_with_alts(
-    node: "AsBind", bound: Any, env2: dict, doc: Any, elem: Any, env: dict | None
-) -> None:
-    """Bind through the pattern, falling back along ``?//`` alternatives
-    on bind errors; with alternatives, every variable of every pattern
-    defaults to null (jq 1.7)."""
+def _eval_as_binding(
+    node: "AsBind", bound: Any, doc: Any, elem: Any, env: dict | None
+) -> Any:
+    """Bind ``bound`` through the pattern and evaluate the body.  With
+    ``?//`` alternatives, a JqError from the BIND **or the BODY** moves
+    to the next pattern (jq 1.6/1.7 retry semantics) — only the last
+    pattern's errors propagate; every variable of every alternative
+    defaults to null."""
     if not node.alts:
+        env2 = dict(env) if env else {}
         _bind_pattern(node.pattern, bound, env2, doc, elem, env)
-        return
+        return _eval(node.body, doc, elem, env2)
     pats = (node.pattern, *node.alts)
     names: set = set()
     for p in pats:
         _pattern_vars(p, names)
-    last: JqError | None = None
-    for p in pats:
-        for n in names:
-            env2[n] = None
+    for i, p in enumerate(pats):
+        env2 = dict(env) if env else {}
+        for nm in names:
+            env2[nm] = None
         try:
             _bind_pattern(p, bound, env2, doc, elem, env)
-            return
-        except JqError as e:
-            last = e
-    raise last  # type: ignore[misc]
+            return _eval(node.body, doc, elem, env2)
+        except JqError:
+            if i == len(pats) - 1:
+                raise
+    raise AssertionError("unreachable")
 
 
 def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -> Any:
@@ -1472,9 +1484,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             # stream the results (same mapping rule as pipe tails)
             outs: list = []
             for it in bound.items:
-                env2 = dict(env) if env else {}
-                _bind_with_alts(node, it, env2, doc, elem, env)
-                r = _eval(node.body, doc, elem, env2)
+                r = _eval_as_binding(node, it, doc, elem, env)
                 if r is _EMPTY:
                     continue
                 if isinstance(r, _JqStream):
@@ -1482,9 +1492,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 else:
                     outs.append(r)
             return _JqStream(outs)
-        env2 = dict(env) if env else {}
-        _bind_with_alts(node, bound, env2, doc, elem, env)
-        return _eval(node.body, doc, elem, env2)
+        return _eval_as_binding(node, bound, doc, elem, env)
     if isinstance(node, Reduce):
         # jq source semantics: terminal-[] paths natively yield a
         # stream (`.a[]?` on a wrong type yields empty), empty yields
@@ -1534,7 +1542,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             if any(k == "iter" for k, _ in p.steps):
                 paths.extend(
                     Path(steps, p.optional)
-                    for steps in _expand_paths(result, p.steps, [])
+                    for steps in _expand_paths(result, p.steps, [], p.optional)
                 )
             else:
                 paths.append(p)
@@ -2674,15 +2682,24 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         def _repl(m: "re.Match") -> str:
             # jq: the replacement is a FILTER evaluated per match with
             # "." = the object of named captures ("[\(.h)]" works); a
-            # plain string literal degenerates to the literal
+            # plain string literal degenerates to the literal.  A
+            # multi-output replacement keeps only its FIRST output
+            # (jq streams one whole result per combination — a
+            # documented single-value deviation); an EMPTY replacement
+            # makes the whole sub() empty, like jq.
             out = ev(arg_asts[1], dict(m.groupdict()))
             if isinstance(out, _JqStream):
                 out = out.items[0] if out.items else _EMPTY
+            if out is _EMPTY:
+                raise _SubEmpty()
             if not isinstance(out, str):
                 raise JqError(f"{name} replacement must be a string")
             return out
 
-        return cpat.sub(_repl, cur, count=count)
+        try:
+            return cpat.sub(_repl, cur, count=count)
+        except _SubEmpty:
+            return _EMPTY
     if name == "split":
         sep = val(0)
         if not isinstance(cur, str) or not isinstance(sep, str):

