@@ -476,6 +476,16 @@ class _Parser:
             self.next()
             return Bin("-", Lit(0), self.parse_unary())
         term = self._parse_unary_inner()
+        # postfix indexing on a general term: EXPR[0] / EXPR[] /
+        # EXPR[1:2] / EXPR["k"] — paths consume their own brackets in
+        # parse_path, so this fires for array/object literals, parens,
+        # function calls and if/reduce results ("(.a,.b)[0]", "f[]")
+        if self.peek()[0] == "lbrack":
+            steps: list = []
+            while self.peek()[0] == "lbrack":
+                self.next()
+                self.parse_bracket_step(steps)
+            term = Pipe(term, [("expr", Path(steps))])
         # postfix "?" on a general term is try-sugar ((expr)? == try expr);
         # paths consume their own "?" inside parse_path
         while self.peek()[0] == "opt":

@@ -273,6 +273,12 @@ PROGRAMS = [
     'if $a != null then error("e") else $b end]',
     # optional iteration assignment is a no-op on non-iterables
     '.a[]? |= . + 1', '.n[]? |= . + 1',
+    # postfix indexing on non-path terms
+    '[10,20,30][1]', '{"k": 7}["k"]', '[1,2,3][1:]',
+    'def f9: [9,8]; f9[0]', '(.b)[1]', '[.b[]][0]',
+    'if true then [1,2] else [] end[1]', '[10,20][5]',
+    '[[[5],3][] | . as [$a] ?// $b | '
+    'if $a != null then error("e") else $b end]',
     'if .n then "y" elif .missing then "m" else "e" end',
     # NOTE deliberately absent: "[limit(0; .b[])]" — jq 1.6 wrongly
     # emits one element (fixed in jq 1.7; this engine matches 1.7).
