@@ -150,6 +150,8 @@ _FN_ARG_RANGE = {
     # first/last of a generator (jq: first(f) == limit(1; f))
     "first": (0, 1), "last": (0, 1),
     "in": (1, 1),
+    # SQL-ish builtins (case-sensitive, like jq)
+    "IN": (1, 2), "INDEX": (1, 2),
 }
 
 
@@ -694,16 +696,28 @@ class _Parser:
         :data:`_FN_ARG_RANGE`."""
         lo, hi = _FN_ARG_RANGE[name]
         args: list[Any] = []
+
+        def one_arg():
+            e = self.parse_pipe()
+            # stream-typed arguments may be comma streams: IN(1,2,3)
+            if name in ("IN",) and self.peek()[0] == "comma":
+                items = [e]
+                while self.peek()[0] == "comma":
+                    self.next()
+                    items.append(self.parse_pipe())
+                return Comma(items)
+            return e
+
         if self.peek()[0] == "lparen":
             self.next()
             if self.peek()[0] != "rparen":
-                args.append(self.parse_pipe())
+                args.append(one_arg())
                 # jq's del takes ONE comma path-expression; splitting it
                 # into one path arg per comma is equivalent here
                 seps = ("semi", "comma") if name == "del" else ("semi",)
                 while self.peek()[0] in seps:
                     self.next()
-                    args.append(self.parse_pipe())
+                    args.append(one_arg())
             self.expect("rparen")
         if not (lo <= len(args) <= hi):
             raise JqError(
@@ -2598,6 +2612,38 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         if not cur:
             return None
         return cur[0] if name == "first" else cur[-1]
+    if name == "IN":
+        # jq: def IN(s): any(s == .; .); def IN(src; s): any(s == src; .)
+        def _outs(v):
+            if isinstance(v, _JqStream):
+                return v.items
+            return [] if v is _EMPTY else [v]
+
+        cand = _outs(ev(arg_asts[-1], cur))
+        targets = _outs(ev(arg_asts[0], cur)) if len(arg_asts) == 2 else [cur]
+        return any(_jq_eq(c, t) for c in cand for t in targets)
+    if name == "INDEX":
+        # jq: INDEX(idx_expr) == INDEX(.[]; idx_expr): object keyed by
+        # (row | idx_expr | tostring), later rows overwrite earlier
+        if len(arg_asts) == 2:
+            src = ev(arg_asts[0], cur)
+            rows = (
+                src.items
+                if isinstance(src, _JqStream)
+                else [] if src is _EMPTY else [src]
+            )
+        else:
+            if not isinstance(cur, list):
+                raise JqError("INDEX requires an array input")
+            rows = cur
+        key_ast = arg_asts[-1]
+        out_idx: dict = {}
+        for row in rows:
+            k = ev(key_ast, row)
+            if isinstance(k, _JqStream):
+                k = k.items[0] if k.items else None
+            out_idx[_jq_tostring(k)] = row
+        return out_idx
     if name == "in":
         # inverse of has: `.key | in(container)`
         container = val(0)

@@ -271,6 +271,11 @@ PROGRAMS = [
     # ?// retries on BODY errors too (not only bind errors)
     '[[[5],3] | .[] | . as [$a] ?// $b | '
     'if $a != null then error("e") else $b end]',
+    # SQL-ish builtins
+    '.a | IN(1,2,3)', '.a | IN(7,9)', '[.b[] | IN(2,3)]',
+    '.a | IN(.b[])', '.mixed[1] | IN("a","z")',
+    '.c.e | INDEX(.f) | keys', '.c.e | INDEX(.[]; .f) | ."1".f',
+    '[{"id":"x","v":1},{"id":"y","v":2}] | INDEX(.id)',
     # optional iteration assignment is a no-op on non-iterables
     '.a[]? |= . + 1', '.n[]? |= . + 1',
     # postfix indexing on non-path terms
