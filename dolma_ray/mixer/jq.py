@@ -125,7 +125,11 @@ _ZERO_ARG_WORDS = frozenset(
     "numbers strings booleans nulls arrays objects iterables scalars "
     "paths leaf_paths isnan isinfinite infinite nan "
     "log log2 log10 exp exp2 todate fromdate recurse_down "
-    "transpose env input_filename trim ltrim rtrim tostream".split()
+    "transpose env input_filename trim ltrim rtrim tostream "
+    # input/inputs read from the evaluation's input iterator (see
+    # evaluate_jq(..., inputs=...)); dispatched inside Pipe eval where
+    # the environment is visible
+    "input inputs".split()
 )
 # builtins taking parenthesized ;-separated argument expressions
 _FN_ARG_RANGE = {
@@ -202,13 +206,19 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
             if src[pos:].strip() == "":
                 break
             raise JqError(f"jq parse error at {src[pos:pos+20]!r}")
-        pos = m.end()
+        start, pos = pos, m.end()
         for kind in ("num", "str", "var", "dotdot", "fmt", "path", "lbrack", "rbrack", "lparen",
                      "rparen", "lbrace", "rbrace", "comma", "colon",
                      "semi", "pipe", "opt", "op", "word", "ident"):
             v = m.group(kind)
             if v is not None:
-                out.append((kind, v))
+                if kind == "var" and v == "$__loc__":
+                    # $__loc__ is the only construct needing a source
+                    # position, so the line is resolved here rather than
+                    # carrying positions on every token
+                    out.append(("loc", str(src.count("\n", 0, start) + 1)))
+                else:
+                    out.append((kind, v))
                 break
     return out
 
@@ -238,6 +248,22 @@ class _EmptyType:
 
 
 _EMPTY = _EmptyType()
+
+
+class _BreakSignal(Exception):
+    """jq ``break $out`` unwinding toward its matching ``label $out``.
+    Deliberately NOT a :class:`JqError`: ``try``/``catch`` and ``//``
+    must let it pass through (jq treats break as control flow, not an
+    error).  ``emitted`` accumulates outputs the label body already
+    produced before the break — each stream-collecting construct
+    (comma, pipe tail, as-binding, foreach) prepends its partial
+    outputs as the signal unwinds, so ``label $o | (1,2,break $o)``
+    still yields 1 and 2."""
+
+    def __init__(self, token: object) -> None:
+        super().__init__("break")
+        self.token = token
+        self.emitted: list = []
 
 
 def _path_lhs_ok(x: Any) -> bool:
@@ -393,6 +419,22 @@ class AsBind:
     pattern: tuple
     body: Any
     alts: tuple = ()
+
+
+@dataclass
+class Label:
+    # label $name | BODY: catches a matching ``break $name`` raised
+    # anywhere inside BODY and truncates BODY's output stream there
+    name: str
+    body: Any
+
+
+@dataclass
+class BreakNode:
+    # break $name: unwind to the nearest LEXICALLY enclosing label
+    # (resolved through env, which def bodies replace — so a break
+    # inside a def only sees labels visible at the def site, like jq)
+    name: str
 
 
 class _Parser:
@@ -601,6 +643,29 @@ class _Parser:
             return self.parse_reduce()
         if k == "ident" and v == "foreach":
             return self.parse_foreach()
+        if k == "ident" and v == "label":
+            return self.parse_label()
+        if k == "ident" and v == "break":
+            self.next()
+            return BreakNode(self.expect("var")[1:])
+        if k == "loc":
+            self.next()
+            loc = Lit({"file": "<top-level>", "line": int(v)})
+            # postfix paths on the literal: $__loc__.line, $__loc__["file"]
+            steps: list[tuple[str, object]] = []
+            while True:
+                k2, v2 = self.peek()
+                if k2 == "lbrack":
+                    self.next()
+                    self.parse_bracket_step(steps)
+                elif k2 == "path":
+                    self.next()
+                    steps.extend(("seg", s) for s in v2[1:].split(".") if s)
+                else:
+                    break
+            if steps:
+                return Pipe(loc, [("expr", Path(steps))])
+            return loc
         if k == "word" and v == "null":
             self.next()
             return Lit(None)
@@ -699,8 +764,9 @@ class _Parser:
 
         def one_arg():
             e = self.parse_pipe()
-            # stream-typed arguments may be comma streams: IN(1,2,3)
-            if name in ("IN",) and self.peek()[0] == "comma":
+            # stream-typed arguments may be comma streams: IN(1,2,3),
+            # limit(2; 1,2,3), first(.a,.b)
+            if name in ("IN", "limit", "first", "last", "nth") and self.peek()[0] == "comma":
                 items = [e]
                 while self.peek()[0] == "comma":
                     self.next()
@@ -792,6 +858,23 @@ class _Parser:
         fold yielding each intermediate (a bounded stream here)."""
         red = self.parse_reduce(word="foreach")
         return red
+
+    def parse_label(self):
+        """``label $name | BODY`` — the label scopes over the REST of
+        the enclosing pipeline (like ``as`` bindings).  BODY may be a
+        comma stream (jq: ``|`` binds looser than ``,``, so
+        ``label $o | 1, break $o`` streams inside the label)."""
+        self.next()  # "label"
+        name = self.expect("var")[1:]
+        self.expect("pipe")
+        body = self.parse_pipe()
+        if self.peek()[0] == "comma":
+            items = [body]
+            while self.peek()[0] == "comma":
+                self.next()
+                items.append(self.parse_pipe())
+            body = Comma(items)
+        return Label(name, body)
 
     def parse_reduce(self, word: str = "reduce"):
         """``reduce SRC[] as $v (INIT; UPDATE)`` — jq's fold (also the
@@ -985,6 +1068,13 @@ class _Parser:
                 defs = self.parse_defs()
                 ops.append(("expr", Program(defs, self.parse_pipe())))
                 break  # the nested parse consumed the remaining stages
+            elif k == "ident" and v == "label":
+                # "| label $out | REST" — the label scopes over REST
+                self.i -= 1
+                ops.append(("expr", self.parse_label()))
+                break  # the label consumed the remaining stages
+            elif k == "ident" and v == "break":
+                ops.append(("expr", BreakNode(self.expect("var")[1:])))
             elif k == "lparen":
                 # "| ( ... )" — parenthesized stage, possibly a comma
                 # stream, a binary expression, or a multi-path
@@ -1376,6 +1466,28 @@ def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -
     return v
 
 
+def _pipe_items(
+    items: list, ops: list, doc: Any, elem: Any, env: dict | None
+) -> list:
+    """Map the pipe stages ``ops`` over each stream item, dropping
+    empties and splicing nested streams.  On a ``break`` mid-stream the
+    outputs of the already-processed items prepend onto the signal."""
+    outs: list = []
+    for it in items:
+        try:
+            r = _eval(Pipe(_Raw(it), list(ops)), doc, elem, env)
+        except _BreakSignal as s:
+            s.emitted = outs + s.emitted
+            raise
+        if r is _EMPTY:
+            continue
+        if isinstance(r, _JqStream):
+            outs.extend(r.items)
+        else:
+            outs.append(r)
+    return outs
+
+
 def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -> Any:
     if isinstance(node, Lit):
         return node.value
@@ -1402,7 +1514,11 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
     if isinstance(node, Comma):
         outs_c: list = []
         for it in node.items:
-            v = _eval(it, doc, elem, env)
+            try:
+                v = _eval(it, doc, elem, env)
+            except _BreakSignal as s:
+                s.emitted = outs_c + s.emitted
+                raise
             if v is _EMPTY:
                 continue
             if isinstance(v, _JqStream):
@@ -1499,8 +1615,34 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 return _EMPTY
             payload = str(e) if e.value is _NO_ERR_VALUE else e.value
             return _eval(node.handler, doc, payload, env)
+    if isinstance(node, Label):
+        # a fresh token per activation: `f | label $out | g` entered
+        # from two upstream values must not confuse their breaks
+        tok = object()
+        env_l = dict(env) if env else {}
+        env_l[("__label__", node.name)] = tok
+        try:
+            return _eval(node.body, doc, elem, env_l)
+        except _BreakSignal as s:
+            if s.token is tok:
+                return _JqStream(s.emitted)
+            raise  # someone else's label
+    if isinstance(node, BreakNode):
+        tok = (env or {}).get(("__label__", node.name))
+        if tok is None:
+            # jq reports unmatched breaks with the internal label name
+            raise JqError(f"$*label-{node.name} is not defined")
+        raise _BreakSignal(tok)
     if isinstance(node, AsBind):
-        bound = _eval(node.source, doc, elem, env)
+        broke: _BreakSignal | None = None
+        try:
+            bound = _eval(node.source, doc, elem, env)
+        except _BreakSignal as s:
+            # values the source emitted before breaking still bind and
+            # run the body; the break re-raises after they are spent
+            bound = _JqStream(s.emitted)
+            s.emitted = []
+            broke = s
         if bound is _EMPTY:
             return _EMPTY
         if isinstance(bound, _JqStream):
@@ -1508,13 +1650,20 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             # stream the results (same mapping rule as pipe tails)
             outs: list = []
             for it in bound.items:
-                r = _eval_as_binding(node, it, doc, elem, env)
+                try:
+                    r = _eval_as_binding(node, it, doc, elem, env)
+                except _BreakSignal as s:
+                    s.emitted = outs + s.emitted
+                    raise
                 if r is _EMPTY:
                     continue
                 if isinstance(r, _JqStream):
                     outs.extend(r.items)
                 else:
                     outs.append(r)
+            if broke is not None:
+                broke.emitted = outs
+                raise broke
             return _JqStream(outs)
         return _eval_as_binding(node, bound, doc, elem, env)
     if isinstance(node, Reduce):
@@ -1522,7 +1671,14 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         # stream (`.a[]?` on a wrong type yields empty), empty yields
         # nothing, and any single value binds ONCE (jq folds over the
         # generator's outputs, whatever their count)
-        seq = _fold_source(node.source, doc, elem, env)
+        try:
+            seq = _fold_source(node.source, doc, elem, env)
+        except _BreakSignal as s:
+            # a break inside the source aborts the whole reduce: the
+            # partially-consumed source values were inputs to the fold,
+            # never outputs, so they do not escape onto the signal
+            s.emitted = []
+            raise
         acc = _value(node.init, doc, elem, env)
         for item in seq:
             env2 = dict(env) if env else {}
@@ -1533,24 +1689,39 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
     if isinstance(node, Foreach):
         # same source semantics as Reduce, but yield each intermediate
         # (through EXTRACT when given) as a bounded stream
-        seq = _fold_source(node.source, doc, elem, env)
+        broke_f: _BreakSignal | None = None
+        try:
+            seq = _fold_source(node.source, doc, elem, env)
+        except _BreakSignal as s:
+            # values emitted before the source broke still fold and
+            # yield; the break re-raises once they are consumed
+            seq = s.emitted
+            s.emitted = []
+            broke_f = s
         acc = _value(node.init, doc, elem, env)
         outs: list = []
         for item in seq:
             env2 = dict(env) if env else {}
             env2[node.var] = item
-            acc = _value(node.update, doc, acc, env2)
-            ex = (
-                acc
-                if node.extract is None
-                else _eval(node.extract, doc, acc, env2)
-            )
+            try:
+                acc = _value(node.update, doc, acc, env2)
+                ex = (
+                    acc
+                    if node.extract is None
+                    else _eval(node.extract, doc, acc, env2)
+                )
+            except _BreakSignal as s:
+                s.emitted = outs + s.emitted
+                raise
             if ex is _EMPTY:
                 continue
             if isinstance(ex, _JqStream):
                 outs.extend(ex.items)
             else:
                 outs.append(ex)
+        if broke_f is not None:
+            broke_f.emitted = outs
+            raise broke_f
         return _JqStream(outs)
     if isinstance(node, Assign):
         cur_in = doc if elem is _NO_ELEM else elem
@@ -1662,7 +1833,14 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     cur = None
         return cur
     if isinstance(node, Pipe):
-        cur = _eval(node.source, doc, elem, env)
+        try:
+            cur = _eval(node.source, doc, elem, env)
+        except _BreakSignal as s:
+            # the source emitted some values before breaking: they must
+            # still flow through this pipe's stages on their way out
+            # (label $o | (1,2,break $o) | .+10 yields 11, 12)
+            s.emitted = _pipe_items(s.emitted, node.ops, doc, elem, env)
+            raise
         for op_idx, op in enumerate(node.ops):
             if cur is _EMPTY:
                 break  # empty propagates through every op
@@ -1670,17 +1848,9 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 # map the REMAINING pipe stages over each stream item
                 # (jq: "stream | f" applies f per value) — empties drop,
                 # nested streams splice; the result is itself a stream
-                rest = node.ops[op_idx:]
-                items: list = []
-                for it in cur.items:
-                    r = _eval(Pipe(_Raw(it), list(rest)), doc, elem, env)
-                    if r is _EMPTY:
-                        continue
-                    if isinstance(r, _JqStream):
-                        items.extend(r.items)
-                    else:
-                        items.append(r)
-                return _JqStream(items)
+                return _JqStream(
+                    _pipe_items(cur.items, node.ops[op_idx:], doc, elem, env)
+                )
             if op[0] == "length":
                 if cur is None:
                     cur = 0
@@ -1743,6 +1913,19 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 if not isinstance(cur, str) or not isinstance(arg, str):
                     raise JqError(f"{op[0]} requires strings")
                 cur = cur.startswith(arg) if op[0] == "startswith" else cur.endswith(arg)
+            elif op[0] == "fn" and op[1] in ("input", "inputs"):
+                it_in = (env or {}).get("__inputs__")
+                if op[1] == "input":
+                    try:
+                        if it_in is None:
+                            raise StopIteration
+                        cur = next(it_in)
+                    except StopIteration:
+                        raise JqError("No more inputs") from None
+                else:
+                    # inputs: the REMAINING inputs as a stream (empty
+                    # when exhausted — not an error, like jq)
+                    cur = _JqStream(list(it_in) if it_in is not None else [])
             elif op[0] == "fn":
                 cur = _apply_fn(
                     op[1], op[2], cur,
@@ -3096,9 +3279,21 @@ _Parser.parse_defs = _parse_defs
 _Parser.parse_pipe_root = _parse_pipe_root
 
 
-def evaluate_jq(ast: Any, doc: dict) -> Any:
-    out = _eval(ast, doc)
+def evaluate_jq(ast: Any, doc: dict, inputs: Any = None) -> Any:
+    """Evaluate a parsed program against ``doc``.  ``inputs`` (an
+    iterable of further JSON values) backs the ``input``/``inputs``
+    builtins — like running jq over a multi-document stream where
+    ``doc`` is the first input."""
+    env = {"__inputs__": iter(inputs)} if inputs is not None else None
+    out = _eval(ast, doc, env=env)
     if isinstance(out, _JqStream):
+        # a stream OF one value IS that value (jq emits it bare); an
+        # empty stream is jq's empty — only 2+ values are unrepresentable
+        # as a single result
+        if not out.items:
+            return _EMPTY
+        if len(out.items) == 1:
+            return out.items[0]
         raise JqError(
             "program produces a multi-value stream; collect it with "
             "[...] or fold it with reduce"

@@ -287,6 +287,28 @@ PROGRAMS = [
     'if .n then "y" elif .missing then "m" else "e" end',
     # NOTE deliberately absent: "[limit(0; .b[])]" — jq 1.6 wrongly
     # emits one element (fixed in jq 1.7; this engine matches 1.7).
+    # label / break
+    '[label $out | 1, 2, break $out, 3]',
+    '[label $out | (1,2,break $out) | .+10]',
+    'label $out | [1, break $out]',
+    '[label $out | foreach .b[] as $x (0; .+$x; '
+    'if . > 3 then break $out else . end)]',
+    'label $out | reduce (1,2,break $out) as $x (0; .+$x)',
+    '[label $o | (1,2,break $o) as $x | $x*10]',
+    'try (label $o | break $o) catch "caught"',
+    '[label $a | label $b | 1, break $a, 2]',
+    '[label $a | (label $b | 1, break $a, 2), 9]',
+    '[label $o | 1, (label $i | 2, break $i, 3), 4, break $o, 5]',
+    'label $o | if .a == 1 then break $o else . end',
+    '[label $o | limit(5; 1, break $o, 2)]',
+    '[label $out | .b[] | if . == 3 then break $out else .*2 end]',
+    'def f: label $out | 1, break $out, 2; [f]',
+    '[label $o | 1, 2] | length',
+    # $__loc__
+    '$__loc__', '$__loc__.line', '[$__loc__, 1]',
+    # comma-stream fn arguments
+    '[limit(2; 1,2,3)]', '[first(.a, .f)]', '[last(1,2,3)]',
+    '[nth(1; 10,20,30)]',
 ]
 
 # dedupe (the `and`-joined picks above collapse)
@@ -307,6 +329,8 @@ ERROR_PROGRAMS = [
     ".a + \"s\"",
     "error(\"boom\")",
     "[1] | tonumber",
+    "break $nope",      # unmatched break: $*label-nope is not defined
+    "label $o | break $missing",
     # NOTE: ".missing.x" is deliberately absent — real jq returns null,
     # but this engine errors on missing-key chains to match the
     # REFERENCE's embedded jaq configuration (filters.rs:666-681), a
@@ -322,6 +346,54 @@ def test_error_class_matches_real_jq(prog):
     got = ours(prog, DOC)
     # outcome class must match; messages may differ
     assert got[0] == ref[0], (prog, ref, got)
+
+
+# input/inputs: real jq reads further JSON documents from stdin (the
+# first is "."); ours takes them via evaluate_jq(..., inputs=[...])
+INPUT_PROGRAMS = [
+    "input",
+    "[., input]",
+    "[., input, inputs]",
+    "[inputs]",
+    'try input catch "no more inputs"',
+    "reduce inputs as $x (0; . + $x)",
+    "[foreach inputs as $x (0; . + $x)]",
+    "[label $o | inputs | if . > 20 then break $o else . end]",
+]
+
+
+@pytest.mark.parametrize("prog", INPUT_PROGRAMS)
+def test_input_builtins_match_real_jq(prog):
+    # -n: the program runs ONCE with . == null and every stdin document
+    # available through input/inputs (without -n jq re-runs the program
+    # per remaining input, which has no single-evaluation analogue)
+    docs = [7, 10, 20, 30]
+    p = subprocess.run(
+        [JQ, "-c", "-n", prog],
+        input="\n".join(json.dumps(d) for d in docs),
+        capture_output=True,
+        text=True,
+        timeout=20,
+    )
+    if p.returncode == 3:
+        pytest.skip("jq 1.6 cannot compile")
+    if p.returncode != 0:
+        ref = ("error", p.stderr.strip())
+    else:
+        ref = ("ok", [json.loads(ln) for ln in p.stdout.splitlines() if ln.strip()])
+    try:
+        v = evaluate_jq(parse_jq(prog), None, inputs=docs)
+        got = ("ok", [] if v is _EMPTY else [v])
+    except JqError as e:
+        got = ("error", str(e))
+    assert got[0] == ref[0], (prog, ref, got)
+    if ref[0] == "ok":
+        assert _close(got[1], ref[1]), (prog, ref[1], got[1])
+
+
+def test_input_without_inputs_iterator_errors():
+    with pytest.raises(JqError, match="No more inputs"):
+        evaluate_jq(parse_jq("input"), {"a": 1})
 
 
 def _rand_value(rng: random.Random, depth: int):
