@@ -2268,6 +2268,76 @@ def _del_path(container: Any, steps: list) -> Any:
     return arr
 
 
+# bounded-stream cap: this engine materializes generator outputs, so an
+# unguarded huge range would OOM where jq streams lazily.  limit/first/
+# nth clamp a bare range argument BEFORE generation (the common jq idiom
+# `limit(k; range(huge))` stays O(k)); anything else past the cap is a
+# catchable JqError.
+_RANGE_CAP = 5_000_000
+
+
+def _range_bounds(nums: list) -> tuple[float, float, float]:
+    for n in nums:
+        if not isinstance(n, (int, float)) or isinstance(n, bool):
+            raise JqError("range argument must be a number")
+    if len(nums) == 1:
+        return 0, nums[0], 1
+    if len(nums) == 2:
+        return nums[0], nums[1], 1
+    return nums[0], nums[1], nums[2]
+
+
+def _range_gen(lo, hi, st, cap: int) -> list:
+    import math
+
+    if st == 0:
+        # jq loops forever here; a data pipeline wants an error
+        raise JqError("range step must be nonzero")
+    count = max(0, math.ceil((hi - lo) / st))
+    if count > cap:
+        raise JqError(
+            f"range of {count} values exceeds the bounded-stream cap "
+            f"({cap}); this engine materializes streams — clamp with "
+            "limit(n; range(...))"
+        )
+    items, x = [], lo
+    if st > 0:
+        while x < hi:
+            items.append(x)
+            x += st
+    else:
+        while x > hi:
+            items.append(x)
+            x += st
+    return items
+
+
+def _range_prefix(ast: Any, k: int, ev, cur: Any) -> list | None:
+    """If ``ast`` is a bare ``range(...)`` generator, return its first
+    ``k`` outputs without materializing the rest; else None."""
+    if not (
+        isinstance(ast, Pipe)
+        and isinstance(ast.source, Path)
+        and not ast.source.steps
+        and len(ast.ops) == 1
+        and ast.ops[0][0] == "fn"
+        and ast.ops[0][1] == "range"
+    ):
+        return None
+    nums = []
+    for a in ast.ops[0][2]:
+        v = ev(a, cur)
+        if isinstance(v, _JqStream):
+            return None
+        nums.append(v)
+    lo, hi, st = _range_bounds(nums)
+    if st > 0:
+        hi = min(hi, lo + st * k)
+    elif st < 0:
+        hi = max(hi, lo + st * k)
+    return _range_gen(lo, hi, st, _RANGE_CAP)
+
+
 def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
     """Shared builtin dispatcher for the ("fn", name, args) pipe op.
     ``ev(ast, elem)`` evaluates an argument AST with ``.`` = elem —
@@ -2291,33 +2361,16 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         return _EMPTY
     if name == "range":
         nums = [val(i) for i in range(len(arg_asts))]
-        for n in nums:
-            if not isinstance(n, (int, float)) or isinstance(n, bool):
-                raise JqError("range argument must be a number")
-        if len(nums) == 1:
-            lo, hi, st = 0, nums[0], 1
-        elif len(nums) == 2:
-            lo, hi, st = nums[0], nums[1], 1
-        else:
-            lo, hi, st = nums
-        if st == 0:
-            # jq loops forever here; a data pipeline wants an error
-            raise JqError("range step must be nonzero")
-        items: list = []
-        x = lo
-        if st > 0:
-            while x < hi:
-                items.append(x)
-                x += st
-        else:
-            while x > hi:
-                items.append(x)
-                x += st
-        return _JqStream(items)
+        lo, hi, st = _range_bounds(nums)
+        return _JqStream(_range_gen(lo, hi, st, _RANGE_CAP))
     if name == "limit":
         n = val(0)
         if not isinstance(n, (int, float)) or isinstance(n, bool):
             raise JqError("limit count must be a number")
+        k = max(0, int(n))
+        fast = _range_prefix(arg_asts[1], k, ev, cur)
+        if fast is not None:
+            return _JqStream(fast)
         out = ev(arg_asts[1], cur)
         if isinstance(out, _JqStream):
             items = out.items
@@ -2325,7 +2378,7 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             items = []
         else:
             items = [out]
-        return _JqStream(items[: max(0, int(n))])
+        return _JqStream(items[:k])
     if name in ("numbers", "strings", "booleans", "nulls", "arrays",
                 "objects", "iterables", "scalars"):
         # jq type filters: pass matching values through, else empty
@@ -2783,6 +2836,10 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         if arg_asts:
             # first(f) / last(f): first or last output of the generator;
             # no outputs -> empty (jq: first(f) == limit(1; f))
+            if name == "first":
+                fast = _range_prefix(arg_asts[0], 1, ev, cur)
+                if fast is not None:
+                    return fast[0] if fast else _EMPTY
             out = ev(arg_asts[0], cur)
             if out is _EMPTY:
                 return _EMPTY
@@ -3102,6 +3159,9 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             return None
         if n < 0:
             raise JqError("nth doesn't support negative indices")
+        fast = _range_prefix(arg_asts[1], n + 1, ev, cur)
+        if fast is not None:
+            return fast[n] if len(fast) > n else _EMPTY
         out = ev(arg_asts[1], cur)
         items = (
             out.items

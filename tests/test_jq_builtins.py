@@ -335,6 +335,25 @@ class TestRangeLimitStreams:
         with pytest.raises(JqError):
             run('[range("x")]', None)
 
+    def test_huge_range_is_clamped_not_materialized(self):
+        # limit/first/nth over a bare range generate only the needed
+        # prefix — the common jq idiom stays O(k) even at range(1e9)
+        assert run("[limit(2; range(1000000000))]", None) == [0, 1]
+        assert run("[first(range(1e18))]", None) == [0]
+        assert run("nth(3; range(1e9))", None) == 3
+        assert run("[limit(3; range(10; -1000000000; -2))]", None) == [10, 8, 6]
+        # argument evaluated against the piped input, like plain range
+        assert run("[limit(2; range(.a))]", {"a": 5}) == [0, 1]
+
+    def test_unclamped_huge_range_is_a_catchable_error(self):
+        import pytest
+
+        from dolma_ray.mixer.jq import JqError
+
+        with pytest.raises(JqError, match="bounded-stream cap"):
+            run("[range(100000000)]", None)
+        assert run('try ([range(1e9)]) catch "capped"', None) == "capped"
+
 
 class TestStreamContainment:
     """A _JqStream must never escape as a value: every single-value
