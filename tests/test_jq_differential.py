@@ -309,6 +309,33 @@ PROGRAMS = [
     # comma-stream fn arguments
     '[limit(2; 1,2,3)]', '[first(.a, .f)]', '[last(1,2,3)]',
     '[nth(1; 10,20,30)]',
+    # postfix paths on call/word terms
+    '.c.e | min_by(.f).f', '.c.e | max_by(.f).f', 'keys[0]',
+    '.c | to_entries[0].key', '.arr | sort[0]', '.arr | group_by(.)[0]',
+    '.b | reverse[0]', '([.a] + [9])[1]',
+    # math tail (C library surface)
+    '.f | trunc', '.f | nearbyint', '.f | rint', '27 | cbrt',
+    '8 | logb', '12345 | significand', '5 | gamma', '5 | lgamma',
+    '5 | tgamma', '12 | frexp', '.a | isnormal', '0 | isnormal',
+    'drem(10; 3)', 'ldexp(1; 4)', 'atan2(1; 1)', 'hypot(3; 4)',
+    'fmin(.a; .f)', 'fmax(.a; .f)', '2 | exp10', '0 | log1p',
+    '0 | expm1', '0 | sin', '1 | acos', '0 | cos', '1 | atan',
+    '0.5 | asin', '1 | sinh', '1 | tanh', '2 | acosh', 'pow(2; 10)',
+    # repeat re-applies f to the SAME input (termination by error)
+    '[limit(3; repeat(1))]', '1 | [limit(3; repeat(. * 2))]',
+    '"ab" | [limit(2; repeat(. + .))]',
+    # halt: stops evaluation, uncatchable, no output
+    'halt', 'try halt catch "caught"', '1, halt' and 'halt',
+    # comma precedence: ',' binds tighter than '|' in streams
+    '[1,2 | .+1]', '[(1, 2 | . + 10)]', '[.a, .b | tostring]',
+    'def f: 1, 2; [f]', '[1 as $x | $x, 2]', '[if .a then 1, 2 else 3 end]',
+    '[.b[] | ., . * 2]', '[foreach (1,2) as $x (0; .+$x; ., -.)]',
+    '[(. | keys, length)]', '(.a, .f) = 0 | [.a, .f]',
+    '[(.a = 9, .f = 9) | .a]', 'def tw(f): [f]; tw(1, 2)',
+    '[. | 1, 2]', '[.b[0:2][] , 9]', '{x: [1, 2, empty]} | .x',
+    # optional paths: suppressed errors yield EMPTY, null-walks continue
+    '.n | .b?', '.n | [.b[]?]', '.n | .b[]? // "dflt"', '[.n[]?]',
+    '.a | [.[]?]', '{x: [.n | .b[]?]} | .x | length',
 ]
 
 # dedupe (the `and`-joined picks above collapse)
@@ -435,3 +462,26 @@ def test_random_documents_match_real_jq(seed):
     doc = _rand_value(rng, 3)
     for prog in GENERIC_PROGRAMS:
         check(prog, doc)
+
+
+def test_named_variables_match_real_jq_arg():
+    # evaluate_jq(..., variables=...) is the CLI --arg/--argjson analogue
+    p = subprocess.run(
+        [JQ, "-c", "--arg", "name", "web", "--argjson", "k", "3",
+         '{n: $name, v: (.a + $k)}'],
+        input=json.dumps({"a": 1}),
+        capture_output=True, text=True, timeout=20,
+    )
+    ref = json.loads(p.stdout.strip())
+    got = evaluate_jq(
+        parse_jq('{n: $name, v: (.a + $k)}'), {"a": 1},
+        variables={"name": "web", "k": 3},
+    )
+    assert got == ref == {"n": "web", "v": 4}
+
+
+def test_named_variables_do_not_mask_program_bindings():
+    got = evaluate_jq(
+        parse_jq(".a as $k | $k + $x"), {"a": 10}, variables={"k": 99, "x": 1}
+    )
+    assert got == 11  # the as-binding shadows the injected $k
