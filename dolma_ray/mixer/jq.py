@@ -1568,6 +1568,46 @@ def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -
     return v
 
 
+def _outputs(v: Any) -> list:
+    """Normalize an _eval result to its list of outputs: a stream's
+    items, [] for empty, [v] for a single value."""
+    if isinstance(v, _JqStream):
+        return v.items
+    return [] if v is _EMPTY else [v]
+
+
+def _slot_outputs(node: Any, doc: Any, elem: Any, env: dict | None) -> list:
+    """Evaluate a node destined for an OPERAND slot (binary operand,
+    if-condition, object key/value, interpolation, assignment RHS) and
+    return its outputs.  A break crossing the slot boundary discards the
+    partial outputs — they were destined for the slot, never for the
+    label's output stream (same rule as _value)."""
+    try:
+        return _outputs(_eval(node, doc, elem, env))
+    except _BreakSignal as s:
+        s.emitted = []
+        raise
+
+
+def _stream_or_value(items: list) -> Any:
+    """Pack a fanned-out result: no outputs -> empty, one -> the value,
+    several -> a stream (spliced/mapped by the usual consumers)."""
+    if not items:
+        return _EMPTY
+    if len(items) == 1:
+        return items[0]
+    return _JqStream(items)
+
+
+def _jq_truthy(v: Any) -> bool:
+    """jq/jaq truthiness INSIDE a program: only false and null are
+    falsy (0, "", [], {} are truthy).  The reference applies its
+    Python-style table (_truthy) only when converting a filter's
+    top-level RESULT to a match decision (filters.rs:304-317) — inside
+    the program its embedded jaq uses this rule."""
+    return v is not None and v is not False and v is not _EMPTY
+
+
 def _pipe_items(
     items: list, ops: list, doc: Any, elem: Any, env: dict | None
 ) -> list:
@@ -1671,20 +1711,26 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             return dict(os.environ)
         raise JqError(f"undefined variable ${node.name}")
     if isinstance(node, Interp):
-        out = []
+        # each interpolation slot may stream; jq's LATER slots are the
+        # outer loops ("a\((1,2))b\((3,4))" yields a1b3, a2b3, a1b4,
+        # a2b4) and an empty slot yields no strings at all
+        res_s: list[str] = [""]
         for kind, part in node.parts:
             if kind == "lit":
-                out.append(part)
-            else:
-                v = _value(part, doc, elem, env)
+                res_s = [r + part for r in res_s]
+                continue
+            opts: list[str] = []
+            for v in _slot_outputs(part, doc, elem, env):
                 if node.fmt:
                     s = _apply_fn(
                         node.fmt, [], v, lambda a, e: _eval(a, doc, e, env)
                     )
-                    out.append(s if isinstance(s, str) else _jq_tostring(s))
+                    opts.append(s if isinstance(s, str) else _jq_tostring(s))
                 else:
-                    out.append(_jq_tostring(v))
-        return "".join(out)
+                    opts.append(_jq_tostring(v))
+            # new slot is the outer loop over what's accumulated so far
+            res_s = [r + o for o in opts for r in res_s]
+        return _stream_or_value(res_s)
     if isinstance(node, ArrayLit):
         out_arr: list = []
         for it in node.items:
@@ -1704,18 +1750,27 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 out_arr.append(v)
         return out_arr
     if isinstance(node, ObjectLit):
-        out_obj = {}
+        # jq fans out streaming keys/values: the FIRST pair is the outer
+        # loop ({"x":(1,2),"y":(3,4)} yields x1y3, x1y4, x2y3, x2y4); a
+        # pair with an empty key or value contributes no combinations,
+        # so the whole construction yields nothing
+        objs: list[dict] = [{}]
         for key, vexpr in node.pairs:
-            k_ = key if isinstance(key, str) else _value(key, doc, elem, env)
-            if k_ is _EMPTY:
-                return _EMPTY  # jq: empty key -> no object produced
-            if not isinstance(k_, str):
-                raise JqError("object key must be a string")
-            v_ = _value(vexpr, doc, elem, env)
-            if v_ is _EMPTY:
-                return _EMPTY  # jq: empty value -> no object produced
-            out_obj[k_] = v_
-        return out_obj
+            kouts = (
+                [key]
+                if isinstance(key, str)
+                else _slot_outputs(key, doc, elem, env)
+            )
+            for k_ in kouts:
+                if not isinstance(k_, str):
+                    raise JqError("object key must be a string")
+            vouts = _slot_outputs(vexpr, doc, elem, env)
+            objs = [
+                {**o, k_: v_} for o in objs for k_ in kouts for v_ in vouts
+            ]
+            if not objs:
+                return _EMPTY
+        return _stream_or_value(objs)
     if isinstance(node, Try):
         try:
             return _eval(node.expr, doc, elem, env)
@@ -1788,13 +1843,20 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             # never outputs, so they do not escape onto the signal
             s.emitted = []
             raise
-        acc = _value(node.init, doc, elem, env)
-        for item in seq:
-            env2 = dict(env) if env else {}
-            env2[node.var] = item
-            # inside UPDATE "." is the accumulator, $var the item
-            acc = _value(node.update, doc, acc, env2)
-        return acc
+        # a streaming INIT fans out the whole reduce (jq: reduce ... as
+        # $x ((1,2); .) yields one fold per init value); a streaming
+        # UPDATE leaves the LAST output as the accumulator and an empty
+        # update resets it to null (jq 1.6 semantics)
+        res_red: list = []
+        for acc in _slot_outputs(node.init, doc, elem, env):
+            for item in seq:
+                env2 = dict(env) if env else {}
+                env2[node.var] = item
+                # inside UPDATE "." is the accumulator, $var the item
+                outs = _slot_outputs(node.update, doc, acc, env2)
+                acc = outs[-1] if outs else None
+            res_red.append(acc)
+        return _stream_or_value(res_red)
     if isinstance(node, Foreach):
         # same source semantics as Reduce, but yield each intermediate
         # (through EXTRACT when given) as a bounded stream
@@ -1807,27 +1869,39 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             seq = s.emitted
             s.emitted = []
             broke_f = s
-        acc = _value(node.init, doc, elem, env)
+        # a streaming UPDATE emits the extract for EVERY intermediate
+        # output and leaves the LAST as the accumulator; an empty update
+        # emits nothing and leaves the accumulator unchanged (jq 1.6:
+        # foreach (1,2) as $x (0; (.+$x,100); .) -> 1,100,102,100); a
+        # streaming INIT fans out the whole foreach like reduce
         outs: list = []
-        for item in seq:
-            env2 = dict(env) if env else {}
-            env2[node.var] = item
-            try:
-                acc = _value(node.update, doc, acc, env2)
-                ex = (
-                    acc
-                    if node.extract is None
-                    else _eval(node.extract, doc, acc, env2)
-                )
-            except _BreakSignal as s:
-                s.emitted = outs + s.emitted
-                raise
-            if ex is _EMPTY:
-                continue
-            if isinstance(ex, _JqStream):
-                outs.extend(ex.items)
-            else:
-                outs.append(ex)
+        for acc in _slot_outputs(node.init, doc, elem, env):
+            for item in seq:
+                env2 = dict(env) if env else {}
+                env2[node.var] = item
+                try:
+                    ups = _slot_outputs(node.update, doc, acc, env2)
+                except _BreakSignal as s:
+                    s.emitted = outs + s.emitted
+                    raise
+                if ups:
+                    acc = ups[-1]
+                for u in ups:
+                    try:
+                        ex = (
+                            u
+                            if node.extract is None
+                            else _eval(node.extract, doc, u, env2)
+                        )
+                    except _BreakSignal as s:
+                        s.emitted = outs + s.emitted
+                        raise
+                    if ex is _EMPTY:
+                        continue
+                    if isinstance(ex, _JqStream):
+                        outs.extend(ex.items)
+                    else:
+                        outs.append(ex)
         if broke_f is not None:
             broke_f.emitted = outs
             raise broke_f
@@ -1851,26 +1925,37 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             else:
                 paths.append(p)
         # multi-path LHS applies in order; the RHS of =/+=/-=///=
-        # evaluates against the ORIGINAL input (jq), |= against each
-        # path's old value
-        for p in paths:
-            old = _get_path(result, p.steps)
-            if node.op == "=":
-                new = _value(node.expr, doc, elem, env)
-            elif node.op == "|=":
-                new = _value(node.expr, doc, old, env)
-            elif node.op == "//=":
-                new = (
-                    old
-                    if old is not None and old is not False
-                    else _value(node.expr, doc, elem, env)
-                )
-            elif node.op == "+=":
-                new = _apply_arith("+", old, _value(node.expr, doc, elem, env))
-            else:  # "-="
-                new = _apply_arith("-", old, _value(node.expr, doc, elem, env))
-            result = _set_path(result, p.steps, new)
-        return result
+        # evaluates against the ORIGINAL input (jq) and FANS OUT — one
+        # whole assignment result per RHS output (.a = (1,2) yields two
+        # documents); |= evaluates against each path's old value, takes
+        # the FIRST output, and an empty update DELETES the path (jq
+        # 1.6: {"a":5} | .a |= empty -> {})
+        if node.op == "|=":
+            for p in paths:
+                old = _get_path(result, p.steps)
+                outs = _outputs(_eval(node.expr, doc, old, env))
+                if outs:
+                    result = _set_path(result, p.steps, outs[0])
+                else:
+                    result = _del_path(result, p.steps)
+            return result
+        rhs_outs = _slot_outputs(node.expr, doc, elem, env)
+        fanned: list = []
+        for rv in rhs_outs:
+            result_i = result
+            for p in paths:
+                if node.op == "=":
+                    new = rv
+                elif node.op == "//=":
+                    old = _get_path(result_i, p.steps)
+                    new = old if old is not None and old is not False else rv
+                elif node.op == "+=":
+                    new = _apply_arith("+", _get_path(result_i, p.steps), rv)
+                else:  # "-="
+                    new = _apply_arith("-", _get_path(result_i, p.steps), rv)
+                result_i = _set_path(result_i, p.steps, new)
+            fanned.append(result_i)
+        return _stream_or_value(fanned)
     if isinstance(node, Path):
         # inside map/select the element is the current input for ALL
         # paths (jq: map(.foo) reads each element's foo)
@@ -1966,6 +2051,9 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             if op[0] == "length":
                 if cur is None:
                     cur = 0
+                elif isinstance(cur, bool):
+                    # bool is an int subclass in python; jq errors
+                    raise JqError("boolean has no length")
                 elif isinstance(cur, (list, dict, str)):
                     cur = len(cur)
                 elif isinstance(cur, (int, float)):
@@ -1987,18 +2075,26 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                         acc = _apply_arith("+", acc, v)
                     cur = acc
             elif op[0] == "not":
-                cur = not _truthy(cur)
-            elif op[0] == "any":
-                if not isinstance(cur, list):
-                    raise JqError("any requires an array")
-                cur = any(_truthy(v) for v in cur)
-            elif op[0] == "all":
-                if not isinstance(cur, list):
-                    raise JqError("all requires an array")
-                cur = all(_truthy(v) for v in cur)
+                cur = not _jq_truthy(cur)
+            elif op[0] in ("any", "all"):
+                # jq iterates values for BOTH arrays and objects
+                if isinstance(cur, dict):
+                    vals = cur.values()
+                elif isinstance(cur, list):
+                    vals = cur
+                else:
+                    raise JqError(f"{op[0]} requires an array or object")
+                agg0 = any if op[0] == "any" else all
+                cur = agg0(_jq_truthy(v) for v in vals)
             elif op[0] == "select":
-                if not _truthy(_value(op[1], doc, cur, env)):
-                    cur = _EMPTY
+                # jq truthiness (0/""/[]/{} are truthy) and a streaming
+                # condition fans out: select(true,false) keeps one copy
+                kept = [
+                    cur
+                    for c in _slot_outputs(op[1], doc, cur, env)
+                    if _jq_truthy(c)
+                ]
+                cur = _stream_or_value(kept)
             elif op[0] == "type":
                 cur = _jq_type(cur)
             elif op[0] == "tostring":
@@ -2069,52 +2165,85 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 cur = vals
         return cur
     if isinstance(node, If):
-        cond = _value(node.cond, doc, elem, env)
-        if _truthy(cond):
-            return _eval(node.then, doc, elem, env)
-        if node.orelse is None:
-            # jq else-less if passes the input through
-            return doc if elem is _NO_ELEM else elem
-        return _eval(node.orelse, doc, elem, env)
+        # jq fans out the condition: one branch evaluation per condition
+        # output, in order; an empty condition yields nothing.  Branch
+        # outputs are REAL outputs, so a break inside a branch carries
+        # the already-emitted values with it.
+        res_if: list = []
+        for c in _slot_outputs(node.cond, doc, elem, env):
+            branch = node.then if _jq_truthy(c) else node.orelse
+            if branch is None:
+                # jq else-less if passes the input through
+                res_if.append(doc if elem is _NO_ELEM else elem)
+                continue
+            try:
+                v = _eval(branch, doc, elem, env)
+            except _BreakSignal as s:
+                s.emitted = res_if + s.emitted
+                raise
+            res_if.extend(_outputs(v))
+        return _stream_or_value(res_if)
     if isinstance(node, Bin):
         if node.op == "//":
-            # jq alternative: left unless it is null/false/empty; errors
-            # on the left also fall through to the right (jaq semantics)
+            # jq alternative: the left's TRUTHY outputs if any, else the
+            # right's outputs; errors on the left also fall through to
+            # the right (jaq semantics — jq 1.6 propagates them)
             try:
-                l = _value(node.left, doc, elem, env)
+                louts = [
+                    o
+                    for o in _slot_outputs(node.left, doc, elem, env)
+                    if _jq_truthy(o)
+                ]
             except JqError:
-                l = None
-            if l is not None and l is not False and l is not _EMPTY:
-                return l
+                louts = []
+            if louts:
+                return _stream_or_value(louts)
             return _eval(node.right, doc, elem, env)
-        if node.op == "and":
-            return _truthy(_value(node.left, doc, elem, env)) and _truthy(
-                _value(node.right, doc, elem, env)
-            )
-        if node.op == "or":
-            return _truthy(_value(node.left, doc, elem, env)) or _truthy(
-                _value(node.right, doc, elem, env)
-            )
-        l = _value(node.left, doc, elem, env)
-        r = _value(node.right, doc, elem, env)
-        if l is _EMPTY or r is _EMPTY:
-            return _EMPTY  # jq: any op on empty yields empty
-        if node.op == "==":
-            return _jq_eq(l, r)
-        if node.op == "!=":
-            return not _jq_eq(l, r)
-        if node.op in ("<", "<=", ">", ">="):
-            # jq compares ANY two values via the cross-type total order
-            # (null < false < true < numbers < strings < arrays < objects)
-            lk, rk = _jq_sort_key(l), _jq_sort_key(r)
-            if node.op == "<":
-                return lk < rk
-            if node.op == "<=":
-                return lk <= rk
-            if node.op == ">":
-                return lk > rk
-            return lk >= rk
-        return _jq_arith(node.op, l, r)
+        if node.op in ("and", "or"):
+            # LHS is the outer loop; short-circuit per left output
+            # ((false,1) and f evaluates f only for the truthy 1)
+            res_b: list = []
+            for l in _slot_outputs(node.left, doc, elem, env):
+                lt = _jq_truthy(l)
+                if node.op == "and" and not lt:
+                    res_b.append(False)
+                    continue
+                if node.op == "or" and lt:
+                    res_b.append(True)
+                    continue
+                res_b.extend(
+                    _jq_truthy(r)
+                    for r in _slot_outputs(node.right, doc, elem, env)
+                )
+            return _stream_or_value(res_b)
+        # arithmetic / comparison: jq evaluates the RIGHT side as the
+        # OUTER loop ((1,2) + (10,20) yields 11, 12, 21, 22); an empty
+        # operand yields no combinations (empty result)
+        routs = _slot_outputs(node.right, doc, elem, env)
+        louts = _slot_outputs(node.left, doc, elem, env) if routs else []
+        res: list = []
+        for r in routs:
+            for l in louts:
+                if node.op == "==":
+                    res.append(_jq_eq(l, r))
+                elif node.op == "!=":
+                    res.append(not _jq_eq(l, r))
+                elif node.op in ("<", "<=", ">", ">="):
+                    # jq compares ANY two values via the cross-type total
+                    # order (null < false < true < numbers < strings <
+                    # arrays < objects)
+                    lk, rk = _jq_sort_key(l), _jq_sort_key(r)
+                    if node.op == "<":
+                        res.append(lk < rk)
+                    elif node.op == "<=":
+                        res.append(lk <= rk)
+                    elif node.op == ">":
+                        res.append(lk > rk)
+                    else:
+                        res.append(lk >= rk)
+                else:
+                    res.append(_jq_arith(node.op, l, r))
+        return _stream_or_value(res)
     raise JqError(f"cannot evaluate {node!r}")
 
 
@@ -3340,16 +3469,20 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             return None
         if n < 0:
             raise JqError("nth doesn't support negative indices")
+        # jq: def nth($n; g): last(limit($n + 1; g)); — a generator with
+        # FEWER than n+1 outputs yields its LAST output, not empty
+        # (nth(5; 1,2) is 2)
         fast = _range_prefix(arg_asts[1], n + 1, ev, cur)
         if fast is not None:
-            return fast[n] if len(fast) > n else _EMPTY
-        out = ev(arg_asts[1], cur)
-        items = (
-            out.items
-            if isinstance(out, _JqStream)
-            else ([] if out is _EMPTY else [out])
-        )
-        return items[n] if n < len(items) else _EMPTY
+            items = fast
+        else:
+            out = ev(arg_asts[1], cur)
+            items = (
+                out.items[: n + 1]
+                if isinstance(out, _JqStream)
+                else ([] if out is _EMPTY else [out])
+            )
+        return items[-1] if items else _EMPTY
     if name == "error":
         v = val(0) if arg_asts else cur
         err = JqError(v if isinstance(v, str) else _jq_tostring(v))

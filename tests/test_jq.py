@@ -223,9 +223,16 @@ def test_map_reads_element_fields():
 
 
 def test_any_all():
+    # jq truthiness: only false/null are falsy — 0 is TRUTHY, so
+    # [0,0,1]|all is true (verified vs /usr/bin/jq 1.6)
     doc = {"attributes": {"flags": [0, 0, 1]}}
     assert evaluate_jq(parse_jq(".attributes.flags | any"), doc) is True
-    assert evaluate_jq(parse_jq(".attributes.flags | all"), doc) is False
+    assert evaluate_jq(parse_jq(".attributes.flags | all"), doc) is True
+    doc2 = {"attributes": {"flags": [True, False, True]}}
+    assert evaluate_jq(parse_jq(".attributes.flags | any"), doc2) is True
+    assert evaluate_jq(parse_jq(".attributes.flags | all"), doc2) is False
+    doc3 = {"attributes": {"flags": [None, False]}}
+    assert evaluate_jq(parse_jq(".attributes.flags | any"), doc3) is False
 
 
 def test_boolean_literals():

@@ -378,8 +378,14 @@ class TestStreamContainment:
         with pytest.raises(JqError):
             run(prog, {"a": ["x", "y"]})
 
-    def test_escape_is_catchable_by_try(self):
-        assert run("try ({a: range(3)}) catch \"caught\"", {}) == "caught"
+    def test_object_value_stream_fans_out(self):
+        # jq 1.6: {a: range(3)} yields three objects; try has nothing to
+        # catch (verified vs /usr/bin/jq)
+        assert run("[try ({a: range(3)}) catch \"caught\"]", {}) == [
+            {"a": 0},
+            {"a": 1},
+            {"a": 2},
+        ]
 
     def test_map_splices_streams(self):
         # jq: [1,2] | map(range(2)) -> [0,1,0,1] (per-element splice)

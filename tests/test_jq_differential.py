@@ -336,6 +336,29 @@ PROGRAMS = [
     # optional paths: suppressed errors yield EMPTY, null-walks continue
     '.n | .b?', '.n | [.b[]?]', '.n | .b[]? // "dflt"', '[.n[]?]',
     '.a | [.[]?]', '{x: [.n | .b[]?]} | .x | length',
+    # tranche 5: operand fan-out — streams in any slot produce the
+    # cartesian product in jq's order (later/right slots loop OUTER)
+    '[(1,2) + (10,20)]', '[(1,2) - (10,20)]', '[(1,2) * (10,20)]',
+    '[(1,2) == (1,2)]', '[(1,2) < (1,2)]',
+    '[(1,2) + 10]', '[10 + (1,2)]', '[-(1,2)]',
+    '["a\\((1,2))b\\((3,4))"]', '["x\\(empty)y"]', '["\\(.b[])"]',
+    '[{x:(1,2),y:(3,4)}]', '[{(("a","b")): 1}]', '[{x:(.b[])}]',
+    '[{x: empty}]', '[{x: 1} + {y: (2,3)}]',
+    '[if (true,false) then "t" else "f" end]',
+    '[if (1,null) then "t" else "f" end]',
+    '[if empty then 1 else 2 end]',
+    '[(true,false) and true]', '[(true,false) or (false,true)]',
+    '[(1,2) as $x | (3,4) as $y | [$x,$y]]',
+    '[.a = (5,6) | .a]', '[.b[0] = (7,8) | .b[0]]',
+    '[(.a,.f) = (1,2) | [.a,.f]]', '[.a |= .+1 | .a]',
+    '[(1,2,3) | select((. % 2 == 1, true))]',
+    '[range(2;4) * range(1;3)]',
+    '[(1,2) + (10,20) + (100,200)] | length',
+    '[limit(3; (1,2) + (10,20))]',
+    '["s" * (1,2)]', '[(1,2) / 2]',
+    '[.c.e[].f + (10,20)]',
+    '[{a: (1, empty, 2)}]',
+    '[getpath(["c","d"]) + ("!","?")]',
 ]
 
 # dedupe (the `and`-joined picks above collapse)
