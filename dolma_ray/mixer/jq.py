@@ -824,15 +824,14 @@ class _Parser:
         args: list[Any] = []
 
         def one_arg():
-            # ';' separates arguments, so ',' inside an argument is the
-            # stream operator only for the stream-typed builtins below
-            # (del keeps its comma-split of path arguments)
-            saved_comma, self._comma = self._comma, False
+            # ';' separates arguments; ',' INSIDE an argument is the
+            # stream operator (jq: any(0,1; .), map(.a, .b)).  del is
+            # the exception: its comma path-expression splits into one
+            # path arg per comma (equivalent, and its impl sorts paths).
+            saved_comma, self._comma = self._comma, name != "del"
             try:
                 e = self.parse_pipe()
-                # stream-typed arguments may be comma streams: IN(1,2,3),
-                # limit(2; 1,2,3), first(.a,.b)
-                if name in ("IN", "limit", "first", "last", "nth") and self.peek()[0] == "comma":
+                if name != "del" and self.peek()[0] == "comma":
                     items = [e]
                     while self.peek()[0] == "comma":
                         self.next()
@@ -2661,9 +2660,26 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
     if name == "empty":
         return _EMPTY
     if name == "range":
-        nums = [val(i) for i in range(len(arg_asts))]
-        lo, hi, st = _range_bounds(nums)
-        return _JqStream(_range_gen(lo, hi, st, _RANGE_CAP))
+        # args may be streams: jq emits one full range per argument
+        # combination, FIRST argument as the outer loop
+        # (range(0,1; 2,3) -> range(0;2), range(0;3), range(1;2),
+        # range(1;3) — verified vs jq 1.6)
+        arg_outs = []
+        for i in range(len(arg_asts)):
+            v = ev(arg_asts[i], cur)
+            arg_outs.append(_outputs(v))
+        if all(len(o) == 1 for o in arg_outs):
+            lo, hi, st = _range_bounds([o[0] for o in arg_outs])
+            return _JqStream(_range_gen(lo, hi, st, _RANGE_CAP))
+        items: list = []
+        import itertools as _it
+
+        for combo in _it.product(*arg_outs):
+            lo, hi, st = _range_bounds(list(combo))
+            items.extend(_range_gen(lo, hi, st, _RANGE_CAP))
+            if len(items) > _RANGE_CAP:
+                raise JqError("range expansion exceeds cap")
+        return _JqStream(items)
     if name == "limit":
         n = val(0)
         if not isinstance(n, (int, float)) or isinstance(n, bool):
@@ -2920,14 +2936,14 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             kids = [
                 c
                 for c in f_outputs(x)
-                if cond_ast is None or _truthy(ev(cond_ast, c))
+                if cond_ast is None or _jq_truthy(ev(cond_ast, c))
             ]
             stack.extend(reversed(kids))
         return _JqStream(out_rec)
     if name == "until":
         x = cur
         for _ in range(100_000):
-            if _truthy(ev(arg_asts[0], x)):
+            if _jq_truthy(ev(arg_asts[0], x)):
                 return x
             x = ev(arg_asts[1], x)
             if isinstance(x, _JqStream):
@@ -2937,7 +2953,7 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         out_w: list = []
         x = cur
         for _ in range(100_000):
-            if not _truthy(ev(arg_asts[0], x)):
+            if not _jq_truthy(ev(arg_asts[0], x)):
                 return _JqStream(out_w)
             out_w.append(x)
             x = ev(arg_asts[1], x)
@@ -3080,21 +3096,17 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         # generator per element — a stream contributes each item, empty
         # contributes nothing (jq: any(range(0)) over a list is false);
         # 2-arg form any(gen; cond) folds cond over the gen's outputs
-        def _outputs(v):
-            if isinstance(v, _JqStream):
-                return v.items
-            return [] if v is _EMPTY else [v]
-
+        # (module-level _outputs normalizes stream/empty/value)
         agg = any if name == "any" else all
         if len(arg_asts) == 2:
             gen = _outputs(ev(arg_asts[0], cur))
             return agg(
-                _truthy(o) for g in gen for o in _outputs(ev(arg_asts[1], g))
+                _jq_truthy(o) for g in gen for o in _outputs(ev(arg_asts[1], g))
             )
         if not isinstance(cur, list):
             raise JqError(f"{name} requires an array")
         return agg(
-            _truthy(o) for v in cur for o in _outputs(ev(arg_asts[0], v))
+            _jq_truthy(o) for v in cur for o in _outputs(ev(arg_asts[0], v))
         )
     if name == "explode":
         if not isinstance(cur, str):

@@ -408,8 +408,13 @@ class TestStreamContainment:
         # any/all fold over EVERY generator output; empty contributes none
         assert run(".a | any(range(0))", {"a": [1, 2]}) is False
         assert run(".a | all(range(0))", {"a": [1, 2]}) is True
-        assert run(".a | any(range(.))", {"a": [0, 1]}) is False  # outputs all 0
+        # jq truthiness: range outputs like 0 are TRUTHY (verified vs
+        # jq 1.6 for single-output conds; multi-output conds hit a 1.6
+        # isempty-laziness bug fixed in 1.7 — we match 1.7)
+        assert run(".a | any(range(.))", {"a": [0, 1]}) is True   # elem 1 -> 0
         assert run(".a | any(range(2))", {"a": [1]}) is True      # 0 then 1
+        assert run(".a | any(.)", {"a": [0, 0]}) is True          # 0 truthy
+        assert run(".a | all(.)", {"a": [1, None]}) is False      # null falsy
 
 
 class TestRecursionAndStreams:

@@ -359,6 +359,19 @@ PROGRAMS = [
     '[.c.e[].f + (10,20)]',
     '[{a: (1, empty, 2)}]',
     '[getpath(["c","d"]) + ("!","?")]',
+    # tranche 6: comma streams inside builtin args; jq truthiness in
+    # condition slots (any/all multi-output conds are EXCLUDED — jq
+    # 1.6's isempty-based defs invert them; 1.7 agrees with us)
+    '.b | map(., . * 10)', '[.b[] | select(. == 1, . == 3)]',
+    '.arr | map(select(. > 1, . > 2)) | length',
+    '[range(1,2)]', '[range(0; 2,3)]', '[range(0; 4; 1,2)]',
+    '.b | any(. == 2)', '.b | all(. > 0)', '.b | any(. > 9)',
+    'any(.b[]; . == 2)', 'all(.b[]; . >= 1)',
+    '.b | any(0)', '.b | all(0)', '[.b[] | until(. >= 3; . + 1)]',
+    '[.b[] | while(. < 3; . + 1)]', '[limit(4; recurse(if . < 16 then .*2 else empty end))]' and
+    '1 | [recurse(.*2; . < 9)]',
+    'def f(a; b): [a, b]; f(1, 2; 3)',
+    '[first(.b[] | select(. > 1, false))]',
 ]
 
 # dedupe (the `and`-joined picks above collapse)
