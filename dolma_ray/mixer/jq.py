@@ -150,7 +150,7 @@ _FN_ARG_RANGE = {
     "match": (1, 2), "scan": (1, 2), "walk": (1, 1),
     "nth": (1, 2), "indices": (1, 1), "rindex": (1, 1),
     "error": (0, 1), "combinations": (0, 1), "debug": (0, 1),
-    "paths": (0, 1), "fromstream": (1, 1),
+    "paths": (0, 1), "fromstream": (1, 1), "path": (1, 1),
     # first/last of a generator (jq: first(f) == limit(1; f))
     "first": (0, 1), "last": (0, 1),
     "in": (1, 1),
@@ -256,6 +256,12 @@ class _EmptyType:
 
 
 _EMPTY = _EmptyType()
+
+# jaq-parity switch (reference embeds jaq, whose documented deviation
+# from jq is that indexing null without `?` is an ERROR rather than
+# null — filters.rs test_jq_missing_attr pins it).  Default False = jq
+# semantics; the mixer filter sets it per evaluation.
+_STRICT_NULL_INDEX = False
 
 
 class _HaltSignal(Exception):
@@ -1001,18 +1007,21 @@ class _Parser:
 
     def parse_bracket_step(self, steps: list) -> None:
         """After consuming '[': appends iter / idx / seg(string) /
-        slice steps (jq .[2], .["key"], .[1:3], .[:n], .[n:], .[])."""
+        slice steps for the literal forms (jq .[2], .["key"], .[1:3],
+        .[:n], .[n:], .[]), or expr / exprslice steps when the bracket
+        holds a general filter (jq .[.i], .[f:g], .[(0,2)]) — resolved
+        against the path's input at eval time with full fan-out."""
         import json as _json
+        import math as _math
 
         k3, v3 = self.next()
         if k3 == "rbrack":
             steps.append(("iter", None))  # ".[]" iterate-all
             return
-        if k3 == "str":
+        if k3 == "str" and self.peek()[0] == "rbrack":
             steps.append(("seg", _json.loads(v3)))
-            self.expect("rbrack")
+            self.next()
             return
-        import math as _math
 
         def _num_index(raw: str) -> int | float:
             if raw.lstrip("-").isdigit():
@@ -1023,25 +1032,57 @@ class _Parser:
                 raise JqError(f"array index must be a number, got {raw}") from None
 
         lo = None
-        if k3 == "num":
+        if k3 == "num" and self.peek()[0] in ("rbrack", "colon"):
             lo = _num_index(v3)
             if self.peek()[0] == "rbrack":
                 self.next()
                 # jq: a fractional single index yields null, not an error
                 steps.append(("idx", lo))
                 return
-            if self.peek()[0] != "colon":
-                raise JqError("expected ] or : in bracket index")
-            self.next()
+            self.next()  # ":"
         elif k3 == "colon":
             pass
         else:
-            raise JqError("only integer/string/slice indexes supported")
+            # general expression index: rewind the consumed token and
+            # parse a full pipe (',' is the stream operator inside)
+            self.i -= 1
+            saved_comma, self._comma = self._comma, True
+            try:
+                lo_ast = self.parse_pipe()
+            finally:
+                self._comma = saved_comma
+            if self.peek()[0] == "rbrack":
+                self.next()
+                steps.append(("expr", lo_ast))
+                return
+            self.expect("colon")
+            hi_ast = None
+            if self.peek()[0] != "rbrack":
+                saved_comma, self._comma = self._comma, True
+                try:
+                    hi_ast = self.parse_pipe()
+                finally:
+                    self._comma = saved_comma
+            self.expect("rbrack")
+            steps.append(("exprslice", (lo_ast, hi_ast)))
+            return
+        # literal slice continued: [n: , [: — the hi side may still be
+        # an expression ([1:.i])
         hi = None
         k4, v4 = self.peek()
-        if k4 == "num":
+        if k4 == "num" and self.toks[self.i + 1][0] == "rbrack":
             self.next()
             hi = _num_index(v4)
+        elif k4 != "rbrack":
+            saved_comma, self._comma = self._comma, True
+            try:
+                hi_ast = self.parse_pipe()
+            finally:
+                self._comma = saved_comma
+            self.expect("rbrack")
+            lo_lit = Lit(lo) if lo is not None else None
+            steps.append(("exprslice", (lo_lit, hi_ast)))
+            return
         self.expect("rbrack")
         # jq slice bounds: fractional lo floors, fractional hi ceils
         if isinstance(lo, float):
@@ -1347,6 +1388,150 @@ def _parse_interp(raw: str) -> Interp:
     return Interp(parts)
 
 
+def _has_expr_steps(steps: list) -> bool:
+    return any(k in ("expr", "exprslice") for k, _ in steps)
+
+
+def _slice_bound(v: Any, mode: str) -> Any:
+    """Validate + normalize one expr-slice bound: null -> open, number
+    -> floor/ceil per jq, anything else is a catchable error."""
+    import math as _math
+
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise JqError(
+            f"start and end indices of an array slice must be numbers, "
+            f"got {_jq_type(v)}"
+        )
+    if isinstance(v, float):
+        return _math.floor(v) if mode == "floor" else _math.ceil(v)
+    return v
+
+
+def _resolve_steps(steps: list, eval_outputs) -> list:
+    """Resolve expr/exprslice steps to concrete seg/idx/slice steps,
+    fanning out over every stream output.  ``eval_outputs(ast)`` returns
+    the output list of an index expression evaluated against the PATH'S
+    INPUT (jq: in ``.b.c[.i]``, ``.i`` sees the same ``.`` that ``.b``
+    does — verified vs jq 1.6).  Fan-out order: a LATER index varies
+    slowest (``.b[(0,1)][(0,1)]`` on [[1,2],[3,4]] yields 1,3,2,4) and
+    within a slice the start varies slower than the end."""
+    if not _has_expr_steps(steps):
+        return [list(steps)]
+    combos: list[list] = [[]]
+    for kind, key in steps:
+        if kind == "expr":
+            opts: list = []
+            for v in eval_outputs(key):
+                if isinstance(v, bool) or v is None or isinstance(v, dict):
+                    opts.append(("badidx", v))
+                elif isinstance(v, str):
+                    opts.append(("seg", v))
+                elif isinstance(v, int):
+                    opts.append(("idx", v))
+                elif isinstance(v, float):
+                    # integral floats index normally; fractional ones
+                    # keep jq 1.6's yield-null behavior
+                    opts.append(("idx", int(v) if v == int(v) else v))
+                elif isinstance(v, list):
+                    opts.append(("subseq", v))
+                else:  # pragma: no cover - no other JSON types exist
+                    opts.append(("badidx", v))
+        elif kind == "exprslice":
+            lo_ast, hi_ast = key
+            lo_outs = eval_outputs(lo_ast) if lo_ast is not None else [None]
+            hi_outs = eval_outputs(hi_ast) if hi_ast is not None else [None]
+            opts = [
+                ("slice", (_slice_bound(lo, "floor"), _slice_bound(hi, "ceil")))
+                for lo in lo_outs
+                for hi in hi_outs
+            ]
+        else:
+            combos = [c + [(kind, key)] for c in combos]
+            continue
+        # the new (later) step becomes the OUTER loop
+        combos = [c + [o] for o in opts for c in combos]
+    return combos
+
+
+def _collect_path_steps(ast: Any, cur: Any, ev) -> list:
+    """Step-lists matched by a path expression for the ``path(f)``
+    builtin.  Supports the practical surface: Path (with expression
+    indexes and ``[]`` expansion), comma streams of paths, pipes of
+    paths, and select() stages — richer control flow inside path() is
+    a clear error rather than a wrong answer."""
+    if isinstance(ast, Path):
+        out: list = []
+        for steps in _resolve_steps(ast.steps, lambda a: _outputs(ev(a, cur))):
+            if any(k == "iter" for k, _ in steps):
+                out.extend(_expand_paths(cur, steps, [], ast.optional))
+            else:
+                out.append(list(steps))
+        return out
+    if isinstance(ast, Comma):
+        return [s for it in ast.items for s in _collect_path_steps(it, cur, ev)]
+    if isinstance(ast, Pipe):
+        base = _collect_path_steps(ast.source, cur, ev)
+        for op in ast.ops:
+            if op[0] == "expr":
+                nxt: list = []
+                for b in base:
+                    vb = _get_path(cur, b)
+                    nxt.extend(b + r for r in _collect_path_steps(op[1], vb, ev))
+                base = nxt
+            elif op[0] == "select":
+                base = [
+                    b for b in base if _jq_truthy(ev(op[1], _get_path(cur, b)))
+                ]
+            elif op[0] == "fn" and op[1] == "recurse" and not op[2]:
+                # ".." inside path(): every path beneath each base,
+                # pre-order, including the base itself (jq path(..))
+                nxt = []
+                for b in base:
+                    stack = [(b, _get_path(cur, b))]
+                    while stack:
+                        pb, v = stack.pop(0)
+                        nxt.append(pb)
+                        if isinstance(v, list):
+                            stack[0:0] = [
+                                (pb + [("idx", i)], c) for i, c in enumerate(v)
+                            ]
+                        elif isinstance(v, dict):
+                            stack[0:0] = [
+                                (pb + [("seg", k)], c) for k, c in v.items()
+                            ]
+                base = nxt
+            else:
+                raise JqError("path() argument is not a path expression")
+        return base
+    if isinstance(ast, If):
+        cond = ev(ast.cond, cur)
+        branch = ast.then if _jq_truthy(cond) else ast.orelse
+        if branch is None:
+            return [[]]  # else-less if: identity path
+        return _collect_path_steps(branch, cur, ev)
+    raise JqError("path() argument is not a path expression")
+
+
+def _path_step_to_key(kind: str, key: Any) -> Any:
+    """Convert one internal step to a jq path-array element."""
+    if kind == "seg" or kind == "idx":
+        return key
+    if kind == "slice":
+        return {"start": key[0], "end": key[1]}
+    raise JqError("invalid path expression")
+
+
+def _subseq_indices(hay: list, needle: list) -> list:
+    """jq array[array] indexing: every start index where ``needle``
+    occurs as a contiguous subsequence ([5,6,5] | .[[5]] -> [0,2])."""
+    if not needle:
+        return []
+    n, m = len(hay), len(needle)
+    return [i for i in range(n - m + 1) if hay[i : i + m] == needle]
+
+
 def _expand_paths(val: Any, steps: list, prefix: list, optional: bool = False) -> list:
     """Expand a path expression containing ``[]`` steps into the
     concrete paths it matches in ``val`` (jq path streaming for
@@ -1377,9 +1562,13 @@ def _expand_paths(val: Any, steps: list, prefix: list, optional: bool = False) -
     elif kind == "idx":
         child = (
             val[key]
-            if isinstance(val, list) and -len(val) <= key < len(val)
+            if isinstance(val, list)
+            and not isinstance(key, float)
+            and -len(val) <= key < len(val)
             else None
         )
+    elif kind == "slice" and len(steps) == 1:
+        return [prefix + [steps[0]]]  # terminal slice: assignable
     else:
         raise JqError("cannot assign through a slice")
     return _expand_paths(child, steps[1:], prefix + [steps[0]], optional)
@@ -1394,8 +1583,26 @@ def _set_path(container: Any, steps: list, value: Any) -> Any:
     kind, key = steps[0]
     if kind == "iter":
         raise JqError("cannot assign through []")
+    if kind in ("badidx", "subseq") or (kind == "idx" and isinstance(key, float)):
+        raise JqError("invalid path expression in assignment")
     if kind == "slice":
-        raise JqError("cannot assign through a slice")
+        # jq slice assignment: .[0:2] = [9] splices the replacement in
+        if len(steps) > 1:
+            raise JqError("cannot assign through a slice")
+        if container is None:
+            arr = []
+        elif isinstance(container, list):
+            arr = list(container)
+        else:
+            raise JqError(f"cannot assign a slice of {_jq_type(container)}")
+        if value is None:
+            value = []
+        if not isinstance(value, list):
+            raise JqError(
+                "a slice of an array can only be assigned another array"
+            )
+        arr[slice(*key)] = value
+        return arr
     if kind == "seg":
         obj = dict(container) if isinstance(container, dict) else {}
         if container is not None and not isinstance(container, dict):
@@ -1422,6 +1629,10 @@ def _get_path(container: Any, steps: list) -> Any:
     """Null-tolerant getpath for assignment left sides."""
     cur = container
     for kind, key in steps:
+        if kind in ("badidx", "subseq") or (
+            kind == "idx" and isinstance(key, float)
+        ):
+            raise JqError("invalid path expression in assignment")
         if cur is None:
             return None
         if kind == "seg":
@@ -1916,13 +2127,23 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         result = cur_in
         paths: list = []
         for p in lhs:
-            if any(k == "iter" for k, _ in p.steps):
-                paths.extend(
-                    Path(steps, p.optional)
-                    for steps in _expand_paths(result, p.steps, [], p.optional)
+            # expression indexes resolve against the ORIGINAL input
+            # (jq computes LHS paths before applying updates), fanning
+            # out: .b[.i,0] = 9 sets both elements of one result
+            if _has_expr_steps(p.steps):
+                resolved = _resolve_steps(
+                    p.steps, lambda a: _slot_outputs(a, doc, elem, env)
                 )
             else:
-                paths.append(p)
+                resolved = [p.steps]
+            for steps in resolved:
+                if any(k == "iter" for k, _ in steps):
+                    paths.extend(
+                        Path(s, p.optional)
+                        for s in _expand_paths(result, steps, [], p.optional)
+                    )
+                else:
+                    paths.append(Path(steps, p.optional))
         # multi-path LHS applies in order; the RHS of =/+=/-=///=
         # evaluates against the ORIGINAL input (jq) and FANS OUT — one
         # whole assignment result per RHS output (.a = (1,2) yields two
@@ -1959,6 +2180,30 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         # inside map/select the element is the current input for ALL
         # paths (jq: map(.foo) reads each element's foo)
         cur = doc if elem is _NO_ELEM else elem
+        if _has_expr_steps(node.steps):
+            # expression indexes (.b[.i], .[f:g]) resolve against the
+            # path's input, fanning out over stream outputs; a `?`
+            # suppresses index-expression errors too (.b[error]? -> empty)
+            try:
+                step_lists = _resolve_steps(
+                    node.steps, lambda a: _slot_outputs(a, doc, elem, env)
+                )
+            except JqError:
+                if node.optional:
+                    return _EMPTY
+                raise
+            outs_rp: list = []
+            for st in step_lists:
+                r = _eval(Path(st, node.optional), doc, elem, env)
+                if r is _EMPTY:
+                    continue
+                if isinstance(r, _JqStream):
+                    outs_rp.extend(r.items)
+                else:
+                    outs_rp.append(r)
+            if len(step_lists) == 1 and len(outs_rp) == 1:
+                return outs_rp[0]
+            return _stream_or_value(outs_rp)
         for step_i, (kind, key) in enumerate(node.steps):
             if kind == "iter":
                 if isinstance(cur, dict):
@@ -1998,14 +2243,33 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 else:
                     raise JqError(f"cannot slice {_jq_type(cur)}")
                 continue
+            if kind == "badidx":
+                # a resolved index of an un-indexable type: jq errors
+                # even on a null container ("Cannot index null with null")
+                if node.optional:
+                    return _EMPTY
+                raise JqError(
+                    f"cannot index {_jq_type(cur)} with {_jq_type(key)}"
+                )
+            if kind == "subseq":
+                # jq array[array]: start indices of the subsequence
+                if isinstance(cur, list):
+                    cur = _subseq_indices(cur, key)
+                    continue
+                if node.optional:
+                    return _EMPTY
+                raise JqError(f"cannot index {_jq_type(cur)} with array")
             if kind == "seg":
                 if cur is None:
-                    if node.optional:
-                        # indexing null is legal in jq (yields null):
-                        # keep walking so a later []? can yield empty
-                        # (".b[]?" on null is empty, ".b?" is null)
-                        continue
-                    raise JqError(f"cannot index null with {key!r}")
+                    # jq: indexing null with a string yields null
+                    # (".x.y.z" on {} is null) — keep walking so a later
+                    # []? can yield empty.  jaq (the reference's engine,
+                    # filters.rs test_jq_missing_attr) instead ERRORS on
+                    # non-optional null indexing; the mixer filter opts
+                    # into that via strict_null_index.
+                    if _STRICT_NULL_INDEX and not node.optional:
+                        raise JqError(f"cannot index null with {key!r}")
+                    continue
                 if not isinstance(cur, dict):
                     if node.optional:
                         return _EMPTY  # suppressed error -> empty
@@ -2013,9 +2277,9 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 cur = cur.get(key)
             else:
                 if cur is None:
-                    if node.optional:
-                        continue  # null[i] is null; keep walking
-                    raise JqError(f"cannot index null with [{key}]")
+                    if _STRICT_NULL_INDEX and not node.optional:
+                        raise JqError(f"cannot index null with [{key}]")
+                    continue  # jq: null[i] is null; keep walking
                 if not isinstance(cur, list):
                     if node.optional:
                         return _EMPTY  # suppressed error -> empty
@@ -2468,6 +2732,8 @@ def _del_path(container: Any, steps: list) -> Any:
     if not steps:
         raise JqError("cannot delete the root")
     kind, key = steps[0]
+    if kind in ("badidx", "subseq") or (kind == "idx" and isinstance(key, float)):
+        raise JqError("invalid path expression in del")
     if kind == "iter":
         if len(steps) > 1:
             raise JqError("cannot delete through []")
@@ -3048,6 +3314,16 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         for p in arg_asts:
             if not isinstance(p, Path):
                 raise JqError("del requires path argument(s)")
+        # expression indexes fan out (del(.b[.i,0]) deletes both),
+        # resolving against del's input
+        if any(_has_expr_steps(p.steps) for p in arg_asts):
+            resolved_del: list = []
+            for p in arg_asts:
+                for steps in _resolve_steps(
+                    p.steps, lambda a: _outputs(ev(a, cur))
+                ):
+                    resolved_del.append(Path(steps, p.optional))
+            arg_asts = resolved_del
 
         def _del_order(p: Path):
             # delete larger paths first (delpaths rule) so earlier
@@ -3065,6 +3341,11 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
                     continue
                 raise
         return cur
+    if name == "path":
+        step_lists = _collect_path_steps(arg_asts[0], cur, ev)
+        return _stream_or_value(
+            [[_path_step_to_key(k, v) for k, v in st] for st in step_lists]
+        )
     if name == "getpath":
         # null-tolerant like jq: missing -> null
         return _get_path(cur, _steps_from_list(val(0)))
@@ -3672,14 +3953,21 @@ _Parser.parse_pipe_root = _parse_pipe_root
 
 
 def evaluate_jq(
-    ast: Any, doc: dict, inputs: Any = None, variables: dict | None = None
+    ast: Any,
+    doc: dict,
+    inputs: Any = None,
+    variables: dict | None = None,
+    strict_null_index: bool = False,
 ) -> Any:
     """Evaluate a parsed program against ``doc``.  ``inputs`` (an
     iterable of further JSON values) backs the ``input``/``inputs``
     builtins — like running jq over a multi-document stream where
     ``doc`` is the first input.  ``variables`` binds named variables
     like jq's CLI ``--arg``/``--argjson`` (``{"k": v}`` makes ``$k``
-    evaluate to ``v``)."""
+    evaluate to ``v``).  ``strict_null_index=True`` selects jaq parity
+    (the reference's engine): non-optional indexing of null raises
+    instead of yielding null — the mixer filter uses it."""
+    global _STRICT_NULL_INDEX
     env: dict | None = None
     if inputs is not None:
         env = {"__inputs__": _CountingInputs(inputs)}
@@ -3687,6 +3975,7 @@ def evaluate_jq(
         env = env or {}
         for k, v in variables.items():
             env[str(k)] = v
+    saved_strict, _STRICT_NULL_INDEX = _STRICT_NULL_INDEX, strict_null_index
     try:
         out = _eval(ast, doc, env=env)
     except _HaltSignal as h:
@@ -3696,6 +3985,8 @@ def evaluate_jq(
                 else _jq_tostring(h.payload)
             ) from None
         return _EMPTY
+    finally:
+        _STRICT_NULL_INDEX = saved_strict
     if isinstance(out, _JqStream):
         # a stream OF one value IS that value (jq emits it bare); an
         # empty stream is jq's empty — only 2+ values are unrepresentable
@@ -3754,13 +4045,16 @@ class JqFilterConfig:
         out = np.ones(len(views), dtype=bool)
         for i, doc in enumerate(views):
             keep = not self.include
+            # strict_null_index: the reference's jaq errors on
+            # non-optional null indexing (test_jq_missing_attr) and
+            # should_keep propagates evaluation errors
             for ast in self.include:
-                if _truthy(evaluate_jq(ast, doc)):
+                if _truthy(evaluate_jq(ast, doc, strict_null_index=True)):
                     keep = True
                     break
             if keep:
                 for ast in self.exclude:
-                    if _truthy(evaluate_jq(ast, doc)):
+                    if _truthy(evaluate_jq(ast, doc, strict_null_index=True)):
                         keep = False
                         break
             out[i] = keep

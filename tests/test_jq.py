@@ -46,10 +46,14 @@ def test_reference_multi_condition_filter():
 
 
 def test_missing_attr_errors():
-    """filters.rs:666-681: indexing through a missing attribute errors."""
+    """filters.rs:666-681: indexing through a missing attribute errors
+    under jaq parity (strict_null_index, what the mixer filter uses);
+    plain jq semantics yield null -> false."""
     ast = parse_jq(".attributes.b.b != null")
+    doc = {"attributes": {"a": [[0, 3, 1]]}, "text": "test"}
     with pytest.raises(JqError):
-        evaluate_jq(ast, {"attributes": {"a": [[0, 3, 1]]}, "text": "test"})
+        evaluate_jq(ast, doc, strict_null_index=True)
+    assert evaluate_jq(ast, doc) is False  # jq 1.6: null.b -> null
 
 
 def test_span_mass_expression():
@@ -187,9 +191,16 @@ def test_optional_access_nested_null():
 
 
 def test_optional_access_still_errors_without_question():
+    # jaq (reference mixer engine) errors on non-optional null indexing;
+    # jq 1.6 yields null — both surfaced via strict_null_index
     doc = {"attributes": {"foo": None}}
     with pytest.raises(JqError):
-        evaluate_jq(parse_jq(".attributes.foo.baz"), doc)
+        evaluate_jq(parse_jq(".attributes.foo.baz"), doc, strict_null_index=True)
+    assert evaluate_jq(parse_jq(".attributes.foo.baz"), doc) is None
+    assert (
+        evaluate_jq(parse_jq(".attributes.foo.baz?"), doc, strict_null_index=True)
+        is None
+    )
 
 
 def test_select_passes_and_drops():

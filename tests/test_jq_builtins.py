@@ -517,9 +517,12 @@ class TestBracketsSlicesMath:
             run(".a as $v | $v[1:]", {"a": [1, 2, 3]}) == [2, 3]
         )
 
-    def test_slice_assignment_rejected(self):
+    def test_slice_assignment_splices(self):
+        # jq: assigning a slice splices the replacement array in
+        assert run(".a[1:2] = [9]", {"a": [1, 2, 3]}) == {"a": [1, 9, 3]}
+        assert run(".a[0:2] = [7]", {"a": [1, 2, 3]}) == {"a": [7, 3]}
         with pytest.raises(JqError):
-            run(".a[1:2] = [9]", {"a": [1, 2, 3]})
+            run('.a[1:2] = "x"', {"a": [1, 2, 3]})
 
 
 class TestJqReviewRegressions:

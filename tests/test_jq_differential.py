@@ -372,6 +372,26 @@ PROGRAMS = [
     '1 | [recurse(.*2; . < 9)]',
     'def f(a; b): [a, b]; f(1, 2; 3)',
     '[first(.b[] | select(. > 1, false))]',
+    # tranche 7: expression indexes / expression slices / path(f) —
+    # indexes resolve against the path's input and fan out (later
+    # index outer; slice start outer)
+    '.b[.a]', '.c.e[.a].f', '[.b[(0,2)]]', '.c[.c.d]', '.b[1+1]',
+    '.b[.a:]', '.b[:.a]', '.b[.a:2+1]', '.b[1:.a+1]',
+    '[.b[(0,1):(2,3)]]', '.b[.n:2]', '.arr[.neg + 8]',
+    '.b[.a] = 99', '.b[.a,0] = 7', '.b[.a] += 10', '.b[.a] |= . * 5',
+    'del(.b[.a])', 'del(.b[.a,0])', 'del(.b[0:2])', '.b[0:2] = [9]',
+    '.b[0:2] |= [add]', '.mixed[.a]',
+    'path(.b[.a])', '[path(.b[.a,0])]', 'path(.)', '[path(.b[])]',
+    'path(.b[1:])', '[path(.c.e[].f)]', '[path(.b[] | select(. > 1))]',
+    '[paths] == [path(..)] or true',
+    '.arr | .[[1]]', '.arr | .[[1,2]]', '.arr | .[[9]]',
+    '.b[.c]?', '.b[.c]? // "dflt"', '[.b[]?[.a]?]',
+    '.b[][.a]' and '[.b[.a][.a]?]',
+    '[limit(2; .b[.a,0,1])]', '.b[if .a == 1 then 2 else 0 end]',
+    '.c[.c.d + ""]', '[.c.e[][("f","f")]]',
+    'try (.b[.c]) catch "caught"', 'try (.[null]) catch "badidx"',
+    'try (.s[0]) catch "stridx"', '.n[0]', '.n[.a]', '.n["k"]',
+    '[getpath(path(.c.e[0].f))]',
 ]
 
 # dedupe (the `and`-joined picks above collapse)
