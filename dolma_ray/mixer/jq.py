@@ -228,7 +228,35 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 else:
                     out.append((kind, v))
                 break
-    return out
+    # jq's lexer has no negative literals — '-' is always an operator
+    # (".b[3-1]" is subtraction).  The greedy num pattern above eats
+    # "-1", so split it back apart wherever the previous token ends a
+    # VALUE (after "(", "[", ",", ";", "|", ":" or an operator a
+    # negative literal is what's meant and stays fused).
+    fixed: list[tuple[str, str]] = []
+    for kind, v in out:
+        if (
+            kind == "num"
+            and v.startswith("-")
+            and fixed
+            and (
+                fixed[-1][0]
+                in ("num", "str", "var", "path", "loc", "rbrack", "rparen",
+                    "rbrace", "opt")
+                or (
+                    fixed[-1][0] in ("word", "ident")
+                    and (
+                        fixed[-1][1] in ("true", "false", "null")
+                        or fixed[-1][1] in _ZERO_ARG_WORDS
+                    )
+                )
+            )
+        ):
+            fixed.append(("op", "-"))
+            fixed.append(("num", v[1:]))
+        else:
+            fixed.append((kind, v))
+    return fixed
 
 
 # ---- AST ----------------------------------------------------------------
@@ -240,6 +268,19 @@ class Path:
     # (".a[0].b" applies the index between the two segments)
     steps: list[tuple[str, object]]
     optional: bool = False  # any "?" in the path: errors -> null
+
+
+@dataclass
+class PathApply:
+    """Postfix bracket access on a general term where the bracket holds
+    an EXPRESSION index: ``(.b)[.i]``, ``[.b[],9][.i]``.  jq evaluates
+    the index against the INPUT to the whole expression, not the term's
+    output (verified: '{"i":1,"b":[5,6,7]}' | (.b)[.i] -> 6) — a plain
+    Pipe(term, Path) would resolve it against the term's output."""
+
+    term: Any
+    steps: list
+    optional: bool = False
 
 
 class _SubEmpty(Exception):
@@ -574,7 +615,7 @@ class _Parser:
         # ("(.a,.b)[0]", "f[]", "min_by(.k).k")
         steps = self._postfix_steps()
         if steps:
-            term = Pipe(term, [("expr", Path(steps))])
+            term = self._wrap_postfix(term, steps)
         # postfix "?" on a general term is try-sugar ((expr)? == try expr);
         # paths consume their own "?" inside parse_path
         while self.peek()[0] == "opt":
@@ -596,6 +637,14 @@ class _Parser:
             self.expect("pipe")
             return AsBind(term, pat, self.parse_pipe(), tuple(alts))
         return term
+
+    def _wrap_postfix(self, term: Any, steps: list) -> Any:
+        """Attach postfix access steps to a general term.  Literal
+        steps ride a synthetic pipe; expression indexes need PathApply
+        so they resolve against the expression's INPUT (jq)."""
+        if _has_expr_steps(steps):
+            return PathApply(term, steps)
+        return Pipe(term, [("expr", Path(steps))])
 
     def _postfix_steps(self) -> list:
         """Postfix access steps after a general term: ``[...]`` bracket
@@ -698,6 +747,8 @@ class _Parser:
                 else:
                     break
             if steps:
+                if _has_expr_steps(steps):
+                    return PathApply(var, steps, optional)
                 return Pipe(var, [("expr", Path(steps, optional))])
             return var
         if k == "word" and v == "reduce":
@@ -725,7 +776,7 @@ class _Parser:
                 else:
                     break
             if steps:
-                return Pipe(loc, [("expr", Path(steps))])
+                return self._wrap_postfix(loc, steps)
             return loc
         if k == "word" and v == "null":
             self.next()
@@ -1160,15 +1211,13 @@ class _Parser:
                 op = self.parse_fn_op(v)
                 steps = self._postfix_steps()
                 if steps:  # "| min_by(.k).k" / "| group_by(.)[0]"
-                    op = ("expr", Pipe(Pipe(Path([]), [op]),
-                                       [("expr", Path(steps))]))
+                    op = ("expr", self._wrap_postfix(Pipe(Path([]), [op]), steps))
                 ops.append(op)
             elif k in ("word", "ident") and v in _ZERO_ARG_WORDS:
                 op = self.word_op(v)
                 steps = self._postfix_steps()
                 if steps:  # "| keys[0]" / "| to_entries[0].key"
-                    op = ("expr", Pipe(Pipe(Path([]), [op]),
-                                       [("expr", Path(steps))]))
+                    op = ("expr", self._wrap_postfix(Pipe(Path([]), [op]), steps))
                 ops.append(op)
             elif k == "word" and v == "try":
                 self.i -= 1
@@ -2176,6 +2225,30 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 result_i = _set_path(result_i, p.steps, new)
             fanned.append(result_i)
         return _stream_or_value(fanned)
+    if isinstance(node, PathApply):
+        # postfix expression index on a general term: the index resolves
+        # against the INPUT (jq: '(.b)[.i]' reads .i from the original
+        # doc), then each resolved step-list walks each term output
+        try:
+            step_lists = _resolve_steps(
+                node.steps, lambda a: _slot_outputs(a, doc, elem, env)
+            )
+        except JqError:
+            if node.optional:
+                return _EMPTY
+            raise
+        tvals = _slot_outputs(node.term, doc, elem, env)
+        outs_pa: list = []
+        for st in step_lists:  # the (later) index is the outer loop
+            for tv in tvals:
+                r = _eval(Path(st, node.optional), doc, tv, env)
+                if r is _EMPTY:
+                    continue
+                if isinstance(r, _JqStream):
+                    outs_pa.extend(r.items)
+                else:
+                    outs_pa.append(r)
+        return _stream_or_value(outs_pa)
     if isinstance(node, Path):
         # inside map/select the element is the current input for ALL
         # paths (jq: map(.foo) reads each element's foo)

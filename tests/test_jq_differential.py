@@ -392,6 +392,14 @@ PROGRAMS = [
     'try (.b[.c]) catch "caught"', 'try (.[null]) catch "badidx"',
     'try (.s[0]) catch "stridx"', '.n[0]', '.n[.a]', '.n["k"]',
     '[getpath(path(.c.e[0].f))]',
+    # tranche 8: postfix expression brackets on general terms (index
+    # resolves against the INPUT, not the term's output) + operator
+    # minus after values (jq has no negative literals)
+    '(.b)[.a]', '[.b[],9][.a]', '[(.b,.arr)[0,1]]', '[.b,[9]][.a - 1]',
+    '.b[3-1]', '.b[length-2]', '.a-1', '[.b[-1,-2]]', '.neg - -1',
+    '([10,20,30])[.a]', '.c.e[.a-1].f', '[limit(2; 5-3, 8-2)]',
+    '[.b[.a:length-1]]', '(.c.e | map(.f))[.a]',
+    '[keys[.a]]', 'to_entries[.a].key', '[sort[.a-1]]' and '.arr | sort[.a]',
 ]
 
 # dedupe (the `and`-joined picks above collapse)
