@@ -85,9 +85,15 @@ _NO_ERR_VALUE = object()  # sentinel: error carries no jq value payload
 class JqError(ValueError):
     """Evaluation error (propagates, like jaq errors in the reference).
     ``error(v)`` attaches the raised jq value as ``.value`` so ``catch``
-    receives the VALUE (jq semantics), not its string rendering."""
+    receives the VALUE (jq semantics), not its string rendering.
+    ``emitted`` carries the outputs a streaming construct produced
+    BEFORE erroring — jq's lazy evaluation emits them and ``try`` keeps
+    them ("try (1,2,error) catch c" yields 1, 2, c); each construct the
+    error propagates through transforms/extends the list exactly like
+    ``_BreakSignal.emitted``."""
 
     value: object = _NO_ERR_VALUE
+    emitted: "list | None" = None
 
 
 _TOKEN_RE = re.compile(
@@ -1458,22 +1464,32 @@ def _slice_bound(v: Any, mode: str) -> Any:
     return v
 
 
-def _resolve_steps(steps: list, eval_outputs) -> list:
+def _resolve_steps(
+    steps: list, eval_outputs_partial
+) -> tuple[list, "JqError | None"]:
     """Resolve expr/exprslice steps to concrete seg/idx/slice steps,
-    fanning out over every stream output.  ``eval_outputs(ast)`` returns
-    the output list of an index expression evaluated against the PATH'S
-    INPUT (jq: in ``.b.c[.i]``, ``.i`` sees the same ``.`` that ``.b``
-    does — verified vs jq 1.6).  Fan-out order: a LATER index varies
-    slowest (``.b[(0,1)][(0,1)]`` on [[1,2],[3,4]] yields 1,3,2,4) and
-    within a slice the start varies slower than the end."""
+    fanning out over every stream output.  ``eval_outputs_partial(ast)``
+    returns ``(outputs, pending_error)`` for an index expression
+    evaluated against the PATH'S INPUT (jq: in ``.b.c[.i]``, ``.i``
+    sees the same ``.`` that ``.b`` does — verified vs jq 1.6).
+    Fan-out order: a LATER index varies slowest (``.b[(0,1)][(0,1)]``
+    on [[1,2],[3,4]] yields 1,3,2,4) and within a slice the start
+    varies slower than the end.  Returns the concrete step-lists plus
+    the chronologically-first pending error (jq laziness: combinations
+    computed before an erroring index still resolve — _fan_product)."""
     if not _has_expr_steps(steps):
-        return [list(steps)]
-    combos: list[list] = [[]]
+        return [list(steps)], None
+    slot_results: list = []
     for kind, key in steps:
         if kind == "expr":
+            outs, err = eval_outputs_partial(key)
             opts: list = []
-            for v in eval_outputs(key):
-                if isinstance(v, bool) or v is None or isinstance(v, dict):
+            for v in outs:
+                if isinstance(v, dict):
+                    # jq: an OBJECT index is a {start,end} slice form —
+                    # container-dependent, so validated at walk time
+                    opts.append(("objidx", v))
+                elif isinstance(v, bool) or v is None:
                     opts.append(("badidx", v))
                 elif isinstance(v, str):
                     opts.append(("seg", v))
@@ -1487,21 +1503,37 @@ def _resolve_steps(steps: list, eval_outputs) -> list:
                     opts.append(("subseq", v))
                 else:  # pragma: no cover - no other JSON types exist
                     opts.append(("badidx", v))
+            slot_results.append((opts, err))
         elif kind == "exprslice":
             lo_ast, hi_ast = key
-            lo_outs = eval_outputs(lo_ast) if lo_ast is not None else [None]
-            hi_outs = eval_outputs(hi_ast) if hi_ast is not None else [None]
+            lo_outs, lo_err = (
+                eval_outputs_partial(lo_ast)
+                if lo_ast is not None
+                else ([None], None)
+            )
+            hi_outs, hi_err = (
+                eval_outputs_partial(hi_ast)
+                if hi_ast is not None
+                else ([None], None)
+            )
+            if hi_err is not None and lo_outs:
+                # the end bound loops inside the start: its error fires
+                # during the first start value
+                lo_outs = lo_outs[:1]
             opts = [
                 ("slice", (_slice_bound(lo, "floor"), _slice_bound(hi, "ceil")))
                 for lo in lo_outs
                 for hi in hi_outs
             ]
+            slot_results.append(
+                (opts, hi_err if hi_err is not None and lo_outs else lo_err or hi_err)
+            )
         else:
-            combos = [c + [(kind, key)] for c in combos]
-            continue
-        # the new (later) step becomes the OUTER loop
-        combos = [c + [o] for o in opts for c in combos]
-    return combos
+            slot_results.append(([(kind, key)], None))
+    combos, pending = _fan_product(
+        slot_results, list(reversed(range(len(slot_results))))
+    )
+    return [list(c) for c in combos], pending
 
 
 def _collect_path_steps(ast: Any, cur: Any, ev) -> list:
@@ -1511,8 +1543,17 @@ def _collect_path_steps(ast: Any, cur: Any, ev) -> list:
     paths, and select() stages — richer control flow inside path() is
     a clear error rather than a wrong answer."""
     if isinstance(ast, Path):
+        def _ev_partial_p(a):
+            try:
+                return _outputs(ev(a, cur)), None
+            except JqError as e:
+                return (e.emitted or []), e
+
+        step_lists_p, pend_p = _resolve_steps(ast.steps, _ev_partial_p)
+        if pend_p is not None:
+            raise pend_p  # path() has no partial results here
         out: list = []
-        for steps in _resolve_steps(ast.steps, lambda a: _outputs(ev(a, cur))):
+        for steps in step_lists_p:
             if any(k == "iter" for k, _ in steps):
                 out.extend(_expand_paths(cur, steps, [], ast.optional))
             else:
@@ -1572,15 +1613,6 @@ def _path_step_to_key(kind: str, key: Any) -> Any:
     raise JqError("invalid path expression")
 
 
-def _subseq_indices(hay: list, needle: list) -> list:
-    """jq array[array] indexing: every start index where ``needle``
-    occurs as a contiguous subsequence ([5,6,5] | .[[5]] -> [0,2])."""
-    if not needle:
-        return []
-    n, m = len(hay), len(needle)
-    return [i for i in range(n - m + 1) if hay[i : i + m] == needle]
-
-
 def _expand_paths(val: Any, steps: list, prefix: list, optional: bool = False) -> list:
     """Expand a path expression containing ``[]`` steps into the
     concrete paths it matches in ``val`` (jq path streaming for
@@ -1632,7 +1664,7 @@ def _set_path(container: Any, steps: list, value: Any) -> Any:
     kind, key = steps[0]
     if kind == "iter":
         raise JqError("cannot assign through []")
-    if kind in ("badidx", "subseq") or (kind == "idx" and isinstance(key, float)):
+    if kind in ("badidx", "subseq", "objidx") or (kind == "idx" and isinstance(key, float)):
         raise JqError("invalid path expression in assignment")
     if kind == "slice":
         # jq slice assignment: .[0:2] = [9] splices the replacement in
@@ -1678,7 +1710,7 @@ def _get_path(container: Any, steps: list) -> Any:
     """Null-tolerant getpath for assignment left sides."""
     cur = container
     for kind, key in steps:
-        if kind in ("badidx", "subseq") or (
+        if kind in ("badidx", "subseq", "objidx") or (
             kind == "idx" and isinstance(key, float)
         ):
             raise JqError("invalid path expression in assignment")
@@ -1819,6 +1851,11 @@ def _value(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) -
         # output stream — discard it
         s.emitted = []
         raise
+    except JqError as e:
+        # same for partial outputs before an error: they were destined
+        # for this slot and never become program output
+        e.emitted = []
+        raise
     if isinstance(v, _JqStream):
         raise JqError(
             "multi-value streams (range/limit) are only supported as a "
@@ -1846,6 +1883,73 @@ def _slot_outputs(node: Any, doc: Any, elem: Any, env: dict | None) -> list:
     except _BreakSignal as s:
         s.emitted = []
         raise
+
+
+def _slot_outputs_partial(
+    node: Any, doc: Any, elem: Any, env: dict | None
+) -> tuple[list, "JqError | None"]:
+    """Like :func:`_slot_outputs` but an error mid-stream returns the
+    outputs produced BEFORE it plus the pending error instead of
+    raising.  jq's lazy evaluation emits every combination computed
+    before the error ("try ((1,error)+1) catch c" yields 2 then c), so
+    fan-out consumers build their partial combinations and re-raise the
+    pending error afterwards."""
+    try:
+        return _outputs(_eval(node, doc, elem, env)), None
+    except _BreakSignal as s:
+        s.emitted = []
+        raise
+    except JqError as e:
+        return (e.emitted or []), e
+
+
+def _fan_product(
+    slot_results: list, nesting: list
+) -> tuple[list, "JqError | None"]:
+    """jq-chronology cartesian product over operand slots with lazy
+    error semantics.  ``slot_results[i] = (outputs, err)`` in SOURCE
+    order; ``nesting`` lists source indices OUTERMOST loop first.
+
+    jq evaluates the product lazily, so an error in slot ``w`` fires
+    during the FIRST value of every loop outside ``w`` and after full
+    inner loops over ``w``'s partial outputs.  The chronologically
+    first error is the INNERMOST erroring slot whose outer slots all
+    produced at least one value.  Returns (ordered combination tuples
+    in source order, pending error or None)."""
+    winner = None
+    for idx in nesting:  # outer -> inner
+        outs, err = slot_results[idx]
+        if err is not None:
+            winner = (idx, err)
+        if not outs:
+            break  # deeper loops never run
+    n = len(slot_results)
+    if winner is None:
+        if any(not outs for outs, _ in slot_results):
+            return [], None
+        chosen = [outs for outs, _ in slot_results]
+        pending = None
+    else:
+        widx, pending = winner
+        wpos = nesting.index(widx)
+        chosen = []
+        for idx in range(n):
+            outs = slot_results[idx][0]
+            # loops OUTSIDE the winner are frozen at their first value
+            chosen.append(outs[:1] if nesting.index(idx) < wpos else outs)
+    # ordered product: outermost nesting slot varies slowest
+    combos: list[list] = [[None] * n]
+    for idx in reversed(nesting):  # build innermost (fastest) first
+        nxt = []
+        for v in chosen[idx]:
+            for c in combos:
+                c2 = list(c)
+                c2[idx] = v
+                nxt.append(c2)
+        combos = nxt
+    if any(not ch for ch in chosen):
+        combos = []
+    return [tuple(c) for c in combos], pending
 
 
 def _stream_or_value(items: list) -> Any:
@@ -1879,6 +1983,11 @@ def _pipe_items(
             r = _eval(Pipe(_Raw(it), list(ops)), doc, elem, env)
         except _BreakSignal as s:
             s.emitted = outs + s.emitted
+            raise
+        except JqError as e:
+            # outputs of the already-processed items (and the erroring
+            # item's own partials, already stage-mapped) still emitted
+            e.emitted = outs + (e.emitted or [])
             raise
         if r is _EMPTY:
             continue
@@ -1919,6 +2028,11 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 v = _eval(it, doc, elem, env)
             except _BreakSignal as s:
                 s.emitted = outs_c + s.emitted
+                raise
+            except JqError as e:
+                # jq streams lazily: values before the error were
+                # already emitted ("1, 2, error" yields 1 and 2 first)
+                e.emitted = outs_c + (e.emitted or [])
                 raise
             if v is _EMPTY:
                 continue
@@ -1972,23 +2086,42 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
     if isinstance(node, Interp):
         # each interpolation slot may stream; jq's LATER slots are the
         # outer loops ("a\((1,2))b\((3,4))" yields a1b3, a2b3, a1b4,
-        # a2b4) and an empty slot yields no strings at all
-        res_s: list[str] = [""]
+        # a2b4), an empty slot yields no strings, and a slot erroring
+        # mid-stream still emits the combinations computed before it
+        # ("p\((1,error))q" yields p1q then the error — _fan_product)
+        slot_results: list = []
         for kind, part in node.parts:
-            if kind == "lit":
-                res_s = [r + part for r in res_s]
-                continue
-            opts: list[str] = []
-            for v in _slot_outputs(part, doc, elem, env):
-                if node.fmt:
-                    s = _apply_fn(
-                        node.fmt, [], v, lambda a, e: _eval(a, doc, e, env)
-                    )
-                    opts.append(s if isinstance(s, str) else _jq_tostring(s))
+            if kind != "lit":
+                outs, err = _slot_outputs_partial(part, doc, elem, env)
+                rendered: list[str] = []
+                for v in outs:
+                    if node.fmt:
+                        s = _apply_fn(
+                            node.fmt, [], v, lambda a, e: _eval(a, doc, e, env)
+                        )
+                        rendered.append(
+                            s if isinstance(s, str) else _jq_tostring(s)
+                        )
+                    else:
+                        rendered.append(_jq_tostring(v))
+                slot_results.append((rendered, err))
+        combos, pending = _fan_product(
+            slot_results, list(reversed(range(len(slot_results))))
+        )
+        res_s = []
+        for combo in combos:
+            i_s = 0
+            parts_s: list[str] = []
+            for kind, part in node.parts:
+                if kind == "lit":
+                    parts_s.append(part)
                 else:
-                    opts.append(_jq_tostring(v))
-            # new slot is the outer loop over what's accumulated so far
-            res_s = [r + o for o in opts for r in res_s]
+                    parts_s.append(combo[i_s])
+                    i_s += 1
+            res_s.append("".join(parts_s))
+        if pending is not None:
+            pending.emitted = res_s
+            raise pending
         return _stream_or_value(res_s)
     if isinstance(node, ArrayLit):
         out_arr: list = []
@@ -2001,6 +2134,11 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 # (label $o | [1, break $o] emits nothing, like jq)
                 s.emitted = []
                 raise
+            except JqError as e:
+                # an error aborts the whole collection — partials never
+                # surface (jq: try [1,(2,error)] catch c -> just c)
+                e.emitted = []
+                raise
             if v is _EMPTY:
                 continue
             if isinstance(v, _JqStream):  # [range(3)] splices the stream
@@ -2010,34 +2148,49 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         return out_arr
     if isinstance(node, ObjectLit):
         # jq fans out streaming keys/values: the FIRST pair is the outer
-        # loop ({"x":(1,2),"y":(3,4)} yields x1y3, x1y4, x2y3, x2y4); a
-        # pair with an empty key or value contributes no combinations,
-        # so the whole construction yields nothing
-        objs: list[dict] = [{}]
+        # loop and within a pair the KEY loops outside the value
+        # ({("a","b"):(1,2)} yields a1, a2, b1, b2); a pair with an
+        # empty key or value contributes no combinations (the whole
+        # construction yields nothing), and mid-stream errors keep the
+        # combinations computed before them (_fan_product chronology)
+        slot_results_o: list = []
         for key, vexpr in node.pairs:
-            kouts = (
-                [key]
-                if isinstance(key, str)
-                else _slot_outputs(key, doc, elem, env)
-            )
+            if isinstance(key, str):
+                kouts, kerr = [key], None
+            else:
+                kouts, kerr = _slot_outputs_partial(key, doc, elem, env)
             for k_ in kouts:
                 if not isinstance(k_, str):
                     raise JqError("object key must be a string")
-            vouts = _slot_outputs(vexpr, doc, elem, env)
-            objs = [
-                {**o, k_: v_} for o in objs for k_ in kouts for v_ in vouts
-            ]
-            if not objs:
-                return _EMPTY
+            slot_results_o.append((kouts, kerr))
+            slot_results_o.append(
+                _slot_outputs_partial(vexpr, doc, elem, env)
+            )
+        combos_o, pending_o = _fan_product(
+            slot_results_o, list(range(len(slot_results_o)))
+        )
+        objs = [
+            {combo[i]: combo[i + 1] for i in range(0, len(combo), 2)}
+            for combo in combos_o
+        ]
+        if pending_o is not None:
+            pending_o.emitted = objs
+            raise pending_o
         return _stream_or_value(objs)
     if isinstance(node, Try):
         try:
             return _eval(node.expr, doc, elem, env)
         except JqError as e:
+            # outputs the body produced before erroring stay emitted
+            # (jq: try (1,2,error) catch c -> 1, 2, c)
+            prior = e.emitted or []
             if node.handler is None:
-                return _EMPTY
+                return _stream_or_value(prior)
             payload = str(e) if e.value is _NO_ERR_VALUE else e.value
-            return _eval(node.handler, doc, payload, env)
+            h = _eval(node.handler, doc, payload, env)
+            if not prior:
+                return h
+            return _stream_or_value(prior + _outputs(h))
     if isinstance(node, Label):
         # a fresh token per activation: `f | label $out | g` entered
         # from two upstream values must not confuse their breaks
@@ -2058,6 +2211,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         raise _BreakSignal(tok)
     if isinstance(node, AsBind):
         broke: _BreakSignal | None = None
+        err_b: JqError | None = None
         try:
             bound = _eval(node.source, doc, elem, env)
         except _BreakSignal as s:
@@ -2066,6 +2220,12 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             bound = _JqStream(s.emitted)
             s.emitted = []
             broke = s
+        except JqError as e:
+            # same for an erroring source: "(1,2,error) as $v | ..."
+            # runs the body for 1 and 2, then the error surfaces
+            bound = _JqStream(e.emitted or [])
+            e.emitted = []
+            err_b = e
         if bound is _EMPTY:
             return _EMPTY
         if isinstance(bound, _JqStream):
@@ -2078,6 +2238,9 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 except _BreakSignal as s:
                     s.emitted = outs + s.emitted
                     raise
+                except JqError as e:
+                    e.emitted = outs + (e.emitted or [])
+                    raise
                 if r is _EMPTY:
                     continue
                 if isinstance(r, _JqStream):
@@ -2087,6 +2250,9 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             if broke is not None:
                 broke.emitted = outs
                 raise broke
+            if err_b is not None:
+                err_b.emitted = outs
+                raise err_b
             return _JqStream(outs)
         return _eval_as_binding(node, bound, doc, elem, env)
     if isinstance(node, Reduce):
@@ -2101,6 +2267,11 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             # partially-consumed source values were inputs to the fold,
             # never outputs, so they do not escape onto the signal
             s.emitted = []
+            raise
+        except JqError as e:
+            # errors likewise: the fold never completes, no partials
+            # (jq: try (reduce (1,error) as $v (0;.+$v)) catch c -> c)
+            e.emitted = []
             raise
         # a streaming INIT fans out the whole reduce (jq: reduce ... as
         # $x ((1,2); .) yields one fold per init value); a streaming
@@ -2120,6 +2291,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         # same source semantics as Reduce, but yield each intermediate
         # (through EXTRACT when given) as a bounded stream
         broke_f: _BreakSignal | None = None
+        err_f: JqError | None = None
         try:
             seq = _fold_source(node.source, doc, elem, env)
         except _BreakSignal as s:
@@ -2128,6 +2300,12 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             seq = s.emitted
             s.emitted = []
             broke_f = s
+        except JqError as e:
+            # an erroring source still folds its partial values first
+            # (jq: foreach (1,2,error) as $x (0;.+$x) -> 1, 3, error)
+            seq = e.emitted or []
+            e.emitted = []
+            err_f = e
         # a streaming UPDATE emits the extract for EVERY intermediate
         # output and leaves the LAST as the accumulator; an empty update
         # emits nothing and leaves the accumulator unchanged (jq 1.6:
@@ -2139,7 +2317,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 env2 = dict(env) if env else {}
                 env2[node.var] = item
                 try:
-                    ups = _slot_outputs(node.update, doc, acc, env2)
+                    ups, uerr = _slot_outputs_partial(node.update, doc, acc, env2)
                 except _BreakSignal as s:
                     s.emitted = outs + s.emitted
                     raise
@@ -2155,15 +2333,26 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     except _BreakSignal as s:
                         s.emitted = outs + s.emitted
                         raise
+                    except JqError as e:
+                        e.emitted = outs + (e.emitted or [])
+                        raise
                     if ex is _EMPTY:
                         continue
                     if isinstance(ex, _JqStream):
                         outs.extend(ex.items)
                     else:
                         outs.append(ex)
+                if uerr is not None:
+                    # an erroring UPDATE still emitted extracts for its
+                    # earlier outputs (foreach 1 as $x (0; (.+1, error)))
+                    uerr.emitted = outs
+                    raise uerr
         if broke_f is not None:
             broke_f.emitted = outs
             raise broke_f
+        if err_f is not None:
+            err_f.emitted = outs
+            raise err_f
         return _JqStream(outs)
     if isinstance(node, Assign):
         cur_in = doc if elem is _NO_ELEM else elem
@@ -2180,9 +2369,14 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             # (jq computes LHS paths before applying updates), fanning
             # out: .b[.i,0] = 9 sets both elements of one result
             if _has_expr_steps(p.steps):
-                resolved = _resolve_steps(
-                    p.steps, lambda a: _slot_outputs(a, doc, elem, env)
+                resolved, pend_as = _resolve_steps(
+                    p.steps, lambda a: _slot_outputs_partial(a, doc, elem, env)
                 )
+                if pend_as is not None:
+                    # an erroring index aborts the whole assignment:
+                    # no partial result document exists
+                    pend_as.emitted = []
+                    raise pend_as
             else:
                 resolved = [p.steps]
             for steps in resolved:
@@ -2208,7 +2402,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 else:
                     result = _del_path(result, p.steps)
             return result
-        rhs_outs = _slot_outputs(node.expr, doc, elem, env)
+        rhs_outs, rhs_err = _slot_outputs_partial(node.expr, doc, elem, env)
         fanned: list = []
         for rv in rhs_outs:
             result_i = result
@@ -2224,30 +2418,44 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     new = _apply_arith("-", _get_path(result_i, p.steps), rv)
                 result_i = _set_path(result_i, p.steps, new)
             fanned.append(result_i)
+        if rhs_err is not None:
+            # a streaming RHS erroring mid-fan still emitted the
+            # assignments for its earlier values (.a = (1,error))
+            rhs_err.emitted = fanned
+            raise rhs_err
         return _stream_or_value(fanned)
     if isinstance(node, PathApply):
         # postfix expression index on a general term: the index resolves
         # against the INPUT (jq: '(.b)[.i]' reads .i from the original
         # doc), then each resolved step-list walks each term output
         try:
-            step_lists = _resolve_steps(
-                node.steps, lambda a: _slot_outputs(a, doc, elem, env)
+            step_lists, pend_pa = _resolve_steps(
+                node.steps, lambda a: _slot_outputs_partial(a, doc, elem, env)
             )
         except JqError:
             if node.optional:
                 return _EMPTY
             raise
+        if pend_pa is not None and node.optional:
+            pend_pa = None
         tvals = _slot_outputs(node.term, doc, elem, env)
         outs_pa: list = []
         for st in step_lists:  # the (later) index is the outer loop
             for tv in tvals:
-                r = _eval(Path(st, node.optional), doc, tv, env)
+                try:
+                    r = _eval(Path(st, node.optional), doc, tv, env)
+                except JqError as e:
+                    e.emitted = outs_pa + (e.emitted or [])
+                    raise
                 if r is _EMPTY:
                     continue
                 if isinstance(r, _JqStream):
                     outs_pa.extend(r.items)
                 else:
                     outs_pa.append(r)
+        if pend_pa is not None:
+            pend_pa.emitted = outs_pa
+            raise pend_pa
         return _stream_or_value(outs_pa)
     if isinstance(node, Path):
         # inside map/select the element is the current input for ALL
@@ -2258,22 +2466,37 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             # path's input, fanning out over stream outputs; a `?`
             # suppresses index-expression errors too (.b[error]? -> empty)
             try:
-                step_lists = _resolve_steps(
-                    node.steps, lambda a: _slot_outputs(a, doc, elem, env)
+                step_lists, pend_rp = _resolve_steps(
+                    node.steps,
+                    lambda a: _slot_outputs_partial(a, doc, elem, env),
                 )
-            except JqError:
+            except JqError:  # _slice_bound validation
                 if node.optional:
                     return _EMPTY
                 raise
+            if pend_rp is not None and node.optional:
+                pend_rp = None  # `?`: walk the partial combos, drop the error
             outs_rp: list = []
             for st in step_lists:
-                r = _eval(Path(st, node.optional), doc, elem, env)
+                try:
+                    r = _eval(Path(st, node.optional), doc, elem, env)
+                except JqError as e:
+                    # a WALK error on a later combo still keeps the
+                    # earlier walks' outputs (.b[.b[0,"x"]] emits the
+                    # .b[.b[0]] value before erroring)
+                    e.emitted = outs_rp + (e.emitted or [])
+                    raise
                 if r is _EMPTY:
                     continue
                 if isinstance(r, _JqStream):
                     outs_rp.extend(r.items)
                 else:
                     outs_rp.append(r)
+            if pend_rp is not None:
+                # walks for the index values produced before the error
+                # still emitted (jq: .b[.b[1], error] yields .b[1] first)
+                pend_rp.emitted = outs_rp
+                raise pend_rp
             if len(step_lists) == 1 and len(outs_rp) == 1:
                 return outs_rp[0]
             return _stream_or_value(outs_rp)
@@ -2324,10 +2547,36 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 raise JqError(
                     f"cannot index {_jq_type(cur)} with {_jq_type(key)}"
                 )
+            if kind == "objidx":
+                # jq: an object index is the {start,end} slice form —
+                # null container yields null; arrays/strings slice with
+                # strict numeric bounds; anything else errors
+                if cur is None:
+                    continue
+                if isinstance(cur, (list, str)):
+                    s_o, e_o = key.get("start"), key.get("end")
+                    if any(
+                        isinstance(b, bool) or not isinstance(b, (int, float))
+                        for b in (s_o, e_o)
+                    ):
+                        if node.optional:
+                            return _EMPTY
+                        raise JqError(
+                            "start and end indices of an array slice "
+                            "must be numbers"
+                        )
+                    import math as _math
+
+                    cur = cur[_math.floor(s_o) : _math.ceil(e_o)]
+                    continue
+                if node.optional:
+                    return _EMPTY
+                raise JqError(f"cannot index {_jq_type(cur)} with object")
             if kind == "subseq":
-                # jq array[array]: start indices of the subsequence
+                # jq array[array]: start indices of the subsequence,
+                # under jq equality (0 != false — _jq_indices sort keys)
                 if isinstance(cur, list):
-                    cur = _subseq_indices(cur, key)
+                    cur = _jq_indices(cur, key)
                     continue
                 if node.optional:
                     return _EMPTY
@@ -2374,6 +2623,13 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             # (label $o | (1,2,break $o) | .+10 yields 11, 12)
             s.emitted = _pipe_items(s.emitted, node.ops, doc, elem, env)
             raise
+        except JqError as e:
+            # same for an error: "(1,2,error) | .+10" emits 11, 12 and
+            # THEN errors.  If mapping a partial through the stages
+            # errors itself, that error happened first and wins
+            # (_pipe_items raises it with its own correct partials).
+            e.emitted = _pipe_items(e.emitted or [], node.ops, doc, elem, env)
+            raise
         for op_idx, op in enumerate(node.ops):
             if cur is _EMPTY:
                 break  # empty propagates through every op
@@ -2397,17 +2653,21 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 else:
                     raise JqError(f"{type(cur).__name__} has no length")
             elif op[0] == "add":
-                if not isinstance(cur, list):
-                    raise JqError("add requires an array")
-                if not cur:
+                # jq add = reduce .[] as $x (null; . + $x): iterates
+                # arrays AND object values; numbers sum, strings/arrays
+                # concatenate, objects merge — mismatches raise a
+                # CATCHABLE JqError, never a raw TypeError
+                if isinstance(cur, dict):
+                    items_add = list(cur.values())
+                elif isinstance(cur, list):
+                    items_add = cur
+                else:
+                    raise JqError("add requires an array or object")
+                if not items_add:
                     cur = None
                 else:
-                    # jq add = reduce .[] as $x (null; . + $x): numbers
-                    # sum, strings/arrays concatenate, objects merge —
-                    # mismatches raise a CATCHABLE JqError, never a raw
-                    # TypeError
-                    acc = cur[0]
-                    for v in cur[1:]:
+                    acc = items_add[0]
+                    for v in items_add[1:]:
                         acc = _apply_arith("+", acc, v)
                     cur = acc
             elif op[0] == "not":
@@ -2424,12 +2684,19 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 cur = agg0(_jq_truthy(v) for v in vals)
             elif op[0] == "select":
                 # jq truthiness (0/""/[]/{} are truthy) and a streaming
-                # condition fans out: select(true,false) keeps one copy
-                kept = [
-                    cur
-                    for c in _slot_outputs(op[1], doc, cur, env)
-                    if _jq_truthy(c)
-                ]
+                # condition fans out: select(true,false) keeps one copy;
+                # a condition erroring mid-stream still emitted a copy
+                # per earlier truthy output (they flow on through the
+                # remaining stages before the error surfaces)
+                conds_sel, cerr_sel = _slot_outputs_partial(
+                    op[1], doc, cur, env
+                )
+                kept = [cur for c in conds_sel if _jq_truthy(c)]
+                if cerr_sel is not None:
+                    cerr_sel.emitted = _pipe_items(
+                        kept, node.ops[op_idx + 1 :], doc, elem, env
+                    )
+                    raise cerr_sel
                 cur = _stream_or_value(kept)
             elif op[0] == "type":
                 cur = _jq_type(cur)
@@ -2480,18 +2747,45 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     # NOT catchable by try (matches jq)
                     raise _HaltSignal(cur, is_error=op[1] == "halt_error")
             elif op[0] == "fn":
-                cur = _apply_fn(
-                    op[1], op[2], cur,
-                    lambda a, e: _eval(a, doc, e, env),
-                )
+                try:
+                    cur = _apply_fn(
+                        op[1], op[2], cur,
+                        lambda a, e: _eval(a, doc, e, env),
+                    )
+                except JqError as e_fn:
+                    if e_fn.emitted:
+                        # partial generator outputs (recurse, ...) flow
+                        # through the remaining stages before the error
+                        e_fn.emitted = _pipe_items(
+                            e_fn.emitted, node.ops[op_idx + 1 :],
+                            doc, elem, env,
+                        )
+                    raise
             elif op[0] == "expr":
-                cur = _eval(op[1], doc, cur, env)
+                try:
+                    cur = _eval(op[1], doc, cur, env)
+                except JqError as e_ex:
+                    if e_ex.emitted:
+                        # a mid-pipe stage erroring mid-stream: values
+                        # it emitted first still flow downstream
+                        # ((1,2,error) | .+1 -> 2, 3, error)
+                        e_ex.emitted = _pipe_items(
+                            e_ex.emitted, node.ops[op_idx + 1 :],
+                            doc, elem, env,
+                        )
+                    raise
             elif op[0] == "map":
                 if not isinstance(cur, list):
                     raise JqError("map requires an array")
                 vals = []
                 for e in cur:
-                    v = _eval(op[1], doc, e, env)
+                    try:
+                        v = _eval(op[1], doc, e, env)
+                    except JqError as e_m:
+                        # map collects into an array: an error aborts
+                        # the whole collection, partials never surface
+                        e_m.emitted = []
+                        raise
                     if v is _EMPTY:  # map(select(f)) drops empties
                         continue
                     if isinstance(v, _JqStream):  # map(range(n)) splices
@@ -2506,7 +2800,8 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         # outputs are REAL outputs, so a break inside a branch carries
         # the already-emitted values with it.
         res_if: list = []
-        for c in _slot_outputs(node.cond, doc, elem, env):
+        conds_if, cerr_if = _slot_outputs_partial(node.cond, doc, elem, env)
+        for c in conds_if:
             branch = node.then if _jq_truthy(c) else node.orelse
             if branch is None:
                 # jq else-less if passes the input through
@@ -2517,7 +2812,15 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             except _BreakSignal as s:
                 s.emitted = res_if + s.emitted
                 raise
+            except JqError as e:
+                e.emitted = res_if + (e.emitted or [])
+                raise
             res_if.extend(_outputs(v))
+        if cerr_if is not None:
+            # a condition erroring mid-stream still ran the branches
+            # for its earlier outputs (if (true,error) then 9 end -> 9)
+            cerr_if.emitted = res_if
+            raise cerr_if
         return _stream_or_value(res_if)
     if isinstance(node, Bin):
         if node.op == "//":
@@ -2537,9 +2840,11 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             return _eval(node.right, doc, elem, env)
         if node.op in ("and", "or"):
             # LHS is the outer loop; short-circuit per left output
-            # ((false,1) and f evaluates f only for the truthy 1)
+            # ((false,1) and f evaluates f only for the truthy 1);
+            # mid-stream errors keep earlier results emitted
             res_b: list = []
-            for l in _slot_outputs(node.left, doc, elem, env):
+            louts_b, lerr_b = _slot_outputs_partial(node.left, doc, elem, env)
+            for l in louts_b:
                 lt = _jq_truthy(l)
                 if node.op == "and" and not lt:
                     res_b.append(False)
@@ -2547,38 +2852,60 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 if node.op == "or" and lt:
                     res_b.append(True)
                     continue
-                res_b.extend(
-                    _jq_truthy(r)
-                    for r in _slot_outputs(node.right, doc, elem, env)
+                routs_b, rerr_b = _slot_outputs_partial(
+                    node.right, doc, elem, env
                 )
+                res_b.extend(_jq_truthy(r) for r in routs_b)
+                if rerr_b is not None:
+                    rerr_b.emitted = res_b
+                    raise rerr_b
+            if lerr_b is not None:
+                lerr_b.emitted = res_b
+                raise lerr_b
             return _stream_or_value(res_b)
         # arithmetic / comparison: jq evaluates the RIGHT side as the
         # OUTER loop ((1,2) + (10,20) yields 11, 12, 21, 22); an empty
-        # operand yields no combinations (empty result)
-        routs = _slot_outputs(node.right, doc, elem, env)
-        louts = _slot_outputs(node.left, doc, elem, env) if routs else []
+        # operand yields no combinations (empty result) and a mid-stream
+        # error keeps the combinations computed before it
+        routs, rerr = _slot_outputs_partial(node.right, doc, elem, env)
+        louts, lerr = (
+            _slot_outputs_partial(node.left, doc, elem, env)
+            if routs
+            else ([], None)
+        )
+        combos_bin, pending_bin = _fan_product(
+            [(louts, lerr), (routs, rerr)], [1, 0]
+        )
         res: list = []
-        for r in routs:
-            for l in louts:
-                if node.op == "==":
-                    res.append(_jq_eq(l, r))
-                elif node.op == "!=":
-                    res.append(not _jq_eq(l, r))
-                elif node.op in ("<", "<=", ">", ">="):
-                    # jq compares ANY two values via the cross-type total
-                    # order (null < false < true < numbers < strings <
-                    # arrays < objects)
-                    lk, rk = _jq_sort_key(l), _jq_sort_key(r)
-                    if node.op == "<":
-                        res.append(lk < rk)
-                    elif node.op == "<=":
-                        res.append(lk <= rk)
-                    elif node.op == ">":
-                        res.append(lk > rk)
-                    else:
-                        res.append(lk >= rk)
+        for l, r in combos_bin:
+            if node.op == "==":
+                res.append(_jq_eq(l, r))
+            elif node.op == "!=":
+                res.append(not _jq_eq(l, r))
+            elif node.op in ("<", "<=", ">", ">="):
+                # jq compares ANY two values via the cross-type total
+                # order (null < false < true < numbers < strings <
+                # arrays < objects)
+                lk, rk = _jq_sort_key(l), _jq_sort_key(r)
+                if node.op == "<":
+                    res.append(lk < rk)
+                elif node.op == "<=":
+                    res.append(lk <= rk)
+                elif node.op == ">":
+                    res.append(lk > rk)
                 else:
+                    res.append(lk >= rk)
+            else:
+                try:
                     res.append(_jq_arith(node.op, l, r))
+                except JqError as e:
+                    # a type error on the Nth combination still emits
+                    # the earlier ones ((1,"x") + 1 yields 2, error)
+                    e.emitted = res
+                    raise
+        if pending_bin is not None:
+            pending_bin.emitted = res
+            raise pending_bin
         return _stream_or_value(res)
     raise JqError(f"cannot evaluate {node!r}")
 
@@ -2651,13 +2978,14 @@ def _jq_arith(op: str, l: Any, r: Any) -> Any:
                         out[k] = v
                 return out
             return deep(l, r)
-        if isinstance(l, str) and num(r):
-            # jq: "ab" * n repeats; n <= 0 yields null; a fractional
-            # positive n truncates but never below one copy (empirical
-            # jq 1.6: 0.4 -> 1 copy, 1.5 -> 1, 2.7 -> 2)
-            if r <= 0:
+        if isinstance(l, str) and num(r) or num(l) and isinstance(r, str):
+            # jq: "ab" * n repeats (commutative — 2 * "x" is "xx");
+            # n <= 0 yields null; a fractional positive n truncates but
+            # never below one copy (empirical jq 1.6: 0.4 -> 1, 2.7 -> 2)
+            s_, n_ = (l, r) if isinstance(l, str) else (r, l)
+            if n_ <= 0:
                 return None
-            return l * max(1, int(r))
+            return s_ * max(1, int(n_))
     elif op == "/":
         if num(l) and num(r):
             if r == 0:
@@ -2793,6 +3121,20 @@ def _steps_from_list(p: Any) -> list:
         elif isinstance(el, (int, float)) and not isinstance(el, bool) \
                 and float(el) == int(el):
             steps.append(("idx", int(el)))
+        elif (
+            isinstance(el, dict)
+            and all(
+                isinstance(el.get(k2), (int, float))
+                and not isinstance(el.get(k2), bool)
+                for k2 in ("start", "end")
+            )
+        ):
+            # jq path arrays carry slices as {"start": n, "end": m}
+            import math as _math
+
+            steps.append(
+                ("slice", (_math.floor(el["start"]), _math.ceil(el["end"])))
+            )
         else:
             raise JqError(f"bad path element {el!r}")
     return steps
@@ -2805,7 +3147,7 @@ def _del_path(container: Any, steps: list) -> Any:
     if not steps:
         raise JqError("cannot delete the root")
     kind, key = steps[0]
-    if kind in ("badidx", "subseq") or (kind == "idx" and isinstance(key, float)):
+    if kind in ("badidx", "subseq", "objidx") or (kind == "idx" and isinstance(key, float)):
         raise JqError("invalid path expression in del")
     if kind == "iter":
         if len(steps) > 1:
@@ -2977,7 +3319,22 @@ _ZERO_ARG_WORDS = _ZERO_ARG_WORDS | frozenset(
 _FN_ARG_RANGE.update({k: (2, 2) for k in _MATH2})
 
 
+# builtins that deliberately repropagate partial stream outputs on
+# error (jq laziness); every other builtin absorbs its arguments, so a
+# deeper construct's partials must not leak past it onto an outer try
+_PARTIAL_AWARE_FNS = frozenset({"limit", "first", "last", "nth", "recurse"})
+
+
 def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
+    try:
+        return _apply_fn_inner(name, arg_asts, cur, ev)
+    except JqError as e:
+        if name not in _PARTIAL_AWARE_FNS:
+            e.emitted = []
+        raise
+
+
+def _apply_fn_inner(name: str, arg_asts: list, cur: Any, ev) -> Any:
     """Shared builtin dispatcher for the ("fn", name, args) pipe op.
     ``ev(ast, elem)`` evaluates an argument AST with ``.`` = elem —
     value arguments evaluate against the piped input, the *_by family
@@ -2986,7 +3343,11 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
     import math
 
     def val(i: int) -> Any:
-        v = ev(arg_asts[i], cur)
+        try:
+            v = ev(arg_asts[i], cur)
+        except JqError as e:
+            e.emitted = []  # slot-bound partials never become output
+            raise
         if isinstance(v, _JqStream):
             # only limit's second argument consumes a stream (it uses
             # ``ev`` directly); every val() argument is single-value
@@ -3027,7 +3388,17 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         fast = _range_prefix(arg_asts[1], k, ev, cur)
         if fast is not None:
             return _JqStream(fast)
-        out = ev(arg_asts[1], cur)
+        try:
+            out = ev(arg_asts[1], cur)
+        except JqError as e:
+            # jq's limit is lazy: if k values streamed out before the
+            # error, the error is never reached (limit(2; 1,2,error)
+            # yields 1, 2 cleanly)
+            partial = e.emitted or []
+            if len(partial) >= k:
+                return _JqStream(partial[:k])
+            e.emitted = partial
+            raise
         if isinstance(out, _JqStream):
             items = out.items
         elif out is _EMPTY:
@@ -3272,11 +3643,17 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
             out_rec.append(x)
             if len(out_rec) > 1_000_000:
                 raise JqError("recurse expansion exceeds 1e6 values")
-            kids = [
-                c
-                for c in f_outputs(x)
-                if cond_ast is None or _jq_truthy(ev(cond_ast, c))
-            ]
+            try:
+                kids = [
+                    c
+                    for c in f_outputs(x)
+                    if cond_ast is None or _jq_truthy(ev(cond_ast, c))
+                ]
+            except JqError as e:
+                # values visited before the error were already emitted
+                # (jq: try recurse(f) catch c keeps the walked prefix)
+                e.emitted = out_rec
+                raise
             stack.extend(reversed(kids))
         return _JqStream(out_rec)
     if name == "until":
@@ -3390,12 +3767,18 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         # expression indexes fan out (del(.b[.i,0]) deletes both),
         # resolving against del's input
         if any(_has_expr_steps(p.steps) for p in arg_asts):
+            def _ev_partial_del(a):
+                try:
+                    return _outputs(ev(a, cur)), None
+                except JqError as e:
+                    return (e.emitted or []), e
+
             resolved_del: list = []
             for p in arg_asts:
-                for steps in _resolve_steps(
-                    p.steps, lambda a: _outputs(ev(a, cur))
-                ):
-                    resolved_del.append(Path(steps, p.optional))
+                steps_del, pend_del = _resolve_steps(p.steps, _ev_partial_del)
+                if pend_del is not None:
+                    raise pend_del  # no partial del results in jq
+                resolved_del.extend(Path(s, p.optional) for s in steps_del)
             arg_asts = resolved_del
 
         def _del_order(p: Path):
@@ -3516,13 +3899,26 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
                 fast = _range_prefix(arg_asts[0], 1, ev, cur)
                 if fast is not None:
                     return fast[0] if fast else _EMPTY
-            out = ev(arg_asts[0], cur)
+            try:
+                out = ev(arg_asts[0], cur)
+            except JqError as e:
+                partial = e.emitted or []
+                e.emitted = []
+                if name == "first" and partial:
+                    # lazy: the first value streamed out before the
+                    # error, which is never reached (first(1, error))
+                    return partial[0]
+                raise  # last needs the whole stream; first saw nothing
             if out is _EMPTY:
                 return _EMPTY
             items = out.items if isinstance(out, _JqStream) else [out]
             if not items:
                 return _EMPTY
             return items[0] if name == "first" else items[-1]
+        # jq: def first: .[0]; def last: .[-1]; — indexing null yields
+        # null, anything else non-array errors
+        if cur is None:
+            return None
         if not isinstance(cur, list):
             raise JqError(f"{name} requires an array")
         if not cur:
@@ -3842,7 +4238,16 @@ def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
         if fast is not None:
             items = fast
         else:
-            out = ev(arg_asts[1], cur)
+            try:
+                out = ev(arg_asts[1], cur)
+            except JqError as e:
+                # nth(n;g) == last(limit(n+1;g)): lazy if n+1 values
+                # streamed out before the error
+                partial = e.emitted or []
+                e.emitted = []
+                if len(partial) >= n + 1:
+                    return partial[n]
+                raise
             items = (
                 out.items[: n + 1]
                 if isinstance(out, _JqStream)

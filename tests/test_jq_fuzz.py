@@ -1,0 +1,109 @@
+"""Grammar fuzz: randomly composed jq programs run through BOTH the
+mini-jq engine and the real jq 1.6 binary; outcome class and values
+must agree (same harness contract as test_jq_differential).
+
+The generator stays inside the verified intersection surface:
+
+* no unbounded loops (repeat/until/while/recurse) — jq runs forever;
+* no multi-output any/all conditions — jq 1.6's isempty-based defs
+  invert them (1.7 agrees with us);
+* no ``?``/``try`` in NON-TAIL positions: jq 1.6's backtracking
+  implementation lets a bare ``?`` swallow errors raised by the
+  CONTINUATION (``[(.b,.o) + ([2])?]`` suppresses the ``+`` type
+  error!).  jaq — the engine the reference actually embeds — and the
+  jq manual scope try lexically like we do, so that artifact is a
+  documented deviation, not a target.  ``try .. catch`` is clean in
+  jq 1.6 and stays in the pool;
+* no ``reverse`` (we follow jq 1.7: strings reverse; 1.6 errors) and
+  no ``//`` (we follow jaq: left-side errors fall through to the
+  right; jq 1.6 propagates them — documented in the Bin branch).
+
+Type-mismatch ERRORS are valid outcomes — both engines must simply
+agree they error.  Programs jq 1.6 cannot compile are skipped, like
+the curated sweep.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from test_jq_differential import JQ, _close, ours, real_jq
+
+pytestmark = pytest.mark.skipif(JQ is None, reason="no jq binary")
+
+DOC = {
+    "a": 2,
+    "b": [3, 1, 2],
+    "c": {"d": "x", "e": [{"f": 1}, {"f": 2}]},
+    "s": "Hello",
+    "n": None,
+    "f": 2.5,
+    "arr": [1, "a", True, None],
+    "o": {"k1": 1, "k2": [2, 3]},
+}
+
+PATHS = [".a", ".b", ".b[0]", ".b[1]", ".c.d", ".c.e", ".c.e[0].f",
+         ".s", ".n", ".f", ".o", ".o.k2", ".arr", "."]
+LITS = ["0", "1", "2", "3", '"x"', '"y"', "true", "false", "null",
+        "[1,2]", '{"k":1}', "1.5"]
+ZERO_FNS = ["length", "keys", "add", "type", "tostring", "not",
+            "tojson", "first", "sort", "unique",
+            "min", "max", "to_entries", "values", "empty", "last",
+            "fromjson", "ascii_downcase", "floor", "abs", "tonumber"]
+BINOPS = ["+", "-", "*", "==", "!=", "<", "<=", ">", ">=", "and", "or"]
+
+
+def gen(rng: random.Random, depth: int) -> str:
+    """One random program fragment (single- or multi-output).  No bare
+    ``?`` anywhere (see module docstring); try..catch only as a full
+    wrapper whose continuation is the stream boundary."""
+    if depth <= 0:
+        return rng.choice(PATHS + LITS)
+    pick = rng.randrange(14)
+    a = lambda: gen(rng, depth - 1)  # noqa: E731
+    if pick == 0:
+        return f"({a()} {rng.choice(BINOPS)} {a()})"
+    if pick == 1:
+        return f"[{a()}]"
+    if pick == 2:
+        return f"({a()} | {a()})"
+    if pick == 3:
+        return f"({a()}, {a()})"
+    if pick == 4:
+        return f"(if {a()} then {a()} else {a()} end)"
+    if pick == 5:
+        return f"[try ({a()}) catch \"caught\"]"
+    if pick == 6:
+        return f"({a()} | {rng.choice(ZERO_FNS)})"
+    if pick == 7:
+        return f"{{k: {a()}}}"
+    if pick == 8:
+        return f"(.b | map({gen(rng, 1)}))"
+    if pick == 9:
+        return f"({a()} | select({gen(rng, 1)}))"
+    if pick == 10:
+        return f".b[{gen(rng, 1)}]"
+    if pick == 11:
+        return f"({a()} as $v | [$v, {gen(rng, 1)}])"
+    if pick == 12:
+        return f"(reduce .b[] as $x ({rng.choice(LITS)}; . + $x))"
+    return f"[limit(2; {a()})]"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzzed_programs_match_real_jq(seed):
+    rng = random.Random(8800 + seed)
+    compared = 0
+    for _ in range(40):
+        prog = f"[{gen(rng, 3)}]"
+        ref = real_jq(prog, DOC)
+        if ref[0] in ("compile_error", "unparseable"):
+            continue  # outside jq 1.6's surface — same rule as the sweep
+        got = ours(prog, DOC)
+        assert got[0] == ref[0], (prog, ref, got)
+        if ref[0] == "ok":
+            assert _close(got[1], ref[1]), (prog, ref[1], got[1])
+        compared += 1
+    assert compared >= 25  # the generator must stay mostly compilable
