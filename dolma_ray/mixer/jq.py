@@ -1076,6 +1076,11 @@ class _Parser:
             steps.append(("iter", None))  # ".[]" iterate-all
             return
         if k3 == "str" and self.peek()[0] == "rbrack":
+            if "\\(" in v3:
+                # interpolated key: .b["k\(.x)"] is an expression index
+                steps.append(("expr", _parse_interp(v3)))
+                self.next()
+                return
             steps.append(("seg", _json.loads(v3)))
             self.next()
             return
@@ -1174,7 +1179,11 @@ class _Parser:
                 import json as _json
 
                 self.next()
-                steps.append(("seg", _json.loads(v2)))
+                if "\\(" in v2:
+                    # ."k\(.x)": interpolated key is an expression index
+                    steps.append(("expr", _parse_interp(v2)))
+                else:
+                    steps.append(("seg", _json.loads(v2)))
             elif k2 == "lbrack":
                 self.next()
                 self.parse_bracket_step(steps)
@@ -1511,19 +1520,24 @@ def _resolve_steps(
                 if lo_ast is not None
                 else ([None], None)
             )
-            hi_outs, hi_err = (
-                eval_outputs_partial(hi_ast)
-                if hi_ast is not None
-                else ([None], None)
-            )
+            if not lo_outs and lo_err is None:
+                # an EMPTY start bound short-circuits: the end bound is
+                # never evaluated (jq: .b[empty:error] is empty)
+                hi_outs, hi_err = [], None
+            else:
+                hi_outs, hi_err = (
+                    eval_outputs_partial(hi_ast)
+                    if hi_ast is not None
+                    else ([None], None)
+                )
             if hi_err is not None and lo_outs:
                 # the end bound loops inside the start: its error fires
                 # during the first start value
                 lo_outs = lo_outs[:1]
+            # bound TYPES are validated at the container (jq: null
+            # sliced with any bound types is null), so keep raw values
             opts = [
-                ("slice", (_slice_bound(lo, "floor"), _slice_bound(hi, "ceil")))
-                for lo in lo_outs
-                for hi in hi_outs
+                ("eslice", (lo, hi)) for lo in lo_outs for hi in hi_outs
             ]
             slot_results.append(
                 (opts, hi_err if hi_err is not None and lo_outs else lo_err or hi_err)
@@ -1534,6 +1548,21 @@ def _resolve_steps(
         slot_results, list(reversed(range(len(slot_results))))
     )
     return [list(c) for c in combos], pending
+
+
+def _concretize_eslices(steps: list) -> list:
+    """Path-context (assignment/del/path()) conversion of expression
+    slices to concrete slices — bounds must be numbers or null here."""
+    out = []
+    for kind, key in steps:
+        if kind == "eslice":
+            out.append(
+                ("slice",
+                 (_slice_bound(key[0], "floor"), _slice_bound(key[1], "ceil")))
+            )
+        else:
+            out.append((kind, key))
+    return out
 
 
 def _collect_path_steps(ast: Any, cur: Any, ev) -> list:
@@ -1552,6 +1581,7 @@ def _collect_path_steps(ast: Any, cur: Any, ev) -> list:
         step_lists_p, pend_p = _resolve_steps(ast.steps, _ev_partial_p)
         if pend_p is not None:
             raise pend_p  # path() has no partial results here
+        step_lists_p = [_concretize_eslices(s) for s in step_lists_p]
         out: list = []
         for steps in step_lists_p:
             if any(k == "iter" for k, _ in steps):
@@ -1664,7 +1694,7 @@ def _set_path(container: Any, steps: list, value: Any) -> Any:
     kind, key = steps[0]
     if kind == "iter":
         raise JqError("cannot assign through []")
-    if kind in ("badidx", "subseq", "objidx") or (kind == "idx" and isinstance(key, float)):
+    if kind in ("badidx", "subseq", "objidx", "eslice") or (kind == "idx" and isinstance(key, float)):
         raise JqError("invalid path expression in assignment")
     if kind == "slice":
         # jq slice assignment: .[0:2] = [9] splices the replacement in
@@ -1710,7 +1740,7 @@ def _get_path(container: Any, steps: list) -> Any:
     """Null-tolerant getpath for assignment left sides."""
     cur = container
     for kind, key in steps:
-        if kind in ("badidx", "subseq", "objidx") or (
+        if kind in ("badidx", "subseq", "objidx", "eslice") or (
             kind == "idx" and isinstance(key, float)
         ):
             raise JqError("invalid path expression in assignment")
@@ -2377,6 +2407,7 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                     # no partial result document exists
                     pend_as.emitted = []
                     raise pend_as
+                resolved = [_concretize_eslices(s) for s in resolved]
             else:
                 resolved = [p.steps]
             for steps in resolved:
@@ -2547,6 +2578,25 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                 raise JqError(
                     f"cannot index {_jq_type(cur)} with {_jq_type(key)}"
                 )
+            if kind == "eslice":
+                # expression slice: jq validates the bound TYPES only
+                # when the container actually slices (null[any:any] is
+                # null); numeric bounds floor/ceil like literal slices
+                if cur is None:
+                    continue
+                if isinstance(cur, (list, str)):
+                    try:
+                        lo_e = _slice_bound(key[0], "floor")
+                        hi_e = _slice_bound(key[1], "ceil")
+                    except JqError:
+                        if node.optional:
+                            return _EMPTY
+                        raise
+                    cur = cur[slice(lo_e, hi_e)]
+                    continue
+                if node.optional:
+                    return _EMPTY
+                raise JqError(f"cannot slice {_jq_type(cur)}")
             if kind == "objidx":
                 # jq: an object index is the {start,end} slice form —
                 # null container yields null; arrays/strings slice with
@@ -3147,7 +3197,7 @@ def _del_path(container: Any, steps: list) -> Any:
     if not steps:
         raise JqError("cannot delete the root")
     kind, key = steps[0]
-    if kind in ("badidx", "subseq", "objidx") or (kind == "idx" and isinstance(key, float)):
+    if kind in ("badidx", "subseq", "objidx", "eslice") or (kind == "idx" and isinstance(key, float)):
         raise JqError("invalid path expression in del")
     if kind == "iter":
         if len(steps) > 1:
@@ -3778,7 +3828,9 @@ def _apply_fn_inner(name: str, arg_asts: list, cur: Any, ev) -> Any:
                 steps_del, pend_del = _resolve_steps(p.steps, _ev_partial_del)
                 if pend_del is not None:
                     raise pend_del  # no partial del results in jq
-                resolved_del.extend(Path(s, p.optional) for s in steps_del)
+                resolved_del.extend(
+                    Path(_concretize_eslices(s), p.optional) for s in steps_del
+                )
             arg_asts = resolved_del
 
         def _del_order(p: Path):

@@ -61,7 +61,7 @@ def gen(rng: random.Random, depth: int) -> str:
     wrapper whose continuation is the stream boundary."""
     if depth <= 0:
         return rng.choice(PATHS + LITS)
-    pick = rng.randrange(14)
+    pick = rng.randrange(22)
     a = lambda: gen(rng, depth - 1)  # noqa: E731
     if pick == 0:
         return f"({a()} {rng.choice(BINOPS)} {a()})"
@@ -89,7 +89,23 @@ def gen(rng: random.Random, depth: int) -> str:
         return f"({a()} as $v | [$v, {gen(rng, 1)}])"
     if pick == 12:
         return f"(reduce .b[] as $x ({rng.choice(LITS)}; . + $x))"
-    return f"[limit(2; {a()})]"
+    if pick == 13:
+        return f"[limit(2; {a()})]"
+    if pick == 14:
+        return f'"s=\\({a()})e"'
+    if pick == 15:
+        return f"[foreach .b[] as $x ({rng.choice(LITS)}; {gen(rng, 1)})]"
+    if pick == 16:
+        return f".b[{gen(rng, 1)}:{gen(rng, 1)}]"
+    if pick == 17:
+        return f"(def f: {gen(rng, 1)}; {gen(rng, 1)} | f)"
+    if pick == 18:
+        return f"(.b as $v | $v[{gen(rng, 1)}])"
+    if pick == 19:
+        return f"(.c.e[{gen(rng, 1)}])"
+    if pick == 20:
+        return f"({a()} | first({gen(rng, 1)}, {gen(rng, 1)}))"
+    return f"[.b[] | {gen(rng, 1)}]"
 
 
 @pytest.mark.parametrize("seed", range(12))
