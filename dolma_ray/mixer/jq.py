@@ -52,15 +52,38 @@ implements exactly that subset with the reference's semantics:
   iterables scalars``, ``isnan/isinfinite/infinite/nan``, scientific
   number literals (``1e-4``);
 * update assignment ``= |= //= += -=`` on paths (jq setpath: returns
-  the updated document copy, creating missing objects, padding arrays);
-* **error propagation**: indexing into null/missing raises
-  (``filters.rs:666-681``: jaq errors on ``.attributes.b.b`` when ``b``
-  is absent) — unlike the null-tolerant JSONPath rules;
-* **truthiness** exactly as the reference's ``evaluate_match``
-  (``filters.rs:317-333``): null -> false, numbers -> != 0, strings/
-  arrays/objects -> non-empty, bools -> themselves;
+  the updated document copy, creating missing objects, padding arrays;
+  slice assignment/deletion splice), multi-path and fan-out LHS;
+* expression indexing everywhere: ``.b[.i]``, ``.b[f:g]``, ``.[[x]]``
+  subsequence search, ``{start,end}`` object slices, ``path(f)``, and
+  postfix brackets on any term (``(.b)[.i]`` — index reads the INPUT);
+* full stream fan-out in operand slots (binary operands, object
+  keys/values, interpolation, if-conditions, assignment RHS) with jq's
+  evaluation order, and jq's LAZY ERROR semantics: outputs produced
+  before an error stay emitted (``try (1,2,error) catch c`` -> 1,2,c;
+  ``limit(2; 1,2,error)`` never reaches the error) — partials ride
+  ``JqError.emitted`` through every streaming construct;
+* **truthiness** inside a program is jq's (only false/null falsy); the
+  reference's Python-style table (``filters.rs:317-333``) applies only
+  when ``JqFilterConfig`` converts a top-level result to a keep
+  decision;
+* **null indexing**: jq semantics by default (``.x.y.z`` on ``{}`` is
+  null); ``evaluate_jq(..., strict_null_index=True)`` selects jaq
+  parity (errors, ``filters.rs:666-681``) — what the mixer filter uses;
 * keep = (no includes OR all includes truthy) AND (no exclude truthy) —
   ``JqDocFilter.should_keep`` semantics.
+
+Verification: ~600 curated programs plus a random-grammar fuzzer run
+through BOTH this engine and the jq 1.6 binary in the container
+(tests/test_jq_differential.py, tests/test_jq_fuzz.py); 15k+ fuzzed
+programs match exactly.  Documented deviations from jq 1.6 (each
+matching jq 1.7 and/or jaq, the engine the reference embeds): bounded
+``repeat``/``until``/``while`` (jq runs forever); multi-output
+``any``/``all`` conditions (1.6 isempty bug, 1.7 agrees with us);
+``reverse`` on strings (1.7 semantics); ``//`` suppresses left-side
+errors (jaq semantics); bare ``?`` scopes lexically — jq 1.6's
+backtracking lets it swallow CONTINUATION errors, jaq and the manual
+do not; big-int exactness (1.6 is double-only).
 
 Evaluation runs per document over a dict view built from the batch's
 ``attr__*`` columns (span lists -> ``[[start, end, score], ...]``).  jq
