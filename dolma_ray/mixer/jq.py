@@ -2848,10 +2848,15 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
                         )
                     raise
             elif op[0] == "map":
-                if not isinstance(cur, list):
-                    raise JqError("map requires an array")
+                # jq: def map(f): [.[] | f]; — iterates object VALUES too
+                if isinstance(cur, dict):
+                    src_map = list(cur.values())
+                elif isinstance(cur, list):
+                    src_map = cur
+                else:
+                    raise JqError("map requires an array or object")
                 vals = []
-                for e in cur:
+                for e in src_map:
                     try:
                         v = _eval(op[1], doc, e, env)
                     except JqError as e_m:

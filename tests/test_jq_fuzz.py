@@ -123,3 +123,44 @@ def test_fuzzed_programs_match_real_jq(seed):
             assert _close(got[1], ref[1]), (prog, ref[1], got[1])
         compared += 1
     assert compared >= 25  # the generator must stay mostly compilable
+
+
+def _rand_doc_val(rng: random.Random, depth: int = 2):
+    t = rng.randrange(8 if depth > 0 else 6)
+    if t == 0:
+        return rng.randrange(-3, 6)
+    if t == 1:
+        return rng.choice(["", "x", "ab", "Hello"])
+    if t == 2:
+        return rng.choice([True, False])
+    if t == 3:
+        return None
+    if t == 4:
+        return rng.choice([0.5, 2.5, -1.5])
+    if t == 5:
+        return rng.randrange(10)
+    if t == 6:
+        return [_rand_doc_val(rng, depth - 1) for _ in range(rng.randrange(4))]
+    return {
+        k: _rand_doc_val(rng, depth - 1)
+        for k in rng.sample(["d", "e", "f", "k1", "k2"], rng.randrange(3))
+    }
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzzed_programs_match_real_jq_on_random_docs(seed):
+    """Same generated programs over RANDOMIZED documents (same key
+    names, random value shapes) — exercises the type-dependent paths
+    (indexing/slicing/iterating every container/scalar combination)."""
+    rng = random.Random(660_000 + seed)
+    doc = {k: _rand_doc_val(rng) for k in ["a", "b", "c", "s", "n", "f",
+                                           "arr", "o"]}
+    for _ in range(40):
+        prog = f"[{gen(rng, 3)}]"
+        ref = real_jq(prog, doc)
+        if ref[0] in ("compile_error", "unparseable"):
+            continue
+        got = ours(prog, doc)
+        assert got[0] == ref[0], (prog, doc, ref, got)
+        if ref[0] == "ok":
+            assert _close(got[1], ref[1]), (prog, doc, ref[1], got[1])
