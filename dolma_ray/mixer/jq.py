@@ -25,7 +25,7 @@ implements exactly that subset with the reference's semantics:
   explode implode split(re; flags)`` — jq-1.7 semantics incl. the
   cross-type total order (null < bool < number < string < array <
   object); ``sub``/``gsub`` replacements are filters evaluated per
-  match with "." = the named-captures object (``sub(re; "[\(.h)]")``);
+  match with "." = the named-captures object (``sub(re; "[\\(.h)]")``);
 * general bindings ``EXPR as PATTERN | BODY`` with jq destructuring
   patterns (``[$a, $b]``, ``{a: $x, "k": $y, $name, (EXPR): $z}``,
   nested freely; missing elements bind null); a stream source

@@ -1,0 +1,123 @@
+"""Cross-engine parity: the VECTORIZED JSONPath-shape rules
+(mixer/rules.py — the production hot path) against the row-wise jq
+engine (mixer/jq.py — differentially verified vs the jq 1.6 binary)
+on semantically equivalent filter configs.
+
+The reference ships the same filters in both syntaxes (JSONPath
+configs like cc-head.yaml and jq configs like the filters.rs tests);
+a drift between our two engines would mean one of them silently
+diverges from the reference.  Property-based: random span-attribute
+batches x random rule sets, keep masks must be identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dolma_ray.mixer.jq import JqFilterConfig
+from dolma_ray.mixer.rules import FilterConfig, Rule
+
+ATTRS = ["attr__x__x__a", "attr__y__y__b"]
+SPAN_T = pa.list_(
+    pa.struct(
+        [("start", pa.int64()), ("end", pa.int64()), ("score", pa.float64())]
+    )
+)
+
+# scores drawn from a small pool so ==/!= and boundary values actually
+# fire; includes negatives and the exact thresholds below
+SCORES = [0.0, 0.25, 0.5, -1.0, 2.0]
+VALUES = [0.0, 0.25, 0.5, 1.5]
+OPS = ["<", "<=", ">", ">=", "==", "!=", "exists"]
+
+
+@st.composite
+def batches(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    cols: dict = {"text": ["t" * (i + 1) for i in range(n)]}
+    for name in draw(st.sets(st.sampled_from(ATTRS), min_size=1, max_size=2)):
+        rows = []
+        for _ in range(n):
+            kind = draw(st.integers(min_value=0, max_value=4))
+            if kind == 0:
+                rows.append(None)  # null attribute
+            else:
+                n_spans = draw(st.integers(min_value=0, max_value=3))
+                rows.append(
+                    [
+                        {"start": 0, "end": 5,
+                         "score": draw(st.sampled_from(SCORES))}
+                        for _ in range(n_spans)
+                    ]
+                )
+        cols[name] = pa.array(rows, type=SPAN_T)
+    return pa.table(cols)
+
+
+@st.composite
+def rules(draw):
+    attr = draw(st.sampled_from(ATTRS))
+    op = draw(st.sampled_from(OPS))
+    return Rule(
+        attr=attr,
+        op=op,
+        value=draw(st.sampled_from(VALUES)),
+        span_index=draw(st.integers(min_value=0, max_value=2)),
+    )
+
+
+def _jq_program(r: Rule) -> str:
+    """The guarded jq form the reference's configs use for the same
+    predicate (missing attribute / missing span -> no match)."""
+    name = r.attr[len("attr__"):]
+    guard = (
+        f".attributes.{name} != null and "
+        f".attributes.{name}[{r.span_index}] != null"
+    )
+    if r.op == "exists":
+        return guard
+    return f"{guard} and .attributes.{name}[{r.span_index}][2] {r.op} {r.value}"
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    batch=batches(),
+    include=st.lists(rules(), max_size=2),
+    exclude=st.lists(rules(), max_size=2),
+)
+def test_vectorized_rules_match_jq_engine(batch, include, exclude):
+    vec = FilterConfig(include=include, exclude=exclude).keep_mask(batch)
+    jqf = JqFilterConfig(
+        include=[_jq_program(r) for r in include],
+        exclude=[_jq_program(r) for r in exclude],
+    )
+    row = jqf.keep_mask(batch)
+    assert vec.tolist() == row.tolist(), (
+        include,
+        exclude,
+        batch.to_pydict(),
+    )
+
+
+def test_known_equivalence_example():
+    batch = pa.table(
+        {
+            "text": ["a", "b", "c", "d"],
+            ATTRS[0]: pa.array(
+                [
+                    [{"start": 0, "end": 5, "score": 0.9}],
+                    [],
+                    None,
+                    [{"start": 0, "end": 5, "score": 0.1}],
+                ],
+                type=SPAN_T,
+            ),
+        }
+    )
+    r = Rule(attr=ATTRS[0], op=">", value=0.5)
+    vec = FilterConfig(exclude=[r]).keep_mask(batch)
+    row = JqFilterConfig(exclude=[_jq_program(r)]).keep_mask(batch)
+    assert vec.tolist() == row.tolist() == [False, True, True, True]
