@@ -1,0 +1,210 @@
+"""Ray-Data ports of the reference's ``contrib/`` tools.
+
+Three small standalone Rust CLIs ship beside the reference engine;
+each is a per-document (or per-run-of-documents) transform over the
+``text`` column, re-expressed here as batch functions composable with
+``Dataset.map_batches`` / ``groupby``:
+
+* **fill-in-middle** (``contrib/fill-in-middle/src/fim.rs:15-80``):
+  per file-chunk of a code document, with probability ``fim_rate``
+  pick two distinct character break points and rearrange into
+  Prefix-Suffix-Middle (probability ``psm_spm_split``) or
+  Suffix-Prefix-Middle order with sentinel tokens.  The reference
+  uses an unseeded thread RNG (irreproducible run to run); this port
+  seeds per document from a hash of the text (plus an optional
+  ``seed``), a DOCUMENTED DEVIATION that makes runs reproducible —
+  the same policy as the ``random_number_v1`` tagger.
+
+* **code-file-concat** (``contrib/code-file-concat/src/concat.rs``):
+  merge consecutive documents of one (repo, language) group into a
+  single document, texts joined by the separator token, the group
+  head's other fields kept and ``metadata.files_concatenated`` set.
+  The reference streams a sorted partition; the Ray-native entry
+  point groups with ``Dataset.groupby().map_groups`` (equivalent on
+  sorted-by-repo inputs, and robust to unsorted ones — at 100 TB the
+  groupby shuffles only (key, text) projections).
+
+* **tokens-sanitizer** (``contrib/tokens-sanitizer/src/main.rs:127-152``):
+  ordered literal substitutions over ``text`` (used to neutralize
+  special-token strings like ``<|endoftext|>`` before tokenization),
+  vectorized with ``pyarrow.compute.replace_substring``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+@dataclass(frozen=True)
+class FimConfig:
+    fim_rate: float = 0.5
+    psm_spm_split: float = 0.5
+    file_separator_token: str = "<|file_sep|>"
+    fim_prefix_token: str = "<|fim_prefix|>"
+    fim_middle_token: str = "<|fim_middle|>"
+    fim_suffix_token: str = "<|fim_suffix|>"
+    seed: int = 0
+
+
+def fim_rearrange_text(text: str, cfg: FimConfig, rng: random.Random) -> str:
+    """Reference fim.rs:15-80 byte-for-byte semantics (char-level
+    slicing, front/rear offsets of 1, too-short chunks unchanged)."""
+    out_files = []
+    for file_text in text.split(cfg.file_separator_token):
+        if not (rng.random() < cfg.fim_rate):
+            out_files.append(file_text)
+            continue
+        chars = list(file_text)
+        front_offset = rear_offset = 1
+        range_clip = front_offset + rear_offset + 1
+        if range_clip > len(chars) or (len(chars) - range_clip) < 2:
+            out_files.append(file_text)
+            continue
+        b0, b1 = sorted(
+            i + front_offset
+            for i in rng.sample(range(len(chars) - range_clip), 2)
+        )
+        prefix = "".join(chars[:b0])
+        middle = "".join(chars[b0:b1])
+        suffix = "".join(chars[b1:])
+        if rng.random() < cfg.psm_spm_split:
+            out_files.append(
+                f"{cfg.fim_prefix_token}{prefix}{cfg.fim_suffix_token}"
+                f"{suffix}{cfg.fim_middle_token}{middle}"
+            )
+        else:
+            out_files.append(
+                f"{cfg.fim_suffix_token}{suffix}{cfg.fim_prefix_token}"
+                f"{prefix}{cfg.fim_middle_token}{middle}"
+            )
+    return cfg.file_separator_token.join(out_files)
+
+
+def fim_batch(
+    batch: pa.Table, cfg: FimConfig, text_column: str = "text"
+) -> pa.Table:
+    """map_batches stage: rearrange every document, deterministic per
+    document (seeded from the text hash + cfg.seed)."""
+    texts = batch[text_column].to_pylist()
+    out = []
+    for t in texts:
+        t = t or ""
+        h = hashlib.blake2b(
+            t.encode("utf-8", "surrogatepass"),
+            digest_size=8,
+            key=cfg.seed.to_bytes(8, "little"),
+        ).digest()
+        out.append(
+            fim_rearrange_text(t, cfg, random.Random(int.from_bytes(h, "little")))
+        )
+    idx = batch.column_names.index(text_column)
+    return batch.set_column(idx, text_column, pa.array(out, pa.string()))
+
+
+def fill_in_middle(ds, cfg: FimConfig | None = None, text_column: str = "text"):
+    """Dataset-level entry point: ``ds`` -> same schema, text FIM'd."""
+    cfg = cfg or FimConfig()
+    return ds.map_batches(
+        lambda b: fim_batch(b, cfg, text_column), batch_format="pyarrow"
+    )
+
+
+@dataclass(frozen=True)
+class ConcatConfig:
+    randomize_order: bool = False
+    file_separator_token: str = "<|file_sep|>"
+    repo_field_name: str = "repo_name"
+    pl_field_name: str = "language"
+    seed: int = 0
+
+
+def concat_consecutive(
+    batch: pa.Table, cfg: ConcatConfig, text_column: str = "text"
+) -> pa.Table:
+    """Reference concat.rs semantics over one ordered batch: merge
+    CONSECUTIVE rows whose (repo, language) metadata columns match;
+    the run head's row is kept with the joined text and a
+    ``files_concatenated`` count column."""
+    n = len(batch)
+    if n == 0:
+        return batch.append_column(
+            "files_concatenated", pa.array([], pa.int64())
+        )
+    repo = batch[cfg.repo_field_name].to_pylist()
+    lang = batch[cfg.pl_field_name].to_pylist()
+    texts = batch[text_column].to_pylist()
+    heads: list[int] = []
+    joined: list[str] = []
+    counts: list[int] = []
+    rng = random.Random(cfg.seed)
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and repo[j] == repo[i] and lang[j] == lang[i]:
+            j += 1
+        group = [t or "" for t in texts[i:j]]
+        if cfg.randomize_order:
+            rng.shuffle(group)
+        heads.append(i)
+        joined.append(cfg.file_separator_token.join(group))
+        counts.append(j - i)
+        i = j
+    out = batch.take(pa.array(heads, pa.int64()))
+    idx = out.column_names.index(text_column)
+    out = out.set_column(idx, text_column, pa.array(joined, pa.string()))
+    return out.append_column("files_concatenated", pa.array(counts, pa.int64()))
+
+
+def code_file_concat(ds, cfg: ConcatConfig | None = None, text_column: str = "text"):
+    """Dataset-level entry point: one output document per
+    (repo, language) group.  Uses a global groupby (robust to
+    unsorted input; the reference assumes repo-sorted partitions)."""
+    cfg = cfg or ConcatConfig()
+
+    def _merge(df):
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        return concat_consecutive(t, cfg, text_column).to_pandas()
+
+    return ds.groupby([cfg.repo_field_name, cfg.pl_field_name]).map_groups(
+        _merge, batch_format="pandas"
+    )
+
+
+def sanitize_tokens_batch(
+    batch: pa.Table,
+    substitutions: list[tuple[str, str]],
+    text_column: str = "text",
+) -> pa.Table:
+    """tokens-sanitizer: ordered literal replacements over text,
+    fully vectorized (one Arrow kernel pass per substitution)."""
+    col = batch[text_column]
+    for key, val in substitutions:
+        col = pc.replace_substring(col, pattern=key, replacement=val)
+    idx = batch.column_names.index(text_column)
+    return batch.set_column(idx, text_column, col)
+
+
+def tokens_sanitizer(ds, substitutions: list[tuple[str, str]], text_column: str = "text"):
+    return ds.map_batches(
+        lambda b: sanitize_tokens_batch(b, substitutions, text_column),
+        batch_format="pyarrow",
+    )
+
+
+# the substitution set the reference's own test drives
+# (contrib/tokens-sanitizer/tests/test_sanitizer.py)
+DOLMA2_SANITIZER_SUBSTITUTIONS: list[tuple[str, str]] = [
+    ("<|endoftext|>", "<|\U0010f0f0endoftext|>"),
+    ("<|fim_prefix|>", "<|\U0010f0f0fim_prefix|>"),
+    ("<|fim_middle|>", "<|\U0010f0f0fim_middle|>"),
+    ("<|fim_suffix|>", "<|\U0010f0f0fim_suffix|>"),
+    ("<|im_start|>", "<|\U0010f0f0im_start|>"),
+    ("<|im_end|>", "<|\U0010f0f0im_end|>"),
+    ("<|endofprompt|>", "<|\U0010f0f0endofprompt|>"),
+    ("<|pad|>", "<|\U0010f0f0pad|>"),
+]

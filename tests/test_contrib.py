@@ -1,0 +1,180 @@
+"""contrib/ tool ports: fill-in-middle, code-file-concat,
+tokens-sanitizer (reference contrib/*/src + their test suites)."""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from dolma_ray.contrib import (
+    DOLMA2_SANITIZER_SUBSTITUTIONS,
+    ConcatConfig,
+    FimConfig,
+    code_file_concat,
+    concat_consecutive,
+    fill_in_middle,
+    fim_batch,
+    fim_rearrange_text,
+    sanitize_tokens_batch,
+    tokens_sanitizer,
+)
+
+CODE = (
+    "def add(a, b):\n    return a + b\n\n"
+    "def mul(a, b):\n    return a * b\n"
+)
+SEP = "<|file_sep|>"
+PRE, MID, SUF = "<|fim_prefix|>", "<|fim_middle|>", "<|fim_suffix|>"
+
+
+def _cfg(**kw) -> FimConfig:
+    base = dict(
+        fim_rate=1.0,
+        psm_spm_split=1.0,
+        file_separator_token=SEP,
+        fim_prefix_token=PRE,
+        fim_middle_token=MID,
+        fim_suffix_token=SUF,
+    )
+    base.update(kw)
+    return FimConfig(**base)
+
+
+def _reconstruct(chunk: str) -> str:
+    """Invert one FIM'd chunk back to the original text."""
+    if chunk.startswith(PRE):
+        rest = chunk[len(PRE):]
+        prefix, rest = rest.split(SUF, 1)
+        suffix, middle = rest.split(MID, 1)
+    elif chunk.startswith(SUF):
+        rest = chunk[len(SUF):]
+        suffix, rest = rest.split(PRE, 1)
+        prefix, middle = rest.split(MID, 1)
+    else:
+        return chunk
+    return prefix + middle + suffix
+
+
+class TestFillInMiddle:
+    def test_rate_zero_is_identity(self):
+        rng = random.Random(1)
+        assert fim_rearrange_text(CODE, _cfg(fim_rate=0.0), rng) == CODE
+
+    def test_psm_reorder_reconstructs(self):
+        # fim.rs:50-60: PSM = prefix-token prefix suffix-token suffix
+        # middle-token middle; character content is a permutation
+        out = fim_rearrange_text(CODE, _cfg(psm_spm_split=1.0), random.Random(7))
+        assert out.startswith(PRE) and MID in out and SUF in out
+        assert _reconstruct(out) == CODE
+
+    def test_spm_reorder_reconstructs(self):
+        out = fim_rearrange_text(CODE, _cfg(psm_spm_split=0.0), random.Random(7))
+        assert out.startswith(SUF)
+        assert _reconstruct(out) == CODE
+
+    def test_break_points_respect_offsets(self):
+        # fim.rs:26-28: front/rear offsets of 1 — prefix and suffix are
+        # never empty (break points in [1, len-2))
+        for seed in range(40):
+            out = fim_rearrange_text(CODE, _cfg(), random.Random(seed))
+            rest = out[len(PRE):]
+            prefix, rest = rest.split(SUF, 1)
+            suffix, middle = rest.split(MID, 1)
+            assert prefix and suffix and middle
+
+    def test_too_short_chunks_unchanged(self):
+        # fim.rs:31-33: range_clip boundary — len < 5 never rearranges
+        for text in ["", "a", "ab", "abc", "abcd"]:
+            assert fim_rearrange_text(text, _cfg(), random.Random(3)) == text
+
+    def test_multi_file_documents_keep_separator(self):
+        doc = CODE + SEP + CODE
+        out = fim_rearrange_text(doc, _cfg(), random.Random(9))
+        chunks = out.split(SEP)
+        assert len(chunks) == 2
+        assert all(_reconstruct(c) == CODE for c in chunks)
+
+    def test_batch_is_deterministic_per_document(self):
+        batch = pa.table({"text": [CODE, CODE + "x", ""]})
+        a = fim_batch(batch, _cfg())["text"].to_pylist()
+        b = fim_batch(batch, _cfg())["text"].to_pylist()
+        assert a == b
+        assert a[0] != CODE  # rate 1.0: long docs are rearranged
+        assert fim_batch(batch, _cfg(seed=1))["text"].to_pylist() != a
+
+    def test_dataset_entry_point(self, ray_session):
+        ds = rd.from_arrow(pa.table({"text": [CODE] * 8, "id": list(range(8))}))
+        out = fill_in_middle(ds, _cfg()).take_all()
+        assert len(out) == 8
+        assert all(_reconstruct(r["text"]) == CODE for r in out)
+
+
+class TestCodeFileConcat:
+    def _batch(self):
+        return pa.table(
+            {
+                "text": ["f1", "f2", "f3", "g1", "h1", "h2"],
+                "repo_name": ["r1", "r1", "r1", "r2", "r1", "r1"],
+                "language": ["py", "py", "py", "py", "rs", "rs"],
+                "id": ["a", "b", "c", "d", "e", "f"],
+            }
+        )
+
+    def test_consecutive_runs_merge(self):
+        # concat.rs:30-60: CONSECUTIVE same-(repo, pl) docs merge; the
+        # run head represents the group; r1/py reappearing after r2
+        # would start a new group (here r1/rs does)
+        out = concat_consecutive(self._batch(), ConcatConfig())
+        assert out["text"].to_pylist() == ["f1<|file_sep|>f2<|file_sep|>f3", "g1", "h1<|file_sep|>h2"]
+        assert out["files_concatenated"].to_pylist() == [3, 1, 2]
+        assert out["id"].to_pylist() == ["a", "d", "e"]
+
+    def test_randomize_order_keeps_multiset(self):
+        cfg = ConcatConfig(randomize_order=True, seed=5)
+        out = concat_consecutive(self._batch(), cfg)
+        first = out["text"].to_pylist()[0].split("<|file_sep|>")
+        assert sorted(first) == ["f1", "f2", "f3"]
+
+    def test_empty_batch(self):
+        out = concat_consecutive(self._batch().slice(0, 0), ConcatConfig())
+        assert len(out) == 0
+        assert "files_concatenated" in out.column_names
+
+    def test_dataset_groupby_entry_point(self, ray_session):
+        ds = rd.from_arrow(self._batch())
+        out = code_file_concat(ds).take_all()
+        by_key = {(r["repo_name"], r["language"]): r for r in out}
+        assert len(out) == 3
+        assert sorted(
+            by_key[("r1", "py")]["text"].split("<|file_sep|>")
+        ) == ["f1", "f2", "f3"]
+        assert by_key[("r2", "py")]["files_concatenated"] == 1
+
+
+class TestTokensSanitizer:
+    def test_reference_substitution_set(self):
+        # main.rs:127-133: ordered literal replacement over text
+        batch = pa.table(
+            {"text": ["a<|endoftext|>b", "<|fim_prefix|>x<|pad|>", "clean"]}
+        )
+        out = sanitize_tokens_batch(batch, DOLMA2_SANITIZER_SUBSTITUTIONS)
+        texts = out["text"].to_pylist()
+        assert texts[0] == "a<|\U0010f0f0endoftext|>b"
+        assert texts[1] == "<|\U0010f0f0fim_prefix|>x<|\U0010f0f0pad|>"
+        assert texts[2] == "clean"
+        for key, _ in DOLMA2_SANITIZER_SUBSTITUTIONS:
+            assert all(key not in t for t in texts)
+
+    def test_ordered_application(self):
+        batch = pa.table({"text": ["xy"]})
+        out = sanitize_tokens_batch(batch, [("x", "y"), ("y", "z")])
+        # first x->y (yields "yy"), then y->z applies to BOTH
+        assert out["text"].to_pylist() == ["zz"]
+
+    def test_dataset_entry_point(self, ray_session):
+        ds = rd.from_arrow(pa.table({"text": ["<|endoftext|>"] * 4}))
+        out = tokens_sanitizer(ds, DOLMA2_SANITIZER_SUBSTITUTIONS).take_all()
+        assert all(r["text"] == "<|\U0010f0f0endoftext|>" for r in out)
