@@ -160,13 +160,23 @@ def concat_consecutive(
     return out.append_column("files_concatenated", pa.array(counts, pa.int64()))
 
 
-def code_file_concat(ds, cfg: ConcatConfig | None = None, text_column: str = "text"):
+def code_file_concat(
+    ds,
+    cfg: ConcatConfig | None = None,
+    text_column: str = "text",
+    order_by: str | None = None,
+):
     """Dataset-level entry point: one output document per
     (repo, language) group.  Uses a global groupby (robust to
-    unsorted input; the reference assumes repo-sorted partitions)."""
+    unsorted input; the reference assumes repo-sorted partitions).
+    ``order_by`` sorts each group by that column before concatenation
+    for deterministic output (map_groups row order is otherwise
+    arbitrary)."""
     cfg = cfg or ConcatConfig()
 
     def _merge(df):
+        if order_by is not None:
+            df = df.sort_values(order_by, kind="mergesort")
         t = pa.Table.from_pandas(df, preserve_index=False)
         return concat_consecutive(t, cfg, text_column).to_pandas()
 

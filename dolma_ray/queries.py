@@ -2653,3 +2653,53 @@ GROUP BY o_orderpriority
 
 QUERIES["returned_orders"] = q_returned_orders
 ORACLES["returned_orders"] = SQL_RETURNED_ORDERS
+
+
+def q_code_concat(sf_dir: str):
+    """contrib code-file-concat over the documents table: one output
+    row per (source, lang) group, texts joined by the separator in
+    doc_id order, with the concatenated-file count
+    (``contrib/code-file-concat/src/concat.rs`` semantics on grouped
+    input).
+
+    Scale shape: the groupby shuffles only (source, lang, doc_id,
+    text) projections and each group concatenates in one vectorized
+    pandas pass — ~#sources x #langs output rows."""
+    from .contrib import ConcatConfig, code_file_concat
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+    cfg = ConcatConfig(repo_field_name="source", pl_field_name="lang")
+    return code_file_concat(ds, cfg, order_by="doc_id").drop_columns(["doc_id"])
+
+
+SQL_CODE_CONCAT = """
+SELECT source, lang,
+       string_agg(text, '<|file_sep|>' ORDER BY doc_id) AS text,
+       CAST(count(*) AS BIGINT) AS files_concatenated
+FROM documents GROUP BY source, lang
+"""
+
+QUERIES["code_concat"] = q_code_concat
+ORACLES["code_concat"] = SQL_CODE_CONCAT
+
+
+def q_sanitize_tokens(sf_dir: str):
+    """contrib tokens-sanitizer over the documents table: ordered
+    literal substitutions applied to every text
+    (``contrib/tokens-sanitizer/src/main.rs:127-152``), fully
+    vectorized (one Arrow replace_substring kernel per substitution).
+    The substitution pair is chosen so ORDER matters ('the ' rewrites
+    feed the second rule's pattern)."""
+    from .contrib import tokens_sanitizer
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tokens_sanitizer(ds, [("the ", "THE_"), ("a", "@")])
+
+
+SQL_SANITIZE_TOKENS = """
+SELECT doc_id, replace(replace(text, 'the ', 'THE_'), 'a', '@') AS text
+FROM documents
+"""
+
+QUERIES["sanitize_tokens"] = q_sanitize_tokens
+ORACLES["sanitize_tokens"] = SQL_SANITIZE_TOKENS
