@@ -1574,18 +1574,56 @@ def _resolve_steps(
 
 
 def _concretize_eslices(steps: list) -> list:
-    """Path-context (assignment/del/path()) conversion of expression
-    slices to concrete slices — bounds must be numbers or null here."""
+    """Path-context (assignment/del/path()) normalization: expression
+    slices and {start,end} objects become concrete slices (bounds must
+    be numbers or null here), and un-indexable index values error
+    IMMEDIATELY like jq (del(.b[null]) errors even when .b is null —
+    the walk's null shortcut must not skip validation)."""
     out = []
     for kind, key in steps:
         if kind == "eslice":
-            out.append(
-                ("slice",
-                 (_slice_bound(key[0], "floor"), _slice_bound(key[1], "ceil")))
-            )
+            # bound TYPES validate lazily at the container (jq:
+            # del(.b[BAD:BAD]) on a null .b is a clean no-op, on a
+            # list it errors) — keep raw bounds for the walkers
+            out.append(("lazyslice", (key[0], key[1])))
+        elif kind == "objidx":
+            # stays distinct from eslice: a {start,end} OBJECT requires
+            # both bounds numeric at a real container (null bounds are
+            # only legal in slice syntax), but a null container still
+            # short-circuits first
+            out.append((kind, key))
+        elif kind == "badidx":
+            # un-indexable VALUES error immediately even on a null
+            # container (jq: del(.b[null]) errors when .b is null)
+            raise JqError(f"cannot index with {_jq_type(key)}")
+        elif kind == "subseq":
+            raise JqError("invalid path expression (array index)")
         else:
             out.append((kind, key))
     return out
+
+
+def _lazy_slice_bounds(key: tuple) -> tuple:
+    """Validate+normalize lazyslice bounds once a real container is in
+    hand: numbers floor/ceil, null stays open, anything else errors."""
+    return (_slice_bound(key[0], "floor"), _slice_bound(key[1], "ceil"))
+
+
+def _objidx_slice_bounds(key: dict) -> tuple:
+    """Strict {start,end} slice-object bounds: BOTH must be numbers
+    (jq: del(.b[{}]) on a list errors; null bounds are only legal in
+    the lo:hi slice syntax)."""
+    import math as _math
+
+    s_o, e_o = key.get("start"), key.get("end")
+    if any(
+        isinstance(b, bool) or not isinstance(b, (int, float))
+        for b in (s_o, e_o)
+    ):
+        raise JqError(
+            "start and end indices of an array slice must be numbers"
+        )
+    return (_math.floor(s_o), _math.ceil(e_o))
 
 
 def _collect_path_steps(ast: Any, cur: Any, ev) -> list:
@@ -1694,14 +1732,16 @@ def _expand_paths(val: Any, steps: list, prefix: list, optional: bool = False) -
     if kind == "seg":
         child = val.get(key) if isinstance(val, dict) else None
     elif kind == "idx":
+        if isinstance(key, float):
+            import math as _math
+
+            key = _math.floor(key)  # jq floors in path contexts
         child = (
             val[key]
-            if isinstance(val, list)
-            and not isinstance(key, float)
-            and -len(val) <= key < len(val)
+            if isinstance(val, list) and -len(val) <= key < len(val)
             else None
         )
-    elif kind == "slice" and len(steps) == 1:
+    elif kind in ("slice", "lazyslice", "objidx") and len(steps) == 1:
         return [prefix + [steps[0]]]  # terminal slice: assignable
     else:
         raise JqError("cannot assign through a slice")
@@ -1717,8 +1757,23 @@ def _set_path(container: Any, steps: list, value: Any) -> Any:
     kind, key = steps[0]
     if kind == "iter":
         raise JqError("cannot assign through []")
-    if kind in ("badidx", "subseq", "objidx", "eslice") or (kind == "idx" and isinstance(key, float)):
+    if kind in ("badidx", "subseq", "eslice"):
         raise JqError("invalid path expression in assignment")
+    if kind in ("lazyslice", "objidx"):
+        # validate at the container: null materializes as [] first
+        kind, key = "slice", (
+            _lazy_slice_bounds(key)
+            if kind == "lazyslice"
+            else _objidx_slice_bounds(key)
+        )
+        steps = [(kind, key)] + list(steps[1:])
+    if kind == "idx" and isinstance(key, float):
+        # jq floors fractional indexes in path contexts (.[0.5] = 9
+        # sets index 0) — only GETS yield null for them (1.6 quirk)
+        import math as _math
+
+        kind, key = "idx", _math.floor(key)
+        steps = [(kind, key)] + list(steps[1:])
     if kind == "slice":
         # jq slice assignment: .[0:2] = [9] splices the replacement in
         if len(steps) > 1:
@@ -1729,9 +1784,8 @@ def _set_path(container: Any, steps: list, value: Any) -> Any:
             arr = list(container)
         else:
             raise JqError(f"cannot assign a slice of {_jq_type(container)}")
-        if value is None:
-            value = []
         if not isinstance(value, list):
+            # jq: even null errors here (.b[0:1] = null is invalid)
             raise JqError(
                 "a slice of an array can only be assigned another array"
             )
@@ -1763,10 +1817,20 @@ def _get_path(container: Any, steps: list) -> Any:
     """Null-tolerant getpath for assignment left sides."""
     cur = container
     for kind, key in steps:
-        if kind in ("badidx", "subseq", "objidx", "eslice") or (
-            kind == "idx" and isinstance(key, float)
-        ):
+        if kind in ("badidx", "subseq", "eslice"):
             raise JqError("invalid path expression in assignment")
+        if kind in ("lazyslice", "objidx"):
+            if cur is None:
+                return None  # null shortcut BEFORE bound validation
+            kind, key = "slice", (
+                _lazy_slice_bounds(key)
+                if kind == "lazyslice"
+                else _objidx_slice_bounds(key)
+            )
+        if kind == "idx" and isinstance(key, float):
+            import math as _math
+
+            key = _math.floor(key)  # jq floors in path contexts
         if cur is None:
             return None
         if kind == "seg":
@@ -2412,6 +2476,18 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         lhs = (
             node.path.items if isinstance(node.path, Comma) else [node.path]
         )
+        # jq evaluates the RHS of =/+=/... FIRST: an empty RHS yields
+        # no assignments at all, and the LHS path (including erroring
+        # index expressions) is never even resolved
+        rhs_outs: list = []
+        rhs_err: "JqError | None" = None
+        if node.op != "|=":
+            rhs_outs, rhs_err = _slot_outputs_partial(node.expr, doc, elem, env)
+            if not rhs_outs:
+                if rhs_err is not None:
+                    rhs_err.emitted = []
+                    raise rhs_err
+                return _EMPTY
         # expand [] steps into the concrete paths they match right now
         # (jq: `.b[] |= f` updates every element), against the CURRENT
         # document state for each successive LHS
@@ -2450,13 +2526,18 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         if node.op == "|=":
             for p in paths:
                 old = _get_path(result, p.steps)
-                outs = _outputs(_eval(node.expr, doc, old, env))
+                # jq only needs the FIRST update output, lazily: a
+                # later stream value erroring never evaluates
+                # (.d |= (1.5, .o.err) takes 1.5 cleanly)
+                outs, uerr_a = _slot_outputs_partial(node.expr, doc, old, env)
                 if outs:
                     result = _set_path(result, p.steps, outs[0])
+                elif uerr_a is not None:
+                    uerr_a.emitted = []
+                    raise uerr_a
                 else:
                     result = _del_path(result, p.steps)
             return result
-        rhs_outs, rhs_err = _slot_outputs_partial(node.expr, doc, elem, env)
         fanned: list = []
         for rv in rhs_outs:
             result_i = result
@@ -3161,6 +3242,12 @@ def _jq_indices(cur: Any, x: Any) -> list | None:
             ]
         xk1 = _jq_sort_key(x)
         return [i for i, v in enumerate(cur) if _jq_sort_key(v) == xk1]
+    if isinstance(cur, dict):
+        # jq's def falls through to `.[$i]` for other input types:
+        # an object indexed by a string key (missing -> null)
+        if isinstance(x, str):
+            return cur.get(x)
+        raise JqError(f"cannot index object with {_jq_type(x)}")
     raise JqError(f"cannot get indices of {_jq_type(cur)}")
 
 
@@ -3225,8 +3312,22 @@ def _del_path(container: Any, steps: list) -> Any:
     if not steps:
         raise JqError("cannot delete the root")
     kind, key = steps[0]
-    if kind in ("badidx", "subseq", "objidx", "eslice") or (kind == "idx" and isinstance(key, float)):
+    if kind in ("badidx", "subseq", "eslice"):
         raise JqError("invalid path expression in del")
+    if kind in ("lazyslice", "objidx"):
+        if container is None:
+            return None  # null shortcut BEFORE bound validation
+        kind, key = "slice", (
+            _lazy_slice_bounds(key)
+            if kind == "lazyslice"
+            else _objidx_slice_bounds(key)
+        )
+        steps = [(kind, key)] + list(steps[1:])
+    if kind == "idx" and isinstance(key, float):
+        import math as _math
+
+        key = _math.floor(key)  # jq floors in path contexts
+        steps = [(kind, key)] + list(steps[1:])
     if kind == "iter":
         if len(steps) > 1:
             raise JqError("cannot delete through []")
@@ -3402,14 +3503,61 @@ _FN_ARG_RANGE.update({k: (2, 2) for k in _MATH2})
 # deeper construct's partials must not leak past it onto an outer try
 _PARTIAL_AWARE_FNS = frozenset({"limit", "first", "last", "nth", "recurse"})
 
+# builtins whose arguments are ALL plain values: jq applies the builtin
+# once per argument-stream combination (setpath(["z"]; (1,2)) yields
+# two documents; an empty argument yields nothing).  Filter-argument
+# builtins (map, sub replacement, *_by, limit...) stay out.
+_VAL_FANOUT_FNS = frozenset({
+    "getpath", "setpath", "delpaths", "has", "in", "contains", "inside",
+    "startswith", "endswith", "ltrimstr", "rtrimstr", "join", "split",
+    "index", "rindex", "indices", "test", "match", "capture", "scan",
+    "splits", "flatten", "error", "pow",
+})
+
 
 def _apply_fn(name: str, arg_asts: list, cur: Any, ev) -> Any:
+    if name in _VAL_FANOUT_FNS and arg_asts:
+        return _apply_fn_fanout(name, arg_asts, cur, ev)
     try:
         return _apply_fn_inner(name, arg_asts, cur, ev)
     except JqError as e:
         if name not in _PARTIAL_AWARE_FNS:
             e.emitted = []
         raise
+
+
+def _apply_fn_fanout(name: str, arg_asts: list, cur: Any, ev) -> Any:
+    """Value-argument stream fan-out with jq's lazy error chronology:
+    the builtin runs once per argument combination (later args loop
+    outer), combinations computed before a mid-stream error still
+    emit, and an empty argument yields an empty result."""
+    slot_results: list = []
+    for a in arg_asts:
+        try:
+            slot_results.append((_outputs(ev(a, cur)), None))
+        except JqError as e:
+            slot_results.append(((e.emitted or []), e))
+    combos, pending = _fan_product(
+        slot_results, list(reversed(range(len(slot_results))))
+    )
+    if len(combos) == 1 and pending is None:
+        try:
+            return _apply_fn_inner(name, [_Raw(v) for v in combos[0]], cur, ev)
+        except JqError as e:
+            e.emitted = []
+            raise
+    outs_f: list = []
+    for combo in combos:
+        try:
+            r = _apply_fn_inner(name, [_Raw(v) for v in combo], cur, ev)
+        except JqError as e:
+            e.emitted = outs_f
+            raise
+        outs_f.extend(_outputs(r))
+    if pending is not None:
+        pending.emitted = outs_f
+        raise pending
+    return _stream_or_value(outs_f)
 
 
 def _apply_fn_inner(name: str, arg_asts: list, cur: Any, ev) -> Any:
@@ -3833,9 +3981,14 @@ def _apply_fn_inner(name: str, arg_asts: list, cur: Any, ev) -> Any:
             return [v for v in vals if v is not _EMPTY]
         raise JqError(f"map_values requires an array or object")
     if name == "with_entries":
-        if not isinstance(cur, dict):
-            raise JqError("with_entries requires an object")
-        entries = [{"key": k, "value": v} for k, v in cur.items()]
+        # jq: def with_entries(f): to_entries | map(f) | from_entries;
+        # to_entries also accepts arrays (keys are indices)
+        if isinstance(cur, dict):
+            entries = [{"key": k, "value": v} for k, v in cur.items()]
+        elif isinstance(cur, list):
+            entries = [{"key": i, "value": v} for i, v in enumerate(cur)]
+        else:
+            raise JqError(f"{_jq_type(cur)} has no keys")
         mapped = [ev(arg_asts[0], e) for e in entries]
         return _from_entries([m for m in mapped if m is not _EMPTY])
     if name == "del":
@@ -4094,6 +4247,8 @@ def _apply_fn_inner(name: str, arg_asts: list, cur: Any, ev) -> Any:
         return flat(cur, depth)
     if name == "has":
         k = val(0)
+        if cur is None:
+            return False  # jq: null has no keys but has() is false
         if isinstance(cur, dict):
             if not isinstance(k, str):
                 raise JqError("has on an object takes a string key")
@@ -4104,9 +4259,24 @@ def _apply_fn_inner(name: str, arg_asts: list, cur: Any, ev) -> Any:
             return 0 <= k < len(cur)
         raise JqError(f"cannot check has() on {_jq_type(cur)}")
     if name == "contains":
-        return _jq_contains(cur, val(0))
+        # jq type-checks only the TOP-LEVEL pair (mismatched inner
+        # elements are simply not-contained): [1,"a"]|contains(["a"])
+        # is true but 1|contains("a") errors — verified vs jq 1.6
+        b_c = val(0)
+        if _jq_type(cur) != _jq_type(b_c):
+            raise JqError(
+                f"{_jq_type(cur)} and {_jq_type(b_c)} cannot have their "
+                "containment checked"
+            )
+        return _jq_contains(cur, b_c)
     if name == "inside":
-        return _jq_contains(val(0), cur)
+        b_i = val(0)
+        if _jq_type(cur) != _jq_type(b_i):
+            raise JqError(
+                f"{_jq_type(b_i)} and {_jq_type(cur)} cannot have their "
+                "containment checked"
+            )
+        return _jq_contains(b_i, cur)
     if name == "test":
         pat = val(0)
         flags = val(1) if len(arg_asts) > 1 else ""
@@ -4170,6 +4340,8 @@ def _apply_fn_inner(name: str, arg_asts: list, cur: Any, ev) -> Any:
         return cur.split(sep)
     if name == "join":
         sep = val(0)
+        if isinstance(cur, dict):
+            cur = list(cur.values())  # jq join = reduce .[] — objects too
         if not isinstance(cur, list) or not isinstance(sep, str):
             raise JqError("join requires an array and a string")
         # jq join: null -> "", other scalars stringified; arrays/objects error
@@ -4202,11 +4374,24 @@ def _apply_fn_inner(name: str, arg_asts: list, cur: Any, ev) -> Any:
     if name in ("sort_by", "min_by", "max_by", "unique_by", "group_by"):
         if not isinstance(cur, list):
             raise JqError(f"{name} requires an array")
-        keyed = [(_jq_sort_key(ev(arg_asts[0], e)), e) for e in cur]
+        # jq keys each element by the ARRAY of all key-filter outputs
+        # ([f]): a streaming key compares lexicographically, an empty
+        # one as [] (sort_by(empty) is stable identity)
+        keyed = [
+            (_jq_sort_key(_outputs(ev(arg_asts[0], e))), e) for e in cur
+        ]
         if name == "min_by":
             return min(keyed, key=lambda p: p[0])[1] if keyed else None
         if name == "max_by":
-            return max(keyed, key=lambda p: p[0])[1] if keyed else None
+            if not keyed:
+                return None
+            # jq ties: min_by keeps the FIRST minimal, max_by the LAST
+            # maximal ([1,2,3] | max_by(0) is 3)
+            best = keyed[0]
+            for p in keyed[1:]:
+                if not (p[0] < best[0]):
+                    best = p
+            return best[1]
         keyed.sort(key=lambda p: p[0])
         if name == "sort_by":
             return [e for _, e in keyed]

@@ -45,6 +45,10 @@ def real_jq(prog: str, doc):
     )
     if p.returncode == 3:  # compile error: 1.6 lacks the construct
         return ("compile_error", p.stderr.strip())
+    if p.returncode < 0 or "Assertion" in p.stderr:
+        # jq 1.6 aborts (SIGABRT assertion, e.g. implode on
+        # non-numbers) — a jq BUG, not semantics to replicate
+        return ("compile_error", f"jq crashed: {p.stderr.strip()[:80]}")
     if p.returncode != 0:
         return ("error", p.stderr.strip())
     lines = [ln for ln in p.stdout.splitlines() if ln.strip()]

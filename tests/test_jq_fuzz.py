@@ -61,7 +61,7 @@ def gen(rng: random.Random, depth: int) -> str:
     wrapper whose continuation is the stream boundary."""
     if depth <= 0:
         return rng.choice(PATHS + LITS)
-    pick = rng.randrange(22)
+    pick = rng.randrange(30)
     a = lambda: gen(rng, depth - 1)  # noqa: E731
     if pick == 0:
         return f"({a()} {rng.choice(BINOPS)} {a()})"
@@ -105,6 +105,43 @@ def gen(rng: random.Random, depth: int) -> str:
         return f"(.c.e[{gen(rng, 1)}])"
     if pick == 20:
         return f"({a()} | first({gen(rng, 1)}, {gen(rng, 1)}))"
+    if pick == 21:
+        op = rng.choice(["=", "|=", "+=", "//="])
+        lhs = rng.choice([".a", ".b[0]", ".c.d", ".o.k1", ".b[1:2]",
+                          ".z", ".b[.a]"])
+        return f"({lhs} {op} {gen(rng, 1)})"
+    if pick == 22:
+        # map_values stays out: with a possibly-EMPTY f on arrays, jq's
+        # `.[] |= empty` deletes-while-iterating and keeps every other
+        # element — an acknowledged jq bug we do not replicate
+        f2 = rng.choice(["sort_by", "group_by", "min_by", "max_by",
+                         "unique_by"])
+        return f"({a()} | {f2}({gen(rng, 1)}))"
+    if pick == 23:
+        f3 = rng.choice(
+            ['split("l")', 'join("-")', 'test("x")', 'ltrimstr("H")',
+             'startswith("H")', 'contains("el")', 'sub("l"; "L")',
+             'gsub("l"; "L")', 'indices("l")', 'splits("e")',
+             'ascii_upcase', 'explode', 'tojson', 'fromjson',
+             '@base64', 'implode', 'has("d")', 'has(0)', 'in({"x":1})']
+        )
+        return f"({a()} | {f3})"
+    if pick == 24:
+        gp = rng.choice(['"a"', '"c","d"', '"z"'])
+        return f"(getpath([{gp}]))"
+    if pick == 25:
+        sp = rng.choice(['"a"', '"z"'])
+        return f"(setpath([{sp}]; {gen(rng, 1)}))"
+    if pick == 26:
+        return f"(del({rng.choice(['.a', '.b[0]', '.z', '.c.d', '.b[.a]'])}))"
+    if pick == 27:
+        # with_entries stays behind `objects`: on ARRAY input our
+        # from_entries stringifies the integer keys (jq 1.7 semantics,
+        # pinned in test_jq_builtins) where 1.6 errors
+        return f"({a()} | to_entries)" if rng.random() < 0.5 else \
+            "(.o | objects | with_entries(.value |= (. , 0)))"
+    if pick == 28:
+        return f"[paths]" if rng.random() < 0.3 else f"[{a()} | .. ]"
     return f"[.b[] | {gen(rng, 1)}]"
 
 
