@@ -2054,7 +2054,14 @@ def _fan_product(
             outs = slot_results[idx][0]
             # loops OUTSIDE the winner are frozen at their first value
             chosen.append(outs[:1] if nesting.index(idx) < wpos else outs)
-    # ordered product: outermost nesting slot varies slowest
+    # ordered product: outermost nesting slot varies slowest.  The
+    # product is materialized, so cap it like _RANGE_CAP (jq streams
+    # lazily; {a: range(5k), b: range(5k)} would build 25M combos here)
+    total = 1
+    for ch in chosen:
+        total *= max(1, len(ch))
+        if total > 2_000_000:
+            raise JqError("operand fan-out exceeds 2e6 combinations")
     combos: list[list] = [[None] * n]
     for idx in reversed(nesting):  # build innermost (fastest) first
         nxt = []
