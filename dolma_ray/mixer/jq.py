@@ -2311,7 +2311,13 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
             if node.handler is None:
                 return _stream_or_value(prior)
             payload = str(e) if e.value is _NO_ERR_VALUE else e.value
-            h = _eval(node.handler, doc, payload, env)
+            try:
+                h = _eval(node.handler, doc, payload, env)
+            except JqError as he:
+                # an erroring HANDLER still keeps the body's partials
+                # (try (1,error) catch error("x") emits 1 then errors)
+                he.emitted = prior + (he.emitted or [])
+                raise
             if not prior:
                 return h
             return _stream_or_value(prior + _outputs(h))
