@@ -83,7 +83,12 @@ matching jq 1.7 and/or jaq, the engine the reference embeds): bounded
 ``reverse`` on strings (1.7 semantics); ``//`` suppresses left-side
 errors (jaq semantics); bare ``?`` scopes lexically — jq 1.6's
 backtracking lets it swallow CONTINUATION errors, jaq and the manual
-do not; big-int exactness (1.6 is double-only).
+do not; ``break`` passes through ``try``/``catch`` to its label (the
+manual's rule and 1.7's fix — 1.6's try catches breaks);
+``from_entries`` stringifies number keys (1.6 errors); big-int
+exactness (1.6 is double-only); ``.[] |= empty`` deletes all entries
+(1.6's delete-while-iterating keeps every other array element — an
+acknowledged upstream bug).
 
 Evaluation runs per document over a dict view built from the batch's
 ``attr__*`` columns (span lists -> ``[[start, end, score], ...]``).  jq

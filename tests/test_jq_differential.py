@@ -382,6 +382,16 @@ PROGRAMS = [
     '.b[.a]', '.c.e[.a].f', '[.b[(0,2)]]', '.c[.c.d]', '.b[1+1]',
     '.b[.a:]', '.b[:.a]', '.b[.a:2+1]', '.b[1:.a+1]',
     '[.b[(0,1):(2,3)]]', '.b[.n:2]', '.arr[.neg + 8]',
+    # tranche 9: label/break x streaming-error interplay (break
+    # INSIDE try is excluded: jq 1.6 lets try catch breaks, a bug the
+    # manual forbids and 1.7 fixed — we follow the manual)
+    '[label $o | (1, break $o, 2)]',
+    '[try (label $o | (1, error("x"), break $o)) catch "c"]',
+    '[label $o | (1, (2 | error("x"))?, break $o, 3)]',
+    '[label $o | foreach (1,2,3) as $x (0; if $x == 2 then break $o else .+$x end)]',
+    '[(label $o | (1, break $o)) , 9]',
+    '[try (label $o | (1, error("x"))) catch "c"]',
+    '[label $o | (1,2) | if . == 2 then break $o else . end]',
     '.b[.a] = 99', '.b[.a,0] = 7', '.b[.a] += 10', '.b[.a] |= . * 5',
     'del(.b[.a])', 'del(.b[.a,0])', 'del(.b[0:2])', '.b[0:2] = [9]',
     '.b[0:2] |= [add]', '.mixed[.a]',
