@@ -192,6 +192,19 @@ _FN_ARG_RANGE = {
     # ANY/ALL are jq's own thin aliases — normalized in parse_fn_op)
     "IN": (1, 2), "INDEX": (1, 2),
     "GROUP_BY": (1, 1), "UNIQUE_BY": (1, 1),
+    # completeness sweep vs `jq -n builtins` (late round 4)
+    "JOIN": (2, 4), "bsearch": (1, 1), "builtins": (0, 0),
+    "erf": (0, 0), "erfc": (0, 0), "fma": (3, 3), "format": (1, 1),
+    "fromdateiso8601": (0, 0), "todateiso8601": (0, 0),
+    "gmtime": (0, 0), "localtime": (0, 0), "mktime": (0, 0),
+    "now": (0, 0), "isfinite": (0, 0), "isempty": (1, 1),
+    "j0": (0, 0), "j1": (0, 0), "y0": (0, 0), "y1": (0, 0),
+    "jn": (2, 2), "yn": (2, 2), "lgamma_r": (0, 0), "modf": (0, 0),
+    "nextafter": (2, 2), "nexttoward": (2, 2), "pow10": (0, 0),
+    "remainder": (2, 2), "strftime": (1, 1), "strflocaltime": (1, 1),
+    "strptime": (1, 1), "stderr": (0, 0), "truncate_stream": (1, 1),
+    "utf8bytelength": (0, 0), "finites": (0, 0), "normals": (0, 0),
+    "scalars_or_empty": (0, 0), "halt_error": (0, 1),
 }
 
 # jq builtin.jq: def GROUP_BY(f): group_by(f); def ANY: any; ...
@@ -3201,6 +3214,149 @@ def _jq_contains(a: Any, b: Any) -> bool:
     return _jq_eq(a, b)
 
 
+def _bessel_j0(x: float) -> float:
+    """Bessel J0 via the classic Abramowitz & Stegun 9.4.1/9.4.3
+    rational + asymptotic approximations (~1e-8 absolute accuracy —
+    the stdlib has no Bessel functions and jq's come from libm)."""
+    import math as m
+
+    ax = abs(x)
+    if ax < 8.0:
+        y = x * x
+        p1 = 57568490574.0 + y * (-13362590354.0 + y * (651619640.7
+             + y * (-11214424.18 + y * (77392.33017 + y * (-184.9052456)))))
+        p2 = 57568490411.0 + y * (1029532985.0 + y * (9494680.718
+             + y * (59272.64853 + y * (267.8532712 + y))))
+        return p1 / p2
+    z = 8.0 / ax
+    y = z * z
+    xx = ax - 0.785398164
+    p1 = 1.0 + y * (-0.1098628627e-2 + y * (0.2734510407e-4
+         + y * (-0.2073370639e-5 + y * 0.2093887211e-6)))
+    p2 = -0.1562499995e-1 + y * (0.1430488765e-3 + y * (-0.6911147651e-5
+         + y * (0.7621095161e-6 + y * (-0.934935152e-7))))
+    return m.sqrt(0.636619772 / ax) * (m.cos(xx) * p1 - z * m.sin(xx) * p2)
+
+
+def _bessel_j1(x: float) -> float:
+    import math as m
+
+    ax = abs(x)
+    if ax < 8.0:
+        y = x * x
+        p1 = x * (72362614232.0 + y * (-7895059235.0 + y * (242396853.1
+             + y * (-2972611.439 + y * (15704.48260 + y * (-30.16036606))))))
+        p2 = 144725228442.0 + y * (2300535178.0 + y * (18583304.74
+             + y * (99447.43394 + y * (376.9991397 + y))))
+        return p1 / p2
+    z = 8.0 / ax
+    y = z * z
+    xx = ax - 2.356194491
+    p1 = 1.0 + y * (0.183105e-2 + y * (-0.3516396496e-4
+         + y * (0.2457520174e-5 + y * (-0.240337019e-6))))
+    p2 = 0.04687499995 + y * (-0.2002690873e-3 + y * (0.8449199096e-5
+         + y * (-0.88228987e-6 + y * 0.105787412e-6)))
+    ans = m.sqrt(0.636619772 / ax) * (m.cos(xx) * p1 - z * m.sin(xx) * p2)
+    return -ans if x < 0.0 else ans
+
+
+def _bessel_y0(x: float) -> float:
+    import math as m
+
+    if x <= 0.0:
+        raise JqError("y0 domain error: requires x > 0")
+    if x < 8.0:
+        y = x * x
+        p1 = -2957821389.0 + y * (7062834065.0 + y * (-512359803.6
+             + y * (10879881.29 + y * (-86327.92757 + y * 228.4622733))))
+        p2 = 40076544269.0 + y * (745249964.8 + y * (7189466.438
+             + y * (47447.26470 + y * (226.1030244 + y))))
+        return p1 / p2 + 0.636619772 * _bessel_j0(x) * m.log(x)
+    z = 8.0 / x
+    y = z * z
+    xx = x - 0.785398164
+    p1 = 1.0 + y * (-0.1098628627e-2 + y * (0.2734510407e-4
+         + y * (-0.2073370639e-5 + y * 0.2093887211e-6)))
+    p2 = -0.1562499995e-1 + y * (0.1430488765e-3 + y * (-0.6911147651e-5
+         + y * (0.7621095161e-6 + y * (-0.934935152e-7))))
+    return m.sqrt(0.636619772 / x) * (m.sin(xx) * p1 + z * m.cos(xx) * p2)
+
+
+def _bessel_y1(x: float) -> float:
+    import math as m
+
+    if x <= 0.0:
+        raise JqError("y1 domain error: requires x > 0")
+    if x < 8.0:
+        y = x * x
+        p1 = x * (-0.4900604943e13 + y * (0.1275274390e13
+             + y * (-0.5153438139e11 + y * (0.7349264551e9
+             + y * (-0.4237922726e7 + y * 0.8511937935e4)))))
+        p2 = 0.2499580570e14 + y * (0.4244419664e12 + y * (0.3733650367e10
+             + y * (0.2245904002e8 + y * (0.1020426050e6
+             + y * (0.3549632885e3 + y)))))
+        return p1 / p2 + 0.636619772 * (
+            _bessel_j1(x) * m.log(x) - 1.0 / x
+        )
+    z = 8.0 / x
+    y = z * z
+    xx = x - 2.356194491
+    p1 = 1.0 + y * (0.183105e-2 + y * (-0.3516396496e-4
+         + y * (0.2457520174e-5 + y * (-0.240337019e-6))))
+    p2 = 0.04687499995 + y * (-0.2002690873e-3 + y * (0.8449199096e-5
+         + y * (-0.88228987e-6 + y * 0.105787412e-6)))
+    return m.sqrt(0.636619772 / x) * (m.sin(xx) * p1 + z * m.cos(xx) * p2)
+
+
+def _bessel_n(n: int, x: float, kind: str) -> float:
+    """jn/yn by forward recurrence from the 0/1 orders (A&S 9.1.27)."""
+    f0, f1 = (
+        (_bessel_j0(x), _bessel_j1(x))
+        if kind == "j"
+        else (_bessel_y0(x), _bessel_y1(x))
+    )
+    if n == 0:
+        return f0
+    if n == 1:
+        return f1
+    if n < 0:
+        raise JqError(f"{kind}n order must be >= 0")
+    if x == 0.0:
+        if kind == "j":
+            return 0.0
+        raise JqError("yn domain error: requires x > 0")
+    if kind == "j" and n > abs(x):
+        # forward recurrence diverges for n > x: Miller's downward
+        # recurrence with series normalization (Numerical Recipes bessj)
+        import math as m
+
+        ax = abs(x)
+        m_start = 2 * ((n + int(m.sqrt(40.0 * n))) // 2)
+        jsum = False
+        bjp = ans = bsum = 0.0
+        bj = 1.0
+        for k in range(m_start, 0, -1):
+            bjm = 2.0 * k / ax * bj - bjp
+            bjp, bj = bj, bjm
+            if abs(bj) > 1e10:
+                bj *= 1e-10
+                bjp *= 1e-10
+                ans *= 1e-10
+                bsum *= 1e-10
+            if jsum:
+                bsum += bj
+            jsum = not jsum
+            if k == n:
+                ans = bjp
+        bsum = 2.0 * bsum - bj
+        ans /= bsum
+        return -ans if (x < 0.0 and n % 2 == 1) else ans
+    prev, cur_b = f0, f1
+    for k in range(1, n):
+        prev, cur_b = cur_b, (2.0 * k / x) * cur_b - prev
+    return cur_b
+
+
 # jq regexes are Oniguruma: named groups are written (?<name>...),
 # which Python spells (?P<name>...).  Translate (leaving lookbehinds
 # (?<= / (?<! alone) so standard jq patterns work in every regex
@@ -3529,7 +3685,9 @@ _VAL_FANOUT_FNS = frozenset({
     "getpath", "setpath", "delpaths", "has", "in", "contains", "inside",
     "startswith", "endswith", "ltrimstr", "rtrimstr", "join", "split",
     "index", "rindex", "indices", "test", "match", "capture", "scan",
-    "splits", "flatten", "error", "pow",
+    "splits", "flatten", "error", "pow", "bsearch", "fma", "nextafter",
+    "nexttoward", "remainder", "jn", "yn", "strftime", "strflocaltime",
+    "strptime", "format",
 })
 
 
@@ -3782,7 +3940,262 @@ def _apply_fn_inner(name: str, arg_asts: list, cur: Any, ev) -> Any:
         # negative base ** fractional exponent: python yields complex,
         # jq yields nan — never leak a complex into the document
         return math.nan if isinstance(r, complex) else r
-    if name in ("todate", "fromdate"):
+    if name in ("erf", "erfc", "isfinite", "pow10", "modf", "lgamma_r",
+                "utf8bytelength", "now", "j0", "j1", "y0", "y1"):
+        if name == "now":
+            import time as _time
+
+            return _time.time()
+        if name == "utf8bytelength":
+            if not isinstance(cur, str):
+                raise JqError("utf8bytelength requires a string")
+            return len(cur.encode("utf-8", "surrogatepass"))
+        if name == "isfinite":
+            # jq def: type == "number" and (isinfinite | not) — note
+            # nan counts as finite under this definition (1.6 quirk)
+            return (
+                isinstance(cur, (int, float))
+                and not isinstance(cur, bool)
+                and not (isinstance(cur, float) and math.isinf(cur))
+            )
+        if not isinstance(cur, (int, float)) or isinstance(cur, bool):
+            raise JqError(f"{name} requires a number")
+        if name == "erf":
+            return math.erf(cur)
+        if name == "erfc":
+            return math.erfc(cur)
+        if name == "pow10":
+            return 10.0 ** cur
+        if name == "modf":
+            frac, whole = math.modf(cur)
+            return [frac, whole]
+        if name == "lgamma_r":
+            try:
+                lg = math.lgamma(cur)
+            except ValueError as e:
+                raise JqError(f"lgamma domain error: {e}") from e
+            try:
+                sign = -1 if math.gamma(cur) < 0 else 1
+            except (ValueError, OverflowError):
+                # gamma overflows where lgamma doesn't: sign of gamma
+                # for large positive x is +1
+                sign = 1
+            return [lg, sign]
+        return {
+            "j0": _bessel_j0, "j1": _bessel_j1,
+            "y0": _bessel_y0, "y1": _bessel_y1,
+        }[name](float(cur))
+    if name in ("fma", "nextafter", "nexttoward", "remainder", "jn", "yn"):
+        nums = [val(i) for i in range(len(arg_asts))]
+        for v_n in nums:
+            if not isinstance(v_n, (int, float)) or isinstance(v_n, bool):
+                raise JqError(f"{name} requires numbers")
+        if name == "fma":
+            return nums[0] * nums[1] + nums[2]
+        if name in ("nextafter", "nexttoward"):
+            return math.nextafter(float(nums[0]), float(nums[1]))
+        if name == "remainder":
+            if nums[1] == 0:
+                raise JqError("remainder by zero")
+            return math.remainder(nums[0], nums[1])
+        return _bessel_n(int(nums[0]), float(nums[1]), name[0])
+    if name in ("finites", "normals", "scalars_or_empty"):
+        import sys as _sys
+
+        is_num = isinstance(cur, (int, float)) and not isinstance(cur, bool)
+        if name == "finites":
+            return cur if is_num and math.isfinite(cur) else _EMPTY
+        if name == "normals":
+            # normal floats: finite, non-zero, not subnormal
+            return (
+                cur
+                if is_num
+                and math.isfinite(cur)
+                and abs(cur) >= _sys.float_info.min
+                and cur != 0
+                else _EMPTY
+            )
+        # scalars_or_empty: scalars AND empty containers pass
+        if isinstance(cur, (list, dict)) and len(cur) > 0:
+            return _EMPTY
+        return cur
+    if name == "isempty":
+        # lazy like jq: any first output decides (isempty((1,error))
+        # never reaches the error)
+        try:
+            out_ie = ev(arg_asts[0], cur)
+        except JqError as e:
+            if e.emitted:
+                e.emitted = []
+                return False
+            raise
+        if out_ie is _EMPTY:
+            return True
+        if isinstance(out_ie, _JqStream):
+            return not out_ie.items
+        return False
+    if name == "bsearch":
+        if not isinstance(cur, list):
+            raise JqError("bsearch requires an array input")
+        import bisect as _bisect
+
+        target = val(0)
+        keys_bs = [_jq_sort_key(v) for v in cur]
+        tk = _jq_sort_key(target)
+        i_bs = _bisect.bisect_left(keys_bs, tk)
+        if i_bs < len(keys_bs) and keys_bs[i_bs] == tk:
+            return i_bs
+        return -i_bs - 1
+    if name == "format":
+        fmt_name = val(0)
+        if not isinstance(fmt_name, str):
+            raise JqError("format requires a string")
+        try:
+            return _apply_fn("@" + fmt_name, [], cur, ev)
+        except JqError as e:
+            if "unknown builtin" in str(e):
+                raise JqError(f"{fmt_name} is not a valid format") from None
+            raise
+    if name == "builtins":
+        names = [f"{w}/0" for w in _ZERO_ARG_WORDS]
+        for nm, (lo_a, hi_a) in _FN_ARG_RANGE.items():
+            names.extend(f"{nm}/{k}" for k in range(lo_a, hi_a + 1))
+        return sorted(set(names))
+    if name == "stderr":
+        import json as _json
+        import sys as _sys
+
+        print(
+            _json.dumps(
+                cur, ensure_ascii=False, default=str, separators=(",", ":")
+            ),
+            file=_sys.stderr,
+            end="",
+        )
+        return cur
+    if name == "truncate_stream":
+        # jq: `. as $n | stream | if (.[0]|length) > $n then
+        # setpath([0]; .[0][$n:]) else empty end` — the INPUT is the
+        # depth, the argument the stream of [path, leaf?] events
+        if not isinstance(cur, int) or isinstance(cur, bool):
+            raise JqError("truncate_stream requires an integer depth input")
+        events_ts = _outputs(ev(arg_asts[0], cur))
+        out_ts = []
+        for ev_t in events_ts:
+            if not isinstance(ev_t, list) or not ev_t or not isinstance(ev_t[0], list):
+                raise JqError("truncate_stream requires stream events")
+            if len(ev_t[0]) > cur:
+                out_ts.append([ev_t[0][cur:]] + ev_t[1:])
+        return _JqStream(out_ts)
+    if name == "JOIN":
+        # jq builtin.jq: def JOIN($idx; idx_expr): [.[] | [., $idx[idx_expr]]];
+        # /3 streams instead of collecting; /4 maps join_expr over pairs
+        idx_obj = val(0)
+        if not isinstance(idx_obj, dict):
+            raise JqError("JOIN requires an object index")
+
+        idx_expr_ast = arg_asts[1] if len(arg_asts) == 2 else arg_asts[2]
+
+        def _join_pair(row):
+            k_out = ev(idx_expr_ast, row)
+            if isinstance(k_out, _JqStream):
+                k_out = k_out.items[0] if k_out.items else _EMPTY
+            k_j = k_out
+            if k_j is _EMPTY:
+                return _EMPTY
+            if not isinstance(k_j, str):
+                raise JqError("JOIN index key must be a string")
+            return [row, idx_obj.get(k_j)]
+
+        if len(arg_asts) == 2:
+            if not isinstance(cur, list):
+                raise JqError("JOIN/2 requires an array input")
+            return [p for p in (_join_pair(r) for r in cur) if p is not _EMPTY]
+        rows_j = _outputs(ev(arg_asts[1], cur))
+        pairs_j = [p for p in (_join_pair(r) for r in rows_j) if p is not _EMPTY]
+        if len(arg_asts) == 3:
+            return _JqStream(pairs_j)
+        out_j: list = []
+        for p_j in pairs_j:
+            out_j.extend(_outputs(ev(arg_asts[3], p_j)))
+        return _JqStream(out_j)
+    if name in ("gmtime", "localtime"):
+        import time as _time
+
+        if not isinstance(cur, (int, float)) or isinstance(cur, bool):
+            raise JqError(f"{name} requires a number")
+        frac = cur - math.floor(cur)
+        try:
+            tm = (
+                _time.gmtime(math.floor(cur))
+                if name == "gmtime"
+                else _time.localtime(math.floor(cur))
+            )
+        except (OverflowError, OSError, ValueError) as e:
+            raise JqError(f"{name} out of range: {e}") from e
+        sec_b = tm.tm_sec + frac if frac else tm.tm_sec
+        # jq's broken-down array: [y, month0, day, h, m, s, wday(Sun=0),
+        # yday0] — Python's tm_wday is Monday=0
+        return [tm.tm_year, tm.tm_mon - 1, tm.tm_mday, tm.tm_hour,
+                tm.tm_min, sec_b, (tm.tm_wday + 1) % 7, tm.tm_yday - 1]
+    if name == "mktime":
+        import calendar as _cal
+
+        if (
+            not isinstance(cur, list)
+            or len(cur) < 6
+            or any(
+                not isinstance(v, (int, float)) or isinstance(v, bool)
+                for v in cur[:6]
+            )
+        ):
+            raise JqError("mktime requires a parsed datetime array")
+        y_m, mo_m, d_m, h_m, mi_m, s_m = cur[:6]
+        return _cal.timegm(
+            (int(y_m), int(mo_m) + 1, int(d_m), int(h_m), int(mi_m),
+             int(s_m), 0, 0, 0)
+        )
+    if name in ("strftime", "strflocaltime"):
+        import time as _time
+
+        fmt_s = val(0)
+        if not isinstance(fmt_s, str):
+            raise JqError(f"{name} requires a format string")
+        if not (
+            isinstance(cur, list)
+            and len(cur) >= 8
+            and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in cur
+            )
+        ):
+            raise JqError(
+                f"{name}/1 requires parsed datetime inputs (gmtime array)"
+            )
+        tm_s = (int(cur[0]), int(cur[1]) + 1, int(cur[2]), int(cur[3]),
+                int(cur[4]), int(cur[5]), (int(cur[6]) - 1) % 7,
+                int(cur[7]) + 1, 0)
+        try:
+            return _time.strftime(fmt_s, tm_s)
+        except ValueError as e:
+            raise JqError(f"{name}: {e}") from e
+    if name == "strptime":
+        import time as _time
+
+        fmt_p = val(0)
+        if not isinstance(cur, str) or not isinstance(fmt_p, str):
+            raise JqError("strptime requires string input and format")
+        try:
+            tm_p = _time.strptime(cur, fmt_p)
+        except ValueError as e:
+            raise JqError(f"date \"{cur}\" does not match format: {e}") from e
+        return [tm_p.tm_year, tm_p.tm_mon - 1, tm_p.tm_mday, tm_p.tm_hour,
+                tm_p.tm_min, tm_p.tm_sec, (tm_p.tm_wday + 1) % 7,
+                tm_p.tm_yday - 1]
+    if name in ("todate", "fromdate", "todateiso8601", "fromdateiso8601"):
+        name = {"todateiso8601": "todate", "fromdateiso8601": "fromdate"}.get(
+            name, name
+        )
         from datetime import datetime, timezone
 
         if name == "todate":
@@ -4703,7 +5116,13 @@ def _parse_defs(self) -> list:
 
 
 def _parse_pipe_root(self):
-    e = self.parse_pipe()
+    # the TOP LEVEL of a jq program is a comma context: ".a, .b" is a
+    # two-output stream, and "x | f, g" parses as "x | (f, g)"
+    saved_comma, self._comma = self._comma, True
+    try:
+        e = self.parse_pipe()
+    finally:
+        self._comma = saved_comma
     if self.peek()[0] is not None:
         raise JqError(f"trailing tokens at {self.toks[self.i:]}")
     return e

@@ -1,0 +1,145 @@
+"""Builtin-completeness: every name `jq -n builtins` reports (minus
+the module system) must parse and dispatch, and the late-round-4
+additions (time, math tail, Bessel, JOIN, bsearch, truncate_stream,
+format, isempty) must match the binary.
+
+Bessel functions use the Abramowitz & Stegun rational approximations
+(~1e-7 relative — the stdlib has no Bessel; jq's come from libm), so
+they compare with a loose tolerance here and stay OUT of the strict
+differential sweep.
+"""
+
+from __future__ import annotations
+
+import math
+import subprocess
+
+import pytest
+
+from dolma_ray.mixer.jq import JqError, evaluate_jq, parse_jq
+
+from test_jq_differential import JQ, _close, ours, real_jq
+
+pytestmark = pytest.mark.skipif(JQ is None, reason="no jq binary")
+
+# module-system introspection is meaningless in an embedded engine
+_OUT_OF_SCOPE = {
+    "get_jq_origin", "get_prog_origin", "get_search_list", "modulemeta",
+}
+
+
+def test_every_jq16_builtin_dispatches():
+    names = subprocess.run(
+        [JQ, "-n", "-r", "builtins[]"], capture_output=True, text=True
+    ).stdout.split()
+    missing = []
+    for entry in sorted(set(names)):
+        name, arity = entry.rsplit("/", 1)
+        if name.startswith("_") or name in _OUT_OF_SCOPE:
+            continue
+        args = "; ".join(["1"] * int(arity))
+        prog = f"{name}({args})" if int(arity) else name
+        try:
+            evaluate_jq(parse_jq(prog), {"a": 1})
+        except JqError as e:
+            if "is not defined" in str(e) or "unknown builtin" in str(e):
+                missing.append(entry)
+        except Exception:  # pragma: no cover - any crash is a failure
+            missing.append(entry)
+    assert missing == []
+
+
+EXACT = [
+    "0 | gmtime",
+    "86400.5 | gmtime",
+    "1700000000 | gmtime",
+    "[0 | gmtime | mktime]",
+    "[1700000086 | gmtime | mktime]",
+    '86400 | gmtime | strftime("%Y-%m-%dT%H:%M:%SZ")',
+    '"1970-01-02" | strptime("%Y-%m-%d")',
+    '"2023-11-14T22:13:20Z" | strptime("%Y-%m-%dT%H:%M:%SZ") | mktime',
+    "1700000000 | todateiso8601",
+    '"2023-11-14T22:13:20Z" | fromdateiso8601',
+    '"héllo" | utf8bytelength',
+    '123 | format("json")',
+    '"a,b" | format("text")',
+    "[[1,2,4,9] | bsearch(4), bsearch(5), bsearch(0), bsearch(99)]",
+    "[isempty(empty), isempty(1), isempty(range(0))]",
+    "1 | erf",
+    "0.5 | erfc",
+    "[fma(2; 3; 4)]",
+    "[nextafter(1; 2)]",
+    "[remainder(7; 3)]",
+    "2.5 | modf",
+    "5 | lgamma_r",
+    "0.5 | lgamma_r",
+    "[2.5, 1e-320, 0] | [.[] | finites]",
+    "[2.5, 1e-320, 0] | [.[] | normals]",
+    '[null, 1, [], [2], {}, {"a":1}, "s"] | [.[] | scalars_or_empty]',
+    '[1e300*1e300 | isfinite, (1 | isfinite), ("x" | isfinite)]',
+    "[1|truncate_stream([[0],1],[[1,0],2],[[1,0]],[[1]])]",
+    '[["a","b","x"][] | [.] | JOIN({"a":10,"b":20}; .[0])]',
+    '[{"x":"a"},{"x":"q"}] | JOIN({"a":1}; .x)',
+    '[JOIN({"a":1,"b":2}; ("a","b"); .)]',
+    '[JOIN({"a":1}; ("a","q"); .; .[1])]',
+    # top-level comma streams (root is a comma context like jq)
+    "[.a, 2]",
+    "[.a | tostring, length]",
+]
+
+
+@pytest.mark.parametrize("prog", EXACT)
+def test_new_builtins_match_real_jq(prog):
+    ref = real_jq(prog, {"a": 5})
+    if ref[0] in ("compile_error", "unparseable"):
+        pytest.skip("outside jq 1.6 surface")
+    got = ours(prog, {"a": 5})
+    assert got[0] == ref[0], (prog, ref, got)
+    if ref[0] == "ok":
+        assert _close(got[1], ref[1]), (prog, ref[1], got[1])
+
+
+BESSEL = [
+    "2 | j0", "2 | j1", "2 | y0", "2 | y1", "[jn(3; 2.5)]",
+    "[yn(2; 3.5)]", "0 | j0", "10 | j0", "30.5 | j1", "[jn(10; 2)]",
+    "[jn(0; 1)]", "-3 | j1", "100 | y0", "0.5 | y0", "7.9 | y1",
+    "[yn(5; 12.0)]", "[jn(2; 15.0)]",
+]
+
+
+def _flat(v, out=None):
+    out = [] if out is None else out
+    if isinstance(v, list):
+        for x in v:
+            _flat(x, out)
+    else:
+        out.append(v)
+    return out
+
+
+@pytest.mark.parametrize("prog", BESSEL)
+def test_bessel_close_to_libm(prog):
+    ref = real_jq(prog, None)
+    got = ours(prog, None)
+    assert got[0] == ref[0] == "ok", (prog, ref, got)
+    a, b = _flat(ref[1]), _flat(got[1])
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert math.isclose(x, y, rel_tol=1e-6, abs_tol=1e-7), (prog, a, b)
+
+
+def test_now_is_wall_clock():
+    import time
+
+    v = evaluate_jq(parse_jq("now"), None)
+    assert abs(v - time.time()) < 5
+
+
+def test_stderr_returns_input(capsys):
+    assert evaluate_jq(parse_jq("[1,2] | stderr | length"), None) == 2
+    assert capsys.readouterr().err == "[1,2]"
+
+
+def test_builtins_lists_our_surface():
+    names = evaluate_jq(parse_jq("builtins"), None)
+    assert "length/0" in names and "map/1" in names and "JOIN/4" in names
