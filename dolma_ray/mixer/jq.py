@@ -1751,9 +1751,7 @@ def _expand_paths(val: Any, steps: list, prefix: list, optional: bool = False) -
         child = val.get(key) if isinstance(val, dict) else None
     elif kind == "idx":
         if isinstance(key, float):
-            import math as _math
-
-            key = _math.floor(key)  # jq floors in path contexts
+            key = int(key)  # jq truncates toward zero in path contexts
         child = (
             val[key]
             if isinstance(val, list) and -len(val) <= key < len(val)
@@ -1786,11 +1784,10 @@ def _set_path(container: Any, steps: list, value: Any) -> Any:
         )
         steps = [(kind, key)] + list(steps[1:])
     if kind == "idx" and isinstance(key, float):
-        # jq floors fractional indexes in path contexts (.[0.5] = 9
-        # sets index 0) — only GETS yield null for them (1.6 quirk)
-        import math as _math
-
-        kind, key = "idx", _math.floor(key)
+        # jq TRUNCATES fractional indexes toward zero when SETTING
+        # (.[0.5] = 9 sets index 0, .[-1.5] = x sets index -1) — only
+        # GETS yield null for them (1.6 quirk)
+        kind, key = "idx", int(key)
         steps = [(kind, key)] + list(steps[1:])
     if kind == "slice":
         # jq slice assignment: .[0:2] = [9] splices the replacement in
@@ -1846,9 +1843,10 @@ def _get_path(container: Any, steps: list) -> Any:
                 else _objidx_slice_bounds(key)
             )
         if kind == "idx" and isinstance(key, float):
-            import math as _math
-
-            key = _math.floor(key)  # jq floors in path contexts
+            # the GET side of an update assignment sees jq's GET
+            # semantics: a fractional index yields null
+            # ([9,8] | .[1.5] += 1 computes null+1, sets index 1)
+            return None
         if cur is None:
             return None
         if kind == "seg":
@@ -3498,9 +3496,7 @@ def _del_path(container: Any, steps: list) -> Any:
         )
         steps = [(kind, key)] + list(steps[1:])
     if kind == "idx" and isinstance(key, float):
-        import math as _math
-
-        key = _math.floor(key)  # jq floors in path contexts
+        key = int(key)  # jq truncates toward zero in path contexts
         steps = [(kind, key)] + list(steps[1:])
     if kind == "iter":
         if len(steps) > 1:

@@ -528,6 +528,17 @@ class TestBracketsSlicesMath:
 class TestJqReviewRegressions:
     """Late-round-4 review findings, pinned."""
 
+    def test_fractional_index_truncates_toward_zero(self):
+        # jq 1.6: fractional indexes in SET/DEL path contexts truncate
+        # toward zero (.[-1.5] hits index -1, NOT floor's -2); the GET
+        # side — including the read half of |= / += — yields null.
+        assert run(".[-1.5] = 5", [9, 8]) == [9, 5]
+        assert run(".[0.5] = 7", [9, 8]) == [7, 8]
+        assert run(".[1.5] += 1", [9, 8]) == [9, 1]  # null + 1
+        assert run("del(.[1.5])", [9, 8]) == [9]
+        assert run(".[1.5]", [9, 8]) is None
+        assert run("path(.[1.5])", [9, 8]) == [1.5]
+
     def test_bigint_modulo_exact(self):
         assert run("10000000000000000001 % 7", None) == 4
 
