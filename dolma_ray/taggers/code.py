@@ -185,11 +185,12 @@ class CodeStarCoderTaggers(BaseTagger):
     (``taggers/code/code_taggers.py:190-227``): emits
     ``has_xml_template_doc``, ``num_github_stars_doc``, ``nl_ratio_doc``
     and ``code_to_text_ratio_html_doc``.  ``nl_ratio`` is EXACT for
-    python (stdlib ast+tokenize, same as the reference) and a
-    comment-scanner stand-in for ~100 other languages (reference lexes
-    with pygments); languages outside the table emit the reference's
-    exception value (-1.0), like pygments ``ClassNotFound`` does there.
-    HTML ratio is a real ``html.parser`` walk (``code_text.py``)."""
+    python (stdlib ast+tokenize, same as the reference) AND for every
+    other language when pygments is importable (``comment_size`` makes
+    the reference's identical pygments calls); names pygments doesn't
+    know emit the reference's exception value (-1.0, ClassNotFound
+    through the bare except).  HTML ratio is a real ``html.parser``
+    walk (``code_text.py``)."""
 
     needs_columns = ("ext", "max_stars_count")
 

@@ -17,13 +17,19 @@ Parity targets (reference ``python/dolma/taggers/code/starcoder.py`` and
   asked for in ``utils.py:60`` — ``features="html.parser"``), dropping
   ``<script>``/``<style>`` subtrees and decoding entities, like
   ``soup.get_text()`` after ``script.extract()``.
-* **Other languages are a documented stand-in**: the reference lexes
-  with pygments and sums ``Comment.Single``/``Comment.Multiline`` token
-  lengths (``starcoder.py:107-121``); :func:`comment_char_fraction`
-  scans per-language line/block comment delimiters instead.  Languages
-  without a table entry raise ``KeyError`` so callers hit the same
-  bare-``except -> -1.0`` path the reference hits on pygments
-  ``ClassNotFound``.
+* **Other languages are EXACT when pygments is importable** (it is in
+  this container): :func:`comment_size` reproduces the reference's
+  ``comment_size`` (``starcoder.py:107-121``) with the same pygments
+  calls — ``pygments.lex(text, get_lexer_by_name(lang))`` summing the
+  lengths of tokens whose type is exactly ``Comment.Single`` or
+  ``Comment.Multiline``.  Because the ext->lang table holds
+  GitHub-linguist names, many of them ("c-sharp", "batchfile",
+  "f-sharp", ...) are NOT pygments aliases — ``get_lexer_by_name``
+  raises ``ClassNotFound`` and the taggers' bare except maps the doc to
+  -1.0, exactly as the reference behaves on those files.  If pygments
+  is absent, :func:`comment_char_fraction` scans per-language
+  line/block comment delimiters as a documented fallback (languages
+  without a table entry raise ``KeyError`` -> the same -1.0 path).
 """
 
 from __future__ import annotations
@@ -34,10 +40,18 @@ import re
 import tokenize
 from html.parser import HTMLParser
 
+try:  # the exact reference dependency (starcoder.py:8-10)
+    import pygments as _pygments
+    from pygments.lexers import get_lexer_by_name as _get_lexer_by_name
+    from pygments.token import Comment as _Comment
+except ImportError:  # pragma: no cover - present in this container
+    _pygments = None
+
 __all__ = [
     "python_nl_text",
     "python_nl_ratio",
     "nl_ratio",
+    "comment_size",
     "extract_html_text",
     "filter_html",
     "comment_char_fraction",
@@ -214,12 +228,52 @@ def comment_char_fraction(text: str, lang: str) -> float:
     return min(total / len(text), 1.0)
 
 
+#: per-worker cache: lang -> lexer instance (pygments lexers are
+#: stateless for ``lex``) or the ClassNotFound raised for that name, so
+#: repeated unknown languages skip pygments' plugin re-scan.
+_LEXER_CACHE: dict[str, object] = {}
+
+
+def comment_size(text: str, lang: str) -> int:
+    """Reference ``comment_size`` (``starcoder.py:109-119``) with the
+    identical pygments calls: ``pygments.lex(text,
+    get_lexer_by_name(lang))`` summing the lengths of tokens whose type
+    is exactly ``Comment.Single`` or ``Comment.Multiline`` — so
+    languages whose lexers emit the bare ``Comment`` type (ocaml,
+    erlang, visual-basic, ...) count 0, bug-for-bug.  Raises pygments
+    ``ClassNotFound`` for names pygments doesn't know ("c-sharp",
+    "f-sharp", "batchfile", ...); callers' bare except maps that to
+    -1.0 like the reference's does."""
+    if _pygments is None:  # pragma: no cover - present in this container
+        raise ImportError("pygments is required for comment_size")
+    lexer = _LEXER_CACHE.get(lang)
+    if lexer is None:
+        try:
+            lexer = _get_lexer_by_name(lang)
+        except Exception as exc:  # ClassNotFound (and option errors)
+            _LEXER_CACHE[lang] = exc
+            raise
+        _LEXER_CACHE[lang] = lexer
+    elif isinstance(lexer, Exception):
+        raise lexer
+    total = 0
+    for token_type, token in _pygments.lex(text, lexer):
+        if token_type is _Comment.Single or token_type is _Comment.Multiline:
+            total += len(token)
+    return total
+
+
 def nl_ratio(text: str, lang: str) -> float:
     """Reference ``get_nl_ratio``: python routes through the exact
-    ast+tokenize extraction, everything else through the comment
-    scanner.  Raises on empty text / unknown language (callers catch)."""
+    ast+tokenize extraction, everything else through pygments
+    ``comment_size`` (exact when pygments is importable — it is in this
+    container — else the comment scanner stand-in).  Raises on empty
+    text / unknown language (callers catch)."""
     if lang == "python":
         return python_nl_ratio(text)
+    if _pygments is not None:
+        # ClassNotFound on unknown lang; ZeroDivisionError on empty text
+        return comment_size(text, lang) / len(text)
     frac = comment_char_fraction(text, lang)  # KeyError on unknown lang
     if not text:
         raise ZeroDivisionError("empty text")  # reference divides by len

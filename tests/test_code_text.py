@@ -65,9 +65,29 @@ def test_nl_ratio_python_counts_docstrings_not_strings():
     assert 0 < r < 0.5  # only the docstring text counts
 
 
-def test_nl_ratio_unknown_language_raises_keyerror():
-    with pytest.raises(KeyError):
-        nl_ratio("some text", "brainfuck")
+def test_nl_ratio_unknown_language_raises():
+    # pygments ClassNotFound (a ValueError) on the pygments path; the
+    # scanner fallback raises KeyError — taggers catch Exception either
+    # way and emit -1.0 like the reference's bare except
+    with pytest.raises((ValueError, KeyError)):
+        nl_ratio("some text", "definitely-not-a-language")
+
+
+def test_nl_ratio_pygments_exact_quirks():
+    # these mirror pygments token typing exactly, like the reference:
+    # linguist names that are not pygments aliases -> ClassNotFound
+    with pytest.raises((ValueError, KeyError)):
+        nl_ratio("int x;", "c-sharp")
+    # lexers emitting the bare Comment type (not Single/Multiline)
+    # count 0 in comment_size, bug-for-bug (ocaml, erlang, vb)
+    assert nl_ratio("(* ml *)\nlet x = 1\n", "ocaml") == 0.0
+    assert nl_ratio("% erl\nmain() -> ok.\n", "erlang") == 0.0
+    # MarkdownLexer has no Comment rules at all
+    assert nl_ratio("# head\ntext\n", "markdown") == 0.0
+    # the common cases do count
+    assert 0 < nl_ratio("// c\nint x;\n", "go") < 1
+    assert 0 < nl_ratio("/* b */\nint x;\n", "java") < 1
+    assert 0 < nl_ratio("<!-- note --><p>x</p>", "html") < 1
 
 
 def test_nl_ratio_empty_raises_zerodivision():

@@ -1,0 +1,117 @@
+"""Differential parity: run the REFERENCE's own starcoder.py natural-text
+extraction (loaded from /root/reference at test time, never copied)
+against this engine's code_text module on a matrix of (text, language)
+pairs, asserting exact float equality and same-exception behavior.
+Possible because pygments — the reference's only third-party dependency
+there — is importable in this container."""
+
+import os
+
+import pytest
+
+REF = "/root/reference/python/dolma/taggers/code/starcoder.py"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference checkout not available"
+)
+
+
+def load_reference_starcoder():
+    src = open(REF, "r", encoding="utf-8").read()
+    ns: dict = {}
+    exec(compile(src, "reference_starcoder", "exec"), ns)
+    return ns
+
+
+PY_SRC = '''\
+"""Module doc."""
+
+# top comment
+def f():
+    """F doc."""
+    return 1  # trailing
+
+
+class C:
+    """C doc."""
+
+    async def g(self):
+        """Async doc (reference drops it)."""
+'''
+
+TEXTS = [
+    "// line\nint x = 1;\n/* block\nspans */\nreturn x;\n",
+    "# hash comment\nvalue = 1\n",
+    "(* ml comment *)\nlet x = 1\n",
+    "-- dashes\nSELECT 1;\n",
+    "<!-- note --><p>words</p>",
+    "% percent\nmain() -> ok.\n",
+    "' tick\nDim x\n",
+    "plain text, no comments at all",
+    "/* unterminated block\nint x;\n",
+    "# head\n\nprose with `code` and *emph*\n",
+]
+
+LANGS = [
+    "c", "c++", "java", "javascript", "typescript", "go", "rust",
+    "sql", "haskell", "lua", "ocaml", "erlang", "visual-basic",
+    "html", "xml", "markdown", "shell", "ruby", "matlab", "tex",
+]
+
+
+def test_get_nl_ratio_matrix_matches_reference():
+    import dolma_ray.taggers.code_text as ct
+
+    ref = load_reference_starcoder()
+    checked = 0
+    for text in TEXTS:
+        for lang in LANGS:
+            try:
+                expected = ref["get_nl_ratio"](text, lang)
+                exc = None
+            except Exception as e:  # noqa: BLE001 - mirror bare except
+                expected, exc = None, type(e)
+            if exc is None:
+                got = ct.nl_ratio(text, lang)
+                assert got == expected, (lang, text, got, expected)
+            else:
+                with pytest.raises(Exception) as ei:
+                    ct.nl_ratio(text, lang)
+                assert type(ei.value) is exc, (lang, text, ei.value, exc)
+            checked += 1
+    assert checked == len(TEXTS) * len(LANGS)
+
+
+def test_get_nl_ratio_python_path_matches_reference():
+    import dolma_ray.taggers.code_text as ct
+
+    ref = load_reference_starcoder()
+    for src in [
+        PY_SRC,
+        '"""doc"""\nx = "not a comment"\n',
+        "x ===== y\n# recoverable comment\n",
+        "def broken(:\n# tokenize fails too\n",
+        "pass\n",
+    ]:
+        assert ct.nl_ratio(src, "python") == ref["get_nl_ratio"](src, "python")
+
+
+def test_unknown_linguist_names_raise_same_exception_type():
+    import dolma_ray.taggers.code_text as ct
+
+    ref = load_reference_starcoder()
+    for lang in ["c-sharp", "f-sharp", "batchfile", "no-such-lang"]:
+        with pytest.raises(Exception) as ref_ei:
+            ref["get_nl_ratio"]("int x;", lang)
+        with pytest.raises(Exception) as our_ei:
+            ct.nl_ratio("int x;", lang)
+        assert type(our_ei.value) is type(ref_ei.value)
+
+
+def test_comment_size_matches_reference_exactly():
+    import dolma_ray.taggers.code_text as ct
+
+    ref = load_reference_starcoder()
+    for text in TEXTS:
+        for lang in ["java", "go", "html", "ocaml", "markdown", "sql"]:
+            assert ct.comment_size(text, lang) == ref["comment_size"](text, lang)
