@@ -44,7 +44,12 @@ import numpy as np
 from ..registry import TaggerRegistry
 from .base import DOC, SPAN, BaseTagger
 
-_WS_TOKEN_RE = re.compile(r"\w+|[^\w\s]+")
+try:  # reference code/utils.py:14,75-76 compiles this with `regex`
+    import regex as _token_re
+except ImportError:  # pragma: no cover - present in this container
+    _token_re = re
+
+_WS_TOKEN_RE = _token_re.compile(r"\w+|[^\w\s]+")
 _COPYRIGHT_RE = re.compile("copyright", re.IGNORECASE)
 _BLOCK_COMMENT_RE = re.compile(r"/\*[^*]*\*+(?:[^/*][^*]*\*+)*/")
 

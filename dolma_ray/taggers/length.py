@@ -8,8 +8,11 @@ Semantics pinned to the reference (``python/dolma/taggers/length.py``):
 * ``doc_count_v1`` -> ``docs`` = 1;
 * ``char_length_with_paragraphs_v1`` -> per-paragraph ``paragraph`` spans
   (score = paragraph char length incl. newline) + ``document`` doc length;
-* ``whitespace_tokenizer_v1`` -> ``length`` = ``len(re.split(r"\\w+|[^\\w\\s]+", text))``
-  (the reference counts *split pieces*, i.e. matches + 1 — quirk kept);
+* ``whitespace_tokenizer_v1`` -> ``length`` = ``len(regex.split(r"\\w+|[^\\w\\s]+", text))``
+  (the reference counts *split pieces*, i.e. matches + 1 — quirk kept;
+  compiled with the ``regex`` package like the reference — its ``\\w``
+  covers 17,608 codepoints stdlib ``re`` doesn't, combining marks and
+  superscript digits among them — stdlib fallback kept);
 * ``uniseg_length_v1`` -> word-segment count of ``text.strip()``
   (uniseg approximated by ``split_unicode_words``);
 * ``uniseg_length_paragraphs_v1`` (+``_with_empty_v1``,
@@ -23,14 +26,18 @@ Semantics pinned to the reference (``python/dolma/taggers/length.py``):
 
 from __future__ import annotations
 
-import re
 from typing import Any, Mapping
 
 from ..registry import TaggerRegistry
 from ..text_units import split_paragraphs, split_unicode_words
 from .base import DOC, SPAN, BaseTagger
 
-_WS_TOKEN_RE = re.compile(r"\w+|[^\w\s]+")
+try:  # the reference's engine (length.py:11,60) — importable here
+    import regex as _token_re
+except ImportError:  # pragma: no cover - present in this container
+    import re as _token_re
+
+_WS_TOKEN_RE = _token_re.compile(r"\w+|[^\w\s]+")
 
 
 @TaggerRegistry.add("char_length_v1")

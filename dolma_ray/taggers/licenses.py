@@ -15,6 +15,13 @@ license string (``cc_by_4.0`` etc.), which would make the Arrow schema
 data-dependent.  This engine emits two fixed columns instead: ``license``
 (string, semicolon-joined license ids in match order) and ``score``
 (doc float, score of the first match; 0.0 when none).
+
+The attribute pattern is compiled with the ``regex`` package — the
+reference's own engine (``licenses.py:11,26-33``) — because it is not
+expressible in stdlib ``re``: it uses the ``\\p{Punct}`` property class
+AND two alternative groups that share the name ``type`` (stdlib re
+rejects duplicate group names).  A close stdlib fallback keeps the
+module importable without the package.
 """
 
 from __future__ import annotations
@@ -25,19 +32,35 @@ from typing import Any, Mapping
 from ..registry import TaggerRegistry
 from .base import DOC, STR, BaseTagger
 
+try:
+    import regex as _regex
+except ImportError:  # pragma: no cover - present in this container
+    _regex = None
+
 PRE_SEARCH = ("creativecommons.org/licenses", "creativecommons.org/publicdomain")
 
 _LICENSE_TYPE = r"by(-nc)?(-nd)?(-sa)?"
 _VERSION = r"\d+\.\d+"
 _LANG = r"\w{2}"
 
-CC_ATTRIBUTE_RE = re.compile(
-    r"<(a|A|meta)\s[\w\W]*?(href|HREF|content)"
-    r"=('|\"|&quot;)?http(s*)://creativecommons\.org/"
-    rf"(licenses/(?P<type>{_LICENSE_TYPE})|(?P<ptype>publicdomain/(zero|certification|mark)))"
-    rf"(?P<version>/{_VERSION})?"
-    rf"((/{_LANG})?/((deed|legalcode)\.)?(?P<lang>{_LANG}))?.*?('|\"|&quot;).*?>"
-)
+if _regex is not None:
+    # byte-identical to reference licenses.py:26-33 (duplicate `type`
+    # group across the two alternatives — whichever matched fills it)
+    CC_ATTRIBUTE_RE = _regex.compile(
+        "<(a|A|meta)\\s[\\w\\p{Punct}\\s=]*\n*(href|HREF|content)"
+        "=('|\"|&quot;)?http(s*)://creativecommons\\.org/"
+        f"((licenses/(?P<type>{_LICENSE_TYPE}))|(?P<type>publicdomain/(zero|certification|mark)))"
+        f"(?P<version>/{_VERSION})?"
+        f"((/{_LANG})?/((deed|legalcode)\\.)?(?P<lang>{_LANG}))?.*?('|\"|&quot;).*?>"
+    )
+else:  # pragma: no cover - stdlib approximation (documented fallback)
+    CC_ATTRIBUTE_RE = re.compile(
+        r"<(a|A|meta)\s[\w\W]*?(href|HREF|content)"
+        r"=('|\"|&quot;)?http(s*)://creativecommons\.org/"
+        rf"(licenses/(?P<type>{_LICENSE_TYPE})|(?P<ptype>publicdomain/(zero|certification|mark)))"
+        rf"(?P<version>/{_VERSION})?"
+        rf"((/{_LANG})?/((deed|legalcode)\.)?(?P<lang>{_LANG}))?.*?('|\"|&quot;).*?>"
+    )
 
 CC_FAST_RE = re.compile(
     r"http[s]?://creativecommons\.org/licenses/"

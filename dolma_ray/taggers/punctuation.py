@@ -6,34 +6,70 @@ punctuation / whitespace / emoji gets an ``all_punct`` span with score 1;
 when no such paragraph exists a single whole-doc span with score 0 is
 emitted (kept here as an empty span list + the scalar default 0.0 is
 implicit in the span-list representation).
+
+The reference compiles its class with the ``regex`` package (``import
+regex``, ``punctuation.py:1,12-23``) whose ``[[:punct:]]`` POSIX class
+is NOT expressible in stdlib ``re`` — the same package is importable in
+this container, so :data:`_ALL_PUNCT_RE` is the byte-identical pattern
+through the identical engine.  A stdlib fallback (unicodedata P*/S*
+categories — measured 1,043 codepoints apart from ``[[:punct:]]``, all
+unassigned Cn or symbol So) keeps the tagger importable without it.
 """
 
 from __future__ import annotations
 
-import re
-import unicodedata
 from typing import Any, Mapping
 
 from ..registry import TaggerRegistry
 from ..text_units import split_paragraphs
 from .base import SPAN, BaseTagger
 
-_HAS_ALNUM = re.compile(r"[a-zA-Z0-9]")
-_EMOJI_RANGES = (
-    (0x1F300, 0x1F64F),
-    (0x1F680, 0x1F6FF),
-    (0x2600, 0x26FF),
-    (0x2700, 0x27BF),
-)
+try:
+    import regex as _regex
+except ImportError:  # pragma: no cover - present in this container
+    _regex = None
 
+if _regex is not None:
+    _HAS_ALNUM = _regex.compile(r"[a-zA-Z0-9]", _regex.UNICODE)
+    # reference punctuation.py:13-23, byte-identical pattern
+    _ALL_PUNCT_RE = _regex.compile(
+        r"^("
+        r"[[:punct:]]|"
+        r"\s|"
+        r"["
+        "\U0001f300-\U0001f64f"
+        "\U0001f680-\U0001f6ff"
+        "\u2600-\u26ff\u2700-\u27bf"
+        r"]+"
+        r")+$",
+        _regex.UNICODE,
+    )
 
-def _is_punct_ws_emoji(ch: str) -> bool:
-    if ch.isspace():
-        return True
-    cp = ord(ch)
-    if any(lo <= cp <= hi for lo, hi in _EMOJI_RANGES):
-        return True
-    return unicodedata.category(ch).startswith(("P", "S"))
+    def _is_all_punct(ptext: str) -> bool:
+        return _ALL_PUNCT_RE.search(ptext) is not None
+
+else:  # pragma: no cover - stdlib approximation (documented fallback)
+    import re as _re
+    import unicodedata
+
+    _HAS_ALNUM = _re.compile(r"[a-zA-Z0-9]")
+    _EMOJI_RANGES = (
+        (0x1F300, 0x1F64F),
+        (0x1F680, 0x1F6FF),
+        (0x2600, 0x26FF),
+        (0x2700, 0x27BF),
+    )
+
+    def _is_punct_ws_emoji(ch: str) -> bool:
+        if ch.isspace():
+            return True
+        cp = ord(ch)
+        if any(lo <= cp <= hi for lo, hi in _EMOJI_RANGES):
+            return True
+        return unicodedata.category(ch).startswith(("P", "S"))
+
+    def _is_all_punct(ptext: str) -> bool:
+        return bool(ptext) and all(_is_punct_ws_emoji(c) for c in ptext)
 
 
 @TaggerRegistry.add("not_alphanum_paragraph_v1")
@@ -47,6 +83,6 @@ class NotAlphanumParagraphV1(BaseTagger):
             ptext = p.text
             if _HAS_ALNUM.search(ptext):
                 continue
-            if ptext and all(_is_punct_ws_emoji(c) for c in ptext):
+            if _is_all_punct(ptext):
                 spans.append((p.start, p.end, 1.0))
         return {"all_punct": spans}

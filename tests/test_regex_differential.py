@@ -1,0 +1,182 @@
+"""Differential parity for the taggers whose reference implementation
+depends on the ``regex`` package (importable in this container): load the
+REFERENCE's own punctuation.py / licenses.py from /root/reference at test
+time (never copied), stub only its framework types, and compare outputs
+on codepoint sweeps and crafted HTML.  These would diverge under a
+stdlib-``re`` translation: ``[[:punct:]]``, ``\\p{Punct}`` and duplicate
+``type`` groups are regex-package-only."""
+
+import os
+import sys
+import types
+
+import pytest
+
+REF_DIR = "/root/reference/python/dolma/taggers"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference checkout not available"
+)
+
+
+class _Span:
+    def __init__(self, start, end, type, score):
+        self.start, self.end, self.type, self.score = start, end, type, score
+
+
+class _DocResult:
+    def __init__(self, doc, spans):
+        self.doc, self.spans = doc, spans
+
+
+class _Doc:
+    def __init__(self, text, metadata=None):
+        self.text, self.metadata = text, metadata or {}
+
+
+class _Registry:
+    @staticmethod
+    def add(_name):
+        return lambda cls: cls
+
+
+def load_reference_tagger(fname, extra_ns=None):
+    src = open(f"{REF_DIR}/{fname}", "r", encoding="utf-8").read()
+    body = "\n".join(
+        ln for ln in src.splitlines() if not ln.startswith("from ..")
+    )
+    from dolma_ray.text_units import split_paragraphs as our_split
+
+    def split_paragraphs(text):
+        # adapt our (start, end, text) paragraphs to attribute objects
+        return [types.SimpleNamespace(start=p.start, end=p.end, text=p.text)
+                for p in our_split(text)]
+
+    ns: dict = {
+        "Span": _Span,
+        "DocResult": _DocResult,
+        "Document": _Doc,
+        "DocumentWithMetadata": _Doc,
+        "TaggerRegistry": _Registry,
+        "BaseTagger": object,
+        "BaseTaggerWithMetadata": object,
+        "split_paragraphs": split_paragraphs,
+        **(extra_ns or {}),
+    }
+    exec(compile(body, f"reference_{fname}", "exec"), ns)
+    return ns
+
+
+# ---- not_alphanum_paragraph_v1 -------------------------------------------
+
+
+def _punct_cases():
+    # every codepoint the regex [[:punct:]] class and the unicodedata
+    # P*/S* approximation disagree on, plus samples across the planes
+    import regex as rx
+    import unicodedata
+
+    gp = rx.compile(r"[[:punct:]]", rx.UNICODE)
+    cases = []
+    for cp in range(0x30000):
+        ch = chr(cp)
+        if bool(gp.match(ch)) != unicodedata.category(ch).startswith(("P", "S")):
+            cases.append(ch)
+    # crafted multi-char paragraphs
+    cases += ["!!!", "?! …", "⁂ ⁂", "␧", "¡§¶", "★☆★", "🚀🌍", "a!b", ""]
+    return cases
+
+
+def test_not_alphanum_matches_reference_on_divergent_codepoints():
+    from dolma_ray.taggers.punctuation import NotAlphanumParagraphV1
+
+    ref_ns = load_reference_tagger("punctuation.py")
+    ref = ref_ns["NotAlphanumParagraphV1"]()
+    ours = NotAlphanumParagraphV1()
+
+    checked = 0
+    for text in _punct_cases():
+        ref_spans = [
+            (s.start, s.end, float(s.score))
+            for s in ref.predict(_Doc(text)).spans
+            if s.score == 1  # drop the reference's score-0 whole-doc filler
+        ]
+        got = ours.predict(text, {})["all_punct"]
+        assert [(a, b, c) for a, b, c in got] == ref_spans, repr(text)
+        checked += 1
+    assert checked > 1000  # the sweep really covered the divergence set
+
+
+def test_not_alphanum_multiline_paragraphs_match_reference():
+    from dolma_ray.taggers.punctuation import NotAlphanumParagraphV1
+
+    ref = load_reference_tagger("punctuation.py")["NotAlphanumParagraphV1"]()
+    ours = NotAlphanumParagraphV1()
+    doc = "words here\n\n!!! ???\n\n★ § ¶\n\nmixed ! text\n\n␧␧"
+    ref_spans = [(s.start, s.end) for s in ref.predict(_Doc(doc)).spans if s.score == 1]
+    got = [(a, b) for a, b, _ in ours.predict(doc, {})["all_punct"]]
+    assert got == ref_spans
+
+
+# ---- cc_re / cc_re_fast ----------------------------------------------------
+
+HTML_CASES = [
+    # plain by license with version and deed lang
+    '<a rel="license" href="http://creativecommons.org/licenses/by/4.0/">CC</a>',
+    '<a href="https://creativecommons.org/licenses/by-nc-sa/3.0/deed.en">x</a>',
+    '<meta content="http://creativecommons.org/licenses/by-nd/2.5/legalcode.fr">',
+    # publicdomain family (fills the duplicate `type` group's 2nd branch)
+    '<a href="http://creativecommons.org/publicdomain/zero/1.0/">cc0</a>',
+    '<a href="https://creativecommons.org/publicdomain/mark/1.0/">pd</a>',
+    # attribute soup between tag and href: punct+word+space+= only
+    '<a class="b-c_d" id=\'x\' href="http://creativecommons.org/licenses/by-sa/4.0/">y</a>',
+    # reference pattern requires [\\w\\p{Punct}\\s=]* — a math symbol (Sm,
+    # not Punct) between the tag and href must PREVENT the match
+    '<a data-x="∑" href="http://creativecommons.org/licenses/by/4.0/">n</a>',
+    # multiple matches: score decay 1.0, 0.75
+    '<a href="http://creativecommons.org/licenses/by/4.0/">1</a>'
+    '<a href="http://creativecommons.org/licenses/by-nc/2.0/">2</a>',
+    # no match at all / pre-filter miss
+    "<p>no license here</p>",
+    '<a href="http://example.com/licenses/by/4.0/">decoy</a>',
+    # &quot;-quoted and uppercase HREF
+    '<A HREF=&quot;https://creativecommons.org/licenses/by-nd-sa/1.0/&quot;>q</A>',
+]
+
+
+def _ref_license_taggers():
+    ns = load_reference_tagger("licenses.py")
+    return ns["CreativeCommonsRegexLicenseExtractor"](), ns[
+        "CreativeCommonsFastRegexHtmlExtractor"
+    ]()
+
+
+def test_cc_re_matches_reference_on_crafted_html():
+    from dolma_ray.taggers.licenses import (
+        CreativeCommonsFastRegexHtmlExtractor,
+        CreativeCommonsRegexLicenseExtractor,
+    )
+
+    ref_full, ref_fast = _ref_license_taggers()
+    our_full = CreativeCommonsRegexLicenseExtractor()
+    our_fast = CreativeCommonsFastRegexHtmlExtractor()
+
+    for html in HTML_CASES:
+        doc = _Doc("body text", {"html": html})
+        for ref_t, our_t in ((ref_full, our_full), (ref_fast, our_fast)):
+            spans = ref_t.predict(doc).spans
+            got = our_t.predict("body text", {"html": html})
+            # span type is "cc_<license>"; ours joins "<license>" with ';'
+            assert got["license"] == ";".join(s.type[3:] for s in spans), html
+            assert got["score"] == (spans[0].score if spans else 0.0), html
+
+
+def test_cc_re_version_and_lang_suffixes_match_reference():
+    from dolma_ray.taggers.licenses import CreativeCommonsRegexLicenseExtractor
+
+    ref_full, _ = _ref_license_taggers()
+    ours = CreativeCommonsRegexLicenseExtractor()
+    html = '<a href="http://creativecommons.org/licenses/by-nc-nd/3.0/de/deed.de">x</a>'
+    spans = ref_full.predict(_Doc("t", {"html": html})).spans
+    got = ours.predict("t", {"html": html})
+    assert spans and got["license"] == spans[0].type[3:]
