@@ -87,14 +87,36 @@ def _split_http_payload(payload: bytes) -> tuple[dict[bytes, bytes], bytes]:
     return headers, body
 
 
+try:  # the reference's fallback detector (warc/processor.py:10,154)
+    from charset_normalizer import detect as _detect_charset
+except ImportError:  # pragma: no cover - present in this container
+    _detect_charset = None
+
+
 def _decode(body: bytes, content_type: bytes) -> str:
+    """Reference decode flow (``warc/processor.py:146-157``): strict
+    decode with the declared charset first (fast), charset_normalizer
+    detection only when that fails or is empty (slow); an undecodable
+    body returns "" and the record is skipped by the caller, exactly as
+    the reference's ``continue`` does.  Without charset_normalizer the
+    fallback is utf-8/replace (documented deviation)."""
+    decoded = ""
     m = _CHARSET_RE.search(content_type)
     if m:
         try:
-            return body.decode(m.group(1).decode("ascii", "replace")).strip()
+            decoded = body.decode(m.group(1).decode("ascii", "replace")).strip()
         except (UnicodeDecodeError, LookupError):
-            pass
-    # no chardet here (reference falls back to it); utf-8/replace instead
+            decoded = ""
+    if decoded:
+        return decoded
+    if _detect_charset is not None:
+        encoding = _detect_charset(body)["encoding"]
+        if encoding:
+            try:
+                return body.decode(str(encoding)).strip()
+            except (UnicodeDecodeError, LookupError):
+                return ""
+        return ""
     return body.decode("utf-8", errors="replace").strip()
 
 

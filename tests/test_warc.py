@@ -108,3 +108,29 @@ def test_read_warc_dataset(ray_session, tmp_path):
     assert df.loc[0, "url"] == "http://ds.test/page"
     assert "Hello WARC world" in df.loc[0, "text"]  # linearized
     assert "<p>" not in df.loc[0, "text"]
+
+def test_charset_detection_fallback():
+    # no charset declared, body not valid utf-8: the reference runs
+    # charset_normalizer.detect (processor.py:154) — so do we
+    body = "héllo wörld — çafé naïve garçon à la carte très bien".encode("cp1252")
+    data = build_warc([
+        make_record("response", "http://cp1252.test/", body,
+                    content_type=b"text/html"),
+    ])
+    rows = parse_warc_bytes(data)
+    assert len(rows) == 1
+    assert rows[0]["html"]  # decoded via detection, not dropped
+    assert "�" not in rows[0]["html"]  # and not via errors=replace
+
+
+def test_undecodable_record_skipped():
+    # detection yields no encoding -> "" -> record skipped, matching the
+    # reference's `continue` (processor.py:156-157)
+    body = b"\x00\x01\x02\xff\xfe\x00\x00\xfa\xfb" * 4
+    data = build_warc([
+        make_record("response", "http://junk.test/", body,
+                    content_type=b"application/octet-stream"),
+        make_record("response", "http://ok.test/", HTML),
+    ])
+    rows = parse_warc_bytes(data)
+    assert [r["url"] for r in rows] == ["http://ok.test/"]
