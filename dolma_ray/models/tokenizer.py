@@ -68,3 +68,68 @@ class RegexTokenizer:
 
     def count(self, text: str) -> int:
         return len(_GPT2ISH.findall(text))
+
+
+try:
+    import regex as _regex
+except ImportError:  # pragma: no cover - present in this container
+    _regex = None
+
+
+class OlmoSequencePreTokenizer:
+    """The reference ``olmo_pretokenizer_v1`` pre-tokenizer
+    (``taggers/length.py:126-143``) re-implemented in pure python: a
+    ``tokenizers.Sequence`` of ``Split(" ?[[:punct:]]", isolated)`` →
+    ``Split(" ?\\d", isolated)`` → ``ByteLevel(add_prefix_space=False,
+    use_regex=True)``, where ByteLevel's ``use_regex`` applies the
+    published GPT-2 pattern to each piece.  The count is the number of
+    final pieces, which byte-encoding never changes.
+
+    Patterns are compiled with the ``regex`` package (``[[:punct:]]``
+    and ``\\p{L}``/``\\p{N}`` are not stdlib-expressible).  Engine
+    caveat (documented): HF tokenizers compiles through Oniguruma,
+    whose ``\\d``/POSIX-class Unicode coverage can differ from the
+    regex package on exotic codepoints; the structure and ASCII/Latin
+    behavior match.  Falls back to :class:`RegexTokenizer` counting
+    when the regex package is missing.
+    """
+
+    def __init__(self) -> None:
+        if _regex is None:  # pragma: no cover
+            self._fallback = RegexTokenizer()
+            return
+        self._fallback = None
+        self._splits = (
+            _regex.compile(r" ?[[:punct:]]"),
+            _regex.compile(r" ?\d"),
+        )
+        # tokenizers' ByteLevel regex (byte_level.rs), as in GPT-2
+        self._byte_level = _regex.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+        )
+
+    @staticmethod
+    def _split_isolated(pattern, piece: str) -> list[str]:
+        """HF ``Split(..., behavior="isolated")``: every match becomes
+        its own piece; the non-empty gaps between matches remain."""
+        out = []
+        pos = 0
+        for m in pattern.finditer(piece):
+            if m.start() > pos:
+                out.append(piece[pos:m.start()])
+            out.append(m.group(0))
+            pos = m.end()
+        if pos < len(piece):
+            out.append(piece[pos:])
+        return out
+
+    def pieces(self, text: str) -> list[str]:
+        if self._fallback is not None:  # pragma: no cover
+            return _GPT2ISH.findall(text)
+        parts = [text] if text else []
+        for pat in self._splits:
+            parts = [q for p in parts for q in self._split_isolated(pat, p)]
+        return [q for p in parts for q in self._byte_level.findall(p)]
+
+    def count(self, text: str) -> int:
+        return len(self.pieces(text))

@@ -19,9 +19,10 @@ Semantics pinned to the reference (``python/dolma/taggers/length.py``):
   ``_with_doc_length_v1``) -> per-paragraph word counts, plus a
   ``negative_paragraph`` span with score ``-count`` (the reference's trick
   so "drop paragraphs shorter than n" can be expressed as a >= filter);
-* ``olmo_pretokenizer_v1`` (+``_with_paragraphs_v1``) -> GPT-NeoX-ish
-  pre-token count via the regex tokenizer (deterministic stand-in for the
-  HF ByteLevel pre-tokenizer, which needs network access).
+* ``olmo_pretokenizer_v1`` (+``_with_paragraphs_v1``) -> piece count of
+  the reference's exact pre-tokenizer Sequence — Split(" ?[[:punct:]]")
+  -> Split(" ?\\d") -> ByteLevel(use_regex) — reproduced in pure python
+  with the ``regex`` package (``models/tokenizer.py``).
 """
 
 from __future__ import annotations
@@ -152,10 +153,15 @@ class UnisegParagraphsWithDocLengthV1(UnisegParagraphsV1):
 
 @TaggerRegistry.add("olmo_pretokenizer_v1")
 class OlmoPreTokenizerV1(BaseTagger):
-    def __init__(self) -> None:
-        from ..models.tokenizer import RegexTokenizer
+    """Reference ``olmo_pretokenizer_v1`` (``taggers/length.py:126-148``):
+    piece count of the punct-split → digit-split → ByteLevel sequence,
+    reproduced in pure python (``models/tokenizer.py::
+    OlmoSequencePreTokenizer``, engine caveat documented there)."""
 
-        self.tokenizer = RegexTokenizer()
+    def __init__(self) -> None:
+        from ..models.tokenizer import OlmoSequencePreTokenizer
+
+        self.tokenizer = OlmoSequencePreTokenizer()
 
     def output_types(self) -> Mapping[str, str]:
         return {"length": DOC}

@@ -112,3 +112,21 @@ def test_tokenizer_length_taggers():
     assert out["length"] > 4
     par = _t("olmo_pretokenizer_with_paragraphs_v1").predict("a b\nc d", {})
     assert par["document"] == sum(s[2] for s in par["paragraph"])
+
+def test_olmo_pretokenizer_sequence_semantics():
+    # hand-derived from the reference's pre-tokenizer Sequence
+    # (taggers/length.py:126-148): Split(" ?[[:punct:]]", isolated) ->
+    # Split(" ?\d", isolated) -> ByteLevel(use_regex) piece count
+    from dolma_ray.models.tokenizer import OlmoSequencePreTokenizer
+
+    t = OlmoSequencePreTokenizer()
+    # "Hello" "," " world" "!" " 1" "2" "3"
+    assert t.pieces("Hello, world! 123") == [
+        "Hello", ",", " world", "!", " 1", "2", "3"]
+    # punct isolation splits contractions into three pieces (GPT-2
+    # alone would give two: "don" + "'t")
+    assert t.pieces("don't") == ["don", "'", "t"]
+    # every digit is its own piece, space attaches to the first
+    assert t.pieces("a1b2") == ["a", "1", "b", "2"]
+    assert t.pieces("") == []
+    assert t.count("x=y+z") == 5
