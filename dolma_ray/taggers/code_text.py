@@ -248,11 +248,21 @@ def comment_size(text: str, lang: str) -> int:
         raise ImportError("pygments is required for comment_size")
     lexer = _LEXER_CACHE.get(lang)
     if lexer is None:
+        # a name miss makes pygments scan plugin entry points, which
+        # imports arbitrary installed packages — jedi, for one, raises
+        # sys.setrecursionlimit(3000) as an import side effect.  Restore
+        # the limit so a lexer lookup can't mutate interpreter-global
+        # state other stages (the jq recursion guard) depend on.
+        import sys
+
+        saved_limit = sys.getrecursionlimit()
         try:
             lexer = _get_lexer_by_name(lang)
         except Exception as exc:  # ClassNotFound (and option errors)
             _LEXER_CACHE[lang] = exc
             raise
+        finally:
+            sys.setrecursionlimit(saved_limit)
         _LEXER_CACHE[lang] = lexer
     elif isinstance(lexer, Exception):
         raise lexer

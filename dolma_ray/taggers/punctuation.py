@@ -31,17 +31,22 @@ except ImportError:  # pragma: no cover - present in this container
 
 if _regex is not None:
     _HAS_ALNUM = _regex.compile(r"[a-zA-Z0-9]", _regex.UNICODE)
-    # reference punctuation.py:13-23, byte-identical pattern
+    # The reference (punctuation.py:13-23) compiles
+    #     ^([[:punct:]]|\s|[<emoji ranges>]+)+$
+    # whose nested quantifier backtracks exponentially when a mixed
+    # punct/emoji run ends in a non-matching char (measured: minutes at
+    # ~300 chars \u2014 a single web paragraph can wedge a worker).  Every
+    # alternative is a one-char class, so the pattern's language is
+    # exactly "one or more chars of the union class"; this linear-time
+    # form matches the identical language (equivalence is asserted
+    # against the reference's own compiled pattern in
+    # tests/test_regex_differential.py):
     _ALL_PUNCT_RE = _regex.compile(
-        r"^("
-        r"[[:punct:]]|"
-        r"\s|"
-        r"["
+        r"^[[:punct:]\s"
         "\U0001f300-\U0001f64f"
         "\U0001f680-\U0001f6ff"
         "\u2600-\u26ff\u2700-\u27bf"
-        r"]+"
-        r")+$",
+        r"]+$",
         _regex.UNICODE,
     )
 

@@ -160,3 +160,17 @@ def test_starcoder_v2_python_exact_path():
     out = CodeStarCoderTaggers2().predict(src, {"ext": "py"})
     expected = len(python_nl_text(src)) / len(src)
     assert out["code_to_comment_ratio_doc"] == pytest.approx(expected)
+
+
+def test_lexer_miss_does_not_leak_recursionlimit():
+    # a pygments name miss scans plugin entry points; importing jedi as
+    # a side effect sets sys.setrecursionlimit(3000) — comment_size must
+    # restore the limit (the jq recursion guard depends on it)
+    import sys
+
+    from dolma_ray.taggers.code_text import comment_size
+
+    before = sys.getrecursionlimit()
+    with pytest.raises(Exception):
+        comment_size("int x;", "surely-not-a-lexer-name")
+    assert sys.getrecursionlimit() == before

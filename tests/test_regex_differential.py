@@ -180,3 +180,36 @@ def test_cc_re_version_and_lang_suffixes_match_reference():
     spans = ref_full.predict(_Doc("t", {"html": html})).spans
     got = ours.predict("t", {"html": html})
     assert spans and got["license"] == spans[0].type[3:]
+
+
+def test_not_alphanum_linear_pattern_equivalence_fuzz():
+    # our linear union-class pattern must accept exactly the language of
+    # the reference's nested-quantifier form; fuzz short random strings
+    # (short, so the reference's exponential backtracking stays cheap)
+    import random
+
+    from dolma_ray.taggers.punctuation import NotAlphanumParagraphV1
+
+    ref = load_reference_tagger("punctuation.py")["NotAlphanumParagraphV1"]()
+    ours = NotAlphanumParagraphV1()
+    pool = list("!?.,;:*#%&\t ~^|-_—…§¶") + ["🚀", "🌍", "★", "☀", "➿", "漢", "д", "ـ"]
+    rng = random.Random(7)
+    for _ in range(400):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(1, 12)))
+        ref_hit = any(sp.score == 1 for sp in ref.predict(_Doc(s)).spans)
+        got_hit = bool(ours.predict(s, {})["all_punct"])
+        assert got_hit == ref_hit, repr(s)
+
+
+def test_not_alphanum_adversarial_input_is_linear_time():
+    # the reference's own pattern needs minutes on this input; the
+    # equivalent linear form must stay instant
+    import time
+
+    from dolma_ray.taggers.punctuation import NotAlphanumParagraphV1
+
+    ours = NotAlphanumParagraphV1()
+    s = ("🚀! " * 5000) + "漢"
+    t0 = time.time()
+    assert ours.predict(s, {})["all_punct"] == []
+    assert time.time() - t0 < 1.0
