@@ -14,7 +14,9 @@ deduper/mixer):
   the lineage + metrics record;
 * on restart, :meth:`ResumableWriter.pending` prunes inputs whose
   partition directory already exists — a killed job recomputes nothing
-  that finished.
+  that finished.  (A kill between the rename and the manifest append
+  loses only that partition's metrics line, never data: the rename is
+  what marks done-ness.)
 
 Each partition is processed as its own small Dataset pipeline (the
 pipeline factory is supplied by the caller), so a failure affects only
@@ -29,6 +31,7 @@ import json
 import os
 import shutil
 import time
+import zlib
 from typing import Callable, Sequence
 
 
@@ -57,25 +60,47 @@ class ResumableWriter:
                 return base[: -len(ext)]
         return base
 
-    def done(self, input_path: str) -> bool:
+    @classmethod
+    def resolve_names(cls, input_paths: Sequence[str]) -> dict[str, str]:
+        """Unique partition name per input path.  Sharded corpora often
+        repeat basenames across directories (``a/part-0.parquet``,
+        ``b/part-0.parquet``); without disambiguation the second shard
+        would be treated as already done and SILENTLY SKIPPED on resume.
+        Colliding names get a stable ``-<crc32 of full path>`` suffix
+        (stable across runs, so resume still matches)."""
+        base_names: dict[str, list[str]] = {}
+        for p in input_paths:
+            base_names.setdefault(cls.partition_name(p), []).append(p)
+        out: dict[str, str] = {}
+        for name, paths in base_names.items():
+            if len(paths) == 1:
+                out[paths[0]] = name
+            else:
+                for p in paths:
+                    out[p] = f"{name}-{zlib.crc32(p.encode('utf-8')):08x}"
+        return out
+
+    def done(self, input_path: str, name: str | None = None) -> bool:
         return os.path.isdir(
-            os.path.join(self.out_dir, self.partition_name(input_path))
+            os.path.join(self.out_dir, name or self.partition_name(input_path))
         )
 
     def pending(self, input_paths: Sequence[str]) -> list[str]:
-        return [p for p in input_paths if not self.done(p)]
+        names = self.resolve_names(input_paths)
+        return [p for p in input_paths if not self.done(p, names[p])]
 
     def run_partition(
         self,
         input_path: str,
         pipeline: Callable[[str], "object"],
+        name: str | None = None,
     ) -> dict | None:
         """Run ``pipeline(input_path) -> Dataset`` and write its output to
         this partition's directory atomically; records lineage.  Returns
         the manifest record (None if already done)."""
-        if self.done(input_path):
+        name = name or self.partition_name(input_path)
+        if self.done(input_path, name):
             return None
-        name = self.partition_name(input_path)
         tmp = os.path.join(self.out_dir, f".tmp-{name}")
         final = os.path.join(self.out_dir, name)
         shutil.rmtree(tmp, ignore_errors=True)
@@ -113,9 +138,12 @@ class ResumableWriter:
         pipeline: Callable[[str], "object"],
     ) -> list[dict]:
         """Process every pending input partition; returns new records."""
+        names = self.resolve_names(input_paths)
         records = []
-        for p in self.pending(input_paths):
-            rec = self.run_partition(p, pipeline)
+        for p in input_paths:
+            if self.done(p, names[p]):
+                continue
+            rec = self.run_partition(p, pipeline, name=names[p])
             if rec:
                 records.append(rec)
         return records

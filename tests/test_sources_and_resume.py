@@ -283,3 +283,35 @@ def test_zstd_jsonl_round_trip(ray_session, tmp_path):
     back = read_dolma_documents(shards).to_pandas().sort_values("id")
     assert back["id"].tolist() == sorted(r["id"] for r in rows)
     assert set(back["text"]) == {r["text"] for r in rows}
+
+
+def test_resumable_writer_basename_collisions(ray_session, tmp_path):
+    """Sharded corpora repeat basenames across directories; each must get
+    its own partition (previously the 2nd was silently skipped as done)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dolma_ray.sources import ResumableWriter
+
+    ins = []
+    for d, val in (("a", 1), ("b", 2)):
+        sub = tmp_path / d
+        sub.mkdir()
+        p = sub / "part-0.parquet"
+        import pyarrow as pa
+        pq.write_table(pa.table({"x": [val] * 3}), p)
+        ins.append(str(p))
+
+    out = tmp_path / "out"
+    w = ResumableWriter(str(out))
+    names = w.resolve_names(ins)
+    assert len(set(names.values())) == 2  # disambiguated
+    assert all(n.startswith("part-0-") for n in names.values())
+    # stable across instances/runs
+    assert names == ResumableWriter.resolve_names(ins)
+
+    recs = w.run(ins, lambda p: rd.read_parquet(p))
+    assert len(recs) == 2 and sum(r["rows_out"] for r in recs) == 6
+    # resume: nothing pending, nothing recomputed
+    assert w.pending(ins) == []
+    assert w.run(ins, lambda p: rd.read_parquet(p)) == []
