@@ -152,9 +152,14 @@ def late_units_by_sort(units_ds, payload_cols):
     materialized blocks and marks lateness vectorized, consulting the
     broadcast dict only for each block's first/last key.
 
-    Correctness requires both passes to see identical whole blocks:
-    the sorted Dataset is materialized and both ``map_batches`` run
-    with the default ``batch_size=None`` (one batch per block).
+    Correctness requires both passes to see IDENTICAL batch boundaries
+    (pass 2's run-local minima are only valid for runs that begin inside
+    the batch; a run continuing from the previous batch must find its
+    key in pass 1's boundary dict).  The sorted Dataset is materialized
+    so both passes iterate the same blocks, and both ``map_batches``
+    pass an explicit ``batch_size=None`` (one batch per whole block) —
+    relying on the two calls sharing Ray's slicing default would break
+    silently if either ever set a different size.
 
     Returns ``(late_ds, n_late)`` where ``late_ds`` has ``payload_cols``.
     """
@@ -186,7 +191,9 @@ def late_units_by_sort(units_ds, payload_cols):
         )
 
     gmin: dict[int, str] = {}
-    for row in su.map_batches(boundary_summary, batch_format="pyarrow").take_all():
+    for row in su.map_batches(
+        boundary_summary, batch_format="pyarrow", batch_size=None
+    ).take_all():
         k, o = row["k"], row["o"]
         if k not in gmin or o < gmin[k]:
             gmin[k] = o
@@ -217,7 +224,9 @@ def late_units_by_sort(units_ds, payload_cols):
             )
         return batch.select(payload_cols).filter(pa.array(late))
 
-    late = su.map_batches(mark_late, batch_format="pyarrow").materialize()
+    late = su.map_batches(
+        mark_late, batch_format="pyarrow", batch_size=None
+    ).materialize()
     return late, late.count()
 
 
