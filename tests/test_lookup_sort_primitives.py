@@ -1,0 +1,159 @@
+"""Direct randomized tests for the sort-based join-path primitives
+(``dedup/lookup.py``): late_units_by_sort, csv_lists_by_sort and
+bucketed_left_attach, against brute-force references, with the input
+repartitioned into many tiny blocks so key runs straddle block
+boundaries — the regime the boundary-fixup logic exists for."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from dolma_ray.dedup.lookup import (
+    bucketed_left_attach,
+    csv_lists_by_sort,
+    late_units_by_sort,
+)
+
+
+def _units(seed: int, n: int = 3000, n_keys: int = 120):
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, n_keys, n).astype(np.int64)
+    # order strings with deliberate ties: only 40 distinct values
+    o = np.array([f"o{v:04d}" for v in rng.integers(0, 40, n)])
+    uid = np.arange(n, dtype=np.int64)
+    return k, o, uid
+
+
+@pytest.mark.parametrize("seed,blocks", [(1, 37), (2, 97), (3, 5)])
+def test_late_units_by_sort_matches_bruteforce(ray_session, seed, blocks):
+    k, o, uid = _units(seed)
+    ds = rd.from_arrow(
+        pa.table({"k": k, "o": o, "uid": uid})
+    ).repartition(blocks)
+
+    late, n_late = late_units_by_sort(ds, ["uid"])
+    got = set(late.to_pandas()["uid"].tolist())
+    assert n_late == len(got)
+
+    # brute force: late iff o strictly exceeds its key's global min
+    min_o: dict[int, str] = {}
+    for kk, oo in zip(k, o):
+        if kk not in min_o or oo < min_o[kk]:
+            min_o[kk] = oo
+    expected = {u for kk, oo, u in zip(k, o, uid) if oo > min_o[kk]}
+    assert got == expected
+
+
+def test_late_units_one_giant_key_spans_blocks(ray_session):
+    # one key with 500 units forces a run across many tiny blocks;
+    # exactly the rows tying the single global-min order value stay
+    n = 500
+    o = np.array([f"o{v:03d}" for v in np.random.default_rng(9).integers(0, 50, n)])
+    o[123] = o[400] = "o000"  # two rows tie the minimum
+    o[np.flatnonzero(o == "o000")] = "o000"
+    ds = rd.from_arrow(
+        pa.table({
+            "k": np.zeros(n, np.int64),
+            "o": o,
+            "uid": np.arange(n, dtype=np.int64),
+        })
+    ).repartition(41)
+    late, n_late = late_units_by_sort(ds, ["uid"])
+    got = set(late.to_pandas()["uid"].tolist())
+    min_o = min(o.tolist())
+    expected = {int(u) for u in np.flatnonzero(o > min_o)}
+    assert got == expected and n_late == len(expected)
+
+
+@pytest.mark.parametrize("seed,blocks", [(11, 37), (12, 83)])
+def test_csv_lists_by_sort_matches_bruteforce(ray_session, seed, blocks):
+    rng = np.random.default_rng(seed)
+    n = 2500
+    d = rng.integers(0, 90, n).astype(np.int64)
+    seq = rng.integers(0, 25, n).astype(np.int64)  # plenty of dup pairs
+    ds = rd.from_arrow(pa.table({"d": d, "seq": seq})).repartition(blocks)
+
+    out = csv_lists_by_sort(ds, "d", "seq", "key", "csv").to_pandas()
+    got = dict(zip(out["key"], out["csv"]))
+    assert len(out) == len(got)  # one output row per key
+
+    expected = {}
+    for kk in np.unique(d):
+        vals = sorted(set(seq[d == kk].tolist()))
+        expected[int(kk)] = ",".join(str(v) for v in vals)
+    assert got == expected
+
+
+def test_csv_lists_giant_key_spans_blocks(ray_session):
+    # one key whose run spans most blocks: seam re-uniquing must not
+    # drop or double values
+    n = 800
+    seq = np.random.default_rng(21).integers(0, 60, n).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"d": np.full(n, 7, np.int64), "seq": seq})
+    ).repartition(53)
+    out = csv_lists_by_sort(ds, "d", "seq", "key", "csv").to_pandas()
+    assert len(out) == 1
+    assert out["csv"][0] == ",".join(
+        str(v) for v in sorted(set(seq.tolist()))
+    )
+
+
+@pytest.mark.parametrize("key_kind", ["int", "str"])
+def test_bucketed_left_attach_matches_pandas_merge(ray_session, key_kind):
+    import pandas as pd
+
+    rng = np.random.default_rng(31)
+    n = 1500
+    if key_kind == "int":
+        keys = rng.integers(-50, 50, n).astype(np.int64)  # negatives too
+        lk = np.unique(keys)[::2]
+    else:
+        keys = np.array([f"u{v:03d}" for v in rng.integers(0, 80, n)])
+        lk = np.unique(keys)[::2]
+    corpus = rd.from_arrow(
+        pa.table({"key": keys, "payload": np.arange(n, dtype=np.int64)})
+    ).repartition(19)
+    lookup = rd.from_arrow(
+        pa.table({"lkey": lk, "val": np.arange(len(lk), dtype=np.int64) * 10})
+    )
+
+    out = (
+        bucketed_left_attach(corpus, lookup, "key", "lkey", "val", "val", 13)
+        .to_pandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame({"key": keys, "payload": np.arange(n)})
+        .merge(
+            pd.DataFrame({"key": lk, "val": np.arange(len(lk)) * 10}),
+            on="key",
+            how="left",
+        )
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert out["payload"].tolist() == exp["payload"].tolist()
+    got_vals = out["val"].astype("float").tolist()
+    exp_vals = exp["val"].tolist()
+    for g, e in zip(got_vals, exp_vals):
+        assert (np.isnan(g) and np.isnan(e)) or g == e
+
+
+def test_bucketed_left_attach_rejects_duplicate_lookup_keys(ray_session):
+    corpus = rd.from_arrow(
+        pa.table({"key": np.array([1, 2, 3], np.int64),
+                  "payload": np.array([0, 1, 2], np.int64)})
+    )
+    lookup = rd.from_arrow(
+        pa.table({"lkey": np.array([1, 1], np.int64),
+                  "val": np.array([5, 6], np.int64)})
+    )
+    with pytest.raises(Exception, match="unique lookup keys"):
+        bucketed_left_attach(
+            corpus, lookup, "key", "lkey", "val", "val", 1
+        ).materialize()
