@@ -3,7 +3,9 @@ from .jsonl import (  # noqa: F401
     attributes_to_rows,
     read_dolma_documents,
     write_dolma_attributes,
+    write_dolma_attributes_distributed,
     write_dolma_documents,
+    write_dolma_documents_distributed,
 )
 from .resume import ResumableWriter, read_manifest  # noqa: F401
 from .linearize import HtmlParserLinearizer, LinearizerRegistry, linearize_html  # noqa: F401

@@ -15,6 +15,23 @@ through ``ray.data.read_json``, which auto-detects the compression from
 the extension via Arrow (the zstd codec is built into pyarrow — no
 ``zstandard`` package needed, reference ``core/utils.py:175-206``);
 writes pick the codec from the ``compression`` argument.
+
+Two writer tiers:
+
+* :func:`write_dolma_documents` / :func:`write_dolma_attributes` —
+  driver-side ``iter_batches`` loops with an exact
+  ``max_rows_per_shard`` bound (small corpora, deterministic shard
+  layout);
+* :func:`write_dolma_documents_distributed` /
+  :func:`write_dolma_attributes_distributed` — a Ray Data
+  ``BlockBasedFileDatasink``: every write task serializes its own
+  blocks and emits one compressed shard per block, so the JSONL export
+  scales with the cluster instead of funneling through the driver.
+
+Rows are serialized with ``orjson`` when importable (compact
+separators, UTF-8 — the same wire shape as the reference's msgspec
+encoder, ``core/data_types.py:18-25``) and fall back to compact
+``json.dumps`` otherwise; the two backends are parsed-equal.
 """
 
 from __future__ import annotations
@@ -22,23 +39,31 @@ from __future__ import annotations
 import gzip
 import json
 import os
-from typing import Any
+from typing import Any, Iterable, Iterator
 
 import pyarrow as pa
 
 from ..schema import SPAN_LIST_TYPE, spans_array
 
+try:  # serialization fast path — same compact wire shape either way
+    import orjson as _orjson
+
+    def _dumps(obj: Any) -> bytes:
+        return _orjson.dumps(obj, default=str)
+
+except ImportError:  # pragma: no cover - orjson is present in this env
+
+    def _dumps(obj: Any) -> bytes:
+        return json.dumps(
+            obj, ensure_ascii=False, default=str, separators=(",", ":")
+        ).encode("utf-8")
+
 
 def _open_shard_writer(path: str):
-    """Text-mode JSONL writer for ``.gz`` or ``.zst`` paths."""
+    """Binary JSONL shard writer for ``.gz`` or ``.zst`` paths."""
     if path.endswith(".zst"):
-        import io
-
-        return io.TextIOWrapper(
-            pa.CompressedOutputStream(pa.OSFile(path, "wb"), "zstd"),
-            encoding="utf-8",
-        )
-    return gzip.open(path, "wt", encoding="utf-8")
+        return pa.CompressedOutputStream(pa.OSFile(path, "wb"), "zstd")
+    return gzip.open(path, "wb")
 
 
 def read_dolma_documents(paths: str | list[str], include_metadata: bool = True):
@@ -114,9 +139,7 @@ def write_dolma_documents(
     fh = None
     try:
         for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-            cols = {c: batch[c].to_pylist() for c in batch.column_names if not c.startswith("attr__")}
-            n = len(batch)
-            for i in range(n):
+            for line in _document_lines(batch):
                 if fh is None or rows_in_shard >= max_rows_per_shard:
                     if fh is not None:
                         fh.close()
@@ -124,13 +147,29 @@ def write_dolma_documents(
                     fh = _open_shard_writer(path)
                     shard += 1
                     rows_in_shard = 0
-                row = {k: v[i] for k, v in cols.items()}
-                fh.write(json.dumps(row, ensure_ascii=False, default=str) + "\n")
+                fh.write(line)
+                fh.write(b"\n")
                 rows_in_shard += 1
     finally:
         if fh is not None:
             fh.close()
     return out_dir
+
+
+def _document_lines(batch: pa.Table) -> Iterator[bytes]:
+    """Serialize the non-``attr__`` columns of a batch as document rows."""
+    cols = {
+        c: batch[c].to_pylist()
+        for c in batch.column_names
+        if not c.startswith("attr__")
+    }
+    for i in range(len(batch)):
+        yield _dumps({k: v[i] for k, v in cols.items()})
+
+
+def _attribute_lines(batch: pa.Table, id_column: str = "id") -> Iterator[bytes]:
+    for row in attributes_to_rows(batch, id_column=id_column):
+        yield _dumps(row)
 
 
 def write_dolma_attributes(
@@ -151,7 +190,7 @@ def write_dolma_attributes(
     fh = None
     try:
         for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-            for row in attributes_to_rows(batch, id_column=id_column):
+            for line in _attribute_lines(batch, id_column=id_column):
                 if fh is None or rows_in_shard >= max_rows_per_shard:
                     if fh is not None:
                         fh.close()
@@ -159,11 +198,72 @@ def write_dolma_attributes(
                     fh = _open_shard_writer(path)
                     shard += 1
                     rows_in_shard = 0
-                fh.write(json.dumps(row, ensure_ascii=False) + "\n")
+                fh.write(line)
+                fh.write(b"\n")
                 rows_in_shard += 1
     finally:
         if fh is not None:
             fh.close()
+    return out_dir
+
+
+class _DolmaShardFilenames:
+    """One ``<uuid>_<task>_<block>.json.<gz|zst>`` shard per written
+    block — unique across concurrent write tasks and across retries of
+    the same task (Ray replaces a retried task's output files because
+    the write UUID + indexes are identical)."""
+
+    def __init__(self, suffix: str) -> None:
+        self.suffix = suffix
+
+    def get_filename_for_block(self, block, write_uuid, task_index, block_index) -> str:
+        return f"{write_uuid}_{task_index:05d}_{block_index:05d}.{self.suffix}"
+
+
+def _make_jsonl_datasink(out_dir: str, compression: str, lines_fn, **fn_kwargs):
+    from ray.data import BlockBasedFileDatasink
+
+    if compression not in ("gz", "zst"):
+        raise ValueError(f"compression must be 'gz' or 'zst', got {compression!r}")
+
+    class _DolmaJsonlDatasink(BlockBasedFileDatasink):
+        # NOTE: pyarrow's filesystem.open_output_stream already applies
+        # the codec implied by the ``.gz``/``.zst`` filename — write
+        # plain bytes here or the shard comes out double-compressed.
+        def write_block_to_file(self, block, file) -> None:
+            table = block.to_arrow()
+            for line in lines_fn(table, **fn_kwargs):
+                file.write(line)
+                file.write(b"\n")
+
+    return _DolmaJsonlDatasink(
+        out_dir,
+        filename_provider=_DolmaShardFilenames(f"json.{compression}"),
+        file_format=f"json.{compression}",
+    )
+
+
+def write_dolma_documents_distributed(ds, out_dir: str, compression: str = "gz") -> str:
+    """Distributed dolma-format documents export: every Ray write task
+    compresses and writes its own blocks (one shard per block), so the
+    JSONL export streams through the cluster instead of the driver.
+    Shard sizing follows block sizing — ``ds.repartition(n)`` upstream
+    to control it."""
+    ds.write_datasink(_make_jsonl_datasink(out_dir, compression, _document_lines))
+    return out_dir
+
+
+def write_dolma_attributes_distributed(
+    ds, out_dir: str, compression: str = "gz", id_column: str = "id"
+) -> str:
+    """Distributed reference-format attributes export (``{id,
+    attributes}`` rows from the ``attr__*`` columns), one compressed
+    shard per block per write task."""
+    ds.write_datasink(
+        _make_jsonl_datasink(
+            out_dir, compression, _attribute_lines, id_column=id_column
+        )
+    )
     return out_dir
 
 

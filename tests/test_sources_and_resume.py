@@ -315,3 +315,89 @@ def test_resumable_writer_basename_collisions(ray_session, tmp_path):
     # resume: nothing pending, nothing recomputed
     assert w.pending(ins) == []
     assert w.run(ins, lambda p: rd.read_parquet(p)) == []
+
+
+def test_distributed_documents_writer_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dolma_ray.sources import (
+        read_dolma_documents,
+        write_dolma_documents,
+        write_dolma_documents_distributed,
+    )
+
+    rows = [
+        {"id": f"d{i}", "text": f"text {i} é中", "source": "t"}
+        for i in range(97)
+    ]
+    ds = rd.from_items(rows).repartition(4)
+    out = tmp_path / "dist_docs"
+    write_dolma_documents_distributed(ds, str(out))
+    files = sorted(os.listdir(out))
+    assert len(files) >= 2 and all(f.endswith(".json.gz") for f in files)
+
+    back = read_dolma_documents(str(out)).to_pandas().sort_values("id")
+    assert len(back) == 97
+    assert set(back["id"]) == {r["id"] for r in rows}
+    assert sorted(back["text"]) == sorted(r["text"] for r in rows)
+
+    # parsed-equal to the driver-side writer on the same input
+    ref = tmp_path / "drv_docs"
+    write_dolma_documents(rd.from_items(rows), str(ref))
+
+    def load(d):
+        recs = []
+        for fn in sorted(os.listdir(d)):
+            with gzip.open(os.path.join(d, fn), "rt") as f:
+                recs.extend(json.loads(ln) for ln in f)
+        return sorted(recs, key=lambda r: r["id"])
+
+    assert load(out) == load(ref)
+
+
+def test_distributed_attributes_writer_zst(ray_session, tmp_path):
+    import ray.data as rd
+
+    from dolma_ray.schema import spans_array
+    from dolma_ray.sources import write_dolma_attributes_distributed
+
+    batch = pa.table(
+        {
+            "id": pa.array([f"x{i}" for i in range(8)]),
+            "text": pa.array(["hello world"] * 8),
+            "attr__t__span": spans_array([[(0, 5, 0.123456789)]] * 8),
+            "attr__t__doc": pa.array([0.5] * 8),
+        }
+    )
+    ds = rd.from_arrow(batch).repartition(2)
+    out = tmp_path / "dist_attrs"
+    write_dolma_attributes_distributed(ds, str(out), compression="zst")
+    recs = []
+    for fn in sorted(os.listdir(out)):
+        assert fn.endswith(".json.zst")
+        with pa.CompressedInputStream(
+            pa.OSFile(str(out / fn), "rb"), "zstd"
+        ) as f:
+            recs.extend(json.loads(ln) for ln in f.read().decode().splitlines())
+    recs.sort(key=lambda r: r["id"])
+    assert len(recs) == 8
+    assert recs[0]["attributes"]["t__span"] == [[0, 5, 0.12346]]
+    assert recs[0]["attributes"]["t__doc"] == [[0, 11, 0.5]]
+
+
+def test_dumps_backends_parse_equal():
+    import json as _json
+
+    from dolma_ray.sources.jsonl import _dumps
+
+    row = {
+        "id": "a",
+        "text": "café 中文",
+        "attributes": {"s": [[0, 5, 0.12346]], "n": [[0, 2, 1.0]]},
+    }
+    fast = _dumps(row)
+    slow = _json.dumps(
+        row, ensure_ascii=False, default=str, separators=(",", ":")
+    ).encode("utf-8")
+    assert _json.loads(fast) == _json.loads(slow) == row
+    assert b", " not in fast  # compact separators (msgspec wire shape)
