@@ -2703,3 +2703,67 @@ FROM documents
 
 QUERIES["sanitize_tokens"] = q_sanitize_tokens
 ORACLES["sanitize_tokens"] = SQL_SANITIZE_TOKENS
+
+
+def q_extract_text(sf_dir: str):
+    """HTML -> text extraction through the real linearizer stage with a
+    reconstructable oracle (north-rule invariant: byte-identical
+    extracted text per document).  HTML is built deterministically FROM
+    the text column (escaped body inside ``<p>``, a ``<div>`` tail, a
+    skipped ``<head>``), vectorized with Arrow kernels; the SQL oracle
+    replays the linearizer's normalization (per-line whitespace
+    collapse, blank-run folding, outer trim — reference linearizers:
+    ``python/dolma/warc/linearizers.py:30-145``) in DuckDB string
+    functions.  Exercises skip-tags, block newlines, and entity
+    round-tripping on every document."""
+    from .sources.linearize import linearize_html
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build_html(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch["text"], pa.string())
+        esc = pc.replace_substring(
+            pc.replace_substring(txt, "&", "&amp;"), "<", "&lt;"
+        )
+        ids = pc.cast(batch["doc_id"], pa.string())
+        html = pc.binary_join_element_wise(
+            "<html><head><title>doc ", ids,
+            "</title></head><body><p>", esc,
+            "</p><div>tail ", ids, "</div></body></html>", "",
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "html": pc.cast(html, pa.binary())}
+        )
+
+    ds = linearize_html(ds.map_batches(build_html, batch_format="pyarrow"))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "extracted": pc.cast(batch["text"], pa.string()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+# the linearizer's normalization, replayed in SQL: per line collapse
+# ASCII blanks and trim; fold blank-line runs; trim outer newlines; the
+# <div> tail arrives after one blank line (planted oracle — exotic
+# unicode whitespace would diverge, the corpus has none)
+SQL_EXTRACT_TEXT = r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(array_to_string(list_transform(string_split(text, chr(10)),
+        x -> trim(regexp_replace(x, '[ \t\r\f\v]+', ' ', 'g'), ' ')), chr(10)),
+      '\n{2,}', chr(10)||chr(10), 'g'), chr(10)) AS body
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN body = '' THEN 'tail ' || doc_id
+       ELSE body || chr(10) || chr(10) || 'tail ' || doc_id END AS extracted
+FROM norm
+"""
+
+QUERIES["extract_text"] = q_extract_text
+ORACLES["extract_text"] = SQL_EXTRACT_TEXT

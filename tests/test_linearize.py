@@ -34,3 +34,59 @@ def test_linearize_stage(ray_session):
     assert len(out) == 30
     assert (out["text"].str.len() > 0).all()
     assert not out["text"].str.contains("<").any()
+
+
+def test_extract_text_oracle_equivalence():
+    """The SQL normalization used by the extract_text planted oracle
+    replays the linearizer exactly on adversarial ASCII-whitespace
+    bodies (the corpus contains no exotic unicode whitespace, which is
+    the documented boundary of the oracle)."""
+    import duckdb
+    import pyarrow as pa
+
+    from dolma_ray.queries import SQL_EXTRACT_TEXT
+
+    texts = [
+        "plain body",
+        "two  spaces\tand\ttabs",
+        "lead and trail   ",
+        "   lead",
+        "a\nb\nc",
+        "blank\n\n\n\nruns",
+        "\n\nleading blanks",
+        "trailing blanks\n\n\n",
+        "",
+        "   ",
+        "\t\n \n\t",
+        "&amp; already-escaped & raw",
+        "a &lt; b < c",
+        "<p>looks like markup</p>",
+        "unicode é中 ok",
+        "carriage\r\nreturns\rmixed",
+        "form\ffeed and\vvtab",
+        "a  \n  b",
+    ]
+    ids = list(range(len(texts)))
+
+    from dolma_ray.sources.linearize import HtmlParserLinearizer
+
+    lin = HtmlParserLinearizer()
+    got = []
+    for i, t in enumerate(texts):
+        esc = t.replace("&", "&amp;").replace("<", "&lt;")
+        html = (
+            f"<html><head><title>doc {i}</title></head><body><p>{esc}"
+            f"</p><div>tail {i}</div></body></html>"
+        )
+        got.append(lin.linearize(html.encode()))
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+    )
+    exp = dict(
+        zip(*(con.execute(SQL_EXTRACT_TEXT).fetch_arrow_table().columns[i].to_pylist() for i in (0, 1)))
+    )
+    for i, g in enumerate(got):
+        assert g == exp[i], (i, texts[i], g, exp[i])
