@@ -45,6 +45,24 @@ import pyarrow as pa
 
 from ..schema import SPAN_LIST_TYPE, spans_array
 
+def _stdlib_default(obj: Any):
+    # orjson serializes datetime/date/time natively as ISO-8601; a bare
+    # ``default=str`` here would emit ``str(datetime)`` ("2024-01-01
+    # 00:00:00", space separator) and the two backends would no longer
+    # be parsed-equal on timestamp columns (e.g. warc_ts)
+    import datetime as _dt
+
+    if isinstance(obj, (_dt.datetime, _dt.date, _dt.time)):
+        return obj.isoformat()
+    return str(obj)
+
+
+def _stdlib_dumps(obj: Any) -> bytes:
+    return json.dumps(
+        obj, ensure_ascii=False, default=_stdlib_default, separators=(",", ":")
+    ).encode("utf-8")
+
+
 try:  # serialization fast path — same compact wire shape either way
     import orjson as _orjson
 
@@ -52,11 +70,7 @@ try:  # serialization fast path — same compact wire shape either way
         return _orjson.dumps(obj, default=str)
 
 except ImportError:  # pragma: no cover - orjson is present in this env
-
-    def _dumps(obj: Any) -> bytes:
-        return json.dumps(
-            obj, ensure_ascii=False, default=str, separators=(",", ":")
-        ).encode("utf-8")
+    _dumps = _stdlib_dumps
 
 
 def _open_shard_writer(path: str):

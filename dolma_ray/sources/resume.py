@@ -85,8 +85,32 @@ class ResumableWriter:
             os.path.join(self.out_dir, name or self.partition_name(input_path))
         )
 
+    def _guard_stale_bare_dirs(self, names: dict[str, str]) -> None:
+        """A basename that was unique in an earlier run wrote a bare-name
+        partition dir; if the input set GROWS a collision for it, every
+        member now resolves to a crc-suffixed name and the old bare dir
+        would silently remain alongside a recomputed copy — downstream
+        globs would read the partition twice.  Refuse instead."""
+        stale = sorted(
+            {
+                bare
+                for p, name in names.items()
+                if name != (bare := self.partition_name(p))
+                and os.path.isdir(os.path.join(self.out_dir, bare))
+            }
+        )
+        if stale:
+            raise ValueError(
+                f"out_dir {self.out_dir!r} holds partition dirs {stale} written "
+                "when their input basenames were unique, but the input set now "
+                "collides on those basenames (crc-suffixed names); resuming "
+                "would duplicate their rows. Remove the stale dirs or use a "
+                "fresh out_dir."
+            )
+
     def pending(self, input_paths: Sequence[str]) -> list[str]:
         names = self.resolve_names(input_paths)
+        self._guard_stale_bare_dirs(names)
         return [p for p in input_paths if not self.done(p, names[p])]
 
     def run_partition(
@@ -139,6 +163,7 @@ class ResumableWriter:
     ) -> list[dict]:
         """Process every pending input partition; returns new records."""
         names = self.resolve_names(input_paths)
+        self._guard_stale_bare_dirs(names)
         records = []
         for p in input_paths:
             if self.done(p, names[p]):

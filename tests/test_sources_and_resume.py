@@ -401,3 +401,49 @@ def test_dumps_backends_parse_equal():
     ).encode("utf-8")
     assert _json.loads(fast) == _json.loads(slow) == row
     assert b", " not in fast  # compact separators (msgspec wire shape)
+
+
+def test_jsonl_backends_parse_equal_on_datetimes():
+    """orjson serializes datetimes natively as ISO-8601; the stdlib
+    fallback must produce the parsed-equal wire form (a bare
+    default=str would emit the space-separated str(datetime))."""
+    import datetime
+    import json as stdjson
+
+    from dolma_ray.sources.jsonl import _dumps, _stdlib_dumps
+
+    row = {
+        "id": "d1",
+        "warc_ts": datetime.datetime(2024, 1, 1, 12, 30, 45, 123456),
+        "d": datetime.date(2024, 2, 3),
+        "t": datetime.time(4, 5, 6),
+        "text": "é中 &",
+        "n": 3,
+        "f": 1.5,
+        "b": True,
+        "z": None,
+    }
+    a = stdjson.loads(_dumps(row))
+    b = stdjson.loads(_stdlib_dumps(row))
+    assert a == b
+    assert a["warc_ts"] == "2024-01-01T12:30:45.123456"
+
+
+def test_resume_guard_refuses_stale_bare_dir(tmp_path):
+    """A collision GROWN between runs (run 1: unique basename -> bare
+    dir; run 2: second path with the same basename) must refuse to
+    resume rather than leave the stale bare dir double-counting."""
+    import pytest
+
+    from dolma_ray.sources import ResumableWriter
+
+    out = tmp_path / "out"
+    w = ResumableWriter(str(out))
+    (out / "part-0").mkdir(parents=True)  # bare dir from an earlier run
+    ins = [str(tmp_path / "a" / "part-0.parquet"), str(tmp_path / "b" / "part-0.parquet")]
+    with pytest.raises(ValueError, match="collide"):
+        w.pending(ins)
+    with pytest.raises(ValueError, match="collide"):
+        w.run(ins, lambda p: None)
+    # non-colliding input sets are unaffected
+    assert w.pending([ins[0]]) == []
