@@ -1,0 +1,222 @@
+"""Distributed connected components over an edge Dataset.
+
+The missing piece for near-duplicate CLUSTER resolution: pairwise
+near-dup markers (MinHash/SimHash bucket collisions, embedding
+neighbors) form chains — doc a ~ b and b ~ c without a ~ c — so "keep
+one representative per duplicate cluster" needs the transitive closure,
+not per-pair marks.  (The reference's Bloom dedup approximates this by
+first-wins marking, ``src/deduper.rs``; a components pass is what the
+published MinHash-dedup pipelines run after banding.)
+
+Algorithm: min-label propagation with pointer jumping.
+
+* ``labels(v)`` starts as ``v`` and only ever DECREASES toward the
+  component minimum, so ``Sum(label)`` is a strictly decreasing scalar
+  until the fixpoint — convergence is detected with one cheap aggregate
+  per round, no old-vs-new join.
+* Each round relaxes every edge (``label(v) <- min(label(u))`` over
+  neighbors, one bucket exchange + groupby-min) and then pointer-jumps
+  (``label(v) <- label(label(v))``, a second bucket exchange), which
+  cuts the effective diameter roughly in half per round — O(log d)
+  rounds instead of O(d) for chain-shaped components.
+* All exchanges go through :func:`~dolma_ray.dedup.lookup.
+  bucketed_left_attach` (salted-union sort exchange; Ray 2.49's hash
+  join funnels through one aggregator actor per partition) and move
+  only narrow ``(int64, int64)`` rows; labels are materialized once per
+  round so the lineage stays one round deep.
+
+Scale notes: edges shuffle per round, so at 100 TB run this on the
+narrow near-dup *pair list* (band collisions), never on document rows.
+Label values are always node ids of the same component, so the lookup
+side of every exchange is exactly ``n_nodes`` rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _driver_components(sym_ds, nodes_ds, node_col: str):
+    """Driver-side union-find over the (narrow, already symmetrized)
+    edge list; labels normalized to the component minimum."""
+    import ray.data as rd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for batch in sym_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch["src"].to_pylist(), batch["dst"].to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    if nodes_ds is not None:
+        for batch in nodes_ds.iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            for n in batch[node_col].to_pylist():
+                find(int(n))
+    # roots are unioned min-ward, so find(n) IS the component minimum
+    nodes = sorted(parent)
+    comp = [find(n) for n in nodes]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "component": pa.array(comp, pa.int64()),
+            }
+        )
+    )
+
+
+def _min_by_node(ds):
+    from ray.data.aggregate import Min
+
+    return ds.groupby("node").aggregate(Min("label", alias_name="label"))
+
+
+#: below this many (symmetrized) edges the driver union-find beats the
+#: per-round exchange overhead by orders of magnitude (same driver/join
+#: duality as ``dedup.combined``; edges are 16 B/row, so the default is
+#: ~80 MB of driver memory)
+DRIVER_EDGE_THRESHOLD = 5_000_000
+
+
+def connected_components(
+    edges_ds,
+    src: str = "a",
+    dst: str = "b",
+    nodes_ds=None,
+    node_col: str = "node",
+    max_rounds: int = 50,
+    n_buckets: int | None = None,
+    strategy: str = "auto",
+):
+    """Return a Dataset ``(node, component)`` with ``component`` = the
+    minimum node id reachable from ``node`` over the undirected edges.
+
+    ``edges_ds`` holds integer node-id pairs in columns ``src``/``dst``
+    (int64; self-loops and duplicate edges are fine).  ``nodes_ds``
+    optionally contributes isolated nodes (column ``node_col``).
+    Raises ``RuntimeError`` if ``max_rounds`` is hit before the
+    fixpoint (pointer jumping makes that ~log2 of the largest component
+    diameter — 50 covers any realistic graph).
+
+    ``strategy``: ``"bucketed"`` runs the distributed rounds;
+    ``"driver"`` collects the (narrow) edge list and union-finds on the
+    driver — exact same result, right for small pair lists; ``"auto"``
+    flips on :data:`DRIVER_EDGE_THRESHOLD` (the count is metadata-only
+    on the materialized symmetrized edges).  Byte-identical parity
+    between the two is pinned in ``tests/test_graph.py``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..dedup.lookup import bucketed_left_attach, cluster_cpus
+
+    if strategy not in ("auto", "driver", "bucketed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if n_buckets is None:
+        n_buckets = max(16, cluster_cpus() * 2)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch[src], pa.int64())
+        b = pc.cast(batch[dst], pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+                "dst": pa.concat_arrays(
+                    [b.combine_chunks(), a.combine_chunks()]
+                ),
+            }
+        )
+
+    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    if strategy == "auto":
+        strategy = "driver" if sym.count() <= DRIVER_EDGE_THRESHOLD else "bucketed"
+    if strategy == "driver":
+        return _driver_components(sym, nodes_ds, node_col)
+
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "label": batch["src"]})
+
+    seeds = sym.map_batches(seed_labels, batch_format="pyarrow")
+    if nodes_ds is not None:
+        def node_rows(batch: pa.Table) -> pa.Table:
+            n = pc.cast(batch[node_col], pa.int64()).combine_chunks()
+            return pa.table({"node": n, "label": n})
+
+        seeds = seeds.union(
+            nodes_ds.map_batches(node_rows, batch_format="pyarrow")
+        )
+    labels = _min_by_node(seeds).materialize()
+
+    def _checksum(lbl_ds) -> int:
+        # labels are monotonically non-increasing, so this sum strictly
+        # decreases until the fixpoint (a wraparound alias would need a
+        # per-round decrease that is an exact multiple of 2^64)
+        row = lbl_ds.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"]) if row and row["s"] is not None else 0
+
+    if labels.count() == 0:
+        return labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "component": b["label"]}),
+            batch_format="pyarrow",
+        )
+
+    prev = _checksum(labels)
+    for _ in range(max_rounds):
+        # relax edges: candidate label(dst) = label(src)
+        cand = bucketed_left_attach(
+            sym, labels, "src", "node", "label", "cand", n_buckets
+        ).map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["cand"]}),
+            batch_format="pyarrow",
+        )
+        labels = _min_by_node(cand.union(labels))
+        # pointer jump: label(v) <- label(label(v))  (labels only hold
+        # node ids, so the lookup never misses)
+        jumped = bucketed_left_attach(
+            labels,
+            labels.map_batches(
+                lambda b: pa.table({"jnode": b["node"], "jlabel": b["label"]}),
+                batch_format="pyarrow",
+            ),
+            "label", "jnode", "jlabel", "jmp", n_buckets,
+        ).map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "label": pc.min_element_wise(b["label"], b["jmp"])}
+            ),
+            batch_format="pyarrow",
+        )
+        labels = jumped.materialize()
+        cur = _checksum(labels)
+        if cur == prev:
+            return labels.map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "component": b["label"]}
+                ),
+                batch_format="pyarrow",
+            )
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+def duplicate_clusters(pairs_ds, left: str = "a", right: str = "b"):
+    """Convenience over near-dup PAIR output: transitive duplicate
+    clusters as ``(node, component)`` where ``component`` is the
+    cluster's minimum doc id — the canonical keep-representative.  Feed
+    it the colliding-pair list from MinHash/SimHash banding (never the
+    document rows)."""
+    return connected_components(pairs_ds, src=left, dst=right)

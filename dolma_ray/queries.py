@@ -2767,3 +2767,60 @@ FROM norm
 
 QUERIES["extract_text"] = q_extract_text
 ORACLES["extract_text"] = SQL_EXTRACT_TEXT
+
+
+def q_graph_components(sf_dir: str):
+    """Transitive duplicate-cluster resolution (connected components)
+    over a planted edge graph derived from doc_id: per-decade stars
+    chained into 5-decade components (diameter ~6, so the fixpoint
+    needs real propagation).  The operator is
+    ``analysis/graph.py::connected_components`` — min-label propagation
+    with pointer jumping over bucketed exchanges (driver union-find
+    below the small-graph threshold, parity-pinned); the oracle is the
+    exact transitive closure as a DuckDB recursive CTE."""
+    import ray.data as rd
+
+    from .analysis import connected_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        star_b = ids - ids % 10
+        chain = (ids % 10 == 0) & (ids >= 10) & ((ids // 10) % 5 != 0)
+        return pa.table(
+            {
+                "a": pa.array(
+                    np.concatenate([ids, ids[chain]]), pa.int64()
+                ),
+                "b": pa.array(
+                    np.concatenate([star_b, ids[chain] - 10]), pa.int64()
+                ),
+            }
+        )
+
+    comp = connected_components(ds.map_batches(edges, batch_format="pyarrow"))
+    return comp.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "component": b["component"]}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE base AS (
+  SELECT doc_id AS a, doc_id - (doc_id % 10) AS b FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id - 10 FROM documents
+  WHERE doc_id % 10 = 0 AND doc_id >= 10 AND (doc_id // 10) % 5 <> 0
+),
+e AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+walk(node, reach) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT w.node, e2.b FROM walk w JOIN e e2 ON e2.a = w.reach
+)
+SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node
+"""
+
+QUERIES["graph_components"] = q_graph_components
+ORACLES["graph_components"] = SQL_GRAPH_COMPONENTS

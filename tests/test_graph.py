@@ -1,0 +1,120 @@
+"""Connected components: engine vs brute-force union-find, and
+driver-vs-bucketed strategy parity."""
+
+import random
+
+import pyarrow as pa
+import pytest
+
+
+def _union_find(edges, nodes=()):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    for n in nodes:
+        find(n)
+    roots = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def _run_cc(edges, nodes=None, **kwargs):
+    import ray.data as rd
+
+    from dolma_ray.analysis import connected_components
+
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    nds = None
+    if nodes:
+        nds = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())}))
+    got = connected_components(rd.from_arrow(t), nodes_ds=nds, **kwargs).to_pandas()
+    if got.empty:  # ray's to_pandas drops column names on 0-block datasets
+        return {}
+    return dict(zip(got["node"], got["component"]))
+
+
+def test_driver_chain_star_clique_isolated(ray_session):
+    edges = (
+        [(i, i + 1) for i in range(20)]          # 21-chain (diameter 20)
+        + [(100, x) for x in range(101, 110)]    # star
+        + [(200, 201), (201, 202), (200, 202)]   # clique
+        + [(300, 300)]                           # self-loop
+    )
+    exp = _union_find(edges, nodes=[400])
+    got = _run_cc(edges, nodes=[400])  # auto -> driver at this size
+    assert got == exp
+    assert got[20] == 0 and got[400] == 400
+
+
+def test_random_graphs_match_union_find(ray_session):
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 150
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(30, 200))
+        ]
+        assert _run_cc(edges) == _union_find(edges), f"trial {trial}"
+
+
+def test_bucketed_parity_with_driver(ray_session):
+    """The distributed rounds produce byte-identical labels to the
+    driver union-find, including a chain that needs pointer jumping
+    (diameter 12 -> ~4 rounds) plus isolated nodes."""
+    edges = [(i, i + 1) for i in range(12)] + [(50, 51), (52, 52)]
+    exp = _run_cc(edges, nodes=[99], strategy="driver")
+    got = _run_cc(edges, nodes=[99], strategy="bucketed")
+    assert got == exp
+    assert got[12] == 0
+
+
+def test_empty_and_guards(ray_session):
+    assert _run_cc([]) == {}
+
+    import ray.data as rd
+
+    from dolma_ray.analysis import connected_components
+
+    t = pa.table(
+        {"a": pa.array([0, 1], pa.int64()), "b": pa.array([1, 2], pa.int64())}
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(rd.from_arrow(t), max_rounds=0, strategy="bucketed")
+    with pytest.raises(ValueError, match="strategy"):
+        connected_components(rd.from_arrow(t), strategy="nope")
+
+
+def test_duplicate_clusters_alias(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis import duplicate_clusters
+
+    pairs = pa.table(
+        {"a": pa.array([5, 6], pa.int64()), "b": pa.array([6, 7], pa.int64())}
+    )
+    got = duplicate_clusters(rd.from_arrow(pairs)).to_pandas()
+    assert dict(zip(got["node"], got["component"])) == {5: 5, 6: 5, 7: 5}
