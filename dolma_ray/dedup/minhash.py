@@ -34,6 +34,7 @@ from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..schema import attr_name
 from .exact import _order_strings
@@ -313,3 +314,62 @@ def mark_near_duplicates_minhash(
 
     dup_keys = collect_dup_keys(bands, strategy=lookup_strategy)
     return attach_dup_flag(ds, key_column, dup_keys, DUP_MINHASH_ATTR)
+
+
+def minhash_duplicate_clusters(
+    ds,
+    key_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_size: int = 3,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    seed: int = 42,
+    strategy: str = "auto",
+):
+    """Transitive near-duplicate CLUSTERS from MinHash banding:
+    ``(node, component)`` where ``component`` is the minimum
+    ``key_column`` value reachable through shared band buckets —
+    i.e. the connected components of the collision graph, so chains
+    (a ~ b ~ c without a ~ c) land in ONE cluster, which first-wins
+    marking (:func:`mark_near_duplicates_minhash`) cannot express.
+
+    ``key_column`` must be integer (node ids).  Per band bucket the
+    edge list is the star to the bucket minimum (same components as
+    the full clique, linear in members).  Docs too short to shingle
+    never collide and are omitted, matching the marker's semantics.
+    ``strategy`` forwards to
+    :func:`~dolma_ray.analysis.graph.connected_components`.
+    """
+    from ray.data.aggregate import Min
+
+    from ..analysis.graph import connected_components
+    from ..util import cached_stage
+    from .lookup import bucketed_left_attach, cluster_cpus
+
+    bands = ds.map_batches(
+        cached_stage(
+            ExplodeBands,
+            key_column=key_column,
+            order_columns=(key_column,),
+            text_column=text_column,
+            shingle_size=shingle_size,
+            num_perm=num_perm,
+            num_bands=num_bands,
+            seed=seed,
+        ),
+        batch_format="pyarrow",
+    )
+    units = bands.map_batches(
+        lambda b: pa.table(
+            {"k": b["k"], "key": pc.cast(b["key"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    mins = units.groupby("k").aggregate(Min("key", alias_name="m"))
+    edges = bucketed_left_attach(
+        units, mins, "k", "k", "m", "m", max(16, cluster_cpus() * 2)
+    ).map_batches(
+        lambda b: pa.table({"a": b["key"], "b": b["m"]}),
+        batch_format="pyarrow",
+    )
+    return connected_components(edges, strategy=strategy)

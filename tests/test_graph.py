@@ -118,3 +118,55 @@ def test_duplicate_clusters_alias(ray_session):
     )
     got = duplicate_clusters(rd.from_arrow(pairs)).to_pandas()
     assert dict(zip(got["node"], got["component"])) == {5: 5, 6: 5, 7: 5}
+
+
+def test_minhash_duplicate_clusters(ray_session):
+    """Pipeline plumbing parity: banding -> star edges -> CC must equal
+    a brute-force union-find over the module's own band digests; exact
+    copies (guaranteed identical signatures) must cluster."""
+    import numpy as np
+    import ray.data as rd
+
+    from dolma_ray.dedup.minhash import (
+        _band_digests,
+        _permutation_params,
+        batch_signatures,
+        minhash_duplicate_clusters,
+    )
+
+    words = [f"w{i}" for i in range(260)]
+    texts = {
+        0: " ".join(words[0:100]),
+        1: " ".join(words[0:100]),      # exact copy of 0
+        2: " ".join(words[50:150]),     # partial overlap (maybe collides)
+        3: " ".join(words[100:200]),
+        4: " ".join(words[100:200]),    # exact copy of 3
+        5: "completely different text about nothing shared at all here",
+    }
+    ids = sorted(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids], pa.string()),
+        }
+    )
+    got_ds = minhash_duplicate_clusters(
+        rd.from_arrow(t), key_column="doc_id", text_column="text",
+        shingle_size=3, num_perm=64, num_bands=16, seed=42,
+    ).to_pandas()
+    got = dict(zip(got_ds["node"], got_ds["component"]))
+
+    # brute force over the same digests
+    a, b = _permutation_params(64, 42)
+    sigs, kept = batch_signatures([texts[i] for i in ids], a, b, 3)
+    digests = _band_digests(sigs.reshape(len(kept), 16, 4))
+    buckets = {}
+    for row, j in enumerate(kept):
+        for d in digests[row]:
+            buckets.setdefault(int(d), []).append(ids[j])
+    edges = [
+        (m, members[0]) for members in buckets.values() for m in members
+    ]
+    exp = _union_find(edges, nodes=[ids[j] for j in kept])
+    assert got == exp
+    assert got[1] == got[0] and got[4] == got[3]
