@@ -1,3 +1,4 @@
 from .search import brute_force_topk, lsh_topk  # noqa: F401
 from .text_stats import add_doc_stats  # noqa: F401
 from .graph import connected_components, duplicate_clusters  # noqa: F401
+from .bm25 import bm25_score  # noqa: F401

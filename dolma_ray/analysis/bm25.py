@@ -1,0 +1,164 @@
+"""BM25 relevance scoring over a document Dataset.
+
+The classic two-phase global-statistics pattern a search / quality
+pipeline needs at scale:
+
+1. **stats pass** — one streaming ``map_batches`` emits a single partial
+   row per batch (doc count, total token length, per-query-term document
+   frequencies); a Dataset ``aggregate`` of Sums folds them into a few
+   scalars.  Nothing wide ever shuffles — the reduction payload is
+   ``2 + len(terms)`` integers per batch.
+2. **scoring pass** — the scalars broadcast into a second streaming
+   ``map_batches`` that emits ``(doc, term, score)`` rows for every
+   query term occurring in the doc; term frequencies come from one
+   vectorized token-split per batch (the same split kernel as the
+   wimbd-style ngram counters).
+
+Tokenization matches the repo's word queries: lowercase split on
+``[^0-9a-z_]+`` with empties dropped (Okapi BM25: Robertson & Walker,
+SIGIR '94; the k1/b parameterization follows the Lucene practical
+form).
+
+``idf`` variants:
+
+* ``"lucene"`` (default) — ``ln(1 + (n - df + 0.5)/(df + 0.5))``, the
+  standard non-negative form;
+* ``"rational"`` — the same odds ratio WITHOUT the log.  Every
+  remaining operation (+, -, *, /) is IEEE-correctly-rounded, so
+  scores are bit-identical across any engine evaluating the same
+  expression tree — that is what lets the driver hash-compare the
+  ``bm25_scores`` query against DuckDB (``ln`` implementations differ
+  by ULPs between numpy's SIMD polynomial and libm).  Ranking order is
+  preserved per term (log is monotone); cross-term sums differ, so use
+  ``"lucene"`` when aggregating to a single doc score.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SPLIT_PATTERN = "[^0-9a-z_]+"
+
+
+def _token_matrix(texts: "pa.ChunkedArray | pa.Array"):
+    """Vectorized tokenize: returns ``(flat_tokens, doc_index, doc_len)``
+    with empties dropped; ``doc_len`` covers every input row (0 for
+    tokenless docs)."""
+    lowered = pc.utf8_lower(pc.fill_null(texts, ""))
+    toks = pc.split_pattern_regex(lowered, _SPLIT_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_ids = np.repeat(np.arange(len(counts)), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    doc_ids = doc_ids[keep]
+    dl = np.bincount(doc_ids, minlength=len(counts)).astype(np.int64)
+    return flat, doc_ids, dl
+
+
+def bm25_score(
+    ds,
+    query_terms: Sequence[str],
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k1: float = 1.5,
+    b: float = 0.75,
+    idf: str = "lucene",
+):
+    """Score every document against ``query_terms``; returns a Dataset
+    ``(id_column, term, score)`` with one row per (doc, matching term).
+    Aggregate per doc downstream (``groupby(id).sum``) for a single
+    relevance score when using the ``"lucene"`` idf."""
+    from ray.data.aggregate import Sum
+
+    if idf not in ("lucene", "rational"):
+        raise ValueError(f"unknown idf {idf!r}")
+    terms = [t.lower() for t in query_terms]
+    if len(set(terms)) != len(terms):
+        raise ValueError("query_terms must be unique after lowercasing")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        flat, doc_ids, dl = _token_matrix(batch[text_column])
+        row = {
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "total_len": pa.array([int(dl.sum())], pa.int64()),
+        }
+        for i, t in enumerate(terms):
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_ids[mask], minlength=len(dl))
+            row[f"df_{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    agg = ds.map_batches(stats, batch_format="pyarrow").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_len", alias_name="total_len"),
+        *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))],
+    )
+    n = int(agg["n_docs"] or 0)
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    avgdl = float(agg["total_len"]) / float(n)
+    idfs = []
+    for i in range(len(terms)):
+        df = float(agg[f"df_{i}"] or 0)
+        ratio = (n - df + 0.5) / (df + 0.5)
+        idfs.append(np.log1p(ratio) if idf == "lucene" else ratio)
+
+    k1_f, b_f = float(k1), float(b)
+    k1p1 = k1_f + 1.0
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, doc_ids, dl = _token_matrix(batch[text_column])
+        dl_f = dl.astype(np.float64)
+        # expression tree mirrored EXACTLY by the SQL oracle (left-
+        # associative * and /): every op is correctly rounded, so the
+        # rational-idf scores hash-match bit-for-bit
+        den_base = k1_f * (1.0 - b_f + b_f * dl_f / avgdl)
+        out_ids, out_terms, out_scores = [], [], []
+        ids = batch[id_column]
+        for i, t in enumerate(terms):
+            mask = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_ids[mask], minlength=len(dl))
+            hit = tf > 0
+            if not hit.any():
+                continue
+            tf_f = tf[hit].astype(np.float64)
+            s = idfs[i] * (tf_f * k1p1) / (tf_f + den_base[hit])
+            out_ids.append(ids.filter(pa.array(hit)))
+            out_terms.append(pa.array([t] * int(hit.sum()), pa.string()))
+            out_scores.append(pa.array(s, pa.float64()))
+        if not out_ids:
+            return pa.table(
+                {
+                    id_column: pa.array([], ids.type),
+                    "term": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                id_column: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_ids]
+                ),
+                "term": pa.concat_arrays(out_terms),
+                "score": pa.concat_arrays(out_scores),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2824,3 +2824,46 @@ SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node
 
 QUERIES["graph_components"] = q_graph_components
 ORACLES["graph_components"] = SQL_GRAPH_COMPONENTS
+
+
+def q_bm25_scores(sf_dir: str):
+    """BM25 relevance scores (Okapi, Lucene parameterization k1=1.5
+    b=0.75) for three query terms over the documents table —
+    ``analysis/bm25.py``: a streaming stats pass (per-batch partial
+    doc-count / total-length / per-term df rows, Sum-aggregated) whose
+    scalars broadcast into a vectorized scoring pass.  The oracle
+    mirrors the exact IEEE expression tree; the ``rational`` idf (the
+    same odds ratio without the log) keeps every operation
+    correctly-rounded so scores hash-match bit-for-bit."""
+    from .analysis.bm25 import bm25_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_score(
+        ds, ["join", "batch", "filter"], idf="rational"
+    )
+
+
+SQL_BM25_SCORES = """
+WITH dl AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS l
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(l) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, w AS term, count(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[0-9a-z_]+')) AS w
+    FROM documents)
+  WHERE w IN ('join', 'batch', 'filter') GROUP BY doc_id, w
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id, tf.term,
+  ((s.n - df.df + 0.5) / (df.df + 0.5))
+    * (tf.tf * 2.5)
+    / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.l / s.avgdl)) AS score
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+"""
+
+QUERIES["bm25_scores"] = q_bm25_scores
+ORACLES["bm25_scores"] = SQL_BM25_SCORES

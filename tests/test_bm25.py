@@ -1,0 +1,60 @@
+"""BM25 operator unit tests (the bm25_scores driver query is the
+DuckDB differential; these pin the API semantics)."""
+
+import math
+
+import pyarrow as pa
+import pytest
+
+
+def _ds(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_bm25_hand_computed(ray_session):
+    from dolma_ray.analysis.bm25 import bm25_score
+
+    texts = ["cat dog cat", "dog dog dog mouse", "bird"]
+    got = bm25_score(_ds(texts), ["cat", "dog"], idf="rational").to_pandas()
+    rows = {(r.doc_id, r.term): r.score for r in got.itertuples()}
+    # n=3, avgdl=8/3; cat: df=1 -> idf=(3-1+.5)/1.5; tf=2, dl=3
+    idf_cat = (3 - 1 + 0.5) / (1 + 0.5)
+    den = 2.0 + 1.5 * (1.0 - 0.75 + 0.75 * 3.0 / (8.0 / 3.0))
+    assert rows[(0, "cat")] == pytest.approx(idf_cat * (2.0 * 2.5) / den, rel=1e-12)
+    assert set(rows) == {(0, "cat"), (0, "dog"), (1, "dog")}
+
+
+def test_bm25_lucene_is_log_of_rational(ray_session):
+    from dolma_ray.analysis.bm25 import bm25_score
+
+    texts = ["alpha beta", "beta gamma beta", "delta"]
+    rat = bm25_score(_ds(texts), ["beta"], idf="rational").to_pandas()
+    luc = bm25_score(_ds(texts), ["beta"], idf="lucene").to_pandas()
+    r = dict(zip(rat.doc_id, rat.score))
+    l = dict(zip(luc.doc_id, luc.score))
+    # same (doc) support; lucene = scale of rational by log1p(ratio)/ratio
+    assert set(r) == set(l) == {0, 1}
+    idf_ratio = (3 - 2 + 0.5) / (2 + 0.5)
+    for d in r:
+        assert l[d] == pytest.approx(r[d] * math.log1p(idf_ratio) / idf_ratio, rel=1e-12)
+
+
+def test_bm25_guards(ray_session):
+    from dolma_ray.analysis.bm25 import bm25_score
+
+    with pytest.raises(ValueError, match="idf"):
+        bm25_score(_ds(["x"]), ["x"], idf="nope")
+    with pytest.raises(ValueError, match="unique"):
+        bm25_score(_ds(["x"]), ["Dog", "dog"])
+    # no matches -> empty result with the right schema
+    out = bm25_score(_ds(["aaa bbb"]), ["zzz"]).to_pandas()
+    assert len(out) == 0
