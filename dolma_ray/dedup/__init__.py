@@ -31,7 +31,10 @@ from .bloom import (  # noqa: F401
 )
 from .embedding import mark_near_duplicates_embedding  # noqa: F401
 from .exact import mark_duplicate_docs  # noqa: F401
-from .minhash import mark_near_duplicates_minhash  # noqa: F401
+from .minhash import (  # noqa: F401
+    mark_near_duplicates_minhash,
+    minhash_duplicate_clusters,
+)
 from .ngram_jaccard import mark_near_duplicates_ngram_jaccard  # noqa: F401
 from .paragraphs import mark_duplicate_paragraphs  # noqa: F401
 from .simhash import mark_near_duplicates_simhash  # noqa: F401
