@@ -100,7 +100,7 @@ def bm25_score(
         Sum("total_len", alias_name="total_len"),
         *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))],
     )
-    n = int(agg["n_docs"] or 0)
+    n = int(agg["n_docs"] or 0) if agg else 0
     if n == 0:
         import ray.data as rd
 

@@ -128,6 +128,11 @@ def connected_components(
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = pc.cast(batch[src], pa.int64())
         b = pc.cast(batch[dst], pa.int64())
+        if a.null_count or b.null_count:
+            raise ValueError(
+                "connected_components: edge columns must not contain "
+                "nulls (null node ids have no component identity)"
+            )
         return pa.table(
             {
                 "src": pa.concat_arrays(

@@ -58,3 +58,17 @@ def test_bm25_guards(ray_session):
     # no matches -> empty result with the right schema
     out = bm25_score(_ds(["aaa bbb"]), ["zzz"]).to_pandas()
     assert len(out) == 0
+
+
+def test_bm25_empty_dataset(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis.bm25 import bm25_score
+
+    empty = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+    )
+    out = bm25_score(empty, ["x"]).to_pandas()
+    assert len(out) == 0

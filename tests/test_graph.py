@@ -170,3 +170,15 @@ def test_minhash_duplicate_clusters(ray_session):
     exp = _union_find(edges, nodes=[ids[j] for j in kept])
     assert got == exp
     assert got[1] == got[0] and got[4] == got[3]
+
+
+def test_cc_rejects_null_edges(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis import connected_components
+
+    t = pa.table(
+        {"a": pa.array([1, None], pa.int64()), "b": pa.array([2, 3], pa.int64())}
+    )
+    with pytest.raises(Exception, match="null"):
+        connected_components(rd.from_arrow(t)).to_pandas()
