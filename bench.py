@@ -41,6 +41,7 @@ _DEFAULT_QUERIES = (
     "doc_stats,token_count,scrub_text,top_words,events_hourly,"
     "events_sliding,orders_by_segment,exact_dedup,paragraph_dedup,"
     "user_sessions,purchase_attribution,event_pairs_60s,nation_revenue,"
+    "region_part_revenue,"
     "cumulative_spend,grouped_topk,length_quantiles,"
     "priority_revenue,returned_orders,"
     "minhash_near_dup,ngram_jaccard_dedup,analyzer,url_block,ann_topk,"

@@ -2867,3 +2867,95 @@ FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
 
 QUERIES["bm25_scores"] = q_bm25_scores
 ORACLES["bm25_scores"] = SQL_BM25_SCORES
+
+
+def q_region_part_revenue(sf_dir: str):
+    """TPC-H Q5/Q2-flavored star join covering the three remaining dim
+    tables (region, supplier, part): discounted lineitem revenue by
+    (supplier's region, part brand).  Every join side is genuinely
+    dimension-sized, so ALL of them pre-join driver-side and broadcast
+    once via ``ray.put`` (supplier -> nation -> region folds to one
+    ``s_suppkey -> r_name`` lookup); the lineitem fact streams through
+    one map and a tiny 2-key groupby — no wide exchange at any scale."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+
+    region_by_key = dict(zip(region["r_regionkey"], region["r_name"]))
+    region_by_nation = {
+        nk: region_by_key.get(rk)
+        for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    brand_ref = ray.put(
+        _broadcast_lookup(
+            part["p_partkey"].to_numpy(), list(part["p_brand"])
+        )
+    )
+    region_ref = ray.put(
+        _broadcast_lookup(
+            supp["s_suppkey"].to_numpy(),
+            [region_by_nation.get(nk) for nk in supp["s_nationkey"]],
+        )
+    )
+
+    items = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def join(batch: pa.Table) -> pa.Table:
+        bk, bv = ray.get(brand_ref)
+        rk, rv = ray.get(region_ref)
+        brands = pa.array(
+            _probe(bk, bv, batch["l_partkey"].to_numpy(zero_copy_only=False)),
+            pa.string(),
+        )
+        regions = pa.array(
+            _probe(rk, rv, batch["l_suppkey"].to_numpy(zero_copy_only=False)),
+            pa.string(),
+        )
+        # (price * (1 - discount)) * 100, rounded half-away — the exact
+        # left-associative tree the oracle evaluates
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        return pa.table({"r_name": regions, "p_brand": brands, "cents": cents})
+
+    return (
+        items.map_batches(join, batch_format="pyarrow")
+        .groupby(["r_name", "p_brand"])
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("cents", alias_name="revenue_cents"),
+        )
+    )
+
+
+SQL_REGION_PART_REVENUE = """
+SELECT r_name, p_brand, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, p_brand
+"""
+
+QUERIES["region_part_revenue"] = q_region_part_revenue
+ORACLES["region_part_revenue"] = SQL_REGION_PART_REVENUE
