@@ -29,7 +29,10 @@ from .bloom import (  # noqa: F401
     mark_duplicate_docs_bloom,
     merge_bloom_shards,
 )
-from .embedding import mark_near_duplicates_embedding  # noqa: F401
+from .embedding import (  # noqa: F401
+    embedding_duplicate_clusters,
+    mark_near_duplicates_embedding,
+)
 from .exact import mark_duplicate_docs  # noqa: F401
 from .minhash import (  # noqa: F401
     mark_near_duplicates_minhash,

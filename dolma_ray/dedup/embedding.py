@@ -193,3 +193,131 @@ def mark_near_duplicates_embedding(
         dup_keys.update(b["key"].to_pylist())
 
     return attach_dup_flag(ds, key_column, list(dup_keys), DUP_EMBEDDING_ATTR)
+
+
+def embedding_duplicate_clusters(
+    ds,
+    key_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    strategy: str = "auto",
+):
+    """Transitive cosine near-duplicate CLUSTERS: ``(node, component)``
+    over the verified-similarity graph — chains (a ~ b ~ c with
+    cos(a, c) < threshold) land in one cluster, which first-wins marking
+    cannot express.  ``key_column`` must be integer.
+
+    ``n_tables`` independent hyperplane tables (seeds ``seed + t``,
+    bucket keys namespaced per table) boost candidate recall the way
+    MinHash bands do; a doc's cluster can span buckets of different
+    tables, which is exactly what the downstream
+    :func:`~dolma_ray.analysis.graph.connected_components` pass merges.
+    Per colliding bucket the VERIFIED pairs (true cosine >= threshold,
+    never the raw collisions) feed a bucket-local union-find whose
+    local-minimum stars are emitted — O(members) edges out of a bucket
+    regardless of how dense the true similarity graph is.  Every doc
+    appears in the output (singletons map to themselves)."""
+    import ray
+
+    from ..analysis.graph import connected_components
+    from .lookup import collect_dup_buckets
+
+    def explode_narrow(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, embedding_column)
+        keys = pc.cast(batch[key_column], pa.int64()).combine_chunks()
+        ks, key_rep = [], []
+        for t in range(n_tables):
+            sigs = _signatures(m, n_planes, seed + t)
+            ks.append(sigs + (np.int64(t) << np.int64(n_planes)))
+            key_rep.append(keys)
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(ks), pa.int64()),
+                "key": pa.concat_arrays(key_rep),
+            }
+        )
+
+    units = ds.map_batches(explode_narrow, batch_format="pyarrow")
+    dup_buckets = collect_dup_buckets(units, strategy="driver")
+    nodes = ds.map_batches(
+        lambda b: pa.table({"node": pc.cast(b[key_column], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    if not dup_buckets:
+        import ray.data as rd
+
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        return connected_components(
+            rd.from_arrow(empty), nodes_ds=nodes, strategy=strategy
+        )
+    bucket_ref = ray.put(pa.array(sorted(dup_buckets), pa.int64()))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        vs = ray.get(bucket_ref)
+        m = _batch_matrix(batch, embedding_column)
+        keys = pc.cast(batch[key_column], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        norms = np.linalg.norm(m, axis=1)
+        normed = m / np.maximum(norms, 1e-30)[:, None]
+        out_k, out_key, out_vec = [], [], []
+        for t in range(n_tables):
+            sigs = _signatures(m, n_planes, seed + t) + (
+                np.int64(t) << np.int64(n_planes)
+            )
+            keep = pc.is_in(
+                pa.array(sigs, pa.int64()), value_set=vs
+            ).to_numpy(zero_copy_only=False)
+            idx = np.nonzero(keep)[0]
+            if len(idx) == 0:
+                continue
+            out_k.append(sigs[idx])
+            out_key.append(keys[idx])
+            out_vec.extend(normed[i] for i in idx)
+        if not out_k:
+            return pa.table(
+                {
+                    "k": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(out_k), pa.int64()),
+                "key": pa.array(np.concatenate(out_key), pa.int64()),
+                "vec": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+
+    def local_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("key", kind="mergesort")
+        keys = g["key"].to_numpy()
+        vecs = np.stack([np.asarray(v) for v in g["vec"]])
+        sims = vecs @ vecs.T
+        n = len(keys)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(np.tril(sims >= threshold, k=-1))
+        for i, j in zip(ii, jj):
+            ri, rj = find(int(i)), find(int(j))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        comp = np.array([keys[find(i)] for i in range(n)])
+        return pd.DataFrame({"a": keys, "b": comp})
+
+    edges = cand.groupby("k").map_groups(local_edges, batch_format="pandas")
+    return connected_components(edges, nodes_ds=nodes, strategy=strategy)

@@ -182,3 +182,53 @@ def test_cc_rejects_null_edges(ray_session):
     )
     with pytest.raises(Exception, match="null"):
         connected_components(rd.from_arrow(t)).to_pandas()
+
+
+def test_embedding_duplicate_clusters_chain(ray_session):
+    """A cosine chain a~b~c with cos(a,c) < threshold must land in one
+    cluster (the thing first-wins marking can't express); singletons map
+    to themselves; result matches a brute-force transitive closure of
+    the true cosine graph (the LSH tables only generate candidates —
+    with these tiny vectors every true pair collides in some table)."""
+    import numpy as np
+    import ray.data as rd
+
+    from dolma_ray.dedup.embedding import embedding_duplicate_clusters
+
+    def unit(theta):
+        return [float(np.cos(theta)), float(np.sin(theta)), 0.0]
+
+    # chain: 0 ~ 1 (cos .9986), 1 ~ 2 (.9986), 0 ~ 2 (.9945 < .998)
+    vecs = {
+        0: unit(0.00),
+        1: unit(0.0525),
+        2: unit(0.105),
+        3: [0.0, 0.0, 1.0],          # isolated
+        4: [0.0, 0.0, -1.0],         # isolated (opposite)
+        5: unit(0.00),               # exact copy of 0
+    }
+    thr = 0.998
+    ids = sorted(vecs)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([vecs[i] for i in ids], pa.list_(pa.float64())),
+        }
+    )
+    got_ds = embedding_duplicate_clusters(
+        rd.from_arrow(t), threshold=thr, n_planes=6, n_tables=8, seed=3
+    ).to_pandas()
+    got = dict(zip(got_ds["node"], got_ds["component"]))
+
+    m = np.array([np.asarray(vecs[i]) / np.linalg.norm(vecs[i]) for i in ids])
+    sims = m @ m.T
+    edges = [
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i)
+        if sims[i, j] >= thr
+    ]
+    exp = _union_find(edges, nodes=ids)
+    assert got == exp
+    assert got[0] == got[1] == got[2] == got[5] == 0
+    assert got[3] == 3 and got[4] == 4
