@@ -1,4 +1,8 @@
 from .search import brute_force_topk, lsh_topk  # noqa: F401
 from .text_stats import add_doc_stats  # noqa: F401
-from .graph import connected_components, duplicate_clusters  # noqa: F401
+from .graph import (  # noqa: F401
+    connected_components,
+    duplicate_clusters,
+    mark_cluster_duplicates,
+)
 from .bm25 import bm25_score  # noqa: F401

@@ -225,3 +225,61 @@ def duplicate_clusters(pairs_ds, left: str = "a", right: str = "b"):
     it the colliding-pair list from MinHash/SimHash banding (never the
     document rows)."""
     return connected_components(pairs_ds, src=left, dst=right)
+
+
+def mark_cluster_duplicates(
+    ds,
+    clusters_ds,
+    key_column: str = "doc_id",
+    attr_column: str | None = None,
+    n_buckets: int | None = None,
+):
+    """Make a clusters table actionable in the standard mixer flow:
+    append a scalar 0/1 float64 attribute that is 1.0 for every row
+    whose ``key_column`` is NOT its cluster's representative (its
+    component minimum) — i.e. "keep one representative per duplicate
+    cluster" becomes the usual exclude rule ``attr >= 1.0``.
+
+    ``clusters_ds`` is the ``(node, component)`` output of
+    :func:`connected_components` /
+    :func:`~dolma_ray.dedup.minhash.minhash_duplicate_clusters` /
+    :func:`~dolma_ray.dedup.embedding.embedding_duplicate_clusters`.
+    Rows absent from ``clusters_ds`` are their own representative
+    (flag 0).  The attach is one bucketed exchange of narrow
+    ``(node, flag)`` rows — document bytes never shuffle."""
+    from ..dedup.lookup import bucketed_left_attach, cluster_cpus
+    from ..schema import attr_name
+
+    attr_column = attr_column or attr_name("dedupe_clusters", "duplicate")
+    if n_buckets is None:
+        n_buckets = max(16, cluster_cpus() * 2)
+
+    flags = clusters_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "__flag": pc.cast(
+                    pc.not_equal(b["node"], b["component"]), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__cluster_key", pc.cast(batch[key_column], pa.int64())
+        )
+
+    attached = bucketed_left_attach(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        flags, "__cluster_key", "node", "__flag", attr_column, n_buckets,
+    )
+    return attached.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index(attr_column),
+            attr_column,
+            pc.fill_null(b[attr_column], 0.0),
+        ).drop_columns(["__cluster_key"]),
+        batch_format="pyarrow",
+    )

@@ -206,14 +206,15 @@ def write_token_memmaps(
             if not ids:
                 loc += 1
                 continue
-            if any(i > limit or i < 0 for i in ids):
+            arr64 = np.asarray(ids, dtype=np.int64)
+            if arr64.max() > limit or arr64.min() < 0:
                 raise ValueError(
                     f"token id out of range for dtype {dtype} (vocab too large?)"
                 )
             if written + len(ids) > max_tokens_per_shard and written > 0:
                 flush()
             meta_rows.append((doc_id, "", loc, written, written + len(ids)))
-            buf.append(np.asarray(ids, dtype=np_dtype))
+            buf.append(arr64.astype(np_dtype))
             written += len(ids)
             loc += 1
     flush()

@@ -232,3 +232,30 @@ def test_embedding_duplicate_clusters_chain(ray_session):
     assert got == exp
     assert got[0] == got[1] == got[2] == got[5] == 0
     assert got[3] == 3 and got[4] == 4
+
+
+def test_mark_cluster_duplicates(ray_session):
+    """Cluster output becomes the standard mixer exclude attribute:
+    non-representatives get 1.0, representatives and unknown keys 0.0;
+    document columns pass through."""
+    import ray.data as rd
+
+    from dolma_ray.analysis import duplicate_clusters
+    from dolma_ray.analysis.graph import mark_cluster_duplicates
+
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array([2, 3], pa.int64())})
+    )
+    clusters = duplicate_clusters(pairs)  # {1,2,3} -> min 1
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+                "text": pa.array(["a", "b", "c", "d"], pa.string()),
+            }
+        )
+    )
+    out = mark_cluster_duplicates(docs, clusters).to_pandas()
+    flags = dict(zip(out["doc_id"], out["attr__dedupe_clusters__duplicate"]))
+    assert flags == {1: 0.0, 2: 1.0, 3: 1.0, 9: 0.0}
+    assert dict(zip(out["doc_id"], out["text"])) == {1: "a", 2: "b", 3: "c", 9: "d"}
