@@ -391,6 +391,65 @@ def cmd_stat(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_clusters(args: argparse.Namespace) -> int:
+    """Transitive duplicate clusters (connected components) from text
+    MinHash banding, embedding cosine, or a precomputed edge list."""
+    ds = _read(args.input)
+    if args.method == "minhash":
+        from .dedup import minhash_duplicate_clusters
+
+        clusters = minhash_duplicate_clusters(
+            ds,
+            key_column=args.key,
+            text_column=args.text_column,
+            shingle_size=args.shingle_size,
+            num_perm=args.num_perm,
+            num_bands=args.num_bands,
+        )
+    elif args.method == "embedding":
+        from .dedup import embedding_duplicate_clusters
+
+        clusters = embedding_duplicate_clusters(
+            ds,
+            key_column=args.key,
+            embedding_column=args.embedding_column,
+            threshold=args.threshold,
+        )
+    else:  # edges: input IS the (a, b) pair table
+        from .analysis.graph import connected_components
+
+        clusters = connected_components(ds, src=args.src, dst=args.dst)
+    if args.mark:
+        from .analysis.graph import mark_cluster_duplicates
+
+        mark_cluster_duplicates(
+            _read(args.mark), clusters, key_column=args.key
+        ).write_parquet(args.output)
+        print(f"cluster-marked docs -> {args.output}")
+    else:
+        clusters.write_parquet(args.output)
+        print(f"(node, component) clusters -> {args.output}")
+    return 0
+
+
+def cmd_bm25(args: argparse.Namespace) -> int:
+    from .analysis.bm25 import bm25_score
+
+    ds = _read(args.input)
+    scored = bm25_score(
+        ds,
+        [t for t in args.terms.split(",") if t],
+        text_column=args.text_column,
+        id_column=args.key,
+        k1=args.k1,
+        b=args.b,
+        idf=args.idf,
+    )
+    scored.write_parquet(args.output)
+    print(f"(doc, term, score) -> {args.output}")
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from . import taggers  # noqa: F401  (registers everything)
     from .registry import TaggerRegistry
@@ -555,6 +614,43 @@ def build_parser() -> argparse.ArgumentParser:
         help="OLD=NEW literal substitution; repeatable, applied in order",
     )
     sn.set_defaults(fn=cmd_sanitize)
+
+    cl = sub.add_parser(
+        "clusters",
+        help="transitive duplicate clusters (connected components) from "
+        "minhash banding, embedding cosine, or an (a,b) edge table",
+    )
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--output", required=True)
+    cl.add_argument("--method", choices=["minhash", "embedding", "edges"], default="minhash")
+    cl.add_argument("--key", default="doc_id", help="integer doc key column")
+    cl.add_argument("--text-column", default="text")
+    cl.add_argument("--embedding-column", default="embedding")
+    cl.add_argument("--shingle-size", type=int, default=3)
+    cl.add_argument("--num-perm", type=int, default=64)
+    cl.add_argument("--num-bands", type=int, default=16)
+    cl.add_argument("--threshold", type=float, default=0.95)
+    cl.add_argument("--src", default="a", help="edges method: source column")
+    cl.add_argument("--dst", default="b", help="edges method: target column")
+    cl.add_argument(
+        "--mark",
+        default=None,
+        metavar="DOCS",
+        help="instead of writing the clusters table, attach the "
+        "attr__dedupe_clusters__duplicate flag to the docs at DOCS",
+    )
+    cl.set_defaults(fn=cmd_clusters)
+
+    bm = sub.add_parser("bm25", help="BM25 relevance scores for query terms")
+    bm.add_argument("--input", required=True)
+    bm.add_argument("--output", required=True)
+    bm.add_argument("--terms", required=True, help="comma-separated query terms")
+    bm.add_argument("--key", default="doc_id")
+    bm.add_argument("--text-column", default="text")
+    bm.add_argument("--k1", type=float, default=1.5)
+    bm.add_argument("--b", type=float, default=0.75)
+    bm.add_argument("--idf", choices=["lucene", "rational"], default="lucene")
+    bm.set_defaults(fn=cmd_bm25)
 
     ls = sub.add_parser("list", help="list registered taggers")
     ls.set_defaults(fn=cmd_list)

@@ -275,3 +275,65 @@ def test_cli_code_prep_commands(tmp_path):
         " where text like '%<|X|>%'"
     ).fetchone()[0]
     assert n == 40
+
+
+def test_cli_clusters_and_bm25(tmp_path):
+    """clusters (edges + minhash + --mark) and bm25 subprocess runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def cli(*args, expect=0):
+        r = subprocess.run(
+            [sys.executable, "-m", "dolma_ray", "--num-cpus", "2", *args],
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+        assert r.returncode == expect, (args, r.stderr[-1500:])
+        return r
+
+    edges = tmp_path / "edges"
+    edges.mkdir()
+    pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array([2, 3], pa.int64())}),
+        str(edges / "e.parquet"),
+    )
+    out = tmp_path / "comp"
+    cli("clusters", "--input", str(edges), "--output", str(out), "--method", "edges")
+    comp = duckdb.sql(
+        f"SELECT node, component FROM read_parquet('{out}/*.parquet') ORDER BY node"
+    ).fetchall()
+    assert comp == [(1, 1), (2, 1), (3, 1)]
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["same words here", "same words here", "other thing", "join batch"],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(docs / "d.parquet"),
+    )
+    marked = tmp_path / "marked_clusters"
+    cli("clusters", "--input", str(docs), "--output", str(marked),
+        "--method", "minhash", "--mark", str(docs))
+    flags = dict(
+        duckdb.sql(
+            f"SELECT doc_id, attr__dedupe_clusters__duplicate "
+            f"FROM read_parquet('{marked}/*.parquet')"
+        ).fetchall()
+    )
+    assert flags[1] == 0.0 and flags[2] == 1.0
+
+    scored = tmp_path / "bm25"
+    cli("bm25", "--input", str(docs), "--output", str(scored),
+        "--terms", "join,words")
+    rows = duckdb.sql(
+        f"SELECT doc_id, term FROM read_parquet('{scored}/*.parquet') ORDER BY doc_id, term"
+    ).fetchall()
+    assert (4, "join") in rows and (1, "words") in rows
