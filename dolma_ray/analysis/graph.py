@@ -76,10 +76,43 @@ def _driver_components(sym_ds, nodes_ds, node_col: str):
     )
 
 
-def _min_by_node(ds):
-    from ray.data.aggregate import Min
+def _min_by_node(ds, n_buckets: int = 64):
+    """``(node, label) -> per-node min`` WITHOUT a per-key sort shuffle:
+    pre-min inside every batch (map-side combiner), salt into
+    ``n_buckets`` groups, one vectorized pandas groupby-min per bucket.
+    Ray's ``groupby(node).aggregate(Min)`` sorts the whole exchange by
+    key — measured 5-9 s per round at 500k nodes vs ~1 s for this shape
+    (same lesson as the dedup lookups: many tiny groups lose)."""
+    import numpy as np
+    import pandas as pd
 
-    return ds.groupby("node").aggregate(Min("label", alias_name="label"))
+    def combine(batch: pa.Table) -> pa.Table:
+        nodes = batch["node"].to_numpy(zero_copy_only=False)
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes, kind="stable")
+        nodes, labels = nodes[order], labels[order]
+        starts = np.flatnonzero(np.r_[True, nodes[1:] != nodes[:-1]])
+        mins = np.minimum.reduceat(labels, starts)
+        uniq = nodes[starts]
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "label": pa.array(mins, pa.int64()),
+                "__b": pa.array(
+                    (np.abs(uniq) % n_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby("node", as_index=False)["label"].min()
+        return out
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+    )
 
 
 #: below this many (symmetrized) edges the driver union-find beats the
@@ -187,7 +220,11 @@ def connected_components(
             lambda b: pa.table({"node": b["dst"], "label": b["cand"]}),
             batch_format="pyarrow",
         )
-        labels = _min_by_node(cand.union(labels))
+        # materialize BEFORE the jump: the relaxed labels feed the jump
+        # attach as BOTH sides, and an unmaterialized lineage would
+        # re-execute the whole relax exchange twice (measured 108 s ->
+        # 23 s for the 500k-star graph)
+        labels = _min_by_node(cand.union(labels)).materialize()
         # pointer jump: label(v) <- label(label(v))  (labels only hold
         # node ids, so the lookup never misses)
         jumped = bucketed_left_attach(
@@ -203,7 +240,12 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
-        labels = jumped.materialize()
+        # coalesce: without this the label block count DOUBLES per round
+        # (32 -> 96 -> 192 -> 416 -> 832 measured) and the bucketed
+        # exchanges fall into the tiny-block regime (round walls 3 s ->
+        # 13 s -> 32 s on the 500k-star graph); one narrow repartition
+        # of (int64, int64) rows pins every round at n_buckets blocks
+        labels = jumped.repartition(n_buckets).materialize()
         cur = _checksum(labels)
         if cur == prev:
             return labels.map_batches(
