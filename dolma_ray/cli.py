@@ -406,6 +406,15 @@ def cmd_clusters(args: argparse.Namespace) -> int:
             num_perm=args.num_perm,
             num_bands=args.num_bands,
         )
+    elif args.method == "simhash":
+        from .dedup import simhash_duplicate_clusters
+
+        clusters = simhash_duplicate_clusters(
+            ds,
+            key_column=args.key,
+            text_column=args.text_column,
+            max_hamming=args.max_hamming,
+        )
     elif args.method == "embedding":
         from .dedup import embedding_duplicate_clusters
 
@@ -618,11 +627,11 @@ def build_parser() -> argparse.ArgumentParser:
     cl = sub.add_parser(
         "clusters",
         help="transitive duplicate clusters (connected components) from "
-        "minhash banding, embedding cosine, or an (a,b) edge table",
+        "minhash banding, simhash hamming, embedding cosine, or an (a,b) edge table",
     )
     cl.add_argument("--input", required=True)
     cl.add_argument("--output", required=True)
-    cl.add_argument("--method", choices=["minhash", "embedding", "edges"], default="minhash")
+    cl.add_argument("--method", choices=["minhash", "simhash", "embedding", "edges"], default="minhash")
     cl.add_argument("--key", default="doc_id", help="integer doc key column")
     cl.add_argument("--text-column", default="text")
     cl.add_argument("--embedding-column", default="embedding")
@@ -630,6 +639,7 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--num-perm", type=int, default=64)
     cl.add_argument("--num-bands", type=int, default=16)
     cl.add_argument("--threshold", type=float, default=0.95)
+    cl.add_argument("--max-hamming", type=int, default=3)
     cl.add_argument("--src", default="a", help="edges method: source column")
     cl.add_argument("--dst", default="b", help="edges method: target column")
     cl.add_argument(

@@ -40,4 +40,7 @@ from .minhash import (  # noqa: F401
 )
 from .ngram_jaccard import mark_near_duplicates_ngram_jaccard  # noqa: F401
 from .paragraphs import mark_duplicate_paragraphs  # noqa: F401
-from .simhash import mark_near_duplicates_simhash  # noqa: F401
+from .simhash import (  # noqa: F401
+    mark_near_duplicates_simhash,
+    simhash_duplicate_clusters,
+)

@@ -209,3 +209,101 @@ def mark_near_duplicates_simhash(
         dup_keys.update(b["key"].to_pylist())
 
     return attach_dup_flag(ds, key_column, list(dup_keys), DUP_SIMHASH_ATTR)
+
+
+def simhash_duplicate_clusters(
+    ds,
+    key_column: str = "doc_id",
+    text_column: str = "text",
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    strategy: str = "auto",
+):
+    """Transitive SimHash near-duplicate CLUSTERS: ``(node, component)``
+    over the verified Hamming graph (pairs within ``max_hamming`` bits).
+    ``key_column`` must be integer.
+
+    With ``n_bands = max_hamming + 1`` the Manku pigeonhole guarantees
+    EVERY true pair shares a band, so the bucket-union of verified
+    pairs IS the full Hamming graph and the result is its exact
+    transitive closure — chains (a ~ b ~ c with hamming(a, c) >
+    ``max_hamming``) land in one cluster.  Per colliding bucket a local
+    union-find over the verified pairs emits local-minimum stars
+    (O(members) edges), merged across buckets by
+    :func:`~dolma_ray.analysis.graph.connected_components`.  Every doc
+    appears in the output (singletons map to themselves)."""
+    import ray
+
+    from ..analysis.graph import connected_components
+    from .lookup import collect_dup_buckets
+
+    n_bands = n_bands or (max_hamming + 1)
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key_column], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        texts = batch[text_column].to_pylist()
+        fps = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
+        r_band = np.tile(np.arange(n_bands, dtype=np.uint64), len(keys))
+        width = 64 // n_bands
+        mask = np.uint64((1 << width) - 1)
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))
+        vals = (fps[:, None] >> shifts[None, :]) & mask
+        k = _bucket_keys(r_band, vals.ravel())
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "key": pa.array(np.repeat(keys, n_bands), pa.int64()),
+                "fp": pa.array(np.repeat(fps, n_bands).view(np.int64)),
+            }
+        )
+
+    units = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    nodes = ds.map_batches(
+        lambda b: pa.table({"node": pc.cast(b[key_column], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    dup_buckets = collect_dup_buckets(units, strategy="driver")
+    if not dup_buckets:
+        import ray.data as rd
+
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        return connected_components(
+            rd.from_arrow(empty), nodes_ds=nodes, strategy=strategy
+        )
+    bucket_ref = ray.put(pa.array(sorted(dup_buckets), pa.int64()))
+
+    def only_colliding(batch: pa.Table) -> pa.Table:
+        vs = ray.get(bucket_ref)
+        return batch.filter(pc.is_in(batch["k"], value_set=vs))
+
+    cand = units.map_batches(only_colliding, batch_format="pyarrow")
+
+    def local_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("key", kind="mergesort")
+        keys = g["key"].to_numpy()
+        fps = g["fp"].to_numpy().astype(np.int64).view(np.uint64)
+        ham = _popcount64(fps[:, None] ^ fps[None, :])
+        n = len(keys)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(np.tril(ham <= max_hamming, k=-1))
+        for i, j in zip(ii, jj):
+            ri, rj = find(int(i)), find(int(j))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        comp = np.array([keys[find(i)] for i in range(n)])
+        return pd.DataFrame({"a": keys, "b": comp})
+
+    edges = cand.groupby("k").map_groups(local_edges, batch_format="pandas")
+    return connected_components(edges, nodes_ds=nodes, strategy=strategy)

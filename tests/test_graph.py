@@ -259,3 +259,51 @@ def test_mark_cluster_duplicates(ray_session):
     flags = dict(zip(out["doc_id"], out["attr__dedupe_clusters__duplicate"]))
     assert flags == {1: 0.0, 2: 1.0, 3: 1.0, 9: 0.0}
     assert dict(zip(out["doc_id"], out["text"])) == {1: "a", 2: "b", 3: "c", 9: "d"}
+
+
+def test_simhash_duplicate_clusters(ray_session):
+    """With n_bands = max_hamming + 1 the pigeonhole covers every true
+    pair, so the result must equal the brute-force transitive closure
+    of the full Hamming graph; exact copies (fp-identical) cluster."""
+    import numpy as np
+    import ray.data as rd
+
+    from dolma_ray.dedup.simhash import (
+        _popcount64,
+        simhash64,
+        simhash_duplicate_clusters,
+    )
+
+    words = [f"token{i}" for i in range(40)]
+    texts = {
+        0: " ".join(words[0:20]),
+        1: " ".join(words[0:20]),       # exact copy of 0
+        2: " ".join(words[0:20]) + " extraword",
+        3: " ".join(words[20:40]),
+        4: "entirely different stuff here about nothing else",
+        5: " ".join(words[20:40]),      # exact copy of 3
+    }
+    ids = sorted(texts)
+    max_h = 6
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i] for i in ids], pa.string()),
+        }
+    )
+    got_ds = simhash_duplicate_clusters(
+        rd.from_arrow(t), max_hamming=max_h, n_bands=max_h + 2  # 8 | 64
+    ).to_pandas()
+    got = dict(zip(got_ds["node"], got_ds["component"]))
+
+    fps = np.array([simhash64(texts[i]) for i in ids], dtype=np.uint64)
+    ham = _popcount64(fps[:, None] ^ fps[None, :])
+    edges = [
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i)
+        if ham[i, j] <= max_h
+    ]
+    exp = _union_find(edges, nodes=ids)
+    assert got == exp
+    assert got[1] == got[0] and got[5] == got[3]
