@@ -1,0 +1,47 @@
+"""Helpers for exec-loading reference source in differential tests.
+
+TRUST ASSUMPTION: these helpers execute code read from the read-only
+reference checkout at ``/root/reference`` in-process at test time.  The
+checkout is treated as trusted-for-testing (it is the parity target the
+engine is built against); the differential tests only ever load pure
+data/algorithm modules from it, with framework imports stripped and
+framework types stubbed by the caller.
+"""
+
+from __future__ import annotations
+
+import ast
+
+
+def strip_relative_imports(src: str, drop_modules: tuple[str, ...] = ()) -> str:
+    """Structurally remove relative imports (any ``ImportFrom`` with
+    ``level > 0`` — including parenthesized/multiline forms that a
+    line-prefix filter would miss) plus any absolute ``import X`` /
+    ``from X import ...`` whose root module is in ``drop_modules``.
+    Returns re-generated source suitable for ``exec``.
+    """
+    tree = ast.parse(src)
+
+    def keep(node: ast.stmt) -> bool:
+        if isinstance(node, ast.ImportFrom):
+            if node.level > 0:
+                return False
+            root = (node.module or "").split(".")[0]
+            return root not in drop_modules
+        if isinstance(node, ast.Import):
+            node.names = [
+                a for a in node.names if a.name.split(".")[0] not in drop_modules
+            ]
+            return bool(node.names)
+        return True
+
+    tree.body = [n for n in tree.body if keep(n)]
+    return ast.unparse(tree)
+
+
+def cut_before(src: str, marker: str) -> str:
+    """Return the source up to (excluding) the first line containing
+    ``marker`` — used to drop registry-decorated class definitions that
+    need the real framework."""
+    idx = src.index(marker)
+    return src[:idx]

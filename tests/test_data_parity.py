@@ -1,0 +1,197 @@
+"""Generic data-table parity sweep (round-4 verdict item 2): every
+in-repo data constant that claims to mirror a reference file or
+reference module constant is diffed here against the actual reference
+artifact, loaded from the read-only /root/reference checkout at test
+time.  This is the test that would have caught the 85/403 naughty-word
+blocklist gap — any future drift between an in-repo table and its
+reference source fails loudly with the symmetric difference.
+
+Trust assumption: exec-loads pure data/algorithm modules from
+/root/reference (see tests/refsrc.py).
+"""
+
+import json
+import os
+import re
+
+import pytest
+
+REF_ROOT = "/root/reference/python/dolma"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference checkout not available"
+)
+
+
+def _diff_msg(name, ours, theirs):
+    ours, theirs = set(ours), set(theirs)
+    return (
+        f"{name}: missing_from_ours={sorted(theirs - ours)[:20]} "
+        f"extra_in_ours={sorted(ours - theirs)[:20]} "
+        f"(|ours|={len(ours)} |ref|={len(theirs)})"
+    )
+
+
+# ---- file-backed data tables ----------------------------------------------
+
+
+def test_naughty_words_file_is_byte_identical():
+    ref = open(f"{REF_ROOT}/data/naughty_words_en.txt", "rb").read()
+    ours = open("dolma_ray/data/naughty_words_en.txt", "rb").read()
+    assert ours == ref, "naughty_words_en.txt drifted from the reference file"
+
+
+def test_naughty_words_line_set_and_split_semantics():
+    ref_lines = [
+        w
+        for w in open(f"{REF_ROOT}/data/naughty_words_en.txt").read().splitlines()
+        if w
+    ]
+    from dolma_ray.taggers.c4 import naughty_lists
+
+    words, phrases = naughty_lists()
+    assert set(words) == {w for w in ref_lines if " " not in w}, _diff_msg(
+        "naughty words", words, {w for w in ref_lines if " " not in w}
+    )
+    assert set(phrases) == {w for w in ref_lines if " " in w}, _diff_msg(
+        "naughty phrases", phrases, {w for w in ref_lines if " " in w}
+    )
+
+
+def test_ext_to_lang_table_matches_reference_json():
+    ref = json.load(open(f"{REF_ROOT}/data/ext_to_lang_mapping.json"))
+    from dolma_ray.taggers.ext_lang_data import EXT_TO_LANG
+
+    assert dict(EXT_TO_LANG) == ref, _diff_msg(
+        "ext_to_lang keys", EXT_TO_LANG.keys(), ref.keys()
+    )
+
+
+# ---- module-constant tables (exec'd from the reference) --------------------
+
+
+def _ref_namespace(relpath, marker="@TaggerRegistry", extra_ns=None):
+    from refsrc import cut_before, strip_relative_imports
+
+    path = f"{REF_ROOT}/{relpath}"
+    src = open(path, encoding="utf-8").read()
+    if marker and marker in src:
+        src = cut_before(src, marker)
+    body = strip_relative_imports(src)
+    ns: dict = {
+        "Span": object,
+        "DocResult": object,
+        "Document": object,
+        "__file__": path,
+        **(extra_ns or {}),
+    }
+    exec(compile(body, f"ref_{relpath}", "exec"), ns)
+    return ns
+
+
+def test_gopher_constants_match_reference():
+    ref = _ref_namespace("taggers/gopher.py")
+    import dolma_ray.taggers.gopher as g
+
+    assert set(g.REQUIRED_ENGLISH_WORDS) == set(ref["REQUIRED_ENGLISH_WORDS"]), (
+        _diff_msg("gopher stopwords", g.REQUIRED_ENGLISH_WORDS, ref["REQUIRED_ENGLISH_WORDS"])
+    )
+    assert set(g.SYMBOLS) == set(ref["SYMBOLS"]), _diff_msg(
+        "gopher symbols", g.SYMBOLS, ref["SYMBOLS"]
+    )
+    assert set(g.BULLET_POINTS) == set(ref["BULLET_POINTS"]), _diff_msg(
+        "gopher bullets", g.BULLET_POINTS, ref["BULLET_POINTS"]
+    )
+
+
+def test_c4_constants_match_reference():
+    ref = _ref_namespace("taggers/c4.py")
+    import dolma_ray.taggers.c4 as c4
+
+    assert c4.MIN_WORDS_PER_LINE == ref["MIN_WORDS_PER_LINE"]
+    assert set(c4.EOL_PUNCTUATION) == set(ref["EOL_PUNCTUATION"])
+
+
+def _regex_strings_in(relpath):
+    """All string literals in the reference module that look like regex
+    sources: re.compile(...) arguments plus *REGEX* assignments."""
+    import ast
+
+    tree = ast.parse(open(f"{REF_ROOT}/{relpath}", encoding="utf-8").read())
+    found: set[str] = set()
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "compile"
+            and node.args
+        ):
+            arg = node.args[0]
+            if isinstance(arg, ast.Constant) and isinstance(arg.value, str):
+                found.add(arg.value)
+            elif isinstance(arg, ast.JoinedStr):
+                # f-string pattern: keep the raw segments for containment
+                found.add(ast.unparse(arg))
+        if isinstance(node, ast.Assign) and isinstance(node.value, ast.Constant):
+            for t in node.targets:
+                if (
+                    isinstance(t, ast.Name)
+                    and "REGEX" in t.id
+                    and isinstance(node.value.value, str)
+                ):
+                    found.add(node.value.value)
+    return found
+
+
+def test_pii_regexes_match_reference_strings():
+    ref_patterns = _regex_strings_in("taggers/pii.py")
+    from dolma_ray.taggers import pii
+
+    for name in ("EMAIL_RE", "PHONE_RE", "IP_RE", "URL_RE"):
+        pat = getattr(pii, name).pattern
+        assert pat in ref_patterns, (name, pat)
+
+
+def test_license_pattern_matches_reference():
+    # the compiled attribute-pattern source must equal the reference's
+    # RE_LICENSE_ATTRIBUTE_PATTERN source (duplicate `type` group incl.)
+    try:
+        import regex  # noqa: F401  (pattern is regex-package-only)
+    except ImportError:
+        pytest.skip("regex package unavailable")
+    class _Registry:
+        @staticmethod
+        def add(_name):
+            return lambda cls: cls
+
+    ref = _ref_namespace(
+        "taggers/licenses.py",
+        marker=None,
+        extra_ns={
+            "BaseTaggerWithMetadata": object,
+            "BaseTagger": object,
+            "TaggerRegistry": _Registry,
+            "DocumentWithMetadata": object,
+        },
+    )
+    from dolma_ray.taggers import licenses
+
+    ref_full = ref["CreativeCommonsRegexLicenseExtractor"].RE_LICENSE_ATTRIBUTE_PATTERN
+    ref_fast = ref["CreativeCommonsFastRegexHtmlExtractor"].RE_LICENSE_ATTRIBUTE_PATTERN
+    assert licenses.CC_ATTRIBUTE_RE.pattern == ref_full.pattern
+    assert licenses.CC_FAST_RE.pattern == ref_fast.pattern
+    assert set(licenses.PRE_SEARCH) == set(
+        ref["CreativeCommonsRegexLicenseExtractor"].PRE_REGEX_SEARCH
+    )
+
+
+def test_repetitions_constants_match_reference():
+    ref_path = f"{REF_ROOT}/taggers/repetitions/repetitions_taggers.py"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference repetitions module moved")
+    src = open(ref_path, encoding="utf-8").read()
+    # the char-repetition pattern must be the reference's literal
+    # (reference repetitions_taggers.py:67)
+    assert r"(.+?)(\s?\1){3,}" in src
+    our_src = open("dolma_ray/taggers/repetitions.py", encoding="utf-8").read()
+    assert r"(.+?)(\s?\1){3,}" in our_src

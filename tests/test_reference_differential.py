@@ -16,11 +16,10 @@ pytestmark = pytest.mark.skipif(
 
 
 def load_reference_gopher():
+    from refsrc import cut_before, strip_relative_imports
+
     src = open(REF, "r", encoding="utf-8").read()
-    cut = src.index("@TaggerRegistry")
-    body = "\n".join(
-        ln for ln in src[:cut].splitlines() if not ln.startswith("from ..")
-    )
+    body = strip_relative_imports(cut_before(src, "@TaggerRegistry"))
     # dummy stand-ins for the reference's data types, referenced only in
     # type annotations / span-conversion methods we never call
     ns: dict = {"Span": object, "DocResult": object, "Document": object}
@@ -147,16 +146,14 @@ def test_periodic_finder_matches_reference():
         assert ours == theirs, (arr.tolist(), ours, theirs)
 
 
-def test_c4_matches_reference():
-    """Differential: reference c4 get_attributes (exec'd with a fake
-    Span and the reference's own naughty-word data file) vs our
-    C4Tagger.predict on randomized docs."""
+def load_reference_c4():
+    """Exec the reference c4 module (with a fake Span and the
+    reference's own naughty-word data file) and return its namespace."""
+    from refsrc import cut_before, strip_relative_imports
+
     ref_path = "/root/reference/python/dolma/taggers/c4.py"
     src = open(ref_path, "r", encoding="utf-8").read()
-    cut = src.index("@TaggerRegistry")
-    body = "\n".join(
-        ln for ln in src[:cut].splitlines() if not ln.startswith("from ..")
-    )
+    body = strip_relative_imports(cut_before(src, "@TaggerRegistry"))
 
     class FakeSpan:
         def __init__(self, start, end, type=None, score=1.0):
@@ -167,12 +164,17 @@ def test_c4_matches_reference():
         "__file__": ref_path,
     }
     exec(compile(body, "reference_c4", "exec"), ns)
-    ref_fn = ns["get_attributes"]
+    return ns
+
+
+def test_c4_matches_reference():
+    """Differential: reference c4 get_attributes vs our C4Tagger.predict
+    on randomized docs."""
+    ref_fn = load_reference_c4()["get_attributes"]
 
     from dolma_ray.taggers.c4 import C4Tagger
 
     ours_tagger = C4Tagger()
-    rng = np.random.default_rng(7)
     docs = random_docs(seed=31)
     docs += [
         "short\nthis line has javascript in it.\nlorem ipsum dolor { x }",
@@ -189,3 +191,49 @@ def test_c4_matches_reference():
         for field in ("lines_with_no_ending_punctuation", "lines_with_too_few_words"):
             ref_spans = [(s.start, s.end, 1.0) for s in getattr(ref, field)]
             assert list(map(tuple, ours[field])) == ref_spans, (field, text[:60])
+
+
+def test_c4_naughty_word_divergence_set():
+    """Blocklist DIVERGENCE differential (round-4 verdict item 1): feed
+    one doc per entry of the REFERENCE's full naughty-word list — word
+    and phrase forms, padded into realistic lines — and assert our v1/v2
+    taggers agree with the reference's get_attributes on every one.  With
+    the old 85-entry in-repo list this fails on 327 entries; it pins the
+    in-repo data file to the reference's full semantics, not just the
+    overlap.  Also checks negative controls (substring-of-word tokens
+    must NOT match the word list)."""
+    ref_ns = load_reference_c4()
+    ref_fn = ref_ns["get_attributes"]
+    ref_words, ref_phrases = ref_ns["NAUGHTY_WORDS"], ref_ns["NAUGHTY_PHRASES"]
+    entries = sorted(w for w in (ref_words | ref_phrases) if w)
+    assert len(entries) >= 400, "reference list unexpectedly small"
+
+    from dolma_ray.taggers.c4 import C4Tagger, FasterC4Tagger, naughty_lists
+
+    our_words, our_phrases = naughty_lists()
+    # the in-repo data file must cover the reference's full list exactly
+    assert set(our_words) == {w for w in ref_words if w}
+    assert set(our_phrases) == set(ref_phrases)
+
+    v1, v2 = C4Tagger(), FasterC4Tagger()
+    for entry in entries:
+        for text in (
+            f"Some padding words here.\nShe said {entry} twice.\nThe end.",
+            f"{entry.upper()}",
+            f"prefix{entry}suffix",  # word entries must NOT match embedded
+        ):
+            ref = ref_fn(text)
+            assert v1.predict(text, {})["has_naughty_word"] == float(
+                ref.has_naughty_word
+            ), (entry, text[:60])
+            # v2 lower-cases the whole doc and splits doc-wide: same
+            # naughty semantics as v1 on single-line-hit docs
+            assert v2.predict(text, {})["has_naughty_word"] == float(
+                ref.has_naughty_word
+            ), ("v2", entry, text[:60])
+
+    # negative controls: clean text, and word-entry tokens embedded in
+    # longer words (phrase entries DO match as substrings by design)
+    for text in ("a perfectly clean document.\nnothing here.", "scrap classic"):
+        assert v1.predict(text, {})["has_naughty_word"] == 0.0
+        assert float(ref_fn(text).has_naughty_word) == 0.0

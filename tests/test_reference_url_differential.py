@@ -17,12 +17,10 @@ pytestmark = pytest.mark.skipif(
 
 
 def load_reference_url_classes():
+    from refsrc import strip_relative_imports
+
     src = open(REF, "r", encoding="utf-8").read()
-    body = "\n".join(
-        ln
-        for ln in src.splitlines()
-        if not ln.startswith("from ..") and not ln.startswith("import smart_open")
-    )
+    body = strip_relative_imports(src, drop_modules=("smart_open",))
 
     class _Registry:
         @staticmethod

@@ -4,7 +4,10 @@ REFERENCE's own punctuation.py / licenses.py from /root/reference at test
 time (never copied), stub only its framework types, and compare outputs
 on codepoint sweeps and crafted HTML.  These would diverge under a
 stdlib-``re`` translation: ``[[:punct:]]``, ``\\p{Punct}`` and duplicate
-``type`` groups are regex-package-only."""
+``type`` groups are regex-package-only.
+
+Trust assumption: exec-loads modules from the read-only /root/reference
+checkout in-process (see tests/refsrc.py for the stripping semantics)."""
 
 import os
 import sys
@@ -41,10 +44,10 @@ class _Registry:
 
 
 def load_reference_tagger(fname, extra_ns=None):
+    from refsrc import strip_relative_imports
+
     src = open(f"{REF_DIR}/{fname}", "r", encoding="utf-8").read()
-    body = "\n".join(
-        ln for ln in src.splitlines() if not ln.startswith("from ..")
-    )
+    body = strip_relative_imports(src)
     from dolma_ray.text_units import split_paragraphs as our_split
 
     def split_paragraphs(text):
