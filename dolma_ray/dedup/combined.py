@@ -320,16 +320,13 @@ def _mark_fused_join(
             return batch.append_column("__ddj_d", pa.array(idents, pa.int64()))
 
         keyed = ds.map_batches(add_ident, batch_format="pyarrow")
-        restore = lambda b: b  # noqa: E731
         if late_lists_ds is None:
             joined = keyed.map_batches(
                 lambda b: b.append_column("__ddj_late", pa.nulls(len(b), pa.string())),
                 batch_format="pyarrow",
             )
         else:
-            from .lookup import shield_complex_columns
-
-            keyed, restore = shield_complex_columns(keyed)
+            # nested span columns pass through unshielded (pure-Arrow merge)
             joined = _bucketed_left_attach(
                 keyed, late_lists_ds, parts, rows_hint=n_corpus
             )
@@ -344,7 +341,6 @@ def _mark_fused_join(
                 joined = joined.repartition(blocks)
 
         def attach(batch: pa.Table) -> pa.Table:
-            batch = restore(batch)
             cfg = _UnitConfig(**cfg_kwargs)
             texts = batch[text_column].to_pylist()
             late_lists = batch["__ddj_late"].to_pylist()

@@ -198,7 +198,6 @@ def mark_duplicate_docs_join(
         bucket_count,
         bucketed_left_attach,
         dup_min_table,
-        shield_complex_columns,
     )
 
     order = list(order_columns)
@@ -233,7 +232,7 @@ def mark_duplicate_docs_join(
         n_corpus = ds._meta_count()
     except Exception:
         n_corpus = None
-    keyed, restore = shield_complex_columns(keyed)
+    # nested span columns pass through unshielded (pure-Arrow merge)
     joined = bucketed_left_attach(
         keyed, mins, "_k", "k", "o_min", "_o_min", bucket_count(n_corpus),
         rows_hint=n_corpus,
@@ -242,7 +241,6 @@ def mark_duplicate_docs_join(
     def finalize(batch: pa.Table) -> pa.Table:
         from ..schema import whole_doc_spans
 
-        batch = restore(batch)
         # null _o_min (no duplicate-key match) -> not a dup
         dup = pc_.fill_null(
             pc_.not_equal(batch["_o"], batch["_o_min"]), False

@@ -371,10 +371,12 @@ def bucketed_left_attach(
     exact; output rows are corpus rows plus ``out_col`` (null where the
     key has no lookup row) — identical to a left-outer join.
 
-    ``lookup_ds`` keys MUST be unique (one row per key); nested corpus
-    columns must be shielded (:func:`shield_complex_columns`) first —
-    the bucket exchange and pandas group container reject them the same
-    way the hash join does.
+    ``lookup_ds`` keys MUST be unique (one row per key).  Nested corpus
+    columns (list/struct span columns) pass through UNSHIELDED: the
+    per-bucket merge is pure Arrow (filter + concat on a zero-copy
+    ``pa.Table``), so there is no pandas container or hash-join type
+    restriction to work around — :func:`shield_complex_columns` is only
+    needed on a real ``Dataset.join`` fallback path.
 
     ``rows_hint`` (corpus row count, metadata-only): in the small-corpus
     regime the producing stages emit far-below-target-size blocks and
@@ -679,7 +681,8 @@ def attach_dup_flag_join(ds, key_column: str, dup_keys_ds, attr_column: str,
         n_corpus = ds._meta_count()
     except Exception:
         n_corpus = None
-    ds, restore = shield_complex_columns(ds)
+    # nested span columns ride through unshielded: the bucket merge is
+    # pure Arrow (see bucketed_left_attach docstring)
     joined = bucketed_left_attach(
         ds, flagged, key_column, "__ddj_key", "__ddj_dup", "__ddj_dup",
         bucket_count(n_corpus), rows_hint=n_corpus,
@@ -691,7 +694,6 @@ def attach_dup_flag_join(ds, key_column: str, dup_keys_ds, attr_column: str,
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        batch = restore(batch)
         col = pc.fill_null(batch["__ddj_dup"], 0.0)
         drop = [c for c in ("__ddj_dup", "__ddj_key") if c in batch.column_names]
         batch = batch.drop_columns(drop)

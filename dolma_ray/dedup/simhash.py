@@ -61,6 +61,34 @@ def simhash64(text: str) -> int:
     return int(fp)
 
 
+def _resolve_n_bands(max_hamming: int, n_bands: int | None, strict: bool = False) -> int:
+    """Default ``n_bands`` to the smallest divisor of 64 that is
+    >= ``max_hamming + 1`` (the Manku pigeonhole bound), and reject
+    explicit values that don't divide 64.  An explicit
+    ``n_bands <= max_hamming`` voids the pigeonhole guarantee (a pair may
+    differ in every band): with ``strict=True`` (the exact-closure
+    cluster path) that raises; otherwise it warns — a documented
+    recall-for-cost tradeoff in the marking path."""
+    if max_hamming < 0 or max_hamming > 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    if n_bands is None:
+        n_bands = next(d for d in (1, 2, 4, 8, 16, 32, 64) if d >= max_hamming + 1)
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if n_bands <= max_hamming:
+        msg = (
+            f"n_bands={n_bands} <= max_hamming={max_hamming} voids the "
+            "pigeonhole guarantee (a pair may differ in every band); "
+            "need n_bands >= max_hamming + 1 for full recall"
+        )
+        if strict:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
+    return n_bands
+
+
 def _bands(fp: int, n_bands: int) -> list[int]:
     width = 64 // n_bands
     mask = (1 << width) - 1
@@ -117,8 +145,7 @@ def mark_near_duplicates_simhash(
         resolve_auto_strategy,
     )
 
-    n_bands = n_bands or (max_hamming + 1)
-    assert 64 % n_bands == 0, "n_bands must divide 64"
+    n_bands = _resolve_n_bands(max_hamming, n_bands)
 
     if lookup_strategy == "auto":
         # one unit per (doc, band): the driver leg holds O(docs x bands)
@@ -237,8 +264,7 @@ def simhash_duplicate_clusters(
     from ..analysis.graph import connected_components
     from .lookup import collect_dup_buckets
 
-    n_bands = n_bands or (max_hamming + 1)
-    assert 64 % n_bands == 0, "n_bands must divide 64"
+    n_bands = _resolve_n_bands(max_hamming, n_bands, strict=True)
 
     def explode(batch: pa.Table) -> pa.Table:
         keys = pc.cast(batch[key_column], pa.int64()).to_numpy(

@@ -331,3 +331,54 @@ def test_order_strings_vectorized_matches_per_row():
     )
     for cols in (["s"], ["i"], ["t"], ["u"], ["t", "s"], ["s", "i", "b", "t", "u"]):
         assert _order_strings(batch, cols) == legacy(batch, cols), cols
+
+
+def test_resolve_n_bands_defaults_and_validation():
+    """ADVICE r4: legal max_hamming values must not crash on the default
+    band count; explicit bad values raise ValueError (not assert)."""
+    import warnings
+
+    import pytest as _pytest
+
+    from dolma_ray.dedup.simhash import _resolve_n_bands
+
+    # defaults: smallest divisor of 64 >= max_hamming + 1
+    assert _resolve_n_bands(0, None) == 1
+    assert _resolve_n_bands(1, None) == 2
+    assert _resolve_n_bands(2, None) == 4
+    assert _resolve_n_bands(3, None) == 4
+    assert _resolve_n_bands(4, None) == 8
+    assert _resolve_n_bands(6, None) == 8
+    assert _resolve_n_bands(9, None) == 16
+    assert _resolve_n_bands(63, None) == 64
+    with _pytest.raises(ValueError, match="divide 64"):
+        _resolve_n_bands(3, 5)
+    with _pytest.raises(ValueError, match="max_hamming"):
+        _resolve_n_bands(64, None)
+    # n_bands <= max_hamming: warn on the marking path, raise when strict
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _resolve_n_bands(8, 8) == 8
+        assert any("pigeonhole" in str(x.message) for x in w)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        _resolve_n_bands(8, 8, strict=True)
+
+
+def test_simhash_clusters_default_bands_for_awkward_hamming(ray_session):
+    """max_hamming=2 (previously an AssertionError: 64 % 3 != 0) now
+    defaults to 4 bands and still yields the exact transitive closure."""
+    import ray.data as rd
+
+    from dolma_ray.dedup.simhash import simhash_duplicate_clusters
+
+    rows = [
+        {"doc_id": i, "text": f"totally unrelated document number {i} " + "filler words " * (i % 5 + 3)}
+        for i in range(12)
+    ]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup of 0
+    out = simhash_duplicate_clusters(
+        rd.from_items(rows), max_hamming=2, strategy="driver"
+    ).to_pandas()
+    comp = dict(zip(out["node"], out["component"]))
+    assert comp[100] == comp[0]
+    assert len(out) == 13
