@@ -15,18 +15,42 @@ syntax:
   or end-of-address) anywhere in a pattern;
 * ``@@...`` exception rules (an exception match unblocks);
 * ``!`` comments and element-hiding rules (``##``, ``#@#``, ``#?#``)
-  are ignored.
+  are ignored;
+* ``$``-options (Brave ``check_network_request`` semantics —
+  ``src/network_filter`` behavior in the public adblock-rust crate):
 
-Not implemented (documented subset): ``$...`` resource-type/domain
-options — optioned rules are SKIPPED by default (conservative: a
-``$script``-only rule never blocks a page URL; pass
-``keep_optioned=True`` to match them ignoring their options).
+  - resource types (``script``, ``image``, ``stylesheet``,
+    ``subdocument``, ``xmlhttprequest``/``xhr``, ``document``/
+    ``main_frame``, ``font``, ``media``, ``object``, ``websocket``,
+    ``ping``/``beacon``, ``other``, ...) incl. negations ``~script``:
+    a typed rule only matches requests of a listed type; negations
+    match everything else; an untyped rule matches every type;
+  - ``third-party``/``3p`` and ``~third-party``/``first-party``/``1p``:
+    party is computed from the request vs source registrable domains;
+    with no ``source_url`` the party is UNKNOWN and (like
+    adblock-rust's ``Option<bool>``) satisfies both constraints;
+  - ``domain=a.com|~b.a.com``: constrains the SOURCE host,
+    subdomain-inclusive; inclusions require a hit, any exclusion hit
+    vetoes (adblock-rust's opt_domains/opt_not_domains check);
+  - ``match-case``: the pattern matches case-sensitively;
+  - ``important``: a matching important block rule wins over
+    exception rules.
+
+  Registrable domain uses a built-in common-two-level-suffix table
+  (``co.uk`` etc.), not a full Public Suffix List — a documented
+  approximation of the PSL crate Brave links.  Rules carrying options
+  this engine can't honor (``csp=``, ``redirect=``, ``removeparam``,
+  ``generichide``/``elemhide`` and friends) are SKIPPED by default
+  (conservative); pass ``keep_optioned=True`` to match them ignoring
+  the unsupported options.
 
 Scale shape: pure ``||domain^`` rules (the overwhelming bulk of oisd
 lists) compile to a hash set probed per host-label suffix — O(labels)
-per URL; everything else compiles into chunked alternation regexes.
-The rule engine is built once per actor (or broadcast via ``ray.put``)
-— the broadcast-small-side pattern, no shuffle.
+per URL; everything else compiles into chunked alternation regexes,
+grouped by option signature so big easylist option cohorts
+(``$script,third-party`` ...) stay vectorized.  The rule engine is
+built once per actor (or broadcast via ``ray.put``) — the
+broadcast-small-side pattern, no shuffle.
 """
 
 from __future__ import annotations
@@ -59,17 +83,221 @@ def _pattern_to_regex(body: str) -> str:
     return "".join(out)
 
 
+# ---- $-options --------------------------------------------------------------
+
+# canonical resource-type names + request-string aliases (the Rust
+# wrapper's documented request_type vocabulary, src/lib.rs:77-82)
+_TYPE_ALIASES = {
+    "xhr": "xmlhttprequest",
+    "sub_frame": "subdocument",
+    "frame": "subdocument",
+    "main_frame": "document",
+    "doc": "document",
+    "css": "stylesheet",
+    "imageset": "image",
+    "beacon": "ping",
+    "object_subrequest": "object",
+    "object-subrequest": "object",
+}
+_KNOWN_TYPES = frozenset(
+    {
+        "document", "font", "image", "media", "object", "other", "ping",
+        "script", "speculative", "stylesheet", "subdocument", "websocket",
+        "xmlhttprequest", "web_manifest", "csp_report", "xbl", "xml_dtd",
+        "xslt", "popup", "webrtc",
+    }
+)
+# options that change behavior in ways this engine can't honor — a rule
+# carrying one is skipped (keep_optioned=True ignores them instead)
+_UNSUPPORTED_PREFIXES = (
+    "csp=", "redirect=", "redirect-rule=", "removeparam", "rewrite=",
+    "replace=", "header=", "permissions=", "denyallow=", "method=",
+)
+_UNSUPPORTED_FLAGS = frozenset(
+    {
+        "generichide", "ghide", "elemhide", "ehide", "specifichide",
+        "shide", "genericblock", "badfilter", "empty", "mp4", "popunder",
+        "inline-script", "inline-font", "cname", "strict1p", "strict3p",
+    }
+)
+
+# common two-level public suffixes for the registrable-domain
+# approximation (full PSL not shipped — documented deviation)
+_TWO_LEVEL_SUFFIXES = frozenset(
+    {
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+        "com.au", "net.au", "org.au", "co.nz", "org.nz", "co.jp",
+        "ne.jp", "or.jp", "ac.jp", "com.br", "net.br", "org.br",
+        "com.cn", "net.cn", "org.cn", "com.mx", "com.ar", "com.tr",
+        "co.in", "net.in", "org.in", "co.kr", "or.kr", "com.tw",
+        "com.sg", "com.hk", "co.za", "org.za", "com.my", "co.th",
+        "co.id", "com.vn", "com.ph", "com.pk", "com.eg", "com.sa",
+        "co.il", "org.il", "github.io", "gitlab.io", "blogspot.com",
+    }
+)
+
+
+def _registrable_domain(host: str) -> str:
+    labels = host.split(".")
+    if len(labels) <= 2:
+        return host
+    if ".".join(labels[-2:]) in _TWO_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def _canon_type(t: str) -> str:
+    t = (t or "other").lower().replace("-", "_")
+    t = _TYPE_ALIASES.get(t, t)
+    return t if t in _KNOWN_TYPES else "other"
+
+
+class _Opts:
+    """Parsed ``$``-option signature; hashable so rules sharing options
+    share one chunked-alternation bucket."""
+
+    __slots__ = ("inc_types", "exc_types", "party", "dom_in", "dom_out",
+                 "match_case", "important")
+
+    def __init__(self, inc_types=None, exc_types=(), party=None,
+                 dom_in=(), dom_out=(), match_case=False, important=False):
+        self.inc_types = inc_types      # frozenset | None (None = all)
+        self.exc_types = frozenset(exc_types)
+        self.party = party              # None | "third" | "first"
+        self.dom_in = tuple(dom_in)     # source-host inclusions
+        self.dom_out = tuple(dom_out)
+        self.match_case = bool(match_case)
+        self.important = bool(important)
+
+    def _key(self):
+        return (self.inc_types, self.exc_types, self.party, self.dom_in,
+                self.dom_out, self.match_case, self.important)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, _Opts) and self._key() == other._key()
+
+    def matches_request(self, rtype: str, third_party: bool | None,
+                        source_host: str) -> bool:
+        """Option check mirroring adblock-rust's check_options: type
+        mask, party constraint (unknown party satisfies both), and
+        source-domain inclusion/exclusion (subdomain-inclusive)."""
+        if self.inc_types is not None and rtype not in self.inc_types:
+            return False
+        if rtype in self.exc_types:
+            return False
+        if self.party == "third" and third_party is False:
+            return False
+        if self.party == "first" and third_party is True:
+            return False
+        if self.dom_in or self.dom_out:
+            def _in(dom: str) -> bool:
+                return source_host == dom or source_host.endswith("." + dom)
+
+            if self.dom_in and not any(_in(d) for d in self.dom_in):
+                return False
+            if any(_in(d) for d in self.dom_out):
+                return False
+        return True
+
+
+_DEFAULT_OPTS = _Opts()
+
+
+def _parse_options(opt_str: str, keep_optioned: bool) -> "_Opts | None":
+    """Parse a ``$``-option string into an :class:`_Opts` signature.
+    Returns ``None`` when the rule carries an option this engine can't
+    honor (unless ``keep_optioned``, which ignores those options)."""
+    inc: set[str] = set()
+    exc: set[str] = set()
+    party = None
+    dom_in: list[str] = []
+    dom_out: list[str] = []
+    match_case = important = False
+    for raw in opt_str.split(","):
+        o = raw.strip().lower()
+        if not o:
+            continue
+        neg = o.startswith("~")
+        name = o[1:] if neg else o
+        if name in ("third-party", "3p"):
+            party = "first" if neg else "third"
+        elif name in ("first-party", "1p"):
+            party = "third" if neg else "first"
+        elif name.startswith("domain=") or name.startswith("from="):
+            for d in o.split("=", 1)[1].split("|"):
+                d = d.strip().lower()
+                if not d:
+                    continue
+                (dom_out if d.startswith("~") else dom_in).append(d.lstrip("~"))
+        elif name == "match-case":
+            match_case = True
+        elif name == "important":
+            important = True
+        elif name == "all":
+            continue  # all types = no constraint
+        elif _TYPE_ALIASES.get(name.replace("-", "_"), name.replace("-", "_")) in _KNOWN_TYPES:
+            canon = _TYPE_ALIASES.get(name.replace("-", "_"), name.replace("-", "_"))
+            (exc if neg else inc).add(canon)
+        elif keep_optioned:
+            continue
+        elif name in _UNSUPPORTED_FLAGS or any(
+            o.startswith(p) for p in _UNSUPPORTED_PREFIXES
+        ):
+            return None
+        else:
+            return None  # unknown option: skip conservatively
+    return _Opts(
+        inc_types=frozenset(inc) if inc else None,
+        exc_types=exc,
+        party=party,
+        dom_in=sorted(dom_in),
+        dom_out=sorted(dom_out),
+        match_case=match_case,
+        important=important,
+    )
+
+
+class _Bucket:
+    """Rules sharing one option signature: a host-suffix set for pure
+    ``||domain^`` rules plus chunked alternation regexes."""
+
+    __slots__ = ("domains", "patterns", "compiled", "flags")
+
+    def __init__(self, flags: int) -> None:
+        self.domains: set[str] = set()
+        self.patterns: list[str] = []
+        self.compiled: list[re.Pattern] = []
+        self.flags = flags
+
+    def finish(self, chunk: int) -> None:
+        self.compiled = [
+            re.compile("|".join(self.patterns[i : i + chunk]), self.flags)
+            for i in range(0, len(self.patterns), chunk)
+        ]
+        self.patterns = []
+
+    def hit(self, host: str, url: str) -> bool:
+        if self.domains and host:
+            labels = host.split(".")
+            if any(".".join(labels[i:]) in self.domains for i in range(len(labels))):
+                return True
+        return any(r.search(url) for r in self.compiled)
+
+
 class AdblockRules:
     """Compiled ABP rule set with ``check_network_urls`` semantics
-    (block unless an exception matches)."""
+    (block unless an exception matches; ``$important`` block rules win
+    over exceptions)."""
 
     _CHUNK = 400  # alternation size per compiled regex
 
     def __init__(self, rules: Iterable[str], keep_optioned: bool = False) -> None:
-        self.domains: set[str] = set()
-        self.exc_domains: set[str] = set()
-        block_res: list[str] = []
-        exc_res: list[str] = []
+        # option signature -> bucket, separately for block / exception
+        self._block: dict[_Opts, _Bucket] = {}
+        self._exc: dict[_Opts, _Bucket] = {}
         for raw in rules:
             ln = raw.strip()
             if not ln or ln.startswith("!") or "##" in ln or "#@#" in ln or "#?#" in ln:
@@ -77,35 +305,43 @@ class AdblockRules:
             exception = ln.startswith("@@")
             if exception:
                 ln = ln[2:]
+            opts = _DEFAULT_OPTS
             if "$" in ln:
-                if not keep_optioned:
-                    continue
-                ln = ln[: ln.rindex("$")]
+                cut = ln.rindex("$")
+                parsed = _parse_options(ln[cut + 1 :], keep_optioned)
+                if parsed is None:
+                    continue  # unsupported option: skip rule (documented)
+                opts = parsed
+                ln = ln[:cut]
                 if not ln:
                     continue
-            # ABP matching is case-insensitive; URLs are lowercased at
-            # check time, so rule bodies must be lowercased here too
-            ln = ln.lower()
-            domains = self.exc_domains if exception else self.domains
-            regexes = exc_res if exception else block_res
+            # ABP matching is case-insensitive unless $match-case; URLs
+            # are lowercased at check time for non-match-case buckets
+            if not opts.match_case:
+                ln = ln.lower()
+            side = self._exc if exception else self._block
+            bucket = side.get(opts)
+            if bucket is None:
+                bucket = side[opts] = _Bucket(0)
             if ln.startswith("||"):
                 body = ln[2:]
                 bare = body[:-1] if body.endswith("^") else None
-                if bare is not None and _PURE_DOMAIN.match(bare):
-                    domains.add(bare.lower())
+                if bare is not None and _PURE_DOMAIN.match(bare.lower()):
+                    bucket.domains.add(bare.lower())
                 else:
-                    regexes.append(_HOST_ANCHOR + _pattern_to_regex(body))
+                    bucket.patterns.append(_HOST_ANCHOR + _pattern_to_regex(body))
             elif ln.startswith("|"):
                 body = ln[1:]
                 tail = "$" if body.endswith("|") else ""
                 body = body[:-1] if tail else body
-                regexes.append("^" + _pattern_to_regex(body) + tail)
+                bucket.patterns.append("^" + _pattern_to_regex(body) + tail)
             else:
                 tail = "$" if ln.endswith("|") else ""
                 body = ln[:-1] if tail else ln
-                regexes.append(_pattern_to_regex(body) + tail)
-        self._block = self._compile(block_res)
-        self._exc = self._compile(exc_res)
+                bucket.patterns.append(_pattern_to_regex(body) + tail)
+        for side in (self._block, self._exc):
+            for bucket in side.values():
+                bucket.finish(self._CHUNK)
 
     @classmethod
     def from_adb_paths(cls, *file_paths: str, **kw) -> "AdblockRules":
@@ -116,43 +352,52 @@ class AdblockRules:
             rules.extend(_read_lines(fp))
         return cls(sorted(set(rules)), **kw)
 
-    @staticmethod
-    def _compile(patterns: list[str]) -> list[re.Pattern]:
-        return [
-            re.compile("|".join(patterns[i : i + AdblockRules._CHUNK]))
-            for i in range(0, len(patterns), AdblockRules._CHUNK)
-        ]
-
-    def _domain_hit(self, host: str, table: set[str]) -> bool:
-        if not table or not host:
-            return False
-        labels = host.split(".")
-        return any(".".join(labels[i:]) in table for i in range(len(labels)))
-
-    def _regex_hit(self, url: str, regexes: list[re.Pattern]) -> bool:
-        return any(r.search(url) for r in regexes)
-
     def check_network_urls(
         self, url: str, source_url: str | None = None, request_type: str = ""
     ) -> bool:
         """True if the URL should be blocked (reference
-        ``core/url_blocker.py:60-93`` interface; ``source_url`` and
-        ``request_type`` accepted for signature parity — type options
-        are out of the implemented subset)."""
+        ``core/url_blocker.py:60-93`` interface).  ``source_url`` feeds
+        the party and ``domain=`` checks (absent -> party unknown,
+        which satisfies both party constraints, as in adblock-rust);
+        ``request_type`` feeds the type options (absent -> ``other``)."""
         u = url.strip()
         if not u:
             return False
         if "://" not in u:
             u = f"http://{u}"
-        u = u.lower()
-        host = (urlsplit(u).hostname or "").lower()
-        blocked = self._domain_hit(host, self.domains) or self._regex_hit(
-            u, self._block
-        )
+        u_low = u.lower()
+        host = (urlsplit(u_low).hostname or "").lower()
+        source_host = ""
+        if source_url:
+            s = source_url.strip()
+            if s and "://" not in s:
+                s = f"http://{s}"
+            source_host = (urlsplit(s.lower()).hostname or "").lower()
+        third_party: bool | None = None
+        if source_host and host:
+            third_party = _registrable_domain(host) != _registrable_domain(
+                source_host
+            )
+        rtype = _canon_type(request_type)
+
+        blocked = important = False
+        for opts, bucket in self._block.items():
+            if not opts.matches_request(rtype, third_party, source_host):
+                continue
+            if bucket.hit(host, u if opts.match_case else u_low):
+                blocked = True
+                if opts.important:
+                    important = True
+                    break
         if not blocked:
             return False
-        if self._domain_hit(host, self.exc_domains) or self._regex_hit(u, self._exc):
-            return False
+        if important:
+            return True
+        for opts, bucket in self._exc.items():
+            if opts.matches_request(rtype, third_party, source_host) and bucket.hit(
+                host, u if opts.match_case else u_low
+            ):
+                return False
         return True
 
 

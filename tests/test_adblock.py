@@ -62,11 +62,18 @@ def test_exception_rules():
     assert not r.check_network_urls("http://ads.example.com/allowed/x")
 
 
-def test_optioned_rules_skipped_by_default():
+def test_optioned_rules_now_honored():
+    # round-5: $script,third-party is a SUPPORTED signature — honored,
+    # not skipped (the pre-r5 engine dropped every optioned rule)
     r = AdblockRules(["||tracker.example.com^$script,third-party"])
+    # page-URL check (type "other") doesn't satisfy $script
     assert not r.check_network_urls("http://tracker.example.com/")
-    r2 = AdblockRules(["||tracker.example.com^$script,third-party"], keep_optioned=True)
-    assert r2.check_network_urls("http://tracker.example.com/")
+    # a third-party script request does
+    assert r.check_network_urls(
+        "http://tracker.example.com/t.js",
+        source_url="http://site.com/",
+        request_type="script",
+    )
 
 
 def test_comments_and_element_hiding_ignored():
@@ -107,3 +114,142 @@ def test_mixed_case_rules_match():
     assert r.check_network_urls("http://example.com/ads/x.gif")
     assert r.check_network_urls("http://x.com/adserver/a.js")
     assert r.check_network_urls("http://x.com/AdServer/a.js")
+
+
+# ---- $-options (round-5: Brave check_network_request semantics) ------------
+
+
+def test_option_resource_types():
+    r = AdblockRules(["||cdn.example.com^$script"])
+    assert r.check_network_urls("http://cdn.example.com/a.js", request_type="script")
+    assert not r.check_network_urls("http://cdn.example.com/a.png", request_type="image")
+    # no request_type -> "other": a typed rule must not fire
+    assert not r.check_network_urls("http://cdn.example.com/a.js")
+    # aliases: xhr == xmlhttprequest, sub_frame == subdocument
+    r2 = AdblockRules(["||api.example.com^$xmlhttprequest", "||frames.example.com^$subdocument"])
+    assert r2.check_network_urls("http://api.example.com/x", request_type="xhr")
+    assert r2.check_network_urls("http://frames.example.com/f", request_type="sub_frame")
+
+
+def test_option_negated_type():
+    r = AdblockRules(["||cdn.example.com^$~script"])
+    assert r.check_network_urls("http://cdn.example.com/a.png", request_type="image")
+    assert not r.check_network_urls("http://cdn.example.com/a.js", request_type="script")
+
+
+def test_option_third_party():
+    r = AdblockRules(["||ads.example.com^$third-party"])
+    # third-party source (different registrable domain) -> blocked
+    assert r.check_network_urls(
+        "http://ads.example.com/b.gif", source_url="http://news.site.com/page"
+    )
+    # first-party: same registrable domain (sub.example.com -> example.com)
+    assert not r.check_network_urls(
+        "http://ads.example.com/b.gif", source_url="http://www.example.com/page"
+    )
+    # no source -> party unknown -> satisfies the constraint (adblock-rust Option<bool>)
+    assert r.check_network_urls("http://ads.example.com/b.gif")
+    # ~third-party is the inverse
+    r2 = AdblockRules(["||ads.example.com^$~third-party"])
+    assert r2.check_network_urls(
+        "http://ads.example.com/b.gif", source_url="http://example.com/"
+    )
+    assert not r2.check_network_urls(
+        "http://ads.example.com/b.gif", source_url="http://other.com/"
+    )
+
+
+def test_option_third_party_two_level_suffix():
+    # a.co.uk vs b.co.uk are DIFFERENT registrable domains
+    r = AdblockRules(["||tracker.a.co.uk^$third-party"])
+    assert r.check_network_urls(
+        "http://tracker.a.co.uk/t", source_url="http://b.co.uk/"
+    )
+    assert not r.check_network_urls(
+        "http://tracker.a.co.uk/t", source_url="http://www.a.co.uk/"
+    )
+
+
+def test_option_domain_constraint():
+    r = AdblockRules(["banner$domain=example.com|~sub.example.com"])
+    assert r.check_network_urls(
+        "http://cdn.net/banner.png", source_url="http://www.example.com/"
+    )
+    # excluded subdomain vetoes
+    assert not r.check_network_urls(
+        "http://cdn.net/banner.png", source_url="http://a.sub.example.com/"
+    )
+    # not within any included domain
+    assert not r.check_network_urls(
+        "http://cdn.net/banner.png", source_url="http://other.org/"
+    )
+    # no source at all -> inclusion can't be satisfied
+    assert not r.check_network_urls("http://cdn.net/banner.png")
+
+
+def test_option_important_beats_exception():
+    r = AdblockRules(["||ads.example.com^$important", "@@||ads.example.com^"])
+    assert r.check_network_urls("http://ads.example.com/x")
+    r2 = AdblockRules(["||ads.example.com^", "@@||ads.example.com^"])
+    assert not r2.check_network_urls("http://ads.example.com/x")
+
+
+def test_option_match_case():
+    r = AdblockRules(["/BannerAd$match-case"])
+    assert r.check_network_urls("http://example.com/BannerAd")
+    assert not r.check_network_urls("http://example.com/bannerad")
+    # without match-case both match
+    r2 = AdblockRules(["/BannerAd"])
+    assert r2.check_network_urls("http://example.com/bannerad")
+
+
+def test_option_exception_scoped_by_type():
+    r = AdblockRules(["||ads.example.com^", "@@||ads.example.com^$script"])
+    # exception only covers scripts
+    assert not r.check_network_urls("http://ads.example.com/a.js", request_type="script")
+    assert r.check_network_urls("http://ads.example.com/a.png", request_type="image")
+
+
+def test_unsupported_options_skip_rule():
+    r = AdblockRules(["||x.example.com^$csp=script-src 'none'", "||y.example.com^$removeparam=utm"])
+    assert not r.check_network_urls("http://x.example.com/")
+    assert not r.check_network_urls("http://y.example.com/")
+    # keep_optioned=True matches them ignoring the unsupported options
+    r2 = AdblockRules(["||x.example.com^$csp=script-src 'none'"], keep_optioned=True)
+    assert r2.check_network_urls("http://x.example.com/")
+
+
+def test_easylist_excerpt_combined_options():
+    # realistic easylist-style cohort: mixed types + party + domain
+    rules = [
+        "||adserver.example^$third-party,script,image",
+        "-ad-banner.$image,domain=~whitelisted.org",
+        "@@||adserver.example/allowed/$image,third-party",
+        "||popup.example^$popup",
+    ]
+    r = AdblockRules(rules)
+    # third-party script -> blocked
+    assert r.check_network_urls(
+        "http://adserver.example/x.js", source_url="http://a.com/", request_type="script"
+    )
+    # third-party stylesheet -> type not listed -> pass
+    assert not r.check_network_urls(
+        "http://adserver.example/x.css", source_url="http://a.com/", request_type="stylesheet"
+    )
+    # first-party script -> party fails -> pass
+    assert not r.check_network_urls(
+        "http://adserver.example/x.js", source_url="http://adserver.example/", request_type="script"
+    )
+    # image substring rule applies except from whitelisted.org
+    assert r.check_network_urls(
+        "http://cdn.net/-ad-banner.png", source_url="http://x.com/", request_type="image"
+    )
+    assert not r.check_network_urls(
+        "http://cdn.net/-ad-banner.png", source_url="http://whitelisted.org/", request_type="image"
+    )
+    # typed exception unblocks the third-party image under /allowed/
+    assert not r.check_network_urls(
+        "http://adserver.example/allowed/i.gif", source_url="http://a.com/", request_type="image"
+    )
+    # $popup rules never fire for network request types
+    assert not r.check_network_urls("http://popup.example/", request_type="document")
