@@ -205,13 +205,13 @@ class HFTokenizer:
         norm_spec = spec.get("normalizer") or {}
         norm = norm_spec.get("type")
         self.bert_clean = self.bert_cjk = False
+        self.strip_accents = False
         if norm == "BertNormalizer":
-            # faithful except strip_accents (raise rather than mis-encode)
-            if norm_spec.get("strip_accents"):
-                raise NotImplementedError(
-                    "BertNormalizer strip_accents is outside the implemented subset"
-                )
             self.lowercase = bool(norm_spec.get("lowercase", True))
+            # HF semantics: strip_accents null -> follows lowercase
+            # (tokenizers' BertNormalizer: strip_accents.unwrap_or(lowercase))
+            sa = norm_spec.get("strip_accents")
+            self.strip_accents = self.lowercase if sa is None else bool(sa)
             self.bert_clean = bool(norm_spec.get("clean_text", True))
             self.bert_cjk = bool(norm_spec.get("handle_chinese_chars", True))
             self.nfc = False
@@ -354,6 +354,14 @@ class HFTokenizer:
         if self.bert_cjk:
             text = "".join(
                 f" {c} " if _is_cjk_char(c) else c for c in text
+            )
+        if self.strip_accents:
+            # BERT _run_strip_accents: NFD, drop combining marks (Mn);
+            # HF order: strip_accents runs BEFORE lowercase
+            text = "".join(
+                c
+                for c in unicodedata.normalize("NFD", text)
+                if unicodedata.category(c) != "Mn"
             )
         if self.lowercase:
             text = text.lower()

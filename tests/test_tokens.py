@@ -369,3 +369,39 @@ def test_bpe_suffix_options_refuse(tmp_path):
     import pytest
     with pytest.raises(NotImplementedError):
         HFTokenizer(str(p))
+
+
+def test_bert_strip_accents_follows_lowercase(tmp_path):
+    """HF BertNormalizer: strip_accents null -> follows lowercase
+    (tokenizers' unwrap_or(lowercase)); strip runs BEFORE lowercase.
+    Previously accents silently survived on real BERT tokenizer.json."""
+    import json as _json
+
+    from dolma_ray.models.hf_tokenizer import HFTokenizer
+
+    def make(tmp, name, norm):
+        spec = {
+            "model": {
+                "type": "WordPiece",
+                "vocab": {"[UNK]": 0, "cafe": 1, "café": 2, "Cafe": 3},
+                "unk_token": "[UNK]",
+                "continuing_subword_prefix": "##",
+            },
+            "pre_tokenizer": {"type": "BertPreTokenizer"},
+            "normalizer": norm,
+        }
+        p = tmp / name
+        p.write_text(_json.dumps(spec))
+        return HFTokenizer(str(p))
+
+    # lowercase=True, strip_accents=null -> strips (é -> e), lowers
+    t = make(tmp_path, "a.json", {"type": "BertNormalizer", "lowercase": True, "strip_accents": None})
+    assert t.encode("Café") == [1]
+    # explicit strip_accents=False keeps the accent
+    t2 = make(tmp_path, "b.json", {"type": "BertNormalizer", "lowercase": True, "strip_accents": False})
+    assert t2.encode("café") == [2]
+    # lowercase=False, strip_accents=null -> no strip, no lower
+    t3 = make(tmp_path, "c.json", {"type": "BertNormalizer", "lowercase": False, "strip_accents": None})
+    assert t3.encode("Cafe") == [3]
+    # precomposed vs combining-mark input normalize identically
+    assert t.encode("Café") == [1]
