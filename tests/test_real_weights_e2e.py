@@ -1,0 +1,132 @@
+"""End-to-end real-weights swap-in (round-4 verdict item 5): synthesize
+a tiny-but-valid fastText ``.bin``, KenLM ARPA and HF ``tokenizer.json``
+into tmp, set the three ``DOLMA_RAY_*`` env vars, and run the flagship
+STATEFUL tagger pack (actor-pool path) in a fresh subprocess — proving
+the production swap-in path works with zero code edits.
+
+Discriminators ensure the REAL artifacts drive the scores, not the
+embedded stand-ins: the fastText model is deliberately INVERTED (its
+``en`` label fires on French words), the ARPA perplexity is compared to
+an in-process ArpaLM replay, and the tokenizer is a character-level
+ByteLevel BPE whose counts differ from the regex stand-in's word counts.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from test_real_weights import TINY_ARPA, write_tiny_bin
+
+_SUBPROC = r"""
+import json, os, sys
+import ray
+import ray.data as rd
+
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+from dolma_ray.pipelines.flagship import tag_all
+
+rows = [
+    {"url": "http://a", "text": "bonjour monde"},
+    {"url": "http://b", "text": "hello world"},
+    {"url": "http://c", "text": "the cat"},
+    {"url": "http://d", "text": "aaaa bbbb"},
+]
+ds = rd.from_items(rows)
+out = tag_all(
+    ds,
+    stateless=[],
+    stateful=["ft_lang_id_en_doc_v2", "kenlm_ppl_doc_v1", "dolma_v1_tokenizer"],
+    stateful_concurrency=2,
+).to_pandas().set_index("url")
+
+from dolma_ray.models.perplexity import ArpaLM
+lm = ArpaLM(os.environ["DOLMA_RAY_KENLM_ARPA"])
+
+def col(suffix):
+    return next(c for c in out.columns if c.startswith("attr__") and c.endswith(suffix))
+
+def score(url, suffix):
+    v = out.loc[url, col(suffix)]
+    if hasattr(v, "__len__") and not isinstance(v, str):
+        span = v[0]  # span-typed column
+        return float(span["score"] if isinstance(span, dict) else span[2])
+    return float(v)  # DOC attrs are scalar columns
+
+res = {
+    "en_french_doc": score("http://a", "__en"),
+    "en_english_doc": score("http://b", "__en"),
+    "ppl_the_cat": score("http://c", "__doc_ppl"),
+    "ppl_expected": float(lm.log10_perplexity("the cat")),
+    "tok_aaaa_bbbb": score("http://d", "__length"),
+}
+ray.shutdown()
+print("RESULT " + json.dumps(res))
+"""
+
+
+def test_real_weights_env_swap_end_to_end(tmp_path):
+    dim = 4
+    # INVERTED model: "en" output vector aligns with the french words'
+    # input vectors — the embedded-seed stand-in could never score
+    # french text as en>0.9 while scoring english text near 0
+    words = ["bonjour", "monde", "hello", "world", "the", "cat", "aaaa", "bbbb", "</s>"]
+    v = np.zeros((len(words), dim), dtype=np.float64)
+    v[0] = v[1] = [8, 0, 0, 0]   # french -> +x
+    v[2] = v[3] = [-8, 0, 0, 0]  # english -> -x
+    outm = np.array([[1.0, 0, 0, 0], [-1.0, 0, 0, 0]])  # en=+x, fr=-x
+    ft_bin = tmp_path / "tiny.bin"
+    write_tiny_bin(str(ft_bin), words, ["__label__en", "__label__fr"], v, outm, dim)
+
+    arpa = tmp_path / "tiny.arpa"
+    arpa.write_text(TINY_ARPA)
+
+    # character-level ByteLevel BPE: "aaaa bbbb" -> 8 letter pieces (+1
+    # for the space-prefixed mapping) vs the regex stand-in's 2 words
+    b2u_a, b2u_b, b2u_sp = "a", "b", "Ġ"  # GPT-2 byte map: space -> Ġ
+    vocab = {b2u_a: 0, b2u_b: 1, b2u_sp: 2}
+    tok = tmp_path / "tokenizer.json"
+    tok.write_text(
+        json.dumps(
+            {
+                "model": {"type": "BPE", "vocab": vocab, "merges": []},
+                "pre_tokenizer": {"type": "ByteLevel"},
+            }
+        )
+    )
+
+    env = dict(os.environ)
+    env.update(
+        {
+            "DOLMA_RAY_FASTTEXT_BIN": str(ft_bin),
+            "DOLMA_RAY_KENLM_ARPA": str(arpa),
+            "DOLMA_RAY_TOKENIZER_JSON": str(tok),
+            "RAY_ADDRESS": "local",
+        }
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", _SUBPROC],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = next(l for l in proc.stdout.splitlines() if l.startswith("RESULT "))
+    res = json.loads(line[len("RESULT ") :])
+
+    # the inverted real model: french text scores ~1.0 "en", english ~0.0
+    assert res["en_french_doc"] > 0.99, res
+    assert res["en_english_doc"] < 0.01, res
+    # perplexity equals the direct ArpaLM replay of the same file, to
+    # within the engine's 5-digit attribute-rounding contract
+    assert abs(res["ppl_the_cat"] - res["ppl_expected"]) < 5e-6, res
+    # char-level BPE count: "aaaa bbbb" -> 9 pieces (4 + space-joined 5);
+    # the regex stand-in would report 2
+    assert res["tok_aaaa_bbbb"] == 9.0, res
