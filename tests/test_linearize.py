@@ -90,3 +90,95 @@ def test_extract_text_oracle_equivalence():
     )
     for i, g in enumerate(got):
         assert g == exp[i], (i, texts[i], g, exp[i])
+
+
+# ---- trafilatura-shape backend (round-5: second registry backend) ----------
+
+
+PAGE = b"""<html><head><title>T</title><style>p{}</style></head><body>
+<header id="site-header"><h1>Site Name</h1></header>
+<nav class="main-menu"><a href="/a">Home</a> <a href="/b">About</a></nav>
+<div class="sidebar"><p>Subscribe to our newsletter!</p></div>
+<article>
+  <h2>The Headline</h2>
+  <p>First paragraph of the story, with some real sentences in it.</p>
+  <p>Second paragraph continues the <a href="/x">story</a> with detail.</p>
+  <table><tr><td>cell A</td><td>cell B</td></tr></table>
+</article>
+<div id="comments"><p>Nice post! - a commenter</p></div>
+<footer>Copyright 2026</footer>
+</body></html>"""
+
+
+def _lin(**kw):
+    from dolma_ray.sources.linearize import LinearizerRegistry
+
+    return LinearizerRegistry.get("trafilatura")(**kw)
+
+
+def test_trafilatura_shape_main_content_only():
+    text = _lin().linearize(PAGE)
+    assert "First paragraph of the story" in text
+    assert "Second paragraph continues the story with detail." in text
+    assert "The Headline" in text
+    # boilerplate gone: header, nav, sidebar, comments, footer
+    for boiler in ("Site Name", "Home", "Subscribe", "Nice post", "Copyright"):
+        assert boiler not in text, (boiler, text)
+    # tables off by default (reference include_tables=False)
+    assert "cell A" not in text
+
+
+def test_trafilatura_shape_option_toggles():
+    t_tables = _lin(include_tables=True).linearize(PAGE)
+    assert "cell A" in t_tables and "Subscribe" not in t_tables
+    t_comments = _lin(include_comments=True).linearize(PAGE)
+    assert "Nice post! - a commenter" in t_comments
+    # favor_precision drops short stub lines that contain links
+    page = b'<main><p>Real sentence with enough words here.</p><p><a href="/t">tag</a></p></main>'
+    assert "tag" in _lin(favor_recall=True).linearize(page)
+    assert "tag" not in _lin(favor_precision=True).linearize(page)
+
+
+def test_trafilatura_shape_link_density_pruning():
+    page = (
+        b"<body><div><p>A genuine content paragraph with many words of text.</p>"
+        b'<p><a href="/1">One</a> <a href="/2">Two</a> <a href="/3">Three</a></p>'
+        b"</div></body>"
+    )
+    text = _lin().linearize(page)
+    assert "genuine content paragraph" in text
+    assert "One" not in text  # anchor-dominated line pruned
+    assert "One" in _lin(include_links=True).linearize(page)
+
+
+def test_trafilatura_shape_fallback_and_empty():
+    # no main container: fall back to whole-page extraction
+    page = b"<body><p>Loose paragraph outside any landmark.</p></body>"
+    assert "Loose paragraph" in _lin().linearize(page)
+    # no_fallback: no main container -> "" (trafilatura returns None -> "")
+    assert _lin(no_fallback=True).linearize(page) == ""
+    assert _lin().linearize(b"") == ""
+    assert _lin().linearize(b"<html><head></head></html>") == ""
+    # broken markup is salvaged, never raises
+    assert "ok" in _lin().linearize(b"<article><p>ok<div></span></p>")
+
+
+def test_trafilatura_shape_main_cue_classes():
+    page = (
+        b'<div class="post-content"><p>Cue-selected body text paragraph.</p></div>'
+        b'<div class="ad-banner"><p>Buy things!</p></div>'
+    )
+    text = _lin().linearize(page)
+    assert "Cue-selected body text" in text
+    assert "Buy things" not in text
+
+
+def test_trafilatura_backend_selectable_in_ray_stage(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.sources.linearize import linearize_html
+
+    ds = rd.from_items([{"url": "u", "html": PAGE}])
+    out = linearize_html(ds, linearizer="trafilatura").to_pandas()
+    assert "First paragraph of the story" in out["text"][0]
+    assert "Copyright" not in out["text"][0]
