@@ -104,14 +104,25 @@ def _min_by_node(ds, n_buckets: int = 64):
             }
         )
 
-    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
-        out = g.groupby("node", as_index=False)["label"].min()
-        return out
+    def merge(g: pa.Table) -> pa.Table:
+        nodes = g["node"].to_numpy(zero_copy_only=False)
+        labels = g["label"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nodes, kind="stable")
+        nodes_s, labels_s = nodes[order], labels[order]
+        starts = np.flatnonzero(np.r_[True, nodes_s[1:] != nodes_s[:-1]])
+        return pa.table(
+            {
+                "node": pa.array(nodes_s[starts], pa.int64()),
+                "label": pa.array(
+                    np.minimum.reduceat(labels_s, starts), pa.int64()
+                ),
+            }
+        )
 
     return (
         ds.map_batches(combine, batch_format="pyarrow")
         .groupby("__b")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 

@@ -31,7 +31,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as _pc
 
@@ -78,11 +77,9 @@ def asof_join(
         (f"_c_{c}", r_types[c]) for c in right_columns
     ]
 
-    # Integer value columns ride the pandas group container as exact
-    # decimal strings: arrow int64-with-null (one side's padding) turns
-    # into pandas float64, silently corrupting values > 2^53.  A final
-    # recast restores the original types losslessly.
-    _int_fields = {n: t for n, t in value_fields if pa.types.is_integer(t)}
+    # (The pure-Arrow merge keeps int64-with-null columns exact; the
+    # former pandas group container needed an int->decimal-string shield
+    # against float64 corruption of values > 2^53.)
 
     # one concrete tie type across both sides: integer ties become
     # ORDER-PRESERVING bias-padded strings (sign bit flip + zero-pad, the
@@ -140,13 +137,8 @@ def asof_join(
             }
             for name, typ in value_fields:
                 src = name[len("_c_") :]
-                if name in _int_fields:
-                    typ = pa.string()
                 if src in keep:
-                    col = batch[src]
-                    cols[name] = (
-                        _pc.cast(col, pa.string()) if name in _int_fields else col
-                    )
+                    cols[name] = batch[src]
                 else:
                     cols[name] = pa.nulls(len(batch), typ)
             # ties break among RIGHT rows only (which row a left row
@@ -177,53 +169,42 @@ def asof_join(
     rcols = [f"_c_{c}" for c in right_columns]
     lcols = [f"_c_{c}" for c in left_cols]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["_k", "_ts", "_side", "_tie"], kind="mergesort")
+    def merge(g: pa.Table) -> pa.Table:
+        """Per-bucket asof resolve in PURE ARROW: the group container
+        stays a zero-copy table; unmatched right values come out null via
+        take-with-null-indices (no object-dtype fill columns, timestamps
+        and ints keep their exact types)."""
+        order = _pc.sort_indices(
+            g,
+            sort_keys=[
+                ("_k", "ascending"),
+                ("_ts", "ascending"),
+                ("_side", "ascending"),
+                ("_tie", "ascending"),
+            ],
+        )
+        g = g.take(order)
         n = len(g)
-        keys = g["_k"].to_numpy()
-        side = g["_side"].to_numpy()
+        keys = g["_k"].to_numpy(zero_copy_only=False)
+        side = g["_side"].to_numpy(zero_copy_only=False)
         is_right = side == 0
         pos = np.where(is_right, np.arange(n), -1)
         last_right = np.maximum.accumulate(pos)
-        left_mask = ~is_right
-        li = np.nonzero(left_mask)[0]
+        li = np.nonzero(~is_right)[0]
         lr = last_right[li]
         valid = lr >= 0
         valid[valid] &= keys[lr[valid]] == keys[li[valid]]
+        li_idx = pa.array(li, pa.int64())
+        # null index -> null output row for every unmatched left row
+        ridx = pa.array(lr, pa.int64(), mask=~valid)
         out = {}
         for c, oc in zip(lcols, left_cols):
-            out[oc] = g[c].to_numpy()[li]
-        out[key_column] = keys[li]
-        out[ts_column] = g["_ts"].to_numpy()[li]
+            out[oc] = g[c].take(li_idx)
+        out[key_column] = g["_k"].take(li_idx)
+        out[ts_column] = g["_ts"].take(li_idx)
         for c, oc in zip(rcols, right_columns):
-            vals = g[c].to_numpy()
-            col = np.full(len(li), None, dtype=object)
-            col[valid] = vals[lr[valid]]
-            out[oc] = col
-        ts_vals = g["_ts"].to_numpy()
-        if np.issubdtype(ts_vals.dtype, np.datetime64):
-            ats = np.full(len(li), np.datetime64("NaT"), dtype=ts_vals.dtype)
-            ats[valid] = ts_vals[lr[valid]]
-        else:
-            # integer/float epoch timestamps: a NaT fill would silently
-            # cast to INT64_MIN — use a nullable object column instead
-            ats = np.full(len(li), None, dtype=object)
-            ats[valid] = ts_vals[lr[valid]]
-        out["_asof_ts"] = ats
-        return pd.DataFrame(out)
+            out[oc] = g[c].take(ridx)
+        out["_asof_ts"] = g["_ts"].take(ridx)
+        return pa.table(out)
 
-    merged = unioned.groupby("bucket").map_groups(merge, batch_format="pandas")
-    if not _int_fields:
-        return merged
-
-    # restore integer value columns from their exact decimal strings
-    int_targets = {n[len("_c_") :]: t for n, t in _int_fields.items()}
-
-    def recast(batch: pa.Table) -> pa.Table:
-        for c, t in int_targets.items():
-            if c in batch.column_names and batch[c].type != t:
-                idx = batch.column_names.index(c)
-                batch = batch.set_column(idx, c, _pc.cast(batch[c], t))
-        return batch
-
-    return merged.map_batches(recast, batch_format="pyarrow")
+    return unioned.groupby("bucket").map_groups(merge, batch_format="pyarrow")

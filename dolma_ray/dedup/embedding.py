@@ -25,7 +25,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -165,21 +164,26 @@ def mark_near_duplicates_embedding(
 
         cand = ds.map_batches(candidates, batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o", "key"], kind="mergesort")  # key tie-break: deterministic
-        vecs = np.stack(
-            [
-                np.frombuffer(v, dtype=np.float64)
-                if isinstance(v, (bytes, bytearray))
-                else np.asarray(v)
-                for v in g["vec"]
-            ]
-        )
+    def verify(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("o", "ascending"), ("key", "ascending")]
+        )  # key tie-break: deterministic
+        vec = g["vec"].take(order).combine_chunks()
+        n = len(vec)
+        if pa.types.is_binary(vec.type) or pa.types.is_large_binary(vec.type):
+            # join-path layout: raw float64 bytes per row
+            vecs = np.frombuffer(b"".join(vec.to_pylist()), dtype=np.float64).reshape(n, -1)
+        else:
+            # uniform-dim list<float64>: zero-copy flatten, no per-row objects
+            vecs = vec.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
         sims = vecs @ vecs.T
         mask = np.tril(sims >= threshold, k=-1).any(axis=1)  # vs earlier only
-        return pd.DataFrame({"key": g["key"].to_numpy()[mask]})
+        keys = g["key"].take(order)
+        return pa.table(
+            {"key": keys.take(pa.array(np.flatnonzero(mask), pa.int64()))}
+        )
 
-    marked = cand.groupby("k").map_groups(verify, batch_format="pandas")
+    marked = cand.groupby("k").map_groups(verify, batch_format="pyarrow")
 
     if lookup_strategy == "join":
         dup_keys_ds = distinct_key_table(marked)
@@ -297,10 +301,11 @@ def embedding_duplicate_clusters(
 
     cand = ds.map_batches(candidates, batch_format="pyarrow")
 
-    def local_edges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("key", kind="mergesort")
-        keys = g["key"].to_numpy()
-        vecs = np.stack([np.asarray(v) for v in g["vec"]])
+    def local_edges(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("key", "ascending")])
+        keys = g["key"].take(order).to_numpy(zero_copy_only=False)
+        vec = g["vec"].take(order).combine_chunks()
+        vecs = vec.flatten().to_numpy(zero_copy_only=False).reshape(len(keys), -1)
         sims = vecs @ vecs.T
         n = len(keys)
         parent = list(range(n))
@@ -316,8 +321,10 @@ def embedding_duplicate_clusters(
             ri, rj = find(int(i)), find(int(j))
             if ri != rj:
                 parent[max(ri, rj)] = min(ri, rj)
-        comp = np.array([keys[find(i)] for i in range(n)])
-        return pd.DataFrame({"a": keys, "b": comp})
+        comp = np.array([keys[find(i)] for i in range(n)], dtype=np.int64)
+        return pa.table(
+            {"a": pa.array(keys, pa.int64()), "b": pa.array(comp, pa.int64())}
+        )
 
-    edges = cand.groupby("k").map_groups(local_edges, batch_format="pandas")
+    edges = cand.groupby("k").map_groups(local_edges, batch_format="pyarrow")
     return connected_components(edges, nodes_ds=nodes, strategy=strategy)

@@ -29,7 +29,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -202,14 +201,19 @@ def mark_near_duplicates_simhash(
 
         candidates = units.map_batches(only_colliding, batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame, earlier_cap: int = 4096) -> pd.DataFrame:
+    def verify(g: pa.Table, earlier_cap: int = 4096) -> pa.Table:
         """Mark doc i iff within max_hamming of ANY earlier bucket member.
         Chunked row-wise (memory O(chunk x n)); in a degenerate megabucket
         only the earliest ``earlier_cap`` members serve as references — a
         doc deep in such a bucket is near-certainly within distance of one
-        of them, and the cap bounds cost to O(n x cap)."""
-        g = g.sort_values(["o", "key"], kind="mergesort")
-        fps = np.ascontiguousarray(g["fp"].to_numpy(dtype=np.int64)).view(np.uint64)
+        of them, and the cap bounds cost to O(n x cap).  Pure Arrow group
+        container: only the narrow fp column converts to numpy."""
+        order = pc.sort_indices(
+            g, sort_keys=[("o", "ascending"), ("key", "ascending")]
+        )
+        fps = np.ascontiguousarray(
+            g["fp"].take(order).to_numpy(zero_copy_only=False)
+        ).view(np.uint64)
         n = len(fps)
         refs = fps[: min(n, earlier_cap)]
         mask = np.zeros(n, dtype=bool)
@@ -220,9 +224,12 @@ def mark_near_duplicates_simhash(
             # only references strictly earlier than row index count
             idx = np.arange(lo, hi)[:, None] > np.arange(len(refs))[None, :]
             mask[lo:hi] = (ok & idx).any(axis=1)
-        return pd.DataFrame({"key": g["key"].to_numpy()[mask]})
+        keys = g["key"].take(order)
+        return pa.table(
+            {"key": keys.take(pa.array(np.flatnonzero(mask), pa.int64()))}
+        )
 
-    marked = candidates.groupby("k").map_groups(verify, batch_format="pandas")
+    marked = candidates.groupby("k").map_groups(verify, batch_format="pyarrow")
 
     if lookup_strategy == "join":
         dup_keys_ds = distinct_key_table(marked)
@@ -309,10 +316,12 @@ def simhash_duplicate_clusters(
 
     cand = units.map_batches(only_colliding, batch_format="pyarrow")
 
-    def local_edges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("key", kind="mergesort")
-        keys = g["key"].to_numpy()
-        fps = g["fp"].to_numpy().astype(np.int64).view(np.uint64)
+    def local_edges(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("key", "ascending")])
+        keys = g["key"].take(order).to_numpy(zero_copy_only=False)
+        fps = np.ascontiguousarray(
+            g["fp"].take(order).to_numpy(zero_copy_only=False)
+        ).view(np.uint64)
         ham = _popcount64(fps[:, None] ^ fps[None, :])
         n = len(keys)
         parent = list(range(n))
@@ -328,8 +337,10 @@ def simhash_duplicate_clusters(
             ri, rj = find(int(i)), find(int(j))
             if ri != rj:
                 parent[max(ri, rj)] = min(ri, rj)
-        comp = np.array([keys[find(i)] for i in range(n)])
-        return pd.DataFrame({"a": keys, "b": comp})
+        comp = np.array([keys[find(i)] for i in range(n)], dtype=np.int64)
+        return pa.table(
+            {"a": pa.array(keys, pa.int64()), "b": pa.array(comp, pa.int64())}
+        )
 
-    edges = cand.groupby("k").map_groups(local_edges, batch_format="pandas")
+    edges = cand.groupby("k").map_groups(local_edges, batch_format="pyarrow")
     return connected_components(edges, nodes_ds=nodes, strategy=strategy)
