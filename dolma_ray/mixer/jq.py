@@ -72,6 +72,11 @@ implements exactly that subset with the reference's semantics:
   parity (errors, ``filters.rs:666-681``) — what the mixer filter uses;
 * keep = (no includes OR all includes truthy) AND (no exclude truthy) —
   ``JqDocFilter.should_keep`` semantics.
+* jq 1.6 MODULES via :func:`parse_jq_program`: ``import "m" as ns;``
+  (namespaced defs, no unqualified leak), ``include "m";`` (flat),
+  ``import "d" as $v;`` data imports, nested/relative resolution,
+  ``{search: ...}`` metadata, cycle detection — differential-tested
+  against ``jq -L``;
 
 Verification: ~600 curated programs plus a random-grammar fuzzer run
 through BOTH this engine and the jq 1.6 binary in the container
@@ -127,7 +132,7 @@ class JqError(ValueError):
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>-?\d+\.\d+(?:[eE][-+]?\d+)?|-?\d+(?:[eE][-+]?\d+)?)"
     r"|(?P<str>\"(?:[^\"\\]|\\.)*\")"
-    r"|(?P<var>\$[A-Za-z_]\w*)"
+    r"|(?P<var>\$[A-Za-z_]\w*(?:::[A-Za-z_]\w*)?)"
     r"|(?P<dotdot>\.\.(?![\w.]))"
     r"|(?P<path>\.[A-Za-z_][\w.]*|\.)"
     r"|(?P<lbrack>\[)|(?P<rbrack>\])|(?P<lparen>\()|(?P<rparen>\))"
@@ -136,6 +141,7 @@ _TOKEN_RE = re.compile(
     r"|(?P<pipe>\|(?!=))|(?P<opt>\?)"
     r"|(?P<op><=|>=|==|!=|//=|\|=|\+=|-=|<|>|\+|-|\*|//|/|%|=)"
     r"|(?P<fmt>@[a-z0-9]+)"
+    r"|(?P<qident>[A-Za-z_]\w*::[A-Za-z_]\w*)"
     r"|(?P<word>and|or|length|add|map|select|any|all|null|true|false|not"
     r"|if|then|elif|else|end|type|to_entries|from_entries"
     r"|startswith|endswith|reduce|as|tostring|tonumber|tojson|fromjson"
@@ -262,11 +268,14 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
                 break
             raise JqError(f"jq parse error at {src[pos:pos+20]!r}")
         start, pos = pos, m.end()
-        for kind in ("num", "str", "var", "dotdot", "fmt", "path", "lbrack", "rbrack", "lparen",
+        for kind in ("num", "str", "var", "dotdot", "fmt", "qident", "path",
+                     "lbrack", "rbrack", "lparen",
                      "rparen", "lbrace", "rbrace", "comma", "colon",
                      "semi", "pipe", "opt", "op", "word", "ident"):
             v = m.group(kind)
             if v is not None:
+                if kind == "qident":
+                    kind = "ident"  # module-qualified name: one ident token
                 if kind == "var" and v == "$__loc__":
                     # $__loc__ is the only construct needing a source
                     # position, so the line is resolved here rather than
@@ -5058,6 +5067,219 @@ def parse_jq(expr: str):
     return _Parser(_tokenize(expr)).parse_pipe_root()
 
 
+# ---- jq 1.6 module system: import / include -------------------------------
+
+
+@dataclass
+class JqModuleProgram:
+    """A program whose leading ``import ... as $var;`` directives bound
+    data variables; :func:`evaluate_jq` merges them automatically."""
+
+    ast: Any
+    data_vars: dict
+
+
+def _resolve_module(rel: str, ext: str, search: list[str]) -> str:
+    """jq module resolution: for each search dir, ``<dir>/<rel><ext>``
+    then ``<dir>/<rel>/<basename><ext>``."""
+    import os
+
+    base = rel.split("/")[-1]
+    for d in search:
+        for cand in (
+            os.path.join(d, rel + ext),
+            os.path.join(d, rel, base + ext),
+        ):
+            if os.path.isfile(cand):
+                return cand
+    raise JqError(f"module not found: {rel!r} (searched {search})")
+
+
+def _rename_local_calls(node: Any, local: set, ns: str, shadow: frozenset):
+    """Qualify calls to module-local defs (``f`` -> ``ns::f``) inside a
+    module body, honoring shadowing by nested defs and filter params."""
+    import dataclasses as _dc
+
+    if isinstance(node, Call):
+        args = [_rename_local_calls(a, local, ns, shadow) for a in node.args]
+        key = (node.name, len(node.args))
+        name = node.name
+        if key in local and key not in shadow:
+            name = f"{ns}::{name}"
+        return Call(name, args)
+    if isinstance(node, Program):
+        sh = set(shadow)
+        new_defs = []
+        for dname, params, body in node.defs:
+            sh.add((dname, len(params)))  # nested def shadows (incl. self)
+            body_sh = frozenset(
+                sh | {(p[1], 0) for p in params if p[0] == "flt"}
+            )
+            new_defs.append(
+                (dname, params, _rename_local_calls(body, local, ns, body_sh))
+            )
+        return Program(
+            new_defs, _rename_local_calls(node.body, local, ns, frozenset(sh))
+        )
+    if _dc.is_dataclass(node) and not isinstance(node, type):
+        return type(node)(
+            **{
+                f.name: _rename_local_calls(getattr(node, f.name), local, ns, shadow)
+                for f in _dc.fields(node)
+            }
+        )
+    if isinstance(node, list):
+        return [_rename_local_calls(x, local, ns, shadow) for x in node]
+    if isinstance(node, tuple):
+        return tuple(_rename_local_calls(x, local, ns, shadow) for x in node)
+    if isinstance(node, dict):
+        return {k: _rename_local_calls(v, local, ns, shadow) for k, v in node.items()}
+    return node
+
+
+def _qualify_defs(own_defs: list, ns: str) -> list:
+    local = {(n, len(params)) for n, params, _ in own_defs}
+    out = []
+    for n, params, body in own_defs:
+        body_sh = frozenset({(p[1], 0) for p in params if p[0] == "flt"})
+        out.append(
+            (f"{ns}::{n}", params, _rename_local_calls(body, local, ns, body_sh))
+        )
+    return out
+
+
+def _read_data_file(path: str) -> list:
+    """jq data imports bind $name to an ARRAY of the file's JSON values
+    (observed against jq 1.6: a single-object file binds [obj])."""
+    import json as _json
+
+    text = open(path, "r", encoding="utf-8").read()
+    dec = _json.JSONDecoder()
+    vals, i, n = [], 0, len(text)
+    while i < n:
+        while i < n and text[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        v, i = dec.raw_decode(text, i)
+        vals.append(v)
+    return vals
+
+
+def _parse_directives(
+    p: "_Parser", library_paths: list[str], origin: str | None, loading: set
+):
+    """Consume leading ``import``/``include`` directives; returns
+    ``(foreign_defs, data_vars)`` — foreign defs already carry their
+    final (qualified or flat) names."""
+    import json as _json
+    import os
+
+    defs: list = []
+    data: dict = {}
+    while p.peek() in (("ident", "import"), ("ident", "include")):
+        kind = p.next()[1]
+        k, raw = p.next()
+        if k != "str":
+            raise JqError(f"expected a path string after {kind}")
+        if "\\(" in raw:
+            raise JqError("module paths cannot interpolate")
+        rel = _json.loads(raw)
+        ns = data_var = None
+        if kind == "import":
+            if p.peek() != ("word", "as"):
+                raise JqError('expected "as" after import path')
+            p.next()
+            k2, v2 = p.next()
+            if k2 == "var":
+                data_var = v2[1:]
+            elif k2 == "ident":
+                ns = v2
+            else:
+                raise JqError(f"expected name or $var after as, got {v2!r}")
+        meta_search: list[str] = []
+        if p.peek()[0] == "lbrace":
+            meta = _value(p.parse_object(), None)
+            s = meta.get("search") if isinstance(meta, dict) else None
+            if isinstance(s, str):
+                meta_search = [s]
+            elif isinstance(s, list):
+                meta_search = [x for x in s if isinstance(x, str)]
+        if p.next() != ("semi", ";"):
+            raise JqError(f"expected ';' after {kind} directive")
+        search = meta_search + ([origin] if origin else []) + list(library_paths)
+        if data_var is not None:
+            vals = _read_data_file(_resolve_module(rel, ".json", search))
+            data[data_var] = vals
+            data[f"{data_var}::{data_var}"] = vals  # jq binds both spellings
+            continue
+        path = _resolve_module(rel, ".jq", search)
+        rp = os.path.realpath(path)
+        if rp in loading:
+            raise JqError(f"circular module import: {rel!r}")
+        foreign, own, mdata = _load_module(path, library_paths, loading | {rp})
+        data.update(mdata)
+        defs.extend(foreign)
+        defs.extend(_qualify_defs(own, ns) if ns is not None else own)
+    return defs, data
+
+
+def _load_module(path: str, library_paths: list[str], loading: set):
+    """Parse a ``.jq`` module file: leading directives, then ONLY defs
+    (jq: "library should only have function definitions").  Returns
+    ``(foreign_defs, own_defs, data_vars)``; ``include``-d defs count as
+    the module's own (they join its namespace when imported)."""
+    import os
+
+    src = open(path, "r", encoding="utf-8").read()
+    src = re.sub(r"(?m)(?<!\\)#.*$", "", src)  # jq files allow # comments
+    p = _Parser(_tokenize(src))
+    foreign, data = _parse_directives(
+        p, library_paths, os.path.dirname(os.path.abspath(path)), loading
+    )
+    own = p.parse_defs()
+    if p.peek()[0] is not None:
+        raise JqError(
+            "library should only have function definitions, not a main "
+            f"expression ({path})"
+        )
+    return foreign, own, data
+
+
+def parse_jq_program(expr: str, library_paths: "list[str] | tuple[str, ...]" = ()):
+    """Compile a FULL jq program incl. ``import``/``include`` module
+    directives (jq 1.6 semantics, differential-tested vs ``jq -L``):
+
+    * ``import "m" as ns;`` — defs of ``m.jq`` callable as ``ns::f``
+      (module-internal references resolve unqualified, no leak into the
+      top level);
+    * ``include "m";`` — defs merged flat;
+    * ``import "d" as $v;`` — ``d.json``'s values bound to ``$v`` (and
+      ``$v::v``) as an array;
+    * ``{search: "..."}`` metadata, cycle detection, ``#`` comments in
+      module files, and nested imports (resolved against the importing
+      file's directory first, then ``library_paths``).
+
+    DOCUMENTED DEVIATION: module scopes are flattened — a nested
+    module's own ``import ... as x`` registers ``x::f`` globally, so two
+    sibling modules importing different files under the same alias
+    collide (last wins) where jq keeps them separate.
+
+    Returns an AST for :func:`evaluate_jq`; programs with data imports
+    return a :class:`JqModuleProgram` carrying the variable bindings."""
+    p = _Parser(_tokenize(expr))
+    defs, data_vars = _parse_directives(p, list(library_paths), None, set())
+    saved, p._comma = p._comma, True
+    try:
+        body = p.parse_pipe()
+    finally:
+        p._comma = saved
+    if p.peek()[0] is not None:
+        raise JqError(f"trailing tokens at {p.toks[p.i:]}")
+    ast = Program(defs, body) if defs else body
+    return JqModuleProgram(ast, data_vars) if data_vars else ast
+
+
 # user function definitions: def f: ...; def g($a): ...; — allowed at
 # the start of any pipe expression (parse_pipe), so defs work nested
 # inside parens / def bodies / if-branches, scoped to that expression
@@ -5144,6 +5366,9 @@ def evaluate_jq(
     (the reference's engine): non-optional indexing of null raises
     instead of yielding null — the mixer filter uses it."""
     global _STRICT_NULL_INDEX
+    if isinstance(ast, JqModuleProgram):
+        variables = {**ast.data_vars, **(variables or {})}
+        ast = ast.ast
     env: dict | None = None
     if inputs is not None:
         env = {"__inputs__": _CountingInputs(inputs)}

@@ -1,0 +1,138 @@
+"""jq import/include module system, differential vs /usr/bin/jq -L
+(round-4 verdict item 9 — the last documented jq gap)."""
+
+import json
+import shutil
+import subprocess
+
+import pytest
+
+from dolma_ray.mixer.jq import JqError, evaluate_jq, parse_jq_program
+
+JQ = shutil.which("jq")
+
+
+def run_jq(program: str, doc, libdir: str):
+    out = subprocess.run(
+        [JQ, "-c", "-L", libdir, program],
+        input=json.dumps(doc),
+        capture_output=True,
+        text=True,
+        timeout=30,
+    )
+    if out.returncode != 0:
+        return ("error", out.stderr.strip().splitlines()[:1])
+    return [json.loads(l) for l in out.stdout.splitlines()]
+
+
+@pytest.fixture()
+def libdir(tmp_path):
+    (tmp_path / "lib.jq").write_text(
+        "# a comment line\n"
+        "def double: . * 2;\n"
+        "def addn($n): . + $n;\n"
+        "def apply(f): f | f;\n"
+        "def helper: 100;\n"
+        "def viahelper: helper + 1;\n"
+        "def fact: if . <= 1 then 1 else . * (. - 1 | fact) end;\n"
+        "def over: 1;\n"
+        "def over($x): over + $x;\n"
+    )
+    (tmp_path / "data.json").write_text('{"factor": 7, "items": [1,2,3]}')
+    (tmp_path / "outer.jq").write_text(
+        'import "lib" as inner;\n'
+        "def quad: inner::double | inner::double;\n"
+    )
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "m.jq").write_text("def one: 1;\n")
+    (tmp_path / "selfloop.jq").write_text('import "selfloop" as s;\ndef x: 1;\n')
+    return str(tmp_path)
+
+
+CASES = [
+    ('import "lib" as m; m::double', 21),
+    ('import "lib" as m; m::addn(4)', 10),
+    ('import "lib" as m; m::apply(. + 1)', 5),
+    ('import "lib" as m; m::viahelper', 0),        # internal cross-ref
+    ('import "lib" as m; 5 | m::fact', 0),          # qualified recursion
+    ('import "lib" as m; m::over(10)', 0),          # arity overload pair
+    ('include "lib"; double + viahelper', 3),
+    ('import "lib" as m; [m::double, m::addn(1)]', 8),
+    ('import "outer" as o; o::quad', 3),             # nested import
+    ('import "sub/m" as s; s::one', 0),              # subdir module
+    ('import "data" as $d; $d', 1),
+    ('import "data" as $d; [$d[0].factor, ($d | length)]', 1),
+    ('import "data" as $d; import "lib" as m; $d[0].factor | m::double', 1),
+]
+
+
+@pytest.mark.skipif(JQ is None, reason="jq binary not available")
+@pytest.mark.parametrize("program,doc", CASES)
+def test_modules_match_jq(program, doc, libdir):
+    expect = run_jq(program, doc, libdir)
+    got = evaluate_jq(parse_jq_program(program, [libdir]), doc)
+    assert expect != ("error",), expect
+    assert len(expect) == 1 and got == expect[0], (program, got, expect)
+
+
+@pytest.mark.skipif(JQ is None, reason="jq binary not available")
+def test_no_unqualified_leak(libdir):
+    # jq: imported names are NOT visible unqualified
+    assert run_jq('import "lib" as m; double', 5, libdir)[0] == "error"
+    with pytest.raises(JqError, match="double/0 is not defined"):
+        evaluate_jq(parse_jq_program('import "lib" as m; double', [libdir]), 5)
+
+
+def test_module_with_main_expression_rejected(tmp_path):
+    (tmp_path / "bad.jq").write_text("def x: 1;\n.foo\n")
+    with pytest.raises(JqError, match="only have function definitions"):
+        parse_jq_program('import "bad" as b; b::x', [str(tmp_path)])
+
+
+def test_circular_import_rejected(libdir):
+    with pytest.raises(JqError, match="circular module import"):
+        parse_jq_program('import "selfloop" as s; s::x', [libdir])
+
+
+def test_missing_module_errors(tmp_path):
+    with pytest.raises(JqError, match="module not found"):
+        parse_jq_program('import "nope" as n; n::f', [str(tmp_path)])
+
+
+def test_search_metadata(tmp_path):
+    sub = tmp_path / "elsewhere"
+    sub.mkdir()
+    (sub / "m.jq").write_text("def two: 2;\n")
+    prog = 'import "m" as m {search: "%s"}; m::two' % sub
+    assert evaluate_jq(parse_jq_program(prog, []), None) == 2
+
+
+def test_nested_import_resolves_relative_to_module(tmp_path):
+    # outer.jq imports "inner" which lives NEXT TO outer.jq, not on the
+    # top-level search path
+    deep = tmp_path / "deep"
+    deep.mkdir()
+    (deep / "inner.jq").write_text("def one: 1;\n")
+    (deep / "outer.jq").write_text('import "inner" as i;\ndef go: i::one + 1;\n')
+    prog = 'import "deep/outer" as o; o::go'
+    assert evaluate_jq(parse_jq_program(prog, [str(tmp_path)]), None) == 2
+
+
+def test_shadowing_inside_module(tmp_path):
+    # a nested def inside a module body shadows the module-level name —
+    # the qualifier rename must not touch the shadowed call
+    (tmp_path / "sh.jq").write_text(
+        "def f: 1;\n"
+        "def g: def f: 10; f + 1;\n"   # inner f shadows module f
+        "def h: f + 100;\n"
+    )
+    prog = 'import "sh" as s; [s::g, s::h]'
+    got = evaluate_jq(parse_jq_program(prog, [str(tmp_path)]), None)
+    assert got == [11, 101]
+    if JQ:
+        assert run_jq(prog, None, str(tmp_path)) == [[11, 101]]
+
+
+def test_plain_programs_unaffected():
+    # no directives: parse_jq_program == parse_jq behavior
+    assert evaluate_jq(parse_jq_program(".a + 1"), {"a": 2}) == 3
