@@ -257,6 +257,12 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
     while pos < len(src):
         while pos < len(src) and src[pos].isspace():
             pos += 1
+        if pos < len(src) and src[pos] == "#":
+            # jq comments run to end of line; strings were consumed
+            # atomically above, so '#' here is never inside a literal
+            nl = src.find("\n", pos)
+            pos = len(src) if nl < 0 else nl + 1
+            continue
         if pos < len(src) and src[pos] == '"':
             end = _scan_string(src, pos)
             out.append(("str", src[pos:end]))
@@ -5232,7 +5238,7 @@ def _load_module(path: str, library_paths: list[str], loading: set):
     import os
 
     src = open(path, "r", encoding="utf-8").read()
-    src = re.sub(r"(?m)(?<!\\)#.*$", "", src)  # jq files allow # comments
+    # '#' comments are handled by _tokenize itself (string-literal safe)
     p = _Parser(_tokenize(src))
     foreign, data = _parse_directives(
         p, library_paths, os.path.dirname(os.path.abspath(path)), loading

@@ -136,3 +136,26 @@ def test_shadowing_inside_module(tmp_path):
 def test_plain_programs_unaffected():
     # no directives: parse_jq_program == parse_jq behavior
     assert evaluate_jq(parse_jq_program(".a + 1"), {"a": 2}) == 3
+
+
+def test_comments_are_lexed_not_line_stripped(tmp_path):
+    # '#' starts a comment only OUTSIDE string literals, and comments
+    # are legal in MAIN programs too (both were broken while module
+    # loading stripped comments with a per-line regex)
+    from dolma_ray.mixer.jq import parse_jq
+
+    assert evaluate_jq(parse_jq(". # c\n| length"), [1, 2, 3]) == 3
+    assert evaluate_jq(parse_jq("# lead\n.a"), {"a": 5}) == 5
+    assert evaluate_jq(parse_jq(".a # no trailing newline"), {"a": 7}) == 7
+    assert evaluate_jq(parse_jq('"x#y" # real comment'), None) == "x#y"
+    assert evaluate_jq(parse_jq("1 # c1\n# c2\n + 2"), None) == 3
+    assert evaluate_jq(parse_jq('"\\("a#b")"'), None) == "a#b"
+
+    (tmp_path / "m.jq").write_text(
+        '# header\ndef tag: "x#y"; # trailing\ndef two: 2;\n'
+    )
+    prog = 'include "m"; [tag, two]'
+    got = evaluate_jq(parse_jq_program(prog, [str(tmp_path)]), None)
+    assert got == ["x#y", 2]
+    if JQ:
+        assert run_jq(prog, None, str(tmp_path)) == [["x#y", 2]]
