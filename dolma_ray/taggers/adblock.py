@@ -14,6 +14,11 @@ syntax:
 * ``*`` wildcard and ``^`` separator (anything but ``A-Za-z0-9_.%-``,
   or end-of-address) anywhere in a pattern;
 * ``@@...`` exception rules (an exception match unblocks);
+* ``/.../`` raw-regex rules (Brave network-filter form) — compiled
+  individually (python ``re``; Rust-regex lists avoid lookarounds so
+  the syntaxes coincide on real rules), case-insensitive unless
+  ``$match-case``, malformed bodies skipped like bad list lines, and a
+  ``$`` inside the body is an anchor, not the option separator;
 * ``!`` comments and element-hiding rules (``##``, ``#@#``, ``#?#``)
   are ignored;
 * ``$``-options (Brave ``check_network_request`` semantics —
@@ -264,12 +269,15 @@ class _Bucket:
     """Rules sharing one option signature: a host-suffix set for pure
     ``||domain^`` rules plus chunked alternation regexes."""
 
-    __slots__ = ("domains", "patterns", "compiled", "flags")
+    __slots__ = ("domains", "patterns", "compiled", "regexes", "flags")
 
     def __init__(self, flags: int) -> None:
         self.domains: set[str] = set()
         self.patterns: list[str] = []
         self.compiled: list[re.Pattern] = []
+        # raw ``/.../`` regex rules compile individually (never joined —
+        # backreferences / inline flags would poison an alternation)
+        self.regexes: list[re.Pattern] = []
         self.flags = flags
 
     def finish(self, chunk: int) -> None:
@@ -284,7 +292,9 @@ class _Bucket:
             labels = host.split(".")
             if any(".".join(labels[i:]) in self.domains for i in range(len(labels))):
                 return True
-        return any(r.search(url) for r in self.compiled)
+        if any(r.search(url) for r in self.compiled):
+            return True
+        return any(r.search(url) for r in self.regexes)
 
 
 class AdblockRules:
@@ -308,18 +318,36 @@ class AdblockRules:
             opts = _DEFAULT_OPTS
             if "$" in ln:
                 cut = ln.rindex("$")
-                parsed = _parse_options(ln[cut + 1 :], keep_optioned)
-                if parsed is None:
-                    continue  # unsupported option: skip rule (documented)
-                opts = parsed
-                ln = ln[:cut]
-                if not ln:
-                    continue
+                # a '$' inside a /.../ regex body is an anchor, not the
+                # option separator (adblock-rust: options never hold '/')
+                if not (ln.startswith("/") and "/" in ln[cut + 1 :]):
+                    parsed = _parse_options(ln[cut + 1 :], keep_optioned)
+                    if parsed is None:
+                        continue  # unsupported option: skip rule (documented)
+                    opts = parsed
+                    ln = ln[:cut]
+                    if not ln:
+                        continue
+            side = self._exc if exception else self._block
+            if len(ln) > 2 and ln.startswith("/") and ln.endswith("/"):
+                # raw regex rule (Brave network-filter form); the body is
+                # NOT lowercased (character classes!) — case-insensitivity
+                # comes from the compile flag instead
+                try:
+                    rx = re.compile(
+                        ln[1:-1], 0 if opts.match_case else re.IGNORECASE
+                    )
+                except re.error:
+                    continue  # malformed regex rule: skip, like a bad list line
+                bucket = side.get(opts)
+                if bucket is None:
+                    bucket = side[opts] = _Bucket(0)
+                bucket.regexes.append(rx)
+                continue
             # ABP matching is case-insensitive unless $match-case; URLs
             # are lowercased at check time for non-match-case buckets
             if not opts.match_case:
                 ln = ln.lower()
-            side = self._exc if exception else self._block
             bucket = side.get(opts)
             if bucket is None:
                 bucket = side[opts] = _Bucket(0)

@@ -253,3 +253,39 @@ def test_easylist_excerpt_combined_options():
     )
     # $popup rules never fire for network request types
     assert not r.check_network_urls("http://popup.example/", request_type="document")
+
+
+def test_regex_rules():
+    r = AdblockRules(
+        [
+            r"/banner\d+\.gif/",
+            r"@@/banner0\d\.gif/",
+            r"/TRACK[0-9]{3}/$match-case",
+            r"/ads\.js$/",          # '$/' -> the $ is a regex anchor
+            r"/broken[/",           # malformed: skipped, not fatal
+            r"/ends\.html$/$script",  # regex body + real option tail
+        ]
+    )
+    # case-insensitive by default
+    assert r.check_network_urls("http://x.com/BANNER123.gif")
+    assert r.check_network_urls("http://x.com/banner7.gif")
+    # exception regex unblocks the 0x range
+    assert not r.check_network_urls("http://x.com/banner07.gif")
+    # $match-case regex
+    assert r.check_network_urls("http://x.com/TRACK123/")
+    assert not r.check_network_urls("http://x.com/track123/")
+    # trailing-$ anchor inside the body, not an option split
+    assert r.check_network_urls("http://x.com/ads.js")
+    assert not r.check_network_urls("http://x.com/ads.js?x=1")
+    # regex + option tail: only script requests match
+    assert r.check_network_urls("http://x.com/a/ends.html", request_type="script")
+    assert not r.check_network_urls("http://x.com/a/ends.html", request_type="image")
+    # /-delimited end to end => regex even without metacharacters
+    # (adblock-rust semantics); a metachar-free body acts as substring
+    r2 = AdblockRules(["/ads/banner/"])
+    assert r2.check_network_urls("http://x.com/ads/banner/i.png")
+    assert not r2.check_network_urls("http://x.com/adsXbanner/")
+    # not /-delimited end to end => ordinary substring pattern
+    r3 = AdblockRules(["/ads/banner."])
+    assert r3.check_network_urls("http://x.com/ads/banner.png")
+    assert not r3.check_network_urls("http://x.com/ads/bannerXpng")
