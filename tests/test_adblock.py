@@ -289,3 +289,50 @@ def test_regex_rules():
     r3 = AdblockRules(["/ads/banner."])
     assert r3.check_network_urls("http://x.com/ads/banner.png")
     assert not r3.check_network_urls("http://x.com/ads/bannerXpng")
+
+
+def test_chunking_and_fastpath_equivalence():
+    # the engine's ANSWER must not depend on its internal batching: a
+    # chunk size of 1 (one regex per pattern) and the default 400-wide
+    # alternations must agree on every URL, and pure ||domain^ rules
+    # must behave identically through the hash fast-path and when
+    # forced down the regex path (by a trailing '*' that defeats the
+    # pure-domain test without changing semantics)
+    import random
+
+    rng = random.Random(20260819)
+    hosts = ["ads.example.com", "cdn.net", "x.co.uk", "track.io", "a.b.org"]
+    rules = []
+    for h in hosts:
+        rules.append(f"||{h}^")
+    for i in range(450):  # cross the 400-alternation chunk boundary
+        rules.append(f"-banner{i}-")
+    rules += ["|http://start.", ".end/|", "@@||cdn.net^", "/rx\\d\\d/"]
+
+    default = AdblockRules(rules)
+
+    class _Chunk1(AdblockRules):
+        _CHUNK = 1
+
+    chunk1 = _Chunk1(rules)
+    forced = AdblockRules(
+        [r + "*" if r.startswith("||") and r.endswith("^") else r for r in rules]
+    )
+
+    urls = []
+    for _ in range(300):
+        h = rng.choice(hosts + ["other.org", "sub." + rng.choice(hosts)])
+        path = rng.choice(
+            ["/x", f"/-banner{rng.randint(0, 500)}-/i.png", "/rx42/", "/q.end/"]
+        )
+        scheme = rng.choice(["http://", "https://", ""])
+        urls.append(f"{scheme}{h}{path}")
+    urls += ["http://start.example/", "http://other.org/.end/"]
+
+    for u in urls:
+        a, b, c = (
+            default.check_network_urls(u),
+            chunk1.check_network_urls(u),
+            forced.check_network_urls(u),
+        )
+        assert a == b == c, (u, a, b, c)
