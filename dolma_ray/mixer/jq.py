@@ -2219,17 +2219,83 @@ def _eval(node: Any, doc: Any, elem: Any = _NO_ELEM, env: dict | None = None) ->
         # the body resolves callees against the def's CAPTURED table and
         # sees only its own params — never call-site bindings
         env2: dict = {"__defs__": dtable, "__depth__": depth}
+        # jq desugars `def f($x): body` to `def f(x): x as $x | body`,
+        # so a value param (a) FANS the call out over a streaming
+        # argument with as-binding error semantics and (b) ALSO binds
+        # the bare name as a filter closure (`def f($x): [$x, x]`)
+        val_params: list = []
         for (pkind, pname), arg in zip(params, node.args):
             if pkind == "val":
-                env2[pname] = _value(arg, doc, elem, env)
+                env2[("__fp__", pname)] = (arg, env)
+                broke_a: "_BreakSignal | None" = None
+                err_a: "JqError | None" = None
+                try:
+                    bound = _eval(arg, doc, elem, env)
+                except _BreakSignal as s:
+                    bound = _JqStream(s.emitted)
+                    s.emitted = []
+                    broke_a = s
+                except JqError as e:
+                    bound = _JqStream(e.emitted or [])
+                    e.emitted = []
+                    err_a = e
+                if bound is _EMPTY:
+                    return _EMPTY
+                val_params.append((pname, bound, broke_a, err_a))
             else:  # filter param: bind the unevaluated AST as a closure
                 env2[("__fp__", pname)] = (arg, env)
-        try:
-            return _eval(body, doc, elem, env2)
-        except RecursionError:
-            raise JqError(
-                f"recursion limit reached calling {node.name}"
-            ) from None
+        if all(
+            not isinstance(b, _JqStream) and br is None and er is None
+            for _, b, br, er in val_params
+        ):
+            for pname, bound, _, _ in val_params:
+                env2[pname] = bound
+            try:
+                return _eval(body, doc, elem, env2)
+            except RecursionError:
+                raise JqError(
+                    f"recursion limit reached calling {node.name}"
+                ) from None
+        # streaming argument(s): earlier params are the outer loops
+        # (`f(E1; E2)` = `E1 as $a | E2 as $b | body`), partial outputs
+        # ride any escaping signal like AsBind's
+        outs_call: list = []
+
+        def _fan_call(i: int) -> None:
+            if i == len(val_params):
+                try:
+                    r = _eval(body, doc, elem, env2)
+                except _BreakSignal as s:
+                    s.emitted = outs_call + s.emitted
+                    raise
+                except JqError as e:
+                    e.emitted = outs_call + (e.emitted or [])
+                    raise
+                except RecursionError:
+                    raise JqError(
+                        f"recursion limit reached calling {node.name}"
+                    ) from None
+                if r is _EMPTY:
+                    return
+                if isinstance(r, _JqStream):
+                    outs_call.extend(r.items)
+                else:
+                    outs_call.append(r)
+                return
+            pname, bound, broke_a, err_a = val_params[i]
+            items = bound.items if isinstance(bound, _JqStream) else [bound]
+            for v in items:
+                env2[pname] = v
+                _fan_call(i + 1)
+            if broke_a is not None:
+                broke_a.emitted = list(outs_call)
+                raise broke_a
+            if err_a is not None:
+                err_a.emitted = list(outs_call)
+                raise err_a
+
+        _fan_call(0)
+        return _JqStream(outs_call)
     if isinstance(node, Var):
         if env is not None and node.name in env:
             return env[node.name]

@@ -966,3 +966,43 @@ class TestSqlAliases:
         assert run("ANY", [False, True]) is True
         assert run("ALL", [True, False]) is False
         assert run(".a | ANY", {"a": []}) is False
+
+
+class TestValueParamStreamFanout:
+    """`def f($x): body` desugars to `def f(x): x as $x | body` (round-5
+    module-fuzz catch): streaming arguments fan the call out, the bare
+    name stays callable as a filter, and as-binding error/laziness
+    semantics apply — all differential-pinned vs jq 1.6."""
+
+    def test_stream_arg_fans_out(self):
+        assert run('def f($x): $x; [f((1, 2))]', None) == [1, 2]
+        assert run('def f($x): "a", $x; [f((1, 2))]', None) == ["a", 1, "a", 2]
+
+    def test_bare_name_is_a_filter_closure(self):
+        assert run('def f($x): [$x, x]; f(1+1)', None) == [2, 2]
+        # the closure re-streams: x yields (1,2) inside EACH fanned call
+        assert run('[def f($x): [$x, (x)]; f((1,2))]', None) == [
+            [1, 1, 2], [2, 1, 2]]
+
+    def test_multi_param_cartesian_order(self):
+        assert run('def f($a; $b): [$a, $b]; [f((1,2); (3,4))]', None) == [
+            [1, 3], [1, 4], [2, 3], [2, 4]]
+        assert run('def f($a; g): [$a, g]; [f((1,2); 9)]', None) == [
+            [1, 9], [2, 9]]
+
+    def test_erroring_arg_emits_partials_first(self):
+        assert run('[(def f($x): $x; f((1, error("boom"))))?]', None) == [1]
+        # body error for an earlier value fires before the arg's error
+        assert run('def f($x): 1/$x; [f((0, error("late")))?]', None) == []
+
+    def test_lazy_consumers_suppress_tail(self):
+        assert run('def f($x): $x; first(f((1, error("boom"))))', None) == 1
+        assert run('def f($x): $x*2; [limit(1; f((1, 2, 3)))]', None) == [2]
+
+    def test_empty_arg_is_empty_call(self):
+        assert run('def f($x): $x; [f(empty)]', None) == []
+        assert run('def f($x): $x; f(empty)', None) is None
+
+    def test_recursion_guard_still_catchable(self):
+        with pytest.raises(JqError):
+            run('def f($x): f($x); f(1)', None)

@@ -1,0 +1,126 @@
+"""Module-system grammar fuzz: random ``.jq`` module files (defs whose
+bodies come from the main fuzzer's generator) composed with random
+``import``/``include`` directives and a random main program, run
+through BOTH engines (ours vs ``jq -L``).  Same harness contract as
+test_jq_fuzz: outcome class and values must agree; programs jq 1.6
+cannot compile are skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import subprocess
+
+import pytest
+
+from test_jq_differential import JQ, _close
+from test_jq_fuzz import DOC, gen
+
+from dolma_ray.mixer.jq import JqError, evaluate_jq, parse_jq_program
+
+pytestmark = pytest.mark.skipif(JQ is None, reason="no jq binary")
+
+N_ITER = 250
+
+
+def real_jq_mod(prog: str, doc, libdir: str):
+    p = subprocess.run(
+        [JQ, "-c", "-L", libdir, prog],
+        input=json.dumps(doc),
+        capture_output=True,
+        text=True,
+        timeout=20,
+    )
+    if p.returncode == 3:
+        return ("compile_error", p.stderr.strip())
+    if p.returncode < 0 or "Assertion" in p.stderr:
+        return ("compile_error", f"jq crashed: {p.stderr.strip()[:80]}")
+    if p.returncode != 0:
+        return ("error", p.stderr.strip())
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    try:
+        return ("ok", [json.loads(ln) for ln in lines])
+    except json.JSONDecodeError:
+        return ("unparseable", p.stdout)
+
+
+def ours_mod(prog: str, doc, libdir: str):
+    try:
+        v = evaluate_jq(parse_jq_program(prog, [libdir]), doc)
+    except JqError as e:
+        return ("error", str(e))
+    from dolma_ray.mixer.jq import _EMPTY  # noqa: PLC0415
+
+    if v is _EMPTY:
+        return ("ok", [])
+    return ("ok", [v])
+
+
+def _gen_module(rng: random.Random, callables: list) -> str:
+    """2-4 defs with fuzz-generated bodies; ``callables`` collects the
+    invocation spellings available to later files."""
+    lines = []
+    n = rng.randint(2, 4)
+    for i in range(n):
+        name = f"f{rng.randint(0, 9)}{i}"
+        kind = rng.random()
+        if kind < 0.5:
+            lines.append(f"def {name}: {gen(rng, 2)};")
+            callables.append(name)
+        elif kind < 0.75:
+            lines.append(f"def {name}($x): {gen(rng, 1)} , $x;")
+            callables.append(f"{name}({gen(rng, 1)})")
+        else:
+            lines.append(f"def {name}(g): g;")
+            callables.append(f"{name}({gen(rng, 1)})")
+        if rng.random() < 0.3:
+            lines.append("# a comment line")
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_module_fuzz(tmp_path, seed):
+    rng = random.Random(77000 + seed)
+    mismatches = []
+    checked = 0
+    for it in range(N_ITER):
+        libdir = tmp_path / f"lib{it}"
+        libdir.mkdir()
+        inner_calls: list = []
+        (libdir / "inner.jq").write_text(_gen_module(rng, inner_calls))
+        outer_calls: list = []
+        body = _gen_module(rng, outer_calls)
+        style = rng.random()
+        if style < 0.45:
+            # outer re-exports inner flat; caller imports outer namespaced
+            (libdir / "outer.jq").write_text('include "inner";\n' + body)
+            directives = 'import "outer" as o; '
+            pool = [f"o::{c}" for c in outer_calls + inner_calls]
+        elif style < 0.7:
+            # nested namespaced import inside the module
+            (libdir / "outer.jq").write_text(
+                'import "inner" as i;\n'
+                + body
+                + f"def viainner: i::{rng.choice(inner_calls)};\n"
+            )
+            directives = 'import "outer" as o; '
+            pool = [f"o::{c}" for c in outer_calls] + ["o::viainner"]
+        else:
+            directives = 'include "inner"; '
+            pool = list(inner_calls)
+        main = f"{directives}[{rng.choice(pool)}, {gen(rng, 1)}]"
+
+        r = real_jq_mod(main, DOC, str(libdir))
+        if r[0] in ("compile_error", "unparseable"):
+            continue
+        o = ours_mod(main, DOC, str(libdir))
+        checked += 1
+        if r[0] == "error" or o[0] == "error":
+            if r[0] != o[0]:
+                mismatches.append((main, r, o))
+            continue
+        if len(r[1]) != 1 or not _close(r[1][0], o[1][0] if o[1] else None):
+            mismatches.append((main, r, o))
+    assert checked > N_ITER // 2, f"only {checked} comparable programs"
+    assert not mismatches, mismatches[:3]
