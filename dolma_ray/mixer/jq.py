@@ -5184,9 +5184,10 @@ def _rename_local_calls(node: Any, local: set, ns: str, shadow: frozenset):
         new_defs = []
         for dname, params, body in node.defs:
             sh.add((dname, len(params)))  # nested def shadows (incl. self)
-            body_sh = frozenset(
-                sh | {(p[1], 0) for p in params if p[0] == "flt"}
-            )
+            # EVERY param shadows at arity 0: filter params bind the
+            # name directly, and value params also bind the bare name
+            # as a filter closure (def f($g): g — g is the param)
+            body_sh = frozenset(sh | {(p[1], 0) for p in params})
             new_defs.append(
                 (dname, params, _rename_local_calls(body, local, ns, body_sh))
             )
@@ -5213,7 +5214,7 @@ def _qualify_defs(own_defs: list, ns: str) -> list:
     local = {(n, len(params)) for n, params, _ in own_defs}
     out = []
     for n, params, body in own_defs:
-        body_sh = frozenset({(p[1], 0) for p in params if p[0] == "flt"})
+        body_sh = frozenset({(p[1], 0) for p in params})
         out.append(
             (f"{ns}::{n}", params, _rename_local_calls(body, local, ns, body_sh))
         )

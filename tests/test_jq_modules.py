@@ -159,3 +159,14 @@ def test_comments_are_lexed_not_line_stripped(tmp_path):
     assert got == ["x#y", 2]
     if JQ:
         assert run_jq(prog, None, str(tmp_path)) == [["x#y", 2]]
+
+
+def test_value_param_shadows_module_def(tmp_path):
+    # a VALUE param also binds the bare name as a filter closure, so it
+    # shadows a module-level def of the same name — the qualifier
+    # rename must leave the call alone (jq -L verified: yields 5)
+    (tmp_path / "m.jq").write_text("def g: 1;\ndef f($g): g;\n")
+    prog = 'import "m" as m; m::f(5)'
+    assert evaluate_jq(parse_jq_program(prog, [str(tmp_path)]), None) == 5
+    if JQ:
+        assert run_jq(prog, None, str(tmp_path)) == [5]
