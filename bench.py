@@ -44,8 +44,9 @@ _DEFAULT_QUERIES = (
     "region_part_revenue,"
     "cumulative_spend,grouped_topk,length_quantiles,"
     "priority_revenue,returned_orders,"
-    "minhash_near_dup,ngram_jaccard_dedup,analyzer,url_block,ann_topk,"
-    "bloom_decontam,extract_text,graph_components,bm25_scores,flagship_keep"
+    "minhash_near_dup,ngram_jaccard_dedup,substring_dedup,analyzer,url_block,"
+    "ann_topk,bloom_decontam,extract_text,graph_components,bm25_scores,"
+    "flagship_keep"
 )
 BENCH_QUERIES = [
     q for q in os.environ.get("GRAFT_BENCH_QUERIES", _DEFAULT_QUERIES).split(",") if q

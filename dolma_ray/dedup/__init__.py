@@ -19,6 +19,8 @@ Modules:
 * ``ngram_jaccard`` — exact n-gram-Jaccard near-dup: LSH candidates +
                   bottom-k shingle-sketch verification (beyond)
 * ``embedding`` — embedding-cosine near-dup via hyperplane LSH (beyond)
+* ``substring`` — duplicated-substring span marking at k-token
+                  resolution (Lee et al. 2021 mode; beyond)
 """
 
 from .bloom import (  # noqa: F401
@@ -44,3 +46,4 @@ from .simhash import (  # noqa: F401
     mark_near_duplicates_simhash,
     simhash_duplicate_clusters,
 )
+from .substring import mark_duplicate_substrings  # noqa: F401

@@ -61,11 +61,22 @@ def rolling_ngram_hashes(
     Returns ``(hashes, offsets)``: ``hashes[offsets[i]:offsets[i+1]]``
     are document i's window hashes (empty slice when the doc has fewer
     than ``n`` words)."""
+    words_per_doc = [(t or "").split(" ") for t in texts]
+    return rolling_hashes_from_words(words_per_doc, n, seed=seed)
+
+
+def rolling_hashes_from_words(
+    words_per_doc: list[list[str]], n: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core of :func:`rolling_ngram_hashes` over pre-tokenized word
+    lists (callers that need custom tokenization — e.g. whitespace-run
+    tokens with char offsets in ``dedup/substring.py`` — share the same
+    vectorized flatten→polars-hash→rolling-combine kernel and the same
+    stability caveat)."""
     import itertools
 
     import polars as pl
 
-    words_per_doc = [(t or "").split(" ") for t in texts]
     counts = np.fromiter(
         (len(w) for w in words_per_doc), np.int64, len(words_per_doc)
     )

@@ -1,0 +1,445 @@
+"""Duplicated-substring span marking — the Lee et al. 2021
+("Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499) dedup mode at k-token resolution: every span of text
+whose k-token window occurs elsewhere in the corpus (>= ``min_count``
+occurrences globally, same-document repeats included) is marked with a
+dolma-style duplicate span, and overlapping marked windows merge into
+maximal spans.
+
+The dolma reference has no substring-level mode (its dedup is
+document/paragraph exact plus Bloom n-grams — ``python/dolma/cli/
+deduper.py``); this operator is part of the beyond-reference
+LLM-pipeline tier, sharing the reference's attribute-span output shape
+so the mixer's span-replacement / exclusion rules consume it directly
+(cut duplicated substrings, or drop docs by covered fraction).
+
+Exactness: windows are compared by 64-bit rolling hashes of their
+token sequences (:func:`~dolma_ray.dedup.hashing.rolling_hashes_from_words`),
+so "equal" means equal-modulo-u64-collisions — the same contract as
+the Bloom dedup path, negligible below ~10^9 distinct windows and
+partitionable above (see ``dedup/hashing.py`` keyspace note).
+
+Scale shape (100-TB honest):
+
+* pass 1 projects each document to its window hashes and
+  PRE-AGGREGATES per batch (``np.unique`` map-side combiner) ->
+  narrow ``(k:int64, c:int64)`` rows; a tiny ``groupby("k").sum``
+  keeps only keys seen >= ``min_count`` times.  Document text never
+  enters the exchange.
+* ``lookup_strategy="driver"`` reduces the partials with one polars
+  group_by on the driver (no distributed shuffle — the
+  ``collect_dup_lookup`` convention; measured 3.2 s -> 1.0 s vs the
+  Ray groupby at bench scale, where the sort exchange's fixed cost
+  dominates the tiny key table); ``"shuffle"`` runs the all-to-all
+  ``groupby("k").sum`` for partial streams beyond driver memory.
+  Either way the qualifying keys (the duplicated-window vocabulary,
+  itself duplicates-only small on real web corpora) become one sorted
+  int64 array broadcast via ``ray.put``; pass 2 re-reads the corpus,
+  recomputes hashes per batch (cheap, no shuffle of text) and marks
+  windows by ``np.searchsorted`` probe.
+* ``lookup_strategy="sort"`` keeps ALL state distributed: one range
+  sort of the narrow ``(k, d, p)`` unit stream makes every key's rows
+  contiguous, runs with total count >= ``min_count`` are marked
+  vectorized per block (block-boundary runs reconciled through an
+  O(2 x num_blocks) driver summary — the
+  :func:`~dolma_ray.dedup.lookup.late_units_by_sort` mechanics), the
+  marked positions gather per doc via
+  :func:`~dolma_ray.dedup.lookup.csv_lists_by_sort` and attach back to
+  the corpus with :func:`~dolma_ray.dedup.lookup.bucketed_left_attach`
+  on the doc-key hash.  No driver-resident key set at any point.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import hash_strings_i63, rolling_hashes_from_words
+
+DUP_SUBSTRINGS_ATTR = "attr__dedupe_substrings__duplicate"
+
+# ASCII whitespace-run tokens: chosen (over python ``\S+``) so the
+# semantics are expressible in RE2 engines byte-for-byte (DuckDB
+# oracles, Rust ports); pass token_pattern=r"\S+" for python Unicode
+# whitespace semantics.
+ASCII_TOKEN_PATTERN = r"[^ \t\n\r\f\v]+"
+
+
+def _tokenize_batch(
+    texts: Sequence[str | None], pattern: re.Pattern
+) -> tuple[list[list[str]], list[np.ndarray], list[np.ndarray]]:
+    """Per-doc tokens plus their char start/end offset arrays."""
+    words: list[list[str]] = []
+    starts: list[np.ndarray] = []
+    ends: list[np.ndarray] = []
+    for t in texts:
+        ms = list(pattern.finditer(t or ""))
+        words.append([m.group(0) for m in ms])
+        starts.append(np.fromiter((m.start() for m in ms), np.int64, len(ms)))
+        ends.append(np.fromiter((m.end() for m in ms), np.int64, len(ms)))
+    return words, starts, ends
+
+
+def _window_keys(
+    words: list[list[str]], ngram: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """int64-safe window keys + per-doc offsets (top hash bit dropped,
+    see :func:`~dolma_ray.dedup.hashing.hash_strings_i63` rationale)."""
+    h, off = rolling_hashes_from_words(words, ngram, seed=seed)
+    return (h >> np.uint64(1)).astype(np.int64), off
+
+
+def _runs_from_marked_starts(
+    marked: np.ndarray, ngram: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge marked window-start token indices (sorted, unique) into
+    maximal covered runs: returns ``(first_start, last_start)`` per run.
+    Two windows merge iff their coverage [s, s+ngram) is contiguous or
+    overlapping, i.e. next_start <= prev_start + ngram."""
+    if len(marked) == 0:
+        e = np.zeros(0, np.int64)
+        return e, e
+    breaks = np.flatnonzero(np.diff(marked) > ngram)
+    firsts = marked[np.concatenate(([0], breaks + 1))]
+    lasts = marked[np.concatenate((breaks, [len(marked) - 1]))]
+    return firsts, lasts
+
+
+def _doc_spans_and_stats(
+    rel_marked: np.ndarray,
+    ngram: int,
+    tok_starts: np.ndarray,
+    tok_ends: np.ndarray,
+) -> tuple[list[tuple[int, int, float]], int, int, int]:
+    """Spans + (dup_grams, covered_tokens, n_spans) for one document."""
+    firsts, lasts = _runs_from_marked_starts(rel_marked, ngram)
+    spans = [
+        (int(tok_starts[a]), int(tok_ends[b + ngram - 1]), 1.0)
+        for a, b in zip(firsts.tolist(), lasts.tolist())
+    ]
+    covered = int(np.sum(lasts - firsts)) + ngram * len(firsts)
+    return spans, int(len(rel_marked)), covered, int(len(firsts))
+
+
+def duplicated_window_keys(
+    ds,
+    *,
+    text_column: str = "text",
+    ngram: int = 8,
+    min_count: int = 2,
+    seed: int = 0,
+    token_pattern: str = ASCII_TOKEN_PATTERN,
+    strategy: str = "driver",
+) -> np.ndarray:
+    """Sorted int64 array of window keys occurring >= ``min_count``
+    times corpus-wide.  Per-batch ``np.unique`` combiner first, so the
+    combine step sees one row per distinct key per batch, not one per
+    window.
+
+    ``strategy`` follows :func:`~dolma_ray.dedup.lookup.collect_dup_lookup`
+    conventions: ``driver`` streams the narrow partials and reduces
+    with one polars group_by (no distributed shuffle; fine to ~10^8
+    distinct-keys-x-batches on one node), ``shuffle`` runs the
+    all-to-all ``groupby("k").sum`` for partial streams beyond driver
+    memory."""
+    pat = re.compile(token_pattern)
+
+    def gram_counts(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        words = [pat.findall(t or "") for t in texts]
+        keys, _ = _window_keys(words, ngram, seed)
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table(
+            {"k": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    counts = ds.map_batches(gram_counts, batch_format="pyarrow")
+
+    if strategy == "driver":
+        import polars as pl
+
+        parts = [
+            pl.from_arrow(b)
+            for b in counts.iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow"
+            )
+        ]
+        if not parts:
+            return np.zeros(0, np.int64)
+        df = (
+            pl.concat(parts)
+            .group_by("k")
+            .agg(pl.col("c").sum())
+            .filter(pl.col("c") >= min_count)
+        )
+        return np.sort(df["k"].to_numpy().astype(np.int64))
+
+    from ray.data.aggregate import Sum
+
+    agg = counts.groupby("k").aggregate(Sum("c", alias_name="c"))
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(batch["c"], pa.scalar(min_count, pa.int64()))
+        return batch.filter(mask).select(["k"])
+
+    chunks = [
+        b["k"].to_numpy(zero_copy_only=False)
+        for b in agg.map_batches(only_dups, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        )
+    ]
+    keys = np.concatenate(chunks) if chunks else np.zeros(0, np.int64)
+    return np.sort(keys)
+
+
+def mark_duplicate_substrings(
+    ds,
+    *,
+    text_column: str = "text",
+    key_column: str | None = None,
+    ngram: int = 8,
+    min_count: int = 2,
+    seed: int = 0,
+    token_pattern: str = ASCII_TOKEN_PATTERN,
+    lookup_strategy: str = "driver",
+    include_stats: bool = False,
+    attr_column: str = DUP_SUBSTRINGS_ATTR,
+):
+    """Append a duplicate-substring span column (and, with
+    ``include_stats``, int64 ``n_tokens`` / ``dup_grams`` /
+    ``covered_tokens`` / ``n_spans`` columns) to ``ds``.
+
+    ``lookup_strategy``: ``driver``/``shuffle`` broadcast the
+    duplicated-key vocabulary (driver-side vs all-to-all reduction of
+    the count partials); ``sort`` is the no-driver-state distributed
+    path and requires ``key_column`` (a unique document key) for the
+    attach."""
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if lookup_strategy == "sort":
+        return _mark_by_sort(
+            ds,
+            text_column=text_column,
+            key_column=key_column,
+            ngram=ngram,
+            min_count=min_count,
+            seed=seed,
+            token_pattern=token_pattern,
+            include_stats=include_stats,
+            attr_column=attr_column,
+        )
+    if lookup_strategy not in ("driver", "shuffle"):
+        raise ValueError(f"unknown lookup_strategy: {lookup_strategy!r}")
+
+    import ray
+
+    keys = duplicated_window_keys(
+        ds,
+        text_column=text_column,
+        ngram=ngram,
+        min_count=min_count,
+        seed=seed,
+        token_pattern=token_pattern,
+        strategy=lookup_strategy,
+    )
+    keys_ref = ray.put(keys)
+    pat = re.compile(token_pattern)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        dup_keys = ray.get(keys_ref)
+        texts = batch[text_column].to_pylist()
+        words, tstarts, tends = _tokenize_batch(texts, pat)
+        keys_, off = _window_keys(words, ngram, seed)
+        if len(dup_keys) and len(keys_):
+            idx = np.searchsorted(dup_keys, keys_).clip(0, len(dup_keys) - 1)
+            hit = dup_keys[idx] == keys_
+        else:
+            hit = np.zeros(len(keys_), dtype=bool)
+        return _attach_outputs(
+            batch, words, tstarts, tends, off, hit, ngram,
+            include_stats, attr_column,
+        )
+
+    return ds.map_batches(mark, batch_format="pyarrow")
+
+
+def _attach_outputs(
+    batch: pa.Table,
+    words: list[list[str]],
+    tstarts: list[np.ndarray],
+    tends: list[np.ndarray],
+    off: np.ndarray,
+    hit: np.ndarray,
+    ngram: int,
+    include_stats: bool,
+    attr_column: str,
+) -> pa.Table:
+    from ..schema import spans_array
+
+    all_spans: list[list[tuple[int, int, float]]] = []
+    stats = np.zeros((len(words), 4), np.int64)
+    for i in range(len(words)):
+        rel = np.flatnonzero(hit[off[i] : off[i + 1]])
+        spans, dup_grams, covered, n_spans = _doc_spans_and_stats(
+            rel, ngram, tstarts[i], tends[i]
+        )
+        all_spans.append(spans)
+        stats[i] = (len(words[i]), dup_grams, covered, n_spans)
+    drop = [
+        c
+        for c in (attr_column, "n_tokens", "dup_grams", "covered_tokens", "n_spans")
+        if c in batch.column_names
+    ]
+    if drop:
+        batch = batch.drop_columns(drop)
+    batch = batch.append_column(attr_column, spans_array(all_spans))
+    if include_stats:
+        for j, name in enumerate(
+            ("n_tokens", "dup_grams", "covered_tokens", "n_spans")
+        ):
+            batch = batch.append_column(name, pa.array(stats[:, j], pa.int64()))
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# fully-distributed path: one range sort, no driver key state
+
+
+def _marked_units_by_sort(units_ds, min_count: int):
+    """Filter the ``(k, d, p)`` unit stream to units whose key's TOTAL
+    run length (across block boundaries) is >= ``min_count`` — the
+    :func:`~dolma_ray.dedup.lookup.late_units_by_sort` mechanics with a
+    count predicate instead of a min-order predicate.  Both passes read
+    the SAME materialized sorted blocks with ``batch_size=None`` (the
+    boundary summary is only valid for identical batch boundaries).
+    """
+    import ray
+
+    su = units_ds.sort(["k"]).materialize()
+
+    def boundary_summary(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        first_run = int(np.searchsorted(k, k[0], side="right"))
+        ks, cs = [int(k[0])], [first_run]
+        if k[-1] != k[0]:
+            last_start = int(np.searchsorted(k, k[-1], side="left"))
+            ks.append(int(k[-1]))
+            cs.append(len(k) - last_start)
+        return pa.table(
+            {"k": pa.array(ks, pa.int64()), "c": pa.array(cs, pa.int64())}
+        )
+
+    totals: dict[int, int] = {}
+    for row in su.map_batches(
+        boundary_summary, batch_format="pyarrow", batch_size=None
+    ).take_all():
+        totals[row["k"]] = totals.get(row["k"], 0) + row["c"]
+    # only boundary keys are ambiguous; keep the dict tiny
+    bref = ray.put({k: c for k, c in totals.items() if c >= min_count})
+
+    def mark(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = k[1:] != k[:-1]
+        run_ids = np.cumsum(starts) - 1
+        run_len = np.bincount(run_ids)
+        keep = run_len[run_ids] >= min_count
+        big = ray.get(bref)
+        for bk in {int(k[0]), int(k[-1])}:
+            sel = k == bk
+            keep[sel] = bk in big
+        return batch.filter(pa.array(keep))
+
+    return su.map_batches(mark, batch_format="pyarrow", batch_size=None)
+
+
+def _mark_by_sort(
+    ds,
+    *,
+    text_column: str,
+    key_column: str | None,
+    ngram: int,
+    min_count: int,
+    seed: int,
+    token_pattern: str,
+    include_stats: bool,
+    attr_column: str,
+):
+    if not key_column:
+        raise ValueError("lookup_strategy='sort' requires key_column")
+    from .lookup import bucket_count, bucketed_left_attach, csv_lists_by_sort
+
+    pat = re.compile(token_pattern)
+
+    def project(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        words = [pat.findall(t or "") for t in texts]
+        keys_, off = _window_keys(words, ngram, seed)
+        d = hash_strings_i63(batch[key_column].cast(pa.string()))
+        counts = np.diff(off)
+        pos = np.arange(len(keys_), dtype=np.int64) - np.repeat(
+            off[:-1], counts
+        )
+        return pa.table(
+            {
+                "k": pa.array(keys_, pa.int64()),
+                "d": pa.array(np.repeat(d, counts), pa.int64()),
+                "p": pa.array(pos, pa.int64()),
+            }
+        )
+
+    units = ds.map_batches(project, batch_format="pyarrow")
+    marked = _marked_units_by_sort(units, min_count)
+    per_doc = csv_lists_by_sort(
+        marked, "d", "p", "__dsub_rd", "__dsub_pos"
+    ).materialize()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        d = hash_strings_i63(batch[key_column].cast(pa.string()))
+        return batch.append_column("__dsub_d", pa.array(d, pa.int64()))
+
+    corpus = ds.map_batches(keyed, batch_format="pyarrow")
+    joined = bucketed_left_attach(
+        corpus, per_doc, "__dsub_d", "__dsub_rd", "__dsub_pos",
+        "__dsub_pos", bucket_count(),
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        pos_lists = batch["__dsub_pos"].to_pylist()
+        words, tstarts, tends = _tokenize_batch(texts, pat)
+        counts = np.fromiter((max(len(w) - ngram + 1, 0) for w in words),
+                             np.int64, len(words))
+        off = np.zeros(len(words) + 1, np.int64)
+        np.cumsum(counts, out=off[1:])
+        hit = np.zeros(int(off[-1]), dtype=bool)
+        for i, csv in enumerate(pos_lists):
+            if csv:
+                rel = np.fromiter(
+                    (int(x) for x in csv.split(",")), np.int64
+                )
+                hit[off[i] + rel] = True
+        batch = batch.drop_columns(
+            [c for c in ("__dsub_d", "__dsub_rd", "__dsub_pos")
+             if c in batch.column_names]
+        )
+        return _attach_outputs(
+            batch, words, tstarts, tends, off, hit, ngram,
+            include_stats, attr_column,
+        )
+
+    return joined.map_batches(attach, batch_format="pyarrow")

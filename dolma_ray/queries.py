@@ -2959,3 +2959,74 @@ GROUP BY r_name, p_brand
 
 QUERIES["region_part_revenue"] = q_region_part_revenue
 ORACLES["region_part_revenue"] = SQL_REGION_PART_REVENUE
+
+
+def q_substring_dedup(sf_dir: str, ngram: int = 5):
+    """Duplicated-substring span marking (Lee et al. 2021 at k-token
+    resolution, ``dedup/substring.py``): per document, the number of
+    duplicated ``ngram``-token windows, tokens covered by the merged
+    maximal spans, and span count.  Driver strategy here (the
+    duplicated-window vocabulary is the small side); the ``sort``
+    strategy is parity-tested in ``tests/test_substring_dedup.py``."""
+    from .dedup.substring import mark_duplicate_substrings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = mark_duplicate_substrings(
+        ds, text_column="text", ngram=ngram, include_stats=True
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(
+            ["doc_id", "n_tokens", "dup_grams", "covered_tokens", "n_spans"]
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+# window starts i run 1..len-k+1 (1-based inclusive DuckDB list slice);
+# tokens are ASCII-whitespace runs = regexp_extract_all('[^ \t\n\r\f\v]+')
+# exactly like dedup/substring.py's ASCII_TOKEN_PATTERN; coverage-run
+# merging is the gaps-and-islands pos - row_number() trick.
+SQL_SUBSTRING_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\r\f\v]+') AS tk
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 5 + 2, 1))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(tk[i:i+4], chr(31)) AS gram
+  FROM starts
+),
+dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+marked AS (SELECT g.doc_id, g.i FROM grams g JOIN dupg USING (gram)),
+covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, i + unnest(range(0, 5)) AS pos FROM marked
+  )
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM covered
+),
+agg AS (
+  SELECT doc_id, count(*) AS covered_tokens, count(DISTINCT grp) AS n_spans
+  FROM runs GROUP BY doc_id
+),
+dg AS (SELECT doc_id, count(*) AS dup_grams FROM marked GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(dg.dup_grams, 0) AS BIGINT) AS dup_grams,
+       CAST(coalesce(agg.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans
+FROM toks t
+LEFT JOIN dg USING (doc_id)
+LEFT JOIN agg USING (doc_id)
+"""
+
+QUERIES["substring_dedup"] = q_substring_dedup
+ORACLES["substring_dedup"] = SQL_SUBSTRING_DEDUP

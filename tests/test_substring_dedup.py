@@ -1,0 +1,198 @@
+"""Duplicated-substring span marking (dedup/substring.py): brute-force
+parity for both strategies, span/char-offset semantics, and edge cases.
+"""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _brute(texts, k, min_count=2, pattern=None):
+    """Reference implementation: gram strings + python run merging."""
+    from dolma_ray.dedup.substring import ASCII_TOKEN_PATTERN
+
+    pat = re.compile(pattern or ASCII_TOKEN_PATTERN)
+    toks = [[(m.group(0), m.start(), m.end()) for m in pat.finditer(t or "")]
+            for t in texts]
+    from collections import Counter
+
+    cnt = Counter()
+    for tk in toks:
+        ws = [w for w, _, _ in tk]
+        for i in range(len(ws) - k + 1):
+            cnt["\x1f".join(ws[i : i + k])] += 1
+    out = []
+    for tk in toks:
+        ws = [w for w, _, _ in tk]
+        marked = [
+            i
+            for i in range(len(ws) - k + 1)
+            if cnt["\x1f".join(ws[i : i + k])] >= min_count
+        ]
+        spans, runs = [], []
+        for s in marked:
+            if runs and s <= runs[-1][1] + k:
+                runs[-1][1] = s
+            else:
+                runs.append([s, s])
+        spans = [(tk[a][1], tk[b + k - 1][2], 1.0) for a, b in runs]
+        covered = sum(b - a + k for a, b in runs)
+        out.append(
+            {
+                "spans": spans,
+                "n_tokens": len(ws),
+                "dup_grams": len(marked),
+                "covered_tokens": covered,
+                "n_spans": len(runs),
+            }
+        )
+    return out
+
+
+def _run(texts, k, strategy, ray_session, min_count=2, **kw):
+    import ray
+
+    from dolma_ray.dedup.substring import mark_duplicate_substrings
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    out = mark_duplicate_substrings(
+        ds,
+        text_column="text",
+        key_column="doc_id",
+        ngram=k,
+        min_count=min_count,
+        lookup_strategy=strategy,
+        include_stats=True,
+        **kw,
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return [
+        {
+            "spans": [
+                (s["start"], s["end"], s["score"])
+                for s in r["attr__dedupe_substrings__duplicate"]
+            ],
+            "n_tokens": r["n_tokens"],
+            "dup_grams": r["dup_grams"],
+            "covered_tokens": r["covered_tokens"],
+            "n_spans": r["n_spans"],
+        }
+        for r in rows
+    ]
+
+
+CORPUS = [
+    "a b c d e f g h",               # shares the abcde window with doc 2
+    "x y z a b c d e tail one two",  # one interior duplicated run
+    "a b c d e f g h",               # exact duplicate of doc 0
+    "unique words only here nothing repeats at all",
+    "short doc",                     # fewer than k tokens
+    "",                              # empty
+    "a b c d e  f   g h",            # multi-space gaps: char offsets differ
+    "one two one two one two one two one two",  # self-repeating doc
+]
+
+
+@pytest.mark.parametrize("strategy", ["driver", "shuffle", "sort"])
+def test_substring_marking_matches_brute_force(strategy, ray_session):
+    exp = _brute(CORPUS, 5)
+    got = _run(CORPUS, 5, strategy, ray_session)
+    assert got == exp
+
+
+@pytest.mark.parametrize("strategy", ["driver", "shuffle", "sort"])
+def test_min_count_three(strategy, ray_session):
+    texts = ["p q r s t", "p q r s t", "p q r s t", "p q r s X"]
+    exp = _brute(texts, 5, min_count=3)
+    got = _run(texts, 5, strategy, ray_session, min_count=3)
+    assert got == exp
+    assert got[0]["n_spans"] == 1 and got[3]["n_spans"] == 0
+
+
+def test_char_offsets_span_exact_tokens(ray_session):
+    # the span must start at the first token's first char and end at the
+    # last covered token's last char — multi-space gaps included
+    texts = ["a b c d e  f", "  a b c d e  f  trailer"]
+    got = _run(texts, 5, "driver", ray_session)
+    for t, r in zip(texts, got):
+        for s, e, _ in r["spans"]:
+            assert not t[s].isspace() and not t[e - 1].isspace()
+    assert got[0]["spans"] and got[1]["spans"]
+    # doc 1 is shifted by two leading spaces
+    assert got[1]["spans"][0][0] == got[0]["spans"][0][0] + 2
+
+
+def test_overlapping_windows_merge_to_one_span(ray_session):
+    texts = ["a b c d e f g", "a b c d e f g"]
+    got = _run(texts, 5, "driver", ray_session)
+    # windows at 0,1,2 all duplicated -> one maximal span covering all
+    assert got[0]["n_spans"] == 1
+    assert got[0]["covered_tokens"] == 7
+    assert got[0]["spans"] == [(0, len(texts[0]), 1.0)]
+
+
+def test_same_document_repeats_count(ray_session):
+    # min_count is corpus-total, so a window repeated WITHIN one doc dups
+    texts = ["m n o p q banana m n o p q"]
+    got = _run(texts, 5, "driver", ray_session)
+    assert got[0]["dup_grams"] == 2
+    assert got[0]["n_spans"] == 2
+
+
+def test_custom_token_pattern_newlines(ray_session):
+    texts = ["a\tb\nc d e", "a b\fc\vd e"]
+    exp = _brute(texts, 5)
+    got = _run(texts, 5, "driver", ray_session)
+    assert got == exp
+    assert got[0]["spans"] and got[0]["n_tokens"] == 5
+
+
+def test_validation_errors(ray_session):
+    import ray
+
+    from dolma_ray.dedup.substring import mark_duplicate_substrings
+
+    ds = ray.data.from_arrow(pa.table({"text": ["a"], "doc_id": [1]}))
+    with pytest.raises(ValueError, match="min_count"):
+        mark_duplicate_substrings(ds, min_count=1)
+    with pytest.raises(ValueError, match="ngram"):
+        mark_duplicate_substrings(ds, ngram=0)
+    with pytest.raises(ValueError, match="key_column"):
+        mark_duplicate_substrings(ds, lookup_strategy="sort")
+    with pytest.raises(ValueError, match="lookup_strategy"):
+        mark_duplicate_substrings(ds, lookup_strategy="nope")
+
+
+def test_sort_strategy_randomized_parity(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in rng.integers(0, 40, size=120)
+    ]
+    k = 4
+    exp = _brute(texts, k)
+    for strategy in ("driver", "shuffle", "sort"):
+        got = _run(texts, k, strategy, ray_session)
+        assert got == exp
+
+
+def test_marked_units_by_sort_boundary_runs(ray_session):
+    # a key run crossing block boundaries must use the GLOBAL count:
+    # many single-occurrence-per-block repeats of one key
+    import ray
+
+    from dolma_ray.dedup.substring import _marked_units_by_sort
+
+    n = 500
+    k = np.concatenate([np.full(n, 42, np.int64), np.arange(1000, 1000 + n)])
+    d = np.arange(2 * n, dtype=np.int64)
+    units = ray.data.from_arrow(
+        pa.table({"k": k, "d": d, "p": np.zeros(2 * n, np.int64)})
+    ).repartition(16)
+    marked = _marked_units_by_sort(units, 2).take_all()
+    assert sorted(r["d"] for r in marked) == list(range(n))
