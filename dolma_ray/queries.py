@@ -3030,3 +3030,104 @@ LEFT JOIN agg USING (doc_id)
 
 QUERIES["substring_dedup"] = q_substring_dedup
 ORACLES["substring_dedup"] = SQL_SUBSTRING_DEDUP
+
+
+def q_code_stats(sf_dir: str):
+    """RedPajama code-quality stats over a deterministic 3-line
+    "code-ification" of each document (``source: text`` / ``# doc=id``
+    / ``lang``), run through the REAL registered
+    ``code_redpajama_taggers_v1`` tagger (``taggers/code.py``) so the
+    driver gate exercises its line-split / isalnum / token-split
+    semantics — the oracle replays them in SQL, bit-exact on this ASCII
+    corpus including the 5-digit python-round (via printf '%.5f';
+    pinned per-doc and on a 13k-pair sweep by
+    ``tests/test_code_stats_query.py``)."""
+    from .schema import attr_name
+    from .taggers.base import TagStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def codify(batch: pa.Table) -> pa.Table:
+        code = pc.binary_join_element_wise(
+            batch["source"],
+            batch["text"],
+            pc.binary_join_element_wise(
+                pa.scalar("# doc="),
+                pc.cast(batch["doc_id"], pa.string()),
+                pa.scalar("\n"),
+                pc.cast(batch["lang"], pa.string()),
+                "",
+            ),
+            "\x00",
+        )
+        # assemble "source: text\n# doc=N\nlang" (join trick above uses a
+        # placeholder separator; replace the two joints explicitly)
+        code = pc.replace_substring(code, "\x00", ": ", max_replacements=1)
+        code = pc.replace_substring(code, "\x00", "\n", max_replacements=1)
+        return pa.table({"doc_id": batch["doc_id"], "text": code})
+
+    tagged = ds.map_batches(codify, batch_format="pyarrow").map_batches(
+        TagStage(["code_redpajama_taggers_v1"]), batch_format="pyarrow"
+    )
+
+    names = {
+        attr_name("code_redpajama_taggers_v1", m): m
+        for m in (
+            "max_line_length_doc",
+            "avg_line_length_doc",
+            "alnum_prop_doc",
+            "alpha_token_prop_doc",
+        )
+    }
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"]}
+            | {short: batch[col] for col, short in names.items()}
+        )
+
+    return tagged.map_batches(project, batch_format="pyarrow")
+
+
+# python round(x, 5) is correctly-rounded decimal conversion of the
+# DOUBLE with ties-to-even on its exact binary value; DuckDB round()
+# is half-away on a scaled multiply and diverges on the ties this
+# corpus actually produces (power-of-two line lengths: 269/64,
+# 261/320...).  printf('%.5f', x) implements the same semantics as
+# CPython (correctly-rounded fixed formatting, ties-to-even) — pinned
+# float-equal per doc by tests/test_code_stats_query.py and a 13k-pair
+# a/b sweep in that module.
+SQL_CODE_STATS = r"""
+WITH nums AS (
+  SELECT doc_id,
+         source || ': ' || text || chr(10) || '# doc=' ||
+         CAST(doc_id AS VARCHAR) || chr(10) || lang AS c
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, unnest(string_split(c, chr(10))) AS ln FROM nums
+),
+lstat AS (
+  SELECT doc_id, max(length(ln)) AS maxl, sum(length(ln)) AS suml,
+         count(*) AS nl
+  FROM lines GROUP BY doc_id
+),
+frac AS (
+  SELECT n.doc_id, l.maxl,
+         CAST(l.suml AS DOUBLE) / l.nl AS x1,
+         CAST(length(regexp_replace(n.c, '[^0-9A-Za-z]', '', 'g')) AS DOUBLE)
+           / length(n.c) AS x2,
+         CAST(length(regexp_replace(n.c, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / (len(regexp_extract_all(n.c, '\w+|[^\w\s]+')) + 1) AS x3
+  FROM nums n JOIN lstat l USING (doc_id)
+)
+SELECT doc_id,
+  CAST(maxl AS DOUBLE) AS max_line_length_doc,
+  CAST(printf('%.5f', x1) AS DOUBLE) AS avg_line_length_doc,
+  CAST(printf('%.5f', x2) AS DOUBLE) AS alnum_prop_doc,
+  CAST(printf('%.5f', x3) AS DOUBLE) AS alpha_token_prop_doc
+FROM frac
+"""
+
+QUERIES["code_stats"] = q_code_stats
+ORACLES["code_stats"] = SQL_CODE_STATS
