@@ -3131,3 +3131,89 @@ FROM frac
 
 QUERIES["code_stats"] = q_code_stats
 ORACLES["code_stats"] = SQL_CODE_STATS
+
+
+def q_license_tag(sf_dir: str):
+    """Creative-Commons license extraction at the driver gate: plant a
+    deterministic html column (5 variants by doc_id % 5 — attribute
+    link with the doc's lang as deed language, publicdomain meta tag,
+    two links in one page, no license, and a pre-filter hit with no
+    real tag) and run the REAL ``cc_re`` + ``cc_re_fast`` taggers
+    (``taggers/licenses.py``, the reference's byte-identical regex via
+    the ``regex`` package).  The oracle knows each variant's answer by
+    construction — including the fast pattern's publicdomain miss and
+    the multi-match semicolon join."""
+    from .schema import attr_name
+    from .taggers import licenses as _  # noqa: F401  (registry import)
+    from .taggers.base import TagStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        # synthesis stage for the planted oracle, not a pipeline hot
+        # path (runs once over the gate corpus)
+        ids = batch["doc_id"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        htmls = []
+        for i, lang in zip(ids, langs):
+            m = i % 5
+            if m == 0:
+                htmls.append(
+                    '<p>x</p><a href="https://creativecommons.org/'
+                    f'licenses/by-nc/4.0/deed.{lang}">CC</a>'
+                )
+            elif m == 1:
+                htmls.append(
+                    '<meta content="http://creativecommons.org/'
+                    'publicdomain/zero/1.0/">'
+                )
+            elif m == 2:
+                htmls.append(
+                    '<a href="https://creativecommons.org/licenses/'
+                    'by-sa/3.0/">a</a><a href="http://creativecommons'
+                    '.org/licenses/by/2.0/deed.fr">b</a>'
+                )
+            elif m == 3:
+                htmls.append("plain text no license at all")
+            else:
+                htmls.append(
+                    "see creativecommons.org/licenses plain mention"
+                )
+        return batch.append_column("html", pa.array(htmls, pa.string()))
+
+    tagged = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        TagStage(["cc_re", "cc_re_fast"]), batch_format="pyarrow"
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "license": batch[attr_name("cc_re", "license")],
+                "score": batch[attr_name("cc_re", "score")],
+                "license_fast": batch[attr_name("cc_re_fast", "license")],
+                "score_fast": batch[attr_name("cc_re_fast", "score")],
+            }
+        )
+
+    return tagged.map_batches(project, batch_format="pyarrow")
+
+
+SQL_LICENSE_TAG = """
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN 'by-nc_4.0_' || lang
+    WHEN 1 THEN 'publicdomain/zero_1.0'
+    WHEN 2 THEN 'by-sa_3.0;by_2.0_fr'
+    ELSE '' END AS license,
+  CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 1.0 ELSE 0.0 END AS score,
+  CASE doc_id % 5
+    WHEN 0 THEN 'by-nc'
+    WHEN 2 THEN 'by-sa;by'
+    ELSE '' END AS license_fast,
+  CASE WHEN doc_id % 5 IN (0, 2) THEN 1.0 ELSE 0.0 END AS score_fast
+FROM documents
+"""
+
+QUERIES["license_tag"] = q_license_tag
+ORACLES["license_tag"] = SQL_LICENSE_TAG

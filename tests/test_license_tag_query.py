@@ -1,0 +1,32 @@
+"""license_tag driver query: the real cc_re/cc_re_fast taggers over the
+planted html variants, pinned equal to the constructed oracle."""
+
+import duckdb
+
+
+def test_license_tag_matches_oracle(ray_session):
+    from dolma_ray.queries import ORACLES, q_license_tag
+
+    sf_dir = "/root/testdata/sf0.001"
+    ours = (
+        q_license_tag(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    theirs = (
+        con.sql(ORACLES["license_tag"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in ours.columns:
+        assert (ours[col].to_numpy() == theirs[col].to_numpy()).all(), col
+    # every variant is actually present in the gate corpus
+    assert set(ours["doc_id"] % 5) == {0, 1, 2, 3, 4}
+    assert (ours["license"] != ours["license_fast"]).any()
