@@ -3217,3 +3217,86 @@ FROM documents
 
 QUERIES["license_tag"] = q_license_tag
 ORACLES["license_tag"] = SQL_LICENSE_TAG
+
+
+def q_repetitions(sf_dir: str):
+    """Repetition taggers at the driver gate: four fixed planted texts
+    (no repeat / interior unit x4 / whole-doc period-1 x6 / two
+    competing runs) by ``doc_id % 4`` through the REAL
+    ``repetitions_v1`` (regex ``(.+?)(\\s?\\1){3,}``) and
+    ``tokenizer_repetitions_v2r2`` (periodic token subsequences +
+    overlap dedup) taggers — the two ends of the family, which
+    genuinely DISAGREE on variant 2 (6 vs 5 repeats: the regex counts
+    unit occurrences, the periodic finder counts beyond the base
+    period).  The oracle states each variant's doc stats by
+    construction; the tagger algorithms themselves are pinned by the
+    ported reference test vectors in ``tests/test_repetitions.py``."""
+    from .schema import attr_name
+    from .taggers import repetitions as _  # noqa: F401  (registry import)
+    from .taggers.base import TagStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    variants = pa.array(
+        [
+            "begin alpha beta gamma delta end",
+            "intro spam spam spam spam outro",
+            "ha ha ha ha ha ha",
+            "xy xy xy xy tail ab ab ab ab ab",
+        ],
+        pa.string(),
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "text", variants.take(pa.array(ids % 4, pa.int64()))
+        )
+
+    tagged = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        TagStage(["repetitions_v1", "tokenizer_repetitions_v2r2"]),
+        batch_format="pyarrow",
+    )
+
+    cols = {
+        "r1_max_score": attr_name("repetitions_v1", "doc_max_score_repetition"),
+        "r1_max_length": attr_name("repetitions_v1", "doc_max_length_repetition"),
+        "r1_frac": attr_name("repetitions_v1", "doc_frac_repetition"),
+        "tk_max_score": attr_name(
+            "tokenizer_repetitions_v2r2", "doc_max_score_repetition"
+        ),
+        "tk_max_length": attr_name(
+            "tokenizer_repetitions_v2r2", "doc_max_length_repetition"
+        ),
+        "tk_frac": attr_name("tokenizer_repetitions_v2r2", "doc_frac_repetition"),
+    }
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"]}
+            | {short: batch[col] for short, col in cols.items()}
+        )
+
+    return tagged.map_batches(project, batch_format="pyarrow")
+
+
+# constants = the taggers' 5-digit-rounded doc stats per planted
+# variant (probed once, pinned by tests/test_repetitions_query.py)
+SQL_REPETITIONS = """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 4.0 WHEN 2 THEN 6.0
+    ELSE 5.0 END AS r1_max_score,
+  CASE doc_id % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 20.0 WHEN 2 THEN 17.0
+    ELSE 15.0 END AS r1_max_length,
+  CASE doc_id % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 0.64516 WHEN 2 THEN 1.0
+    ELSE 0.83871 END AS r1_frac,
+  CASE doc_id % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 4.0 WHEN 2 THEN 5.0
+    ELSE 5.0 END AS tk_max_score,
+  CASE doc_id % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 20.0 WHEN 2 THEN 15.0
+    ELSE 15.0 END AS tk_max_length,
+  CASE doc_id % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 0.64516 WHEN 2 THEN 0.88235
+    ELSE 0.77419 END AS tk_frac
+FROM documents
+"""
+
+QUERIES["repetitions"] = q_repetitions
+ORACLES["repetitions"] = SQL_REPETITIONS

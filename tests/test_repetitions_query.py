@@ -1,0 +1,35 @@
+"""repetitions driver query: real repetitions_v1 +
+tokenizer_repetitions_v2r2 over planted variants, pinned equal to the
+constants oracle (which freezes the probed tagger outputs)."""
+
+import duckdb
+
+
+def test_repetitions_matches_oracle(ray_session):
+    from dolma_ray.queries import ORACLES, q_repetitions
+
+    sf_dir = "/root/testdata/sf0.001"
+    ours = (
+        q_repetitions(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    theirs = (
+        con.sql(ORACLES["repetitions"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in ours.columns:
+        assert (ours[col].to_numpy() == theirs[col].to_numpy()).all(), col
+    # the two taggers genuinely disagree on variant 2 (regex counts the
+    # unit's occurrences; the periodic finder counts beyond the base)
+    v2 = ours[ours["doc_id"] % 4 == 2]
+    assert (v2["r1_max_score"] == 6.0).all()
+    assert (v2["tk_max_score"] == 5.0).all()
