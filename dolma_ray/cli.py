@@ -459,6 +459,25 @@ def cmd_bm25(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_substrings(args: argparse.Namespace) -> int:
+    from .dedup.substring import ASCII_TOKEN_PATTERN, mark_duplicate_substrings
+
+    ds = _read(args.input)
+    marked = mark_duplicate_substrings(
+        ds,
+        text_column=args.text_column,
+        key_column=args.key,
+        ngram=args.ngram,
+        min_count=args.min_count,
+        token_pattern=args.token_pattern or ASCII_TOKEN_PATTERN,
+        lookup_strategy=args.strategy,
+        include_stats=args.stats,
+    )
+    marked.write_parquet(args.output)
+    print(f"duplicate-substring spans -> {args.output}")
+    return 0
+
+
 def cmd_list(args: argparse.Namespace) -> int:
     from . import taggers  # noqa: F401  (registers everything)
     from .registry import TaggerRegistry
@@ -661,6 +680,32 @@ def build_parser() -> argparse.ArgumentParser:
     bm.add_argument("--b", type=float, default=0.75)
     bm.add_argument("--idf", choices=["lucene", "rational"], default="lucene")
     bm.set_defaults(fn=cmd_bm25)
+
+    ss = sub.add_parser(
+        "substrings",
+        help="mark duplicated substrings (Lee et al. 2021 mode): spans "
+        "whose k-token window occurs >= min-count times corpus-wide",
+    )
+    ss.add_argument("--input", required=True)
+    ss.add_argument("--output", required=True)
+    ss.add_argument("--key", default="doc_id", help="unique doc key (sort strategy)")
+    ss.add_argument("--text-column", default="text")
+    ss.add_argument("--ngram", type=int, default=8)
+    ss.add_argument("--min-count", type=int, default=2)
+    ss.add_argument(
+        "--token-pattern",
+        default=None,
+        help=r"token regex (default ASCII whitespace runs; use \S+ for "
+        "python Unicode semantics)",
+    )
+    ss.add_argument(
+        "--strategy", choices=["driver", "shuffle", "sort"], default="driver"
+    )
+    ss.add_argument(
+        "--stats", action="store_true",
+        help="also emit n_tokens/dup_grams/covered_tokens/n_spans columns",
+    )
+    ss.set_defaults(fn=cmd_substrings)
 
     ls = sub.add_parser("list", help="list registered taggers")
     ls.set_defaults(fn=cmd_list)

@@ -337,3 +337,55 @@ def test_cli_clusters_and_bm25(tmp_path):
         f"SELECT doc_id, term FROM read_parquet('{scored}/*.parquet') ORDER BY doc_id, term"
     ).fetchall()
     assert (4, "join") in rows and (1, "words") in rows
+
+
+def test_cli_substrings(tmp_path):
+    """substrings subcommand: spans + stats parquet via both strategies."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def cli(*args, expect=0):
+        r = subprocess.run(
+            [sys.executable, "-m", "dolma_ray", "--num-cpus", "2", *args],
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+        assert r.returncode == expect, (args, r.stderr[-1500:])
+        return r
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "one two three four five six",
+                        "zero one two three four five end",
+                        "nothing shared in this document at all",
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(docs / "d.parquet"),
+    )
+    for strategy in ("driver", "sort"):
+        out = tmp_path / f"marked_{strategy}"
+        cli(
+            "substrings", "--input", str(docs), "--output", str(out),
+            "--ngram", "5", "--stats", "--strategy", strategy,
+        )
+        rows = dict(
+            duckdb.sql(
+                f"SELECT doc_id, n_spans FROM read_parquet('{out}/*.parquet')"
+            ).fetchall()
+        )
+        assert rows == {1: 1, 2: 1, 3: 0}
+        spans = duckdb.sql(
+            f"SELECT doc_id, attr__dedupe_substrings__duplicate "
+            f"FROM read_parquet('{out}/*.parquet') WHERE doc_id = 1"
+        ).fetchone()[1]
+        assert spans == [{"start": 0, "end": len("one two three four five"), "score": 1.0}]
