@@ -3300,3 +3300,79 @@ FROM documents
 
 QUERIES["repetitions"] = q_repetitions
 ORACLES["repetitions"] = SQL_REPETITIONS
+
+
+def q_paragraph_ngram_dedup(sf_dir: str):
+    """Paragraph BY-NGRAM overlap dedup at the driver gate (the
+    reference's ``by_ngram`` deduper mode, ``dedup/paragraphs.py``):
+    five planted 2-paragraph variants by ``doc_id % 5`` — variant 4
+    shares 2 of its first paragraph's three 3-gram windows with
+    variant 0, so its FIRST occurrence (doc_id 4) is marked at overlap
+    0.66667 while later occurrences and all other late docs mark at
+    1.0.  First-wins order is the zero-padded doc_id.  The oracle
+    states each doc's span count / max score / marked chars by
+    construction (doc_ids are contiguous from 0, so the first doc of
+    class c is doc_id == c)."""
+    from .dedup.paragraphs import mark_duplicate_paragraphs
+
+    variants = pa.array(
+        [
+            "alpha beta gamma delta epsilon\nzeta eta theta iota kappa",
+            "lambda mu nu xi omicron\npi rho sigma tau upsilon",
+            "phi chi psi omega aleph\nbet gimel dalet he vav",
+            "zayin het tet yod kaf\nlamed mem nun samekh ayin",
+            "alpha beta gamma delta different\nqoph resh shin tav extra",
+        ],
+        pa.string(),
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = variants.take(pa.array(ids % 5, pa.int64()))
+        # zero-padded order key: _order_strings compares LEXICALLY, and
+        # the oracle's first-wins assumption is numeric doc_id order
+        ords = pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 12, "0")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "ord": ords, "text": texts}
+        )
+
+    marked = mark_duplicate_paragraphs(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        order_columns=("ord",),
+        ngram_length=3,
+        overlap_threshold=0.5,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        spans = batch["attr__dedupe_paragraphs__duplicate"].to_pylist()
+        n = [len(s) for s in spans]
+        mx = [max((x["score"] for x in s), default=0.0) for s in spans]
+        chars = [sum(x["end"] - x["start"] for x in s) for s in spans]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_spans": pa.array(n, pa.int64()),
+                "max_score": pa.array(mx, pa.float64()),
+                "marked_chars": pa.array(chars, pa.int64()),
+            }
+        )
+
+    return marked.map_batches(project, batch_format="pyarrow")
+
+
+SQL_PARAGRAPH_NGRAM_DEDUP = """
+SELECT doc_id,
+  CASE WHEN doc_id < 4 THEN 0 WHEN doc_id = 4 THEN 1 ELSE 2 END
+    AS n_spans,
+  CASE WHEN doc_id < 4 THEN 0.0 WHEN doc_id = 4 THEN 0.66667 ELSE 1.0 END
+    AS max_score,
+  CAST(CASE WHEN doc_id < 4 THEN 0 WHEN doc_id = 4 THEN 33
+    ELSE CASE doc_id % 5 WHEN 0 THEN 56 WHEN 1 THEN 48 WHEN 2 THEN 46
+              WHEN 3 THEN 47 ELSE 57 END END AS BIGINT) AS marked_chars
+FROM documents
+"""
+
+QUERIES["paragraph_ngram_dedup"] = q_paragraph_ngram_dedup
+ORACLES["paragraph_ngram_dedup"] = SQL_PARAGRAPH_NGRAM_DEDUP

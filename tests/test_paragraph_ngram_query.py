@@ -1,0 +1,35 @@
+"""paragraph_ngram_dedup driver query: the by-ngram overlap mode over
+planted paragraph variants, pinned equal to the constructed oracle —
+including the partial-overlap first occurrence (doc 4 at 2/3)."""
+
+import duckdb
+
+
+def test_paragraph_ngram_dedup_matches_oracle(ray_session):
+    from dolma_ray.queries import ORACLES, q_paragraph_ngram_dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    ours = (
+        q_paragraph_ngram_dedup(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    theirs = (
+        con.sql(ORACLES["paragraph_ngram_dedup"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in ours.columns:
+        assert (ours[col].to_numpy() == theirs[col].to_numpy()).all(), col
+    # the interesting row: doc 4 is the FIRST of its class yet marked
+    # at partial overlap (2 of its 3 first-paragraph windows are owned
+    # by class 0's seed doc)
+    r4 = ours[ours["doc_id"] == 4].iloc[0]
+    assert (r4["n_spans"], r4["max_score"], r4["marked_chars"]) == (1, 0.66667, 33)
