@@ -222,6 +222,15 @@ def mark_duplicate_substrings(
         raise ValueError(f"ngram must be >= 1, got {ngram}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if lookup_strategy == "auto":
+        # the driver pass holds O(windows) narrow partials; web docs
+        # run ~10^2-10^3 windows each, so flip to the no-driver-state
+        # sort path well under the 50M-unit comfort bound
+        # (dedup/lookup.py threshold rationale)
+        from .lookup import resolve_auto_strategy
+
+        resolved = resolve_auto_strategy(ds, units_per_row=500.0)
+        lookup_strategy = "sort" if resolved == "join" else "driver"
     if lookup_strategy == "sort":
         return _mark_by_sort(
             ds,

@@ -196,3 +196,22 @@ def test_marked_units_by_sort_boundary_runs(ray_session):
     ).repartition(16)
     marked = _marked_units_by_sort(units, 2).take_all()
     assert sorted(r["d"] for r in marked) == list(range(n))
+
+
+def test_auto_strategy_resolves(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from dolma_ray.dedup.substring import mark_duplicate_substrings
+
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["a b c d e", "a b c d e"]}),
+        str(tmp_path / "d.parquet"),
+    )
+    # metadata-known small parquet read -> auto picks the driver path
+    ds = ray.data.read_parquet(str(tmp_path / "d.parquet"))
+    out = mark_duplicate_substrings(
+        ds, ngram=5, lookup_strategy="auto", include_stats=True
+    ).take_all()
+    assert sorted(r["n_spans"] for r in out) == [1, 1]
