@@ -300,11 +300,12 @@ def _attach_outputs(
         )
         all_spans.append(spans)
         stats[i] = (len(words[i]), dup_grams, covered, n_spans)
-    drop = [
-        c
-        for c in (attr_column, "n_tokens", "dup_grams", "covered_tokens", "n_spans")
-        if c in batch.column_names
-    ]
+    replaced = (attr_column,) + (
+        ("n_tokens", "dup_grams", "covered_tokens", "n_spans")
+        if include_stats
+        else ()  # don't silently eat same-named corpus columns
+    )
+    drop = [c for c in replaced if c in batch.column_names]
     if drop:
         batch = batch.drop_columns(drop)
     batch = batch.append_column(attr_column, spans_array(all_spans))
@@ -416,6 +417,26 @@ def _mark_by_sort(
     per_doc = csv_lists_by_sort(
         marked, "d", "p", "__dsub_rd", "__dsub_pos"
     ).materialize()
+
+    if per_doc.count() == 0:
+        # no duplicated windows anywhere: skip the attach exchanges and
+        # emit empty spans / zero stats straight off the corpus
+        def mark_empty(batch: pa.Table) -> pa.Table:
+            texts = batch[text_column].to_pylist()
+            words, tstarts, tends = _tokenize_batch(texts, pat)
+            counts = np.fromiter(
+                (max(len(w) - ngram + 1, 0) for w in words),
+                np.int64, len(words),
+            )
+            off = np.zeros(len(words) + 1, np.int64)
+            np.cumsum(counts, out=off[1:])
+            hit = np.zeros(int(off[-1]), dtype=bool)
+            return _attach_outputs(
+                batch, words, tstarts, tends, off, hit, ngram,
+                include_stats, attr_column,
+            )
+
+        return ds.map_batches(mark_empty, batch_format="pyarrow")
 
     def keyed(batch: pa.Table) -> pa.Table:
         d = hash_strings_i63(batch[key_column].cast(pa.string()))

@@ -215,3 +215,30 @@ def test_auto_strategy_resolves(ray_session, tmp_path):
         ds, ngram=5, lookup_strategy="auto", include_stats=True
     ).take_all()
     assert sorted(r["n_spans"] for r in out) == [1, 1]
+
+
+def test_sort_path_zero_duplicates_short_circuit(ray_session):
+    texts = ["a b c d e f", "g h i j k l", "m n o p q r"]
+    got = _run(texts, 5, "sort", ray_session)
+    assert all(r["n_spans"] == 0 and r["spans"] == [] for r in got)
+    assert [r["n_tokens"] for r in got] == [6, 6, 6]
+
+
+def test_stats_columns_not_eaten_without_include_stats(ray_session):
+    # a corpus column named like a stats output must survive when
+    # include_stats=False
+    import ray
+
+    from dolma_ray.dedup.substring import mark_duplicate_substrings
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2],
+                "text": ["a b c d e", "a b c d e"],
+                "n_tokens": [111, 222],
+            }
+        )
+    )
+    out = mark_duplicate_substrings(ds, ngram=5).take_all()
+    assert sorted(r["n_tokens"] for r in out) == [111, 222]
