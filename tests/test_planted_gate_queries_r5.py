@@ -1,0 +1,56 @@
+"""Round-5 planted-oracle gate queries (url_block_options,
+code_secrets, uniseg_tokens): each runs the real engine/tagger over
+deterministic variants and must match its constructed SQL oracle."""
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _compare(name, ray_session):
+    from dolma_ray.queries import ORACLES, QUERIES
+
+    ours = (
+        QUERIES[name](SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    theirs = (
+        con.sql(ORACLES[name]).df().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(ours.columns) == list(theirs.columns)
+    for col in ours.columns:
+        assert (ours[col].to_numpy() == theirs[col].to_numpy()).all(), (
+            name,
+            col,
+        )
+    return ours
+
+
+@pytest.mark.parametrize(
+    "name", ["url_block_options", "code_secrets", "uniseg_tokens"]
+)
+def test_planted_gate_query_matches_oracle(name, ray_session):
+    _compare(name, ray_session)
+
+
+def test_url_block_options_exercises_every_option_class(ray_session):
+    ours = _compare("url_block_options", ray_session)
+    blocked_classes = set(ours[ours["blocked"] == 1.0]["doc_id"] % 10)
+    unblocked_classes = set(ours[ours["blocked"] == 0.0]["doc_id"] % 10)
+    assert blocked_classes == {1, 2, 5, 6, 7, 8}
+    assert unblocked_classes == {0, 3, 4, 9}
+
+
+def test_uniseg_counters_genuinely_disagree(ray_session):
+    ours = _compare("uniseg_tokens", ray_session)
+    cjk = ours[ours["doc_id"] % 4 == 1]
+    # 2 whitespace tokens but 7 UAX-29 words on the unspaced CJK line
+    assert (cjk["ws_len"] == 2.0).all() and (cjk["uniseg_len"] == 7.0).all()
