@@ -227,6 +227,10 @@ def cmd_flagship(args: argparse.Namespace) -> int:
     out = flagship(ds, mode=args.mode, lookup_strategy=args.lookup_strategy)
     out.write_parquet(args.output)
     print(f"flagship -> {args.output}")
+    if args.stage_metrics:
+        from .stage_metrics import format_stage_table, per_stage_metrics
+
+        print(format_stage_table(per_stage_metrics(out.stats())))
     return 0
 
 
@@ -552,6 +556,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="dedup duplicate-state strategy: driver broadcast (fast, "
         "single-node), shuffle aggregate, or fully-distributed join "
         "(the 10^12-doc shape); auto picks by input row count",
+    )
+    f.add_argument(
+        "--stage-metrics",
+        action="store_true",
+        help="print per-stage rows/sec + bytes/sec parsed from "
+        "Dataset.stats() after the run",
     )
     f.set_defaults(fn=cmd_flagship)
 

@@ -1,0 +1,115 @@
+"""Per-stage throughput metrics from ``Dataset.stats()`` text.
+
+The north-star contract asks pipelines to report *per-stage docs/sec and
+bytes/sec* (reference analogue: dolma's per-file progress counters,
+``python/dolma/core/parallel.py`` tqdm rates — but those are per-process
+aggregate rates, not per-stage).  Ray Data already measures everything per
+operator; this module parses the ``Dataset.stats()`` report into a small
+JSON-friendly structure so ``bench.py``, the CLI and lineage manifests can
+record it without re-instrumenting the pipeline.
+
+Parsed per operator:
+
+- ``stage``      operator name as scheduled (fused names kept — fusion is
+                 part of the execution story worth surfacing);
+- ``tasks`` / ``blocks``  task and output-block counts;
+- ``wall_s``     operator elapsed wall-clock (first task start -> last
+                 block), the denominator Ray itself uses for operator
+                 throughput;
+- ``cpu_s``      total remote cpu seconds across tasks (the *cost*);
+- ``rows`` / ``bytes``  total output rows / output bytes;
+- ``rows_per_sec`` / ``bytes_per_sec``  rows and bytes over ``wall_s``.
+
+Because the streaming executor overlaps operators, per-stage wall times
+sum to MORE than the dataset wall time — that overlap is the pipelining
+win, and ``rows_per_sec`` is still the right per-stage capacity number
+(it is exactly Ray's own "Ray Data throughput" line, reproduced from the
+row/time fields so we can also derive bytes/sec, which Ray does not
+print).
+
+Caveat: when a ``Write`` sink is fused into the last map operator, Ray
+reports that operator's *output* as write-result rows (one per task),
+not documents.  Such records carry ``writes_files=True``; callers that
+know the written row count (``bench.py`` does, from the parquet footers)
+should patch ``docs_out`` / ``docs_per_sec`` onto the record — the
+stage's true document throughput.
+"""
+
+from __future__ import annotations
+
+import re
+
+_UNIT = {"us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+_OP_HEADER = re.compile(
+    r"Operator (\d+) ([^\n:]+): (\d+) tasks executed, "
+    r"(\d+) blocks produced in ([\d.]+)(us|ms|s|m|h)?"
+)
+
+
+def _total(block: str, label: str) -> float | None:
+    """Pull the ``<label>: ... <N>(unit)? total`` figure from an operator
+    block; returns seconds for time rows, raw counts otherwise."""
+    m = re.search(
+        re.escape(label) + r":[^\n]*?([\d.]+)(us|ms|s|m|h)? total", block
+    )
+    if not m:
+        return None
+    val = float(m.group(1))
+    if m.group(2):
+        val *= _UNIT[m.group(2)]
+    return val
+
+
+def per_stage_metrics(stats: str) -> list[dict]:
+    """Parse ``Dataset.stats()`` text into per-stage throughput records."""
+    out: list[dict] = []
+    headers = list(_OP_HEADER.finditer(stats))
+    for i, m in enumerate(headers):
+        end = headers[i + 1].start() if i + 1 < len(headers) else len(stats)
+        block = stats[m.end() : end]
+        wall_s = float(m.group(5)) * _UNIT[m.group(6) or "s"]
+        rows = _total(block, "Output num rows per block")
+        nbytes = _total(block, "Output size bytes per block")
+        cpu_s = _total(block, "Remote cpu time")
+        rec = {
+            "stage": m.group(2).strip(),
+            "tasks": int(m.group(3)),
+            "blocks": int(m.group(4)),
+            "wall_s": round(wall_s, 3),
+            "cpu_s": round(cpu_s, 3) if cpu_s is not None else None,
+            "rows": int(rows) if rows is not None else None,
+            "bytes": int(nbytes) if nbytes is not None else None,
+            "rows_per_sec": (
+                round(rows / wall_s, 1) if rows and wall_s > 0 else None
+            ),
+            "bytes_per_sec": (
+                round(nbytes / wall_s, 1) if nbytes and wall_s > 0 else None
+            ),
+        }
+        if "Write" in rec["stage"]:
+            rec["writes_files"] = True
+        out.append(rec)
+    return out
+
+
+def format_stage_table(stages: list[dict]) -> str:
+    """Human-readable fixed-width table (CLI ``--stage-metrics`` output)."""
+    hdr = (
+        f"{'stage':<44} {'tasks':>5} {'wall_s':>8} {'rows':>10} "
+        f"{'rows/s':>10} {'MB/s':>8}"
+    )
+    lines = [hdr, "-" * len(hdr)]
+    for s in stages:
+        mbs = (
+            f"{s['bytes_per_sec'] / 1e6:.1f}"
+            if s.get("bytes_per_sec") is not None
+            else "-"
+        )
+        lines.append(
+            f"{s['stage'][:44]:<44} {s['tasks']:>5} {s['wall_s']:>8.2f} "
+            f"{s['rows'] if s['rows'] is not None else '-':>10} "
+            f"{s['rows_per_sec'] if s['rows_per_sec'] is not None else '-':>10} "
+            f"{mbs:>8}"
+        )
+    return "\n".join(lines)
