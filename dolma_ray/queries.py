@@ -3606,3 +3606,292 @@ FROM documents
 
 QUERIES["uniseg_tokens"] = q_uniseg_tokens
 ORACLES["uniseg_tokens"] = SQL_UNISEG_TOKENS
+
+
+def q_domain_block(sf_dir: str):
+    """Domain/link blocklist taggers at the driver gate: eight planted
+    URLs by ``doc_id % 8`` through the REAL ``domain_blocklist_v1`` and
+    ``link_blocklist_v1`` taggers (``taggers/url_taggers.py``,
+    reference ``python/dolma/taggers/url.py:57-171``), with the parsed
+    blocklists shipped once per worker via ``ray.put`` (the
+    broadcast-small-side pattern).  The list exercises every line form
+    the reference's grammar accepts — a bare domain, a hosts-file
+    ``IP host`` pair, an ADP ``||domain^`` rule, and a domain that goes
+    through the reference's ``lstrip("www.")`` character-set-strip
+    quirk (``web.example.com`` → ``eb.example.com`` on BOTH the list
+    and the lookup side, so it still matches) — plus a link-mode path
+    rule with trailing-slash normalisation, a ``www.`` variant hit and
+    a subdomain MISS (domain taggers are exact-host, not suffix).  The
+    oracle states each class's hit by construction."""
+    import ray
+
+    from .taggers.url_taggers import (
+        DomainBlocklistTagger,
+        LinkBlocklistTagger,
+        load_blocklist,
+    )
+
+    dom_ref = ray.put(
+        load_blocklist(
+            [
+                "bad.example.com",
+                "0.0.0.0 ads.tracker.net",  # hosts-file pair
+                "||evil.org^",  # ADP rule
+                "web.example.com",  # lstrip("www.") quirk
+            ],
+            domains_only=True,
+        )
+    )
+    link_ref = ray.put(
+        load_blocklist(["spam.site/landing/page"], domains_only=False)
+    )
+
+    variants = pa.array(
+        [
+            "https://good.example.com/a",  # miss
+            "https://bad.example.com/x?q=1",  # bare-domain hit
+            "http://www.bad.example.com/",  # www-variant hit
+            "https://ads.tracker.net",  # hosts-file hit
+            "http://evil.org/path",  # ADP hit
+            "https://spam.site/landing/page/",  # link hit (slash stripped)
+            "https://web.example.com/",  # lstrip-quirk hit
+            "https://sub.bad.example.com/",  # subdomain miss
+        ],
+        pa.string(),
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        dom = DomainBlocklistTagger(blocklist_ref=dom_ref)
+        link = LinkBlocklistTagger(blocklist_ref=link_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        urls = variants.take(pa.array(ids % 8, pa.int64())).to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "domain_hit": pa.array(
+                    [dom.predict("", {"url": u})["url"] for u in urls],
+                    pa.float64(),
+                ),
+                "link_hit": pa.array(
+                    [link.predict("", {"url": u})["url"] for u in urls],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+SQL_DOMAIN_BLOCK = """
+SELECT doc_id,
+  CASE WHEN doc_id % 8 IN (1, 2, 3, 4, 6) THEN 1.0 ELSE 0.0 END
+    AS domain_hit,
+  CASE WHEN doc_id % 8 = 5 THEN 1.0 ELSE 0.0 END AS link_hit
+FROM documents
+"""
+
+QUERIES["domain_block"] = q_domain_block
+ORACLES["domain_block"] = SQL_DOMAIN_BLOCK
+
+
+def q_copyright_comments(sf_dir: str):
+    """``code_copyright_comments_v1`` at the driver gate: four planted
+    code files by ``doc_id % 4`` — no comment at all, a ``/* Copyright
+    */`` block (→ ``copyright_notice`` span), leading ``#`` comment
+    lines (→ ``comment_block`` span), and leading ``//`` lines — through
+    the REAL tagger (``taggers/code.py``, reference
+    ``python/dolma/taggers/code_taggers.py``).  The doc score is the
+    reference's ``(end - start + 1) / len(text)`` for the first span,
+    through the attribute writer's 5-digit rounding; the oracle states
+    each rounded constant."""
+    from .schema import attr_name
+    from .taggers import code as _  # noqa: F401  (registry import)
+    from .taggers.base import TagStage
+
+    variants = pa.array(
+        [
+            "def f():\n    return 1\n",
+            "/* Copyright (c) 2020 Example Corp. */\nint main() { return 0; }\n",
+            "# build helper\n# (no license)\n\nimport os\n",
+            "// Copyright 2019 Someone\n// All rights reserved\nint x = 1;\n",
+        ],
+        pa.string(),
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": variants.take(pa.array(ids % 4, pa.int64())),
+            }
+        )
+
+    tagged = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        TagStage(["code_copyright_comments_v1"]), batch_format="pyarrow"
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        name = "code_copyright_comments_v1"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "notice_spans": pc.cast(
+                    pc.list_value_length(
+                        batch[attr_name(name, "copyright_notice")]
+                    ),
+                    pa.int64(),
+                ),
+                "block_spans": pc.cast(
+                    pc.list_value_length(batch[attr_name(name, "comment_block")]),
+                    pa.int64(),
+                ),
+                "doc_score": batch[attr_name(name, "doc")],
+            }
+        )
+
+    return tagged.map_batches(project, batch_format="pyarrow")
+
+
+SQL_COPYRIGHT_COMMENTS = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+    AS notice_spans,
+  CAST(CASE WHEN doc_id % 4 IN (2, 3) THEN 1 ELSE 0 END AS BIGINT)
+    AS block_spans,
+  CASE doc_id % 4
+    WHEN 1 THEN 0.60938  -- round(39/64, 5): span (0,38), len 64
+    WHEN 2 THEN 0.73171  -- round(30/41, 5): span (0,29), len 41
+    WHEN 3 THEN 0.8      -- 48/60: span (0,47), len 60
+    ELSE 0.0
+  END AS doc_score
+FROM documents
+"""
+
+QUERIES["copyright_comments"] = q_copyright_comments
+ORACLES["copyright_comments"] = SQL_COPYRIGHT_COMMENTS
+
+
+def q_toxicity_labels(sf_dir: str):
+    """Jigsaw toxicity/NSFW taggers at the driver gate, planted-label
+    style (like ``langid``): hatespeech doc + sentence taggers run on
+    four planted 3-sentence docs by ``doc_id % 4`` (clean / all-toxic /
+    one toxic sentence sandwiched in clean prose / a second clean
+    form), then the text column is re-planted by ``doc_id % 2``
+    (clean / adult-content) and the NSFW doc tagger runs on that — the
+    two models' positives never share a variant, so every argmax label
+    and every per-sentence 0.5-threshold count has a clear margin
+    (min 0.043 doc, 0.05 sentence; verified exhaustively in
+    ``tests/test_planted_gate_queries_r5.py``).  Scores come from the
+    deterministic embedded-seed NB stand-ins (``taggers/toxicity.py``,
+    reference ``python/dolma/taggers/jigsaw.py``); the oracle states
+    the labels and counts by construction."""
+    from .schema import attr_name
+    from .taggers import toxicity as _  # noqa: F401  (registry import)
+    from .taggers.base import TagStage
+
+    hate_variants = pa.array(
+        [
+            "Thank you for your help. The meeting is scheduled for "
+            "tomorrow morning. The library opens at nine on weekdays.",
+            "You are so stupid and ugly. Nobody likes you, you idiot. "
+            "Go away you disgusting pig.",
+            "The recipe calls for two cups of flour. You are a complete "
+            "moron and a loser. Our team shipped the new release today.",
+            "The train departs from platform four. The orchestra "
+            "rehearsed the symphony all afternoon. We visited the "
+            "museum last weekend.",
+        ],
+        pa.string(),
+    )
+    nsfw_variants = pa.array(
+        [
+            "Thank you for your help. The meeting is scheduled for "
+            "tomorrow morning. The library opens at nine on weekdays.",
+            "Explicit adult content and porn videos. Adult dating and "
+            "webcam shows online. Watch free xxx movies tonight.",
+        ],
+        pa.string(),
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant_hate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": hate_variants.take(pa.array(ids % 4, pa.int64())),
+            }
+        )
+
+    def replant_nsfw(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.column_names.index("text"),
+            "text",
+            nsfw_variants.take(pa.array(ids % 2, pa.int64())),
+        )
+
+    tagged = (
+        ds.map_batches(plant_hate, batch_format="pyarrow")
+        .map_batches(
+            TagStage(
+                ["jigsaw_hatespeech_document_v2", "jigsaw_hatespeech_sentence_v2"]
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(replant_nsfw, batch_format="pyarrow")
+        .map_batches(
+            TagStage(["jigsaw_nsfw_document_v1"]), batch_format="pyarrow"
+        )
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        doc_p = batch[
+            attr_name("jigsaw_hatespeech_document_v2", "__label__toxic")
+        ]
+        sent_spans = batch[
+            attr_name("jigsaw_hatespeech_sentence_v2", "__label__toxic")
+        ]
+        nsfw_p = batch[attr_name("jigsaw_nsfw_document_v1", "__label__nsfw")]
+        # count sentences with P(toxic) > 0.5 per doc, vectorized over
+        # the flattened span buffer
+        flat_scores = pc.struct_field(sent_spans.combine_chunks().flatten(), "score")
+        hot = pc.cast(pc.greater(flat_scores, 0.5), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        offs = sent_spans.combine_chunks().offsets.to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(hot)])
+        counts = csum[offs[1:]] - csum[offs[:-1]]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "toxic_label": pc.cast(
+                    pc.greater(doc_p, 0.5), pa.int64()
+                ),
+                "toxic_sents": pa.array(counts, pa.int64()),
+                "nsfw_label": pc.cast(pc.greater(nsfw_p, 0.5), pa.int64()),
+            }
+        )
+
+    return tagged.map_batches(project, batch_format="pyarrow")
+
+
+SQL_TOXICITY_LABELS = """
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS BIGINT)
+    AS toxic_label,
+  CAST(CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 1 ELSE 0 END AS BIGINT)
+    AS toxic_sents,
+  CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+    AS nsfw_label
+FROM documents
+"""
+
+QUERIES["toxicity_labels"] = q_toxicity_labels
+ORACLES["toxicity_labels"] = SQL_TOXICITY_LABELS

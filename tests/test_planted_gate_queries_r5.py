@@ -1,5 +1,6 @@
 """Round-5 planted-oracle gate queries (url_block_options,
-code_secrets, uniseg_tokens): each runs the real engine/tagger over
+code_secrets, uniseg_tokens, domain_block, copyright_comments,
+toxicity_labels): each runs the real engine/tagger over
 deterministic variants and must match its constructed SQL oracle."""
 
 import duckdb
@@ -35,7 +36,15 @@ def _compare(name, ray_session):
 
 
 @pytest.mark.parametrize(
-    "name", ["url_block_options", "code_secrets", "uniseg_tokens"]
+    "name",
+    [
+        "url_block_options",
+        "code_secrets",
+        "uniseg_tokens",
+        "domain_block",
+        "copyright_comments",
+        "toxicity_labels",
+    ],
 )
 def test_planted_gate_query_matches_oracle(name, ray_session):
     _compare(name, ray_session)
@@ -54,3 +63,59 @@ def test_uniseg_counters_genuinely_disagree(ray_session):
     cjk = ours[ours["doc_id"] % 4 == 1]
     # 2 whitespace tokens but 7 UAX-29 words on the unspaced CJK line
     assert (cjk["ws_len"] == 2.0).all() and (cjk["uniseg_len"] == 7.0).all()
+
+
+def test_domain_block_covers_every_line_form(ray_session):
+    ours = _compare("domain_block", ray_session)
+    hit = set(ours[ours["domain_hit"] == 1.0]["doc_id"] % 8)
+    miss = set(ours[ours["domain_hit"] == 0.0]["doc_id"] % 8)
+    # bare / www-variant / hosts-file / ADP / lstrip-quirk hits;
+    # unknown host + subdomain (exact-host semantics) miss
+    assert hit == {1, 2, 3, 4, 6}
+    assert miss == {0, 5, 7}
+    assert set(ours[ours["link_hit"] == 1.0]["doc_id"] % 8) == {5}
+
+
+def test_toxicity_label_margins_are_clear():
+    """Every planted variant's argmax label and every per-sentence
+    0.5-threshold decision must carry a real margin (>= 0.04), so the
+    toxicity_labels oracle is pinned by model behavior, not by luck at
+    the decision boundary."""
+    from dolma_ray.taggers.toxicity import (
+        JigsawHatespeechDocumentV2,
+        JigsawHatespeechSentenceV2,
+        JigsawNsfwDocumentV1,
+    )
+
+    hd = JigsawHatespeechDocumentV2()
+    hs = JigsawHatespeechSentenceV2()
+    nd = JigsawNsfwDocumentV1()
+
+    hate_variants = [
+        "Thank you for your help. The meeting is scheduled for "
+        "tomorrow morning. The library opens at nine on weekdays.",
+        "You are so stupid and ugly. Nobody likes you, you idiot. "
+        "Go away you disgusting pig.",
+        "The recipe calls for two cups of flour. You are a complete "
+        "moron and a loser. Our team shipped the new release today.",
+        "The train departs from platform four. The orchestra "
+        "rehearsed the symphony all afternoon. We visited the "
+        "museum last weekend.",
+    ]
+    expected_doc = [0, 1, 0, 0]
+    expected_sents = [0, 3, 1, 0]
+    for v, lbl, cnt in zip(hate_variants, expected_doc, expected_sents):
+        p = hd.predict(v, {})["__label__toxic"]
+        assert (p > 0.5) == bool(lbl) and abs(p - 0.5) >= 0.04, (v, p)
+        scores = [s[2] for s in hs.predict(v, {})["__label__toxic"]]
+        assert sum(s > 0.5 for s in scores) == cnt
+        assert all(abs(s - 0.5) >= 0.04 for s in scores), (v, scores)
+
+    nsfw_variants = [
+        hate_variants[0],
+        "Explicit adult content and porn videos. Adult dating and "
+        "webcam shows online. Watch free xxx movies tonight.",
+    ]
+    for v, lbl in zip(nsfw_variants, [0, 1]):
+        p = nd.predict(v, {})["__label__nsfw"]
+        assert (p > 0.5) == bool(lbl) and abs(p - 0.5) >= 0.04, (v, p)
