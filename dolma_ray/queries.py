@@ -3895,3 +3895,160 @@ FROM documents
 
 QUERIES["toxicity_labels"] = q_toxicity_labels
 ORACLES["toxicity_labels"] = SQL_TOXICITY_LABELS
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """Dolma-format JSONL interchange at the driver gate: the documents
+    table goes OUT through ``write_dolma_documents_distributed`` (one
+    gzip JSONL shard per block, each write task serializing its own
+    rows — ``sources/jsonl.py``, reference ``docs/data-format.md``) and
+    straight back IN through ``read_dolma_documents``, including the
+    ``metadata`` dict column (re-read as a sorted-key JSON string).
+    The oracle is the original table — so text, source, and metadata
+    must survive the JSON encode/decode byte-for-byte (the north-rule
+    per-document text invariant, across the interchange format).  Shard
+    files land in a fresh ``mkdtemp`` under /tmp and must outlive this
+    call (the returned Dataset reads them lazily)."""
+    import tempfile
+
+    from .sources.jsonl import read_dolma_documents, write_dolma_documents_distributed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def to_dolma(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        return pa.table(
+            {
+                "id": pc.cast(batch["doc_id"], pa.string()),
+                "text": batch["text"],
+                "source": batch["source"],
+                "metadata": pa.array(
+                    [{"lang": lg} for lg in langs],
+                    pa.struct([("lang", pa.string())]),
+                ),
+            }
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="dolma_ray_gate_jsonl_")
+    write_dolma_documents_distributed(
+        ds.map_batches(to_dolma, batch_format="pyarrow"), out_dir
+    )
+
+    back = read_dolma_documents(out_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["id"], pa.int64()),
+                "text": pc.cast(batch["text"], pa.string()),
+                "source": pc.cast(batch["source"], pa.string()),
+                "metadata": pc.cast(batch["metadata"], pa.string()),
+            }
+        )
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, source,
+       '{"lang": "' || lang || '"}' AS metadata
+FROM documents
+"""
+
+QUERIES["jsonl_roundtrip"] = q_jsonl_roundtrip
+ORACLES["jsonl_roundtrip"] = SQL_JSONL_ROUNDTRIP
+
+
+def q_warc_roundtrip(sf_dir: str):
+    """WARC reader at the driver gate: every document is wrapped in a
+    deterministic html page (the ``extract_text`` build) inside a real
+    ISO-28500 response record — ``WARC/1.0`` headers, an HTTP/1.1
+    response block with a declared utf-8 charset, one gzip member per
+    record (the CommonCrawl ``.warc.gz`` layout) — written one shard
+    per batch by the map tasks, then read back through the REAL
+    ``read_warc`` path (``sources/warc.py``: multi-member gunzip,
+    record/HTTP header split, charset decode, reference
+    ``warc/processor.py:127-200`` flow) and linearized.  The oracle
+    replays the linearizer normalization in SQL exactly like
+    ``extract_text``; doc identity rides the WARC-Target-URI."""
+    import gzip
+    import tempfile
+
+    from .sources.warc import read_warc
+
+    out_dir = tempfile.mkdtemp(prefix="dolma_ray_gate_warc_")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch["text"], pa.string())
+        esc = pc.replace_substring(
+            pc.replace_substring(txt, "&", "&amp;"), "<", "&lt;"
+        )
+        ids = batch["doc_id"].to_pylist()
+        bodies = esc.to_pylist() if hasattr(esc, "to_pylist") else list(esc)
+        chunks: list[bytes] = []
+        for i, body in zip(ids, bodies):
+            html = (
+                f"<html><head><title>doc {i}</title></head><body><p>{body}"
+                f"</p><div>tail {i}</div></body></html>"
+            ).encode("utf-8")
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8"
+                b"\r\nContent-Length: " + str(len(html)).encode() + b"\r\n\r\n"
+                + html
+            )
+            head = (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Record-ID: <urn:uuid:{i}>\r\n"
+                f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"WARC-Target-URI: http://gate.test/{i}\r\n"
+                f"Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            chunks.append(gzip.compress(head + payload + b"\r\n\r\n"))
+        path = f"{out_dir}/{min(ids):012d}.warc.gz"
+        with open(path, "wb") as f:
+            f.write(b"".join(chunks))
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    # force the shard writes (tiny result: one path row per block)
+    paths = [
+        r["path"]
+        for r in ds.map_batches(write_shard, batch_format="pyarrow").take_all()
+    ]
+
+    back = read_warc(paths, linearizer="htmlparser")
+
+    def project(batch: pa.Table) -> pa.Table:
+        doc_id = pc.cast(
+            pc.replace_substring(batch["url"], "http://gate.test/", ""),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "extracted": pc.cast(batch["text"], pa.string()),
+            }
+        )
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
+# same normalization replay as SQL_EXTRACT_TEXT — the WARC wrapper must
+# be transparent around the identical html build
+SQL_WARC_ROUNDTRIP = r"""
+WITH norm AS (
+  SELECT doc_id,
+    trim(regexp_replace(array_to_string(list_transform(string_split(text, chr(10)),
+        x -> trim(regexp_replace(x, '[ \t\r\f\v]+', ' ', 'g'), ' ')), chr(10)),
+      '\n{2,}', chr(10)||chr(10), 'g'), chr(10)) AS body
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN body = '' THEN 'tail ' || doc_id
+       ELSE body || chr(10) || chr(10) || 'tail ' || doc_id END AS extracted
+FROM norm
+"""
+
+QUERIES["warc_roundtrip"] = q_warc_roundtrip
+ORACLES["warc_roundtrip"] = SQL_WARC_ROUNDTRIP

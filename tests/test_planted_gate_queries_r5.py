@@ -1,6 +1,7 @@
 """Round-5 planted-oracle gate queries (url_block_options,
 code_secrets, uniseg_tokens, domain_block, copyright_comments,
-toxicity_labels): each runs the real engine/tagger over
+toxicity_labels, jsonl_roundtrip, warc_roundtrip): each runs the real
+engine/tagger/reader over
 deterministic variants and must match its constructed SQL oracle."""
 
 import duckdb
@@ -44,6 +45,8 @@ def _compare(name, ray_session):
         "domain_block",
         "copyright_comments",
         "toxicity_labels",
+        "jsonl_roundtrip",
+        "warc_roundtrip",
     ],
 )
 def test_planted_gate_query_matches_oracle(name, ray_session):
