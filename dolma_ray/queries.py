@@ -4052,3 +4052,98 @@ FROM norm
 
 QUERIES["warc_roundtrip"] = q_warc_roundtrip
 ORACLES["warc_roundtrip"] = SQL_WARC_ROUNDTRIP
+
+
+def q_tokenize_ids(sf_dir: str):
+    """Tokenizer sink at the driver gate: a real HF ``tokenizer.json``
+    (WordLevel + Whitespace pre-tokenizer + an added ``<eos>`` token,
+    the same spec shape the reference's tokenizer consumer loads) is
+    materialized to a temp file and run through the REAL
+    ``TokenizeStage`` (``sources/tokens.py`` over
+    ``models/hf_tokenizer.py``) with ``eos_id`` appending, on four
+    planted texts by ``doc_id % 4`` — all-known words, a longer
+    sentence, an ``<unk>`` hit, and the empty string (no eos on empty,
+    reference ``add_special_tokens`` semantics).  The oracle states
+    token counts and id-sums by construction.  (The temp spec file is
+    driver-local — on a multi-node cluster pass a shared path or ship
+    the spec via ``ray.put`` instead.)"""
+    import json as _json
+    import tempfile
+
+    from .sources.tokens import TokenizeStage
+
+    spec = {
+        "model": {
+            "type": "WordLevel",
+            "vocab": {
+                "<unk>": 0,
+                "the": 1,
+                "cat": 2,
+                "sat": 3,
+                "mat": 4,
+                "on": 5,
+            },
+            "unk_token": "<unk>",
+        },
+        "pre_tokenizer": {"type": "Whitespace"},
+        "added_tokens": [{"id": 6, "content": "<eos>"}],
+    }
+    tok_file = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".json", prefix="dolma_ray_gate_tok_", delete=False
+    )
+    _json.dump(spec, tok_file)
+    tok_file.close()
+
+    variants = pa.array(
+        [
+            "the cat sat",  # [1,2,3,6]
+            "the cat sat on the mat",  # [1,2,3,5,1,4,6]
+            "the zebra sat",  # [1,0,3,6] — unk mapping
+            "",  # [] — no eos on empty
+        ],
+        pa.string(),
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": variants.take(pa.array(ids % 4, pa.int64())),
+            }
+        )
+
+    tokenized = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        TokenizeStage(tokenizer_path=tok_file.name, eos_id=6),
+        batch_format="pyarrow",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        toks = batch["token_ids"].combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(flat)])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(batch["n_tokens"], pa.int64()),
+                "sum_ids": pa.array(csum[offs[1:]] - csum[offs[:-1]], pa.int64()),
+            }
+        )
+
+    return tokenized.map_batches(project, batch_format="pyarrow")
+
+
+SQL_TOKENIZE_IDS = """
+SELECT doc_id,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 7 WHEN 2 THEN 4
+    ELSE 0 END AS BIGINT) AS n_tokens,
+  CAST(CASE doc_id % 4 WHEN 0 THEN 12 WHEN 1 THEN 22 WHEN 2 THEN 10
+    ELSE 0 END AS BIGINT) AS sum_ids
+FROM documents
+"""
+
+QUERIES["tokenize_ids"] = q_tokenize_ids
+ORACLES["tokenize_ids"] = SQL_TOKENIZE_IDS

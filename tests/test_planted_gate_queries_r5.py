@@ -47,6 +47,7 @@ def _compare(name, ray_session):
         "toxicity_labels",
         "jsonl_roundtrip",
         "warc_roundtrip",
+        "tokenize_ids",
     ],
 )
 def test_planted_gate_query_matches_oracle(name, ray_session):
