@@ -4147,3 +4147,133 @@ FROM documents
 
 QUERIES["tokenize_ids"] = q_tokenize_ids
 ORACLES["tokenize_ids"] = SQL_TOKENIZE_IDS
+
+
+def q_fingerprint(sf_dir: str):
+    """Document fingerprinting at the driver gate: the REAL
+    ``analysis/text_stats.py::add_fingerprint`` (64-bit FNV-1a over the
+    utf-8 text, top bit shifted off to stay in int64) runs over a
+    planted ASCII text ``'fp-' || doc_id`` so the oracle can replay the
+    byte fold exactly in SQL (same ``list_reduce`` replay as
+    ``sample_split`` — DuckDB ``ord`` is a codepoint, so the planted
+    text stays ASCII where codepoint == utf-8 byte)."""
+    from .analysis.text_stats import add_fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant_and_fp(batch: pa.Table) -> pa.Table:
+        planted = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pc.binary_join_element_wise(
+                    "fp-", pc.cast(batch["doc_id"], pa.string()), ""
+                ),
+            }
+        )
+        return add_fingerprint(planted).drop_columns(["text"])
+
+    return ds.map_batches(plant_and_fp, batch_format="pyarrow")
+
+
+SQL_FINGERPRINT = """
+WITH hashed AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(
+          range(1, length('fp-' || doc_id::VARCHAR) + 1),
+          i -> ord(substr('fp-' || doc_id::VARCHAR, i, 1))::HUGEINT)),
+      (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
+    ) AS hv
+  FROM documents)
+SELECT doc_id, CAST(hv // 2 AS BIGINT) AS fingerprint
+FROM hashed
+"""
+
+QUERIES["fingerprint"] = q_fingerprint
+ORACLES["fingerprint"] = SQL_FINGERPRINT
+
+
+def q_code_composition(sf_dir: str):
+    """``code_composition`` tagger at the driver gate: four planted
+    files by ``doc_id % 4`` — all-code, all-prose, prose/code/prose
+    (two boundaries), and short ``other`` lines — through the REAL
+    classifier (``taggers/code_composition.py``, reference
+    ``python/dolma/taggers/code_composition.py``: per-line NB
+    classification, code<->prose transition count, per-class pct and
+    mean line entropy).  Counts, pcts and boundaries follow by
+    construction; the two mean-entropy constants are the deterministic
+    embedded-seed NB model's values through the attribute writer's
+    5-digit rounding, pinned here and margin-checked in
+    ``tests/test_planted_gate_queries_r5.py``."""
+    from .schema import attr_name
+    from .taggers import code_composition as _  # noqa: F401  (registry)
+    from .taggers.base import TagStage
+
+    variants = pa.array(
+        [
+            "def main():\n    return 0\nimport os\nx = len(arr)\n",
+            "The committee published its final report. The museum "
+            "announced a new exhibition. Volunteers planted trees in "
+            "the park.",
+            "The researchers discovered a new species.\n"
+            "def analyze(data):\n    return len(data)\n"
+            "The report was published in the spring.",
+            "ok\n-\n",
+        ],
+        pa.string(),
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": variants.take(pa.array(ids % 4, pa.int64())),
+            }
+        )
+
+    tagged = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        TagStage(["code_composition"]), batch_format="pyarrow"
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        name = "code_composition"
+        out = {"doc_id": batch["doc_id"]}
+        for t in (
+            "boundaries",
+            "code",
+            "prose",
+            "other",
+            "code_pct",
+            "prose_pct",
+            "code_entropy",
+            "prose_entropy",
+        ):
+            out[t] = batch[attr_name(name, t)]
+        return pa.table(out)
+
+    return tagged.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CODE_COMPOSITION = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 2 THEN 2.0 ELSE 0.0 END AS boundaries,
+  CASE doc_id % 4 WHEN 0 THEN 4.0 WHEN 2 THEN 2.0 ELSE 0.0 END AS code,
+  CASE doc_id % 4 WHEN 1 THEN 1.0 WHEN 2 THEN 2.0 ELSE 0.0 END AS prose,
+  CASE WHEN doc_id % 4 = 3 THEN 2.0 ELSE 0.0 END AS other,
+  CASE doc_id % 4 WHEN 0 THEN 1.0 WHEN 2 THEN 0.5 ELSE 0.0 END
+    AS code_pct,
+  CASE doc_id % 4 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 ELSE 0.0 END
+    AS prose_pct,
+  CASE doc_id % 4 WHEN 0 THEN 0.94281 WHEN 2 THEN 0.98201 ELSE 0.0 END
+    AS code_entropy,
+  CASE doc_id % 4 WHEN 1 THEN 0.81877 WHEN 2 THEN 0.78239 ELSE 0.0 END
+    AS prose_entropy
+FROM documents
+"""
+
+QUERIES["code_composition"] = q_code_composition
+ORACLES["code_composition"] = SQL_CODE_COMPOSITION

@@ -48,6 +48,8 @@ def _compare(name, ray_session):
         "jsonl_roundtrip",
         "warc_roundtrip",
         "tokenize_ids",
+        "fingerprint",
+        "code_composition",
     ],
 )
 def test_planted_gate_query_matches_oracle(name, ray_session):
@@ -123,3 +125,39 @@ def test_toxicity_label_margins_are_clear():
     for v, lbl in zip(nsfw_variants, [0, 1]):
         p = nd.predict(v, {})["__label__nsfw"]
         assert (p > 0.5) == bool(lbl) and abs(p - 0.5) >= 0.04, (v, p)
+
+
+def test_code_composition_pinned_constants():
+    """The code_composition oracle pins NB-entropy constants; assert
+    they match a direct tagger run (so a model/seed change fails here
+    with a clear message, not as an opaque gate hash mismatch), and
+    that every line classification has a real margin."""
+    from dolma_ray.taggers.code_composition import (
+        CodeProseCompositionClassifier,
+    )
+
+    t = CodeProseCompositionClassifier()
+    variants = [
+        "def main():\n    return 0\nimport os\nx = len(arr)\n",
+        "The committee published its final report. The museum "
+        "announced a new exhibition. Volunteers planted trees in "
+        "the park.",
+        "The researchers discovered a new species.\n"
+        "def analyze(data):\n    return len(data)\n"
+        "The report was published in the spring.",
+        "ok\n-\n",
+    ]
+    expected = [
+        {"boundaries": 0.0, "code": 4.0, "prose": 0.0, "other": 0.0,
+         "code_entropy": 0.94281, "prose_entropy": 0.0},
+        {"boundaries": 0.0, "code": 0.0, "prose": 1.0, "other": 0.0,
+         "code_entropy": 0.0, "prose_entropy": 0.81877},
+        {"boundaries": 2.0, "code": 2.0, "prose": 2.0, "other": 0.0,
+         "code_entropy": 0.98201, "prose_entropy": 0.78239},
+        {"boundaries": 0.0, "code": 0.0, "prose": 0.0, "other": 2.0,
+         "code_entropy": 0.0, "prose_entropy": 0.0},
+    ]
+    for v, exp in zip(variants, expected):
+        got = t.predict(v, {})
+        for k, want in exp.items():
+            assert round(got[k], 5) == want, (v[:30], k, got[k], want)
