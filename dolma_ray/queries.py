@@ -4277,3 +4277,111 @@ FROM documents
 
 QUERIES["code_composition"] = q_code_composition
 ORACLES["code_composition"] = SQL_CODE_COMPOSITION
+
+
+def q_attributes_roundtrip(sf_dir: str):
+    """The reference documents ↔ attributes interchange, end-to-end at
+    the driver gate: four planted texts by ``doc_id % 4`` (no PII / one
+    email / two emails + a phone / an IP) go through the REAL
+    ``pii_regex_with_counts_fast_v2`` tagger, then the tagged Dataset is
+    written as BOTH reference-format trees — a documents tree
+    (``write_dolma_documents_distributed``) and a parallel attributes
+    tree (``write_dolma_attributes_distributed``, 5-digit score
+    rounding) — and read back merged through ``read_dolma_corpus``
+    (``sources/jsonl.py``: attribute-name discovery pass + span-column
+    parse + keyed id join; reference positional merge
+    ``src/shard.rs:222-365``).  The oracle states the surviving span
+    counts and doc scores by construction, so the whole JSONL
+    attribute format — writer, reader, and merge — must round-trip
+    exactly."""
+    from .schema import attr_name
+    from .sources.jsonl import (
+        read_dolma_corpus,
+        write_dolma_attributes_distributed,
+        write_dolma_documents_distributed,
+    )
+    from .taggers import pii as _  # noqa: F401  (registry import)
+    from .taggers.base import TagStage
+    import tempfile
+
+    variants = pa.array(
+        [
+            "no pii in this line at all\n",
+            "contact me at alice@example.com for details\n",
+            "bob@example.com and carol@example.com or call (555) 123-4567\n",
+            "the server at 192.168.1.1 responded quickly\n",
+        ],
+        pa.string(),
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id": pc.cast(batch["doc_id"], pa.string()),
+                "text": variants.take(pa.array(ids % 4, pa.int64())),
+            }
+        )
+
+    tagged = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        TagStage(["pii_regex_with_counts_fast_v2"]), batch_format="pyarrow"
+    )
+    docs_dir = tempfile.mkdtemp(prefix="dolma_ray_gate_adocs_")
+    attrs_dir = tempfile.mkdtemp(prefix="dolma_ray_gate_attrs_")
+    write_dolma_documents_distributed(tagged, docs_dir)
+    write_dolma_attributes_distributed(tagged, attrs_dir)
+
+    back = read_dolma_corpus(docs_dir, [attrs_dir], include_metadata=False)
+
+    name = "pii_regex_with_counts_fast_v2"
+
+    def project(batch: pa.Table) -> pa.Table:
+        def span_count(t: str):
+            return pc.cast(
+                pc.list_value_length(batch[attr_name(name, t)]), pa.int64()
+            )
+
+        def doc_score(t: str):
+            # doc scalars round-trip as a single [0, len, score] span
+            flat = pc.struct_field(
+                batch[attr_name(name, t)].combine_chunks().flatten(), "score"
+            )
+            return flat
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["id"], pa.int64()),
+                "email_spans": span_count("EMAIL_ADDRESS"),
+                "phone_spans": span_count("PHONE_NUMBER"),
+                "ip_spans": span_count("IP_ADDRESS"),
+                "doc_count": doc_score("doc_count"),
+                "doc_frac": doc_score("doc_frac"),
+            }
+        )
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
+SQL_ATTRIBUTES_ROUNDTRIP = """
+SELECT doc_id,
+  CAST(CASE doc_id % 4 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS BIGINT)
+    AS email_spans,
+  CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS BIGINT)
+    AS phone_spans,
+  CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS BIGINT)
+    AS ip_spans,
+  CASE doc_id % 4 WHEN 1 THEN 1.0 WHEN 2 THEN 3.0 WHEN 3 THEN 1.0
+    ELSE 0.0 END AS doc_count,
+  CASE doc_id % 4
+    WHEN 1 THEN 1.43182  -- round(1 + pii_chars/len, 5), reference quirk
+    WHEN 2 THEN 1.81967
+    WHEN 3 THEN 1.25
+    ELSE 1.0
+  END AS doc_frac
+FROM documents
+"""
+
+QUERIES["attributes_roundtrip"] = q_attributes_roundtrip
+ORACLES["attributes_roundtrip"] = SQL_ATTRIBUTES_ROUNDTRIP

@@ -1,6 +1,8 @@
 from .jsonl import (  # noqa: F401
     attributes_table,
     attributes_to_rows,
+    read_dolma_attributes,
+    read_dolma_corpus,
     read_dolma_documents,
     write_dolma_attributes,
     write_dolma_attributes_distributed,

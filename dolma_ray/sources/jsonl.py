@@ -80,6 +80,126 @@ def _open_shard_writer(path: str):
     return gzip.open(path, "wb")
 
 
+def _loads(line):
+    try:
+        import orjson
+
+        return orjson.loads(line)
+    except ImportError:  # pragma: no cover - orjson is present in this env
+        return json.loads(line)
+
+
+def _decompress_shard(data: bytes, path: str) -> bytes:
+    """Decode a JSONL shard payload, sniffing the magic bytes rather
+    than the extension (``ray.data.read_binary_files`` may already have
+    inflated a ``.gz``/``.zst`` path by the time we see it): gzip
+    multi-member, zstd via pyarrow's built-in codec, else raw."""
+    if data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        with pa.input_stream(pa.BufferReader(data), compression="zstd") as f:
+            return f.read()
+    return data
+
+
+def read_dolma_attributes(
+    paths: str | list[str], attribute_names: Iterable[str] | None = None
+):
+    """Read a reference-format attributes tree (gzip/zstd JSONL of
+    ``{id, attributes: {name: [[start, end, score], ...]}}`` rows,
+    ``docs/data-format.md:70-109``) into a Dataset with one
+    ``attr__{name}`` span column per attribute and a string ``id`` key.
+
+    The attribute-name set must be fixed before emitting schema-stable
+    blocks, so when ``attribute_names`` is not given a cheap discovery
+    pass streams the tree once collecting per-block name sets (tiny —
+    O(distinct attribute names) rows per shard) before the real parse
+    pass; pass ``attribute_names`` explicitly to read the files only
+    once.  Shards are parsed file-per-task (the reference's parallel
+    unit too); absent attributes become empty span lists, so the merge
+    onto documents is null-free."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths, include_paths=True)
+
+    if attribute_names is None:
+
+        def names_of(batch: pa.Table) -> pa.Table:
+            seen: set[str] = set()
+            for data, path in zip(
+                batch["bytes"].to_pylist(), batch["path"].to_pylist()
+            ):
+                for line in _decompress_shard(data, path).splitlines():
+                    if line.strip():
+                        seen.update(_loads(line).get("attributes") or {})
+            return pa.table({"name": pa.array(sorted(seen), pa.string())})
+
+        attribute_names = sorted(
+            {
+                r["name"]
+                for r in rd.read_binary_files(paths, include_paths=True)
+                .map_batches(names_of, batch_format="pyarrow", batch_size=1)
+                .take_all()
+            }
+        )
+    names = list(attribute_names)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for data, path in zip(
+            batch["bytes"].to_pylist(), batch["path"].to_pylist()
+        ):
+            for line in _decompress_shard(data, path).splitlines():
+                if line.strip():
+                    rows.append(_loads(line))
+        cols: dict[str, Any] = {
+            "id": pa.array([str(r.get("id", "")) for r in rows], pa.string())
+        }
+        for name in names:
+            spans = [
+                [
+                    (int(s), int(e), float(sc))
+                    for s, e, sc in (r.get("attributes") or {}).get(name, [])
+                ]
+                for r in rows
+            ]
+            cols["attr__" + name] = spans_array(spans)
+        return pa.table(cols)
+
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def read_dolma_corpus(
+    documents: str | list[str],
+    attributes: str | Iterable[str] = (),
+    strategy: str = "broadcast",
+    attribute_names: Iterable[str] | None = None,
+    include_metadata: bool = True,
+):
+    """Read a full reference-layout corpus — a documents tree plus any
+    number of parallel attributes trees — into ONE Dataset with the
+    attributes as ``attr__*`` span columns, ready for the mixer.
+
+    The reference's mixer aligns documents and attributes positionally
+    (``src/shard.rs:222-365``, asserting id equality as it goes); here
+    each attributes tree is attached by a keyed ``id`` join instead —
+    ``strategy="broadcast"`` ships the attribute table via ``ray.put``
+    (fine while the attribute side fits one node), ``strategy="join"``
+    keeps it a Dataset on bucketed sort exchanges (the 100-TB path)."""
+    from .attributes import join_attributes
+
+    ds = read_dolma_documents(documents, include_metadata=include_metadata)
+    trees = [attributes] if isinstance(attributes, str) else list(attributes)
+    for tree in trees:
+        ds = join_attributes(
+            ds,
+            read_dolma_attributes(tree, attribute_names=attribute_names),
+            id_column="id",
+            strategy=strategy,
+        )
+    return ds
+
+
 def read_dolma_documents(paths: str | list[str], include_metadata: bool = True):
     """Read a dolma documents tree (``*.json.gz``) into a Dataset with
     columns (id, text, source, and ``metadata`` as a JSON string when

@@ -1,0 +1,113 @@
+"""read_dolma_attributes / read_dolma_corpus: the JSONL attributes tree
+comes back as attr__ span columns merged onto documents by id
+(reference positional merge src/shard.rs:222-365 re-keyed)."""
+
+import gzip
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+
+def _write_tree(dirpath, rows, name="000.json.gz", codec="gz"):
+    os.makedirs(dirpath, exist_ok=True)
+    payload = b"\n".join(json.dumps(r).encode() for r in rows) + b"\n"
+    path = os.path.join(dirpath, name)
+    if codec == "gz":
+        with gzip.open(path, "wb") as f:
+            f.write(payload)
+    elif codec == "zst":
+        with pa.CompressedOutputStream(pa.OSFile(path, "wb"), "zstd") as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
+    return path
+
+
+def test_read_attributes_discovers_names_and_fills_missing(
+    ray_session, tmp_path
+):
+    from dolma_ray.sources.jsonl import read_dolma_attributes
+
+    tree = str(tmp_path / "attrs")
+    _write_tree(
+        tree,
+        [
+            {"id": "a", "attributes": {"exp__t__x": [[0, 3, 1.0]]}},
+            {"id": "b", "attributes": {"exp__t__y": [[1, 2, 0.5]]}},
+        ],
+        name="000.json.gz",
+    )
+    _write_tree(
+        tree,
+        [{"id": "c", "attributes": {"exp__t__x": [[0, 1, 0.25], [2, 4, 0.75]]}}],
+        name="001.json.zst",
+        codec="zst",
+    )
+    df = read_dolma_attributes(tree).to_pandas().set_index("id")
+    assert sorted(df.columns) == ["attr__exp__t__x", "attr__exp__t__y"]
+    # missing attribute -> empty list, never null
+    assert list(df.loc["b", "attr__exp__t__x"]) == []
+    assert [dict(s) for s in df.loc["c", "attr__exp__t__x"]] == [
+        {"start": 0, "end": 1, "score": 0.25},
+        {"start": 2, "end": 4, "score": 0.75},
+    ]
+    assert [dict(s) for s in df.loc["b", "attr__exp__t__y"]] == [
+        {"start": 1, "end": 2, "score": 0.5}
+    ]
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_read_corpus_merges_multiple_trees(ray_session, tmp_path, strategy):
+    from dolma_ray.sources.jsonl import read_dolma_corpus
+
+    docs = str(tmp_path / "docs")
+    _write_tree(
+        docs,
+        [
+            {"id": "a", "text": "alpha", "source": "s"},
+            {"id": "b", "text": "beta", "source": "s"},
+        ],
+    )
+    t1 = str(tmp_path / "t1")
+    _write_tree(t1, [
+        {"id": "a", "attributes": {"e1__t__x": [[0, 5, 1.0]]}},
+        {"id": "b", "attributes": {"e1__t__x": []}},
+    ])
+    t2 = str(tmp_path / "t2")
+    _write_tree(t2, [
+        {"id": "a", "attributes": {"e2__u__y": []}},
+        {"id": "b", "attributes": {"e2__u__y": [[1, 4, 0.5]]}},
+    ])
+    df = (
+        read_dolma_corpus(docs, [t1, t2], strategy=strategy)
+        .to_pandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert sorted(c for c in df.columns if c.startswith("attr__")) == [
+        "attr__e1__t__x",
+        "attr__e2__u__y",
+    ]
+    assert df.loc["a", "text"] == "alpha"
+    assert [dict(s) for s in df.loc["a", "attr__e1__t__x"]] == [
+        {"start": 0, "end": 5, "score": 1.0}
+    ]
+    assert [dict(s) for s in df.loc["b", "attr__e2__u__y"]] == [
+        {"start": 1, "end": 4, "score": 0.5}
+    ]
+
+
+def test_explicit_names_skip_discovery(ray_session, tmp_path):
+    from dolma_ray.sources.jsonl import read_dolma_attributes
+
+    tree = str(tmp_path / "attrs")
+    _write_tree(tree, [{"id": "a", "attributes": {"e__t__x": [[0, 1, 1.0]]}}])
+    df = (
+        read_dolma_attributes(tree, attribute_names=["e__t__x", "e__t__z"])
+        .to_pandas()
+    )
+    assert sorted(df.columns) == ["attr__e__t__x", "attr__e__t__z", "id"]
+    assert list(df.loc[0, "attr__e__t__z"]) == []

@@ -50,6 +50,7 @@ def _compare(name, ray_session):
         "tokenize_ids",
         "fingerprint",
         "code_composition",
+        "attributes_roundtrip",
     ],
 )
 def test_planted_gate_query_matches_oracle(name, ray_session):
