@@ -69,9 +69,49 @@ def _init_ray(num_cpus: int | None) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
+_JSONL_SUFFIXES = (".json.gz", ".json.zst", ".jsonl.gz", ".jsonl.zst", ".jsonl", ".json")
+
+
+def _is_dolma_jsonl(path: str) -> bool:
+    """True when ``path`` points at a reference-layout JSONL documents
+    tree (a dir of ``*.json.gz``-style shards, a shard file, or a glob
+    of them) rather than native parquet."""
+    import glob as _glob
+    import os
+
+    first = path.split(",")[0]
+    if first.lower().endswith(_JSONL_SUFFIXES):
+        return True
+    candidates = (
+        _glob.glob(first) if any(ch in first for ch in "*?[") else [first]
+    )
+    for c in candidates:
+        if os.path.isdir(c):
+            entries = os.listdir(c)
+            if entries and all(
+                e.lower().endswith(_JSONL_SUFFIXES)
+                for e in entries
+                if not e.startswith(".")
+            ):
+                return True
+    return False
+
+
 def _read(path: str, columns: list[str] | None = None):
+    """Native parquet, or — auto-detected — a reference-layout gzip/zstd
+    JSONL documents tree through the interchange reader, so existing
+    dolma corpora run through every subcommand unconverted."""
     import ray.data as rd
 
+    if _is_dolma_jsonl(path):
+        from .sources.jsonl import read_dolma_documents
+
+        ds = read_dolma_documents(path.split(",") if "," in path else path)
+        if columns:
+            keep = [c for c in columns if c in ds.schema().names]
+            if keep:
+                ds = ds.select_columns(keep)
+        return ds
     return rd.read_parquet(path, columns=columns)
 
 
@@ -214,6 +254,17 @@ def cmd_mix(args: argparse.Namespace) -> int:
         from .pipelines.flagship import CANONICAL_MIX_CONFIG as config  # noqa: N813
 
     ds = _read(args.input)
+    if getattr(args, "attributes_input", None):
+        from .sources.attributes import join_attributes
+        from .sources.jsonl import read_dolma_attributes
+
+        for tree in args.attributes_input.split(","):
+            ds = join_attributes(
+                ds,
+                read_dolma_attributes(tree),
+                id_column=args.id_column,
+                strategy=args.attributes_strategy,
+            )
     out = mix(ds, config, mode=args.mode)
     out.write_parquet(args.output)
     print(f"mixed -> {args.output}")
@@ -543,6 +594,21 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--output", required=True)
     m.add_argument("--config", default=None, help="YAML mix config (default: canonical ruleset)")
     m.add_argument("--mode", choices=["filter", "label"], default="filter")
+    m.add_argument(
+        "--attributes-input",
+        default=None,
+        help="comma-separated reference-format attributes trees to merge "
+        "onto the documents by id before mixing (decoupled tag-once/"
+        "mix-many workflow)",
+    )
+    m.add_argument("--id-column", default="id")
+    m.add_argument(
+        "--attributes-strategy",
+        choices=["broadcast", "join"],
+        default="broadcast",
+        help="broadcast ships each attribute table via ray.put; join "
+        "keeps it a Dataset on bucketed exchanges (the at-scale path)",
+    )
     m.set_defaults(fn=cmd_mix)
 
     f = sub.add_parser("flagship", help="full tag+dedup+mix pipeline")

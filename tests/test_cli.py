@@ -389,3 +389,79 @@ def test_cli_substrings(tmp_path):
             f"FROM read_parquet('{out}/*.parquet') WHERE doc_id = 1"
         ).fetchone()[1]
         assert spans == [{"start": 0, "end": len("one two three four five"), "score": 1.0}]
+
+
+@pytest.mark.slow
+def test_cli_dolma_jsonl_workflow(tmp_path):
+    """The reference's own corpus layout end-to-end through the CLI:
+    tag a gzip JSONL documents tree directly (input auto-detected),
+    export an attributes tree, then a decoupled mix off the ORIGINAL
+    JSONL tree with --attributes-input."""
+    import gzip
+    import json
+
+    docs = tmp_path / "documents"
+    docs.mkdir()
+    rows = [
+        {
+            "id": str(i),
+            "text": (
+                "contact me at alice@example.com today\n"
+                if i % 3 == 0
+                else "a perfectly ordinary paragraph of english text\n"
+            )
+            * 3,
+            "source": "demo",
+        }
+        for i in range(30)
+    ]
+    with gzip.open(docs / "000.json.gz", "wb") as f:
+        for r in rows:
+            f.write(json.dumps(r).encode() + b"\n")
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dolma_ray", "--num-cpus", "2",
+            "tag", "--input", str(docs), "--output", str(tmp_path / "tagged"),
+            "--taggers", "pii_regex_with_counts_fast_v2",
+        ],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+
+    subprocess.run(
+        [
+            sys.executable, "-c",
+            "import ray; ray.init(address='local', num_cpus=2, "
+            "include_dashboard=False, logging_level='ERROR');"
+            "import ray.data as rd;"
+            "from dolma_ray.sources.jsonl import write_dolma_attributes_distributed;"
+            f"write_dolma_attributes_distributed(rd.read_parquet({str(tmp_path / 'tagged')!r}), "
+            f"{str(tmp_path / 'attrs')!r}); ray.shutdown()",
+        ],
+        check=True,
+    )
+
+    cfg = tmp_path / "mix.yaml"
+    cfg.write_text(
+        "streams:\n"
+        "  - name: demo\n"
+        "    filter:\n"
+        "      exclude:\n"
+        '        - "$.attributes[?(@.pii_regex_with_counts_fast_v2__doc_count'
+        '[0][2] > 0)]"\n'
+    )
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dolma_ray", "--num-cpus", "2",
+            "mix", "--input", str(docs),
+            "--attributes-input", str(tmp_path / "attrs"),
+            "--config", str(cfg), "--output", str(tmp_path / "mixed"),
+        ],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{tmp_path}/mixed/*.parquet')"
+    ).fetchone()[0]
+    assert n == 20  # every i % 3 == 0 doc excluded
