@@ -4385,3 +4385,82 @@ FROM documents
 
 QUERIES["attributes_roundtrip"] = q_attributes_roundtrip
 ORACLES["attributes_roundtrip"] = SQL_ATTRIBUTES_ROUNDTRIP
+
+
+def q_ft_train_predict(sf_dir: str):
+    """The fastText train/test harness at the driver gate: a labeled
+    training file is built Ray-side from two planted corpora by
+    ``doc_id % 2`` (prose-ish positives / code-ish negatives,
+    ``build_fasttext_dataset`` — reference ``core/ft_dataset.py``
+    format), the deterministic NB classifier trains from it
+    (``train_supervised_file`` — reference ``ft_tagger.py:39-136``
+    entry point) and is saved/loaded through the json+npz codec, then a
+    distributed scoring pass predicts every document with the model
+    loaded from the path once per worker.  The planted classes are
+    trivially separable, so the oracle states every argmax label (and
+    ``test_file`` on the training set must report P@1 == 1.0 — pinned
+    in ``tests/test_planted_gate_queries_r5.py``)."""
+    import tempfile
+
+    from .models.ft_harness import (
+        TrainedTextClassifier,
+        build_fasttext_dataset,
+        train_supervised_file,
+    )
+
+    POS = (
+        "the committee published its annual report about the local "
+        "economy and the museum"
+    )
+    NEG = "def main return import class function variable loop array index pointer"
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array(
+                    [POS if i % 2 else NEG for i in ids], pa.string()
+                ),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    train_path = tempfile.mktemp(prefix="dolma_ray_gate_ft_", suffix=".txt")
+    model_path = tempfile.mktemp(prefix="dolma_ray_gate_ft_", suffix=".json")
+    build_fasttext_dataset(
+        planted.filter(lambda r: r["doc_id"] % 2 == 1),
+        planted.filter(lambda r: r["doc_id"] % 2 == 0),
+        train_path,
+        mode="document",
+        max_segments_per_class=64,
+    )
+    train_supervised_file(train_path, save_path=model_path)
+
+    def score(batch: pa.Table) -> pa.Table:
+        model = TrainedTextClassifier.load(model_path)
+        texts = batch["text"].to_pylist()
+        probs = model.predict_batch(texts)
+        import numpy as _np
+
+        pred = [model.labels[j] for j in _np.argmax(probs, axis=1)]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred": pa.array(pred, pa.string()),
+            }
+        )
+
+    return planted.map_batches(score, batch_format="pyarrow")
+
+
+SQL_FT_TRAIN_PREDICT = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1 THEN 'pos' ELSE 'neg' END AS pred
+FROM documents
+"""
+
+QUERIES["ft_train_predict"] = q_ft_train_predict
+ORACLES["ft_train_predict"] = SQL_FT_TRAIN_PREDICT

@@ -51,6 +51,7 @@ def _compare(name, ray_session):
         "fingerprint",
         "code_composition",
         "attributes_roundtrip",
+        "ft_train_predict",
     ],
 )
 def test_planted_gate_query_matches_oracle(name, ray_session):
@@ -162,3 +163,26 @@ def test_code_composition_pinned_constants():
         got = t.predict(v, {})
         for k, want in exp.items():
             assert round(got[k], 5) == want, (v[:30], k, got[k], want)
+
+
+def test_ft_harness_perfect_on_separable_classes(ray_session, tmp_path):
+    """The ft_train_predict gate trains on trivially-separable planted
+    classes; test_file must report P@1 == R@1 == 1.0 on that set."""
+    from dolma_ray.models.ft_harness import (
+        test_file,
+        train_supervised_file,
+    )
+
+    pos = (
+        "the committee published its annual report about the local "
+        "economy and the museum"
+    )
+    neg = "def main return import class function variable loop array index pointer"
+    train = tmp_path / "train.txt"
+    train.write_text(
+        "".join(f"__label__pos {pos}\n" for _ in range(8))
+        + "".join(f"__label__neg {neg}\n" for _ in range(8))
+    )
+    model = train_supervised_file(str(train))
+    n, p1, r1 = test_file(model, str(train))
+    assert n == 16 and p1 == 1.0 and r1 == 1.0
