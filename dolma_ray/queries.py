@@ -4464,3 +4464,96 @@ FROM documents
 
 QUERIES["ft_train_predict"] = q_ft_train_predict
 ORACLES["ft_train_predict"] = SQL_FT_TRAIN_PREDICT
+
+
+def q_starcoder_tags(sf_dir: str):
+    """StarCoder code-quality taggers at the driver gate: four planted
+    files by ``doc_id % 4`` — python with a comment (real ast+tokenize
+    nl-ratio), an ``<?xml version=`` template hit, an html page with
+    >100 visible chars (fractional code-to-text ratio via the real
+    ``html.parser`` walk), and an unmapped extension (v1's bare-except
+    −1.0 path vs v2's 0.5 default — the two versions genuinely
+    disagree) — through BOTH REAL ``code_starcoder_taggers_v1``/``_v2``
+    (``taggers/code.py``, reference
+    ``taggers/code/code_taggers.py:190-266``), with ``ext`` and
+    ``max_stars_count`` planted as the side columns the taggers
+    require.  Constants pinned through the 5-digit attribute rounding;
+    semantics separately pinned by
+    ``tests/test_starcoder_differential.py``."""
+    from .schema import attr_name
+    from .taggers import code as _  # noqa: F401  (registry import)
+    from .taggers.base import TagStage
+
+    body = ("the quick brown fox jumps over the lazy dog " * 4).strip()
+    texts = pa.array(
+        [
+            "def f():\n    # a comment line here\n    return 1\n",
+            '<?xml version="1.0"?>\n<root><item>x</item></root>\n',
+            f"<html><body><p>{body}</p><script>var x=1;</script></body></html>",
+            "// comment\nint main() { return 0; }\n",
+        ],
+        pa.string(),
+    )
+    exts = pa.array(["py", "xml", "html", "weirdext"], pa.string())
+    stars = pa.array([7, 0, 3, 2], pa.int64())
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        idx = pa.array(
+            batch["doc_id"].to_numpy(zero_copy_only=False) % 4, pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": texts.take(idx),
+                "ext": exts.take(idx),
+                "max_stars_count": stars.take(idx),
+            }
+        )
+
+    tagged = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        TagStage(["code_starcoder_taggers_v1", "code_starcoder_taggers_v2"]),
+        batch_format="pyarrow",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        v1 = "code_starcoder_taggers_v1"
+        v2 = "code_starcoder_taggers_v2"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "has_xml": batch[attr_name(v1, "has_xml_template_doc")],
+                "stars": batch[attr_name(v1, "num_github_stars_doc")],
+                "nl_ratio_v1": batch[attr_name(v1, "nl_ratio_doc")],
+                "html_ratio_v1": batch[
+                    attr_name(v1, "code_to_text_ratio_html_doc")
+                ],
+                "comment_ratio_v2": batch[
+                    attr_name(v2, "code_to_comment_ratio_doc")
+                ],
+                "html_ratio_v2": batch[
+                    attr_name(v2, "code_to_text_ratio_html_doc")
+                ],
+            }
+        )
+
+    return tagged.map_batches(project, batch_format="pyarrow")
+
+
+SQL_STARCODER_TAGS = """
+SELECT doc_id,
+  CASE WHEN doc_id % 4 = 1 THEN 1.0 ELSE 0.0 END AS has_xml,
+  CASE doc_id % 4 WHEN 0 THEN 7.0 WHEN 2 THEN 3.0 WHEN 3 THEN 2.0
+    ELSE 0.0 END AS stars,
+  CASE doc_id % 4 WHEN 0 THEN 0.39583 WHEN 3 THEN -1.0 ELSE 0.0 END
+    AS nl_ratio_v1,
+  CASE doc_id % 4 WHEN 2 THEN 0.75107 WHEN 3 THEN -1.0 ELSE 1.0 END
+    AS html_ratio_v1,
+  CASE doc_id % 4 WHEN 0 THEN 0.39583 ELSE 0.5 END AS comment_ratio_v2,
+  CASE doc_id % 4 WHEN 2 THEN 0.75107 ELSE 1.0 END AS html_ratio_v2
+FROM documents
+"""
+
+QUERIES["starcoder_tags"] = q_starcoder_tags
+ORACLES["starcoder_tags"] = SQL_STARCODER_TAGS

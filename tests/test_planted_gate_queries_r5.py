@@ -52,6 +52,7 @@ def _compare(name, ray_session):
         "code_composition",
         "attributes_roundtrip",
         "ft_train_predict",
+        "starcoder_tags",
     ],
 )
 def test_planted_gate_query_matches_oracle(name, ray_session):
