@@ -46,6 +46,7 @@ _DEFAULT_QUERIES = (
     "priority_revenue,returned_orders,"
     "minhash_near_dup,ngram_jaccard_dedup,substring_dedup,analyzer,url_block,"
     "ann_topk,bloom_decontam,extract_text,graph_components,bm25_scores,"
+    "jsonl_roundtrip,attributes_roundtrip,"
     "flagship_keep"
 )
 BENCH_QUERIES = [
