@@ -115,12 +115,25 @@ def _read(path: str, columns: list[str] | None = None):
     return rd.read_parquet(path, columns=columns)
 
 
+def _write(ds, path: str, fmt: str = "parquet") -> None:
+    """Parquet (native) or a reference-layout gzip JSONL documents tree
+    (``--output-format dolma``) — attr__ span columns ride along as
+    attribute dicts in the parquet case and are serialized per the
+    reference OutputSpec by the dolma writer."""
+    if fmt == "dolma":
+        from .sources.jsonl import write_dolma_documents_distributed
+
+        write_dolma_documents_distributed(ds, path)
+    else:
+        ds.write_parquet(path)
+
+
 def cmd_tag(args: argparse.Namespace) -> int:
     from .taggers.base import tag_dataset
 
     ds = _read(args.input)
     ds = tag_dataset(ds, args.taggers.split(","), experiment=args.experiment)
-    ds.write_parquet(args.output)
+    _write(ds, args.output, getattr(args, "output_format", "parquet"))
     print(f"tagged -> {args.output}")
     return 0
 
@@ -266,7 +279,7 @@ def cmd_mix(args: argparse.Namespace) -> int:
                 strategy=args.attributes_strategy,
             )
     out = mix(ds, config, mode=args.mode)
-    out.write_parquet(args.output)
+    _write(out, args.output, getattr(args, "output_format", "parquet"))
     print(f"mixed -> {args.output}")
     return 0
 
@@ -276,7 +289,7 @@ def cmd_flagship(args: argparse.Namespace) -> int:
 
     ds = _read(args.input)
     out = flagship(ds, mode=args.mode, lookup_strategy=args.lookup_strategy)
-    out.write_parquet(args.output)
+    _write(out, args.output, getattr(args, "output_format", "parquet"))
     print(f"flagship -> {args.output}")
     if args.stage_metrics:
         from .stage_metrics import format_stage_table, per_stage_metrics
@@ -549,6 +562,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("tag", help="run taggers, appending attribute columns")
     t.add_argument("--input", required=True)
+    t.add_argument(
+        "--output-format", choices=["parquet", "dolma"], default="parquet",
+        help="dolma = reference-layout gzip JSONL documents tree",
+    )
     t.add_argument("--output", required=True)
     t.add_argument("--taggers", required=True, help="comma-separated registry names")
     t.add_argument("--experiment", default=None)
@@ -591,6 +608,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     m = sub.add_parser("mix", help="keep/drop filter + span scrub")
     m.add_argument("--input", required=True)
+    m.add_argument(
+        "--output-format", choices=["parquet", "dolma"], default="parquet",
+        help="dolma = reference-layout gzip JSONL documents tree",
+    )
     m.add_argument("--output", required=True)
     m.add_argument("--config", default=None, help="YAML mix config (default: canonical ruleset)")
     m.add_argument("--mode", choices=["filter", "label"], default="filter")
@@ -613,6 +634,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     f = sub.add_parser("flagship", help="full tag+dedup+mix pipeline")
     f.add_argument("--input", required=True)
+    f.add_argument(
+        "--output-format", choices=["parquet", "dolma"], default="parquet",
+        help="dolma = reference-layout gzip JSONL documents tree",
+    )
     f.add_argument("--output", required=True)
     f.add_argument("--mode", choices=["filter", "label"], default="filter")
     f.add_argument(

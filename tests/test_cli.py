@@ -465,3 +465,46 @@ def test_cli_dolma_jsonl_workflow(tmp_path):
         f"select count(*) from read_parquet('{tmp_path}/mixed/*.parquet')"
     ).fetchone()[0]
     assert n == 20  # every i % 3 == 0 doc excluded
+
+
+@pytest.mark.slow
+def test_cli_dolma_output_format(tmp_path):
+    """--output-format dolma: mix writes a reference-layout gzip JSONL
+    tree readable straight back through the interchange reader."""
+    import gzip
+    import json
+
+    docs = tmp_path / "documents"
+    docs.mkdir()
+    with gzip.open(docs / "000.json.gz", "wb") as f:
+        for i in range(20):
+            f.write(
+                json.dumps(
+                    {"id": str(i), "text": f"doc number {i} text", "source": "s"}
+                ).encode()
+                + b"\n"
+            )
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "dolma_ray", "--num-cpus", "2",
+            "mix", "--input", str(docs),
+            "--output", str(tmp_path / "mixed"),
+            "--output-format", "dolma",
+        ],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    r2 = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import ray; ray.init(address='local', num_cpus=2, "
+            "include_dashboard=False, logging_level='ERROR');"
+            "from dolma_ray.sources.jsonl import read_dolma_documents;"
+            f"df = read_dolma_documents({str(tmp_path / 'mixed')!r}).to_pandas();"
+            "print(len(df), sorted(df['id'].astype(int))[0], "
+            "sorted(df['id'].astype(int))[-1]); ray.shutdown()",
+        ],
+        capture_output=True, text=True,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert r2.stdout.split()[-3:] == ["20", "0", "19"]
