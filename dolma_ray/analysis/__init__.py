@@ -6,3 +6,4 @@ from .graph import (  # noqa: F401
     mark_cluster_duplicates,
 )
 from .bm25 import bm25_score  # noqa: F401
+from .sampling import fnv1a_u64_vec, stratified_sample  # noqa: F401

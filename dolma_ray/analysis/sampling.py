@@ -1,0 +1,94 @@
+"""Deterministic stratified sampling: k rows per group, chosen by a
+seeded 64-bit FNV-1a hash of a key column — the distributed, re-runnable
+replacement for "ORDER BY random() LIMIT k per group" when balancing
+sources/languages in a training mix.
+
+Same family as the engine's ``random_number_v1`` split tagger
+(``taggers/sampling.py`` — the reference's pid-seeded sampler,
+``python/dolma/taggers/sampling.py``, is irreproducible by design, so
+the key-hash order stands in): same corpus + seed -> same sample, on
+any cluster size, any block layout.
+
+Scale shape (the ``grouped_topk`` combiner pattern): every batch keeps
+only its LOCAL k smallest (hash, key) rows per group — a map-side
+combiner, so at most ``k x groups-in-batch`` rows leave each block —
+then a ``groupby(group).map_groups`` finalize applies the identical
+selection to the tiny union of partials (<= k x n_blocks rows per
+group).  No full-data sort, no full-row shuffle of unsampled rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def fnv1a_u64_vec(keys, seed: int = 1) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over a sequence of string keys (same
+    chain as ``taggers.sampling.fnv1a_64``): one numpy fold per byte
+    POSITION, not per row."""
+    enc = [str(k).encode("utf-8") for k in keys]
+    n = len(enc)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    lens = np.fromiter((len(b) for b in enc), np.int64, n)
+    total = int(lens.sum())
+    L = int(lens.max()) if total else 0
+    mat = np.zeros((n, L), np.uint8)
+    if total:
+        flat = np.frombuffer(b"".join(enc), np.uint8)
+        row_idx = np.repeat(np.arange(n), lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        col_idx = np.arange(total) - np.repeat(starts, lens)
+        mat[row_idx, col_idx] = flat
+    prime = np.uint64(_FNV_PRIME)
+    h = np.full(
+        n, np.uint64(_FNV_OFFSET ^ ((seed * _FNV_PRIME) & 0xFFFFFFFFFFFFFFFF))
+    )
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            active = j < lens
+            hj = h[active]
+            h[active] = (hj ^ mat[active, j].astype(np.uint64)) * prime
+    return h
+
+
+def _keep_k_per_group(
+    batch: pa.Table, group_col: str, key_col: str, k: int, seed: int
+) -> pa.Table:
+    keys = batch[key_col].to_pylist()
+    h = fnv1a_u64_vec(keys, seed)
+    groups = batch[group_col].to_pylist()
+    g_u, g_inv = np.unique(np.asarray(groups, dtype=object), return_inverse=True)
+    key_arr = np.asarray(keys, dtype=object)
+    order = np.lexsort((key_arr, h, g_inv))
+    g_sorted = g_inv[order]
+    n = len(order)
+    starts = np.flatnonzero(np.r_[True, g_sorted[1:] != g_sorted[:-1]])
+    runlen = np.diff(np.r_[starts, n])
+    runpos = np.arange(n) - np.repeat(starts, runlen)
+    keep = np.sort(order[runpos < k])
+    return batch.take(pa.array(keep, pa.int64()))
+
+
+def stratified_sample(ds, group_col: str, key_col: str, k: int, seed: int = 1):
+    """k deterministic rows per ``group_col`` value, ranked by
+    FNV-1a(seed, ``key_col``) ascending with key-ascending tie-break
+    (hash collisions included) — exactly ``ROW_NUMBER() OVER (PARTITION
+    BY group ORDER BY hash, key) <= k``."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _keep_k_per_group(batch, group_col, key_col, k, seed)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return _keep_k_per_group(group, group_col, key_col, k, seed)
+
+    partials = ds.map_batches(local, batch_format="pyarrow")
+    return partials.groupby(group_col).map_groups(
+        finalize, batch_format="pyarrow"
+    )

@@ -4557,3 +4557,73 @@ FROM documents
 
 QUERIES["starcoder_tags"] = q_starcoder_tags
 ORACLES["starcoder_tags"] = SQL_STARCODER_TAGS
+
+
+_STRAT_K = 3
+
+
+def q_stratified_sample(sf_dir: str, k: int = _STRAT_K):
+    """Deterministic stratified sampling at the driver gate: the k
+    lowest FNV-1a(seed=1, ``'doc-' || doc_id``) documents per ``lang``
+    (``analysis/sampling.py::stratified_sample`` — map-side k-per-group
+    combiner + bounded ``groupby().map_groups`` finalize, the
+    ``grouped_topk`` exchange shape).  The oracle replays the exact
+    64-bit hash chain in SQL (HUGEINT ``list_reduce``, same replay as
+    ``sample_split``) under ``ROW_NUMBER() OVER (PARTITION BY lang
+    ORDER BY hash, key)``.  The registered oracle is templated on the
+    same ``_STRAT_K`` constant as this default."""
+    from .analysis.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def plant_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "key",
+            pc.binary_join_element_wise(
+                "doc-", pc.cast(batch["doc_id"], pa.string()), ""
+            ),
+        )
+
+    sampled = stratified_sample(
+        ds.map_batches(plant_key, batch_format="pyarrow"),
+        group_col="lang",
+        key_col="key",
+        k=k,
+        seed=1,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"lang": batch["lang"], "doc_id": batch["doc_id"]}
+        )
+
+    return sampled.map_batches(project, batch_format="pyarrow")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH hashed AS (
+    SELECT lang, doc_id,
+           list_reduce(
+               list_prepend(
+                   xor(14695981039346656037::HUGEINT,
+                       (1::HUGEINT * 1099511628211) % 18446744073709551616),
+                   list_transform(
+                       range(1, length('doc-' || doc_id::VARCHAR) + 1),
+                       i -> ord(substr('doc-' || doc_id::VARCHAR, i, 1))::HUGEINT)
+               ),
+               (h, b) -> (xor(h, b) * 1099511628211) % 18446744073709551616
+           ) AS hv
+    FROM documents
+), ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY hv, 'doc-' || doc_id::VARCHAR
+           ) AS rn
+    FROM hashed
+)
+SELECT lang, doc_id FROM ranked WHERE rn <= {_STRAT_K}
+"""
+
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLES["stratified_sample"] = SQL_STRATIFIED_SAMPLE

@@ -53,6 +53,7 @@ def _compare(name, ray_session):
         "attributes_roundtrip",
         "ft_train_predict",
         "starcoder_tags",
+        "stratified_sample",
     ],
 )
 def test_planted_gate_query_matches_oracle(name, ray_session):

@@ -1,0 +1,79 @@
+"""stratified_sample: deterministic k-per-group selection by seeded
+FNV-1a key hash — block-layout independence, tie-breaks, vectorized
+hash parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_fnv_vec_matches_scalar_chain():
+    from dolma_ray.analysis.sampling import fnv1a_u64_vec
+    from dolma_ray.taggers.sampling import fnv1a_64
+
+    keys = ["", "a", "doc-123", "http://e.com/x?y=1", "日本語キー", "z" * 300]
+    for seed in (1, 7, 123456):
+        vec = [int(v) for v in fnv1a_u64_vec(keys, seed)]
+        assert vec == [fnv1a_64(k.encode("utf-8"), seed=seed) for k in keys]
+
+
+def _brute(table, group_col, key_col, k, seed):
+    from dolma_ray.analysis.sampling import fnv1a_u64_vec
+
+    keys = table[key_col].to_pylist()
+    h = fnv1a_u64_vec(keys, seed)
+    rows = sorted(
+        range(len(keys)),
+        key=lambda i: (table[group_col][i].as_py(), int(h[i]), keys[i]),
+    )
+    out, seen = [], {}
+    for i in rows:
+        g = table[group_col][i].as_py()
+        if seen.get(g, 0) < k:
+            seen[g] = seen.get(g, 0) + 1
+            out.append((g, keys[i]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_matches_bruteforce_any_block_layout(ray_session, blocks):
+    import ray.data as rd
+
+    from dolma_ray.analysis.sampling import stratified_sample
+
+    rng = np.random.default_rng(3)
+    n = 500
+    table = pa.table(
+        {
+            "g": pa.array([f"g{int(x)}" for x in rng.integers(0, 6, n)]),
+            "key": pa.array([f"k{i}" for i in range(n)]),
+            "payload": pa.array(rng.integers(0, 100, n), pa.int64()),
+        }
+    )
+    expected = _brute(table, "g", "key", 4, seed=9)
+    ds = rd.from_arrow(table).repartition(blocks)
+    got = stratified_sample(ds, "g", "key", k=4, seed=9).to_pandas()
+    assert sorted(zip(got["g"], got["key"])) == expected
+    # payload columns ride along untouched
+    assert set(got.columns) == {"g", "key", "payload"}
+
+
+def test_small_groups_keep_everything(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis.sampling import stratified_sample
+
+    table = pa.table({"g": ["a", "a", "b"], "key": ["1", "2", "3"]})
+    got = stratified_sample(rd.from_arrow(table), "g", "key", k=10).to_pandas()
+    assert len(got) == 3
+
+
+def test_k_must_be_positive(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis.sampling import stratified_sample
+
+    with pytest.raises(ValueError):
+        stratified_sample(
+            rd.from_arrow(pa.table({"g": ["a"], "key": ["1"]})), "g", "key", k=0
+        )
