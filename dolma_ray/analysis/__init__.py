@@ -1,4 +1,11 @@
-from .search import brute_force_topk, lsh_topk  # noqa: F401
+from .search import (  # noqa: F401
+    brute_force_topk,
+    ivfpq_encode,
+    ivfpq_index,
+    ivfpq_search,
+    ivfpq_topk,
+    lsh_topk,
+)
 from .text_stats import add_doc_stats  # noqa: F401
 from .graph import (  # noqa: F401
     connected_components,

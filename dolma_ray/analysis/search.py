@@ -181,3 +181,232 @@ def ivf_topk(
         .sort(["cos", id_column], descending=[True, False])
         .limit(k)
     )
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _kmeans_np(x: np.ndarray, k: int, n_iters: int, seed: int) -> np.ndarray:
+    """Small seeded Lloyd k-means on an in-memory sample (codebook
+    training only — corpus-scale k-means stays in ``analysis/kmeans``)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(x))
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(n_iters):
+        d = -2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)
+        a = np.argmin(d, axis=1)
+        for j in range(k):
+            sel = x[a == j]
+            if len(sel):
+                cents[j] = sel.mean(axis=0)
+    return cents
+
+
+def ivfpq_index(
+    ds,
+    n_cells: int = 16,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    embedding_column: str = "embedding",
+    seed: int = 42,
+    train_n: int = 4096,
+) -> dict:
+    """Train an IVF-PQ index (Jegou et al. 2011 IVFADC): a distributed
+    k-means coarse quantizer (``analysis/kmeans.py`` — broadcast
+    centroids + per-batch partial sums) over the UNIT-normalized
+    vectors, plus per-subspace residual codebooks trained on a bounded
+    driver-side sample (``limit(train_n)`` — the standard practice; the
+    codebooks are O(m x n_codes x dim/m), tiny).  Returns a plain dict
+    so the index ships to workers with one ``ray.put``."""
+    from .kmeans import kmeans_fit
+
+    def norm_batch(batch: pa.Table) -> pa.Table:
+        mat = _normalize_rows(_matrix(batch[embedding_column]))
+        col = pa.array(list(mat), pa.list_(pa.float64()))
+        return batch.set_column(
+            batch.column_names.index(embedding_column), embedding_column, col
+        )
+
+    ds_n = ds.map_batches(norm_batch, batch_format="pyarrow")
+    centroids = kmeans_fit(
+        ds_n, k=n_cells, embedding_column=embedding_column, n_iters=3, seed=seed
+    )
+
+    sample = pa.concat_tables(
+        ds_n.limit(train_n).iter_batches(
+            batch_size=train_n, batch_format="pyarrow"
+        )
+    )
+    x = _matrix(sample[embedding_column])
+    dim = x.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(
+            f"embedding dim {dim} not divisible by m_subspaces {m_subspaces}"
+        )
+    from .kmeans import _assign
+
+    res = x - centroids[_assign(x, centroids)]
+    dsub = dim // m_subspaces
+    codebooks = np.stack(
+        [
+            _kmeans_np(
+                res[:, j * dsub : (j + 1) * dsub], n_codes, n_iters=8,
+                seed=seed + j,
+            )
+            for j in range(m_subspaces)
+        ]
+    )  # (m, n_codes, dsub)
+    return {
+        "centroids": centroids,
+        "codebooks": codebooks,
+        "m": m_subspaces,
+        "dsub": dsub,
+    }
+
+
+def ivfpq_encode(
+    ds,
+    index: dict,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+):
+    """Encode the corpus against a trained index: one map-only pass to a
+    NARROW table ``(id, cell:int32, codes:binary[m])`` — ~m bytes per
+    vector instead of 8·dim, the representation that actually fits a
+    10^12-vector index in cluster memory.  Encode once, search many."""
+    import ray
+
+    from .kmeans import _assign
+
+    ref = ray.put(index)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        idx = ray.get(ref)
+        cents, books, m, dsub = (
+            idx["centroids"], idx["codebooks"], idx["m"], idx["dsub"],
+        )
+        mat = _normalize_rows(_matrix(batch[embedding_column]))
+        if mat.shape[0] == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int32()),
+                    "codes": pa.array([], pa.binary()),
+                }
+            )
+        cells = _assign(mat, cents)
+        res = mat - cents[cells]
+        codes = np.empty((mat.shape[0], m), np.uint8)
+        for j in range(m):
+            sub = res[:, j * dsub : (j + 1) * dsub]
+            cb = books[j]
+            d = -2.0 * (sub @ cb.T) + (cb * cb).sum(axis=1)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "cell": pa.array(cells.astype(np.int32), pa.int32()),
+                "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def ivfpq_search(
+    encoded,
+    index: dict,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+):
+    """ADC top-k over an encoded table: per probed cell, an
+    (m x n_codes) lookup table of squared subspace distances between
+    the query residual and every codeword; a row's distance is m LUT
+    gathers + a sum — the original vectors are never touched.  Each
+    batch emits only its local top-k; rows of non-probed cells never
+    leave their block.  An EXACT copy of a corpus vector quantizes to
+    the per-subspace argmin codes, so its ADC distance is the global
+    minimum — the property the ``ivfpq_ann_recall`` oracle pins.
+    Returns (id, adc_dist) ascending with (dist, id) tie-break."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    cents, books, m, dsub = (
+        index["centroids"], index["codebooks"], index["m"], index["dsub"],
+    )
+    d = -2.0 * (cents @ q) + (cents * cents).sum(axis=1)
+    probe = np.sort(np.argsort(d, kind="stable")[:nprobe])
+    # LUT[cell_rank, j, code] = || (q - centroid)_sub_j - codeword ||^2
+    luts = np.empty((len(probe), m, books.shape[1]))
+    for r, c in enumerate(probe):
+        qres = q - cents[c]
+        for j in range(m):
+            diff = qres[j * dsub : (j + 1) * dsub] - books[j]
+            luts[r, j] = (diff * diff).sum(axis=1)
+    ctx = ray.put((probe, luts, m))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        pr, lt, mm = ray.get(ctx)
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        mask = np.isin(cells, pr)
+        if not mask.any():
+            return pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.float64()),
+                }
+            )
+        ids = batch[id_column].to_numpy(zero_copy_only=False)[mask]
+        codes = np.frombuffer(
+            b"".join(batch["codes"].to_pylist()), np.uint8
+        ).reshape(-1, mm)[mask]
+        rank = np.searchsorted(pr, cells[mask])
+        dist = lt[rank[:, None], np.arange(mm)[None, :], codes].sum(axis=1)
+        dist = np.round(dist, 9)
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table(
+            {
+                id_column: pa.array(ids[order]),
+                "adc_dist": pa.array(dist[order], pa.float64()),
+            }
+        )
+
+    return (
+        encoded.map_batches(scan, batch_format="pyarrow")
+        .sort(["adc_dist", id_column])
+        .limit(k)
+    )
+
+
+def ivfpq_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_column: str = "vec_id",
+    embedding_column: str = "embedding",
+    seed: int = 42,
+):
+    """Train + encode + ADC-search in one call (convenience; at scale
+    persist :func:`ivfpq_encode`'s narrow table and reuse it)."""
+    index = ivfpq_index(
+        ds,
+        n_cells=n_cells,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        embedding_column=embedding_column,
+        seed=seed,
+    )
+    encoded = ivfpq_encode(
+        ds, index, id_column=id_column, embedding_column=embedding_column
+    )
+    return ivfpq_search(
+        encoded, index, query, k=k, nprobe=nprobe, id_column=id_column
+    )

@@ -4627,3 +4627,39 @@ SELECT lang, doc_id FROM ranked WHERE rn <= {_STRAT_K}
 
 QUERIES["stratified_sample"] = q_stratified_sample
 ORACLES["stratified_sample"] = SQL_STRATIFIED_SAMPLE
+
+
+def q_ivfpq_ann_recall(sf_dir: str):
+    """IVF-PQ (product-quantized ADC, Jegou et al. 2011) with an exact
+    planted-recall oracle: an exact copy of a corpus vector quantizes to
+    the per-subspace ARGMIN codewords, so its ADC distance is the
+    global minimum over the whole encoded table — the query vector
+    itself (vec 0) and its planted copy (+10M id) MUST be ranks 1 and 2
+    under the (dist, id) tie-break.  Exercises the full scale path:
+    distributed coarse k-means, bounded codebook training, the one-pass
+    narrow ``(id, cell, codes)`` encode (~m bytes/vector), and the
+    LUT-gather ADC scan that never touches the original vectors
+    (``analysis/search.py::ivfpq_*``)."""
+    from .analysis.search import ivfpq_topk
+
+    planted, q = _plant_query_copy(sf_dir)
+    top = ivfpq_topk(
+        planted, q, k=2, n_cells=8, nprobe=2, m_subspaces=8, n_codes=16
+    )
+
+    # the top-2 result is tiny and already globally ordered — collect it
+    # on the driver to assign ranks across block boundaries
+    df = top.to_pandas()
+    return pd.DataFrame(
+        {"vec_id": df["vec_id"], "rank": np.arange(1, len(df) + 1, dtype=np.int64)}
+    )
+
+
+SQL_IVFPQ_ANN_RECALL = """
+SELECT 0 AS vec_id, CAST(1 AS BIGINT) AS rank
+UNION ALL
+SELECT 10000000 AS vec_id, CAST(2 AS BIGINT) AS rank
+"""
+
+QUERIES["ivfpq_ann_recall"] = q_ivfpq_ann_recall
+ORACLES["ivfpq_ann_recall"] = SQL_IVFPQ_ANN_RECALL

@@ -1,0 +1,99 @@
+"""IVF-PQ: encode table shape, ADC-vs-reconstruction parity, planted
+exact-copy minimality, dim-divisibility guard."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _toy_ds(n=400, dim=16, seed=0):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    return (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(n), pa.int64()),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+                }
+            )
+        ).repartition(5),
+        vecs,
+    )
+
+
+def test_encode_is_narrow_and_complete(ray_session):
+    from dolma_ray.analysis.search import ivfpq_encode, ivfpq_index
+
+    ds, _ = _toy_ds()
+    index = ivfpq_index(ds, n_cells=4, m_subspaces=4, n_codes=8)
+    enc = ivfpq_encode(ds, index).to_pandas()
+    assert len(enc) == 400
+    assert sorted(enc.columns) == ["cell", "codes", "vec_id"]
+    assert all(len(c) == 4 for c in enc["codes"])  # m bytes per vector
+    assert enc["cell"].between(0, 3).all()
+
+
+def test_adc_matches_reconstruction_distance(ray_session):
+    """The distributed ADC distance must equal the driver-side
+    ||q_res - decode(codes)||^2 computed from the same index."""
+    from dolma_ray.analysis.search import (
+        ivfpq_encode,
+        ivfpq_index,
+        ivfpq_search,
+    )
+
+    ds, vecs = _toy_ds()
+    index = ivfpq_index(ds, n_cells=4, m_subspaces=4, n_codes=8)
+    enc = ivfpq_encode(ds, index).to_pandas().set_index("vec_id")
+    q = vecs[7]
+    top = ivfpq_search(
+        ivfpq_encode(ds, index), index, q, k=5, nprobe=4
+    ).to_pandas()
+
+    qn = q / np.linalg.norm(q)
+    cents, books, m, dsub = (
+        index["centroids"], index["codebooks"], index["m"], index["dsub"],
+    )
+    for _, row in top.iterrows():
+        cell = int(enc.loc[row["vec_id"], "cell"])
+        codes = np.frombuffer(enc.loc[row["vec_id"], "codes"], np.uint8)
+        qres = qn - cents[cell]
+        expect = sum(
+            float(
+                ((qres[j * dsub : (j + 1) * dsub] - books[j][codes[j]]) ** 2).sum()
+            )
+            for j in range(m)
+        )
+        assert row["adc_dist"] == pytest.approx(expect, abs=1e-8)
+
+
+def test_exact_copy_has_global_min_adc(ray_session):
+    import ray.data as rd
+
+    from dolma_ray.analysis.search import ivfpq_topk
+
+    ds, vecs = _toy_ds()
+    # plant a copy of vector 3 with a high id
+    copy = pa.table(
+        {
+            "vec_id": pa.array([9_999_999], pa.int64()),
+            "embedding": pa.array([list(vecs[3])], pa.list_(pa.float64())),
+        }
+    )
+    planted = ds.union(rd.from_arrow(copy))
+    top = ivfpq_topk(
+        planted, vecs[3], k=2, n_cells=4, nprobe=4, m_subspaces=4, n_codes=8
+    ).to_pandas()
+    assert list(top["vec_id"]) == [3, 9_999_999]
+    assert top["adc_dist"].iloc[0] == top["adc_dist"].iloc[1]
+
+
+def test_dim_divisibility_guard(ray_session):
+    from dolma_ray.analysis.search import ivfpq_index
+
+    ds, _ = _toy_ds(dim=10)
+    with pytest.raises(ValueError, match="divisible"):
+        ivfpq_index(ds, n_cells=2, m_subspaces=4, n_codes=4)

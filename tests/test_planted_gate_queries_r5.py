@@ -13,20 +13,20 @@ SF_DIR = "/root/testdata/sf0.001"
 def _compare(name, ray_session):
     from dolma_ray.queries import ORACLES, QUERIES
 
-    ours = (
-        QUERIES[name](SF_DIR)
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    import pandas as pd
+
+    res = QUERIES[name](SF_DIR)
+    ours = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    key = "doc_id" if "doc_id" in ours.columns else list(ours.columns)
+    ours = ours.sort_values(key).reset_index(drop=True)
     con = duckdb.connect()
     con.sql(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{SF_DIR}/documents.parquet')"
     )
-    theirs = (
-        con.sql(ORACLES[name]).df().sort_values("doc_id").reset_index(drop=True)
-    )
+    theirs = con.sql(ORACLES[name]).df()
+    tkey = "doc_id" if "doc_id" in theirs.columns else list(theirs.columns)
+    theirs = theirs.sort_values(tkey).reset_index(drop=True)
     assert list(ours.columns) == list(theirs.columns)
     for col in ours.columns:
         assert (ours[col].to_numpy() == theirs[col].to_numpy()).all(), (
@@ -54,6 +54,7 @@ def _compare(name, ray_session):
         "ft_train_predict",
         "starcoder_tags",
         "stratified_sample",
+        "ivfpq_ann_recall",
     ],
 )
 def test_planted_gate_query_matches_oracle(name, ray_session):
