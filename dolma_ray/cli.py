@@ -527,6 +527,48 @@ def cmd_bm25(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ann(args: argparse.Namespace) -> int:
+    """Approximate/exact nearest-neighbor search over an embedding
+    column: brute (exact cosine), lsh (hyperplane buckets), ivf (coarse
+    quantizer + nprobe), ivfpq (product-quantized ADC — the
+    memory-compressed scale path)."""
+    import numpy as np
+
+    from .analysis.search import brute_force_topk, ivf_topk, ivfpq_topk, lsh_topk
+
+    ds = _read(args.input)
+    if args.query is None and args.query_id is None:
+        print("error: pass --query or --query-id", file=sys.stderr)
+        return 2
+    if args.query is not None:
+        q = np.array([float(x) for x in args.query.split(",")], np.float64)
+    else:
+        hit = ds.filter(
+            lambda r, _id=args.query_id: r[args.key] == _id
+        ).take(1)
+        if not hit:
+            print(f"error: {args.key}={args.query_id} not found", file=sys.stderr)
+            return 2
+        q = np.asarray(hit[0][args.embedding_column], np.float64)
+    common = dict(id_column=args.key, embedding_column=args.embedding_column)
+    if args.method == "brute":
+        top = brute_force_topk(ds, q, k=args.k, **common)
+    elif args.method == "lsh":
+        top = lsh_topk(ds, q, k=args.k, n_planes=args.n_planes, **common)
+    elif args.method == "ivf":
+        top = ivf_topk(
+            ds, q, k=args.k, n_cells=args.n_cells, nprobe=args.nprobe, **common
+        )
+    else:
+        top = ivfpq_topk(
+            ds, q, k=args.k, n_cells=args.n_cells, nprobe=args.nprobe,
+            m_subspaces=args.m_subspaces, n_codes=args.n_codes, **common
+        )
+    top.write_parquet(args.output)
+    print(f"top-{args.k} ({args.method}) -> {args.output}")
+    return 0
+
+
 def cmd_substrings(args: argparse.Namespace) -> int:
     from .dedup.substring import ASCII_TOKEN_PATTERN, mark_duplicate_substrings
 
@@ -807,6 +849,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="also emit n_tokens/dup_grams/covered_tokens/n_spans columns",
     )
     ss.set_defaults(fn=cmd_substrings)
+
+    an = sub.add_parser(
+        "ann",
+        help="nearest-neighbor search over an embedding column "
+        "(brute/lsh/ivf/ivfpq)",
+    )
+    an.add_argument("--input", required=True)
+    an.add_argument("--output", required=True)
+    an.add_argument("--method", choices=["brute", "lsh", "ivf", "ivfpq"], default="brute")
+    an.add_argument("--query", default=None, help="comma-separated floats")
+    an.add_argument("--query-id", type=int, default=None, help="use this row's vector as the query")
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--key", default="vec_id")
+    an.add_argument("--embedding-column", default="embedding")
+    an.add_argument("--n-planes", type=int, default=8)
+    an.add_argument("--n-cells", type=int, default=16)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--m-subspaces", type=int, default=8)
+    an.add_argument("--n-codes", type=int, default=16)
+    an.set_defaults(fn=cmd_ann)
 
     ls = sub.add_parser("list", help="list registered taggers")
     ls.set_defaults(fn=cmd_list)

@@ -508,3 +508,27 @@ def test_cli_dolma_output_format(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr
     assert r2.stdout.split()[-3:] == ["20", "0", "19"]
+
+
+@pytest.mark.slow
+def test_cli_ann(tmp_path):
+    """ann subcommand: ivfpq + brute over the testdata embeddings."""
+    for method, col in (("brute", "cos"), ("ivfpq", "adc_dist")):
+        out = tmp_path / f"ann_{method}"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "dolma_ray", "--num-cpus", "2",
+                "ann", "--input", "/root/testdata/sf0.001/embeddings.parquet",
+                "--output", str(out), "--method", method,
+                "--query-id", "0", "--k", "5",
+            ],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr
+        df = duckdb.sql(
+            f"select * from read_parquet('{out}/*.parquet')"
+        ).df()
+        assert len(df) == 5 and col in df.columns
+        # the query vector itself is rank 1 under both metrics
+        best = df.sort_values(col, ascending=(method == "ivfpq")).iloc[0]
+        assert int(best["vec_id"]) == 0
